@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Array-form vector math over `ARRAY<FLOAT|DOUBLE>` columns — the fused fast
+  * path for the reference's embedding analytics (SURVEY.md §2.7 F6/F7, §2.11).
+  *
+  * Everything here is Catalyst higher-order functions (`zip_with`,
+  * `aggregate`, `transform`), so the math stays inside whole-stage codegen
+  * with zero per-element shuffle — unlike the posexplode long form used for
+  * DuckDB oracle parity (graft.queries.VectorQueries), which trades a D×
+  * row blow-up for cross-engine checkability. Specs assert both forms agree.
+  *
+  * At 100 TB scale this is the path that matters: a dot product over a
+  * 2048-dim embedding is one generated loop per row, not 2048 shuffled rows.
+  */
+object VecOps {
+
+  /** Σ aᵢ·bᵢ — elementwise product then sum, all in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Σ vᵢ² */
+  def norm2(v: Column): Column = dot(v, v)
+
+  /** L2 norm. */
+  def l2norm(v: Column): Column = sqrt(norm2(v))
+
+  /** Cosine similarity with 0-guard (reference eps convention,
+    * src/compare_xception_featuremaps.py:50-62 denominator guard).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b) + lit(1e-12))
+
+  /** Squared L2 distance — cheaper than sqrt for nearest-neighbor ranking. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val dl = x.cast("double") - y.cast("double"); dl * dl
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Elementwise add — for tree/partial centroid accumulation. */
+  def add(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") + y.cast("double"))
+
+  /** Scale by a scalar column. */
+  def scale(v: Column, k: Column): Column =
+    transform(v, x => x.cast("double") * k)
+
+  /** Vector mean of a grouped ARRAY column — aggregate form of the
+    * reference's global-average-pool / centroid (A1). Usage:
+    * df.groupBy(g).agg(VecOps.meanVector(col("embedding"))).
+    * Implemented as elementwise sum via `aggregate` over `collect_list` —
+    * fine for bounded group cardinality; the scalable path for huge groups
+    * is the long form or a TypedImperativeAggregate.
+    */
+  def sumVector(v: Column, dim: Int): Column =
+    aggregate(
+      collect_list(v),
+      array_repeat(lit(0.0), dim),
+      (acc, x) => zip_with(acc, x, (a, b) => a + b.cast("double")))
+
+  def meanVector(v: Column, dim: Int): Column = {
+    val s = sumVector(v, dim)
+    // divide by the group count captured in the same agg
+    zip_with(s, array_repeat(count(lit(1)).cast("double"), dim), (a, n) => a / n)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Batch-checkable equivalents of the streaming surface (SURVEY.md §2.10):
+  * tumbling event-time windows, gap-based sessionization, dedup-to-latest.
+  * The same transforms run under Structured Streaming (graft.streaming);
+  * here they are oracle-checked against DuckDB on the static events table.
+  */
+object EventQueries extends QueryPack {
+
+  // ---- tumbling window counts; Spark window() and DuckDB time_bucket are
+  //      both epoch-aligned for whole-minute widths ----
+  private val tumbling = OracleQuery(
+    "e_tumbling_10min",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("bucket_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("bucket_start"), col("event_type")),
+    Some(s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+      event_type, COUNT(*) AS n, ${DSUM("value")} AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type"""))
+
+  // ---- gap-based sessionization (30-min inactivity gap): the batch analog
+  //      of session_window; lag + running flag-sum assigns session ids ----
+  private val sessions = OracleQuery(
+    "e_sessionize_30min_gap",
+    (s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts") - col("prev_ts")) > expr("INTERVAL '30' MINUTE"), 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(runs))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN LAG(ts, 1) OVER w IS NULL
+               OR ts - LAG(ts, 1) OVER w > INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+      MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""))
+
+  // ---- dedup to latest row per key (streaming dropDuplicates analog) ----
+  private val latestPerUser = OracleQuery(
+    "e_latest_event_per_user",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1 ORDER BY user_id"""))
+
+  // ---- per-type stats ----
+  private val typeStats = OracleQuery(
+    "e_event_type_stats",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type")),
+    Some(s"""SELECT event_type, COUNT(*) AS n, ${DSUM("value")} AS total_value,
+      MIN(value) AS min_value, MAX(value) AS max_value,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  override val all: Seq[OracleQuery] =
+    Seq(tumbling, sessions, latestPerUser, typeStats)
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Text / LLM-pipeline pack over the documents table (north star; SURVEY.md
+  * §7.2 step 5): exact dedup, token statistics, stopword quality scoring,
+  * n-gram Jaccard near-dup pairs, canonical fingerprints, word frequency.
+  * MinHash/SimHash probabilistic variants (engine hash functions, not
+  * cross-engine checkable) live in graft.operators.Dedup with spec tests.
+  */
+object TextQueries extends QueryPack {
+
+  private def words(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+
+  // ---- exact dedup via content hash: groups + canonical keeper ----
+  private val exactDedup = OracleQuery(
+    "t_exact_dedup_groups",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("content_hash")),
+    Some("""SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+      MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1 ORDER BY content_hash"""))
+
+  // ---- token counting + quality ratios (whitespace tokenizer) ----
+  private val tokenStats = OracleQuery(
+    "t_token_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          length(col("text")).as("n_chars_text"),
+          ((length(col("text")) - size(split(col("text"), " ")) + 1).cast("double") /
+            size(split(col("text"), " "))).as("avg_token_len"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      CAST(length(text) AS INT) AS n_chars_text,
+      CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents ORDER BY doc_id"""))
+
+  // ---- corpus composition by lang × source ----
+  private val langSource = OracleQuery(
+    "t_lang_source_counts",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), dsum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"), col("source")),
+    Some(s"""SELECT lang, source, COUNT(*) AS n_docs,
+      ${DSUM("n_chars")} AS total_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
+  // ---- quality scoring: stopword ratio per document ----
+  private val stopwordRatio = OracleQuery(
+    "t_stopword_ratio",
+    (s, d) =>
+      words(s, d).filter(col("doc_id") < 50)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("w").isin("the", "a", "of", "and", "to"), 1L).otherwise(0L)).as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, COUNT(*) AS n_tokens,
+      SUM(CASE WHEN w IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS n_stop,
+      CAST(SUM(CASE WHEN w IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS stop_ratio
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---- global word frequency top-20 ----
+  private val wordFreq = OracleQuery(
+    "t_word_freq_top20",
+    (s, d) =>
+      words(s, d)
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(20),
+    Some("""SELECT w, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w ORDER BY n DESC, w LIMIT 20"""))
+
+  // ---- n-gram Jaccard near-dup pairs (word 3-gram shingles), fully
+  //      relational: posexplode → offset self-joins build shingles, shingle
+  //      equi-join counts intersections. Scale path = MinHash LSH
+  //      (graft.operators.Dedup) ----
+  private val ngramJaccard = OracleQuery(
+    "t_ngram_jaccard_pairs",
+    (s, d) => {
+      val ws = words(s, d).filter(col("doc_id") < 200)
+      val sh = ws.as("a")
+        .join(ws.as("b"), col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .join(ws.as("c"), col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
+        .select(col("a.doc_id").as("doc_id"),
+          concat_ws(" ", col("a.w"), col("b.w"), col("c.w")).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("x")
+        .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("s1.sz") + col("s2.sz") - col("n_common"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.4)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some("""WITH w AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_common
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, n_common,
+      CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+               JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) >= 0.4
+    ORDER BY d1, d2"""))
+
+  // ---- canonical document fingerprint: hash of sorted distinct tokens ----
+  private val fingerprint = OracleQuery(
+    "t_fingerprint_canonical",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+    FROM documents ORDER BY doc_id"""))
+
+  override val all: Seq[OracleQuery] = Seq(
+    exactDedup, tokenStats, langSource, stopwordRatio,
+    wordFreq, ngramJaccard, fingerprint)
+}
