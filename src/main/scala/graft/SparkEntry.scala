@@ -10,9 +10,11 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
+    AdvancedQueries,
     EventQueries,
     VectorQueries,
-    TextQueries)
+    TextQueries,
+    EngineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core question — pairwise similarity structure of the

@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Exact._
+
+/** Second relational pack: the SURVEY.md §2 operators not covered by
+  * RelationalQueries — P2 fallback parsing, J6 last-wins merge, L6 pair
+  * sampling, A8 count alignment, range join (§2.3 engine-added), exact
+  * correlation, median/percentile, range-frame and first/last windows,
+  * ordered string aggregation.
+  */
+object AdvancedQueries extends QueryPack {
+
+  // ---- P2: double-underscore parse with single-underscore fallback
+  //      (src/analyze_embedding_with_tsne.py:28-35) ----
+  private val p2Parse = OracleQuery(
+    "p2_suffix_parse_fallback",
+    (s, d) => {
+      val withKey = Tables.part(s, d)
+        .select(col("p_partkey"),
+          concat(col("p_brand"),
+            when(col("p_partkey") % 2 === 0, lit("__")).otherwise(lit("_")),
+            col("p_type")).as("k"))
+      withKey.select(col("p_partkey"),
+        when(col("k").contains("__"), element_at(split(col("k"), "__"), -1))
+          .otherwise(element_at(split(col("k"), "_"), -1)).as("parsed"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey,
+      CASE WHEN contains(k, '__') THEN split_part(k, '__', -1)
+           ELSE split_part(k, '_', -1) END AS parsed
+    FROM (SELECT p_partkey,
+            p_brand || (CASE WHEN p_partkey % 2 = 0 THEN '__' ELSE '_' END) || p_type AS k
+          FROM part)
+    ORDER BY p_partkey"""))
+
+  // ---- J6/T3: map-merge union, last wins per key (dict.update semantics,
+  //      src/extract_embedding_multiple.py:183-190): stack two event slices,
+  //      priority column decides the winner per event_id ----
+  private val lastWinsMerge = OracleQuery(
+    "j6_last_wins_merge",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("event_type"), lit(1).as("src"))
+      val b = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), concat(lit("B_"), col("event_type")).as("event_type"),
+          lit(2).as("src"))
+      val w = Window.partitionBy(col("event_id")).orderBy(col("src").desc)
+      a.unionByName(b)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("event_type"), col("src"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type, src FROM (
+      SELECT event_id, event_type, src,
+        ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY src DESC) AS rn
+      FROM (
+        SELECT event_id, event_type, 1 AS src FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT event_id, 'B_' || event_type, 2 AS src FROM events WHERE event_id % 2 = 0
+      )) WHERE rn = 1 ORDER BY event_id"""))
+
+  // ---- L6/J4: shuffled pair sample — hash-order limit over all 2-
+  //      combinations (src/analyze_embedding_with_tsne.py:236-242) ----
+  private val pairSample = OracleQuery(
+    "l6_pair_sample",
+    (s, d) => {
+      val n = Tables.nation(s, d).select(col("n_name"))
+      val pairs = n.as("a").select(col("n_name").as("name_a"))
+        .crossJoin(n.as("b").select(col("n_name").as("name_b")))
+        .filter(col("name_a") < col("name_b"))
+      pairs
+        .withColumn("hk",
+          (length(col("name_a")) * 131 + length(col("name_b")) * 7919
+            + ascii(col("name_a")) * 31 + ascii(col("name_b"))) % 997)
+        .orderBy(col("hk"), col("name_a"), col("name_b"))
+        .limit(10)
+        .select(col("name_a"), col("name_b"))
+    },
+    Some("""SELECT name_a, name_b FROM (
+      SELECT a.n_name AS name_a, b.n_name AS name_b,
+        (length(a.n_name) * 131 + length(b.n_name) * 7919
+          + ascii(a.n_name) * 31 + ascii(b.n_name)) % 997 AS hk
+      FROM nation a, nation b WHERE a.n_name < b.n_name
+      ORDER BY hk, name_a, name_b LIMIT 10)
+    ORDER BY hk, name_a, name_b"""))
+
+  // ---- A8: count alignment — n = least(count_a, count_b) per joined key
+  //      (src/compare_embeddings_vs_features.py:208-218) ----
+  private val alignedCounts = OracleQuery(
+    "a8_aligned_group_counts",
+    (s, d) => {
+      val ca = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val cb = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      ca.join(cb, Seq("nationkey"))
+        .select(col("nationkey"), col("n_cust"), col("n_supp"),
+          least(col("n_cust"), col("n_supp")).as("aligned_n"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT c.nationkey, n_cust, n_supp, least(n_cust, n_supp) AS aligned_n
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1) c
+    JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+          FROM supplier GROUP BY 1) s ON c.nationkey = s.nationkey
+    ORDER BY c.nationkey"""))
+
+  // ---- scalar-subquery idiom: orders above their customer's average ----
+  private val aboveCustomerAvg = OracleQuery(
+    "sq_orders_above_customer_avg",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val avgPerCust = o.groupBy(col("o_custkey").as("k"))
+        .agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      o.join(avgPerCust, o("o_custkey") === avgPerCust("k"))
+        .filter(col("o_totalprice") > col("avg_price") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o JOIN (
+      SELECT o_custkey AS k, ${DSUM("o_totalprice")} / COUNT(*) AS avg_price
+      FROM orders GROUP BY 1) a ON o.o_custkey = a.k
+    WHERE o_totalprice > avg_price * 1.5
+    ORDER BY o_orderkey"""))
+
+  // ---- range join (§2.3 engine-added): lineitems shipped within 30 days of
+  //      their order date. Equi-key + range predicate → Spark plans a
+  //      sort-merge on the key with the range as a post-filter ----
+  private val rangeJoin = OracleQuery(
+    "j_range_ship_within_30d",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey")
+          && li("l_shipdate") >= o("o_orderdate")
+          && li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL '30' DAY"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_quick_ships"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, COUNT(*) AS n_quick_ships
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL '30 days'
+    GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
+  // ---- exact correlation via integer-quantized sufficient statistics
+  //      (same cross-engine scheme as VectorQueries: floor() is IEEE-
+  //      identical, integer sums exact, int→double correctly rounded) ----
+  private val exactCorr = OracleQuery(
+    "stat_corr_qty_price",
+    (s, d) => {
+      val q = Tables.lineitem(s, d).select(
+        col("l_returnflag"),
+        floor(col("l_quantity")).cast(DecimalType(18, 0)).as("x"),
+        floor(col("l_extendedprice") * 100).cast(DecimalType(18, 0)).as("y"))
+      q.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, n,
+      (n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+        CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM (SELECT l_returnflag,
+              CAST(floor(l_quantity) AS DECIMAL(18,0)) AS x,
+              CAST(floor(l_extendedprice * 100) AS DECIMAL(18,0)) AS y
+            FROM lineitem)
+      GROUP BY l_returnflag)
+    ORDER BY l_returnflag"""))
+
+  // ---- exact order statistics: median + 90th percentile (both engines use
+  //      linear interpolation for continuous percentiles over doubles —
+  //      identical picks and identical IEEE interpolation) ----
+  private val percentiles = OracleQuery(
+    "stat_median_p90",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          median(col("o_totalprice")).as("median_price"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("approx_median"))
+        .select(col("o_orderstatus"), col("median_price"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus, median(o_totalprice) AS median_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // ---- range-frame window: trailing-30-day order count per customer,
+  //      numeric RANGE frame over epoch seconds (identical in both) ----
+  private val trailingWindow = OracleQuery(
+    "w_range_trailing_30d",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, d)
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        .withColumn("n_orders_30d", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("n_orders_30d"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+      COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_orders_30d
+    FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  // ---- first/last value windows ----
+  private val firstLast = OracleQuery(
+    "w_first_last_event",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, ts,
+      FIRST_VALUE(event_type) OVER w AS first_type,
+      LAST_VALUE(event_type) OVER w AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id, ts, event_id"""))
+
+  // ---- ordered string aggregation (deterministic listagg) ----
+  private val stringAgg = OracleQuery(
+    "agg_sorted_name_list",
+    (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("n_regionkey")),
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // ---- grouping sets beyond rollup/cube ----
+  private val groupingSets = OracleQuery(
+    "agg_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY status, priority""")
+    },
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY status, priority"""))
+
+  override val all: Seq[OracleQuery] = Seq(
+    p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
+    rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
+    stringAgg, groupingSets)
+}

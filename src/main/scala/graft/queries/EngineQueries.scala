@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VecOps
+import graft.ml.MlOps
+import graft.operators.{Dedup, SimilaritySearch, VecAgg}
+import org.apache.spark.sql.functions._
+
+/** Engine-native operators with no exact ANSI-SQL twin (hash-seeded LSH,
+  * MLlib estimators, fused array kernels). Registered as `queries` WITHOUT
+  * `oracleSql`, so the driver applies its rows-only check; each has a
+  * ScalaTest spec asserting semantics (agreement with the long-form oracle
+  * queries, golden values, or ML properties) instead.
+  *
+  * These are the plans meant for the 100 TB path: array-native kernels keep
+  * vector math inside whole-stage codegen (no posexplode row blow-up), the
+  * typed aggregators are map-side combinable, and LSH replaces quadratic
+  * candidate generation with bucket equi-joins.
+  */
+object EngineQueries extends QueryPack {
+
+  // fused flagship: per-label centroids via O(D)-buffer aggregator, then
+  // pairwise cosine — the scale-path twin of v_centroid_cosine_matrix
+  private val fastCentroidCosine = OracleQuery(
+    "vx_fast_centroid_cosine",
+    (s, d) => {
+      val cents = Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(VecAgg.meanVec(col("embedding")).as("centroid"))
+      cents.as("a").select(col("label").as("l1"), col("centroid").as("ca"))
+        .crossJoin(cents.as("b").select(col("label").as("l2"), col("centroid").as("cb")))
+        .filter(col("l1") <= col("l2"))
+        .select(col("l1"), col("l2"), VecOps.cosine(col("ca"), col("cb")).as("cosine"))
+        .orderBy(col("l1"), col("l2"))
+    },
+    None)
+
+  // CKA similarity between the two halves of the embedding space, per label
+  // (A5/J5 aggregate in its native fused form)
+  private val ckaPerLabel = OracleQuery(
+    "vx_cka_half_spaces",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          slice(col("embedding"), 1, 32).as("x"),
+          slice(col("embedding"), 33, 32).as("y"))
+        .groupBy(col("label"))
+        .agg(VecAgg.cka(col("x"), col("y")).as("cka"))
+        .orderBy(col("label")),
+    None)
+
+  // brute-force exact ANN (small query set broadcast against the corpus)
+  private val annBrute = OracleQuery(
+    "vx_ann_brute_top5",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    None)
+
+  // LSH-bucketed approximate ANN (the sub-linear scale path)
+  private val annLsh = OracleQuery(
+    "vx_ann_lsh_top5",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    None)
+
+  // MinHash-LSH near-dup detection over documents (north-star dedup)
+  private val dedupMinhash = OracleQuery(
+    "tx_dedup_minhash_pairs",
+    (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.5),
+    None)
+
+  // SimHash near-dup detection
+  private val dedupSimhash = OracleQuery(
+    "tx_dedup_simhash_pairs",
+    (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3),
+    None)
+
+  // PCA projection of the embedding space to 2-D (M5) with label carried
+  private val pca2d = OracleQuery(
+    "mx_pca_2d",
+    (s, d) => {
+      val (projected, _) = MlOps.pca(Tables.embeddings(s, d), "embedding", k = 2)
+      projected.select(col("vec_id"), col("label"),
+        element_at(col("pc"), 1).as("pc1"), element_at(col("pc"), 2).as("pc2"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  // label-separability score (M8): logreg CV accuracy as a 1-row relation
+  private val separability = OracleQuery(
+    "mx_separability_logreg",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("y", (col("label") % 2).cast("double"))
+      val acc = MlOps.logregCvAccuracy(emb, "embedding", "y", "vec_id", k = 3)
+      val spark = s
+      import spark.implicits._
+      Seq(("logreg_cv3", acc)).toDF("model", "accuracy")
+    },
+    None)
+
+  override val all: Seq[OracleQuery] = Seq(
+    fastCentroidCosine, ckaPerLabel, annBrute, annLsh,
+    dedupMinhash, dedupSimhash, pca2d, separability)
+}

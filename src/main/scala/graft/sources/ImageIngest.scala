@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Image-corpus ingestion (SURVEY.md §2.1 S1–S3, §7.2 step 4): the
+  * reference's prefix-filtered directory scan + extension filter + decode-
+  * with-corrupt-skip (src/extract_embedding.py:14-46), re-expressed as a
+  * binaryFile scan whose filters Spark pushes into file listing — non-
+  * matching files are never opened, matching the reference's list-time
+  * filtering.
+  *
+  * The partition key (generator-model name) lives in the directory path in
+  * both reference layouts; `withGroup` parses it relationally (P1/P2).
+  */
+object ImageIngest {
+
+  val imageExtensions: Seq[String] = Seq("jpg", "jpeg", "png", "bmp", "webp")
+
+  /** S1+S2: recursive binary scan filtered to image extensions under dirs
+    * matching `dirPrefix` (GenImage layout: `imagenet_*_<MODEL>`).
+    * Schema: (path, modificationTime, length, content BINARY).
+    */
+  def scanImages(spark: SparkSession, root: String,
+      dirGlob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{jpg,jpeg,png,bmp,webp,JPG,JPEG,PNG,BMP,WEBP}")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .filter(col("path").rlike(dirGlob))
+
+  /** P1: GenImage layout — group = last `_`-separated token of the grandparent
+    * dir (`imagenet_..._MODEL/train/ai/x.png` → MODEL;
+    * src/extract_embedding.py:19-24).
+    */
+  def withGenImageGroup(images: DataFrame): DataFrame =
+    images.withColumn("group",
+      element_at(split(element_at(split(col("path"), "/"), -4), "_"), -1))
+
+  /** S5: Forged layout — label = parent dir name (REAL/ or FAKE/),
+    * image stem = filename minus extension
+    * (src/extract_embedding_multiple.py:160-171).
+    */
+  def withForgedLabel(images: DataFrame): DataFrame =
+    images
+      .withColumn("label", element_at(split(col("path"), "/"), -2))
+      .withColumn("stem",
+        regexp_replace(element_at(split(col("path"), "/"), -1), "\\.[^.]+$", ""))
+
+  /** Decoded-image row: ok=false rows mirror the reference's `__SKIP__::`
+    * sentinel path (src/extract_embedding.py:43-45) as a typed column
+    * instead of an in-band string.
+    */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("pixels", BinaryType, nullable = true)))
+
+  /** S3: decode with corrupt-skip. The real decoder (PIL/libjpeg in the
+    * reference) is NOT available in this environment, so the decode step is a
+    * deterministic STUB: it validates magic bytes for the claimed format and
+    * emits a fixed-size pseudo-pixel buffer derived from the content hash.
+    * The Spark-side plumbing — binary in, nullable struct out, downstream
+    * `filter($"ok")` — is the real contract and is what tests exercise.
+    */
+  def decodeImages(images: DataFrame): DataFrame = {
+    val decode = udf { (path: String, content: Array[Byte]) =>
+      val ok = content != null && content.length >= 4 && looksLikeImage(content)
+      if (!ok) (false, None: Option[Int], None: Option[Int], None: Option[Int],
+        None: Option[Array[Byte]])
+      else {
+        // STUB pixels: 8x8 RGB derived deterministically from a content hash.
+        val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+        val px = Array.tabulate[Byte](8 * 8 * 3)(i => ((h >> (i % 56)) & 0xFF).toByte)
+        (true, Some(8), Some(8), Some(3), Some(px))
+      }
+    }
+    images.withColumn("__d", decode(col("path"), col("content")))
+      .select(col("path"),
+        col("__d._1").as("ok"),
+        col("__d._2").as("width"),
+        col("__d._3").as("height"),
+        col("__d._4").as("channels"),
+        col("__d._5").as("pixels"))
+  }
+
+  private def looksLikeImage(b: Array[Byte]): Boolean = {
+    val jpg = b.length > 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
+    val png = b.length > 7 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    val bmp = b.length > 1 && b(0) == 'B' && b(1) == 'M'
+    val webp = b.length > 11 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+    jpg || png || bmp || webp
+  }
+
+  /** S4: JSON embedding ingest — one `{filename: [float,...]}` object per
+    * group file (src/extract_embedding.py:134-137). Normalizes to
+    * (group, image_key, embedding) rows; group from the source filename stem
+    * (src/analyze_embedding_with_tsne.py:37-57).
+    */
+  def readJsonEmbeddings(spark: SparkSession, glob: String): DataFrame = {
+    val raw = spark.read
+      .option("wholetext", "true").text(glob)
+      .select(
+        regexp_replace(
+          element_at(split(input_file_name(), "/"), -1), "\\.json$", "").as("group"),
+        col("value"))
+    raw
+      .select(col("group"),
+        explode(from_json(col("value"), MapType(StringType, ArrayType(FloatType))))
+          .as(Seq("image_key", "embedding")))
+  }
+
+  /** S5: prefixed-key demux — split `"REAL/img123.png"` merged keys into
+    * (label, stem) (src/compare_embeddings_vs_features.py:97-115).
+    */
+  def demuxPrefixedKeys(df: DataFrame, keyCol: String = "image_key"): DataFrame =
+    df
+      .withColumn("label",
+        when(col(keyCol).contains("/"), element_at(split(col(keyCol), "/"), 1)))
+      .withColumn("stem",
+        regexp_replace(element_at(split(col(keyCol), "/"), -1), "\\.[^.]+$", ""))
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface over the events schema (SURVEY.md §2.10).
+  * Each transform takes ANY events-shaped DataFrame — batch or streaming —
+  * so the exact same logical plan runs under `readStream` with incremental
+  * state and under batch for the DuckDB oracle (graft.queries.EventQueries
+  * holds the batch-checkable equivalents). That one-plan-two-modes property
+  * is the point of Structured Streaming; nothing here is stream-specific
+  * except the watermark, which batch execution ignores.
+  *
+  * State sizing at scale: every aggregation below keys its state by
+  * (window, ...) or (user_id) AFTER a watermark, so state is bounded by the
+  * watermark horizon × key cardinality, not by stream length.
+  */
+object EventStreams {
+
+  /** Tumbling 10-minute event-time counts with a 1-hour watermark:
+    * late events beyond the horizon are dropped, state for closed windows is
+    * evicted.
+    */
+  def tumblingCounts(events: DataFrame,
+      width: String = "10 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding window (width, slide). */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"),
+        col("window.end").as("bucket_end"), col("event_type"), col("n"))
+
+  /** Gap-based session windows per user (30-minute inactivity gap) —
+    * session_window keeps one merging state per open session per user.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val df = docsDf(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "different text here"), (4L, "alpha beta gamma"))
+    val out = Dedup.exact(df).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("shingles builds k-word shingles, short docs yield none") {
+    val out = docsDf((1L, "a b c d"), (2L, "x y"))
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(out(1L) == Set("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("minhash LSH finds identical and near-identical docs, skips distinct") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val far = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = docsDf((1L, base), (2L, base), (3L, near), (4L, far))
+    val pairs = Dedup.minhashNearDups(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)), s"identical docs not paired: ${ids.mkString}")
+    assert(pairs.collectFirst { case (1L, 2L, j) => j }.exists(_ == 1.0))
+    assert(ids.contains((1L, 3L)) || ids.contains((2L, 3L)),
+      s"near-dup not found: ${ids.mkString}")
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L), "distinct doc falsely paired")
+  }
+
+  test("simhash: identical docs have distance 0 and are paired; candidates symmetric-free") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base + " extra"
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = docsDf((1L, base), (2L, base), (3L, near), (10L, far))
+    val fp = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val pairs = Dedup.simhashNearDups(df, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.forall(p => p._1 < p._2), "pairs must be ordered (a<b)")
+    assert(!pairs.exists(p => p._2 == 10L && p._3 > 6))
+  }
+
+  test("minhash est_jaccard tracks true shingle jaccard on testdata docs") {
+    val docs = Tables.documents(spark, sf001).limit(100).cache()
+    val flagged = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // true 3-gram jaccard for every flagged pair, computed independently
+    val shingleSets = docs
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    flagged.foreach { case (a, b, est) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val truth = (sa & sb).size.toDouble / (sa | sb).size
+      // 32-hash estimate: sd ≈ sqrt(j(1-j)/32) ≤ 0.09 → 3.5 sd band
+      assert(math.abs(est - truth) < 0.32,
+        s"pair ($a,$b): est=$est truth=$truth")
+    }
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+/** Driver-contract invariants (SURVEY.md §5.2#1). */
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("query names are unique across packs") {
+    val packs = Seq(
+      graft.queries.RelationalQueries, graft.queries.EventQueries,
+      graft.queries.VectorQueries, graft.queries.TextQueries)
+    val names = packs.flatMap(_.all.map(_.name))
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+  }
+
+  test("every query runs at sf0.001 and yields a schema with stable column names") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf001)
+      val cols = df.columns
+      assert(cols.nonEmpty, s"$name has no columns")
+      assert(cols.distinct.length == cols.length, s"$name has duplicate columns")
+      // no auto-generated aggregate names may leak (oracle compare sorts by name)
+      assert(!cols.exists(c => c.contains("(") || c.contains(")")),
+        s"$name leaks unaliased column: ${cols.mkString(",")}")
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.sources.{Embedder, ImageIngest, StubEmbedder}
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
+  private val jpgMagic = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 9)
+  private val garbage = Array[Byte](1, 2, 3, 4, 5)
+
+  test("decodeImages flags corrupt content and keeps valid rows (skip semantics)") {
+    val df = Seq(
+      ("a/REAL/x1.png", pngMagic),
+      ("a/FAKE/x2.jpg", jpgMagic),
+      ("a/REAL/bad.png", garbage)).toDF("path", "content")
+    val decoded = ImageIngest.decodeImages(df)
+    val byPath = decoded.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(byPath("a/REAL/x1.png") && byPath("a/FAKE/x2.jpg") && !byPath("a/REAL/bad.png"))
+    // the reference filters skip-sentinel rows out downstream (S3)
+    assert(decoded.filter(col("ok")).count() == 2)
+    val okRow = decoded.filter(col("ok")).head()
+    assert(okRow.getAs[Int]("width") == 8 && okRow.getAs[Array[Byte]]("pixels").length == 8 * 8 * 3)
+  }
+
+  test("forged-layout label/stem parse (S5)") {
+    val df = Seq(("root/REAL/img123.png", pngMagic), ("root/FAKE/y.jpeg", jpgMagic))
+      .toDF("path", "content")
+    val out = ImageIngest.withForgedLabel(df)
+      .select("path", "label", "stem").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out("root/REAL/img123.png") == (("REAL", "img123")))
+    assert(out("root/FAKE/y.jpeg") == (("FAKE", "y")))
+  }
+
+  test("GenImage-layout group parse (P1)") {
+    val df = Seq(("data/imagenet_ai_0419_biggan/train/ai/p.png", pngMagic))
+      .toDF("path", "content")
+    val g = ImageIngest.withGenImageGroup(df).select("group").head().getString(0)
+    assert(g == "biggan")
+  }
+
+  test("prefixed-key demux (S5 merged REAL_FAKE keys)") {
+    val df = Seq(("REAL/img1.png", 1), ("FAKE/img2.jpg", 2), ("plain.png", 3))
+      .toDF("image_key", "x")
+    val out = ImageIngest.demuxPrefixedKeys(df)
+      .select("image_key", "label", "stem").collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getString(2)))).toMap
+    assert(out("REAL/img1.png") == ((Some("REAL"), "img1")))
+    assert(out("FAKE/img2.jpg") == ((Some("FAKE"), "img2")))
+    assert(out("plain.png") == ((None, "plain")))
+  }
+
+  test("stub embedder is deterministic, bounded, content-sensitive") {
+    val e = new StubEmbedder(16)
+    val a = e.embedBatch(Seq(pngMagic, jpgMagic, null))
+    val b = e.embedBatch(Seq(pngMagic, jpgMagic, null))
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    assert(a.forall(v => v.length == 16 && v.forall(x => x >= -1f && x <= 1f)))
+    assert(a(0).toSeq != a(1).toSeq)
+  }
+
+  test("embedImages: batched mapPartitions plumbing produces one vector per row") {
+    val df = Seq(
+      ("p1.png", pngMagic), ("p2.jpg", jpgMagic), ("p3.png", pngMagic))
+      .toDF("path", "content")
+    val out = Embedder.embedImages(df, new StubEmbedder(8), batchSize = 2)
+    val rows = out.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getSeq[Float](1).length == 8))
+    // same content → same embedding (deterministic black box)
+    val byPath = rows.map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(byPath("p1.png") == byPath("p3.png"))
+    assert(byPath("p1.png") != byPath("p2.jpg"))
+  }
+
+  test("JSON embedding ingest normalizes {key: vec} objects to rows (S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("emb_json")
+    val f = dir.resolve("biggan.json")
+    java.nio.file.Files.writeString(f,
+      """{"img1.png": [0.1, 0.2], "REAL/img2.png": [0.3, 0.4]}""")
+    val out = ImageIngest.readJsonEmbeddings(spark, dir.toString + "/*.json")
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getString(0) == "biggan"))
+    val keys = rows.map(_.getString(1)).toSet
+    assert(keys == Set("img1.png", "REAL/img2.png"))
+    val demuxed = ImageIngest.demuxPrefixedKeys(out)
+      .filter(col("label") === "REAL").count()
+    assert(demuxed == 1)
+  }
+}
