@@ -46,8 +46,16 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min over the doc's shingles. Returned as `minhash` ARRAY<BIGINT>.
-    * Seeded universal family: xxhash64(shingle, seed_i).
+    * min over the doc's distinct word-k-shingles. Returned as `minhash`
+    * ARRAY<BIGINT>.
+    *
+    * Computed row-local in one UDF pass — no explode, no shuffle: at scale
+    * this is a map-only stage instead of shuffling |docs|·|shingles| rows.
+    * (Two rejected forms: explode+groupBy-min shuffles ~200 rows/doc; a pure
+    * higher-order-function form re-inlines the shingle construction into
+    * each of the `numHashes` lambdas after projection collapse — measured
+    * 36× slower at sf0.1.) Hash family: 32-bit shingle hash mixed with the
+    * seed through a splitmix64 finalizer — deterministic across JVMs.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -55,15 +63,35 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 32,
       shingleK: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("sh"))
-    // one row per (doc, shingle) → agg min per seed: map-side combinable,
-    // single shuffle on doc id.
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-    sh.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("minhash"))
+    val mh = udf { (text: String) =>
+      val words = text.split(" ", -1)
+      if (words.length < shingleK) None
+      else {
+        val mins = Array.fill(numHashes)(Long.MaxValue)
+        val seen = new java.util.HashSet[String]()
+        var i = 0
+        while (i + shingleK <= words.length) {
+          val sb = new StringBuilder(words(i))
+          var w = 1
+          while (w < shingleK) { sb.append(' ').append(words(i + w)); w += 1 }
+          val sh = sb.toString
+          if (seen.add(sh)) {
+            val base = scala.util.hashing.MurmurHash3.stringHash(sh).toLong
+            var j = 0
+            while (j < numHashes) {
+              var x = base ^ (j.toLong * 0x9E3779B97F4A7C15L)
+              x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+              if (x < mins(j)) mins(j) = x
+              j += 1
+            }
+          }
+          i += 1
+        }
+        Some(mins)
+      }
+    }
+    docs.select(col(idCol), mh(col(textCol)).as("minhash"))
+      .filter(col("minhash").isNotNull)
   }
 
   /** LSH banding over minhash signatures → candidate near-dup pairs with
@@ -111,26 +139,31 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: bit j of the fingerprint is the sign
-    * of Σ_tokens (±1 according to bit j of xxhash64(token)).
-    * Long-form impl: explode tokens once, aggregate 64 signed sums in one
-    * pass (single shuffle on doc id), rebuild the fingerprint bits.
+    * of Σ_tokens (±1 according to bit j of hash(token)). Row-local one-pass
+    * UDF — no tokenizer explode, no shuffle (the alternative explode +
+    * 64-column groupBy shuffles |docs|·|tokens| rows and re-hashes per bit).
     */
   def simhash(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    val sh = udf { (text: String) =>
+      val counts = new Array[Int](64)
+      text.split(" ", -1).foreach { tok =>
+        var x = scala.util.hashing.MurmurHash3.stringHash(tok).toLong * 0x9E3779B97F4A7C15L
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+        var j = 0
+        while (j < 64) {
+          if (((x >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 64) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+      fp
     }
-    toks.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(j =>
-          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    docs.select(col(idCol), sh(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup candidates within Hamming distance `maxHamming`,

