@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-pipeline surface (north star;
+  * SURVEY.md §7.2 step 5): language-ID heuristic, quality scoring, token
+  * counting, rolling-hash fingerprinting. Everything except langId and
+  * winnowed fingerprints is pure Column expressions (codegen'd, pushdown-
+  * friendly); the two UDFs are single-pass per row.
+  */
+object TextOps {
+
+  /** Function-word profiles for the n-gram/stopword language heuristic.
+    * Deliberately tiny — the operator contract is "deterministic heuristic
+    * score", not a trained model.
+    */
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Set("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"))
+
+  /** Language-ID heuristic: CJK character ratio → zh; otherwise the profile
+    * with the highest stopword hit rate; "und" (undetermined) when nothing
+    * scores. One pass per row.
+    */
+  def langId(text: Column): Column = {
+    val f = udf { (t: String) =>
+      if (t == null || t.isEmpty) "und"
+      else {
+        val cjk = t.codePoints().filter(cp =>
+          (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF)).count()
+        if (cjk * 5 >= t.length) "zh"
+        else {
+          val toks = t.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+          if (toks.isEmpty) "und"
+          else {
+            val scores = profiles.view.mapValues(p => toks.count(p.contains)).toMap
+            val (best, hits) = scores.maxBy { case (l, n) => (n, l) }
+            if (hits == 0) "und" else best
+          }
+        }
+      }
+    }
+    f(text)
+  }
+
+  /** Quality score ∈ [0,1]: composite of length band, alphabetic ratio,
+    * mean word length band, and repetition penalty — the shape of the
+    * heuristics used to filter web scrapes for training corpora. Pure
+    * column arithmetic, so it runs inside whole-stage codegen.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val words = split(text, "\\s+")
+    val nWords = size(words).cast("double")
+    val alphaChars = length(regexp_replace(text, "[^\\p{L} ]", "")).cast("double")
+    val lengthScore = least(nChars / lit(200.0), lit(1.0))
+    val alphaScore = alphaChars / greatest(nChars, lit(1.0))
+    val meanWordLen = nChars / greatest(nWords, lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.3)
+    val distinctRatio = size(array_distinct(words)).cast("double") / greatest(nWords, lit(1.0))
+    (lengthScore * 0.3 + alphaScore * 0.3 + wordLenScore * 0.2 + distinctRatio * 0.2)
+      .as("quality")
+  }
+
+  /** BPE-ish token estimate: alphabetic runs, digit runs, and single
+    * non-space symbols each count as one token — the standard cheap proxy
+    * for subword tokenizer counts. Expression form (regexp_extract_all) so
+    * the same regex runs in the DuckDB oracle.
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Winnowed rolling-hash fingerprint (Rabin-Karp over chars, window
+    * minimum selection): robust to insertion/shift, standard for
+    * plagiarism/near-dup document fingerprinting. Returns the sorted
+    * distinct selected hashes.
+    */
+  def fingerprints(text: Column, k: Int = 8, window: Int = 4): Column = {
+    val f = udf { (t: String) =>
+      if (t == null || t.length < k) Array.empty[Long]
+      else {
+        val B = 1000000007L
+        var h = 0L
+        var pow = 1L
+        var i = 0
+        while (i < k - 1) { pow = pow * B; i += 1 }
+        val hashes = new Array[Long](t.length - k + 1)
+        i = 0
+        while (i < t.length) {
+          h = h * B + t.charAt(i)
+          if (i >= k) h -= pow * B * t.charAt(i - k)
+          if (i >= k - 1) hashes(i - k + 1) = h
+          i += 1
+        }
+        // winnowing: min of each sliding window of hashes
+        val sel = scala.collection.mutable.SortedSet.empty[Long]
+        i = 0
+        while (i + window <= hashes.length) {
+          var m = hashes(i)
+          var j = i + 1
+          while (j < i + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+          sel += m
+          i += 1
+        }
+        sel.toArray
+      }
+    }
+    f(text)
+  }
+}

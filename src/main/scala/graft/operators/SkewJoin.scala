@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated equi-join (SURVEY.md §4.3): salt the skewed (large) side's
+  * key with a deterministic 0..n-1 suffix and explode the build side n×, so
+  * one hot key spreads over n shuffle partitions instead of hot-spotting one.
+  *
+  * AQE's skew-join handling (on by default) covers sort-merge joins whose
+  * skew is visible at runtime; this explicit form is for when the skew is
+  * known a priori (e.g. a head-heavy group key in a 100 TB fact table) or
+  * when the join must be shuffled-hash. Salt factor trades build-side
+  * duplication (n×) for parallelism on the probe side.
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(
+      large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0)
+    // deterministic salt: spread rows of a hot key by a hash of the whole
+    // row (monotonically_increasing_id would break retry determinism)
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(saltFactor.toLong)))
+    val exploded = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    salted.join(exploded, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -153,7 +153,41 @@ object TextQueries extends QueryPack {
       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
     FROM documents ORDER BY doc_id"""))
 
+  // ---- BPE-ish token estimate (graft.functions.TextOps.tokenCount):
+  //      identical RE in Java regex and DuckDB RE2 ----
+  private val tokenCountBpe = OracleQuery(
+    "t_token_count_bpe",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextOps.tokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '${graft.functions.TextOps.bpeTokenPattern}')) AS INT) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id"""))
+
+  // ---- quality scoring composite (TextOps.qualityScore), pure arithmetic
+  //      so both engines compute the identical IEEE expression ----
+  private val qualityScore = OracleQuery(
+    "t_quality_score",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3
+      + CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE)
+        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 0.3
+      + (CASE WHEN CAST(length(text) AS DOUBLE)
+                / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0)
+              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+      + CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+        / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0) * 0.2
+      AS quality
+    FROM documents ORDER BY doc_id"""))
+
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
-    wordFreq, ngramJaccard, fingerprint)
+    wordFreq, ngramJaccard, fingerprint, tokenCountBpe, qualityScore)
 }

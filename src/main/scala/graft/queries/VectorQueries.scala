@@ -78,9 +78,12 @@ object VectorQueries extends QueryPack {
   private val centroidCosine = OracleQuery(
     "v_centroid_cosine_matrix",
     (s, d) => {
+      // cache: sums is labels×D rows and feeds three consumers (dots twice,
+      // norms once) — without it Spark re-scans the embeddings table 3×
       val sums = longForm(s, d)
         .groupBy(col("label"), col("pos"))
         .agg(sum(col("vq")).cast(DecimalType(19, 0)).as("sv"))
+        .cache()
       val dots = sums.as("a").join(sums.as("b"), col("a.pos") === col("b.pos"))
         .groupBy(col("a.label").as("l1"), col("b.label").as("l2"))
         .agg(sum(col("a.sv") * col("b.sv")).cast("double").as("dot"))

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.TextOps
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies clear-cut samples") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht in der stadt und das ist gut"),
+      (3L, "le chat est dans la maison et les enfants"),
+      (4L, "el perro es un animal que vive por la casa"),
+      (5L, "这是一个中文句子用来测试语言识别"),
+      (6L, "xyzzy plugh 12345")).toDF("id", "text")
+    val out = df.select($"id", TextOps.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "fr"); assert(out(4L) == "es")
+    assert(out(5L) == "zh"); assert(out(6L) == "und")
+  }
+
+  test("qualityScore is in [0,1], penalizes repetition and symbol soup") {
+    val df = Seq(
+      (1L, "A reasonably long and varied sentence about distributed query engines and their optimizers, written in plain prose with many distinct words to score well."),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "@@@ ### $$$ %%% ^^^ &&& *** ((( )))")).toDF("id", "text")
+    val out = df.select($"id", TextOps.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(1L) > out(2L), s"varied ${out(1L)} should beat repetition ${out(2L)}")
+    assert(out(1L) > out(3L), s"prose ${out(1L)} should beat symbols ${out(3L)}")
+  }
+
+  test("tokenCount: letters runs, digit runs, symbols count separately") {
+    val df = Seq(("hello world 123 f(x)=y!", 1)).toDF("text", "x")
+    // hello|world|123|f|(|x|)|=|y|! = 10
+    assert(df.select(TextOps.tokenCount($"text")).head().getInt(0) == 10)
+  }
+
+  test("fingerprints: shift-robust, distinct for different text") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val shifted = "PREFIX " + base
+    val other = "completely unrelated content with no overlap whatsoever here"
+    val df = Seq((1L, base), (2L, shifted), (3L, other)).toDF("id", "text")
+    val fps = df.select($"id", TextOps.fingerprints($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlapShift = (fps(1L) & fps(2L)).size.toDouble / fps(1L).size
+    val overlapOther = (fps(1L) & fps(3L)).size.toDouble / fps(1L).size
+    assert(overlapShift > 0.8, s"shifted overlap $overlapShift")
+    assert(overlapOther < 0.1, s"unrelated overlap $overlapOther")
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf001).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey")).agg(
+      count(lit(1)), sum("l_quantity"), sum("o_totalprice")).head()
+    val salted = SkewJoin.saltedEquiJoin(li, o, "l_orderkey", saltFactor = 4).agg(
+      count(lit(1)), sum("l_quantity"), sum("o_totalprice")).head()
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
+    assert(math.abs(plain.getDouble(2) - salted.getDouble(2)) < 1e-6)
+  }
+}
