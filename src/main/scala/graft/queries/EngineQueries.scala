@@ -49,6 +49,45 @@ object EngineQueries extends QueryPack {
         .orderBy(col("label")),
     None)
 
+  // J5 complete: group×group CKA matrix — the reference's pairwise heatmap
+  // (src/compare_xception_featuremaps.py:139-160). Rows are aligned across
+  // groups by deterministic per-group rank (the reference's equal-n seeded
+  // sample, L2), pairs joined on that rank; symmetric half computed once
+  // (l1 <= l2), diagonal = 1 by CKA(X,X). One shuffle for the rank window,
+  // one for the pair join — no n×n Gram ever materializes (O(d²) buffers).
+  private val ckaGroupMatrix = OracleQuery(
+    "vx_cka_group_matrix",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label"))
+        .orderBy(xxhash64(col("vec_id"), lit(42L)), col("vec_id"))
+      val ranked = Tables.embeddings(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 100)
+        .select(col("label"), col("rn"), col("embedding"))
+      ranked.as("a").join(ranked.as("b"),
+          col("a.rn") === col("b.rn") && col("a.label") <= col("b.label"))
+        .groupBy(col("a.label").as("l1"), col("b.label").as("l2"))
+        .agg(VecAgg.cka(col("a.embedding"), col("b.embedding")).as("cka"))
+        .orderBy(col("l1"), col("l2"))
+    },
+    None)
+
+  // HLL distinct (engine-added; SURVEY.md §2.4 note): sketch-based distinct
+  // counts for the 100 TB path where exact distinct would shuffle every key.
+  // Spec-checked against exact counts within HLL error; no cross-engine
+  // oracle (sketch internals differ)
+  private val hllDistinct = OracleQuery(
+    "agg_hll_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+        .orderBy(col("l_returnflag")),
+    None)
+
   // brute-force exact ANN (small query set broadcast against the corpus)
   private val annBrute = OracleQuery(
     "vx_ann_brute_top5",
@@ -104,6 +143,6 @@ object EngineQueries extends QueryPack {
     None)
 
   override val all: Seq[OracleQuery] = Seq(
-    fastCentroidCosine, ckaPerLabel, annBrute, annLsh,
-    dedupMinhash, dedupSimhash, pca2d, separability)
+    fastCentroidCosine, ckaPerLabel, ckaGroupMatrix, hllDistinct,
+    annBrute, annLsh, dedupMinhash, dedupSimhash, pca2d, separability)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ml.MlOps
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the rows-only (no-oracle) engine queries. */
+class EngineQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vx_cka_group_matrix: diagonal 1, range [0,1], upper triangle only") {
+    val m = SparkEntry.queries("vx_cka_group_matrix")(spark, sf001).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (l1, l2, cka) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      assert(l1 <= l2)
+      assert(cka >= -1e-9 && cka <= 1.0 + 1e-9, s"cka($l1,$l2)=$cka")
+      if (l1 == l2) assert(math.abs(cka - 1.0) < 1e-9, s"diagonal($l1)=$cka")
+    }
+  }
+
+  test("agg_hll_distinct approximates exact distinct within rsd bounds") {
+    val approx = SparkEntry.queries("agg_hll_distinct")(spark, sf01).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = Tables.lineitem(spark, sf01)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    exact.foreach { case (flag, (p, s2)) =>
+      val (ap, as2) = approx(flag)
+      assert(math.abs(ap - p).toDouble / p < 0.1, s"$flag parts: $ap vs $p")
+      assert(math.abs(as2 - s2).toDouble / s2 < 0.1, s"$flag supps: $as2 vs $s2")
+    }
+  }
+
+  test("vx_fast_centroid_cosine agrees with the oracle long form") {
+    val fast = SparkEntry.queries("vx_fast_centroid_cosine")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val oracle = SparkEntry.queries("v_centroid_cosine_matrix")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(fast.keySet == oracle.keySet)
+    // long form quantizes at 1e-6; fused form is unquantized float→double —
+    // agreement bound follows from the quantization step
+    oracle.foreach { case (k, v) =>
+      assert(math.abs(fast(k) - v) < 1e-4, s"$k: fast=${fast(k)} oracle=$v")
+    }
+  }
+
+  test("GBT CV harness runs and beats chance on separable blobs") {
+    val rng = new scala.util.Random(5)
+    def blob(c: Double, label: Int, from: Int) =
+      (0 until 40).map { i =>
+        (from + i.toLong, label,
+          Array.tabulate(4)(_ => (c + rng.nextGaussian() * 0.1).toFloat).toSeq)
+      }
+    val df = (blob(0.0, 0, 0) ++ blob(3.0, 1, 1000)).toDF("id", "y", "embedding")
+    val acc = MlOps.gbtCvAccuracy(df, "embedding", "y", "id", k = 2, maxIter = 5)
+    assert(acc > 0.9, s"gbt acc = $acc")
+  }
+}
