@@ -18,11 +18,14 @@ object Tsne {
       perplexity: Double = 30.0,
       iterations: Int = 500,
       seed: Long = 42L,
-      learningRate: Double = 200.0): Array[Array[Double]] = {
+      learningRate: Double = -1.0): Array[Array[Double]] = {
     val n = x.length
     if (n == 0) return Array.empty
     if (n == 1) return Array(Array(0.0, 0.0))
     val perp = math.min(perplexity, math.max(5.0, (n - 1).toDouble))
+    // lr=auto (the reference's setting): max(n / early_exaggeration / 4, 50)
+    // — a fixed large lr diverges on small/unstructured inputs
+    val eta = if (learningRate > 0) learningRate else math.max(n / 12.0 / 4.0, 50.0)
 
     // pairwise squared distances
     val d2 = Array.ofDim[Double](n, n)
@@ -133,8 +136,8 @@ object Tsne {
           else math.max(gains(i)(0) * 0.8, 0.01)
         gains(i)(1) = if ((g1 > 0) != (dy(i)(1) > 0)) gains(i)(1) + 0.2
           else math.max(gains(i)(1) * 0.8, 0.01)
-        dy(i)(0) = momentum * dy(i)(0) - learningRate * gains(i)(0) * 4 * g0
-        dy(i)(1) = momentum * dy(i)(1) - learningRate * gains(i)(1) * 4 * g1
+        dy(i)(0) = momentum * dy(i)(0) - eta * gains(i)(0) * 4 * g0
+        dy(i)(1) = momentum * dy(i)(1) - eta * gains(i)(1) * 4 * g1
         y(i)(0) += dy(i)(0)
         y(i)(1) += dy(i)(1)
         i += 1

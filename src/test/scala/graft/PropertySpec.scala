@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.VecOps
+import graft.ml.Tsne
+import graft.operators.{Dedup, VecAgg}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property-based invariants (SURVEY.md §5.2#3). Spark-side properties run
+  * on small generated DataFrames; pure-JVM math (CKA finish, fingerprints)
+  * is exercised directly.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seeded generator-driven check (scalatestplus bridge not available in
+    * the offline cache; seeds 0..n-1 keep runs reproducible).
+    */
+  private def forSamples[A](gen: Gen[A], n: Int = 15)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(a => f(a))
+    }
+  private def forSamples2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 15)(
+      f: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } f(a, b)
+    }
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.choose(-1.0f, 1.0f))
+  private val matGen: Gen[List[List[Float]]] =
+    Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, vecGen))
+
+  test("cosine ∈ [-1,1] and cosine(v,v) ≈ 1 for any nonzero vectors") {
+    forSamples2(vecGen, vecGen) { (a, b) =>
+      if (a.exists(_ != 0f) && b.exists(_ != 0f)) {
+        val df = Seq((a, b)).toDF("a", "b")
+        val r = df.select(
+          VecOps.cosine($"a", $"b").as("ab"),
+          VecOps.cosine($"a", $"a").as("aa")).head()
+        assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)
+        assert(math.abs(r.getDouble(1) - 1.0) < 1e-3) // eps guard skews tiny norms
+      }
+    }
+  }
+
+  test("CKA(X,X) = 1, symmetry, [0,1] for generated matrices") {
+    forSamples(matGen) { rows =>
+      if (rows.size >= 3) {
+        val df = rows.zipWithIndex
+          .map { case (v, i) => (i.toLong, v, v.map(x => x * 2 + 1)) }
+          .toDF("id", "x", "y")
+        val r = df.agg(
+          VecAgg.cka($"x", $"x").as("xx"),
+          VecAgg.cka($"x", $"y").as("xy"),
+          VecAgg.cka($"y", $"x").as("yx")).head()
+        // degenerate (zero-variance) matrices give 0 by the guard
+        if (r.getDouble(0) != 0.0) assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+        assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9)
+        assert(r.getDouble(1) >= -1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
+        // affine map y = 2x+1 preserves centered structure → CKA(x,y) = 1
+        if (r.getDouble(0) != 0.0) assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("deterministic sampler: subset of input, size = min(k, n), stable") {
+    forSamples2(Gen.choose(1, 20), Gen.choose(1, 50), n = 8) { (k, n) =>
+      val df = (1 to n).map(i => (i.toLong, i % 3)).toDF("id", "g")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy(xxhash64($"id", lit(42L)), $"id")
+      def sample() = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).select("id", "g")
+      val s1 = sample().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val s2 = sample().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(s1 == s2, "sampler not stable")
+      val all = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(s1.subsetOf(all))
+      val perGroup = s1.groupBy(_._2).view.mapValues(_.size)
+      val inGroup = all.groupBy(_._2).view.mapValues(_.size)
+      perGroup.foreach { case (g, c) => assert(c == math.min(k, inGroup(g))) }
+    }
+  }
+
+  test("minhash est_jaccard = 1 for identical docs, monotone-ish under edits") {
+    forSamples(Gen.choose(10, 40), n = 5) { n =>
+      val base = (1 to n).map(i => s"w$i").mkString(" ")
+      val df = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+      val pairs = Dedup.minhashNearDups(df, threshold = 0.0).collect()
+      assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
+    }
+  }
+
+  test("tsne output is finite and centered for any small input") {
+    forSamples(Gen.choose(5, 15), n = 5) { n =>
+      val rng = new scala.util.Random(n)
+      val x = Array.fill(n)(Array.fill(4)(rng.nextDouble()))
+      val y = Tsne.fitTransform(x, perplexity = 5, iterations = 60)
+      assert(y.length == n)
+      assert(y.forall(p => p.forall(v => !v.isNaN && !v.isInfinite)))
+      val scale = y.flatten.map(math.abs).max.max(1.0)
+      assert(math.abs(y.map(_(0)).sum / n) < 1e-9 * scale)
+    }
+  }
+}
