@@ -51,22 +51,8 @@ object VecOps {
   def scale(v: Column, k: Column): Column =
     transform(v, x => x.cast("double") * k)
 
-  /** Vector mean of a grouped ARRAY column — aggregate form of the
-    * reference's global-average-pool / centroid (A1). Usage:
-    * df.groupBy(g).agg(VecOps.meanVector(col("embedding"))).
-    * Implemented as elementwise sum via `aggregate` over `collect_list` —
-    * fine for bounded group cardinality; the scalable path for huge groups
-    * is the long form or a TypedImperativeAggregate.
-    */
-  def sumVector(v: Column, dim: Int): Column =
-    aggregate(
-      collect_list(v),
-      array_repeat(lit(0.0), dim),
-      (acc, x) => zip_with(acc, x, (a, b) => a + b.cast("double")))
-
-  def meanVector(v: Column, dim: Int): Column = {
-    val s = sumVector(v, dim)
-    // divide by the group count captured in the same agg
-    zip_with(s, array_repeat(count(lit(1)).cast("double"), dim), (a, n) => a / n)
-  }
+  // Vector mean/sum as a GROUP aggregate lives in
+  // graft.operators.VecAgg.meanVec (typed Aggregator, O(D) buffer,
+  // map-side combinable) — a collect_list-based form would buffer every
+  // group member in memory and is deliberately not offered.
 }

@@ -276,8 +276,69 @@ object AdvancedQueries extends QueryPack {
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     ORDER BY status, priority"""))
 
+  // ---- TPC-H Q5-shape: 6-table join chain with a selective dim filter —
+  //      the classic join-order / broadcast showcase. Catalyst broadcasts
+  //      region→nation and the dim chain; only lineitem⋈orders shuffles ----
+  private val q5ish = OracleQuery(
+    "j_tpch_q5ish_local_supplier_volume",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d).filter(col("r_regionkey") <= 1))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey")
+          && c("c_nationkey") === sup("s_nationkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""SELECT n_name,
+      ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_regionkey <= 1
+    GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  // ---- TPC-H Q3-shape: shipping-priority top-k over a 3-table join ----
+  private val q3ish = OracleQuery(
+    "j_tpch_q3ish_shipping_priority",
+    (s, d) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT l_orderkey, o_orderdate,
+      ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 20"""))
+
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
-    stringAgg, groupingSets)
+    stringAgg, groupingSets, q5ish, q3ish)
 }
