@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.functions.VecOps
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -86,6 +88,62 @@ object SimilaritySearch {
         sig
       }
     }
+  }
+
+  /** IVF (inverted-file) approximate cosine top-k: a k-means coarse
+    * quantizer (MLlib, distributed) partitions the corpus into `nlist`
+    * cells; each query probes its `nprobe` nearest cells and exact-re-ranks
+    * only those cells' vectors. The cell assignment is the index build
+    * (one pass + tiny model); the probe join is a cell-id equi-join, so the
+    * per-query candidate set is |corpus|·nprobe/nlist in expectation —
+    * the standard sub-linear ANN layout at corpus scale.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val train = corpus.select(array_to_vector(col(vecCol)).as("__v"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell").fit(train)
+    val centers = model.clusterCenters.map(_.toArray)
+
+    // corpus side: one cell per vector (the inverted file)
+    val assign = udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c2 = 0
+      while (c2 < centers.length) {
+        var s = 0.0; var i = 0
+        val ctr = centers(c2)
+        while (i < ctr.length) { val dl = v(i) - ctr(i); s += dl * dl; i += 1 }
+        if (s < bestD) { bestD = s; best = c2 }
+        c2 += 1
+      }
+      best
+    }
+    // query side: nprobe nearest cells
+    val probe = udf { (v: Seq[Float]) =>
+      centers.indices.map { c2 =>
+        var s = 0.0; var i = 0
+        val ctr = centers(c2)
+        while (i < ctr.length) { val dl = v(i) - ctr(i); s += dl * dl; i += 1 }
+        (c2, s)
+      }.sortBy(_._2).take(nprobe).map(_._1).toArray
+    }
+    val t = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("tv"),
+      assign(col(vecCol)).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probe(col(vecCol))).as("cell"))
+    val scored = t.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VecOps.cosine(col("qv"), col("tv")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   /** LSH-bucketed approximate cosine top-k. Each side gets `numTables`

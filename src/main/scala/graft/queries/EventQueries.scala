@@ -100,6 +100,37 @@ object EventQueries extends QueryPack {
       COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ---- as-of join (graft.operators.AsofJoin): for each purchase, the most
+  //      recent view at-or-before it per user. DuckDB checks it with its
+  //      native ASOF LEFT JOIN; the engine's union-scan form costs one
+  //      shuffle + one sort. Right side deduped to one row per (user, ts)
+  //      so the match is well-defined in both engines ----
+  private val asof = OracleQuery(
+    "e_asof_purchase_last_view",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      graft.operators.AsofJoin.asofJoin(
+          purchases, views, Seq("user_id"), "ts")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("asof_view_event_id").as("view_event_id"),
+          col("asof_ts").as("view_ts"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""SELECT p.user_id, p.event_id, p.ts,
+      v.view_event_id, v.ts AS view_ts
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS view_event_id
+                    FROM events WHERE event_type = 'view'
+                    GROUP BY user_id, ts) v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.user_id, p.ts, p.event_id"""))
+
   override val all: Seq[OracleQuery] =
-    Seq(tumbling, sessions, latestPerUser, typeStats)
+    Seq(tumbling, sessions, latestPerUser, typeStats, asof)
 }
