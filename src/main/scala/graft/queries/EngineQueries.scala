@@ -106,6 +106,16 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // IVF-partitioned approximate ANN (k-means inverted file + nprobe probing)
+  private val annIvf = OracleQuery(
+    "vx_ann_ivf_top5",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nlist = 8, nprobe = 4)
+    },
+    None)
+
   // MinHash-LSH near-dup detection over documents (north-star dedup)
   private val dedupMinhash = OracleQuery(
     "tx_dedup_minhash_pairs",
@@ -144,5 +154,5 @@ object EngineQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     fastCentroidCosine, ckaPerLabel, ckaGroupMatrix, hllDistinct,
-    annBrute, annLsh, dedupMinhash, dedupSimhash, pca2d, separability)
+    annBrute, annLsh, annIvf, dedupMinhash, dedupSimhash, pca2d, separability)
 }

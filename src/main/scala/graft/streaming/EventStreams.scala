@@ -58,4 +58,17 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Standard sink: append-mode parquet with checkpointing — completes the
+    * readStream → transform → writeStream pipeline (SURVEY.md §2.10). The
+    * caller owns trigger/await; checkpoint dir carries exactly-once state.
+    */
+  def toParquetSink(df: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 }

@@ -90,6 +90,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("parquet sink: windowed aggregate lands in files with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val outDir = java.nio.file.Files.createTempDirectory("sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+    val query = EventStreams.toParquetSink(
+      EventStreams.tumblingCounts(events, "10 minutes", "30 minutes"),
+      outDir, ckpt)
+    try {
+      stream.addData((1L, ts(1), 1L, "click", 1.0), (2L, ts(5), 1L, "click", 2.0))
+      query.processAllAvailable()
+      stream.addData((3L, ts(55), 2L, "view", 1.0)) // advances watermark, closes window
+      query.processAllAvailable()
+      val written = spark.read.parquet(outDir)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(written.contains((Timestamp.valueOf("2026-01-01 10:00:00"), "click", 2L)),
+        s"sink contents: ${written.mkString(",")}")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
