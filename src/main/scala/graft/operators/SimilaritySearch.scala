@@ -102,8 +102,11 @@ object SimilaritySearch {
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // quantizer trains on a bounded prefix — centroid quality needs a
+    // sample, not the corpus; 10 Lloyd iterations suffice for a coarse index
     val train = corpus.select(array_to_vector(col(vecCol)).as("__v"))
-    val model = new KMeans().setK(nlist).setSeed(seed)
+      .limit(50000)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__v").setPredictionCol("__cell").fit(train)
     val centers = model.clusterCenters.map(_.toArray)
 
