@@ -90,6 +90,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding windows: each event lands in width/slide overlapping buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStreams.slidingCounts(events, "10 minutes", "5 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(7), 1L, "click", 1.0))
+      query.processAllAvailable()
+      stream.addData((2L, ts(59), 2L, "view", 1.0)) // close the early windows
+      query.processAllAvailable()
+      val rows = spark.table("sliding_test")
+        .filter(col("event_type") === "click")
+        .collect().map(r => r.getTimestamp(0)).toSet
+      // event at 10:07 belongs to [10:00,10:10) and [10:05,10:15)
+      assert(rows == Set(
+        Timestamp.valueOf("2026-01-01 10:00:00"),
+        Timestamp.valueOf("2026-01-01 10:05:00")), s"buckets: $rows")
+    } finally query.stop()
+  }
+
   test("parquet sink: windowed aggregate lands in files with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]

@@ -92,6 +92,26 @@ class TensorSpec extends SparkSpec {
     }
   }
 
+  test("GAP tensor form agrees with VecAgg.meanVec on 1x1 planes") {
+    // a [C,1,1] tensor's GAP equals the identity; grouping such rows and
+    // mean-pooling must agree with the typed vector-mean aggregator
+    val rows = (1 to 6).map(i =>
+      ("g", s"img$i", 3, 1, 1, Seq(i.toFloat, i * 2.0f, i * 3.0f)))
+    val df = rows.toDF("group", "image_stem", "c", "h", "w", "fmap")
+    val viaGap = df
+      .select(col("group"),
+        TensorOps.globalAveragePool(col("fmap"), col("c"), col("h"), col("w")).as("gap"))
+      .select(col("group"), col("gap")(0).as("a"), col("gap")(1).as("b"), col("gap")(2).as("cc"))
+      .groupBy("group").agg(avg("a"), avg("b"), avg("cc"))
+      .head()
+    val viaAgg = df.groupBy("group")
+      .agg(graft.operators.VecAgg.meanVec(col("fmap")).as("m"))
+      .head().getSeq[Double](1)
+    assert(math.abs(viaGap.getDouble(1) - viaAgg(0)) < 1e-9)
+    assert(math.abs(viaGap.getDouble(2) - viaAgg(1)) < 1e-9)
+    assert(math.abs(viaGap.getDouble(3) - viaAgg(2)) < 1e-9)
+  }
+
   test("FeatureMapStore round-trip with partition pruning and shape validation") {
     val dir = java.nio.file.Files.createTempDirectory("fmap_store").toString
     val bad = Seq(("resnet", "glide", "img2", "stage3", 2, 2, 2, Seq(1f, 2f)))
