@@ -102,7 +102,8 @@ object Dedup {
       sigs: DataFrame,
       idCol: String = "doc_id",
       bands: Int = 8,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
     val banded = sigs.select(
       col(idCol),
       col("minhash"),
@@ -111,9 +112,19 @@ object Dedup {
           b => xxhash64(concat_ws(",",
             slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b))
       ).as(Seq("band", "bucket")))
-    val a = banded.select(col(idCol).as("id_a"), col("minhash").as("mh_a"),
+    // hot-bucket guard: a bucket holding k docs emits k² candidate pairs —
+    // one degenerate shingle (boilerplate headers, empty-ish docs) would
+    // quadratically blow up the join at corpus scale. Buckets past the cap
+    // carry near-zero signal anyway (they are the "too common" signatures).
+    val pruned = banded.join(
+      banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= maxBucketSize)
+        .select(col("band"), col("bucket")),
+      Seq("band", "bucket"))
+    val a = pruned.select(col(idCol).as("id_a"), col("minhash").as("mh_a"),
       col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("minhash").as("mh_b"),
+    val b = pruned.select(col(idCol).as("id_b"), col("minhash").as("mh_b"),
       col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -156,14 +156,24 @@ object SimilaritySearch {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 100000): DataFrame = {
 
     val sigUdf = signatures(numTables, bitsPerTable, seed)
     def withBuckets(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v),
         posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
 
-    val c = withBuckets(corpus, "neighbor_id", "tv")
+    val cAll = withBuckets(corpus, "neighbor_id", "tv")
+    // hot-bucket guard (see Dedup.minhashCandidates): a degenerate
+    // signature shared by k corpus vectors costs k candidates per probing
+    // query — cap it; such buckets are the least discriminative
+    val c = cAll.join(
+      cAll.groupBy(col("table"), col("sig"))
+        .agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= maxBucketSize)
+        .select(col("table"), col("sig")),
+      Seq("table", "sig"))
     val q = withBuckets(queries, "query_id", "qv")
     val candidates = c.join(q, Seq("table", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))

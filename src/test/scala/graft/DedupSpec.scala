@@ -54,6 +54,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 10L && p._3 > 6))
   }
 
+  test("hot-bucket guard: tiny cap suppresses candidate pairs, large cap is a no-op") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = docsDf((1L, base), (2L, base), (3L, base), (4L, base))
+    val sigs = Dedup.minhashSignatures(df)
+    // all four docs identical → every bucket holds 4; cap 3 kills all pairs
+    assert(Dedup.minhashCandidates(sigs, maxBucketSize = 3).count() == 0)
+    // default cap leaves them intact
+    assert(Dedup.minhashCandidates(sigs).count() == 6) // C(4,2)
+  }
+
   test("minhash est_jaccard tracks true shingle jaccard on testdata docs") {
     val docs = Tables.documents(spark, sf001).limit(100).cache()
     val flagged = Dedup.minhashNearDups(docs, threshold = 0.5)
