@@ -181,12 +181,21 @@ object Dedup {
     * using 4×16-bit block LSH (pigeonhole: dist ≤ 3 ⇒ one block equal).
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = 1000): DataFrame = {
     val fp = simhash(docs, idCol, textCol)
-    val blocks = fp.select(col(idCol), col("simhash"),
+    val allBlocks = fp.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("block", "bval")))
+    // same hot-bucket guard as minhashCandidates: cap k² pair blowup from
+    // one over-common 16-bit block value
+    val blocks = allBlocks.join(
+      allBlocks.groupBy(col("block"), col("bval"))
+        .agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= maxBucketSize)
+        .select(col("block"), col("bval")),
+      Seq("block", "bval"))
     val a = blocks.select(col(idCol).as("id_a"), col("simhash").as("fp_a"),
       col("block"), col("bval"))
     val b = blocks.select(col(idCol).as("id_b"), col("simhash").as("fp_b"),
