@@ -149,6 +149,45 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Collapse a near-dup pair graph to canonical representatives: each
+    * document maps to the minimum doc id in its connected component
+    * (transitive closure — a~b, b~c ⇒ {a,b,c} share one keeper).
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across edges (both directions) and keeps the min; components of
+    * diameter d converge in ceil(log2(d)) + 1 rounds of the doubled edge
+    * set — here plain propagation with a bounded round count, since dup
+    * components are shallow in practice (near-clique blobs, not chains).
+    * Each round is one shuffle on doc id; no driver-side graph.
+    */
+  def canonicalize(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val propagated = edges
+        .join(labels, edges("id_b") === labels("id"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("rep")).as("nrep"))
+      val next = labels.join(propagated, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .cache()
+      next.count() // materialize before comparing
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("rep").as("canonical_id"),
+      (col("id") === col("rep")).as("keep"))
+  }
+
   /** 64-bit SimHash over word tokens: bit j of the fingerprint is the sign
     * of Σ_tokens (±1 according to bit j of hash(token)). Row-local one-pass
     * UDF — no tokenizer explode, no shuffle (the alternative explode +

@@ -64,6 +64,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashCandidates(sigs).count() == 6) // C(4,2)
   }
 
+  test("canonicalize: transitive closure maps chains to the component min") {
+    // chain 1~2, 2~3 plus separate pair 10~11: components {1,2,3}, {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalize(pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(out(3L) == ((1L, false)))
+    assert(out(10L) == ((10L, true)))
+    assert(out(11L) == ((10L, false)))
+  }
+
+  test("canonicalize composes with minhash pairs end to end") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = docsDf((5L, base), (9L, base), (2L, base), (100L, "totally different words here entirely"))
+    val pairs = Dedup.minhashNearDups(df, threshold = 0.9)
+    val canon = Dedup.canonicalize(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(5L) == 2L && canon(9L) == 2L && canon(2L) == 2L)
+    assert(!canon.contains(100L)) // never paired → not in the dup graph
+  }
+
   test("minhash est_jaccard tracks true shingle jaccard on testdata docs") {
     val docs = Tables.documents(spark, sf001).limit(100).cache()
     val flagged = Dedup.minhashNearDups(docs, threshold = 0.5)
