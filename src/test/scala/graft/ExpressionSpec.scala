@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Uses the shared SparkSpec session — which carries GraftExtensions, the
+  * same way Verify/Bench sessions do (extensions are a session-construction
+  * concern, so they live in every engine session builder).
+  */
+class ExpressionSpec extends SparkSpec {
+
+  test("cosine_sim: registered via extensions, agrees with the HOF form, codegens") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.limit(30).select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(emb.limit(30).select(col("vec_id").as("ib"), col("embedding").as("b")))
+    val both = pairs.select(col("ia"), col("ib"),
+      expr("cosine_sim(a, b)").as("native"),
+      graft.functions.VecOps.cosine(col("a"), col("b")).as("hof"))
+    val rows = both.collect()
+    assert(rows.length == 900)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9,
+        s"(${r.get(0)},${r.get(1)}): native=${r.get(2)} hof=${r.get(3)}")
+    }
+    // the expression must run inside whole-stage codegen, not as a fallback.
+    // (checked on a native-only projection: Catalyst's higher-order
+    // functions are CodegenFallback, so a project containing BOTH forms is
+    // forced out of codegen by the HOF column — itself the reason a native
+    // expression is the preferred form.)
+    val nativeOnly = pairs.select(expr("cosine_sim(a, b)").as("native"))
+    nativeOnly.collect() // finalize the adaptive plan so codegen stages show
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    val projectLine = plan.linesIterator.find(_.contains("cosinesimilarity")).get
+    assert(projectLine.contains("*("), s"project not codegen'd:\n$plan")
+  }
+
+  test("cosine_sim: null inputs give null, self-similarity is 1") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
+      (None: Option[Seq[Float]], Some(Seq(1.0f, 2.0f))))
+      .toDF("a", "b")
+    val out = df.select(expr("cosine_sim(a, b)")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-9)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("cosine_sim rejects non-array inputs at analysis time") {
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("cosine_sim(a, b)")).collect()
+    }
+  }
+}
