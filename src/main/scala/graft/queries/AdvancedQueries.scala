@@ -337,8 +337,66 @@ object AdvancedQueries extends QueryPack {
     GROUP BY l_orderkey, o_orderdate
     ORDER BY revenue DESC, l_orderkey LIMIT 20"""))
 
+  // ---- higher-order array functions (Spark transform/filter/aggregate ↔
+  //      DuckDB list_transform/list_filter): per-vector positive-dim count
+  //      and clipped integer sum — the lambda surface, oracle-checked via
+  //      integer quantization ----
+  private val arrayHof = OracleQuery(
+    "f_hof_array_ops",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), v => v > 0f)).as("n_positive"),
+          aggregate(
+            transform(col("embedding"), v => floor(v.cast("double") * 1000)),
+            lit(0L), (acc, v) => acc + v.cast("long")).as("qsum"))
+        .orderBy(col("vec_id")),
+    Some("""SELECT vec_id,
+      CAST(len(list_filter(embedding, v -> v > 0)) AS INT) AS n_positive,
+      CAST(list_sum(list_transform(embedding,
+        v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS qsum
+    FROM embeddings ORDER BY vec_id"""))
+
+  // ---- regexp group extraction ----
+  private val regexpGroups = OracleQuery(
+    "f_regexp_extract_groups",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_brand"), "^([A-Za-z]+)#?(\\d*)$", 1).as("brand_word"),
+          regexp_extract(col("p_brand"), "^([A-Za-z]+)#?(\\d*)$", 2).as("brand_num"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      regexp_extract(p_brand, '^([A-Za-z]+)#?(\d*)$', 1) AS brand_word,
+      regexp_extract(p_brand, '^([A-Za-z]+)#?(\d*)$', 2) AS brand_num
+    FROM part ORDER BY p_partkey"""))
+
+  // ---- bag-semantics set ops (intersectAll / exceptAll) ----
+  private val bagSetOps = OracleQuery(
+    "t_bag_set_ops",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+      val inter = c.intersectAll(sup)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      val exc = sup.exceptAll(c)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      inter.unionByName(exc).orderBy(col("op"), col("k"))
+    },
+    Some("""SELECT k, n, op FROM (
+      SELECT k, COUNT(*) AS n, 'intersect_all' AS op FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY k
+      UNION ALL
+      SELECT k, COUNT(*) AS n, 'except_all' AS op FROM (
+        SELECT s_nationkey AS k FROM supplier
+        EXCEPT ALL SELECT c_nationkey FROM customer) GROUP BY k
+    ) ORDER BY op, k"""))
+
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
-    stringAgg, groupingSets, q5ish, q3ish)
+    stringAgg, groupingSets, q5ish, q3ish, arrayHof, regexpGroups, bagSetOps)
 }
