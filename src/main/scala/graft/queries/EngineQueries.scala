@@ -106,6 +106,23 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // the native codegen expression driven through the verify gate: pairwise
+  // vector cosine via cosine_sim (registered by GraftExtensions in every
+  // engine session) — rows-only check; exact agreement with the HOF form is
+  // spec-asserted (ExpressionSpec)
+  private val nativeCosine = OracleQuery(
+    "vx_native_cosine_pairs",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 30)
+      emb.select(col("vec_id").as("ia"), col("embedding").as("a"))
+        .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          call_function("cosine_sim", col("a"), col("b")).as("cosine"))
+        .orderBy(col("ia"), col("ib"))
+    },
+    None)
+
   // IVF-partitioned approximate ANN (k-means inverted file + nprobe probing)
   private val annIvf = OracleQuery(
     "vx_ann_ivf_top5",
@@ -154,5 +171,6 @@ object EngineQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     fastCentroidCosine, ckaPerLabel, ckaGroupMatrix, hllDistinct,
-    annBrute, annLsh, annIvf, dedupMinhash, dedupSimhash, pca2d, separability)
+    nativeCosine, annBrute, annLsh, annIvf,
+    dedupMinhash, dedupSimhash, pca2d, separability)
 }
