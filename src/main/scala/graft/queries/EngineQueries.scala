@@ -145,6 +145,16 @@ object EngineQueries extends QueryPack {
     (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3),
     None)
 
+  // full dedup pipeline: minhash candidate pairs → connected components →
+  // canonical keep/drop decisions (the operational output of dedup)
+  private val dedupCanonical = OracleQuery(
+    "tx_dedup_canonical",
+    (s, d) => {
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.5)
+      Dedup.canonicalize(pairs).orderBy(col("doc_id"))
+    },
+    None)
+
   // PCA projection of the embedding space to 2-D (M5) with label carried
   private val pca2d = OracleQuery(
     "mx_pca_2d",
@@ -172,5 +182,5 @@ object EngineQueries extends QueryPack {
   override val all: Seq[OracleQuery] = Seq(
     fastCentroidCosine, ckaPerLabel, ckaGroupMatrix, hllDistinct,
     nativeCosine, annBrute, annLsh, annIvf,
-    dedupMinhash, dedupSimhash, pca2d, separability)
+    dedupMinhash, dedupSimhash, dedupCanonical, pca2d, separability)
 }

@@ -131,6 +131,40 @@ object EventQueries extends QueryPack {
       ON p.user_id = v.user_id AND p.ts >= v.ts
     ORDER BY p.user_id, p.ts, p.event_id"""))
 
+  // ---- native session_window in batch mode, oracle-checked against the
+  //      lag-construction: Spark's merging session state must produce
+  //      exactly the sessions the relational gap-flag form derives
+  //      (session end = last event + gap, per the session_window contract) --
+  private val sessionWindowNative = OracleQuery(
+    "e_session_window_native",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN LAG(ts, 1) OVER w IS NULL
+               OR ts - LAG(ts, 1) OVER w >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL '30 minutes' AS session_end,
+      COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    ORDER BY user_id, session_start"""))
+
   override val all: Seq[OracleQuery] =
-    Seq(tumbling, sessions, latestPerUser, typeStats, asof)
+    Seq(tumbling, sessions, latestPerUser, typeStats, asof, sessionWindowNative)
 }
