@@ -160,12 +160,46 @@ object Dedup {
     * components are shallow in practice (near-clique blobs, not chains).
     * Each round is one shuffle on doc id; no driver-side graph.
     */
-  def canonicalize(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+  def canonicalize(pairs: DataFrame, maxRounds: Int = 10,
+      driverThreshold: Long = 5000000L): DataFrame = {
+    // cache the pair computation ONCE before the bidirectional union —
+    // otherwise both union branches re-run the (expensive) candidate
+    // pipeline upstream before the cache materializes
+    val p = pairs.select(col("id_a"), col("id_b")).cache()
+
+    // the dup-pair graph is orders of magnitude smaller than the corpus
+    // (|pairs| ≈ dup-rate × docs); under the threshold, one collect + a
+    // driver union-find replaces ~log(diameter) sequential Spark jobs.
+    // The distributed loop below remains the path for pathological graphs.
+    val nPairs = p.count()
+    if (nPairs <= driverThreshold) {
+      val edgeArr = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edgeArr.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      val rows = parent.keys.toSeq.sorted.map { id =>
+        val rep = find(id); (id, rep, id == rep)
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("doc_id", "canonical_id", "keep")
+    }
+    val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("rep", col("id"))
+      .cache()
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -176,13 +210,15 @@ object Dedup {
       val next = labels.join(propagated, Seq("id"), "left")
         .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .cache()
-      next.count() // materialize before comparing
+      // one job per round: the convergence probe also materializes `next`
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
+      labels.unpersist()
       labels = next
       converged = changed == 0
       round += 1
     }
+    p.unpersist()
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("rep").as("canonical_id"),
       (col("id") === col("rep")).as("keep"))

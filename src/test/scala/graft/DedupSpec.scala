@@ -76,6 +76,16 @@ class DedupSpec extends SparkSpec {
     assert(out(11L) == ((10L, false)))
   }
 
+  test("canonicalize distributed path agrees with driver union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val driver = Dedup.canonicalize(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val distributed = Dedup.canonicalize(pairs, driverThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(driver == distributed, s"driver=$driver distributed=$distributed")
+  }
+
   test("canonicalize composes with minhash pairs end to end") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val df = docsDf((5L, base), (9L, base), (2L, base), (100L, "totally different words here entirely"))
