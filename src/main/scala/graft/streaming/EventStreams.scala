@@ -59,6 +59,33 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: pair each left event with right events for
+    * the same user within `maxDelay` before it. Watermarks on BOTH sides +
+    * the time bound let Spark evict join state — without the bound the
+    * right-side buffer would grow forever. The same plan runs in batch
+    * (where the watermark is ignored and the range predicate just filters).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      maxDelay: String = "15 minutes", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("left_id"), col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("right_id"),
+        col("ts").as("right_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("right_ts") >= col("left_ts") - expr(s"INTERVAL '$maxDelay'") &&
+        col("right_ts") <= col("left_ts"))
+      .select(col("user_id"), col("left_id"), col("left_ts"),
+        col("right_id"), col("right_ts"))
+  }
+
+  /** Stream-static enrichment: streaming events joined to a static dimension
+    * — the dim side broadcasts per micro-batch, no streaming state at all.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Standard sink: append-mode parquet with checkpointing — completes the
     * readStream → transform → writeStream pipeline (SURVEY.md §2.10). The
     * caller owns trigger/await; checkpoint dir carries exactly-once state.

@@ -90,6 +90,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join pairs events within the bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val views = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df(s: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      s.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStreams.intervalJoin(df(clicks), df(views), "15 minutes")
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      views.addData((100L, ts(0), 1L, "view", 1.0), (101L, ts(50), 1L, "view", 1.0),
+        (102L, ts(5), 2L, "view", 1.0))
+      clicks.addData((200L, ts(10), 1L, "click", 1.0), (201L, ts(55), 1L, "click", 1.0))
+      query.processAllAvailable()
+      val pairs = spark.table("ssjoin_test")
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // click@10 pairs with view@0 (within 15m); click@55 with view@50;
+      // click@10 must NOT pair with view@50 (future) or user 2's view
+      assert(pairs == Set((200L, 100L), (201L, 101L)), s"pairs: $pairs")
+    } finally query.stop()
+  }
+
+  test("stream-static enrichment joins the dimension without streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dim = Seq(("click", "interaction"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val query = EventStreams.enrich(events, dim, "event_type")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(0), 1L, "click", 1.0), (2L, ts(1), 1L, "purchase", 1.0))
+      query.processAllAvailable()
+      val out = spark.table("enrich_test")
+        .select("event_id", "category").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out(1L).contains("interaction"))
+      assert(out(2L).isEmpty) // left join keeps unmatched stream rows
+    } finally query.stop()
+  }
+
   test("sliding windows: each event lands in width/slide overlapping buckets") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
