@@ -51,6 +51,20 @@ object VecOps {
   def scale(v: Column, k: Column): Column =
     transform(v, x => x.cast("double") * k)
 
+  /** Cosine via the native codegen expression (graft.expressions
+    * .CosineSimilarity) — no function registration needed: the bridge
+    * constructs the Column directly, so it works in ANY session, unlike the
+    * `cosine_sim` SQL name which needs GraftExtensions. Prefer this over
+    * `cosine` (higher-order functions are CodegenFallback and evict their
+    * projection from whole-stage codegen).
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CosineSimilarity(expression(a), expression(b)))
+
+  private def expression(c: Column) =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
   // Vector mean/sum as a GROUP aggregate lives in
   // graft.operators.VecAgg.meanVec (typed Aggregator, O(D) buffer,
   // map-side combinable) — a collect_list-based form would buffer every

@@ -37,7 +37,7 @@ object SimilaritySearch {
     val t = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("tv"))
     val scored = t.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VecOps.cosine(col("qv"), col("tv")).as("cosine"))
+        VecOps.cosineNative(col("qv"), col("tv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -139,7 +139,7 @@ object SimilaritySearch {
     val scored = t.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VecOps.cosine(col("qv"), col("tv")).as("cosine"))
+        VecOps.cosineNative(col("qv"), col("tv")).as("cosine"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -180,7 +180,7 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("tv"))
       .distinct()
     val scored = candidates.select(col("query_id"), col("neighbor_id"),
-      VecOps.cosine(col("qv"), col("tv")).as("cosine"))
+      VecOps.cosineNative(col("qv"), col("tv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))

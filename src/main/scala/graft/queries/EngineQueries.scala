@@ -107,9 +107,9 @@ object EngineQueries extends QueryPack {
     None)
 
   // the native codegen expression driven through the verify gate: pairwise
-  // vector cosine via cosine_sim (registered by GraftExtensions in every
-  // engine session) — rows-only check; exact agreement with the HOF form is
-  // spec-asserted (ExpressionSpec)
+  // vector cosine via the registry-free Column form (works in ANY session,
+  // extension-registered or not) — rows-only check; exact agreement with
+  // the HOF form is spec-asserted (ExpressionSpec)
   private val nativeCosine = OracleQuery(
     "vx_native_cosine_pairs",
     (s, d) => {
@@ -118,7 +118,7 @@ object EngineQueries extends QueryPack {
         .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
         .filter(col("ia") < col("ib"))
         .select(col("ia"), col("ib"),
-          call_function("cosine_sim", col("a"), col("b")).as("cosine"))
+          graft.functions.VecOps.cosineNative(col("a"), col("b")).as("cosine"))
         .orderBy(col("ia"), col("ib"))
     },
     None)
