@@ -30,7 +30,7 @@ object EngineQueries extends QueryPack {
       cents.as("a").select(col("label").as("l1"), col("centroid").as("ca"))
         .crossJoin(cents.as("b").select(col("label").as("l2"), col("centroid").as("cb")))
         .filter(col("l1") <= col("l2"))
-        .select(col("l1"), col("l2"), VecOps.cosine(col("ca"), col("cb")).as("cosine"))
+        .select(col("l1"), col("l2"), VecOps.cosineNative(col("ca"), col("cb")).as("cosine"))
         .orderBy(col("l1"), col("l2"))
     },
     None)
