@@ -395,8 +395,72 @@ object AdvancedQueries extends QueryPack {
         EXCEPT ALL SELECT c_nationkey FROM customer) GROUP BY k
     ) ORDER BY op, k"""))
 
+  // ---- pivot (crosstab): status × priority counts. Oracle twin is the
+  //      dialect-neutral CASE-aggregation form ----
+  private val pivotQuery = OracleQuery(
+    "agg_pivot_status_priority",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot(col("o_orderpriority"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("1-URGENT", "urgent")
+        .withColumnRenamed("2-HIGH", "high")
+        .withColumnRenamed("3-MEDIUM", "medium")
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+      COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS urgent,
+      COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS high,
+      COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS medium
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // ---- unpivot (melt): wide per-row measures → long (measure, value) ----
+  private val unpivotQuery = OracleQuery(
+    "t_unpivot_measures",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+    Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+      FROM lineitem WHERE l_orderkey < 50
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem WHERE l_orderkey < 50
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      FROM lineitem WHERE l_orderkey < 50
+    ) ORDER BY l_orderkey, l_linenumber, measure"""))
+
+  // ---- remaining ranking functions: percent_rank / cume_dist (pure rank
+  //      arithmetic over identical orderings → IEEE-identical) ----
+  private val rankStats = OracleQuery(
+    "w_percent_rank_cume_dist",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+      PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey"""))
+
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
-    stringAgg, groupingSets, q5ish, q3ish, arrayHof, regexpGroups, bagSetOps)
+    stringAgg, groupingSets, q5ish, q3ish, arrayHof, regexpGroups, bagSetOps,
+    pivotQuery, unpivotQuery, rankStats)
 }
