@@ -19,6 +19,31 @@ class PipelineSpec extends SparkSpec {
     assert(counts.length == 10 && counts.forall(_._2 == 20))
   }
 
+  test("multimodal retrieval composes: frames -> embeddings -> ANN top-k") {
+    import graft.operators.SimilaritySearch
+    import graft.sources.{Embedder, Multimodal, StubEmbedder}
+    import org.apache.spark.sql.Row
+    // 3 videos → stride-sampled frames → stub embeddings → nearest frames
+    val rows = java.util.Arrays.asList(
+      Row(1L, "video", Row(null, null, 5000L, null, "h264"), Array[Byte](1, 2, 3)),
+      Row(2L, "video", Row(null, null, 3000L, null, "h264"), Array[Byte](4, 5)),
+      Row(3L, "video", Row(null, null, 4000L, null, "h264"), Array[Byte](6)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val frames = Multimodal.sampleFrames(media, strideMs = 1000L, maxFrames = 8)
+      .select(
+        concat(col("asset_id"), lit("/"), col("frame_idx")).as("path"),
+        col("frame").as("content"))
+    val embedded = Embedder.embedImages(frames, new StubEmbedder(16))
+      .withColumn("vec_id", monotonically_increasing_id())
+    val n = embedded.count()
+    assert(n == 12) // 5 + 3 + 4 frames
+    val hits = SimilaritySearch.bruteForceTopK(
+      embedded, embedded.limit(2), k = 3, idCol = "vec_id", vecCol = "embedding")
+    val out = hits.collect()
+    assert(out.length == 2 * 3)
+    assert(out.forall(r => r.getDouble(3) <= 1.0 + 1e-9))
+  }
+
   test("compareSpaces: aligned counts, per-group CKA, separability (flow 3.3)") {
     val emb = Tables.embeddings(spark, sf001)
     // two "spaces": first/second halves of the embedding — same images,
