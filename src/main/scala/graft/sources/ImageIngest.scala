@@ -115,6 +115,19 @@ object ImageIngest {
           .as(Seq("image_key", "embedding")))
   }
 
+  /** S7: grouped embedding sink — the engine form of the reference's
+    * one-JSON-object-per-group output (src/extract_embedding.py:134-137):
+    * Hive-partitioned by group so downstream reads partition-prune, JSON
+    * lines instead of a single monolithic object so writes stream and
+    * parallelize. (Parquet is the engine default; JSON is the interop
+    * format the reference's consumers expect.)
+    */
+  def writeGroupedJson(embeddings: DataFrame, path: String): Unit =
+    embeddings.write
+      .mode("overwrite")
+      .partitionBy("group")
+      .json(path)
+
   /** S5: prefixed-key demux — split `"REAL/img123.png"` merged keys into
     * (label, stem) (src/compare_embeddings_vs_features.py:97-115).
     */

@@ -75,6 +75,23 @@ class IngestSpec extends SparkSpec {
     assert(byPath("p1.png") != byPath("p2.jpg"))
   }
 
+  test("grouped JSON sink round-trips with partition pruning (S7)") {
+    val dir = java.nio.file.Files.createTempDirectory("emb_sink").toString
+    val df = Seq(
+      ("biggan", "img1.png", Seq(0.1f, 0.2f)),
+      ("glide", "img2.png", Seq(0.3f, 0.4f)))
+      .toDF("group", "image_key", "embedding")
+    ImageIngest.writeGroupedJson(df, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    val pruned = spark.read.json(dir).filter(col("group") === "biggan")
+    assert(pruned.count() == 1)
+    assert(pruned.head().getAs[String]("image_key") == "img1.png")
+    // layout: one subdir per group (the reference's per-group files)
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("group=biggan", "group=glide"))
+  }
+
   test("JSON embedding ingest normalizes {key: vec} objects to rows (S4)") {
     val dir = java.nio.file.Files.createTempDirectory("emb_json")
     val f = dir.resolve("biggan.json")
