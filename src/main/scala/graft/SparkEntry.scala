@@ -14,7 +14,8 @@ object SparkEntry {
     EventQueries,
     VectorQueries,
     TextQueries,
-    EngineQueries)
+    EngineQueries,
+    ScaleJoinQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core question — pairwise similarity structure of the

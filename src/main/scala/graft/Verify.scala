@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table queries write managed tables; keep them out of the repo
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-verify-warehouse").toString)
       .withExtensions(new graft.expressions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

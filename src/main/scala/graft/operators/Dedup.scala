@@ -24,14 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest id per identical content. */
+  /** Exact dedup: keep the lowest id per identical content. Output schema
+    * is exactly the input schema (internal hash/rank columns are dropped).
+    */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    val w = Window.partitionBy(col("__content_hash")).orderBy(col(idCol))
     docs
-      .withColumn("content_hash", xxhash64(col(textCol)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .withColumn("__content_hash", xxhash64(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__content_hash")
   }
 
   /** Word k-shingles as one array column (distinct). */
@@ -172,11 +174,28 @@ object Dedup {
     // driver union-find replaces ~log(diameter) sequential Spark jobs.
     // The distributed loop below remains the path for pathological graphs.
     val nPairs = p.count()
-    if (nPairs <= driverThreshold) {
-      val edgeArr = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // id-type-generic ordering, so the driver path emits the SAME schema as
+    // the distributed path for long/int/string/… ids (it used to hardcode
+    // getLong + re-infer BIGINT); types without a defined order fall through
+    // to the distributed loop, which only needs least()/min()
+    val idType = p.schema.head.dataType
+    val driverOrd: Option[Ordering[Any]] = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        Some(Ordering.by(_.asInstanceOf[Long]))
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(Ordering.by(_.asInstanceOf[Int]))
+      case org.apache.spark.sql.types.ShortType =>
+        Some(Ordering.by(_.asInstanceOf[Short]))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by(_.asInstanceOf[String]))
+      case _ => None
+    }
+    if (nPairs <= driverThreshold && driverOrd.isDefined) {
+      implicit val ord: Ordering[Any] = driverOrd.get
+      val edgeArr = p.collect().map(r => (r.get(0), r.get(1)))
       p.unpersist()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)
         var c = x
@@ -186,14 +205,23 @@ object Dedup {
       edgeArr.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+        if (ra != rb) {
+          val (lo, hi) = if (ord.lt(ra, rb)) (ra, rb) else (rb, ra)
+          parent(hi) = lo
+        }
       }
-      val rows = parent.keys.toSeq.sorted.map { id =>
-        val rep = find(id); (id, rep, id == rep)
+      val rows: Seq[org.apache.spark.sql.Row] = parent.keys.toSeq.sorted.map { id =>
+        val rep = find(id)
+        org.apache.spark.sql.Row(id, rep, id == rep)
       }
       val spark = pairs.sparkSession
-      import spark.implicits._
-      return rows.toDF("doc_id", "canonical_id", "keep")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("canonical_id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("keep",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+      return spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
     }
     val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()

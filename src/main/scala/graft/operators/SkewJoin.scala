@@ -19,6 +19,13 @@ object SkewJoin {
       large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would emit each unmatched small-side row saltFactor
+    // times (one per exploded salt copy) — wrong duplicate multiplicity.
+    // The large (salted) side's multiplicity is unaffected, so inner/left
+    // joins and left-semi on the large side are the sound shapes.
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi").contains(normalized),
+      s"saltedEquiJoin supports inner/left/left_semi join types, got $joinType")
     // deterministic salt: spread rows of a hot key by a hash of the whole
     // row (monotonically_increasing_id would break retry determinism)
     val salted = large.withColumn("__salt",

@@ -43,6 +43,24 @@ object TensorOps {
         lit(0.0)))
   }
 
+  /** A7 (tensor form): undo per-channel input normalization on a row-major
+    * [C,H,W] tensor — x·std_ch + mean_ch, clamped to [0,1]
+    * (src/feature_map_analysis.py:68-75: x = x*std + mean; x.clamp(0, 1)).
+    * `means`/`stds` are ARRAY<DOUBLE> columns of length C; element e belongs
+    * to channel e / (h·w). One codegen'd transform, no explode.
+    */
+  def denormalize(img: Column, means: Column, stds: Column,
+      c: Column, h: Column, w: Column): Column = {
+    val plane = (h * w).cast("int")
+    transform(img, (v, e) => {
+      // Column `/` is double division; truncate back to the channel ordinal
+      val ch = (e / plane).cast("int") + 1
+      least(greatest(
+        v.cast("double") * element_at(stds, ch) + element_at(means, ch),
+        lit(0.0)), lit(1.0))
+    })
+  }
+
   /** A6 (array form): min-max normalize with eps guard
     * ((m - min)/(max - min + 1e-8), src/gradcam_dynamic.py:173-175).
     */
@@ -93,14 +111,17 @@ object TensorOps {
     * to its image's partition after the first shuffle.
     */
   def attentionRollout(attn: DataFrame, numLayers: Int): DataFrame = {
-    // normalize each layer: (A + I) row-normalized
-    val withI = attn
+    // normalize each layer: (A + I) row-normalized. NOT cached: `layer` is
+    // a window-partitioning column, so each per-layer branch pushes its
+    // layer predicate below the window and down to the source scan — L
+    // branches each read/shuffle 1/L of the table (one full pass in total),
+    // and no executor storage outlives the call (a cache here leaked
+    // storage memory across repeated calls — round-1 advisor finding).
+    val rowSums = Window.partitionBy(col("image_key"), col("layer"), col("i"))
+    val normed = attn
       .withColumn("a", col("a").cast("double") +
         when(col("i") === col("j"), 1.0).otherwise(0.0))
-    val rowSums = Window.partitionBy(col("image_key"), col("layer"), col("i"))
-    val normed = withI
       .withColumn("a", col("a") / sum(col("a")).over(rowSums))
-      .cache()
 
     def layer(l: Int): DataFrame =
       normed.filter(col("layer") === l).select(col("image_key"), col("i"), col("j"), col("a"))

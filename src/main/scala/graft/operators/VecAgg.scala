@@ -46,6 +46,39 @@ object VecAgg {
   private lazy val meanVecUdaf =
     udaf(new MeanVec, ExpressionEncoder[Seq[Float]]())
 
+  /** Elementwise sum (no final division). For scale-invariant consumers
+    * (cosine) the sum vector is interchangeable with the mean, and over
+    * integer-quantized inputs every intermediate stays an exact integer —
+    * the property the cross-engine oracle for `vx_fast_centroid_cosine`
+    * relies on. Same O(D) map-side-combinable buffer as MeanVec.
+    */
+  private final class SumVec extends Aggregator[Seq[Float], Array[Double], Seq[Double]] {
+    def zero: Array[Double] = Array.emptyDoubleArray
+    def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      val acc = if (b.isEmpty) new Array[Double](v.length) else b
+      var i = 0
+      while (i < v.length) { acc(i) += v(i); i += 1 }
+      acc
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    }
+    def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** sum_vec(embedding): ARRAY<FLOAT> → ARRAY<DOUBLE> elementwise group sum. */
+  def sumVec(c: Column): Column = sumVecUdaf(c)
+  private lazy val sumVecUdaf =
+    udaf(new SumVec, ExpressionEncoder[Seq[Float]]())
+
   /** Linear-CKA sufficient statistics between two vector spaces paired on the
     * same rows (A5, src/compare_xception_featuremaps.py:50-62).
     *

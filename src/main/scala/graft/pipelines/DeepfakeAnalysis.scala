@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * Flow 2 (`compareSpaces`) = compare_embeddings_vs_features.py (SURVEY.md
   * §3.3): restrict to common groups → equal-n aligned sample → per-space
   * separability scores + cross-space CKA.
+  *
+  * Flow 3 (`pairsMap`) = analyze_embedding_with_tsne.py --mode pairs
+  * (analyze_embedding_with_tsne.py:214-310): choose up to `numPairs` group
+  * pairs (adjacent-by-sorted-name, or seeded-random over all combinations),
+  * and per pair: per-group sample cap → guard n≥3 → joint 2-D reduction.
   */
 object DeepfakeAnalysis {
 
@@ -37,6 +42,78 @@ object DeepfakeAnalysis {
     val counts = coords.groupBy(col("label")).agg(count(lit(1)).as("n"))
       .orderBy(col("label"))
     EmbeddingMap(coords, counts)
+  }
+
+  final case class PairsMap(pairs: Seq[(String, String)], coords: DataFrame)
+
+  /** Flow 3: per-group-pair 2-D maps. Pair selection composes the
+    * relational pieces the reference does imperatively — a J4 self
+    * cross-join over the (small, distinct) group relation for candidate
+    * pairs, then either adjacent pairing over a GlobalRank total order or
+    * an L6 deterministic hash-order sample of the combinations. The chosen
+    * pair list (≤ numPairs rows) is the only thing collected; each pair's
+    * reduction runs as its own bounded Reduce2d job, with the reference's
+    * n≥3 guard (analyze_embedding_with_tsne.py:269-271).
+    *
+    * Output coords: (pair, id, label, x, y) — `pair` is "g1|g2".
+    */
+  def pairsMap(
+      emb: DataFrame, vecCol: String, idCol: String, groupCol: String,
+      numPairs: Int = 5, strategy: String = "adjacent",
+      samplePerGroup: Int = 500, method: String = "pca",
+      seed: Long = 42L): PairsMap = {
+    val spark = emb.sparkSession
+    val g = emb.select(col(groupCol).cast("string").as("g")).distinct()
+
+    val chosen: Array[(String, String)] = strategy match {
+      case "random" =>
+        // J4 candidate pairs + L6 hash-order sample of the combinations
+        g.select(col("g").as("g1"))
+          .crossJoin(g.select(col("g").as("g2")))
+          .filter(col("g1") < col("g2"))
+          .orderBy(xxhash64(col("g1"), col("g2"), lit(seed)), col("g1"), col("g2"))
+          .limit(numPairs)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+      case "adjacent" =>
+        // pair rank 1 with 2, 3 with 4, … over the sorted group names
+        val (ranked, _) = graft.operators.GlobalRank.withGlobalRank(g, "rn", col("g"))
+        ranked.as("a")
+          .join(ranked.as("b"), col("a.rn") + 1 === col("b.rn") && col("a.rn") % 2 === 1)
+          .select(col("a.g").as("g1"), col("b.g").as("g2"), col("a.rn"))
+          .orderBy(col("a.rn"))
+          .limit(numPairs)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+      case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+    }
+
+    val perPair = chosen.flatMap { case (g1, g2) =>
+      val pairRows = emb.filter(col(groupCol).cast("string").isin(g1, g2))
+      // reference guard: skip pairs with < 3 sampled points in total.
+      // Σ_g min(count_g, cap) is exactly the post-cap sample size, computed
+      // as one tiny aggregate (never triggers the reduction itself)
+      val sampledCount = pairRows.groupBy(col(groupCol))
+        .agg(least(count(lit(1)), lit(samplePerGroup.toLong)).as("__n"))
+        .agg(coalesce(sum(col("__n")), lit(0L)))
+        .head().getLong(0)
+      if (sampledCount < 3) None
+      else {
+        val coords = Reduce2d(pairRows, vecCol, idCol, groupCol,
+          method = method, maxPerGroup = samplePerGroup, seed = seed)
+        Some(coords.select(lit(s"$g1|$g2").as("pair"),
+          col("id").cast("long").as("id"), col("label").cast("string").as("label"),
+          col("x"), col("y")))
+      }
+    }
+
+    val coords = perPair.reduceOption(_.unionAll(_)).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("pair", StringType), StructField("id", LongType),
+          StructField("label", StringType), StructField("x", DoubleType),
+          StructField("y", DoubleType))))
+    }
+    PairsMap(chosen.toSeq, coords)
   }
 
   final case class SpaceComparison(

@@ -32,6 +32,26 @@ object Explainability {
         col("cam"))
   }
 
+  /** The reference's `save_original` step (src/feature_map_analysis.py:68-75):
+    * recover the displayable input from a normalized [3,H,W] tensor —
+    * per-channel x·std + mean (ImageNet constants by default), clamp to
+    * [0,1], then the uint8 pixel scale `(x·255).astype(uint8)` (truncating,
+    * values already ≥ 0). Completes the Grad-CAM post-chain: this is the
+    * image the CAM heatmap overlays.
+    */
+  def originalImage(imgs: DataFrame, imgCol: String = "img",
+      means: Seq[Double] = Seq(0.485, 0.456, 0.406),
+      stds: Seq[Double] = Seq(0.229, 0.224, 0.225)): DataFrame = {
+    val meanArr = array(means.map(lit): _*)
+    val stdArr = array(stds.map(lit): _*)
+    imgs
+      .withColumn("__denorm", TensorOps.denormalize(
+        col(imgCol), meanArr, stdArr, lit(means.length), col("h"), col("w")))
+      .withColumn("pixels",
+        transform(col("__denorm"), v => floor(v * lit(255.0)).cast("int")))
+      .drop("__denorm")
+  }
+
   /** Attention rollout to a patch-grid heatmap (src/gradcam_dynamic.py:212-316
     * post-capture): long-form attention table → rollout CLS row → drop CLS
     * column, reshape to grid, min-max normalize, upsample. `gridSide` is the

@@ -410,9 +410,9 @@ object AdvancedQueries extends QueryPack {
         .withColumnRenamed("3-MEDIUM", "medium")
         .orderBy(col("o_orderstatus")),
     Some("""SELECT o_orderstatus,
-      COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS urgent,
-      COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS high,
-      COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS medium
+      CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS urgent,
+      CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS BIGINT) AS high,
+      CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS BIGINT) AS medium
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   // ---- unpivot (melt): wide per-row measures → long (measure, value) ----
@@ -440,7 +440,11 @@ object AdvancedQueries extends QueryPack {
     ) ORDER BY l_orderkey, l_linenumber, measure"""))
 
   // ---- remaining ranking functions: percent_rank / cume_dist (pure rank
-  //      arithmetic over identical orderings → IEEE-identical) ----
+  //      arithmetic over identical orderings → IEEE-identical). Scale note:
+  //      partitioned by mktsegment (5 values) — partition cardinality bounds
+  //      window parallelism, inherent to the requested per-segment semantics;
+  //      a skewed/low-cardinality key at 100 TB wants the GlobalRank
+  //      two-pass pattern per segment instead ----
   private val rankStats = OracleQuery(
     "w_percent_rank_cume_dist",
     (s, d) => {

@@ -447,17 +447,19 @@ object RelationalQueries extends QueryPack {
     FROM lineitem WHERE l_orderkey < 100
     ORDER BY l_orderkey, l_linenumber"""))
 
-  // ---- ntile quartiles (global window: single-ordering op by definition;
-  //      at scale this is a range-partitioned sort, acceptable for quantile
-  //      assignment) ----
+  // ---- ntile quartiles. NOT `ntile(4).over(Window.orderBy(...))`: an
+  //      empty-partitionBy window collapses every row into ONE partition —
+  //      a single-task sort at 100 TB. GlobalRank.withNtile is the two-pass
+  //      scale plan (range repartition + per-partition offsets) with
+  //      identical NTILE semantics; PlanSpec pins the no-window shape ----
   private val ntileQuartiles = OracleQuery(
     "w_ntile_acctbal_quartiles",
-    (s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_acctbal"), ntile(4).over(w).as("quartile"))
-        .orderBy(col("c_custkey"))
-    },
+    (s, d) =>
+      graft.operators.GlobalRank.withNtile(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          4, "quartile", col("c_acctbal"), col("c_custkey"))
+        .select(col("c_custkey"), col("c_acctbal"), col("quartile"))
+        .orderBy(col("c_custkey")),
     Some("""SELECT c_custkey, c_acctbal,
       NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
     FROM customer ORDER BY c_custkey"""))
@@ -466,6 +468,9 @@ object RelationalQueries extends QueryPack {
   private val colorMod = OracleQuery(
     "f10_color_assignment",
     (s, d) => {
+      // global window, but over the DISTINCT brand relation (≤ tens of
+      // rows at any corpus scale) — the single partition holds a bounded
+      // dimension domain, not data; for data-sized inputs use GlobalRank
       val w = Window.orderBy(col("p_brand"))
       Tables.part(s, d)
         .select(col("p_brand")).distinct()

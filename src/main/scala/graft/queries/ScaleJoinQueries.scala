@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.SkewJoin
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+/** The scale-join strategies (SURVEY.md §4.3) driven through the verify
+  * gate every round, not only through specs (round-1 verdict item 10).
+  * Both are semantically plain equi-joins — so both get FULL DuckDB
+  * oracles — but execute with the physical shapes the 100 TB path needs:
+  * salting for a priori key skew, bucketing for amortized shuffle-free
+  * fact-fact joins.
+  */
+object ScaleJoinQueries extends QueryPack {
+
+  import Exact._
+
+  // ---- salted skew join: lineitem (large, salted on l_suppkey) against
+  //      supplier (small, exploded saltFactor×). Result identical to the
+  //      plain join — the oracle checks exactly that ----
+  private val saltedSupplierRevenue = OracleQuery(
+    "jx_salted_supplier_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      SkewJoin.saltedEquiJoin(li, sup, "suppkey", saltFactor = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("rev")).as("revenue"))
+        .orderBy(col("s_name"))
+    },
+    Some(s"""SELECT s_name, COUNT(*) AS n_items,
+      ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name ORDER BY s_name"""))
+
+  // ---- bucketed co-located join: lineitem + orders both bucketed on the
+  //      order key (written ONCE per corpus dir; the write is the amortized
+  //      shuffle), then a zero-exchange sort-merge join. JoinOpsSpec pins
+  //      the no-Exchange plan; this entry pins the RESULT against DuckDB ----
+  private val bucketedTables = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val bucketedOrderRevenue = OracleQuery(
+    "jx_bucketed_order_revenue",
+    (s, d) => {
+      val suffix = math.abs(d.hashCode).toString
+      val (liTable, oTable) = bucketedTables.getOrElseUpdate(d, {
+        val lt = s"li_bucketed_$suffix"
+        val ot = s"o_bucketed_$suffix"
+        Bucketing.writeBucketed(
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")),
+          lt, "l_orderkey")
+        Bucketing.writeBucketed(
+          Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          ot, "l_orderkey")
+        (lt, ot)
+      })
+      Bucketing.coLocatedJoin(s, liTable, oTable, "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("rev")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+      ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  override val all: Seq[OracleQuery] = Seq(saltedSupplierRevenue, bucketedOrderRevenue)
+}

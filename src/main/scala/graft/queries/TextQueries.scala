@@ -72,7 +72,7 @@ object TextQueries extends QueryPack {
           (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id, COUNT(*) AS n_tokens,
-      SUM(CASE WHEN w IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS n_stop,
+      CAST(SUM(CASE WHEN w IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
       CAST(SUM(CASE WHEN w IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*) AS stop_ratio
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)

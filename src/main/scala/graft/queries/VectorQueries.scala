@@ -78,12 +78,15 @@ object VectorQueries extends QueryPack {
   private val centroidCosine = OracleQuery(
     "v_centroid_cosine_matrix",
     (s, d) => {
-      // cache: sums is labels×D rows and feeds three consumers (dots twice,
-      // norms once) — without it Spark re-scans the embeddings table 3×
+      // sums feeds three consumers (dots twice, norms once) — dedup comes
+      // from ReuseExchange, not .cache(): the three branches share an
+      // identical aggregate subtree, so Catalyst plans ONE scan+shuffle and
+      // reuses it (PlanSpec pins ReusedExchange). A cache here leaked
+      // executor storage across calls (round-1 advisor finding) — queries
+      // are lazy builders with no place to unpersist.
       val sums = longForm(s, d)
         .groupBy(col("label"), col("pos"))
         .agg(sum(col("vq")).cast(DecimalType(19, 0)).as("sv"))
-        .cache()
       val dots = sums.as("a").join(sums.as("b"), col("a.pos") === col("b.pos"))
         .groupBy(col("a.label").as("l1"), col("b.label").as("l2"))
         .agg(sum(col("a.sv") * col("b.sv")).cast("double").as("dot"))

@@ -25,10 +25,12 @@ class EngineQueriesSpec extends SparkSpec {
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the query configures rsd = 0.02; |approx − exact|/exact ≤ 3σ = 0.06
+    // (exact counts themselves are oracle-verified via agg_distinct_counts)
     exact.foreach { case (flag, (p, s2)) =>
       val (ap, as2) = approx(flag)
-      assert(math.abs(ap - p).toDouble / p < 0.1, s"$flag parts: $ap vs $p")
-      assert(math.abs(as2 - s2).toDouble / s2 < 0.1, s"$flag supps: $as2 vs $s2")
+      assert(math.abs(ap - p).toDouble / p <= 0.06, s"$flag parts: $ap vs $p")
+      assert(math.abs(as2 - s2).toDouble / s2 <= 0.06, s"$flag supps: $as2 vs $s2")
     }
   }
 
@@ -38,11 +40,25 @@ class EngineQueriesSpec extends SparkSpec {
     val oracle = SparkEntry.queries("v_centroid_cosine_matrix")(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(fast.keySet == oracle.keySet)
-    // long form quantizes at 1e-6; fused form is unquantized float→double —
-    // agreement bound follows from the quantization step
+    // long form quantizes elements at 1e-6, fused form at 1e-4 (so its
+    // DuckDB oracle stays exact-integer through sf0.1) — both approximate
+    // the same true cosine; the bound reflects the coarser 1e-4 step
     oracle.foreach { case (k, v) =>
-      assert(math.abs(fast(k) - v) < 1e-4, s"$k: fast=${fast(k)} oracle=$v")
+      assert(math.abs(fast(k) - v) < 1e-2, s"$k: fast=${fast(k)} oracle=$v")
     }
+  }
+
+  test("vx_dedup_embedding_canonical: valid component structure, min-id keepers") {
+    val out = SparkEntry.queries("vx_dedup_embedding_canonical")(spark, sf001).collect()
+    assert(out.nonEmpty, "embedding dedup found no near-dup components")
+    out.foreach { r =>
+      val (id, canon, keep) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(canon <= id, s"canonical $canon > member $id")
+      assert(keep == (id == canon), s"keep flag wrong for $id -> $canon")
+    }
+    // every canonical id is itself a member row (component closure)
+    val ids = out.map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(1)).toSet.subsetOf(ids))
   }
 
   test("GBT CV harness runs and beats chance on separable blobs") {

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.GlobalRank
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GlobalRank must be bit-for-bit NTILE/rank, just without the
+  * one-partition window (the round-1 scale-killer). Parity is asserted
+  * against Spark's own window functions on inputs spanning every n % k
+  * residue, including n < k and duplicate order values broken by a key.
+  */
+class GlobalRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDf(n: Int) = {
+    val rng = new scala.util.Random(7)
+    (1 to n).map(i => (i.toLong, rng.nextInt(50).toDouble)).toDF("id", "v")
+      .repartition(4) // scatter input so ranks must cross partitions
+  }
+
+  test("withGlobalRank matches row_number over the total order") {
+    val df = mkDf(101)
+    val (ranked, n) = GlobalRank.withGlobalRank(df, "r", col("v"), col("id"))
+    assert(n == 101)
+    val got = ranked.select(col("id"), col("r")).as[(Long, Long)].collect().toMap
+    val want = df.select(col("id"),
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("withNtile matches ntile(k) window for every n % k residue") {
+    for (n <- Seq(3, 99, 100, 101, 102, 103); k <- Seq(1, 4, 7)) {
+      val df = mkDf(n)
+      val got = GlobalRank.withNtile(df, k, "t", col("v"), col("id"))
+        .select(col("id"), col("t")).as[(Long, Int)].collect().toMap
+      val want = df.select(col("id"),
+          ntile(k).over(Window.orderBy(col("v"), col("id"))))
+        .as[(Long, Int)].collect().toMap
+      assert(got == want, s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("ntile output column is IntegerType (matches window ntile)") {
+    val df = mkDf(10)
+    val schema = GlobalRank.withNtile(df, 4, "t", col("v"), col("id")).schema
+    assert(schema("t").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+}

@@ -61,6 +61,22 @@ class JoinOpsSpec extends SparkSpec {
     assert(ivf == again, "IVF not deterministic")
   }
 
+  test("IVF probe over a prebuilt index equals the one-shot build+probe") {
+    val emb = Tables.embeddings(spark, sf001).cache()
+    val queries = emb.filter($"vec_id" < 10)
+    val oneShot = SimilaritySearch.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val index = SimilaritySearch.buildIvfIndex(emb, nlist = 8)
+    try {
+      val probe1 = SimilaritySearch.ivfProbe(index, queries, k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val probe2 = SimilaritySearch.ivfProbe(index, queries, k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(probe1 == oneShot, "prebuilt-index probe diverges from one-shot ivfTopK")
+      assert(probe1 == probe2, "repeated probes over one index diverge")
+    } finally index.unpersist()
+  }
+
   test("bucketed tables join without an exchange") {
     val li = Tables.lineitem(spark, sf001)
       .select($"l_orderkey", $"l_quantity", $"l_extendedprice")

@@ -19,6 +19,37 @@ class PipelineSpec extends SparkSpec {
     assert(counts.length == 10 && counts.forall(_._2 == 20))
   }
 
+  test("pairsMap: adjacent group pairs, per-pair 2-D maps, n>=3 guard (flow pairs)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val out = DeepfakeAnalysis.pairsMap(
+      emb, "embedding", "vec_id", "label",
+      numPairs = 3, strategy = "adjacent", samplePerGroup = 10, method = "pca")
+    // 10 sorted labels 0..9 → adjacent pairs (0,1) (2,3) (4,5), capped at 3
+    assert(out.pairs == Seq(("0", "1"), ("2", "3"), ("4", "5")))
+    val coords = out.coords.collect()
+    assert(out.coords.columns.toSeq == Seq("pair", "id", "label", "x", "y"))
+    // each pair: 2 groups × 10 cap
+    val byPair = coords.groupBy(_.getString(0)).map { case (p, rs) => p -> rs.length }
+    assert(byPair == Map("0|1" -> 20, "2|3" -> 20, "4|5" -> 20))
+    // labels within a pair are exactly its two groups
+    coords.filter(_.getString(0) == "2|3").foreach(r =>
+      assert(Set("2", "3").contains(r.getString(2))))
+  }
+
+  test("pairsMap: random strategy is a deterministic hash-order sample; guard skips tiny pairs") {
+    val emb = Tables.embeddings(spark, sf001)
+    val a = DeepfakeAnalysis.pairsMap(emb, "embedding", "vec_id", "label",
+      numPairs = 2, strategy = "random", samplePerGroup = 5, method = "pca")
+    val b = DeepfakeAnalysis.pairsMap(emb, "embedding", "vec_id", "label",
+      numPairs = 2, strategy = "random", samplePerGroup = 5, method = "pca")
+    assert(a.pairs == b.pairs && a.pairs.length == 2)
+    a.pairs.foreach { case (g1, g2) => assert(g1 < g2) }
+    // n>=3 guard: cap of 1 per group over two groups can never reach 3 points
+    val tiny = DeepfakeAnalysis.pairsMap(emb, "embedding", "vec_id", "label",
+      numPairs = 2, strategy = "adjacent", samplePerGroup = 1, method = "pca")
+    assert(tiny.coords.isEmpty)
+  }
+
   test("multimodal retrieval composes: frames -> embeddings -> ANN top-k") {
     import graft.operators.SimilaritySearch
     import graft.sources.{Embedder, Multimodal, StubEmbedder}

@@ -53,4 +53,21 @@ class PlanSpec extends SparkSpec {
     val p = plan("l3_top10_orders")
     assert(p.contains("TakeOrderedAndProject"), s"full sort for LIMIT:\n$p")
   }
+
+  test("centroid-cosine self-join reuses one exchange instead of caching") {
+    val df = SparkEntry.queries("v_centroid_cosine_matrix")(spark, sf001)
+    df.collect() // AQE finalizes reuse decisions at execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
+      p.contains("ReusedQueryStage"),
+      s"sums subtree recomputed per branch:\n$p")
+  }
+
+  test("ntile runs as the two-pass range plan, never a one-partition window") {
+    val p = plan("w_ntile_acctbal_quartiles")
+    assert(!p.contains("Window"), s"ntile fell back to a window:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning") ||
+      p.contains("REPARTITION_BY_RANGE"), s"no range repartition in ntile plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast-joined:\n$p")
+  }
 }

@@ -39,6 +39,29 @@ class TensorSpec extends SparkSpec {
     assert(out2.zip(Seq(2.0, 4.0, 6.0, 8.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("denormalize: per-channel x*std + mean with [0,1] clamp (A7)") {
+    // [2,1,2] tensor: ch0 = [0.5, -3.0], ch1 = [1.0, 4.0]
+    // means (0.4, 0.5), stds (0.2, 0.25):
+    //   ch0: 0.5*0.2+0.4 = 0.5 ; -3.0*0.2+0.4 = -0.2 → clamp 0.0
+    //   ch1: 1.0*0.25+0.5 = 0.75 ; 4.0*0.25+0.5 = 1.5 → clamp 1.0
+    val img = Seq((Seq(0.5f, -3.0f, 1.0f, 4.0f), 2, 1, 2))
+      .toDF("img", "c", "h", "w")
+    val out = img.select(TensorOps.denormalize(col("img"),
+        typedLit(Seq(0.4, 0.5)), typedLit(Seq(0.2, 0.25)),
+        col("c"), col("h"), col("w")).as("d"))
+      .head().getSeq[Double](0)
+    assert(out.zip(Seq(0.5, 0.0, 0.75, 1.0)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-7 }, s"denormalize: $out")
+  }
+
+  test("originalImage: ImageNet denormalize + truncating uint8 pixel scale") {
+    // a [3,1,1] zero tensor; ch R: 0*0.229+0.485 = 0.485 → floor(123.675) = 123
+    val img = Seq((Seq(0.0f, 0.0f, 0.0f), 1, 1)).toDF("img", "h", "w")
+    val px = graft.pipelines.Explainability.originalImage(img)
+      .head().getAs[scala.collection.Seq[Int]]("pixels")
+    assert(px == Seq(123, 116, 103), s"pixels: $px")
+  }
+
   test("minMaxNormalize maps to [0,1] with eps guard") {
     val out = Seq(Seq(2.0, 4.0, 6.0)).toDF("m")
       .select(TensorOps.minMaxNormalize(col("m")).as("n"))

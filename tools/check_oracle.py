@@ -45,6 +45,15 @@ def main():
             for c in sdf.columns:
                 a, b = sdf[c], ddf[c]
                 try:
+                    # dtype KIND must match: DuckDB HUGEINT lands in pandas as
+                    # float64 (int128 overflows int64), so its value repr
+                    # diverges ("3.0" vs "3") and the driver's hash fails even
+                    # though astype(str) of same-kind ints agrees. Width
+                    # differences (int32 vs int64) hash identically and pass
+                    # the driver, so only flag kind mismatches.
+                    if a.dtype.kind != b.dtype.kind:
+                        errs.append(f"col {c}: dtype kind spark={a.dtype} duck={b.dtype}")
+                        continue
                     if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                         bad = ~((a == b) | (a.isna() & b.isna()))
                         if bad.any():
