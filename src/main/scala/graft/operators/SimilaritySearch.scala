@@ -173,6 +173,43 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** All near-duplicate pairs (id_a < id_b, cosine ≥ threshold) of `corpus`
+    * with itself via LSH bucket collisions — the candidate generator for
+    * embedding dedup. Unlike `lshTopK` there is NO per-query top-k window
+    * and the distinct runs over bare (id_a, id_b) pairs, not
+    * vector-carrying rows; vectors are re-attached by two id equi-joins
+    * afterwards (the candidate set is ≪ corpus, so those joins are cheap
+    * relative to shuffling every candidate's vectors through a distinct).
+    */
+  def lshNearDupPairs(
+      corpus: DataFrame, threshold: Double,
+      numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 100000): DataFrame = {
+    val sigUdf = signatures(numTables, bitsPerTable, seed)
+    val bucketed = corpus
+      .select(col(idCol).as("__id"),
+        posexplode(sigUdf(col(vecCol))).as(Seq("table", "sig")))
+    val guarded = bucketed.join(
+      bucketed.groupBy(col("table"), col("sig"))
+        .agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= maxBucketSize)
+        .select(col("table"), col("sig")),
+      Seq("table", "sig"))
+    val pairs = guarded.join(
+        guarded.select(col("table"), col("sig"), col("__id").as("__id2")),
+        Seq("table", "sig"))
+      .filter(col("__id") < col("__id2"))
+      .select(col("__id").as("id_a"), col("__id2").as("id_b"))
+      .distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        VecOps.cosineNative(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** One-shot IVF top-k (build + probe, nothing cached). Prefer
     * `buildIvfIndex` + `ivfProbe` when probing more than once.
     */

@@ -103,6 +103,126 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // Oracle-hard CKA: the group×group linear-CKA matrix (the reference's
+  // headline statistic, src/compare_xception_featuremaps.py:139-160) as a
+  // full cross-engine oracle. The float path above stays rows-only (UDAF
+  // finish() order can't be replicated op-for-op in SQL); this twin runs the
+  // SAME algebra over integer-quantized inputs where every intermediate is
+  // an exact integer, so both engines produce bit-identical doubles:
+  //  - q = floor(v·64): ×64 is a power of two (no rounding in the multiply),
+  //    |v| < 1 ⇒ |q| ≤ 64;
+  //  - per label, the first 40 rank-by-id rows × first 16 dims (every label
+  //    has ≥ 42 rows at all SFs, so n_pair = 40 for every pair INCLUDING
+  //    self-pairs — which makes the self-pair Frobenius norms the correct
+  //    CKA denominators over the same row set);
+  //  - per (l1,l2,i,j): A_ij = n·Σqa·qb − Σqa·Σqb = n²·(XcᵀYc)_ij exactly
+  //    (centering done algebraically in integers, no division);
+  //    |A| ≤ 2n²Q² = 1.3e7, ΣA² ≤ 256·1.7e14 = 4.4e16 — inside BIGINT with
+  //    200× headroom, so Spark sums in LONG and DuckDB's HUGEINT sum casts
+  //    back to BIGINT losslessly;
+  //  - CKA = ΣA²(l1,l2) / (√ΣA²(l1,l1)·√ΣA²(l2,l2)): the n⁴ factors cancel,
+  //    and BIGINT→DOUBLE is correctly rounded in both engines (unlike
+  //    int128→double), so the final IEEE expression is bit-identical.
+  private val ckaMatrixQuantized = OracleQuery(
+    "vx_cka_matrix_quantized",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("vec_id"))
+      val lf = Tables.embeddings(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 40)
+        .select(col("label"), col("rn"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .filter(col("pos") < 16)
+        .select(col("label"), col("rn"), col("pos"),
+          floor(col("vf").cast("double") * lit(64.0)).cast("long").as("q"))
+      val a = lf.select(col("label").as("l1"), col("rn"), col("pos").as("i"), col("q").as("qa"))
+      val b = lf.select(col("label").as("l2"), col("rn"), col("pos").as("j"), col("q").as("qb"))
+      val gram = a.join(b, Seq("rn"))
+        .filter(col("l1") <= col("l2"))
+        .groupBy(col("l1"), col("l2"), col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("qa") * col("qb")).as("sxy"),
+          sum(col("qa")).as("sx"), sum(col("qb")).as("sy"))
+        .withColumn("aij", col("n") * col("sxy") - col("sx") * col("sy"))
+        .groupBy(col("l1"), col("l2"))
+        .agg(sum(col("aij") * col("aij")).as("fro2"))
+      val dx = gram.filter(col("l1") === col("l2"))
+        .select(col("l1").as("xl"), col("fro2").as("xfro2"))
+      val dy = gram.filter(col("l1") === col("l2"))
+        .select(col("l2").as("yl"), col("fro2").as("yfro2"))
+      gram.join(dx, col("l1") === col("xl")).join(dy, col("l2") === col("yl"))
+        .select(col("l1"), col("l2"),
+          (col("fro2").cast("double") /
+            (sqrt(col("xfro2").cast("double")) * sqrt(col("yfro2").cast("double")) + lit(1e-12)))
+            .as("cka"))
+        .orderBy(col("l1"), col("l2"))
+    },
+    Some("""WITH ranked AS (
+      SELECT label, vec_id, embedding,
+        ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      FROM embeddings
+    ), ex AS (
+      SELECT label, rn, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM ranked WHERE rn <= 40
+    ), lf AS (
+      SELECT label, rn, pos, CAST(floor(v * 64.0) AS BIGINT) AS q
+      FROM ex WHERE pos < 16
+    ), moments AS (
+      SELECT a.label AS l1, b.label AS l2, a.pos AS i, b.pos AS j,
+        COUNT(*) AS n, SUM(a.q * b.q) AS sxy, SUM(a.q) AS sx, SUM(b.q) AS sy
+      FROM lf a JOIN lf b ON a.rn = b.rn AND a.label <= b.label
+      GROUP BY 1, 2, 3, 4
+    ), gram AS (
+      SELECT l1, l2,
+        CAST(SUM((n * sxy - sx * sy) * (n * sxy - sx * sy)) AS BIGINT) AS fro2
+      FROM moments GROUP BY 1, 2
+    )
+    SELECT g.l1, g.l2,
+      CAST(g.fro2 AS DOUBLE)
+        / (sqrt(CAST(dx.fro2 AS DOUBLE)) * sqrt(CAST(dy.fro2 AS DOUBLE)) + 1e-12) AS cka
+    FROM gram g
+    JOIN gram dx ON dx.l1 = g.l1 AND dx.l2 = g.l1
+    JOIN gram dy ON dy.l1 = g.l2 AND dy.l2 = g.l2
+    ORDER BY g.l1, g.l2"""))
+
+  // Oracle-hard ANN: the REAL bruteForceTopK operator (broadcast query side,
+  // native codegen cosine, WindowGroupLimit rank filter) driven over
+  // quantized inputs. |q| ≤ 5.8e5 ⇒ every dot/norm partial sum ≤ 2.2e13
+  // < 2⁵³ — exact in double regardless of accumulation order — so the
+  // operator's cosine, rank order, and tie-break (cosine DESC, neighbor_id)
+  // are bit-reproducible in DuckDB SQL. This converts the ANN family's
+  // top-k semantics from rows-only to hash-verified.
+  private val annBruteQuantized = OracleQuery(
+    "vx_ann_brute_quantized",
+    (s, d) => {
+      val embQ = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * lit(1e6)).cast("double")).as("embedding"))
+      SimilaritySearch.bruteForceTopK(embQ, embQ.filter(col("vec_id") < 10), k = 5)
+    },
+    Some("""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings
+    ), p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(SUM(q.vq * c.vq) AS DOUBLE) AS dot,
+        CAST(SUM(q.vq * q.vq) AS DOUBLE) AS nq,
+        CAST(SUM(c.vq * c.vq) AS DOUBLE) AS nc
+      FROM lf q JOIN lf c ON q.pos = c.pos
+        AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+        dot / (sqrt(nq) * sqrt(nc) + 1e-12) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY dot / (sqrt(nq) * sqrt(nc) + 1e-12) DESC, neighbor_id) AS rn
+      FROM p
+    )
+    SELECT query_id, rn, neighbor_id, cosine FROM scored
+    WHERE rn <= 5 ORDER BY query_id, rn"""))
+
   // HLL distinct (engine-added; SURVEY.md §2.4 note): sketch-based distinct
   // counts for the 100 TB path where exact distinct would shuffle every key.
   // Spec-checked against exact counts within HLL error; no cross-engine
@@ -249,10 +369,9 @@ object EngineQueries extends QueryPack {
       // short 6-bit signatures: the testdata's near-dup regime is low-cosine
       // (max ≈ 0.5), where long signatures collide almost never — signature
       // length is THE recall/candidate-volume dial, tuned per corpus
-      val pairs = SimilaritySearch.lshTopK(emb, emb, k = 20,
+      val pairs = SimilaritySearch.lshNearDupPairs(emb, threshold = 0.3,
           numTables = 8, bitsPerTable = 6)
-        .filter(col("cosine") >= 0.3 && col("query_id") < col("neighbor_id"))
-        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+        .select(col("id_a"), col("id_b"))
       Dedup.canonicalize(pairs).orderBy(col("doc_id"))
     },
     None)
@@ -319,8 +438,9 @@ object EngineQueries extends QueryPack {
     None)
 
   override val all: Seq[OracleQuery] = Seq(
-    fastCentroidCosine, ckaPerLabel, ckaGroupMatrix, hllDistinct,
-    nativeCosine, annBrute, annLsh, annIvf, annIvfProbe,
+    fastCentroidCosine, ckaPerLabel, ckaGroupMatrix, ckaMatrixQuantized,
+    hllDistinct,
+    nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     dedupCosinePairs, dedupEmbeddingCanonical,
     dedupMinhash, dedupSimhash, dedupCanonical, pca2d, separability,
     separabilityGbt)

@@ -10,14 +10,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted managed table. */
+  /** Write `df` as a bucketed, sorted managed table. The pre-write
+    * `repartition(numBuckets, key)` uses the SAME Murmur3 hash partitioning
+    * as the bucket spec, so every task holds exactly one bucket's rows and
+    * writes one file — without it each of the N input tasks writes a
+    * fragment per bucket (N·numBuckets small files, and at 1000 executors a
+    * small-file explosion that throttles the namenode and the downstream
+    * scan).
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      numBuckets: Int = 8): Unit =
-    df.write
+      numBuckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(numBuckets, col(key))
+      .write
       .mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketing tables on their bucket key — plans with no
     * Exchange when bucket specs line up.

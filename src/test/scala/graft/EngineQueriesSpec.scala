@@ -18,6 +18,35 @@ class EngineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("vx_cka_matrix_quantized tracks the float CKA operator") {
+    // the oracle twin quantizes to 64 levels over 16 dims / 40 rows, so it
+    // won't match the float path exactly — but it must tell the same story:
+    // diagonal ≈ 1, off-diagonals in [0,1], and within a coarse tolerance
+    // of VecAgg.cka computed over the SAME sample (ties the oracle-verified
+    // SQL algebra to the production aggregate)
+    val q = SparkEntry.queries("vx_cka_matrix_quantized")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(q.nonEmpty)
+    q.foreach { case ((l1, l2), cka) =>
+      assert(cka >= -1e-9 && cka <= 1.0 + 1e-9, s"cka($l1,$l2)=$cka")
+      if (l1 == l2) assert(math.abs(cka - 1.0) < 1e-9)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("vec_id"))
+    val ranked = Tables.embeddings(spark, sf001)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 40)
+      .select(col("label"), col("rn"), slice(col("embedding"), 1, 16).as("v"))
+    val float = ranked.as("a").join(ranked.as("b"),
+        col("a.rn") === col("b.rn") && col("a.label") <= col("b.label"))
+      .groupBy(col("a.label").as("l1"), col("b.label").as("l2"))
+      .agg(graft.operators.VecAgg.cka(col("a.v"), col("b.v")).as("cka"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    q.foreach { case (k2, v) =>
+      assert(math.abs(v - float(k2)) < 0.05,
+        s"quantized CKA $k2: $v vs float ${float(k2)}")
+    }
+  }
+
   test("agg_hll_distinct approximates exact distinct within rsd bounds") {
     val approx = SparkEntry.queries("agg_hll_distinct")(spark, sf01).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

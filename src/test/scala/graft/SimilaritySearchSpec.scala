@@ -32,6 +32,30 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall too low: $recall")
   }
 
+  test("lshNearDupPairs matches brute-force threshold pairs at high recall") {
+    // exact ground truth: every unordered pair with cosine >= 0.3
+    val ids = emb.select(col("vec_id"), col("embedding"))
+    val exact = ids.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(ids.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VecOps.cosineNative(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at cosine θ=0.3 (72.5°) a hyperplane bit agrees w.p. ≈0.6, so recall
+    // per (tables=T, bits=b) is 1-(1-0.6^b)^T: 8×6 gives only ~0.31 — this
+    // corpus's dup regime (max cosine ≈0.5) needs shorter signatures and
+    // more tables: 16×4 → expected recall ≈0.89
+    val approx = SimilaritySearch.lshNearDupPairs(emb, threshold = 0.3,
+        numTables = 16, bitsPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives possible (candidates are exact-cosine filtered)
+    assert(approx.subsetOf(exact), s"false positives: ${approx -- exact}")
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"near-dup recall too low: $recall")
+  }
+
   test("LSH is deterministic for a fixed seed") {
     val queries = emb.filter(col("vec_id") < 3)
     val a = SimilaritySearch.lshTopK(emb, queries, k = 3).collect().toSeq
