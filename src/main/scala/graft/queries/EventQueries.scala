@@ -165,6 +165,46 @@ object EventQueries extends QueryPack {
     FROM numbered GROUP BY user_id, session_id
     ORDER BY user_id, session_start"""))
 
+  // ---- the flatMapGroupsWithState sessionizer, oracle-checked in batch
+  //      mode: batch execution runs each group once and never fires
+  //      timeouts, so the operator emits exactly the CLOSED sessions —
+  //      every session except each user's trailing one. That set is
+  //      SQL-expressible (the gap construction minus the per-user max
+  //      session_id), which turns the custom-state operator into a
+  //      hash-verified query instead of a spec-only one. total_value is
+  //      deliberately not projected: its FP sum order differs between the
+  //      state fn (ts order) and SQL aggregation ----
+  private val statefulSessions = OracleQuery(
+    "e_stateful_sessionize",
+    (s, d) =>
+      graft.streaming.EventStreams.statefulSessionize(Tables.events(s, d), 30)
+        .toDF()
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN LAG(ts, 1) OVER w IS NULL
+               OR ts - LAG(ts, 1) OVER w > INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts,
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM (SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS mx FROM sess)
+    WHERE session_id < mx
+    ORDER BY user_id, session_start"""))
+
   override val all: Seq[OracleQuery] =
-    Seq(tumbling, sessions, latestPerUser, typeStats, asof, sessionWindowNative)
+    Seq(tumbling, sessions, latestPerUser, typeStats, asof, sessionWindowNative,
+      statefulSessions)
 }

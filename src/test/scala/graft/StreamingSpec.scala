@@ -179,6 +179,65 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState sessionize: gap split, event-time timeout close") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStreams.statefulSessionize(events, gapMinutes = 30, "10 minutes")
+      .writeStream.format("memory").queryName("stateful_session_test")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10:00, 10:05 (one session), then 11:00 (> 30 min
+      // gap → closes the first session immediately on arrival)
+      stream.addData((1L, ts(0), 1L, "a", 1.0), (2L, ts(5), 1L, "a", 2.0))
+      query.processAllAvailable()
+      stream.addData((3L, Timestamp.valueOf("2026-01-01 11:00:00"), 1L, "a", 4.0))
+      query.processAllAvailable()
+      val afterGap = spark.table("stateful_session_test")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(afterGap == Set((1L, ts(0), ts(5), 2L, 3.0)), s"sessions: $afterGap")
+      ()
+      // another user far in the future advances the watermark past
+      // 11:00 + 30 min → the open session closes by event-time TIMEOUT,
+      // with no further user-1 events
+      stream.addData((4L, Timestamp.valueOf("2026-01-01 13:00:00"), 2L, "a", 1.0))
+      query.processAllAvailable()
+      stream.addData((5L, Timestamp.valueOf("2026-01-01 13:01:00"), 2L, "a", 1.0))
+      query.processAllAvailable()
+      val afterTimeout = spark.table("stateful_session_test")
+        .filter(col("user_id") === 1L)
+        .collect().map(r => (r.getTimestamp(1), r.getLong(3))).toSet
+      assert(afterTimeout == Set(
+        (ts(0), 2L),
+        (Timestamp.valueOf("2026-01-01 11:00:00"), 1L)), s"sessions: $afterTimeout")
+    } finally query.stop()
+  }
+
+  test("stateful sessionize matches the batch gap construction on real data") {
+    // batch mode: flatMapGroupsWithState runs as a single-pass mapGroups —
+    // sessions must equal the oracle-checked lag+cumsum construction
+    // (e_sessionize_30min_gap) in count and membership
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    val events = Tables.events(spark, sf001)
+    val stateful = EventStreams.statefulSessionize(events, 30)
+      .collect().map(s => (s.user_id,
+        s.session_start.getEpochSecond * 1000000L + s.session_start.getNano / 1000L,
+        s.n_events)).toSet
+    val batchRows = SparkEntry.queries("e_sessionize_30min_gap")(spark, sf001)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2)))
+    // batch execution runs each group once and never fires timeouts, so the
+    // trailing (still-open) session of every user is NOT emitted — expected
+    // = the oracle-checked construction minus each user's last session
+    val expected = batchRows.groupBy(_._1).values.flatMap { ss =>
+      ss.sortBy(_._2).dropRight(1)
+    }.toSet
+    assert(stateful == expected,
+      s"stateful-only: ${(stateful -- expected).take(3)}; expected-only: ${(expected -- stateful).take(3)}")
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
