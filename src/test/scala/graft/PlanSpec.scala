@@ -63,6 +63,34 @@ class PlanSpec extends SparkSpec {
       s"sums subtree recomputed per branch:\n$p")
   }
 
+  test("near-dup pair generation is windowless and distincts bare id pairs") {
+    val p = SparkEntry.queries("vx_dedup_embedding_canonical")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the dedup candidate path must never rank (no per-query top-k window)
+    // and must never shuffle vector payloads through the pair-distinct:
+    // HashAggregate (distinct) over two long ids, vectors re-attached after
+    assert(!p.contains("Window"), s"dedup path ranks candidates:\n$p")
+  }
+
+  test("bucketed co-located join reads with no exchange on the join key") {
+    val suffix = math.abs(sf001.hashCode).toString
+    // force the bucketed tables to exist (memoized per corpus dir)
+    SparkEntry.queries("jx_bucketed_order_revenue")(spark, sf001).collect()
+    // at this tiny SF the planner would broadcast instead (and rightly so) —
+    // disable it to expose the shape that matters at fact×fact scale: a
+    // sort-merge join with NO Exchange, both sides' bucketing consumed
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val joined = graft.sources.Bucketing.coLocatedJoin(
+        spark, s"li_bucketed_$suffix", s"o_bucketed_$suffix", "l_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"not a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("ntile runs as the two-pass range plan, never a one-partition window") {
     val p = plan("w_ntile_acctbal_quartiles")
     assert(!p.contains("Window"), s"ntile fell back to a window:\n$p")
