@@ -74,6 +74,59 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
+  /** Gopher/C4-style quality-rule flags (Rae et al. 2021 §A1.1, Raffel et
+    * al. 2020 §2.2 — the published web-scrape filter heuristics, with
+    * thresholds scaled to this corpus's short synthetic documents). Returns
+    * a struct of per-rule booleans plus the conjunction `keep`; every rule
+    * is pure Column arithmetic over exact integer counts, so the pack is
+    * codegen'd, pushdown-friendly, and cross-engine oracle-able.
+    */
+  def gopherRules(text: Column,
+      minWords: Int = 10, maxWords: Int = 1000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2): Column = {
+    val words = split(text, " ")
+    val nWords = size(words).cast("long")
+    // mean word length from exact integer counts (chars-without-spaces /
+    // words) — division in double of exact longs, deterministic cross-engine
+    val nChars = (length(text) - (nWords - lit(1L))).cast("double")
+    val meanLen = nChars / nWords.cast("double")
+    val symbolWords = size(filter(words, w => w.rlike("[#_{}]"))).cast("long")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(filter(words,
+      w => w.isin("the", "and", "of", "to", "a", "in", "that", "for"))).cast("long")
+    val wordCountOk = nWords.between(minWords, maxWords)
+    val meanLenOk = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val symbolOk = symbolWords.cast("double") <= nWords.cast("double") * maxSymbolRatio
+    val alphaOk = alphaWords.cast("double") >= nWords.cast("double") * minAlphaWordRatio
+    val stopOk = stopHits >= minStopwordHits
+    struct(
+      nWords.as("n_words"),
+      wordCountOk.as("word_count_ok"),
+      meanLenOk.as("mean_word_len_ok"),
+      symbolOk.as("symbol_ratio_ok"),
+      alphaOk.as("alpha_ratio_ok"),
+      stopOk.as("stopword_ok"),
+      (wordCountOk && meanLenOk && symbolOk && alphaOk && stopOk).as("keep"))
+  }
+
+  /** PII redaction: emails, IPv4 addresses, and long digit runs (phone/ID
+    * shapes) replaced with typed placeholder tags. Patterns are restricted
+    * to the regex subset with identical semantics in Java regex and RE2, so
+    * the same strings drive the DuckDB oracle. Chained regexp_replace =
+    * three codegen'd passes, no UDF.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val ipv4Pattern = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val digitRunPattern = "[0-9]{7,}"
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      digitRunPattern, "<NUM>")
+
   /** Winnowed rolling-hash fingerprint (Rabin-Karp over chars, window
     * minimum selection): robust to insertion/shift, standard for
     * plagiarism/near-dup document fingerprinting. Returns the sorted

@@ -187,7 +187,122 @@ object TextQueries extends QueryPack {
       AS quality
     FROM documents ORDER BY doc_id"""))
 
+  // ---- Gopher/C4-style quality-rule filter (published web-scrape filter
+  //      heuristics as a rule pack): per-document rule booleans + keep
+  //      conjunction, all exact integer counts / deterministic double
+  //      compares, fully oracle-checked ----
+  private val gopherRules = OracleQuery(
+    "t_gopher_rule_filter",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextOps.gopherRules(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_words"), col("r.word_count_ok"),
+          col("r.mean_word_len_ok"), col("r.symbol_ratio_ok"),
+          col("r.alpha_ratio_ok"), col("r.stopword_ok"), col("r.keep"))
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS n_chars
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_words,
+        n_words BETWEEN 10 AND 1000 AS word_count_ok,
+        n_chars / CAST(n_words AS DOUBLE) >= 2.0
+          AND n_chars / CAST(n_words AS DOUBLE) <= 10.0 AS mean_word_len_ok,
+        CAST(len(list_filter(words, x -> regexp_matches(x, '[#_{}]'))) AS DOUBLE)
+          <= CAST(n_words AS DOUBLE) * 0.1 AS symbol_ratio_ok,
+        CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          >= CAST(n_words AS DOUBLE) * 0.8 AS alpha_ratio_ok,
+        CAST(len(list_filter(words,
+          x -> x IN ('the','and','of','to','a','in','that','for'))) AS BIGINT)
+          >= 2 AS stopword_ok
+      FROM w
+    )
+    SELECT doc_id, n_words, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+      alpha_ratio_ok, stopword_ok,
+      word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+        AND alpha_ratio_ok AND stopword_ok AS keep
+    FROM r ORDER BY doc_id"""))
+
+  // ---- PII redaction: the corpus has no PII, so each document gets a
+  //      deterministic synthetic email/IP/ID suffix appended IN the query
+  //      (identical construction in both engines) and the chained
+  //      redaction must strip all three shapes. Patterns live in TextOps
+  //      and are restricted to the Java-regex ∩ RE2 common subset ----
+  private val piiRedact = OracleQuery(
+    "t_pii_redact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 10.0."),
+            (col("doc_id") % 200).cast("string"),
+            lit(".7 ref 1234567"), col("doc_id").cast("string")).as("dirty"))
+        .select(col("doc_id"),
+          graft.functions.TextOps.redactPii(col("dirty")).as("clean"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.0.'
+              || CAST(doc_id % 200 AS VARCHAR)
+              || '.7 ref 1234567' || CAST(doc_id AS VARCHAR),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+        '[0-9]{7,}', '<NUM>', 'g') AS clean
+    FROM documents ORDER BY doc_id"""))
+
+  // ---- sequence packing, chunked layout (GPT-style concat-then-chunk):
+  //      BPE-proxy token counts laid end-to-end per shard, cut every 512
+  //      tokens; a document's bin is the chunk its start offset falls in.
+  //      Window running sum of exact integers → fully oracle-checked ----
+  private val seqPackChunked = OracleQuery(
+    "t_seq_pack_chunked",
+    (s, d) =>
+      graft.operators.SeqPack.packChunked(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.TextOps.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", maxTokens = 512)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${graft.functions.TextOps.bpeTokenPattern}')) AS BIGINT) AS n_tokens,
+        doc_id % 8 AS shard
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, shard,
+      CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+      shard * 8589934592 +
+        CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 512) AS BIGINT) AS bin_id
+    FROM t
+    WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY doc_id"""))
+
+  // ---- greedy first-fit packing (capacity-respecting; docs never split):
+  //      per-bin occupancy summary. Deterministic but imperative per-shard
+  //      state — SeqPackSpec carries the invariants; rows-only here ----
+  private val seqPackGreedy = OracleQuery(
+    "t_seq_pack_greedy_bins",
+    (s, d) =>
+      graft.operators.SeqPack.packGreedy(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.TextOps.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", maxTokens = 512)
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("bin_id")),
+    None)
+
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
-    wordFreq, ngramJaccard, fingerprint, tokenCountBpe, qualityScore)
+    wordFreq, ngramJaccard, fingerprint, tokenCountBpe, qualityScore,
+    gopherRules, piiRedact, seqPackChunked, seqPackGreedy)
 }
