@@ -47,6 +47,32 @@ object Dedup {
         s => s.isNotNull))
   }
 
+  /** Benchmark decontamination (the published eval-overlap filter: GPT-3
+    * appendix C, PaLM app. — corpus documents sharing any word n-gram with
+    * an evaluation/benchmark set are flagged so they can be held out of
+    * training). Returns `corpus` + a `contaminated` boolean.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus, so its
+    * distinct n-grams BROADCAST; the corpus side is a map-only explode into
+    * a broadcast-hash semi-join — the corpus never shuffles. The flagged-id
+    * set (≪ corpus) re-joins by id. Pure DataFrame ops, fully
+    * oracle-checkable (unlike the hash-based dedup family).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    val flagged = corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__gram"))
+      .join(broadcast(benchGrams), "__gram")
+      .select(col(idCol)).distinct()
+      .withColumn("__contaminated", lit(true))
+    corpus.join(flagged, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__contaminated"), lit(false)))
+      .drop("__contaminated")
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min over the doc's distinct word-k-shingles. Returned as `minhash`
     * ARRAY<BIGINT>.

@@ -301,8 +301,88 @@ object TextQueries extends QueryPack {
         .orderBy(col("bin_id")),
     None)
 
+  // ---- benchmark decontamination: docs sharing any word 3-gram with the
+  //      "benchmark" slice (doc_id % 50 = 0 stands in for an eval set) are
+  //      flagged. Broadcast semi-join on grams — corpus never shuffles ----
+  private val decontaminate = OracleQuery(
+    "t_decontaminate_flags",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      graft.operators.Dedup.decontaminate(corpus, bench, n = 3)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), g AS (
+      SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+      FROM w a
+      JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), bench_grams AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+    ), flagged AS (
+      SELECT DISTINCT doc_id FROM g
+      WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench_grams)
+    )
+    SELECT d.doc_id, f.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    WHERE d.doc_id % 50 <> 0
+    ORDER BY d.doc_id"""))
+
+  // ---- Gopher repetition rule: duplicate-bigram fraction per document
+  //      (Rae et al. 2021 §A1.1 "duplicate n-grams"); exact integer counts,
+  //      division to double deterministic cross-engine ----
+  private val repetitionFilter = OracleQuery(
+    "t_repetition_filter",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val grams = filter(
+        transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
+          i => when(size(words) >= 2, concat_ws(" ", slice(words, i + 1, lit(2))))),
+        g => g.isNotNull)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          greatest(size(words) - 1, lit(0)).cast("long").as("n_grams"),
+          size(array_distinct(grams)).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+            .as("dup_frac"))
+        .withColumn("keep", col("dup_frac") <= 0.4)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), g AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS gram
+      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ), stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+      FROM g GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      COALESCE(s.n_grams, 0) AS n_grams,
+      COALESCE(s.n_distinct, 0) AS n_distinct,
+      CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
+           ELSE 1.0 - CAST(s.n_distinct AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+      END AS dup_frac,
+      CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
+           ELSE 1.0 - CAST(s.n_distinct AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+      END <= 0.4 AS keep
+    FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id"""))
+
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
     wordFreq, ngramJaccard, fingerprint, tokenCountBpe, qualityScore,
-    gopherRules, piiRedact, seqPackChunked, seqPackGreedy)
+    gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
+    decontaminate, repetitionFilter)
 }

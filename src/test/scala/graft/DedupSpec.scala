@@ -96,6 +96,29 @@ class DedupSpec extends SparkSpec {
     assert(!canon.contains(100L)) // never paired → not in the dup graph
   }
 
+  test("decontaminate flags exactly the docs sharing a benchmark n-gram") {
+    val docs = Tables.documents(spark, sf001)
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val out = Dedup.decontaminate(corpus, bench, n = 3)
+    // plan shape: benchmark grams must broadcast — the corpus never shuffles
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "benchmark gram join is not broadcast")
+    val flags = out.collect().map(r =>
+      r.getLong(r.fieldIndex("doc_id")) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    // independent ground truth via driver-side shingle sets
+    val benchGrams = bench.select(explode(Dedup.shingles($"text", 3)))
+      .collect().map(_.getString(0)).toSet
+    val corpusGrams = corpus.select($"doc_id", Dedup.shingles($"text", 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    corpusGrams.foreach { case (id, grams) =>
+      assert(flags(id) == grams.exists(benchGrams.contains),
+        s"doc $id flag ${flags(id)} vs truth ${grams.exists(benchGrams.contains)}")
+    }
+    // both outcomes must occur or the rule is vacuous on this corpus
+    assert(flags.values.exists(identity) && !flags.values.forall(identity))
+  }
+
   test("minhash est_jaccard tracks true shingle jaccard on testdata docs") {
     val docs = Tables.documents(spark, sf001).limit(100).cache()
     val flagged = Dedup.minhashNearDups(docs, threshold = 0.5)
