@@ -10,50 +10,75 @@ import org.apache.spark.sql.functions._
   * single-task sort that dies at 100 TB. This operator is the two-pass plan
   * that scales (round-1 verdict item 4):
   *
-  *   1. range-repartition on the order keys (explicit partition count, so
-  *      AQE never re-coalesces between passes) + sort within partitions;
-  *   2. partition-local row index from `monotonically_increasing_id()`
-  *      (pid in the high bits, a per-partition counter in the low 33 —
-  *      fully codegen, no window);
-  *   3. per-partition counts → driver-side cumulative offsets. The collect
-  *      is bounded by the partition count (one long per partition, exactly
-  *      the metadata RangePartitioner itself gathers), never by the data;
-  *   4. global rank = partition offset + local index, attached via a
-  *      broadcast join on pid.
+  *   1. DETERMINISTIC range bucketing: p−1 cut points of the first order
+  *      key from `approxQuantile` (Greenwald–Khanna — a one-pass sketch
+  *      over ALL rows, no random sampling), collected once and baked into
+  *      the plan as a ≤ p-term codegen'd comparison sum. This is the load-
+  *      bearing difference from `repartitionByRange`, whose RangePartitioner
+  *      re-SAMPLES per job with an RDD-id-derived seed — the count pass and
+  *      the join pass would see (slightly) different boundaries and the
+  *      composed ranks silently drift (caught by the sf0.1 oracle gate:
+  *      14547/15000 ranks off by a few positions);
+  *   2. hash-repartition on the bucket id + sort within partitions by
+  *      (bucket, order); per-row `monotonically_increasing_id()` is then
+  *      consecutive over each bucket's (contiguous, sorted) rows;
+  *   3. one small aggregation job: per-bucket count + min id → driver-side
+  *      cumulative offsets (one row per bucket — the same metadata a
+  *      RangePartitioner gathers), broadcast back;
+  *   4. global rank = bucket offset + (id − bucket min id) + 1.
   *
-  * Rank values are deterministic across recomputes as long as the order
-  * keys are a total order (unique): range boundaries only decide WHICH
-  * partition a row lands in, not its global rank.
+  * Every step is deterministic on recompute (sketch, hash partition, total-
+  * order sort, id assignment), so the result needs NO cache to be
+  * consistent — unlike the repartitionByRange form, which is only correct
+  * while a materialized snapshot pins one sampling outcome.
+  *
+  * Requirements: `order` must be a total order (unique key last), and the
+  * FIRST order column must be numeric (it feeds the quantile sketch; rows
+  * with equal first keys land in one bucket, preserving cross-bucket
+  * ordering). Heavily duplicated first keys degrade balance, not
+  * correctness.
   */
 object GlobalRank {
 
-  /** Per-partition (pid, localIndex) from monotonically_increasing_id's
-    * layout: id = pid << 33 | row-index-within-partition.
-    */
-  private def withPidAndLocal(df: DataFrame, numPartitions: Int, order: Seq[Column]): DataFrame =
-    df.repartitionByRange(numPartitions, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
-      .withColumn("__lrn", col("__mid") - shiftleft(shiftright(col("__mid"), 33), 33))
-
   /** (rankedDf, totalRows): df + a 1-based dense global `rankCol` ordered by
-    * `order` (which must be a total order for deterministic output).
+    * `order`.
     */
   def withGlobalRank(df: DataFrame, rankCol: String, order: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
-    val local = withPidAndLocal(df, p, order)
-    // pass 1: one row per range partition (map-side partial agg → tiny shuffle)
-    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = counts.map(_._2).sum
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
-    val running = counts.map(_._1).zip(offsets.map(_._2)).map { case (pid, off) => (pid, off) }
-    val offDf = spark.createDataFrame(running.toSeq).toDF("__pid", "__offset")
+    // pass 0: deterministic cut points of the first order key
+    val keyed = df.withColumn("__rk", order.head.cast("double"))
+    val probs = (1 until p).map(_.toDouble / p).toArray
+    val bounds = keyed.stat.approxQuantile("__rk", probs, 0.001).distinct.sorted
+    // bucket id = number of bounds <= key: equal keys share a bucket, and
+    // the comparison chain is plain codegen (≤ p−1 terms)
+    val pid = bounds
+      .map(b => when(col("__rk") >= lit(b), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val local = keyed
+      .withColumn("__pid", pid)
+      .repartition(p, col("__pid"))
+      .sortWithinPartitions(col("__pid") +: order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+    // pass 1: one row per bucket (map-side partial agg → tiny shuffle).
+    // __mid is consecutive within a physical partition and each bucket is
+    // contiguous inside exactly one partition, so (count, min mid) per
+    // bucket pin every row's local index as __mid - min.
+    val stats = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("cnt"), min(col("__mid")).as("mn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = stats.map(_._2).sum
+    var acc = 0L
+    val offRows = stats.map { case (pidV, cnt, mn) =>
+      val row = (pidV, acc, mn)
+      acc += cnt
+      row
+    }
+    val offDf = spark.createDataFrame(offRows.toSeq).toDF("__pid", "__offset", "__mn")
     val ranked = local.join(broadcast(offDf), "__pid")
-      .withColumn(rankCol, col("__offset") + col("__lrn") + lit(1L))
-      .drop("__mid", "__pid", "__lrn", "__offset")
+      .withColumn(rankCol, col("__offset") + (col("__mid") - col("__mn")) + lit(1L))
+      .drop("__rk", "__mid", "__pid", "__offset", "__mn")
     (ranked, n)
   }
 

@@ -29,6 +29,21 @@ class GlobalRankSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ranks stay exact when bucketing is approximate (large input)") {
+    // 20k rows: big enough that boundary estimation is genuinely partial.
+    // The repartitionByRange form regressed exactly here — per-job range
+    // re-sampling gave the count pass and the join pass different
+    // boundaries (sf0.1 oracle caught 14547/15000 drifted ranks)
+    val df = mkDf(20000)
+    val (ranked, n) = GlobalRank.withGlobalRank(df, "r", col("v"), col("id"))
+    assert(n == 20000)
+    val got = ranked.select(col("id"), col("r")).as[(Long, Long)].collect().toMap
+    val want = df.select(col("id"),
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("withNtile matches ntile(k) window for every n % k residue") {
     for (n <- Seq(3, 99, 100, 101, 102, 103); k <- Seq(1, 4, 7)) {
       val df = mkDf(n)

@@ -91,11 +91,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
-  test("ntile runs as the two-pass range plan, never a one-partition window") {
-    val p = plan("w_ntile_acctbal_quartiles")
-    assert(!p.contains("Window"), s"ntile fell back to a window:\n$p")
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning") ||
-      p.contains("REPARTITION_BY_RANGE"), s"no range repartition in ntile plan:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast-joined:\n$p")
+  test("ntile runs as the two-pass bucket plan, never a one-partition window") {
+    val p = plan("w_ntile_acctbal_quartiles").toLowerCase
+    assert(!p.contains("window"), s"ntile fell back to a window:\n$p")
+    // deterministic quantile buckets → ONE hash exchange on the bucket id.
+    // repartitionByRange ON THE RANK KEY is banned: its per-job boundary
+    // re-sampling made the count and join passes disagree (sf0.1 oracle
+    // regression, 14547/15000 ranks drifted). The query's final output
+    // orderBy may still range-partition on c_custkey — that one is fine.
+    assert(p.contains("hashpartitioning(__pid"), s"no bucket repartition:\n$p")
+    assert(!p.contains("rangepartitioning(c_acctbal"),
+      s"ntile range-partitions on the sampled rank key:\n$p")
+    assert(p.contains("broadcasthashjoin"), s"offsets not broadcast-joined:\n$p")
   }
 }
