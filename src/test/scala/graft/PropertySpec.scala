@@ -36,6 +36,47 @@ class PropertySpec extends SparkSpec {
   private val matGen: Gen[List[List[Float]]] =
     Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, vecGen))
 
+  test("GlobalRank is a permutation of 1..n agreeing with the sort order") {
+    val rowsGen = Gen.choose(5, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100.0, 100.0)))
+    forSamples(rowsGen, n = 8) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").repartition(3)
+      val (ranked, n) = graft.operators.GlobalRank.withGlobalRank(
+        df, "r", col("v"), col("id"))
+      val got = ranked.select($"id", $"v", $"r")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(n == vs.length)
+      assert(got.map(_._3).sorted.toSeq == (1L to n).toSeq, "ranks not 1..n")
+      val bySort = got.sortBy(t => (t._2, t._1)).map(_._3)
+      assert(bySort.toSeq == (1L to n).toSeq, "ranks disagree with sort order")
+    }
+  }
+
+  test("greedy packing never overflows and chunked packing never skips tokens") {
+    val tokGen = Gen.choose(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 40L)))
+    forSamples(tokGen, n = 6) { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_tokens")
+      val greedy = graft.operators.SeqPack.packGreedy(df, "n_tokens", 64, shards = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      greedy.groupBy(_._3).foreach { case (bin, rows) =>
+        assert(rows.map(_._2).sum <= 64 || rows.length == 1, s"bin $bin overflow")
+      }
+      assert(greedy.map(_._1).sorted.toSeq == toks.indices.map(_.toLong), "doc lost")
+      val chunked = graft.operators.SeqPack.packChunked(df, "n_tokens", 64, shards = 3)
+        .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+      chunked.groupBy(_._1).foreach { case (_, rows) =>
+        val total = rows.map(_._2).sum
+        val offs = rows.sortBy(_._3)
+        // offsets tile [0, total) with no gaps
+        assert(offs.head._3 == 0L)
+        assert(offs.map(_._2).sum == total)
+      }
+    }
+  }
+
   test("cosine ∈ [-1,1] and cosine(v,v) ≈ 1 for any nonzero vectors") {
     forSamples2(vecGen, vecGen) { (a, b) =>
       if (a.exists(_ != 0f) && b.exists(_ != 0f)) {
