@@ -388,6 +388,21 @@ object EngineQueries extends QueryPack {
     (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3),
     None)
 
+  // the STREAMING near-dup detector run in batch mode (flatMapGroupsWithState
+  // executes per-group once with empty state, so a doc is flagged iff a
+  // lower-id doc claimed one of its band buckets — the same candidate set
+  // as the banded join). Hash-bucket internals aren't cross-engine, so
+  // rows-only; StreamingSpec pins exact parity with minhashCandidates
+  private val streamNearDup = OracleQuery(
+    "tx_stream_neardup_hits",
+    (s, d) =>
+      graft.streaming.StreamingDedup.nearDupHits(Tables.documents(s, d))
+        .toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_band_hits"), min(col("first_doc_id")).as("first_seen"))
+        .orderBy(col("doc_id")),
+    None)
+
   // full dedup pipeline: minhash candidate pairs → connected components →
   // canonical keep/drop decisions (the operational output of dedup)
   private val dedupCanonical = OracleQuery(
@@ -442,6 +457,6 @@ object EngineQueries extends QueryPack {
     hllDistinct,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     dedupCosinePairs, dedupEmbeddingCanonical,
-    dedupMinhash, dedupSimhash, dedupCanonical, pca2d, separability,
+    dedupMinhash, dedupSimhash, dedupCanonical, streamNearDup, pca2d, separability,
     separabilityGbt)
 }

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A band-bucket collision emitted by [[StreamingDedup.nearDupHits]]: the
+  * arriving document shares `band`'s LSH bucket with an earlier document.
+  * Any hit marks the arriving document as a near-dup CANDIDATE (the
+  * consumer applies exact similarity if required, exactly as in the batch
+  * pipeline).
+  */
+final case class BandHit(doc_id: Long, band: Int, first_doc_id: Long)
+
+/** First-claimant of an LSH bucket. */
+final case class BucketClaim(first: Long)
+
+/** Streaming near-duplicate detection over a document firehose — the
+  * ingest-time counterpart of the batch MinHash-LSH dedup family
+  * (graft.operators.Dedup). Each arriving document computes the SAME
+  * 32-hash MinHash signature and 8×4 band layout as the batch path; the
+  * state keyed by (band, bucket) remembers only the FIRST claimant doc id,
+  * and later arrivals in the same bucket emit a [[BandHit]].
+  *
+  * State profile: one long per distinct observed (band, bucket) —
+  * O(bands · distinct-signatures), the inherent floor for dedup against
+  * everything ever seen (same asymptotics as streaming dropDuplicates
+  * state). There is deliberately NO timeout: corpus dedup state is
+  * permanent by design; at production scale this state lives in the
+  * RocksDB state store and is sharded by the (band, bucket) key — the
+  * same equi-partitioning the batch bucket join uses, so no skewed or
+  * global state. A hot (degenerate) bucket costs ONE state entry and one
+  * hit row per arrival — the streaming layout is immune to the k² bucket
+  * blowup the batch join needs a guard for.
+  */
+object StreamingDedup {
+
+  def nearDupHits(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
+      shingleK: Int = 3): Dataset[BandHit] = {
+    require(bands * rowsPerBand == numHashes,
+      s"bands($bands) x rowsPerBand($rowsPerBand) must equal numHashes($numHashes)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = Dedup.minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",",
+              slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+          .as(Seq("band", "bucket")))
+      .as[(Long, Int, Long)]
+
+    def fn(key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+        state: GroupState[BucketClaim]): Iterator[BandHit] = {
+      // arrival order within a micro-batch is not defined — lowest id
+      // claims, mirroring the batch canonicalize convention (min id keeps)
+      val sorted = rows.map(_._1).toVector.sorted
+      if (sorted.isEmpty) Iterator.empty
+      else state.getOption match {
+        case Some(BucketClaim(first)) =>
+          sorted.iterator.map(id => BandHit(id, key._1, first))
+        case None =>
+          state.update(BucketClaim(sorted.head))
+          sorted.tail.iterator.map(id => BandHit(id, key._1, sorted.head))
+      }
+    }
+
+    banded
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+}

@@ -238,6 +238,61 @@ class StreamingSpec extends SparkSpec {
       s"stateful-only: ${(stateful -- expected).take(3)}; expected-only: ${(expected -- stateful).take(3)}")
   }
 
+  test("streaming minhash near-dup hits: exact dup flagged on every band") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val query = graft.streaming.StreamingDedup.nearDupHits(docs)
+      .writeStream.format("memory").queryName("sdedup_test")
+      .outputMode("append").start()
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "a completely different document about spark shuffle partitions and joins"
+    try {
+      stream.addData((1L, textA), (2L, textB))
+      query.processAllAvailable()
+      assert(spark.table("sdedup_test").count() == 0, "distinct docs produced hits")
+      // exact duplicate of doc 1 arrives later: identical signature → all
+      // 8 band buckets already claimed by doc 1
+      stream.addData((3L, textA))
+      query.processAllAvailable()
+      val hits = spark.table("sdedup_test")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(hits.length == 8, s"expected 8 band hits, got ${hits.toSeq}")
+      assert(hits.forall(h => h._1 == 3L && h._3 == 1L), s"hits: ${hits.toSeq}")
+    } finally query.stop()
+  }
+
+  test("streaming near-dup hits match the batch candidate generator") {
+    implicit val sqlCtx = spark.sqlContext
+    // feed real documents in doc_id order; a doc gets a streaming hit iff
+    // the batch banding pairs it with some LOWER-id doc — i.e. it appears
+    // as id_b in minhashCandidates (same signatures, same band layout)
+    val docs = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingDedup
+      .nearDupHits(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sdedup_batch_parity")
+      .outputMode("append").start()
+    try {
+      val (firstHalf, secondHalf) = docs.splitAt(docs.length / 2)
+      stream.addData(firstHalf.toSeq)
+      query.processAllAvailable()
+      stream.addData(secondHalf.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("sdedup_batch_parity")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val batchPairs = graft.operators.Dedup.minhashCandidates(
+          graft.operators.Dedup.minhashSignatures(
+            Tables.documents(spark, sf001)),
+          maxBucketSize = Int.MaxValue)
+        .select(col("id_b")).collect().map(_.getLong(0)).toSet
+      assert(streamed == batchPairs,
+        s"stream-only: ${(streamed -- batchPairs).take(5)}; batch-only: ${(batchPairs -- streamed).take(5)}")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
