@@ -69,5 +69,26 @@ object ScaleJoinQueries extends QueryPack {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  override val all: Seq[OracleQuery] = Seq(saltedSupplierRevenue, bucketedOrderRevenue)
+  // ---- Z-order layout spans: lay lineitem on the Morton curve of
+  //      (l_orderkey, l_partkey) and report per-file key spans — the
+  //      multi-key locality that makes parquet min/max skipping work on
+  //      BOTH keys. Range-partition boundaries are sampled, so file
+  //      membership is not cross-engine reproducible → rows-only;
+  //      ZOrderSpec pins bit-exact interleaving and the pruning win ----
+  private val zorderSpans = OracleQuery(
+    "jx_zorder_layout_spans",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      graft.sources.ZOrder.layout(li, col("l_orderkey"), col("l_partkey"), 16)
+        .select(spark_partition_id().as("file_id"), col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("ok_min"), max(col("l_orderkey")).as("ok_max"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"))
+        .orderBy(col("file_id"))
+    },
+    None)
+
+  override val all: Seq[OracleQuery] =
+    Seq(saltedSupplierRevenue, bucketedOrderRevenue, zorderSpans)
 }
