@@ -1,0 +1,90 @@
+package graft.pipelines
+
+import graft.functions.TextOps
+import graft.operators.{Dedup, SeqPack}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus curation pipeline (the north-star LLM
+  * dataflow), composed from the engine's curation operators in the order
+  * production pipelines run them — cheap map-only rules first so expensive
+  * stages see fewer rows, dedup before decontamination so canonical docs
+  * are what's checked, packing last:
+  *
+  *   1. rule filtering: Gopher/C4 quality rules + repetition rule
+  *      (map-only column arithmetic — pushes down to the scan);
+  *   2. PII redaction (map-only regex chain);
+  *   3. exact dedup (one shuffle on content hash);
+  *   4. MinHash-LSH near-dup canonicalize (banded candidates → connected
+  *      components → keep lowest id per cluster);
+  *   5. benchmark decontamination (broadcast gram semi-join);
+  *   6. greedy sequence packing into fixed-token training bins.
+  *
+  * Returns the packed survivors plus a per-stage funnel relation — the
+  * operational report every curation run ships with.
+  */
+object CorpusCuration {
+
+  final case class Curated(packed: DataFrame, funnel: DataFrame)
+
+  def run(docs: DataFrame, benchmark: DataFrame,
+      maxTokens: Int = 512, dupFracMax: Double = 0.4,
+      minhashThreshold: Double = 0.5): Curated = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val n0 = docs.count()
+
+    // stage 1: map-only quality rules (quality gates first — cheapest)
+    val words = split(col("text"), " ")
+    val grams = filter(
+      transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
+        i => when(size(words) >= 2, concat_ws(" ", slice(words, i + 1, lit(2))))),
+      g => g.isNotNull)
+    val ruled = docs
+      .withColumn("__rules", TextOps.gopherRules(col("text")))
+      .withColumn("__dup_frac",
+        when(size(words) <= 1, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(grams)).cast("double") /
+              (size(words) - 1).cast("double")))
+      .filter(col("__rules.keep") && col("__dup_frac") <= dupFracMax)
+      .drop("__rules", "__dup_frac")
+    val n1 = ruled.count()
+
+    // stage 2: PII redaction (map-only)
+    val redacted = ruled.withColumn("text", TextOps.redactPii(col("text")))
+
+    // stage 3: exact dedup (content-hash shuffle). Cached: the survivors
+    // feed candidate pairs, the anti-join, AND downstream stages — without
+    // a snapshot the funnel counts would re-run the upstream chain per
+    // action (at 100 TB this is a persisted checkpoint table)
+    val exact = Dedup.exact(redacted).cache()
+    val n3 = exact.count()
+
+    // stage 4: near-dup canonicalize — keep only cluster canonicals
+    val pairs = Dedup.minhashNearDups(exact, threshold = minhashThreshold)
+      .select(col("id_a"), col("id_b"))
+    val drops = Dedup.canonicalize(pairs).filter(!col("keep"))
+      .select(col("doc_id"))
+    val nearDeduped = exact.join(drops, Seq("doc_id"), "left_anti")
+    val n4 = nearDeduped.count()
+
+    // stage 5: decontamination against the benchmark set
+    val clean = Dedup.decontaminate(nearDeduped, benchmark)
+      .filter(!col("contaminated")).drop("contaminated")
+    val n5 = clean.count()
+
+    // stage 6: token counting + greedy packing
+    val packed = SeqPack.packGreedy(
+      clean.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens")),
+      "n_tokens", maxTokens)
+
+    val funnel = Seq(
+      ("0_input", n0), ("1_rules", n1), ("2_redacted", n1),
+      ("3_exact_dedup", n3), ("4_near_dedup", n4), ("5_decontaminated", n5))
+      .toDF("stage", "n_docs")
+    Curated(packed, funnel)
+  }
+}

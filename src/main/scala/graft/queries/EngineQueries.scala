@@ -388,6 +388,22 @@ object EngineQueries extends QueryPack {
     (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3),
     None)
 
+  // the end-to-end corpus-curation pipeline (rules → redact → exact dedup →
+  // near-dup canonicalize → decontaminate → pack): the per-stage funnel is
+  // the operational report. Stages 4-5 are minhash/LSH-based → rows-only;
+  // CorpusCurationSpec pins monotonicity, packing invariants, and
+  // PII/dup-free survivors
+  private val curationFunnel = OracleQuery(
+    "tx_curation_funnel",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.pipelines.CorpusCuration.run(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+        .funnel.orderBy(col("stage"))
+    },
+    None)
+
   // the STREAMING near-dup detector run in batch mode (flatMapGroupsWithState
   // executes per-group once with empty state, so a doc is flagged iff a
   // lower-id doc claimed one of its band buckets — the same candidate set
@@ -457,6 +473,7 @@ object EngineQueries extends QueryPack {
     hllDistinct,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     dedupCosinePairs, dedupEmbeddingCanonical,
-    dedupMinhash, dedupSimhash, dedupCanonical, streamNearDup, pca2d, separability,
+    dedupMinhash, dedupSimhash, dedupCanonical, streamNearDup, curationFunnel,
+    pca2d, separability,
     separabilityGbt)
 }
