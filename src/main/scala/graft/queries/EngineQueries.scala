@@ -238,6 +238,22 @@ object EngineQueries extends QueryPack {
         .orderBy(col("l_returnflag")),
     None)
 
+  // sketch-based percentiles (the 100 TB quantile path: one pass, mergeable
+  // KLL-style summaries, no global sort — vs exact percentile's per-group
+  // value gather). Accuracy parameter 10000 → rank error ≤ 1/10000;
+  // EngineQueriesSpec bounds it against the oracle-verified exact medians
+  private val approxPercentiles = OracleQuery(
+    "agg_approx_percentiles",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99"))
+        .orderBy(col("o_orderstatus")),
+    None)
+
   // brute-force exact ANN (small query set broadcast against the corpus)
   private val annBrute = OracleQuery(
     "vx_ann_brute_top5",
@@ -470,7 +486,7 @@ object EngineQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     fastCentroidCosine, ckaPerLabel, ckaGroupMatrix, ckaMatrixQuantized,
-    hllDistinct,
+    hllDistinct, approxPercentiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     dedupCosinePairs, dedupEmbeddingCanonical,
     dedupMinhash, dedupSimhash, dedupCanonical, streamNearDup, curationFunnel,

@@ -47,6 +47,33 @@ class EngineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("agg_approx_percentiles tracks exact quantiles within the rank-error bound") {
+    val approx = SparkEntry.queries("agg_approx_percentiles")(spark, sf01)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // exact quantiles per group, computed independently driver-side
+    val grouped = Tables.orders(spark, sf01)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // accuracy 10000 → rank error ε ≤ 1e-4: the sketch's answer must lie
+    // between the exact values at ranks (p−ε)n and (p+ε)n
+    approx.foreach { case (status, (p50, p90, p99)) =>
+      val vs = grouped(status)
+      val n = vs.length
+      def bounds(p: Double): (Double, Double) = {
+        val lo = math.max(0, math.ceil((p - 1e-3) * n).toInt - 1)
+        val hi = math.min(n - 1, math.floor((p + 1e-3) * n).toInt)
+        (vs(lo), vs(hi))
+      }
+      Seq((0.5, p50), (0.9, p90), (0.99, p99)).foreach { case (p, got) =>
+        val (lo, hi) = bounds(p)
+        assert(got >= lo && got <= hi,
+          s"$status p$p=$got outside [$lo, $hi] (n=$n)")
+      }
+    }
+  }
+
   test("agg_hll_distinct approximates exact distinct within rsd bounds") {
     val approx = SparkEntry.queries("agg_hll_distinct")(spark, sf01).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
