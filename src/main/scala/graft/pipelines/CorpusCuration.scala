@@ -33,24 +33,27 @@ object CorpusCuration {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val n0 = docs.count()
-
-    // stage 1: map-only quality rules (quality gates first — cheapest)
+    // stage 1: map-only quality rules (quality gates first — cheapest).
+    // One cached pass computes the flags; input + survivor counts come
+    // from a single aggregation over it instead of two scans
     val words = split(col("text"), " ")
     val grams = filter(
       transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
         i => when(size(words) >= 2, concat_ws(" ", slice(words, i + 1, lit(2))))),
       g => g.isNotNull)
-    val ruled = docs
+    val flagged = docs
       .withColumn("__rules", TextOps.gopherRules(col("text")))
       .withColumn("__dup_frac",
         when(size(words) <= 1, lit(0.0))
           .otherwise(lit(1.0) -
             size(array_distinct(grams)).cast("double") /
               (size(words) - 1).cast("double")))
-      .filter(col("__rules.keep") && col("__dup_frac") <= dupFracMax)
+      .withColumn("__keep", col("__rules.keep") && col("__dup_frac") <= dupFracMax)
       .drop("__rules", "__dup_frac")
-    val n1 = ruled.count()
+      .cache()
+    val c01 = flagged.agg(count(lit(1)), count(when(col("__keep"), lit(1)))).head()
+    val (n0, n1) = (c01.getLong(0), c01.getLong(1))
+    val ruled = flagged.filter(col("__keep")).drop("__keep")
 
     // stage 2: PII redaction (map-only)
     val redacted = ruled.withColumn("text", TextOps.redactPii(col("text")))
@@ -61,6 +64,7 @@ object CorpusCuration {
     // action (at 100 TB this is a persisted checkpoint table)
     val exact = Dedup.exact(redacted).cache()
     val n3 = exact.count()
+    flagged.unpersist() // everything downstream reads the exact snapshot
 
     // stage 4: near-dup canonicalize — keep only cluster canonicals
     val pairs = Dedup.minhashNearDups(exact, threshold = minhashThreshold)
@@ -70,10 +74,14 @@ object CorpusCuration {
     val nearDeduped = exact.join(drops, Seq("doc_id"), "left_anti")
     val n4 = nearDeduped.count()
 
-    // stage 5: decontamination against the benchmark set
+    // stage 5: decontamination against the benchmark set. Cached: both the
+    // funnel count and the packing stage consume it, and its lineage holds
+    // the gram-explode semi-join
     val clean = Dedup.decontaminate(nearDeduped, benchmark)
       .filter(!col("contaminated")).drop("contaminated")
+      .cache()
     val n5 = clean.count()
+    exact.unpersist() // clean snapshot materialized; exact no longer read
 
     // stage 6: token counting + greedy packing
     val packed = SeqPack.packGreedy(

@@ -17,6 +17,69 @@ class MultimodalSpec extends SparkSpec {
     spark.createDataFrame(rows, Multimodal.mediaSchema)
   }
 
+  test("perceptual hash: robust to small pixel edits, separates distinct images") {
+    import spark.implicits._
+    val (w, h) = (32, 32)
+    // non-separable multi-component pattern: real images spread spectral
+    // energy across the low-frequency grid (an axis-aligned or sawtooth
+    // synthetic leaves most DCT coefficients ≈ 0, making bits
+    // sign-of-noise — pHash's robustness contract assumes natural spectra)
+    def gradient(seed: Int): Array[Byte] =
+      Array.tabulate(w * h * 3) { i =>
+        val p = i / 3; val x = p % w; val y = p / w
+        val v = 128 +
+          40 * math.sin(x / (2.5 + seed * 0.3) + y / 7.0 + seed) +
+          35 * math.cos(x / 5.0 - y / (3.5 + seed * 0.2) + 2 * seed) +
+          25 * math.sin((x + 2 * y) / (5.0 + seed * 0.5) - seed)
+        (math.max(0, math.min(255, v.toInt))).toByte
+      }
+    def perturb(img: Array[Byte], edits: Int): Array[Byte] = {
+      val out = img.clone()
+      (0 until edits).foreach { e =>
+        val p = (e * 977) % (w * h) * 3
+        out(p) = ((out(p) + 12) & 0xFF).toByte
+      }
+      out
+    }
+    val imgs = Seq(
+      (1L, gradient(0)), (2L, perturb(gradient(0), 8)),
+      (3L, gradient(7)), (4L, gradient(13)))
+      .toDF("asset_id", "pixels")
+    val hashed = imgs.select(col("asset_id"),
+        Multimodal.perceptualHash(col("pixels"), w, h).as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashed(1L), hashed(2L)) <= 3,
+      s"near-identical images far apart: ${hamming(hashed(1L), hashed(2L))}")
+    assert(hamming(hashed(1L), hashed(3L)) >= 10,
+      s"distinct images too close: ${hamming(hashed(1L), hashed(3L))}")
+    assert(hamming(hashed(1L), hashed(4L)) >= 10)
+  }
+
+  test("imageNearDups pairs only the perceptually-near images") {
+    import spark.implicits._
+    val (w, h) = (32, 32)
+    def img(seed: Int, shift: Int): Array[Byte] =
+      Array.tabulate(w * h * 3) { i =>
+        val p = i / 3; val x = p % w; val y = p / w
+        val v = 128 +
+          40 * math.sin(x / (2.5 + seed * 0.3) + y / 7.0 + seed) +
+          35 * math.cos(x / 5.0 - y / (3.5 + seed * 0.2) + 2 * seed) +
+          25 * math.sin((x + 2 * y) / (5.0 + seed * 0.5) - seed) +
+          (if (p % 97 == 0) shift / 4.0 else 0)
+        (math.max(0, math.min(255, v.toInt))).toByte
+      }
+    val media = Seq(
+      (10L, img(0, 0)), (11L, img(0, 30)), // near-dup pair
+      (20L, img(4, 0)), (30L, img(9, 0)))  // distinct singletons
+      .toDF("asset_id", "pixels")
+    val withHash = media.select(col("asset_id"),
+      Multimodal.perceptualHash(col("pixels"), w, h).as("phash"))
+    val pairs = Multimodal.imageNearDups(withHash, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((10L, 11L)), s"pairs: ${pairs.toSeq}")
+  }
+
   test("sampleFrames: stride-spaced frames, zero-duration skipped, capped") {
     val frames = Multimodal.sampleFrames(mediaDf, strideMs = 1000L, maxFrames = 8)
     val byAsset = frames.collect().groupBy(_.getLong(0))
