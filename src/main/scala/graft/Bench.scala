@@ -31,8 +31,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale (de_DE, fr_FR) would emit invalid JSON
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

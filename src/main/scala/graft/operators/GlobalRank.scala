@@ -50,11 +50,25 @@ object GlobalRank {
     val keyed = df.withColumn("__rk", order.head.cast("double"))
     val probs = (1 until p).map(_.toDouble / p).toArray
     val bounds = keyed.stat.approxQuantile("__rk", probs, 0.001).distinct.sorted
-    // bucket id = number of bounds <= key: equal keys share a bucket, and
-    // the comparison chain is plain codegen (≤ p−1 terms)
-    val pid = bounds
-      .map(b => when(col("__rk") >= lit(b), 1).otherwise(0))
-      .reduceOption(_ + _).getOrElse(lit(0))
+    // bucket id = number of bounds <= key, via binary search over the
+    // closure-captured cut points (a when-comparison chain of p−1 terms
+    // exceeds JIT method limits and runs interpreted — the ZOrder.bucketExpr
+    // cliff — and p here is the shuffle-partition count, 100s–1000s on a
+    // real cluster). Order-edge semantics must mirror the SORT: nulls
+    // first (bucket 0), NaN greatest (last bucket) — a NaN mapped to
+    // bucket 0 would silently misrank as bucket 0's largest element.
+    val pid = {
+      val bs = bounds
+      val f = udf { (v: java.lang.Double) =>
+        if (v == null) 0
+        else if (v.isNaN) bs.length
+        else {
+          val i = java.util.Arrays.binarySearch(bs, v.doubleValue())
+          if (i >= 0) i + 1 else -i - 1
+        }
+      }
+      f(col("__rk"))
+    }
     val local = keyed
       .withColumn("__pid", pid)
       .repartition(p, col("__pid"))

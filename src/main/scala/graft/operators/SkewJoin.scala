@@ -21,11 +21,14 @@ object SkewJoin {
     require(saltFactor > 0)
     // right/full outer would emit each unmatched small-side row saltFactor
     // times (one per exploded salt copy) — wrong duplicate multiplicity.
-    // The large (salted) side's multiplicity is unaffected, so inner/left
-    // joins and left-semi on the large side are the sound shapes.
+    // The large (salted) side's multiplicity is unaffected, so inner/left/
+    // left_semi/left_anti (all emitting only large-side rows, each salted
+    // exactly once) are the sound shapes: a large row's (key, salt) has a
+    // small-side match iff the bare key matches, since the small side is
+    // exploded with EVERY salt value.
     val normalized = joinType.toLowerCase.replace("_", "")
-    require(Set("inner", "left", "leftouter", "leftsemi").contains(normalized),
-      s"saltedEquiJoin supports inner/left/left_semi join types, got $joinType")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(normalized),
+      s"saltedEquiJoin supports inner/left/left_semi/left_anti join types, got $joinType")
     // deterministic salt: spread rows of a hot key by a hash of the whole
     // row (monotonically_increasing_id would break retry determinism)
     val salted = large.withColumn("__salt",

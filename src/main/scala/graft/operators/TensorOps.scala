@@ -55,9 +55,15 @@ object TensorOps {
     transform(img, (v, e) => {
       // Column `/` is double division; truncate back to the channel ordinal
       val ch = (e / plane).cast("int") + 1
-      least(greatest(
-        v.cast("double") * element_at(stds, ch) + element_at(means, ch),
-        lit(0.0)), lit(1.0))
+      // `c` is the declared channel count: an element whose derived channel
+      // exceeds it means the tensor shape and (c,h,w) disagree — surface
+      // an explicit null rather than silently clamping a garbage value
+      // (element_at past the means/stds length would also null, but only
+      // when those arrays happen to be exactly c long)
+      when(ch <= c,
+        least(greatest(
+          v.cast("double") * element_at(stds, ch) + element_at(means, ch),
+          lit(0.0)), lit(1.0)))
     })
   }
 

@@ -89,6 +89,13 @@ object CorpusCuration {
         TextOps.tokenCount(col("text")).as("n_tokens")),
       "n_tokens", maxTokens)
 
+    // release the snapshot before returning: every count above already ran,
+    // and a cache that outlives run() accumulates executor storage across
+    // invocations (the round-1 advisor leak class). Consuming `packed`
+    // recomputes the (deterministic) clean lineage once — callers that
+    // probe packed repeatedly should cache it themselves.
+    clean.unpersist()
+
     val funnel = Seq(
       ("0_input", n0), ("1_rules", n1), ("2_redacted", n1),
       ("3_exact_dedup", n3), ("4_near_dedup", n4), ("5_decontaminated", n5))

@@ -75,8 +75,14 @@ object DeepfakeAnalysis {
           .limit(numPairs)
           .collect().map(r => (r.getString(0), r.getString(1)))
       case "adjacent" =>
-        // pair rank 1 with 2, 3 with 4, … over the sorted group names
-        val (ranked, _) = graft.operators.GlobalRank.withGlobalRank(g, "rn", col("g"))
+        // pair rank 1 with 2, 3 with 4, … over the sorted group names.
+        // Plain global window, NOT GlobalRank: `g` is the DISTINCT group
+        // dimension (≤ dozens of rows at any corpus scale — the
+        // f10_color_assignment exception), and GlobalRank's quantile
+        // bucketing needs a numeric first key — a string key casts to
+        // null and silently degenerates to one bucket
+        val w = Window.orderBy(col("g"))
+        val ranked = g.withColumn("rn", row_number().over(w).cast("long"))
         ranked.as("a")
           .join(ranked.as("b"), col("a.rn") + 1 === col("b.rn") && col("a.rn") % 2 === 1)
           .select(col("a.g").as("g1"), col("b.g").as("g2"), col("a.rn"))

@@ -331,7 +331,10 @@ object EngineQueries extends QueryPack {
     "vx_ann_ivf_probe_top5",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val idx = ivfIndexCache.getOrElseUpdate(d,
+      // keyed by (session, dir): a cached index holds a persisted DataFrame
+      // bound to ONE session — handing it to a later session in the same
+      // JVM would probe a stopped session's plan
+      val idx = ivfIndexCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
         SimilaritySearch.buildIvfIndex(emb, nlist = 8))
       SimilaritySearch.ivfProbe(idx, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
     },

@@ -41,12 +41,17 @@ object ScaleJoinQueries extends QueryPack {
   //      order key (written ONCE per corpus dir; the write is the amortized
   //      shuffle), then a zero-exchange sort-merge join. JoinOpsSpec pins
   //      the no-Exchange plan; this entry pins the RESULT against DuckDB ----
+  // memo key includes the SESSION identity, not only the corpus dir: the
+  // bucketed tables live in one session's catalog/warehouse, and a second
+  // session in the same JVM (Verify then Bench in-process, test suites)
+  // would otherwise be handed table names its catalog has never seen
   private val bucketedTables = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private val bucketedOrderRevenue = OracleQuery(
     "jx_bucketed_order_revenue",
     (s, d) => {
       val suffix = math.abs(d.hashCode).toString
-      val (liTable, oTable) = bucketedTables.getOrElseUpdate(d, {
+      val memoKey = s"${System.identityHashCode(s)}:$d"
+      val (liTable, oTable) = bucketedTables.getOrElseUpdate(memoKey, {
         val lt = s"li_bucketed_$suffix"
         val ot = s"o_bucketed_$suffix"
         Bucketing.writeBucketed(

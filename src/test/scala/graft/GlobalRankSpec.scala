@@ -29,6 +29,22 @@ class GlobalRankSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("NaN first keys rank last, like the window sort order") {
+    // Spark sorts NaN greatest; a NaN bucketed to 0 (every bound compare
+    // false) would silently misrank as bucket 0's largest element
+    val df = ((1 to 50).map(i => (i.toLong, i.toDouble)) ++
+      Seq((98L, Double.NaN), (99L, Double.NaN))).toDF("id", "v")
+      .repartition(4)
+    val (ranked, n) = GlobalRank.withGlobalRank(df, "r", col("v"), col("id"))
+    assert(n == 52)
+    val got = ranked.select(col("id"), col("r")).as[(Long, Long)].collect().toMap
+    val want = df.select(col("id"),
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got(98L) == 51L && got(99L) == 52L)
+  }
+
   test("ranks stay exact when bucketing is approximate (large input)") {
     // 20k rows: big enough that boundary estimation is genuinely partial.
     // The repartitionByRange form regressed exactly here — per-job range
