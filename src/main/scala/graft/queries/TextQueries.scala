@@ -380,9 +380,45 @@ object TextQueries extends QueryPack {
     FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
     ORDER BY d.doc_id"""))
 
+  // ---- source-mixture sampling (The-Pile-style per-source weights /
+  //      temperature sampling): keep the first ceil(w_s·n_s) docs of each
+  //      source under a pseudo-random order. The order is a Knuth
+  //      multiplicative hash of doc_id — exact BIGINT arithmetic both
+  //      engines compute identically, giving a shuffled-looking sample
+  //      that is still fully cross-engine oracle-checkable (production
+  //      would use xxhash64, which DuckDB lacks) ----
+  private val sourceMixture = OracleQuery(
+    "t_source_mixture_sample",
+    (s, d) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      val n = Window.partitionBy(col("source"))
+      val weight = when(col("source") === "src0", 1.0)
+        .when(col("source") === "src1", 0.5)
+        .when(col("source") === "src2", 0.25)
+        .otherwise(0.1)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("quota", ceil(count(lit(1)).over(n) * weight))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ranked AS (
+      SELECT doc_id, source,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rn,
+        COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source, rn FROM ranked
+    WHERE rn <= ceil(n * (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+      WHEN 'src2' THEN 0.25 ELSE 0.1 END))
+    ORDER BY doc_id"""))
+
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
     wordFreq, ngramJaccard, fingerprint, tokenCountBpe, qualityScore,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
-    decontaminate, repetitionFilter)
+    decontaminate, repetitionFilter, sourceMixture)
 }
