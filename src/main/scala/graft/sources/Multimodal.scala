@@ -91,18 +91,23 @@ object Multimodal {
     val f = udf { (bytes: Array[Byte]) =>
       if (bytes == null || bytes.length < w * h * 3) None
       else {
-        // grayscale + block-mean downsample to 32x32
+        // grayscale + block-mean downsample to 32x32. Block bounds are
+        // FRACTIONAL (gy*h/32 ..< (gy+1)*h/32) so every pixel contributes;
+        // integer strides w/32, h/32 silently dropped the trailing w%32
+        // columns / h%32 rows (worst case w=63 hashed only the left half),
+        // diverging from published pHash for non-multiple-of-32 dimensions.
         val g = Array.ofDim[Double](32, 32)
-        val bw = w / 32; val bh = h / 32
         var gy = 0
         while (gy < 32) {
+          val y0 = gy * h / 32; val y1 = (gy + 1) * h / 32
           var gx = 0
           while (gx < 32) {
+            val x0 = gx * w / 32; val x1 = (gx + 1) * w / 32
             var s = 0.0; var c = 0
-            var y = gy * bh
-            while (y < (gy + 1) * bh) {
-              var x = gx * bw
-              while (x < (gx + 1) * bw) {
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
                 val p = (y * w + x) * 3
                 s += ((bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) + (bytes(p + 2) & 0xFF)) / 3.0
                 c += 1; x += 1
@@ -159,15 +164,27 @@ object Multimodal {
     * the hot-bucket economics of the text dedup family.
     */
   def imageNearDups(withHash: DataFrame, maxHamming: Int = 3,
-      idCol: String = "asset_id", hashCol: String = "phash"): DataFrame = {
+      idCol: String = "asset_id", hashCol: String = "phash",
+      maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole guarantees recall only to Hamming 3")
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL)).as("val")))
-    val banded = withHash
+    val allBanded = withHash
       .select(col(idCol).as("__id"), col(hashCol).as("__h"),
         explode(array(blocks: _*)).as("block"))
       .select(col("__id"), col("__h"), col("block.blk"), col("block.val"))
+    // same hot-bucket guard as Dedup.simhashNearDups/minhashCandidates: a
+    // block value shared by k images emits k² candidate pairs, and real
+    // corpora make this bite — constant-color / low-texture images collapse
+    // to degenerate pHashes with identical blocks. Over-common blocks carry
+    // no near-dup signal, so buckets past the cap are dropped pre-join.
+    val banded = allBanded.join(
+      allBanded.groupBy(col("blk"), col("val"))
+        .agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= maxBucketSize)
+        .select(col("blk"), col("val")),
+      Seq("blk", "val"))
     val pairs = banded.join(
         banded.select(col("blk"), col("val"),
           col("__id").as("__id2"), col("__h").as("__h2")),

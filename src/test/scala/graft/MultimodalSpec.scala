@@ -80,6 +80,75 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSet == Set((10L, 11L)), s"pairs: ${pairs.toSeq}")
   }
 
+  test("imageNearDups hot-bucket guard caps degenerate-hash k² blowup") {
+    import spark.implicits._
+    val (w, h) = (32, 32)
+    // 40 constant-color images: every DCT AC coefficient is 0 ⇒ identical
+    // degenerate pHash ⇒ without the guard the block self-join emits
+    // 40·39/2 = 780 pairs from pure noise
+    def flat(v: Int): Array[Byte] = Array.fill(w * h * 3)(v.toByte)
+    def img(seed: Int, shift: Int): Array[Byte] =
+      Array.tabulate(w * h * 3) { i =>
+        val p = i / 3; val x = p % w; val y = p / w
+        val vv = 128 +
+          40 * math.sin(x / (2.5 + seed * 0.3) + y / 7.0 + seed) +
+          35 * math.cos(x / 5.0 - y / (3.5 + seed * 0.2) + 2 * seed) +
+          (if (p % 97 == 0) shift / 4.0 else 0)
+        (math.max(0, math.min(255, vv.toInt))).toByte
+      }
+    val media = ((0 until 40).map(i => (100L + i, flat(128))) ++
+        Seq((10L, img(0, 0)), (11L, img(0, 30)))) // real near-dup pair
+      .toDF("asset_id", "pixels")
+    val withHash = media.select(col("asset_id"),
+      Multimodal.perceptualHash(col("pixels"), w, h).as("phash"))
+    val pairs = Multimodal.imageNearDups(withHash, maxHamming = 3,
+        maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the 40-image degenerate blob exceeds the cap in every block → dropped;
+    // the genuine pair (bucket size 2) survives
+    assert(pairs.toSet == Set((10L, 11L)), s"pairs: ${pairs.toSeq}")
+    // unguarded sanity: the degenerate blob really would have blown up
+    val unguarded = Multimodal.imageNearDups(withHash, maxHamming = 3,
+      maxBucketSize = Int.MaxValue).count()
+    assert(unguarded >= 40L * 39 / 2, s"expected k² blowup, got $unguarded")
+  }
+
+  test("perceptualHash covers trailing pixels for non-multiple-of-32 sizes") {
+    import spark.implicits._
+    // w=63: integer block stride (63/32 = 1) would hash only columns 0–31;
+    // fractional bounds make the right half contribute, so an image whose
+    // right half is replaced must hash differently
+    val (w, h) = (63, 47)
+    def base: Array[Byte] =
+      Array.tabulate(w * h * 3) { i =>
+        val p = i / 3; val x = p % w; val y = p / w
+        val v = 128 + 50 * math.sin(x / 4.0 + y / 6.0) +
+          35 * math.cos(x / 7.0 - y / 5.0)
+        (math.max(0, math.min(255, v.toInt))).toByte
+      }
+    val altered = {
+      val out = base
+      var p = 0
+      while (p < w * h) {
+        val x = p % w; val y = p / w
+        if (x >= 32) {
+          val v = math.max(0, math.min(255,
+            128 + 60 * math.sin(y / 2.0 - x / 3.0) +
+              40 * math.cos((x + y) / 4.0)).toInt)
+          out(p * 3) = v.toByte; out(p * 3 + 1) = v.toByte; out(p * 3 + 2) = v.toByte
+        }
+        p += 1
+      }
+      out
+    }
+    val hashes = Seq((1L, base), (2L, altered)).toDF("asset_id", "pixels")
+      .select(col("asset_id"),
+        Multimodal.perceptualHash(col("pixels"), w, h).as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) >= 5,
+      s"right-half change invisible to hash: ${hashes(1L)} vs ${hashes(2L)}")
+  }
+
   test("sampleFrames: stride-spaced frames, zero-duration skipped, capped") {
     val frames = Multimodal.sampleFrames(mediaDf, strideMs = 1000L, maxFrames = 8)
     val byAsset = frames.collect().groupBy(_.getLong(0))
