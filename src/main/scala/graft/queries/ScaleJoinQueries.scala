@@ -41,29 +41,33 @@ object ScaleJoinQueries extends QueryPack {
   //      order key (written ONCE per corpus dir; the write is the amortized
   //      shuffle), then a zero-exchange sort-merge join. JoinOpsSpec pins
   //      the no-Exchange plan; this entry pins the RESULT against DuckDB ----
-  // memo key includes the SESSION identity, not only the corpus dir: the
-  // bucketed tables live in one session's catalog/warehouse, and a second
-  // session in the same JVM (Verify then Bench in-process, test suites)
-  // would otherwise be handed table names its catalog has never seen
-  private val bucketedTables = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  // memoized per (session, corpus dir) via SessionMemo: the bucketed tables
+  // live in one session's catalog/warehouse, and a second session in the
+  // same JVM (Verify then Bench in-process, test suites) must never be
+  // handed table names its catalog has never seen. Exposed as
+  // `prepareBucketedTables` so Bench can pay the one-time write OUTSIDE the
+  // timed region — the steady-state number is the zero-exchange join, the
+  // write is the amortized layout cost (same split as the IVF build/probe).
+  def prepareBucketedTables(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) =
+    graft.SessionMemo.getOrElseUpdate(s, s"bucketed_tables:$d") {
+      val suffix = math.abs(d.hashCode).toString
+      val lt = s"li_bucketed_$suffix"
+      val ot = s"o_bucketed_$suffix"
+      Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")),
+        lt, "l_orderkey")
+      Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        ot, "l_orderkey")
+      (lt, ot)
+    }(_ => ())
   private val bucketedOrderRevenue = OracleQuery(
     "jx_bucketed_order_revenue",
     (s, d) => {
-      val suffix = math.abs(d.hashCode).toString
-      val memoKey = s"${System.identityHashCode(s)}:$d"
-      val (liTable, oTable) = bucketedTables.getOrElseUpdate(memoKey, {
-        val lt = s"li_bucketed_$suffix"
-        val ot = s"o_bucketed_$suffix"
-        Bucketing.writeBucketed(
-          Tables.lineitem(s, d).select(col("l_orderkey"),
-            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")),
-          lt, "l_orderkey")
-        Bucketing.writeBucketed(
-          Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
-            col("o_orderpriority")),
-          ot, "l_orderkey")
-        (lt, ot)
-      })
+      val (liTable, oTable) = prepareBucketedTables(s, d)
       Bucketing.coLocatedJoin(s, liTable, oTable, "l_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), dsum(col("rev")).as("revenue"))
