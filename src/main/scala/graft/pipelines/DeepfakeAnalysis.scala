@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   * (analyze_embedding_with_tsne.py:214-310): choose up to `numPairs` group
   * pairs (adjacent-by-sorted-name, or seeded-random over all combinations),
   * and per pair: per-group sample cap → guard n≥3 → joint 2-D reduction.
+  *
+  * Flow 4 (`separateMaps`) = analyze_embedding_with_tsne.py --mode separate
+  * (analyze_embedding_with_tsne.py:93-126): an independent per-group 2-D
+  * map for every group with ≥ 3 sampled points.
   */
 object DeepfakeAnalysis {
 
@@ -42,6 +46,48 @@ object DeepfakeAnalysis {
     val counts = coords.groupBy(col("label")).agg(count(lit(1)).as("n"))
       .orderBy(col("label"))
     EmbeddingMap(coords, counts)
+  }
+
+  final case class SeparateMaps(groups: Seq[String], coords: DataFrame)
+
+  /** Flow 4 (`separateMaps`) = analyze_embedding_with_tsne.py --mode separate
+    * (analyze_all_separate, analyze_embedding_with_tsne.py:93-126): one
+    * INDEPENDENT 2-D map per group — each group's reduction is fit on that
+    * group's rows alone (unlike `embeddingMap`, whose single joint fit lets
+    * other groups shape the projection), preserving intra-group structure.
+    * The distinct group relation (small dimension) is the only collect; each
+    * group then runs its own bounded Reduce2d, with the reference's
+    * post-sample n≥3 guard (:113-115).
+    *
+    * Output coords: (group, id, x, y).
+    */
+  def separateMaps(
+      emb: DataFrame, vecCol: String, idCol: String, groupCol: String,
+      samplePerGroup: Int = 500, method: String = "pca",
+      seed: Long = 42L): SeparateMaps = {
+    val spark = emb.sparkSession
+    // guard on the POST-cap sample size min(n, cap), exactly what the
+    // reference checks after its seeded choice
+    val groups = emb.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(least(col("__n"), lit(samplePerGroup.toLong)) >= 3)
+      .orderBy(col("g"))
+      .collect().map(_.getString(0))
+    val perGroup = groups.map { gname =>
+      val rows = emb.filter(col(groupCol).cast("string") === gname)
+      Reduce2d(rows, vecCol, idCol, groupCol,
+          method = method, maxPerGroup = samplePerGroup, seed = seed)
+        .select(lit(gname).as("group"), col("id").cast("long").as("id"),
+          col("x"), col("y"))
+    }
+    val coords = perGroup.reduceOption(_.unionAll(_)).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("group", StringType), StructField("id", LongType),
+          StructField("x", DoubleType), StructField("y", DoubleType))))
+    }
+    SeparateMaps(groups.toSeq, coords)
   }
 
   final case class PairsMap(pairs: Seq[(String, String)], coords: DataFrame)

@@ -60,23 +60,28 @@ object ImageIngest {
     StructField("channels", IntegerType, nullable = true),
     StructField("pixels", BinaryType, nullable = true)))
 
-  /** S3: decode with corrupt-skip. The real decoder (PIL/libjpeg in the
-    * reference) is NOT available in this environment, so the decode step is a
-    * deterministic STUB: it validates magic bytes for the claimed format and
-    * emits a fixed-size pseudo-pixel buffer derived from the content hash.
-    * The Spark-side plumbing — binary in, nullable struct out, downstream
-    * `filter($"ok")` — is the real contract and is what tests exercise.
+  /** S3: decode with corrupt-skip. PNG/JPEG/BMP/GIF decode is REAL via
+    * `javax.imageio` (pure JVM, ships in the JDK — no native media libs
+    * needed): payloads a registered reader parses come back as row-major
+    * RGB bytes with their true dimensions. Payloads with a valid image
+    * magic that no JDK reader handles (webp; the synthetic magic-byte
+    * fixtures) fall back to the deterministic 8×8 stub so the plumbing
+    * contract — binary in, nullable struct out, downstream `filter($"ok")`
+    * — behaves identically either way. Anything else is the reference's
+    * `__SKIP__::` corrupt path (src/extract_embedding.py:43-45) as ok=false.
     */
   def decodeImages(images: DataFrame): DataFrame = {
     val decode = udf { (path: String, content: Array[Byte]) =>
       val ok = content != null && content.length >= 4 && looksLikeImage(content)
       if (!ok) (false, None: Option[Int], None: Option[Int], None: Option[Int],
         None: Option[Array[Byte]])
-      else {
-        // STUB pixels: 8x8 RGB derived deterministically from a content hash.
-        val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-        val px = Array.tabulate[Byte](8 * 8 * 3)(i => ((h >> (i % 56)) & 0xFF).toByte)
-        (true, Some(8), Some(8), Some(3), Some(px))
+      else decodeReal(content) match {
+        case Some((w, h, px)) => (true, Some(w), Some(h), Some(3), Some(px))
+        case None =>
+          // STUB pixels: 8x8 RGB derived deterministically from a content hash.
+          val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+          val px = Array.tabulate[Byte](8 * 8 * 3)(i => ((h >> (i % 56)) & 0xFF).toByte)
+          (true, Some(8), Some(8), Some(3), Some(px))
       }
     }
     images.withColumn("__d", decode(col("path"), col("content")))
@@ -87,6 +92,38 @@ object ImageIngest {
         col("__d._4").as("channels"),
         col("__d._5").as("pixels"))
   }
+
+  // one-time per JVM: stream bytes through memory, not ImageIO's default
+  // temp-file cache (a per-row disk round-trip in an executor hot path)
+  private lazy val imageioNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** javax.imageio decode to (width, height, row-major RGB bytes); None when
+    * no registered reader parses the payload — the caller's stub fallback.
+    */
+  private def decodeReal(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      imageioNoDiskCache
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val px = new Array[Byte](w * h * 3)
+        var y = 0; var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            px(i) = ((rgb >> 16) & 0xFF).toByte
+            px(i + 1) = ((rgb >> 8) & 0xFF).toByte
+            px(i + 2) = (rgb & 0xFF).toByte
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    } catch { case _: Throwable => None }
 
   private def looksLikeImage(b: Array[Byte]): Boolean = {
     val jpg = b.length > 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8

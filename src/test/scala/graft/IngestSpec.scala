@@ -24,6 +24,67 @@ class IngestSpec extends SparkSpec {
     assert(okRow.getAs[Int]("width") == 8 && okRow.getAs[Array[Byte]]("pixels").length == 8 * 8 * 3)
   }
 
+  test("decodeImages decodes a real PNG to actual pixels via javax.imageio") {
+    // a real 40x24 PNG with a known deterministic pattern, encoded in-test
+    val (w, h) = (40, 24)
+    def rgbAt(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 255) / (w - 1), (y * 255) / (h - 1), (x + y) % 256)
+    val buf = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      val (r, g, b) = rgbAt(x, y)
+      buf.setRGB(x, y, (r << 16) | (g << 8) | b)
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buf, "png", bos)
+    val pngBytes = bos.toByteArray
+
+    val decoded = ImageIngest.decodeImages(
+        Seq(("real/img.png", pngBytes)).toDF("path", "content"))
+      .filter(col("ok")).head()
+    assert(decoded.getAs[Int]("width") == w && decoded.getAs[Int]("height") == h)
+    val px = decoded.getAs[Array[Byte]]("pixels")
+    assert(px.length == w * h * 3)
+    // PNG is lossless: every decoded pixel equals what was written
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      val (r, g, b) = rgbAt(x, y)
+      val p = (y * w + x) * 3
+      assert((px(p) & 0xFF) == r && (px(p + 1) & 0xFF) == g && (px(p + 2) & 0xFF) == b,
+        s"pixel ($x,$y)")
+    })
+  }
+
+  test("pHash over real decoded PNGs: JPEG-style re-encode is near, distinct is far") {
+    import graft.sources.Multimodal
+    val (w, h) = (64, 64)
+    def render(f: (Int, Int) => Int): Array[Byte] = {
+      val buf = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val v = f(x, y); buf.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(buf, "png", bos)
+      bos.toByteArray
+    }
+    def lum(x: Int, y: Int): Int = math.max(0, math.min(255,
+      (128 + 45 * math.sin(x / 3.1 + y / 6.2) + 40 * math.cos(x / 6.7 - y / 4.3)).toInt))
+    val near = render((x, y) => math.min(255, lum(x, y) + (if ((x * 31 + y) % 59 == 0) 9 else 0)))
+    val far = render((x, y) => math.max(0, math.min(255,
+      (128 + 50 * math.sin(y / 2.3 - x / 5.9) + 35 * math.cos((x + 2 * y) / 3.7)).toInt)))
+    val hashes = ImageIngest.decodeImages(Seq(
+        ("a.png", render(lum)), ("b.png", near), ("c.png", far))
+        .toDF("path", "content"))
+      .filter(col("ok"))
+      .select(col("path"), Multimodal.perceptualHash(col("pixels"), w, h).as("ph"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes("a.png"), hashes("b.png")) <= 3,
+      s"near pair too far: ${ham(hashes("a.png"), hashes("b.png"))}")
+    assert(ham(hashes("a.png"), hashes("c.png")) >= 10,
+      s"distinct pair too close: ${ham(hashes("a.png"), hashes("c.png"))}")
+  }
+
   test("forged-layout label/stem parse (S5)") {
     val df = Seq(("root/REAL/img123.png", pngMagic), ("root/FAKE/y.jpeg", jpgMagic))
       .toDF("path", "content")

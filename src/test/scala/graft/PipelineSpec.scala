@@ -50,6 +50,31 @@ class PipelineSpec extends SparkSpec {
     assert(tiny.coords.isEmpty)
   }
 
+  test("separateMaps: independent per-group 2-D maps with n>=3 guard (flow separate)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val out = DeepfakeAnalysis.separateMaps(
+      emb, "embedding", "vec_id", "label", samplePerGroup = 10, method = "pca")
+    assert(out.groups == (0 to 9).map(_.toString)) // all 10 labels qualify
+    assert(out.coords.columns.toSeq == Seq("group", "id", "x", "y"))
+    val coords = out.coords.collect()
+    val byGroup = coords.groupBy(_.getString(0)).map { case (g, rs) => g -> rs.length }
+    assert(byGroup == (0 to 9).map(g => g.toString -> 10).toMap)
+    // independence: group "0"'s coords are identical whether or not other
+    // groups exist in the input (a joint fit would shift them)
+    val only0 = DeepfakeAnalysis.separateMaps(
+      emb.filter(col("label").cast("string") === "0"),
+      "embedding", "vec_id", "label", samplePerGroup = 10, method = "pca")
+    val all0 = coords.filter(_.getString(0) == "0")
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val solo0 = only0.coords.collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(all0.toSeq == solo0.toSeq)
+    // guard: a cap of 2 can never reach 3 points per group → no maps at all
+    val tiny = DeepfakeAnalysis.separateMaps(
+      emb, "embedding", "vec_id", "label", samplePerGroup = 2, method = "pca")
+    assert(tiny.groups.isEmpty && tiny.coords.isEmpty)
+  }
+
   test("multimodal retrieval composes: frames -> embeddings -> ANN top-k") {
     import graft.operators.SimilaritySearch
     import graft.sources.{Embedder, Multimodal, StubEmbedder}
