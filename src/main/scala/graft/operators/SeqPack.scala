@@ -41,6 +41,20 @@ object SeqPack {
         col(tokenCol).cast("long").as("n_tokens"),
         pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"))
 
+  /** Shard-count resolution: the shard count bounds BOTH packing paths'
+    * parallelism (per-shard window / per-shard fill state), so the default
+    * (`shards = 0`) derives it from `spark.sql.shuffle.partitions` — the
+    * session's parallelism dial — rather than a fixed constant that would
+    * funnel a 100 TB corpus through a handful of single-task sorts. Pass an
+    * explicit count when bin ids must be reproducible across differently
+    * sized sessions/engines (bin ids are a function of the shard count; the
+    * oracle-checked queries pin 8 to match their SQL).
+    */
+  private def resolveShards(docs: DataFrame, shards: Int): Int =
+    if (shards > 0) shards
+    else math.max(1,
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "8").toInt)
+
   /** Concat-then-chunk packing: within each shard, documents ordered by id
     * are laid end-to-end and a document's bin is
     * floor(start_offset / maxTokens). Returns
@@ -48,11 +62,11 @@ object SeqPack {
     * bin_id = shard·2³³ + local chunk index.
     */
   def packChunked(docs: DataFrame, tokenCol: String, maxTokens: Int,
-      idCol: String = "doc_id", shards: Int = 8): DataFrame = {
+      idCol: String = "doc_id", shards: Int = 0): DataFrame = {
     require(maxTokens > 0)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sharded(docs, idCol, tokenCol, shards)
+    sharded(docs, idCol, tokenCol, resolveShards(docs, shards))
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("bin_id",
         col("shard") * lit(1L << 33) + floor(col("start_offset") / lit(maxTokens.toLong)).cast("long"))
@@ -65,12 +79,13 @@ object SeqPack {
     * order are functions of doc_id alone.
     */
   def packGreedy(docs: DataFrame, tokenCol: String, maxTokens: Int,
-      idCol: String = "doc_id", shards: Int = 8): DataFrame = {
+      idCol: String = "doc_id", shards: Int = 0): DataFrame = {
     require(maxTokens > 0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val prepared = sharded(docs, idCol, tokenCol, shards)
-      .repartition(shards, col("shard"))
+    val nShards = resolveShards(docs, shards)
+    val prepared = sharded(docs, idCol, tokenCol, nShards)
+      .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("shard"))
       .as[(Long, Long, Long)]

@@ -268,7 +268,9 @@ object TextQueries extends QueryPack {
         Tables.documents(s, d)
           .select(col("doc_id"),
             graft.functions.TextOps.tokenCount(col("text")).as("n_tokens")),
-        "n_tokens", maxTokens = 512)
+        // shards pinned: bin ids are a function of the shard count and the
+        // oracle SQL hardcodes doc_id % 8
+        "n_tokens", maxTokens = 512, shards = 8)
         .orderBy(col("doc_id")),
     Some(s"""WITH t AS (
       SELECT doc_id,
@@ -295,7 +297,7 @@ object TextQueries extends QueryPack {
         Tables.documents(s, d)
           .select(col("doc_id"),
             graft.functions.TextOps.tokenCount(col("text")).as("n_tokens")),
-        "n_tokens", maxTokens = 512)
+        "n_tokens", maxTokens = 512, shards = 8)
         .groupBy(col("bin_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
         .orderBy(col("bin_id")),

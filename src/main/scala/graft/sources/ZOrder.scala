@@ -37,17 +37,14 @@ object ZOrder {
     }
   }
 
-  /** 16-bit rank bucket of a numeric column from ≤ 65535 deterministic
-    * quantile cut points... in practice `buckets` cut points (≤ 4096 keeps
-    * the comparison-sum plan small); ranks spread uniformly regardless of
-    * the value distribution, which is what makes interleaving meaningful
-    * for skewed keys.
-    */
-  /** bucket = number of bounds ≤ v, via binary search over the
-    * closure-captured cut points. An expression form (Σ of 63 `when`s per
-    * key) measured 5 µs/row: the generated method is too large for the JIT
-    * ("huge method" stays interpreted), so a 126-branch chain ran slower
-    * than one virtual UDF call doing an O(log b) Arrays.binarySearch.
+  /** 16-bit rank bucket of a numeric column: bucket = number of quantile
+    * cut points ≤ v, via `Arrays.binarySearch` over the closure-captured
+    * bounds inside one UDF call — O(log buckets) per row. Rank buckets
+    * spread uniformly regardless of the value distribution, which is what
+    * makes interleaving meaningful for skewed keys. (A pure-expression form
+    * — Σ of per-bound `when` comparisons — measured 5 µs/row: the generated
+    * method exceeds the JIT's "huge method" limit and runs interpreted, so
+    * one virtual UDF call beats hundreds of codegen'd branches.)
     */
   private def bucketExpr(c: Column, bounds: Array[Double]): Column = {
     val f = udf { (v: java.lang.Double) =>
@@ -85,10 +82,9 @@ object ZOrder {
     * only be monotone in the key — small quantile-edge shifts move a row
     * one curve cell, never off the curve. Default 64 buckets/key = 4096
     * curve cells: locality down to ~1/64 of each key range, far finer than
-    * any practical file count, while the per-key comparison chain (63
-    * terms) stays inside one codegen'd method — 256 buckets measured 40×
-    * slower because the 2×255-term expression falls out of whole-stage
-    * codegen into interpreted evaluation.
+    * any practical file count, while the binary-search bucket UDF stays
+    * O(log buckets) per row and the sketch pass stays one job (bucket
+    * count only changes cut-point volume, not plan shape).
     */
   def zValue(df: DataFrame, a: Column, b: Column, buckets: Int = 64): Column = {
     val (ba, bb) = rankBounds(df, a, b, buckets)

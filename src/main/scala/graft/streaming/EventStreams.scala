@@ -155,7 +155,12 @@ object EventStreams {
               closed += close(a)
               SessionAcc(us, us, 1L, v)
             case a =>
-              SessionAcc(a.startUs, math.max(a.lastUs, us), a.n + 1L, a.total + v)
+              // min() on the start: a late event above the watermark but
+              // older than the current session's start must extend the
+              // session BACKWARDS, or the reported start postdates the
+              // session's earliest counted event
+              SessionAcc(math.min(a.startUs, us), math.max(a.lastUs, us),
+                a.n + 1L, a.total + v)
           }
         }
         if (acc != null) {

@@ -21,11 +21,13 @@ class SeqPackSpec extends SparkSpec {
       assert(total <= max || rows.length == 1,
         s"bin $bin overflows with ${rows.length} docs, $total tokens")
     }
-    // documents in a bin share a shard (bins never cross shards)
+    // documents in a bin share a shard (bins never cross shards); default
+    // shard count derives from spark.sql.shuffle.partitions
+    val shards = spark.conf.get("spark.sql.shuffle.partitions").toInt
     packed.groupBy(_._3).foreach { case (bin, rows) =>
-      assert(rows.map(r => r._1 % 8).distinct.length == 1,
+      assert(rows.map(r => r._1 % shards).distinct.length == 1,
         s"bin $bin spans shards")
-      assert(bin >> 33 == rows.head._1 % 8, s"bin $bin id not shard-prefixed")
+      assert(bin >> 33 == rows.head._1 % shards, s"bin $bin id not shard-prefixed")
     }
   }
 

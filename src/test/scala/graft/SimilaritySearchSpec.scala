@@ -56,6 +56,45 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.6, s"near-dup recall too low: $recall")
   }
 
+  test("ANN retrieval QUALITY: recall@5 vs brute force on sf0.01, documented bounds") {
+    // mechanics are hash-verified elsewhere; this pins retrieval quality so
+    // silent regressions in signature/probe code fail loudly. Ground truth =
+    // exact brute-force top-5 for 50 queries over the full sf0.01 corpus.
+    val emb01 = Tables.embeddings(spark, sf01).cache()
+    val queries = emb01.filter(col("vec_id") < 50)
+    val exact = SimilaritySearch.bruteForceTopK(emb01, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.size == 50 * 5)
+
+    def recallOf(hits: Set[(Long, Long)]): Double =
+      (exact & hits).size.toDouble / exact.size
+
+    // IVF, nprobe=4 of nlist=8: each query exact-ranks the half of the
+    // space nearest its own cell — misses only neighbors quantized into
+    // one of the 4 unvisited cells. Documented bound: recall@5 >= 0.8.
+    val idx = SimilaritySearch.buildIvfIndex(emb01, nlist = 8)
+    val ivfHits = SimilaritySearch.ivfProbe(idx, queries, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfRecall = recallOf(ivfHits)
+    idx.unpersist()
+
+    // LSH, 24 tables x 5 bits: this corpus is a near-random low-similarity
+    // regime (top-5 cosines ~0.3-0.5, hyperplane bit agreement ~0.6), so a
+    // true neighbor collides per table w.p. ~0.6^5 ≈ 0.08 and recall must be
+    // bought with tables: 1-(1-0.08)^24 ≈ 0.86 collision probability
+    // (measured recall@5 ≈ 0.88; 16x6 measured 0.55). Documented bound:
+    // recall@5 >= 0.6.
+    val lshHits = SimilaritySearch.lshTopK(emb01, queries, k = 5,
+        numTables = 24, bitsPerTable = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lshRecall = recallOf(lshHits)
+    emb01.unpersist()
+
+    info(f"recall@5 IVF(nlist=8,nprobe=4)=$ivfRecall%.3f LSH(24x5)=$lshRecall%.3f")
+    assert(ivfRecall >= 0.8, f"IVF recall@5 $ivfRecall%.3f below documented 0.8")
+    assert(lshRecall >= 0.6, f"LSH recall@5 $lshRecall%.3f below documented 0.6")
+  }
+
   test("LSH is deterministic for a fixed seed") {
     val queries = emb.filter(col("vec_id") < 3)
     val a = SimilaritySearch.lshTopK(emb, queries, k = 3).collect().toSeq
