@@ -339,6 +339,19 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // int8-quantized brute-force ANN (the 4×-compressed scan path; scalar
+  // quantization is float-rounding math → rows-only; the spec pins top-5
+  // overlap ≥ 0.9 and cosine error ≤ 1e-2 vs the float path)
+  private val annInt8 = OracleQuery(
+    "vx_ann_int8_top5",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.int8BruteForceTopK(
+        SimilaritySearch.quantizeInt8(emb),
+        emb.filter(col("vec_id") < 10), k = 5)
+    },
+    None)
+
   // embedding-cosine near-dup pairs (the dedup family's vector member,
   // north-star list "embedding-cosine near-dup"): all pairs with cosine ≥ τ.
   // Oracle-exact via the same input-quantization scheme as
@@ -510,6 +523,7 @@ object EngineQueries extends QueryPack {
     fastCentroidCosine, ckaPerLabel, ckaGroupMatrix, ckaMatrixQuantized,
     hllDistinct, approxPercentiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
+    annInt8,
     dedupCosinePairs, dedupEmbeddingCanonical,
     dedupMinhash, dedupSimhash, dedupCanonical, streamNearDup, curationFunnel,
     pca2d, separability,

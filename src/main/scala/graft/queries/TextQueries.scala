@@ -78,6 +78,39 @@ object TextQueries extends QueryPack {
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
     WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---- unigram corpus-frequency quality score: per doc, the mean and
+  //      minimum corpus frequency of its tokens. The LM-free form of
+  //      perplexity-style quality filtering (rare-token-heavy docs are
+  //      OCR noise/garbage, common-token-heavy docs are boilerplate) —
+  //      real pipelines threshold both tails. Exact cross-engine: token
+  //      counts are integers, the mean is quantized through exact-double
+  //      division (sum·1e6 ≤ ~1e12 < 2^53). Scale shape: one explode, one
+  //      vocab-bounded shuffle for the frequency table, one shuffle back
+  //      on doc_id — the same profile as TF-IDF ----
+  private val tokenRarity = OracleQuery(
+    "t_token_rarity_score",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+      toks.join(freq, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          min(col("cf")).as("rarest_cf"),
+          floor(sum(col("cf")).cast("double") * lit(1000000.0) / count(lit(1)))
+            .cast("long").as("mean_cf_q"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS cf FROM toks GROUP BY w
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, MIN(cf) AS rarest_cf,
+      CAST(floor(CAST(SUM(cf) AS DOUBLE) * 1000000.0 / COUNT(*)) AS BIGINT) AS mean_cf_q
+    FROM toks JOIN freq USING (w)
+    GROUP BY doc_id ORDER BY doc_id"""))
+
   // ---- global word frequency top-20 ----
   private val wordFreq = OracleQuery(
     "t_word_freq_top20",
@@ -420,7 +453,7 @@ object TextQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
-    wordFreq, ngramJaccard, fingerprint, tokenCountBpe, qualityScore,
+    wordFreq, tokenRarity, ngramJaccard, fingerprint, tokenCountBpe, qualityScore,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, repetitionFilter, sourceMixture)
 }

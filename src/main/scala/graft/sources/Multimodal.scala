@@ -61,14 +61,17 @@ object Multimodal {
       }(enc)
   }
 
-  /** Image resize: payload → fixed-size pseudo-pixel buffer + updated meta.
-    * STUB pixels; the contract is (payload, target) → deterministic
-    * fixed-shape output with meta carrying the new dimensions.
+  /** Image resize: payload → w×h×3 RGB pixel buffer + updated meta. REAL
+    * for payloads `javax.imageio` can decode (PNG/JPEG/BMP/GIF — bilinear
+    * resample through a Graphics2D transform, pure JVM); payloads no JDK
+    * reader handles keep the deterministic hash-derived stub so the
+    * fixed-shape contract — (payload, target) → w·h·3 bytes, null in /
+    * null out — holds identically for both.
     */
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
     val resize = udf { (payload: Array[Byte]) =>
       if (payload == null) None
-      else {
+      else resizeReal(payload, w, h).orElse {
         val base = payload.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
         Some(Array.tabulate[Byte](w * h * 3)(i => ((base >> (i % 56)) & 0xFF).toByte))
       }
@@ -78,6 +81,39 @@ object Multimodal {
       .withColumn("resized_w", when(col("resized").isNotNull, lit(w)))
       .withColumn("resized_h", when(col("resized").isNotNull, lit(h)))
   }
+
+  /** Decode + bilinear-resize to row-major RGB via the JDK's imaging stack;
+    * None when no registered reader parses the payload.
+    */
+  private def resizeReal(payload: Array[Byte], w: Int,
+      h: Int): Option[Array[Byte]] =
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+        g.dispose()
+        val px = new Array[Byte](w * h * 3)
+        var y = 0; var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = dst.getRGB(x, y)
+            px(i) = ((rgb >> 16) & 0xFF).toByte
+            px(i + 1) = ((rgb >> 8) & 0xFF).toByte
+            px(i + 2) = (rgb & 0xFF).toByte
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        Some(px)
+      }
+    } catch { case _: Throwable => None }
 
   /** Perceptual hash (pHash) of an RGB pixel buffer: grayscale → block-mean
     * downsample to 32×32 → 2-D DCT-II → the 8×8 low-frequency corner minus

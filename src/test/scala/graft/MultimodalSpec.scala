@@ -164,6 +164,48 @@ class MultimodalSpec extends SparkSpec {
       again(1L).map(_.getAs[Array[Byte]]("frame").toSeq).toSeq)
   }
 
+  test("resizeImages: real PNG bilinear resize, pHash survives the rescale") {
+    import spark.implicits._
+    // smooth grayscale pattern in NORMALIZED coordinates so the same image
+    // content can be rendered at any resolution
+    def lum(u: Double, v: Double): Int = math.max(0, math.min(255,
+      (128 + 55 * math.sin(u * 9.7 + v * 3.1) + 45 * math.cos(u * 4.3 - v * 8.9)).toInt))
+    def png(n: Int): Array[Byte] = {
+      val buf = new java.awt.image.BufferedImage(n, n,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until n).foreach(y => (0 until n).foreach { x =>
+        val g = lum(x.toDouble / n, y.toDouble / n)
+        buf.setRGB(x, y, (g << 16) | (g << 8) | g)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(buf, "png", bos)
+      bos.toByteArray
+    }
+    val media = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "image", Row(64, 64, null, null, "png"), png(64))),
+      Multimodal.mediaSchema)
+    val resized = Multimodal.resizeImages(media, 32, 32).head()
+    val px = resized.getAs[Array[Byte]]("resized")
+    assert(px.length == 32 * 32 * 3)
+    // real resample, not the hash stub: spot-check pixels track the pattern
+    (0 until 32 by 5).foreach { y =>
+      (0 until 32 by 5).foreach { x =>
+        val want = lum((x + 0.5) / 32, (y + 0.5) / 32)
+        val got = px((y * 32 + x) * 3) & 0xFF
+        assert(math.abs(got - want) <= 30, s"pixel ($x,$y): got $got want ~$want")
+      }
+    }
+    // pHash is scale-invariant by design: hash of the bilinear 32x32 must
+    // match hash of the full-res original within a small Hamming distance
+    val ph32 = Seq((1L, px)).toDF("id", "pixels")
+      .select(Multimodal.perceptualHash(col("pixels"), 32, 32)).head().getLong(0)
+    val full = graft.sources.ImageIngest.decodeImages(
+        Seq(("a.png", png(64))).toDF("path", "content"))
+      .select(Multimodal.perceptualHash(col("pixels"), 64, 64)).head().getLong(0)
+    val ham = java.lang.Long.bitCount(ph32 ^ full)
+    assert(ham <= 6, s"pHash not resize-stable: hamming $ham")
+  }
+
   test("resizeImages: fixed-shape output, null payload propagates as null") {
     val out = Multimodal.resizeImages(mediaDf, 8, 8).collect()
       .map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]]("resized"))).toMap

@@ -95,6 +95,29 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(lshRecall >= 0.6, f"LSH recall@5 $lshRecall%.3f below documented 0.6")
   }
 
+  test("int8-quantized ANN matches the float path: top-5 overlap and cosine error") {
+    val emb01 = Tables.embeddings(spark, sf01).cache()
+    val queries = emb01.filter(col("vec_id") < 50)
+    val exact = SimilaritySearch.bruteForceTopK(emb01, queries, k = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val quantized = SimilaritySearch.quantizeInt8(emb01)
+    // 4x compression is the point: dim bytes vs 4·dim
+    val dim = emb01.head().getSeq[Float](1).length
+    assert(quantized.head().getAs[Array[Byte]]("qv").length == dim)
+    val int8 = SimilaritySearch.int8BruteForceTopK(quantized, queries, k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    emb01.unpersist()
+    val overlap = (exact.map(_._1).toSet & int8.map(_._1).toSet).size.toDouble / exact.length
+    assert(overlap >= 0.9, s"int8 top-5 overlap $overlap below 0.9")
+    // scalar max-abs quantization of unit-ish 64-dim vectors keeps per-pair
+    // cosine within ~1e-2 of float
+    val floatCos = exact.toMap
+    val errs = int8.collect { case (k2, c) if floatCos.contains(k2) =>
+      math.abs(c - floatCos(k2)) }
+    assert(errs.nonEmpty && errs.max <= 1e-2,
+      s"max cosine quantization error ${errs.max}")
+  }
+
   test("LSH is deterministic for a fixed seed") {
     val queries = emb.filter(col("vec_id") < 3)
     val a = SimilaritySearch.lshTopK(emb, queries, k = 3).collect().toSeq
