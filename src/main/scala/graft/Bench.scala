@@ -52,6 +52,9 @@ object Bench {
         e._1 == "tx_dedup_minhash_pairs" || e._1 == "tx_dedup_canonical")) {
       graft.queries.EngineQueries.prepareMinhashSigs(spark, sfDir); ()
     }
+    build("int8_corpus", selected.contains("vx_ann_int8_top5")) {
+      graft.queries.EngineQueries.prepareInt8Corpus(spark, sfDir); ()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
