@@ -27,6 +27,29 @@ object EventQueries extends QueryPack {
       event_type, COUNT(*) AS n, ${DSUM("value")} AS total_value
     FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type"""))
 
+  // ---- sliding window counts (10-min window, 5-min slide): each event
+  //      lands in exactly window/slide = 2 epoch-aligned windows, so the
+  //      oracle reproduces Spark's window(ts, w, s) by unnesting the two
+  //      shifted 5-minute buckets. Batch twin of
+  //      streaming.EventStreams.slidingCounts ----
+  private val sliding = OracleQuery(
+    "e_sliding_10min_5min",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type")),
+    Some(s"""SELECT ws AS window_start, event_type, COUNT(*) AS n,
+      ${DSUM("value")} AS total_value
+    FROM (
+      SELECT event_type, value,
+        unnest([time_bucket(INTERVAL '5 minutes', ts),
+                time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+      FROM events)
+    GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
   // ---- gap-based sessionization (30-min inactivity gap): the batch analog
   //      of session_window; lag + running flag-sum assigns session ids ----
   private val sessions = OracleQuery(
@@ -205,6 +228,6 @@ object EventQueries extends QueryPack {
     ORDER BY user_id, session_start"""))
 
   override val all: Seq[OracleQuery] =
-    Seq(tumbling, sessions, latestPerUser, typeStats, asof, sessionWindowNative,
-      statefulSessions)
+    Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
+      sessionWindowNative, statefulSessions)
 }

@@ -111,6 +111,16 @@ object TextQueries extends QueryPack {
     FROM toks JOIN freq USING (w)
     GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---- TF-IDF top-3 characteristic terms per document (SURVEY §2.8
+  //      engine-added). ln(N/df) is not cross-engine bit-stable → rows-only;
+  //      TextOpsSpec pins hand-computed values on a toy corpus ----
+  private val tfidfTop3 = OracleQuery(
+    "t_tfidf_top3",
+    (s, d) =>
+      graft.operators.TfIdf.topTerms(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"), col("rn")),
+    None)
+
   // ---- global word frequency top-20 ----
   private val wordFreq = OracleQuery(
     "t_word_freq_top20",
@@ -453,7 +463,8 @@ object TextQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
-    wordFreq, tokenRarity, ngramJaccard, fingerprint, tokenCountBpe, qualityScore,
+    wordFreq, tokenRarity, tfidfTop3, ngramJaccard, fingerprint, tokenCountBpe,
+    qualityScore,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, repetitionFilter, sourceMixture)
 }

@@ -65,4 +65,31 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
     assert(math.abs(plain.getDouble(2) - salted.getDouble(2)) < 1e-6)
   }
+
+  test("TF-IDF top terms match hand-computed values; ubiquitous terms score 0") {
+    // N=4 docs; "the" appears in all 4 (idf = ln 1 = 0), "cat" in 2,
+    // "quark" only in doc 3 (tf=2) — the most characteristic term there
+    val docs = Seq(
+      (0L, "the cat sat"),
+      (1L, "the cat ran far"),
+      (2L, "the dog ran"),
+      (3L, "the quark quark field")).toDF("doc_id", "text")
+    val out = graft.operators.TfIdf.topTerms(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    val byDoc = out.groupBy(_._1)
+    // doc 3: quark tf=2 df=1 → 2·ln4; field tf=1 df=1 → ln4
+    val d3 = byDoc(3L).sortBy(_._6)
+    assert(d3.map(_._2).toSeq == Seq("quark", "field"))
+    assert(math.abs(d3(0)._5 - 2 * math.log(4.0)) < 1e-12)
+    assert(math.abs(d3(1)._5 - math.log(4.0)) < 1e-12)
+    // "the" (df=4, idf=0) can never rank above any df<4 term; every doc has
+    // at least one distinctive term, so "the" is absent from all top-2 sets
+    // except via the all-zero tie, which term-asc ordering would expose
+    assert(!out.exists(_._2 == "the"), s"boilerplate ranked: ${out.toSeq}")
+    // doc 0: cat (tf=1, df=2 → ln2) and sat (tf=1, df=1 → ln4): sat first
+    val d0 = byDoc(0L).sortBy(_._6)
+    assert(d0.map(_._2).toSeq == Seq("sat", "cat"))
+    assert(math.abs(d0(1)._5 - math.log(2.0)) < 1e-12)
+  }
 }
