@@ -73,6 +73,36 @@ object Dedup {
       .drop("__contaminated")
   }
 
+  /** Bloom-pruned decontamination — same OUTPUT as [[decontaminate]], built
+    * for the regime where the benchmark gram set is too big to broadcast
+    * comfortably: a Bloom filter over the benchmark grams costs ~10
+    * bits/gram at 1% FPR (vs ~50+ bytes/gram for the exact broadcast set)
+    * and prunes the corpus-side gram explode BEFORE anything shuffles —
+    * only true hits plus the FPR sliver reach the exact semi-join, which
+    * then verifies every candidate, so false positives are filtered and the
+    * flag set is exactly [[decontaminate]]'s. Two passes over the benchmark
+    * side (count + filter build), both tiny relative to the corpus.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      fpp: Double = 0.01): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("__gram", expected, fpp)
+    val mightContain = udf((g: String) => bloom.mightContain(g))
+    val flagged = corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__gram"))
+      .filter(mightContain(col("__gram")))
+      .join(benchGrams, "__gram") // exact verify: kills bloom false positives
+      .select(col(idCol)).distinct()
+      .withColumn("__contaminated", lit(true))
+    corpus.join(flagged, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__contaminated"), lit(false)))
+      .drop("__contaminated")
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min over the doc's distinct word-k-shingles. Returned as `minhash`
     * ARRAY<BIGINT>.

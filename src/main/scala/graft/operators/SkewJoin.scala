@@ -37,4 +37,28 @@ object SkewJoin {
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted.join(exploded, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Key-distribution profile — the measurement that DECIDES whether a join
+    * needs salting and with what factor: the `topK` heaviest keys with their
+    * row share (ppm) and skew factor (count / mean count per key, in
+    * hundredths). skew_x100 ≈ 100 is uniform; a key at 50× the mean is the
+    * hot-spot AQE may miss when the join is shuffled-hash or the skew is
+    * a priori. One groupBy shuffle on the key; the global totals come from a
+    * 1-row broadcast cross join, never a single-partition window. All
+    * emitted numbers are exact-double arithmetic (products < 2^53), so the
+    * profile is fully oracle-checkable.
+    */
+  def keyProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__tot"),
+      count(lit(1)).as("__n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topK)
+      .select(col(keyCol), col("n"),
+        floor(col("n").cast("double") * lit(1000000.0) / col("__tot"))
+          .cast("long").as("share_ppm"),
+        floor(col("n").cast("double") * col("__n_keys") * lit(100.0) / col("__tot"))
+          .cast("long").as("skew_x100"))
+  }
 }

@@ -78,6 +78,24 @@ object ScaleJoinQueries extends QueryPack {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // ---- key-skew profile: the measurement that picks the salt factor for
+  //      the join above — top-10 heaviest lineitem supplier keys with row
+  //      share and skew-vs-mean, exact-double arithmetic → full oracle ----
+  private val keySkewProfile = OracleQuery(
+    "jx_key_skew_profile",
+    (s, d) =>
+      SkewJoin.keyProfile(
+        Tables.lineitem(s, d).select(col("l_suppkey")), "l_suppkey", topK = 10),
+    Some("""WITH c AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS tot, COUNT(*) AS n_keys FROM c
+    )
+    SELECT l_suppkey, n,
+      CAST(floor(CAST(n AS DOUBLE) * 1000000.0 / tot) AS BIGINT) AS share_ppm,
+      CAST(floor(CAST(n AS DOUBLE) * n_keys * 100.0 / tot) AS BIGINT) AS skew_x100
+    FROM c, t ORDER BY n DESC, l_suppkey LIMIT 10"""))
+
   // ---- Z-order layout spans: lay lineitem on the Morton curve of
   //      (l_orderkey, l_partkey) and report per-file key spans — the
   //      multi-key locality that makes parquet min/max skipping work on
@@ -99,5 +117,5 @@ object ScaleJoinQueries extends QueryPack {
     None)
 
   override val all: Seq[OracleQuery] =
-    Seq(saltedSupplierRevenue, bucketedOrderRevenue, zorderSpans)
+    Seq(saltedSupplierRevenue, bucketedOrderRevenue, keySkewProfile, zorderSpans)
 }

@@ -379,6 +379,22 @@ object TextQueries extends QueryPack {
     WHERE d.doc_id % 50 <> 0
     ORDER BY d.doc_id"""))
 
+  // ---- Bloom-pruned decontamination: identical flags to
+  //      t_decontaminate_flags by construction (the exact semi-join verifies
+  //      every bloom candidate), so it shares that query's oracle SQL — the
+  //      gate proves the pruned plan is exact, not approximately right ----
+  private val decontaminateBloom = OracleQuery(
+    "t_decontaminate_bloom_flags",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      graft.operators.Dedup.decontaminateBloom(corpus, bench, n = 3)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    decontaminate.sql)
+
   // ---- Gopher repetition rule: duplicate-bigram fraction per document
   //      (Rae et al. 2021 §A1.1 "duplicate n-grams"); exact integer counts,
   //      division to double deterministic cross-engine ----
@@ -466,5 +482,5 @@ object TextQueries extends QueryPack {
     wordFreq, tokenRarity, tfidfTop3, ngramJaccard, fingerprint, tokenCountBpe,
     qualityScore,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
-    decontaminate, repetitionFilter, sourceMixture)
+    decontaminate, decontaminateBloom, repetitionFilter, sourceMixture)
 }

@@ -135,4 +135,21 @@ class DedupSpec extends SparkSpec {
         s"pair ($a,$b): est=$est truth=$truth")
     }
   }
+
+  test("bloom-pruned decontamination flags exactly the exact path's set") {
+    val docs = Tables.documents(spark, sf001)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    def flags(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("contaminated")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exact = flags(Dedup.decontaminate(corpus, bench, n = 3))
+    val bloom = flags(Dedup.decontaminateBloom(corpus, bench, n = 3))
+    assert(bloom == exact)
+    // even a deliberately sloppy filter (50% FPR) must stay exact — the
+    // verify join, not the bloom, decides the flag
+    val sloppy = flags(Dedup.decontaminateBloom(corpus, bench, n = 3, fpp = 0.5))
+    assert(sloppy == exact)
+    assert(exact.values.exists(identity) && exact.values.exists(!_))
+  }
 }
