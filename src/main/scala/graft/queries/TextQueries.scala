@@ -121,6 +121,24 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("rn")),
     None)
 
+  // ---- approximate heavy hitters (SpaceSaving typed Aggregator): the
+  //      bounded-state path to t_word_freq_top20's answer — O(capacity)
+  //      counters per partial instead of a full-vocabulary shuffle.
+  //      Near-threshold estimates depend on partition order → rows-only;
+  //      TopKSketchSpec pins the bounds and exact-regime agreement ----
+  private val heavyHitters = OracleQuery(
+    "t_heavy_hitters_sketch",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      words(s, d)
+        .agg(graft.operators.TopKSketch.topK(col("w"), k = 20, capacity = 512)
+          .as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e._1").as("w"), col("e._2").as("est"), col("e._3").as("err"))
+    },
+    None)
+
   // ---- global word frequency top-20 ----
   private val wordFreq = OracleQuery(
     "t_word_freq_top20",
@@ -479,8 +497,8 @@ object TextQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
-    wordFreq, tokenRarity, tfidfTop3, ngramJaccard, fingerprint, tokenCountBpe,
-    qualityScore,
+    wordFreq, heavyHitters, tokenRarity, tfidfTop3, ngramJaccard, fingerprint,
+    tokenCountBpe, qualityScore,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture)
 }

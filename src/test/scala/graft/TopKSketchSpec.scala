@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TopKSketch
+import org.apache.spark.sql.functions._
+
+class TopKSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flatten(row: org.apache.spark.sql.Row): Seq[(String, Long, Long)] =
+    row.getSeq[org.apache.spark.sql.Row](0).map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  test("SpaceSaving top-k: heavy hitters survive adversarial partitioning with valid bounds") {
+    val heavy = Seq("h0" -> 2000, "h1" -> 1000, "h2" -> 600, "h3" -> 400, "h4" -> 300)
+    val tail = (0 until 5000).map(i => s"t$i" -> (1 + i % 2))
+    val rows = (heavy ++ tail).flatMap { case (k, n) => Seq.fill(n)(k) }
+    // deterministic scramble so heavy keys interleave with tail across
+    // partitions and merges see them in unfriendly orders
+    val df = rows.sortBy(s => (s.hashCode * 2654435761L) & 0xFFFFFFFFL)
+      .toDF("w").repartition(7)
+    val out = flatten(df.agg(TopKSketch.topK(col("w"), k = 10, capacity = 64)).head())
+    val trueCounts = (heavy ++ tail).toMap
+    // every heavy hitter is reported, in order, ahead of any tail key
+    assert(out.take(5).map(_._1) == heavy.map(_._1), s"got ${out.take(5)}")
+    // SpaceSaving bounds: true ≤ est, est − err ≤ true
+    out.foreach { case (item, est, err) =>
+      val t = trueCounts(item).toLong
+      assert(est >= t, s"$item est $est < true $t")
+      assert(est - err <= t, s"$item lower bound ${est - err} > true $t")
+    }
+  }
+
+  test("SpaceSaving is exact when capacity covers the key space") {
+    val df = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c")
+    val out = flatten(df.toDF("w").repartition(3)
+      .agg(TopKSketch.topK(col("w"), k = 3, capacity = 16)).head())
+    assert(out == Seq(("a", 30L, 0L), ("b", 20L, 0L), ("c", 10L, 0L)))
+  }
+
+  test("SpaceSaving top words agree with the exact frequency ranking head") {
+    val words = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val exact = words.groupBy(col("w")).count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(5).collect().map(_.getString(0))
+    val approx = flatten(
+      words.agg(TopKSketch.topK(col("w"), k = 5, capacity = 256)).head())
+      .map(_._1)
+    // vocabulary at this SF is ~dozens of words, far under capacity → the
+    // sketch is exact and the heads must match including order
+    assert(approx == exact.toSeq, s"approx $approx vs exact ${exact.toSeq}")
+  }
+}
