@@ -249,16 +249,13 @@ object SimilaritySearch {
   def int8BruteForceTopK(
       quantized: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val score = udf { (qv: Array[Byte], scale: Float, qnorm: Double, fq: Seq[Float]) =>
-      var dot = 0.0; var fn2 = 0.0
-      var i = 0
-      while (i < qv.length) {
-        dot += qv(i).toDouble * fq(i)
-        fn2 += fq(i).toDouble * fq(i)
-        i += 1
-      }
-      dot * scale / (qnorm * math.sqrt(fn2) + 1e-12)
-    }
+    // native codegen kernel (graft.expressions.Int8Cosine): the scoring
+    // projection runs |corpus|·|Q| times per scan, so the UDF
+    // serialization boundary (bytes → Seq[Float] per row) is the hot cost
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    def score(qv: Column, scale: Column, qnorm: Column, fq: Column): Column =
+      column(graft.expressions.Int8Cosine(expression(qv), expression(scale),
+        expression(qnorm), expression(fq)))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("fq"))
     val scored = quantized.select(col(idCol).as("neighbor_id"),
         col("qv"), col("scale"), col("qnorm"))
