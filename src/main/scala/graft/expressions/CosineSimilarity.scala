@@ -93,5 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_cosine"),
+      new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
+      (children: Seq[Expression]) =>
+        Int8Cosine(children(0), children(1), children(2), children(3))))
   }
 }

@@ -33,6 +33,26 @@ class ExpressionSpec extends SparkSpec {
     assert(projectLine.contains("*("), s"project not codegen'd:\n$plan")
   }
 
+  test("int8_cosine: registered via extensions, agrees with the library kernel") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = SimilaritySearch.quantizeInt8(emb.limit(20))
+      .crossJoin(emb.limit(5).select(col("vec_id").as("qid"), col("embedding").as("fq")))
+    val rows = q.select(
+        expr("int8_cosine(qv, scale, qnorm, fq)").as("sql_form"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.Int8Cosine(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("qv")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("scale")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("qnorm")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("fq"))))
+          .as("bridge_form"))
+      .collect()
+    assert(rows.length == 100)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows.forall(r => r.getDouble(0) >= -1.01 && r.getDouble(0) <= 1.01))
+  }
+
   test("cosine_sim: null inputs give null, self-similarity is 1") {
     import spark.implicits._
     val df = Seq(

@@ -90,6 +90,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: per-element error ≤ scale/2, cosine to self ≈ 1") {
+    forSamples(vecGen) { v =>
+      if (v.exists(_ != 0f)) {
+        val df = Seq((1L, v)).toDF("vec_id", "embedding")
+        val q = graft.operators.SimilaritySearch.quantizeInt8(df).head()
+        val scale = q.getFloat(1)
+        val bytes = q.getAs[Array[Byte]]("qv")
+        assert(bytes.length == v.length)
+        v.indices.foreach { i =>
+          val dq = bytes(i).toDouble * scale
+          assert(math.abs(dq - v(i)) <= scale / 2 + 1e-6,
+            s"elem $i: |$dq - ${v(i)}| > ${scale / 2}")
+        }
+        // self-similarity through the asymmetric kernel stays ≈ 1
+        val self = graft.operators.SimilaritySearch.int8BruteForceTopK(
+          graft.operators.SimilaritySearch.quantizeInt8(
+            Seq((1L, v), (2L, v)).toDF("vec_id", "embedding")),
+          Seq((1L, v)).toDF("vec_id", "embedding"), k = 1)
+          .head().getDouble(3)
+        assert(self > 0.98, s"self-cosine through int8: $self")
+      }
+    }
+  }
+
   test("CKA(X,X) = 1, symmetry, [0,1] for generated matrices") {
     forSamples(matGen) { rows =>
       if (rows.size >= 3) {
