@@ -65,6 +65,46 @@ object EngineQueries extends QueryPack {
     SELECT l1, l2, dot / (sqrt(nx) * sqrt(ny) + 1e-12) AS cosine
     FROM p ORDER BY l1, l2"""))
 
+  // embedding-space outlier filter (the curation family's vector member:
+  // CLIP-score-style quality filtering drops rows dissimilar to their
+  // group centroid). Same exact-integer algebra as vx_fast_centroid_cosine:
+  // inputs quantized to floor(v·1e4), centroid = exact integer sum vector,
+  // every dot/norm term < 2^53 through sf0.1 — so the per-row cosine (and
+  // the flag) is bit-identical cross-engine. One groupBy for centroids
+  // (O(D) buffer), one broadcast join back — the corpus never shuffles.
+  private val embeddingOutliers = OracleQuery(
+    "vx_embedding_outliers",
+    (s, d) => {
+      val quantized = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * lit(1e4)).cast("float")).as("qv"))
+      val cents = quantized.groupBy(col("label"))
+        .agg(VecAgg.sumVec(col("qv")).as("cv"))
+      quantized.join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label"),
+          VecOps.cosineNative(col("qv"), col("cv")).as("cos_centroid"))
+        .withColumn("is_outlier", col("cos_centroid") < 0.0)
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH lf AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS vq
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, CAST(SUM(vq) AS BIGINT) AS cv FROM lf GROUP BY 1, 2
+    ), sc AS (
+      SELECT lf.vec_id, lf.label,
+        CAST(SUM(lf.vq * cent.cv) AS DOUBLE) AS dot,
+        CAST(SUM(lf.vq * lf.vq) AS DOUBLE) AS nx,
+        CAST(SUM(cent.cv * cent.cv) AS DOUBLE) AS ny
+      FROM lf JOIN cent ON lf.label = cent.label AND lf.pos = cent.pos
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, label, dot / (sqrt(nx) * sqrt(ny) + 1e-12) AS cos_centroid,
+      dot / (sqrt(nx) * sqrt(ny) + 1e-12) < 0.0 AS is_outlier
+    FROM sc ORDER BY vec_id"""))
+
   // CKA similarity between the two halves of the embedding space, per label
   // (A5/J5 aggregate in its native fused form)
   private val ckaPerLabel = OracleQuery(
@@ -526,7 +566,8 @@ object EngineQueries extends QueryPack {
     None)
 
   override val all: Seq[OracleQuery] = Seq(
-    fastCentroidCosine, ckaPerLabel, ckaGroupMatrix, ckaMatrixQuantized,
+    fastCentroidCosine, embeddingOutliers, ckaPerLabel, ckaGroupMatrix,
+    ckaMatrixQuantized,
     hllDistinct, approxPercentiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8,

@@ -466,6 +466,46 @@ object TextQueries extends QueryPack {
   //      engines compute identically, giving a shuffled-looking sample
   //      that is still fully cross-engine oracle-checkable (production
   //      would use xxhash64, which DuckDB lacks) ----
+  // ---- sliding-window document chunking (the RAG / long-context training
+  //      splitter): fixed token-window chunks with overlap, last partial
+  //      window kept. chunk starts = 0, stride, 2·stride, … while
+  //      start < n_tokens (plus the single full-doc chunk when the doc is
+  //      shorter than a window). Map-only explode — no shuffle at all;
+  //      chunk_text reassembled from the token slice so both engines build
+  //      the identical string ----
+  private val chunkSliding = OracleQuery(
+    "t_chunk_sliding",
+    (s, d) => {
+      val win = 64; val stride = 48
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            floor(greatest(size(col("toks")) - 1, lit(0)) / lit(stride)).cast("int")))
+            .as("k"))
+        .filter(col("k") * stride < size(col("toks")))
+        .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+          (col("k") * stride).cast("long").as("start_tok"),
+          least(col("k") * stride + win, size(col("toks"))).cast("long").as("end_tok"),
+          concat_ws(" ", slice(col("toks"), col("k") * stride + 1, lit(win)))
+            .as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < 100
+    ), k AS (
+      SELECT doc_id, toks, unnest(range(0, ((len(toks) - 1) // 48) + 1)) AS k
+      FROM t
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      CAST(k * 48 AS BIGINT) AS start_tok,
+      CAST(least(k * 48 + 64, len(toks)) AS BIGINT) AS end_tok,
+      array_to_string(list_slice(toks, k * 48 + 1, k * 48 + 64), ' ') AS chunk_text
+    FROM k WHERE k * 48 < len(toks)
+    ORDER BY doc_id, chunk_idx"""))
+
   private val sourceMixture = OracleQuery(
     "t_source_mixture_sample",
     (s, d) => {
@@ -500,5 +540,6 @@ object TextQueries extends QueryPack {
     wordFreq, heavyHitters, tokenRarity, tfidfTop3, ngramJaccard, fingerprint,
     tokenCountBpe, qualityScore,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
-    decontaminate, decontaminateBloom, repetitionFilter, sourceMixture)
+    decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
+    chunkSliding)
 }
