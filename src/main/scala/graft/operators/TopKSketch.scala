@@ -20,7 +20,26 @@ import org.apache.spark.sql.functions.udaf
   */
 object TopKSketch {
 
-  private type Buf = Map[String, (Long, Long)] // item -> (est, err)
+  private[graft] type Buf = Map[String, (Long, Long)] // item -> (est, err)
+
+  /** One SpaceSaving insertion — shared by the batch Aggregator and the
+    * streaming per-shard state (graft.streaming.StreamingTopK).
+    */
+  private[graft] def ssInsert(b: Buf, item: String, capacity: Int): Buf =
+    b.get(item) match {
+      case Some((est, err)) => b.updated(item, (est + 1, err))
+      case None if b.size < capacity => b.updated(item, (1L, 0L))
+      case None =>
+        val (minItem, (minEst, _)) =
+          b.minBy { case (i2, (est, _)) => (est, i2) }
+        (b - minItem).updated(item, (minEst + 1, minEst))
+    }
+
+  /** Top-k view of a buffer, est desc then item asc. */
+  private[graft] def ssTop(b: Buf, k: Int): Seq[(String, Long, Long)] =
+    b.toSeq.sortBy { case (item, (est, _)) => (-est, item) }
+      .take(k)
+      .map { case (item, (est, err)) => (item, est, err) }
 
   private final class SpaceSaving(capacity: Int, k: Int)
       extends Aggregator[String, Buf, Seq[(String, Long, Long)]] {
@@ -32,17 +51,7 @@ object TopKSketch {
       else b.toSeq.sortBy { case (item, (est, _)) => (-est, item) }
         .take(capacity).toMap
 
-    def reduce(b: Buf, item: String): Buf =
-      b.get(item) match {
-        case Some((est, err)) => b.updated(item, (est + 1, err))
-        case None if b.size < capacity => b.updated(item, (1L, 0L))
-        case None =>
-          // evict the minimum counter; the newcomer inherits its count as
-          // overestimation error — the classic SpaceSaving step
-          val (minItem, (minEst, _)) =
-            b.minBy { case (i2, (est, _)) => (est, i2) }
-          (b - minItem).updated(item, (minEst + 1, minEst))
-      }
+    def reduce(b: Buf, item: String): Buf = ssInsert(b, item, capacity)
 
     def merge(a: Buf, b: Buf): Buf =
       if (a.isEmpty) b
@@ -54,10 +63,7 @@ object TopKSketch {
         }
       })
 
-    def finish(b: Buf): Seq[(String, Long, Long)] =
-      b.toSeq.sortBy { case (item, (est, _)) => (-est, item) }
-        .take(k)
-        .map { case (item, (est, err)) => (item, est, err) }
+    def finish(b: Buf): Seq[(String, Long, Long)] = ssTop(b, k)
 
     def bufferEncoder: Encoder[Buf] = ExpressionEncoder[Buf]()
     def outputEncoder: Encoder[Seq[(String, Long, Long)]] =

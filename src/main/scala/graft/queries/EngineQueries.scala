@@ -515,6 +515,20 @@ object EngineQueries extends QueryPack {
         .orderBy(col("doc_id")),
     None)
 
+  // the STREAMING heavy-hitter sketch run in batch mode (each shard's
+  // flatMapGroupsWithState group executes once over its full token set →
+  // one exact SpaceSaving pass per shard). Shard assignment is engine-hash
+  // → rows-only; TopKSketchSpec pins micro-batch parity with batch counts
+  private val streamTopK = OracleQuery(
+    "tx_stream_topk_words",
+    (s, d) =>
+      graft.streaming.StreamingTopK.heavyHitters(
+          Tables.documents(s, d).select(explode(split(col("text"), " ")).as("w")),
+          k = 10, capacity = 256, nShards = 4)
+        .toDF()
+        .orderBy(col("shard"), col("est").desc, col("item")),
+    None)
+
   // full dedup pipeline: minhash candidate pairs → connected components →
   // canonical keep/drop decisions (the operational output of dedup)
   private val dedupCanonical = OracleQuery(
@@ -572,7 +586,8 @@ object EngineQueries extends QueryPack {
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8,
     dedupCosinePairs, dedupEmbeddingCanonical,
-    dedupMinhash, dedupSimhash, dedupCanonical, streamNearDup, curationFunnel,
+    dedupMinhash, dedupSimhash, dedupCanonical, streamNearDup, streamTopK,
+    curationFunnel,
     pca2d, separability,
     separabilityGbt)
 }

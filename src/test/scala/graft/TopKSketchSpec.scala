@@ -37,6 +37,32 @@ class TopKSketchSpec extends SparkSpec {
     assert(out == Seq(("a", 30L, 0L), ("b", 20L, 0L), ("c", 10L, 0L)))
   }
 
+  test("streaming heavy hitters: shard snapshots across micro-batches match batch counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val query = graft.streaming.StreamingTopK.heavyHitters(
+        stream.toDF().toDF("w"), k = 10, capacity = 64, nShards = 4)
+      .writeStream.format("memory").queryName("topk_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq.fill(30)("a") ++ Seq.fill(5)("b"): _*)
+      query.processAllAvailable()
+      stream.addData(Seq.fill(20)("a") ++ Seq.fill(25)("c"): _*)
+      query.processAllAvailable()
+      // last snapshot per (shard, item): capacity covers the vocabulary, so
+      // counts are exact over the whole stream and shards never collide on
+      // an item (disjoint hash partition of the key space)
+      val finals = spark.sql("select * from topk_test").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .groupBy(t => (t._1, t._2))
+        .map { case (_, snaps) => snaps.maxBy(_._3) }
+      val est = finals.map(t => t._2 -> t._3).toMap
+      assert(est == Map("a" -> 50L, "b" -> 5L, "c" -> 25L), s"got $est")
+      assert(finals.forall(_._4 == 0L), "exact regime must carry zero error")
+    } finally query.stop()
+  }
+
   test("SpaceSaving top words agree with the exact frequency ranking head") {
     val words = Tables.documents(spark, sf001)
       .select(explode(split(col("text"), " ")).as("w"))
