@@ -506,6 +506,98 @@ object TextQueries extends QueryPack {
     FROM k WHERE k * 48 < len(toks)
     ORDER BY doc_id, chunk_idx"""))
 
+  // ---- per-source curation funnel over the DETERMINISTIC stages (rules →
+  //      exact dedup → 8-gram decontamination): the hash-verified slice of
+  //      the flagship pipeline, per source — operational reporting a
+  //      curation run ships with. The minhash near-dup stage is engine-hash
+  //      (covered by tx_curation_funnel rows-only + specs) and PII
+  //      redaction is skipped consistently on both sides, so every number
+  //      here is cross-engine exact ----
+  private val curationBySource = OracleQuery(
+    "t_curation_by_source",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val words = split(col("text"), " ")
+      val grams = filter(
+        transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
+          i => when(size(words) >= 2, concat_ws(" ", slice(words, i + 1, lit(2))))),
+        g => g.isNotNull)
+      val dupFrac = when(size(words) <= 1, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") /
+          (size(words) - 1).cast("double"))
+      val flagged = corpus.withColumn("__keep",
+        graft.functions.TextOps.gopherRules(col("text")).getField("keep") &&
+          dupFrac <= 0.4)
+      val ek = flagged.filter(col("__keep"))
+        .withColumn("__exact_keep", col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .select(col("doc_id"), col("__exact_keep"))
+      val cont = graft.operators.Dedup
+        .decontaminate(corpus.select(col("doc_id"), col("text")), bench, n = 8)
+        .select(col("doc_id"), col("contaminated"))
+      flagged.join(ek, Seq("doc_id"), "left").join(cont, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_input"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_rules"),
+          sum(when(coalesce(col("__exact_keep"), lit(false)), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(when(coalesce(col("__exact_keep"), lit(false)) && !col("contaminated"),
+            1L).otherwise(0L)).as("n_clean"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS words,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS n_chars
+      FROM documents WHERE doc_id % 50 <> 0
+    ), bigr AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+      FROM (
+        SELECT a.doc_id, a.w || ' ' || b.w AS gram
+        FROM (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM d) a
+        JOIN (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM d) b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)
+      GROUP BY doc_id
+    ), r AS (
+      SELECT d.doc_id, d.source, d.text, d.words,
+        (d.n_words BETWEEN 10 AND 1000
+         AND d.n_chars / CAST(d.n_words AS DOUBLE) >= 2.0
+         AND d.n_chars / CAST(d.n_words AS DOUBLE) <= 10.0
+         AND CAST(len(list_filter(d.words, x -> regexp_matches(x, '[#_{}]'))) AS DOUBLE)
+           <= CAST(d.n_words AS DOUBLE) * 0.1
+         AND CAST(len(list_filter(d.words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           >= CAST(d.n_words AS DOUBLE) * 0.8
+         AND CAST(len(list_filter(d.words,
+           x -> x IN ('the','and','of','to','a','in','that','for'))) AS BIGINT) >= 2
+         AND (CASE WHEN COALESCE(bigr.n_grams, 0) = 0 THEN 0.0
+              ELSE 1.0 - CAST(bigr.n_distinct AS DOUBLE) / CAST(bigr.n_grams AS DOUBLE)
+              END) <= 0.4) AS keep
+      FROM d LEFT JOIN bigr ON d.doc_id = bigr.doc_id
+    ), ek AS (
+      SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keep
+      FROM r WHERE keep
+    ), bg AS (
+      SELECT DISTINCT array_to_string(list_slice(toks, k, k + 7), ' ') AS g
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 50 = 0),
+        UNNEST(range(1, greatest(len(toks) - 6, 1))) AS t(k)
+    ), cont AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT r.doc_id, array_to_string(list_slice(r.words, k, k + 7), ' ') AS g
+        FROM r, UNNEST(range(1, greatest(len(r.words) - 6, 1))) AS t(k))
+      WHERE g IN (SELECT g FROM bg)
+    )
+    SELECT r.source, COUNT(*) AS n_input,
+      CAST(SUM(CASE WHEN r.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_rules,
+      CAST(SUM(CASE WHEN COALESCE(ek.exact_keep, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      CAST(SUM(CASE WHEN COALESCE(ek.exact_keep, false) AND c.doc_id IS NULL
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM r LEFT JOIN ek ON r.doc_id = ek.doc_id
+    LEFT JOIN cont c ON r.doc_id = c.doc_id
+    GROUP BY r.source ORDER BY r.source"""))
+
   private val sourceMixture = OracleQuery(
     "t_source_mixture_sample",
     (s, d) => {
@@ -541,5 +633,5 @@ object TextQueries extends QueryPack {
     tokenCountBpe, qualityScore,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
-    chunkSliding)
+    chunkSliding, curationBySource)
 }
