@@ -55,6 +55,9 @@ object Bench {
     build("int8_corpus", selected.contains("vx_ann_int8_top5")) {
       graft.queries.EngineQueries.prepareInt8Corpus(spark, sfDir); ()
     }
+    build("ivf_int8_index", selected.contains("vx_ann_ivf_int8_top5")) {
+      graft.queries.EngineQueries.prepareIvfInt8Index(spark, sfDir); ()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

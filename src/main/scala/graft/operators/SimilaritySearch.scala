@@ -270,6 +270,61 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** IVF + int8 scalar quantizer (the classic IVF-SQ8 layout): the
+    * inverted file's cell-assigned corpus is stored QUANTIZED, composing
+    * both build-once artifacts — sub-linear candidate generation from the
+    * cell equi-join AND 4× less resident bytes per candidate. `assigned`
+    * carries (neighbor_id, cell, qv, scale, qnorm).
+    */
+  final case class IvfInt8Index(centers: Array[Array[Double]], assigned: DataFrame) {
+    def unpersist(): Unit = { assigned.unpersist(); () }
+  }
+
+  def buildIvfInt8Index(
+      corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 50000, persist: Boolean = true): IvfInt8Index = {
+    val float = buildIvfIndex(corpus, nlist, seed, idCol, vecCol, trainSample,
+      persist = false)
+    val q = quantizeInt8(corpus, idCol, vecCol)
+    val assigned = float.assigned.select(col("neighbor_id"), col("cell"))
+      .join(q.select(col(idCol).as("neighbor_id"), col("scale"),
+        col("qnorm"), col("qv")), "neighbor_id")
+    IvfInt8Index(float.centers,
+      if (persist) assigned.persist() else assigned)
+  }
+
+  /** Probe an IVF-SQ8 index: nprobe nearest cells per query, candidates
+    * from the cell equi-join, scoring through the native int8 codegen
+    * kernel. Same output shape as [[ivfProbe]].
+    */
+  def ivfProbeInt8(
+      index: IvfInt8Index, queries: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centers = index.centers
+    val probe = udf { (v: Seq[Float]) =>
+      centers.indices.map(c2 => (c2, sqDist(v, centers(c2))))
+        .sortBy(_._2).take(nprobe).map(_._1).toArray
+    }
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    def score(qv: Column, scale: Column, qnorm: Column, fq: Column): Column =
+      column(graft.expressions.Int8Cosine(expression(qv), expression(scale),
+        expression(qnorm), expression(fq)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("fq"),
+      explode(probe(col(vecCol))).as("cell"))
+    val scored = index.assigned.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        score(col("qv"), col("scale"), col("qnorm"), col("fq")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** One-shot IVF top-k (build + probe, nothing cached). Prefer
     * `buildIvfIndex` + `ivfProbe` when probing more than once.
     */

@@ -398,6 +398,21 @@ object EngineQueries extends QueryPack {
         Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5),
     None)
 
+  // IVF-SQ8: inverted file over the int8-quantized corpus — sub-linear
+  // candidates AND 4× less resident state, the standard large-scale ANN
+  // deployment shape. Build-once via SessionMemo like its siblings.
+  def prepareIvfInt8Index(s: org.apache.spark.sql.SparkSession,
+      d: String): SimilaritySearch.IvfInt8Index =
+    graft.SessionMemo.getOrElseUpdate(s, s"ivf_int8_index:$d")(
+      SimilaritySearch.buildIvfInt8Index(Tables.embeddings(s, d), nlist = 8))(
+      _.unpersist())
+  private val annIvfInt8 = OracleQuery(
+    "vx_ann_ivf_int8_top5",
+    (s, d) =>
+      SimilaritySearch.ivfProbeInt8(prepareIvfInt8Index(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 4),
+    None)
+
   // embedding-cosine near-dup pairs (the dedup family's vector member,
   // north-star list "embedding-cosine near-dup"): all pairs with cosine ≥ τ.
   // Oracle-exact via the same input-quantization scheme as
@@ -584,7 +599,7 @@ object EngineQueries extends QueryPack {
     ckaMatrixQuantized,
     hllDistinct, approxPercentiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
-    annInt8,
+    annInt8, annIvfInt8,
     dedupCosinePairs, dedupEmbeddingCanonical,
     dedupMinhash, dedupSimhash, dedupCanonical, streamNearDup, streamTopK,
     curationFunnel,

@@ -88,11 +88,21 @@ class SimilaritySearchSpec extends SparkSpec {
         numTables = 24, bitsPerTable = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val lshRecall = recallOf(lshHits)
+
+    // IVF-SQ8: same inverted file, int8-quantized cells — quantization may
+    // cost a little recall on top of the cell misses. Documented bound:
+    // recall@5 >= 0.75.
+    val idx8 = SimilaritySearch.buildIvfInt8Index(emb01, nlist = 8)
+    val ivf8Hits = SimilaritySearch.ivfProbeInt8(idx8, queries, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf8Recall = recallOf(ivf8Hits)
+    idx8.unpersist()
     emb01.unpersist()
 
-    info(f"recall@5 IVF(nlist=8,nprobe=4)=$ivfRecall%.3f LSH(24x5)=$lshRecall%.3f")
+    info(f"recall@5 IVF(nlist=8,nprobe=4)=$ivfRecall%.3f LSH(24x5)=$lshRecall%.3f IVF-SQ8=$ivf8Recall%.3f")
     assert(ivfRecall >= 0.8, f"IVF recall@5 $ivfRecall%.3f below documented 0.8")
     assert(lshRecall >= 0.6, f"LSH recall@5 $lshRecall%.3f below documented 0.6")
+    assert(ivf8Recall >= 0.75, f"IVF-SQ8 recall@5 $ivf8Recall%.3f below documented 0.75")
   }
 
   test("int8-quantized ANN matches the float path: top-5 overlap and cosine error") {
