@@ -308,6 +308,71 @@ object Dedup {
       (col("id") === col("rep")).as("keep"))
   }
 
+  /** Incremental dedup of an arriving batch against an existing canonical
+    * corpus — the production daily-ingest shape, where the corpus is orders
+    * of magnitude larger than the batch and must never self-join or
+    * reshuffle per batch:
+    *
+    *  - exact: content-hash membership probe. The corpus contributes one
+    *    map-only hash projection (at scale, a persisted hash-index column
+    *    read instead of recomputed);
+    *  - near-dup: batch MinHash signatures probe the corpus's banded bucket
+    *    table in an ASYMMETRIC equi-join — batch-buckets × corpus-buckets,
+    *    with the same hot-bucket cap as the self-join family applied to the
+    *    corpus side.
+    *
+    * Pass `corpusSigs` (a prior `minhashSignatures` output, the persisted
+    * artifact) to skip recomputing corpus signatures per batch.
+    *
+    * Returns the batch with `exact_dup: boolean` and `near_dup_of: nullable
+    * id` (lowest corpus id whose estimated Jaccard ≥ threshold).
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.7, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = 1000,
+      corpusSigs: Option[DataFrame] = None): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val exactHit = corpus.select(xxhash64(col(textCol)).as("__h")).distinct()
+      .withColumn("__exact", lit(true))
+    val withExact = batch
+      .withColumn("__h", xxhash64(col(textCol)))
+      .join(exactHit, Seq("__h"), "left")
+      .withColumn("exact_dup", coalesce(col("__exact"), lit(false)))
+      .drop("__h", "__exact")
+
+    def banded(sigs: DataFrame, as: String) = sigs.select(
+      col(idCol).as(as), col("minhash").as(s"mh_$as"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "bucket")))
+    val cAll = banded(
+      corpusSigs.getOrElse(minhashSignatures(corpus, idCol, textCol, numHashes)),
+      "corpus_id")
+    // hot-bucket cap on the corpus side only: a degenerate corpus bucket
+    // multiplies every probing batch row, the asymmetric form of the k² blowup
+    val c = cAll.join(
+      cAll.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= maxBucketSize)
+        .select(col("band"), col("bucket")),
+      Seq("band", "bucket"))
+    val b = banded(minhashSignatures(batch, idCol, textCol, numHashes), "batch_id")
+    val nearest = b.join(c, Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"), col("mh_batch_id"), col("mh_corpus_id"))
+      .distinct()
+      .select(col("batch_id"), col("corpus_id"),
+        (size(filter(zip_with(col("mh_batch_id"), col("mh_corpus_id"),
+          (x, y) => x === y), bool => bool)).cast("double") /
+          size(col("mh_batch_id"))).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("batch_id"))
+      .agg(min(col("corpus_id")).as("near_dup_of"))
+    withExact.join(nearest, withExact(idCol) === nearest("batch_id"), "left")
+      .drop("batch_id")
+  }
+
   /** 64-bit SimHash over word tokens: bit j of the fingerprint is the sign
     * of Σ_tokens (±1 according to bit j of hash(token)). Row-local one-pass
     * UDF — no tokenizer explode, no shuffle (the alternative explode +

@@ -530,6 +530,23 @@ object EngineQueries extends QueryPack {
         .orderBy(col("doc_id")),
     None)
 
+  // incremental (batch-vs-corpus) dedup — the daily-ingest shape: arriving
+  // docs (doc_id % 10 == 0 stands in for the day's batch) probe the
+  // standing corpus's hash set and banded bucket table asymmetrically;
+  // the corpus never self-joins. MinHash internals → rows-only; DedupSpec
+  // pins exact/near/novel classification
+  private val dedupIncremental = OracleQuery(
+    "tx_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0), threshold = 0.5)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup_of"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   // the STREAMING heavy-hitter sketch run in batch mode (each shard's
   // flatMapGroupsWithState group executes once over its full token set →
   // one exact SpaceSaving pass per shard). Shard assignment is engine-hash
@@ -601,8 +618,8 @@ object EngineQueries extends QueryPack {
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8,
     dedupCosinePairs, dedupEmbeddingCanonical,
-    dedupMinhash, dedupSimhash, dedupCanonical, streamNearDup, streamTopK,
-    curationFunnel,
+    dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
+    streamNearDup, streamTopK, curationFunnel,
     pca2d, separability,
     separabilityGbt)
 }

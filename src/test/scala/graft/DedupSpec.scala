@@ -136,6 +136,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: batch probes corpus for exact and near dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls softly on the quiet empty village square at dusk tonight"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "completely different text about spark shuffles joins and " +
+        "aggregations running on large distributed clusters every day"),
+      (102L, "yet another unrelated document describing parquet files and " +
+        "column pruning with predicate pushdown for analytic scans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                                    // exact dup of 100
+      (2L, base.replace("dusk", "dawn")),            // near dup of 100
+      (3L, "a totally novel arrival document with words shared by nothing " +
+        "else in the existing corpus about gardening and fresh tomatoes"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(r.fieldIndex("exact_dup")),
+          Option(r.get(r.fieldIndex("near_dup_of"))).map(_.toString.toLong))))
+      .toMap
+    assert(out(1L) == ((true, Some(100L))), s"exact dup: ${out(1L)}")
+    assert(out(2L)._1 == false && out(2L)._2 == Some(100L), s"near dup: ${out(2L)}")
+    assert(out(3L) == ((false, None)), s"novel: ${out(3L)}")
+    // precomputed corpus signatures (the persisted-artifact path) agree
+    val sigs = Dedup.minhashSignatures(corpus)
+    val out2 = Dedup.incrementalDedup(batch, corpus, threshold = 0.5,
+        corpusSigs = Some(sigs))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("near_dup_of"))).map(_.toString.toLong)).toMap
+    assert(out2(2L) == Some(100L) && out2(3L).isEmpty)
+  }
+
   test("bloom-pruned decontamination flags exactly the exact path's set") {
     val docs = Tables.documents(spark, sf001)
     val bench = docs.filter(col("doc_id") % 50 === 0)
