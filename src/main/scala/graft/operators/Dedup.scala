@@ -308,6 +308,30 @@ object Dedup {
       (col("id") === col("rep")).as("keep"))
   }
 
+  /** Leakage-safe train/test split: the assignment hashes the duplicate
+    * CLUSTER's canonical id, not the row id, so every member of an
+    * exact/near-dup cluster lands on the same side — the split discipline
+    * that stops test data leaking into training through duplicates (the
+    * standard eval-integrity failure published decontamination work warns
+    * about). `pairs` is any dup-pair relation (exact-hash pairs for a fully
+    * deterministic split, MinHash/LSH candidate pairs for near-dup safety);
+    * unpaired documents are their own cluster. The hash is the Knuth
+    * multiplicative scheme over the canonical id — deterministic
+    * cross-engine when ids are.
+    *
+    * Returns docs + (canonical_id, is_test).
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      testPpm: Long = 100000L, idCol: String = "doc_id"): DataFrame = {
+    val canon = canonicalize(pairs)
+      .select(col("doc_id").as(idCol), col("canonical_id"))
+    docs.join(canon, Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol)))
+      .withColumn("is_test",
+        pmod(col("canonical_id") * lit(2654435761L), lit(4294967296L)) <
+          lit(testPpm * 4294967296L / 1000000L))
+  }
+
   /** Incremental dedup of an arriving batch against an existing canonical
     * corpus — the production daily-ingest shape, where the corpus is orders
     * of magnitude larger than the batch and must never self-join or

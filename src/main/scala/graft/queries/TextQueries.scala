@@ -598,6 +598,35 @@ object TextQueries extends QueryPack {
     LEFT JOIN cont c ON r.doc_id = c.doc_id
     GROUP BY r.source ORDER BY r.source"""))
 
+  // ---- leakage-safe train/test split: assignment hashes the exact-dup
+  //      cluster's canonical id (min doc per content hash), so duplicate
+  //      clusters never straddle the split — the eval-integrity discipline
+  //      behind published decontamination work. Exercises
+  //      Dedup.leakageSafeSplit end-to-end (pairs → canonicalize → Knuth
+  //      hash assignment), all deterministic → full oracle ----
+  private val leakageSplit = OracleQuery(
+    "t_split_leakage_safe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val groups = h.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+      val pairs = h.join(groups, "h")
+        .filter(col("doc_id") =!= col("id_a"))
+        .select(col("id_a"), col("doc_id").as("id_b"))
+      graft.operators.Dedup.leakageSafeSplit(docs, pairs, testPpm = 100000L)
+        .select(col("doc_id"), col("canonical_id"), col("is_test"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH c AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents
+    )
+    SELECT doc_id, canonical_id,
+      (canonical_id * 2654435761) % 4294967296 < 429496729 AS is_test
+    FROM c ORDER BY doc_id"""))
+
   private val sourceMixture = OracleQuery(
     "t_source_mixture_sample",
     (s, d) => {
@@ -633,5 +662,5 @@ object TextQueries extends QueryPack {
     tokenCountBpe, qualityScore,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
-    chunkSliding, curationBySource)
+    chunkSliding, curationBySource, leakageSplit)
 }
