@@ -50,6 +50,44 @@ object EventQueries extends QueryPack {
       FROM events)
     GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
+  // ---- ordered conversion funnel (view → click → purchase): per user, the
+  //      first view, the first click strictly after it, and the first
+  //      purchase strictly after that — the classic product-analytics
+  //      funnel with step ordering enforced (a purchase before the click
+  //      does not count). Three bounded per-user aggregations, each a
+  //      broadcast-joinable user-level relation ----
+  private val conversionFunnel = OracleQuery(
+    "e_conversion_funnel",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id"""))
+
   // ---- gap-based sessionization (30-min inactivity gap): the batch analog
   //      of session_window; lag + running flag-sum assigns session ids ----
   private val sessions = OracleQuery(
@@ -229,5 +267,5 @@ object EventQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] =
     Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
-      sessionWindowNative, statefulSessions)
+      conversionFunnel, sessionWindowNative, statefulSessions)
 }
