@@ -88,6 +88,34 @@ object EventQueries extends QueryPack {
     LEFT JOIN p ON v.user_id = p.user_id
     ORDER BY v.user_id"""))
 
+  // ---- weekly cohort retention: users grouped by their first-activity
+  //      week; for each (cohort, week offset), how many distinct cohort
+  //      members were active — the classic retention triangle. date_trunc
+  //      weeks are ISO-Monday-aligned in both engines; offsets from exact
+  //      day arithmetic ----
+  private val cohortRetention = OracleQuery(
+    "e_cohort_retention",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id
+    )
+    SELECT c.cohort_wk,
+      CAST(date_diff('day', c.cohort_wk, e.wk) / 7 AS BIGINT) AS week_offset,
+      COUNT(DISTINCT e.user_id) AS n_active
+    FROM e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY cohort_wk, week_offset"""))
+
   // ---- gap-based sessionization (30-min inactivity gap): the batch analog
   //      of session_window; lag + running flag-sum assigns session ids ----
   private val sessions = OracleQuery(
@@ -267,5 +295,5 @@ object EventQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] =
     Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
-      conversionFunnel, sessionWindowNative, statefulSessions)
+      conversionFunnel, cohortRetention, sessionWindowNative, statefulSessions)
 }
