@@ -311,6 +311,36 @@ object AdvancedQueries extends QueryPack {
     WHERE r_regionkey <= 1
     GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
+  // ---- TPC-H Q17-shape: revenue from small-quantity orders of one brand's
+  //      parts, qty below 0.2× that part's average. The correlated scalar
+  //      subquery is decorrelated BY HAND into a per-part aggregate +
+  //      broadcast join — the plan a 100 TB run needs anyway (the subquery
+  //      form rescans lineitem per part). avg threshold compared in exact
+  //      decimal-sum/count arithmetic so the row set is cross-engine
+  //      deterministic ----
+  private val q17ish = OracleQuery(
+    "j_tpch_q17ish_small_qty_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#4"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(broadcast(perPart), li("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(dsum(col("l_extendedprice")).as("total_price"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""WITH perpart AS (
+      SELECT l_partkey AS pk, ${DAVG("l_quantity")} AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ${DSUM("l_extendedprice")} AS total_price, COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#4'
+    JOIN perpart ON l_partkey = pk
+    WHERE l_quantity < 0.2 * avg_qty"""))
+
   // ---- TPC-H Q3-shape: shipping-priority top-k over a 3-table join ----
   private val q3ish = OracleQuery(
     "j_tpch_q3ish_shipping_priority",
@@ -465,6 +495,6 @@ object AdvancedQueries extends QueryPack {
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
-    stringAgg, groupingSets, q5ish, q3ish, arrayHof, regexpGroups, bagSetOps,
+    stringAgg, groupingSets, q5ish, q3ish, q17ish, arrayHof, regexpGroups, bagSetOps,
     pivotQuery, unpivotQuery, rankStats)
 }
