@@ -38,6 +38,25 @@ object SkewJoin {
     salted.join(exploded, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Bloom-filtered semi-join: membership-prune the large side BEFORE the
+    * exact semi-join shuffles it. The small side's keys build a Bloom
+    * filter (~10 bits/key at 1% FPR — far smaller than a broadcast hash
+    * set at large key counts); the large side filters map-side and only
+    * true matches plus the FPR sliver reach the exact join, which removes
+    * false positives — output is exactly `large SEMI JOIN small`. The
+    * explicit form of the runtime row-level filtering Spark injects only
+    * for some shuffle-join shapes; here the prune is guaranteed.
+    */
+  def bloomSemiJoin(large: DataFrame, small: DataFrame, key: String,
+      fpp: Double = 0.01): DataFrame = {
+    val keys = small.select(col(key)).distinct()
+    val expected = math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter(key, expected, fpp)
+    val mightContain = udf((k: Any) => k != null && bloom.mightContain(k))
+    large.filter(mightContain(col(key)))
+      .join(keys, Seq(key), "left_semi")
+  }
+
   /** Key-distribution profile — the measurement that DECIDES whether a join
     * needs salting and with what factor: the `topK` heaviest keys with their
     * row share (ppm) and skew factor (count / mean count per key, in

@@ -78,6 +78,28 @@ object ScaleJoinQueries extends QueryPack {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // ---- bloom-filtered semi-join: lineitems of high-balance suppliers,
+  //      large side membership-pruned map-side before the exact semi-join.
+  //      Output identical to the plain semi-join by construction, so the
+  //      oracle is the plain SQL form ----
+  private val bloomSemi = OracleQuery(
+    "jx_bloom_semi_lineitems",
+    (s, d) =>
+      SkewJoin.bloomSemiJoin(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+            col("l_linenumber")),
+          Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+            .select(col("s_suppkey").as("l_suppkey")),
+          "l_suppkey")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy(col("l_suppkey")),
+    Some("""SELECT l_suppkey, COUNT(*) AS n_items
+    FROM lineitem SEMI JOIN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000
+    ) ON l_suppkey = s_suppkey
+    GROUP BY l_suppkey ORDER BY l_suppkey"""))
+
   // ---- key-skew profile: the measurement that picks the salt factor for
   //      the join above — top-10 heaviest lineitem supplier keys with row
   //      share and skew-vs-mean, exact-double arithmetic → full oracle ----
@@ -117,5 +139,6 @@ object ScaleJoinQueries extends QueryPack {
     None)
 
   override val all: Seq[OracleQuery] =
-    Seq(saltedSupplierRevenue, bucketedOrderRevenue, keySkewProfile, zorderSpans)
+    Seq(saltedSupplierRevenue, bucketedOrderRevenue, keySkewProfile, bloomSemi,
+      zorderSpans)
 }
