@@ -91,6 +91,40 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("int8 ANN scan broadcasts queries and never shuffles the corpus pre-rank") {
+    val df = SparkEntry.queries("vx_ann_int8_top5")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    // two shuffles allowed: the per-query rank window and the final output
+    // sort — the corpus must reach the scoring join without shuffling
+    // (BroadcastExchange on the query side is the point, not a shuffle)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"corpus shuffles before scoring ($shuffles shuffles):\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-k not group-limited")
+  }
+
+  test("token-rarity frequency table broadcasts back to the token stream") {
+    val p = plan("t_token_rarity_score")
+    // vocab-bounded side must be the build side of a broadcast join at this
+    // SF (at larger vocab AQE may choose SMJ — still keyed on the token)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"frequency/doc aggregations lost partial aggregation:\n$p")
+  }
+
+  test("bloom semi-join filters the large side before the exchange") {
+    val df = SparkEntry.queries("jx_bloom_semi_lineitems")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // the UDF membership filter must sit directly over the scan (map-side),
+    // not after the join: find a Filter containing the UDF below any join
+    val filterIdx = p.indexOf("UDF(l_suppkey")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
+    assert(filterIdx > 0, s"no bloom membership filter in plan:\n$p")
+    assert(joinIdx < filterIdx,
+      s"bloom filter not below the join (join@$joinIdx, filter@$filterIdx):\n$p")
+  }
+
   test("ntile runs as the two-pass bucket plan, never a one-partition window") {
     val p = plan("w_ntile_acctbal_quartiles").toLowerCase
     assert(!p.contains("window"), s"ntile fell back to a window:\n$p")
