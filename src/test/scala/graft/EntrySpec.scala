@@ -32,4 +32,15 @@ class EntrySpec extends SparkSpec {
         s"$name leaks unaliased column: ${cols.mkString(",")}")
     }
   }
+
+  test("SessionMemo builds once per (session, key) and isolates keys") {
+    var builds = 0
+    def build(): Object = { builds += 1; new Object }
+    val a = SessionMemo.getOrElseUpdate(spark, "entry_spec_memo_a")(build())(_ => ())
+    val a2 = SessionMemo.getOrElseUpdate(spark, "entry_spec_memo_a")(build())(_ => ())
+    assert(a eq a2, "same (session, key) rebuilt")
+    assert(builds == 1)
+    val b = SessionMemo.getOrElseUpdate(spark, "entry_spec_memo_b")(build())(_ => ())
+    assert(builds == 2 && !(a eq b), "keys not isolated")
+  }
 }
