@@ -313,20 +313,29 @@ object AdvancedQueries extends QueryPack {
 
   // ---- TPC-H Q17-shape: revenue from small-quantity orders of one brand's
   //      parts, qty below 0.2× that part's average. The correlated scalar
-  //      subquery is decorrelated BY HAND into a per-part aggregate +
-  //      broadcast join — the plan a 100 TB run needs anyway (the subquery
-  //      form rescans lineitem per part). avg threshold compared in exact
-  //      decimal-sum/count arithmetic so the row set is cross-engine
-  //      deterministic ----
+  //      subquery is decorrelated BY HAND into a per-part aggregate — the
+  //      plan a 100 TB run needs anyway (the subquery form rescans lineitem
+  //      per part). Scale discipline: lineitem is pruned to the filtered
+  //      brand's part keys BEFORE the aggregate, so (a) the avg is computed
+  //      only for consumed parts (1/|brands| of the work) and (b) the
+  //      aggregate's output is |brand parts| rows — small enough that AQE
+  //      picks the join strategy itself; forcing a broadcast on a relation
+  //      whose row count grows linearly with |part| would OOM at 100×.
+  //      Pruning by partkey keeps every lineitem row of a surviving part,
+  //      so each part's average is unchanged. Only the single-brand KEY
+  //      column is hinted broadcast (~|part|/50 longs — a true dim).
+  //      avg threshold compared in exact decimal-sum/count arithmetic so
+  //      the row set is cross-engine deterministic ----
   private val q17ish = OracleQuery(
     "j_tpch_q17ish_small_qty_revenue",
     (s, d) => {
       val li = Tables.lineitem(s, d)
-      val p = broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#4"))
-      val perPart = li.groupBy(col("l_partkey").as("pk"))
+      val pk = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#4").select(col("p_partkey")))
+      val brandLi = li.join(pk, li("l_partkey") === col("p_partkey"))
+      val perPart = brandLi.groupBy(col("l_partkey").as("pk"))
         .agg(davg(col("l_quantity")).as("avg_qty"))
-      li.join(p, li("l_partkey") === p("p_partkey"))
-        .join(broadcast(perPart), li("l_partkey") === col("pk"))
+      brandLi.join(perPart, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg(dsum(col("l_extendedprice")).as("total_price"),
           count(lit(1)).as("n_items"))

@@ -523,7 +523,11 @@ object EngineQueries extends QueryPack {
   private val streamNearDup = OracleQuery(
     "tx_stream_neardup_hits",
     (s, d) =>
-      graft.streaming.StreamingDedup.nearDupHits(Tables.documents(s, d))
+      // batch twin reuses the session's memoized signature artifact — the
+      // production stream carries the signature column with each document,
+      // so the gate query must not re-run the shingle/minhash pass either
+      graft.streaming.StreamingDedup.nearDupHits(Tables.documents(s, d),
+          sigs = Some(prepareMinhashSigs(s, d)))
         .toDF()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_band_hits"), min(col("first_doc_id")).as("first_seen"))

@@ -36,15 +36,22 @@ final case class BucketClaim(first: Long)
   */
 object StreamingDedup {
 
+  /** @param sigs optional precomputed `Dedup.minhashSignatures` output
+    *   (idCol + `minhash` array) for `docs`. In production the signature
+    *   column arrives WITH the stream (computed once at ingest, the same
+    *   persisted columnar artifact the batch dedup family shares) — passing
+    *   it here skips re-running the shingle/minhash pass per consumer.
+    */
   def nearDupHits(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
-      shingleK: Int = 3): Dataset[BandHit] = {
+      shingleK: Int = 3, sigs: Option[DataFrame] = None): Dataset[BandHit] = {
     require(bands * rowsPerBand == numHashes,
       s"bands($bands) x rowsPerBand($rowsPerBand) must equal numHashes($numHashes)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = Dedup.minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
+    val banded = sigs
+      .getOrElse(Dedup.minhashSignatures(docs, idCol, textCol, numHashes, shingleK))
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(
           transform(sequence(lit(0), lit(bands - 1)),

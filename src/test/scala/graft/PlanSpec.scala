@@ -125,6 +125,34 @@ class PlanSpec extends SparkSpec {
       s"bloom filter not below the join (join@$joinIdx, filter@$filterIdx):\n$p")
   }
 
+  test("q17-shape per-part aggregate is brand-pruned and never hint-broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val qe = SparkEntry.queries("j_tpch_q17ish_small_qty_revenue")(spark, sf001)
+      .queryExecution
+    val opt = qe.optimizedPlan
+    // the avg_qty aggregate must consume a JOINED (brand-pruned) lineitem,
+    // not the raw scan — aggregating all of lineitem does 50× the work and
+    // produces a |part|-sized relation
+    val avgAggs = opt.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "avg_qty") => a
+    }
+    assert(avgAggs.nonEmpty, s"no avg_qty aggregate in plan:\n$opt")
+    avgAggs.foreach { a =>
+      assert(a.collectFirst { case j: Join => j }.isDefined,
+        s"per-part aggregate input is not brand-pruned:\n$a")
+    }
+    // no broadcast hint may force an Aggregate subtree to the build side —
+    // that relation's row count grows linearly with |part|; AQE must size it
+    opt.collect { case j: Join => j }.foreach { j =>
+      def aggUnder(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        p.collectFirst { case a: Aggregate => a }.isDefined
+      if (j.hint.leftHint.exists(_.strategy.isDefined))
+        assert(!aggUnder(j.left), s"broadcast hint forces an aggregate side:\n$j")
+      if (j.hint.rightHint.exists(_.strategy.isDefined))
+        assert(!aggUnder(j.right), s"broadcast hint forces an aggregate side:\n$j")
+    }
+  }
+
   test("ntile runs as the two-pass bucket plan, never a one-partition window") {
     val p = plan("w_ntile_acctbal_quartiles").toLowerCase
     assert(!p.contains("window"), s"ntile fell back to a window:\n$p")
