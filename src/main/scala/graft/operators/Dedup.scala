@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Large-scale document deduplication (north-star pipeline ops; SURVEY.md
   * §7.2 step 5). Each variant is pure DataFrame API so Catalyst plans it:
@@ -308,6 +309,22 @@ object Dedup {
       (col("id") === col("rep")).as("keep"))
   }
 
+  /** Overflow-safe Knuth multiplicative hash into [0, 2^32): equals
+    * (c * 2654435761) mod 2^32 for ANY long input (negative included),
+    * computed via a 16-bit limb split so no intermediate exceeds 2^49.
+    * The naive `c * 2654435761` silently wraps Spark's Long past
+    * |c| ≈ 3.47e9 — the wrapped value still reduces correctly mod 2^32,
+    * but DuckDB errors on the same BIGINT overflow, so the naive form is
+    * not cross-engine. SQL twin: [[graft.queries.Exact.KNUTH32]].
+    */
+  def knuth32(c: Column): Column = {
+    val m = lit(4294967296L)
+    val id32 = pmod(c.cast("long"), m)
+    val hi = shiftright(id32, 16) // < 2^16
+    val lo = id32.bitwiseAND(lit(65535L))
+    pmod(pmod(hi * lit(2654435761L), m) * lit(65536L) + lo * lit(2654435761L), m)
+  }
+
   /** Leakage-safe train/test split: the assignment hashes the duplicate
     * CLUSTER's canonical id, not the row id, so every member of an
     * exact/near-dup cluster lands on the same side — the split discipline
@@ -315,9 +332,15 @@ object Dedup {
     * standard eval-integrity failure published decontamination work warns
     * about). `pairs` is any dup-pair relation (exact-hash pairs for a fully
     * deterministic split, MinHash/LSH candidate pairs for near-dup safety);
-    * unpaired documents are their own cluster. The hash is the Knuth
-    * multiplicative scheme over the canonical id — deterministic
-    * cross-engine when ids are.
+    * unpaired documents are their own cluster.
+    *
+    * Hashing branches on the canonical id's type: integral ids use the
+    * overflow-safe [[knuth32]] scheme (deterministic cross-engine — the
+    * oracle replays it exactly); string ids use `xxhash64` reduced mod
+    * 2^32 (deterministic across Spark runs and versions, but xxHash64
+    * with Spark's seed is not replayable in other engines — verify via
+    * spec, not SQL oracle). Any other id type fails loudly instead of
+    * null-casting every row to neither split.
     *
     * Returns docs + (canonical_id, is_test).
     */
@@ -325,11 +348,16 @@ object Dedup {
       testPpm: Long = 100000L, idCol: String = "doc_id"): DataFrame = {
     val canon = canonicalize(pairs)
       .select(col("doc_id").as(idCol), col("canonical_id"))
-    docs.join(canon, Seq(idCol), "left")
+    val joined = docs.join(canon, Seq(idCol), "left")
       .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol)))
-      .withColumn("is_test",
-        pmod(col("canonical_id") * lit(2654435761L), lit(4294967296L)) <
-          lit(testPpm * 4294967296L / 1000000L))
+    val bucket = joined.schema("canonical_id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        knuth32(col("canonical_id"))
+      case StringType => pmod(xxhash64(col("canonical_id")), lit(4294967296L))
+      case t => throw new IllegalArgumentException(
+        s"leakageSafeSplit: canonical id must be integral or string, got $t")
+    }
+    joined.withColumn("is_test", bucket < lit(testPpm * 4294967296L / 1000000L))
   }
 
   /** Incremental dedup of an arriving batch against an existing canonical

@@ -46,4 +46,16 @@ object Exact {
 
   def DAVG(e: String, p: Int = 27, s: Int = 6): String =
     s"${DSUM(e, p, s)} / COUNT(*)"
+
+  /** SQL twin of [[graft.operators.Dedup.knuth32]] for the DuckDB oracle:
+    * (e * 2654435761) mod 2^32 via 16-bit limb split, so no intermediate
+    * exceeds 2^49 — DuckDB errors on BIGINT overflow where Spark wraps, so
+    * the naive product form diverges (or dies) past ids ~3.47e9. Assumes a
+    * nonnegative id (true of every oracle table's keys).
+    */
+  def KNUTH32(e: String): String = {
+    val id32 = s"(($e) % 4294967296)"
+    s"(((($id32 >> 16) * 2654435761) % 4294967296) * 65536" +
+      s" + (($id32 & 65535) * 2654435761)) % 4294967296"
+  }
 }

@@ -619,18 +619,18 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("canonical_id"), col("is_test"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH c AS (
+    Some(s"""WITH c AS (
       SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
       FROM documents
     )
     SELECT doc_id, canonical_id,
-      (canonical_id * 2654435761) % 4294967296 < 429496729 AS is_test
+      ${KNUTH32("canonical_id")} < 429496729 AS is_test
     FROM c ORDER BY doc_id"""))
 
   private val sourceMixture = OracleQuery(
     "t_source_mixture_sample",
     (s, d) => {
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val h = graft.operators.Dedup.knuth32(col("doc_id"))
       val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
       val n = Window.partitionBy(col("source"))
       val weight = when(col("source") === "src0", 1.0)
@@ -644,10 +644,10 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("rn"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH ranked AS (
+    Some(s"""WITH ranked AS (
       SELECT doc_id, source,
         CAST(ROW_NUMBER() OVER (PARTITION BY source
-          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rn,
+          ORDER BY ${KNUTH32("doc_id")}, doc_id) AS BIGINT) AS rn,
         COUNT(*) OVER (PARTITION BY source) AS n
       FROM documents
     )

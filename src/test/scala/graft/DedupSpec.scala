@@ -170,6 +170,37 @@ class DedupSpec extends SparkSpec {
     assert(out2(2L) == Some(100L) && out2(3L).isEmpty)
   }
 
+  test("leakage-safe split: string ids get a non-null side, clusters co-assigned") {
+    // string canonical ids null-cast under the old numeric-only hash,
+    // assigning dup clusters to NEITHER split — must never regress
+    val docs = Seq(
+      ("doc-a", "same text"), ("doc-b", "same text"), ("doc-c", "same text"),
+      ("doc-d", "unique one"), ("doc-e", "unique two"))
+      .toDF("doc_id", "text")
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-a", "doc-c")).toDF("id_a", "id_b")
+    // 50% test fraction so both sides are plausibly populated
+    val out = Dedup.leakageSafeSplit(docs, pairs, testPpm = 500000L)
+      .select($"doc_id", $"canonical_id", $"is_test").collect()
+    assert(out.length == 5)
+    assert(out.forall(r => !r.isNullAt(2)), "null is_test: row on neither side")
+    val cluster = out.filter(r => Set("doc-a", "doc-b", "doc-c")(r.getString(0)))
+    assert(cluster.map(_.getString(1)).toSet == Set("doc-a"), "cluster not canonical")
+    assert(cluster.map(_.getBoolean(2)).toSet.size == 1, "dup cluster split across sides")
+  }
+
+  test("knuth32 matches (id * 2654435761) mod 2^32 exactly, huge ids included") {
+    // ids past ~3.47e9 wrap the naive Long product; the limb-split form
+    // must still equal the true mathematical value (BigInt oracle)
+    val ids = Seq(0L, 1L, 12345L, 3470000000L, Int.MaxValue.toLong * 7,
+      Long.MaxValue, -1L, -3470000001L)
+    val got = ids.toDF("id").select(Dedup.knuth32($"id").as("h"))
+      .collect().map(_.getLong(0))
+    val want = ids.map { id =>
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+    }
+    assert(got.toSeq == want, s"knuth32 diverges: ${ids.zip(got).zip(want)}")
+  }
+
   test("bloom-pruned decontamination flags exactly the exact path's set") {
     val docs = Tables.documents(spark, sf001)
     val bench = docs.filter(col("doc_id") % 50 === 0)
