@@ -39,8 +39,13 @@ object Bench {
     val builds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def build(name: String, needed: Boolean)(f: => Unit): Unit = if (needed) {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => () }
-      builds(name) = (System.nanoTime() - t0) / 1e9
+      // a failed build is recorded as a NEGATIVE duration, not swallowed:
+      // otherwise the JSON reads like a fast successful build while the
+      // downstream query silently re-pays (or fails) the build inside its
+      // own timed region — the misattribution the split exists to prevent
+      val ok = try { f; true } catch { case _: Throwable => false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      builds(name) = if (ok) secs else -secs
     }
     build("bucketed_tables", selected.contains("jx_bucketed_order_revenue")) {
       graft.queries.ScaleJoinQueries.prepareBucketedTables(spark, sfDir); ()
@@ -103,14 +108,13 @@ object Bench {
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.length},"queries":${qjson(c)}}""")
     }
-    // final line LAST and compact (≤ ~1.5 KB) so the tail capture always
-    // holds one complete parseable record: total + builds + the slowest
-    // queries that fit, count of those elided noted explicitly
+    // final line LAST, raw (run/outputStrategy passes stdout through
+    // untagged) and compact (≤ ~2 KB) so any stdout tail capture holds one
+    // complete line-parseable record: total + builds + the 10 slowest
+    // queries, count of the elided noted explicitly; full per-query detail
+    // lives in the BENCHQ lines, the queries_part chunks, and target/bench.json
     val slowest = results.toSeq.sortBy(-_._2)
-    val headline = {
-      var size = 0
-      slowest.takeWhile { e => size += e._1.length + 12; size <= 900 }
-    }
+    val headline = slowest.take(10)
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(headline)},"elided_faster_queries":${results.size - headline.size},"builds":$buildsJson,"full":"target/bench.json","sf":"$sfDir"}"""
     println(json)
