@@ -11,7 +11,13 @@ import org.apache.spark.sql.functions.udaf
   * `capacity` counters, partials combine map-side, and only O(capacity)
   * rows per partition reach the shuffle (vs a full-vocabulary groupBy).
   * Merging follows the mergeable-summaries scheme (Agarwal et al. 2012):
-  * sum matching counters, then prune back to capacity keeping the largest.
+  * an item absent from one side is charged that side's MINIMUM counter
+  * (its maximum possible uncounted occurrences there — zero when that
+  * sketch is below capacity, since then it saw every distinct item), both
+  * est and err, then the union is pruned back to capacity keeping the
+  * largest. Charging the minimum is what preserves the one-sided
+  * overestimate across merges: an item evicted from one partial's buffer
+  * can have occurred at most that buffer's min-counter times there.
   *
   * Guarantees (spec-pinned): for every reported item, est ≥ true_count and
   * est − err ≤ true_count; any item with true frequency above ~2N/capacity
@@ -26,13 +32,23 @@ object TopKSketch {
     * streaming per-shard state (graft.streaming.StreamingTopK).
     */
   private[graft] def ssInsert(b: Buf, item: String, capacity: Int): Buf =
+    ssInsertN(b, item, 1L, capacity)
+
+  /** Count-weighted insertion: `n` occurrences of `item` at once. Identical
+    * to n sequential [[ssInsert]]s while the item stays resident (the exact
+    * regime in particular); in the eviction regime it charges min+n / err
+    * min in one step, which preserves both SpaceSaving bounds (the item had
+    * at most `min` unseen prior occurrences). Lets streaming consumers
+    * pre-aggregate a micro-batch per item before touching state.
+    */
+  private[graft] def ssInsertN(b: Buf, item: String, n: Long, capacity: Int): Buf =
     b.get(item) match {
-      case Some((est, err)) => b.updated(item, (est + 1, err))
-      case None if b.size < capacity => b.updated(item, (1L, 0L))
+      case Some((est, err)) => b.updated(item, (est + n, err))
+      case None if b.size < capacity => b.updated(item, (n, 0L))
       case None =>
         val (minItem, (minEst, _)) =
           b.minBy { case (i2, (est, _)) => (est, i2) }
-        (b - minItem).updated(item, (minEst + 1, minEst))
+        (b - minItem).updated(item, (minEst + n, minEst))
     }
 
   /** Top-k view of a buffer, est desc then item asc. */
@@ -41,27 +57,39 @@ object TopKSketch {
       .take(k)
       .map { case (item, (est, err)) => (item, est, err) }
 
+  /** Guarantee-preserving SpaceSaving merge: an item absent from a side is
+    * charged (min, min) of that side — the most it can have occurred there
+    * unseen (0 while the sketch is under capacity: nothing was evicted yet,
+    * so absence means true count 0 on that side). Summing matched counters
+    * alone would UNDER-count items evicted from one partial, breaking the
+    * est ≥ true_count bound under adversarial partitioning.
+    */
+  private[graft] def ssMerge(a: Buf, b: Buf, capacity: Int): Buf =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      val minA = if (a.size < capacity) 0L else a.valuesIterator.map(_._1).min
+      val minB = if (b.size < capacity) 0L else b.valuesIterator.map(_._1).min
+      val merged = (a.keySet | b.keySet).iterator.map { item =>
+        val (ea, ra) = a.getOrElse(item, (minA, minA))
+        val (eb, rb) = b.getOrElse(item, (minB, minB))
+        item -> (ea + eb, ra + rb)
+      }.toMap
+      // prune keeps survivors' counters intact, so reported items keep the
+      // one-sided overestimate; dropped items are below the kept minimum
+      if (merged.size <= capacity) merged
+      else merged.toSeq.sortBy { case (item, (est, _)) => (-est, item) }
+        .take(capacity).toMap
+    }
+
   private final class SpaceSaving(capacity: Int, k: Int)
       extends Aggregator[String, Buf, Seq[(String, Long, Long)]] {
 
     def zero: Buf = Map.empty
 
-    private def prune(b: Buf): Buf =
-      if (b.size <= capacity) b
-      else b.toSeq.sortBy { case (item, (est, _)) => (-est, item) }
-        .take(capacity).toMap
-
     def reduce(b: Buf, item: String): Buf = ssInsert(b, item, capacity)
 
-    def merge(a: Buf, b: Buf): Buf =
-      if (a.isEmpty) b
-      else if (b.isEmpty) a
-      else prune(b.foldLeft(a) { case (acc, (item, (est, err))) =>
-        acc.get(item) match {
-          case Some((e0, r0)) => acc.updated(item, (e0 + est, r0 + err))
-          case None => acc.updated(item, (est, err))
-        }
-      })
+    def merge(a: Buf, b: Buf): Buf = ssMerge(a, b, capacity)
 
     def finish(b: Buf): Seq[(String, Long, Long)] = ssTop(b, k)
 

@@ -22,7 +22,9 @@ final case class ShardTopK(shard: Int, item: String, est: Long, err: Long)
   *
   * State: nShards × capacity counters — constant in stream length, the
   * property that makes "top domains/words ever seen" viable on an
-  * unbounded stream. No timeout by design: all-time heavy hitters, like
+  * unbounded stream. Per-micro-batch working memory is bounded by the
+  * shard's DISTINCT batch items (counts folded off the iterator), never
+  * its row count. No timeout by design: all-time heavy hitters, like
   * the dedup claims, are permanent state (RocksDB-resident at scale).
   */
 object StreamingTopK {
@@ -34,13 +36,20 @@ object StreamingTopK {
 
     def fn(shard: Int, rows: Iterator[(Int, String)],
         state: GroupState[TopKSketch.Buf]): Iterator[ShardTopK] = {
-      // micro-batch arrival order is undefined: sort so the emitted
-      // snapshot is deterministic for a given batch content
-      val batch = rows.map(_._2).toVector.sorted
-      if (batch.isEmpty) Iterator.empty
+      // pre-aggregate the micro-batch per item STRAIGHT OFF the iterator:
+      // executor memory is bounded by the batch's distinct items in this
+      // shard (vocabulary), never its row count — materializing the raw
+      // token stream per group would defeat the sketch's whole point.
+      // Item-sorted insertion keeps the emitted snapshot deterministic for
+      // a given batch content (micro-batch arrival order is undefined).
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach { r => counts.update(r._2, counts.getOrElse(r._2, 0L) + 1L) }
+      if (counts.isEmpty) Iterator.empty
       else {
         var buf = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
-        batch.foreach { item => buf = TopKSketch.ssInsert(buf, item, capacity) }
+        counts.toSeq.sortBy(_._1).foreach { case (item, n) =>
+          buf = TopKSketch.ssInsertN(buf, item, n, capacity)
+        }
         state.update(buf)
         TopKSketch.ssTop(buf, k).iterator.map { case (item, est, err) =>
           ShardTopK(shard, item, est, err)

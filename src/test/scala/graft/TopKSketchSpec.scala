@@ -30,6 +30,31 @@ class TopKSketchSpec extends SparkSpec {
     }
   }
 
+  test("merge preserves est >= true for items evicted from one partial") {
+    // the advisor's counterexample, constructed deterministically at cap=2:
+    // A's stream is x,x,x,t0,t1,t2,t3,t4 — the tail churn ratchets the min
+    // counter past 3 and recycles x's counter at t4 — while B's stream is
+    // five more x. A sum-matched-only merge reports x as est 5 < true 8;
+    // charging
+    // the absent side's min counter keeps the one-sided bound.
+    val cap = 2
+    val aStream = Seq.fill(3)("x") ++ (0 to 4).map(i => s"t$i")
+    val bStream = Seq.fill(5)("x")
+    val a = aStream.foldLeft(Map.empty: TopKSketch.Buf)(TopKSketch.ssInsert(_, _, cap))
+    val b = bStream.foldLeft(Map.empty: TopKSketch.Buf)(TopKSketch.ssInsert(_, _, cap))
+    assert(!a.contains("x"), s"construction failed: x not evicted from A ($a)")
+    val merged = TopKSketch.ssMerge(a, b, cap)
+    val trueCounts = (aStream ++ bStream).groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    assert(merged.contains("x"), s"heavy item lost in merge ($merged)")
+    merged.foreach { case (item, (est, err)) =>
+      val t = trueCounts(item)
+      assert(est >= t, s"$item est $est < true $t")
+      assert(est - err <= t, s"$item lower bound ${est - err} > true $t")
+    }
+  }
+
   test("SpaceSaving is exact when capacity covers the key space") {
     val df = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c")
     val out = flatten(df.toDF("w").repartition(3)
