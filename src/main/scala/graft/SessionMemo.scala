@@ -8,23 +8,35 @@ import scala.collection.concurrent.TrieMap
   * persisted index/layout artifact at 100 TB, so repeated queries measure
   * probe/steady-state cost instead of re-paying the build.
   *
-  * Two leak classes this design closes (round-2 advice):
-  *  - a bare identity-hash key can recur after GC and hand a new session an
-  *    artifact bound to a stopped session's plan — here every entry pins its
-  *    owning session with a strong reference (so it cannot be collected out
-  *    from under its key) and is returned only when the requesting session
-  *    IS that object (`eq`); a hash collision between live sessions rebuilds
-  *    instead of cross-wiring;
+  * Concurrency/identity discipline (round-2 and round-3 advice):
+  *  - the map key is the (session, name) PAIR, compared by the session's
+  *    reference identity (SparkSession does not override equals) — two live
+  *    sessions can never share, evict, or thrash each other's entries, even
+  *    on an identity-hash collision, and a stopped session's key cannot be
+  *    adopted by a new session;
+  *  - build-once is `putIfAbsent` of a lazy holder: concurrent first
+  *    callers race on the insert, every caller forces the WINNER's lazy
+  *    value, so exactly one build runs and no loser artifact is created
+  *    just to leak unreleased;
   *  - entries of stopped sessions are evicted on every access, each through
-  *    its release hook (unpersist etc.), so cached DataFrames and their
-  *    sessions are not retained for the JVM lifetime.
+  *    its release hook (unpersist etc.) — skipped if the build never ran —
+  *    so cached DataFrames and their sessions are not retained for the JVM
+  *    lifetime. Entries pin their session strongly until then, which is the
+  *    point: the artifact must not outlive or be collected under its owner.
   */
 object SessionMemo {
 
-  private final case class Entry(session: SparkSession, value: Any,
-      release: Any => Unit)
+  private final class Holder(build0: () => Any, val release: Any => Unit) {
+    @volatile private[this] var built = false
+    lazy val value: Any = { val v = build0(); built = true; v }
+    /** Release the artifact iff the build actually completed — forcing the
+      * lazy here would run a fresh build on a stopped session.
+      */
+    def releaseIfBuilt(): Unit =
+      if (built) scala.util.Try(release(value))
+  }
 
-  private val entries = TrieMap.empty[String, Entry]
+  private val entries = TrieMap.empty[(SparkSession, String), Holder]
 
   /** Get or build the artifact for (session, key). `release` runs when the
     * entry is evicted after its session stops (best-effort: eviction happens
@@ -33,21 +45,15 @@ object SessionMemo {
   def getOrElseUpdate[T](session: SparkSession, key: String)(build: => T)(
       release: T => Unit): T = {
     evictStopped()
-    val k = s"${System.identityHashCode(session)}:$key"
-    entries.get(k) match {
-      case Some(e) if e.session eq session => e.value.asInstanceOf[T]
-      case stale =>
-        stale.foreach(e => scala.util.Try(e.release(e.value)))
-        val e = Entry(session, build, release.asInstanceOf[Any => Unit])
-        entries.put(k, e)
-        e.value.asInstanceOf[T]
-    }
+    val k = (session, key)
+    val mine = new Holder(() => build, release.asInstanceOf[Any => Unit])
+    val winner = entries.putIfAbsent(k, mine).getOrElse(mine)
+    winner.value.asInstanceOf[T]
   }
 
   private def evictStopped(): Unit =
-    entries.keys.foreach { k =>
-      entries.get(k).filter(_.session.sparkContext.isStopped).foreach { _ =>
-        entries.remove(k).foreach(e => scala.util.Try(e.release(e.value)))
-      }
+    entries.keys.foreach { case k @ (session, _) =>
+      if (session.sparkContext.isStopped)
+        entries.remove(k).foreach(_.releaseIfBuilt()) // remove is atomic: one releaser
     }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 /** Driver-contract invariants (SURVEY.md §5.2#1). */
 class EntrySpec extends SparkSpec {
 
@@ -42,5 +44,25 @@ class EntrySpec extends SparkSpec {
     assert(builds == 1)
     val b = SessionMemo.getOrElseUpdate(spark, "entry_spec_memo_b")(build())(_ => ())
     assert(builds == 2 && !(a eq b), "keys not isolated")
+  }
+
+  test("SessionMemo: concurrent first callers run exactly one build, share one artifact") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val released = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Object]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        gate.await()
+        results.add(SessionMemo.getOrElseUpdate(spark, "entry_spec_memo_race") {
+          builds.incrementAndGet(); new Object
+        }(_ => released.incrementAndGet()))
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(builds.get == 1, s"${builds.get} builds ran for one (session, key)")
+    assert(results.size == 8 && results.asScala.toSet.size == 1,
+      "racing callers saw different artifacts")
+    assert(released.get == 0, "a live entry's release hook ran")
   }
 }
