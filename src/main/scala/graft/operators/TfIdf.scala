@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: one explode pass; tf is a (doc, term) groupBy; df is a
   * vocab-bounded groupBy over tf's output (map-side combinable); the final
   * join shuffles on term, bounded by vocab — the same profile as the
-  * frequency queries. N is one driver-side count (a single metadata-cheap
-  * job), not a per-row subquery. ln is not cross-engine bit-stable, so the
-  * gate entry is rows-only; TextOpsSpec pins hand-computed values.
+  * frequency queries. N is a one-row corpus-count aggregate broadcast-
+  * cross-joined into the scoring plan — part of the SAME job, not a
+  * separate driver-side action (count over docs, deliberately NOT
+  * count(distinct doc_id) over tf, which would miss termless documents).
+  * ln is not cross-engine bit-stable, so the gate entry is rows-only;
+  * TextOpsSpec pins hand-computed values.
   */
 object TfIdf {
 
@@ -25,7 +28,7 @@ object TfIdf {
     */
   def topTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val n = docs.count()
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -34,7 +37,8 @@ object TfIdf {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(df, "term")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(nDf)) // one row: N rides along instead of a 2nd action
+      .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))

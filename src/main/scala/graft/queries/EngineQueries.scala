@@ -119,6 +119,88 @@ object EngineQueries extends QueryPack {
         .orderBy(col("label")),
     None)
 
+  // Oracle-hard twin of vx_cka_half_spaces: the same cross-half linear CKA
+  // per label, over integer-quantized inputs so every intermediate is exact
+  // (see vx_cka_matrix_quantized for the full bounds argument). Here the
+  // two "representations" are the embedding's halves, both 32-dim:
+  // per (label, half-pair, i, j), A_ij = n·Σqa·qb − Σqa·Σqb with n = 40
+  // rank-by-id rows, q = floor(v·64) ⇒ |A| ≤ 2n²Q² ≈ 1.3e7, and the
+  // 32×32-term Frobenius sum ≤ 1024·1.7e14 ≈ 1.8e17 — inside BIGINT with
+  // 50× headroom, so both engines sum exactly and the final
+  // fxy/(√fxx·√fyy) IEEE expression is bit-identical. This hash-verifies
+  // the grouping/algebra of the half-space CKA whose float UDAF form
+  // stays rows-only.
+  private val ckaHalfQuantized = OracleQuery(
+    "vx_cka_half_quantized",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("vec_id"))
+      val lf = Tables.embeddings(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 40)
+        .select(col("label"), col("rn"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .select(col("label"), col("rn"),
+          when(col("pos") < 32, lit("x")).otherwise(lit("y")).as("half"),
+          pmod(col("pos"), lit(32)).as("dim"),
+          floor(col("vf").cast("double") * lit(64.0)).cast("long").as("q"))
+      val a = lf.select(col("label"), col("rn"),
+        col("half").as("h1"), col("dim").as("i"), col("q").as("qa"))
+      val b = lf.select(col("label").as("lb"), col("rn").as("rnb"),
+        col("half").as("h2"), col("dim").as("j"), col("q").as("qb"))
+      val fro = a.join(b, col("label") === col("lb") && col("rn") === col("rnb")
+          && col("h1") <= col("h2"))
+        .groupBy(col("label"), col("h1"), col("h2"), col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("qa") * col("qb")).as("sxy"),
+          sum(col("qa")).as("sx"), sum(col("qb")).as("sy"))
+        .withColumn("aij", col("n") * col("sxy") - col("sx") * col("sy"))
+        .groupBy(col("label"), col("h1"), col("h2"))
+        .agg(sum(col("aij") * col("aij")).as("fro2"))
+      val xy = fro.filter(col("h1") === "x" && col("h2") === "y")
+        .select(col("label"), col("fro2").as("fxy"))
+      val xx = fro.filter(col("h1") === "x" && col("h2") === "x")
+        .select(col("label").as("lx"), col("fro2").as("fxx"))
+      val yy = fro.filter(col("h1") === "y" && col("h2") === "y")
+        .select(col("label").as("ly"), col("fro2").as("fyy"))
+      xy.join(xx, col("label") === col("lx")).join(yy, col("label") === col("ly"))
+        .select(col("label"),
+          (col("fxy").cast("double") /
+            (sqrt(col("fxx").cast("double")) * sqrt(col("fyy").cast("double")) + lit(1e-12)))
+            .as("cka"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH ranked AS (
+      SELECT label, vec_id, embedding,
+        ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      FROM embeddings
+    ), ex AS (
+      SELECT label, rn, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM ranked WHERE rn <= 40
+    ), lf AS (
+      SELECT label, rn,
+        CASE WHEN pos < 32 THEN 'x' ELSE 'y' END AS half,
+        pos % 32 AS dim,
+        CAST(floor(v * 64.0) AS BIGINT) AS q
+      FROM ex
+    ), moments AS (
+      SELECT a.label, a.half AS h1, b.half AS h2, a.dim AS i, b.dim AS j,
+        COUNT(*) AS n, SUM(a.q * b.q) AS sxy, SUM(a.q) AS sx, SUM(b.q) AS sy
+      FROM lf a JOIN lf b ON a.label = b.label AND a.rn = b.rn AND a.half <= b.half
+      GROUP BY 1, 2, 3, 4, 5
+    ), fro AS (
+      SELECT label, h1, h2,
+        CAST(SUM((n * sxy - sx * sy) * (n * sxy - sx * sy)) AS BIGINT) AS fro2
+      FROM moments GROUP BY 1, 2, 3
+    )
+    SELECT f.label,
+      CAST(f.fro2 AS DOUBLE)
+        / (sqrt(CAST(fx.fro2 AS DOUBLE)) * sqrt(CAST(fy.fro2 AS DOUBLE)) + 1e-12) AS cka
+    FROM fro f
+    JOIN fro fx ON fx.label = f.label AND fx.h1 = 'x' AND fx.h2 = 'x'
+    JOIN fro fy ON fy.label = f.label AND fy.h1 = 'y' AND fy.h2 = 'y'
+    WHERE f.h1 = 'x' AND f.h2 = 'y'
+    ORDER BY f.label"""))
+
   // J5 complete: group×group CKA matrix — the reference's pairwise heatmap
   // (src/compare_xception_featuremaps.py:139-160). Rows are aligned across
   // groups by deterministic per-group rank (the reference's equal-n seeded
@@ -617,7 +699,7 @@ object EngineQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     fastCentroidCosine, embeddingOutliers, ckaPerLabel, ckaGroupMatrix,
-    ckaMatrixQuantized,
+    ckaMatrixQuantized, ckaHalfQuantized,
     hllDistinct, approxPercentiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8,
