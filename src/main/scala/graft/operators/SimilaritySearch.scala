@@ -144,6 +144,38 @@ object SimilaritySearch {
     IvfIndex(centers, if (persist) assigned.persist() else assigned)
   }
 
+  /** Persist a built IVF index as parquet artifacts under `dir` — the
+    * lifecycle completion of the build-once story: `assigned/` holds the
+    * inverted file PARTITIONED BY cell (so a probe's nprobe-cell equi-join
+    * prunes to nprobe directories at the scan — partition pruning does the
+    * candidate selection before any row is read) and `centers/` the tiny
+    * (cell, center) quantizer table. Round-trips via [[loadIvfIndex]]:
+    * probe results are identical after reload (spec-pinned).
+    */
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+    index.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+  }
+
+  /** Load an IVF index persisted by [[saveIvfIndex]]. The inverted file is
+    * read lazily (cell partition pruning intact); `persist` caches it for
+    * repeated probing exactly like the build path.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      persist: Boolean = true): IvfIndex = {
+    val centers = spark.read.parquet(s"$dir/centers").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("neighbor_id"), col("tv"), col("cell"))
+    IvfIndex(centers, if (persist) assigned.persist() else assigned)
+  }
+
   /** Probe a prebuilt IVF index: each query visits its `nprobe` nearest
     * cells and exact-re-ranks only those cells' vectors via a cell-id
     * equi-join — |corpus|·nprobe/nlist expected candidates per query, the

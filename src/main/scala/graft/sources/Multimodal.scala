@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * opaque BINARY columns beside typed metadata structs; decode / resize /
   * frame-sample run as batched per-partition transforms so a real codec
   * (ffmpeg/libjpeg behind JNI, or Python workers at the boundary) slots in
-  * without touching the relational plan. The codecs themselves are
-  * deterministic STUBS here (no media libraries ship in this environment —
-  * SURVEY.md §7.3); schema, partitioning, batch shape, and null/corrupt
-  * handling are the real, tested contract.
+  * without touching the relational plan. Image decode (javax.imageio:
+  * PNG/JPEG/BMP/GIF) and audio decode (javax.sound.sampled: WAV/AIFF/AU →
+  * PCM) are REAL pure-JDK paths with deterministic stub fallbacks for
+  * unparseable payloads; video frame decode has no JDK codec and stays a
+  * deterministic STUB (SURVEY.md §7.3). Schema, partitioning, batch shape,
+  * and null/corrupt handling are the real, tested contract throughout.
   */
 object Multimodal {
 
@@ -235,13 +237,22 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Audio feature extraction: payload → fixed-length feature vector
-    * (STUB: hash-derived; real impl = filterbank/MFCC over PCM frames).
+  /** Audio feature extraction: payload → fixed-length feature vector. REAL
+    * for payloads `javax.sound.sampled` can parse (WAV/AIFF/AU containers,
+    * any encoding the JDK converts to 16-bit signed PCM — pure JVM, the
+    * audio twin of the imageio path above): channels are mixed down to mono
+    * in [-1, 1] and feature i is the RMS energy of the i-th of `dim` equal
+    * time segments (fractional bounds, every sample contributes) — a
+    * deterministic, resampling-stable energy envelope; a real filterbank/
+    * MFCC frontend swaps in at the same (payload → dim floats) boundary.
+    * Payloads no JDK reader handles keep the hash-derived stub, so the
+    * fixed-shape contract (null in / null out, dim floats otherwise) holds
+    * identically for both.
     */
   def audioFeatures(media: DataFrame, dim: Int = 32): DataFrame = {
     val feats = udf { (payload: Array[Byte]) =>
       if (payload == null) None
-      else {
+      else decodePcmReal(payload).map(energyEnvelope(_, dim)).orElse {
         val base = payload.foldLeft(-7046029254386353131L)((a, b) => (a ^ b) * 1099511628211L)
         Some(Array.tabulate(dim) { i =>
           var x = base ^ (i * 0x9E3779B97F4A7C15L)
@@ -252,5 +263,60 @@ object Multimodal {
     }
     media.filter(col("kind") === "audio")
       .withColumn("features", feats(col("payload")))
+  }
+
+  /** Decode via the JDK's sampled-audio stack to mono float PCM in [-1, 1];
+    * None when no registered reader parses the payload (stub fallback).
+    */
+  private def decodePcmReal(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val ch = fmt.getChannels
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, ch, ch * 2, fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val nFrames = bytes.length / (2 * ch)
+        if (nFrames == 0) None
+        else {
+          val mono = new Array[Float](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var s = 0.0f
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * 2 // little-endian 16-bit signed
+              s += ((bytes(o + 1) << 8) | (bytes(o) & 0xFF)).toShort / 32768.0f
+              c += 1
+            }
+            mono(f) = s / ch
+            f += 1
+          }
+          Some(mono)
+        }
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  /** RMS energy of `dim` equal time segments, fractional bounds (same
+    * discipline as the pHash block means: no trailing samples dropped).
+    * Fewer samples than segments → trailing segments are 0.
+    */
+  private def energyEnvelope(mono: Array[Float], dim: Int): Array[Float] = {
+    val n = mono.length
+    Array.tabulate(dim) { i =>
+      val s0 = i.toLong * n / dim
+      val s1 = (i + 1).toLong * n / dim
+      if (s1 <= s0) 0.0f
+      else {
+        var s = 0.0
+        var j = s0.toInt
+        while (j < s1) { s += mono(j).toDouble * mono(j); j += 1 }
+        math.sqrt(s / (s1 - s0)).toFloat
+      }
+    }
   }
 }

@@ -219,4 +219,40 @@ class MultimodalSpec extends SparkSpec {
     val v = out.head.getSeq[Float](out.head.fieldIndex("features"))
     assert(v.length == 16 && v.forall(x => x >= -1f && x <= 1f))
   }
+
+  test("audioFeatures: real WAV decodes to its PCM energy envelope") {
+    import javax.sound.sampled._
+    // 16-bit mono PCM WAV, built with the JDK encoder: first half a 0.5-
+    // amplitude square wave (RMS 0.5), second half silence (RMS 0)
+    def wav(samples: Array[Float], rate: Float = 8000f): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val v = math.max(-32768, math.min(32767, math.round(s * 32768f)))
+        data(2 * i) = (v & 0xFF).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, samples.length),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val half = 4000
+    val samples = Array.tabulate(2 * half)(i =>
+      if (i >= half) 0.0f else if (i % 2 == 0) 0.5f else -0.5f)
+    val rows = java.util.Arrays.asList(
+      Row(10L, "audio", Row(null, null, 1000L, 8000, "wav"), wav(samples)),
+      Row(11L, "audio", Row(null, null, null, null, null), Array[Byte](1, 2, 3)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val feats = Multimodal.audioFeatures(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+    val real = feats(10L)
+    assert(real.length == 8)
+    // segments 0-3 cover the square wave, 4-7 the silence
+    real.take(4).foreach(e => assert(math.abs(e - 0.5f) < 1e-3, s"RMS $e != 0.5"))
+    real.drop(4).foreach(e => assert(e == 0.0f, s"silence RMS $e != 0"))
+    // unparseable payload falls back to the deterministic stub contract
+    assert(feats(11L).length == 8 && feats(11L).forall(x => x >= -1f && x <= 1f))
+  }
 }

@@ -105,6 +105,30 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(ivf8Recall >= 0.75, f"IVF-SQ8 recall@5 $ivf8Recall%.3f below documented 0.75")
   }
 
+  test("IVF index persists to parquet and probes identically after reload") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 4)
+    val before = SimilaritySearch.ivfProbe(idx, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    SimilaritySearch.saveIvfIndex(idx, dir)
+    idx.unpersist()
+    val loaded = SimilaritySearch.loadIvfIndex(spark, dir)
+    // centroids survive byte-exact, so cell geometry (and thus the probe
+    // candidate set) is reproduced, not approximated
+    val after = SimilaritySearch.ivfProbe(loaded, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    loaded.unpersist()
+    assert(before.nonEmpty && before == after,
+      s"probe results changed across save/load: ${before.diff(after)}")
+    // the persisted inverted file is laid out partitioned by cell — the
+    // layout that lets a probe prune to nprobe directories at the scan
+    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == 4, s"expected 4 cell partitions: ${cellDirs.toSeq}")
+  }
+
   test("int8-quantized ANN matches the float path: top-5 overlap and cosine error") {
     val emb01 = Tables.embeddings(spark, sf01).cache()
     val queries = emb01.filter(col("vec_id") < 50)
