@@ -63,6 +63,9 @@ object Bench {
     build("ivf_int8_index", selected.contains("vx_ann_ivf_int8_top5")) {
       graft.queries.EngineQueries.prepareIvfInt8Index(spark, sfDir); ()
     }
+    build("ivf_pq_index", selected.contains("vx_ann_ivf_pq_top5")) {
+      graft.queries.EngineQueries.prepareIvfPqIndex(spark, sfDir); ()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

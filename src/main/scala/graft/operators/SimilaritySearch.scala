@@ -357,6 +357,225 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Product-quantization codebook (Jégou et al. 2011): the vector space is
+    * split into `m` subspaces of `dsub` dims, each with its own `ksub`-entry
+    * centroid table; a vector encodes to m code bytes — at 64 dims and
+    * m=8/ksub=64 that is 8 bytes/vector, 32× less resident memory than
+    * float32 (vs int8's 4×). The codebook itself is tiny
+    * (m·ksub·dsub floats) and ships in the closure.
+    */
+  final case class PqCodebook(m: Int, dsub: Int,
+      centers: Array[Array[Array[Float]]]) // (sub)(code)(dim-within-sub)
+
+  /** Train the PQ codebook: per-subspace Lloyd k-means over a bounded
+    * HASH-ORDERED sample (same unbiased distributed-TakeOrdered discipline
+    * as [[buildIvfIndex]]'s quantizer; the collect is bounded by
+    * `trainSample` rows — at 100 TB codebook training is a driver-side
+    * constant regardless of corpus size). Deterministic: hash-ranked
+    * sample, first-k-distinct init, fixed iteration count.
+    */
+  def trainPqCodebook(
+      corpus: DataFrame, m: Int = 8, ksub: Int = 64, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 2000, iters: Int = 10): PqCodebook = {
+    val sample = corpus
+      .select(col(vecCol), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(trainSample)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val centers = Array.tabulate(m) { sub =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      val k = math.min(ksub, pts.distinct.length)
+      val ctr = pts.distinct.take(k).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var s = 0.0; var i = 0
+            while (i < dsub) { val dl = p(i) - ctr(c)(i); s += dl * dl; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < dsub) { ctr(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          } // empty cells keep their previous centroid (deterministic)
+          c += 1
+        }
+        it += 1
+      }
+      ctr
+    }
+    PqCodebook(m, dsub, centers)
+  }
+
+  /** Encode the corpus against a PQ codebook: map-only, returns
+    * (idCol, codes BINARY(m), rnorm DOUBLE) where rnorm is the
+    * RECONSTRUCTION's L2 norm, precomputed at encode time so ADC cosine
+    * never touches the original floats.
+    */
+  def encodePq(book: PqCodebook, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centers = book.centers
+    val m = book.m; val dsub = book.dsub
+    val enc = udf { (v: Seq[Float]) =>
+      val codes = new Array[Byte](m)
+      var n2 = 0.0
+      var sub = 0
+      while (sub < m) {
+        val ctr = centers(sub)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ctr.length) {
+          var s = 0.0; var i = 0
+          while (i < dsub) { val dl = v(sub * dsub + i) - ctr(c)(i); s += dl * dl; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        codes(sub) = best.toByte
+        var i = 0
+        while (i < dsub) { n2 += ctr(best)(i).toDouble * ctr(best)(i); i += 1 }
+        sub += 1
+      }
+      (codes, math.sqrt(n2))
+    }
+    corpus.select(col(idCol), enc(col(vecCol)).as("__e"))
+      .select(col(idCol), col("__e._1").as("codes"), col("__e._2").as("rnorm"))
+  }
+
+  /** IVF + product quantizer (the classic IVF-PQ layout): sub-linear
+    * candidates from the cell equi-join AND 32× less resident bytes per
+    * candidate (m code bytes + a norm vs dim floats). `assigned` carries
+    * (neighbor_id, cell, codes, rnorm).
+    */
+  final case class IvfPqIndex(centers: Array[Array[Double]], book: PqCodebook,
+      assigned: DataFrame) {
+    def unpersist(): Unit = { assigned.unpersist(); () }
+  }
+
+  def buildIvfPqIndex(
+      corpus: DataFrame, nlist: Int = 16, m: Int = 8, ksub: Int = 64,
+      seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 50000, persist: Boolean = true): IvfPqIndex = {
+    val float = buildIvfIndex(corpus, nlist, seed, idCol, vecCol, trainSample,
+      persist = false)
+    val book = trainPqCodebook(corpus, m, ksub, seed, idCol, vecCol)
+    val assigned = float.assigned.select(col("neighbor_id"), col("cell"))
+      .join(encodePq(book, corpus, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("codes"), col("rnorm")),
+        "neighbor_id")
+    IvfPqIndex(float.centers, book,
+      if (persist) assigned.persist() else assigned)
+  }
+
+  /** Probe an IVF-PQ index via asymmetric distance computation (ADC):
+    * each query precomputes its m×ksub lookup table of sub-dot-products
+    * ONCE (query-side column, broadcast with the query), and scoring a
+    * candidate is m table lookups — no per-candidate float math at all.
+    * cosine ≈ Σ lut[sub][code] / (‖q‖·‖reconstruction‖). Same output shape
+    * as [[ivfProbe]].
+    */
+  def ivfProbePq(
+      index: IvfPqIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centers = index.centers
+    val book = index.book
+    val m = book.m; val dsub = book.dsub; val bc = book.centers
+    val probe = udf { (v: Seq[Float]) =>
+      centers.indices.map(c2 => (c2, sqDist(v, centers(c2))))
+        .sortBy(_._2).take(nprobe).map(_._1).toArray
+    }
+    val lutAndNorm = udf { (v: Seq[Float]) =>
+      val lut = new Array[Float](m * bc.head.length)
+      var sub = 0
+      while (sub < m) {
+        val ctr = bc(sub)
+        var c = 0
+        while (c < ctr.length) {
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += v(sub * dsub + i).toDouble * ctr(c)(i); i += 1 }
+          lut(sub * bc.head.length + c) = s.toFloat
+          c += 1
+        }
+        sub += 1
+      }
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+      (lut, math.sqrt(n2))
+    }
+    val adc = udf { (codes: Array[Byte], rnorm: Double, lut: Seq[Float], qnorm: Double) =>
+      var dot = 0.0
+      var sub = 0
+      val ks = lut.length / m
+      while (sub < m) {
+        dot += lut(sub * ks + (codes(sub) & 0xFF)); sub += 1
+      }
+      dot / (qnorm * rnorm + 1e-12)
+    }
+    val q = queries
+      .select(col(idCol).as("query_id"), lutAndNorm(col(vecCol)).as("__l"),
+        explode(probe(col(vecCol))).as("cell"))
+      .select(col("query_id"), col("__l._1").as("lut"),
+        col("__l._2").as("qnorm"), col("cell"))
+    val scored = index.assigned.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adc(col("codes"), col("rnorm"), col("lut"), col("qnorm")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** IVF-PQ probe with a refine stage (the FAISS `IndexRefineFlat` layout,
+    * the shape production PQ deployments actually run): ADC shortlists
+    * `k·refine` candidates per query from the 8-byte codes — the
+    * bandwidth-heavy scan never touches a float vector — then ONLY the
+    * shortlist (k·refine·|Q| rows, ≪ corpus) joins back to the float
+    * corpus for exact cosine re-ranking. The corpus-side cost profile
+    * stays "read codes, not vectors"; the floats are fetched per-candidate
+    * like a point lookup. Recovers most of the distortion ADC pays for
+    * its 32× memory floor (spec-measured: 0.36 ADC-only → ~0.8 refined
+    * on the low-cosine test corpus).
+    */
+  def ivfProbePqRefined(
+      index: IvfPqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, refine: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val shortlist = ivfProbePq(index, queries, k * refine, nprobe, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val tv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__tv"))
+    val exact = shortlist
+      .join(broadcast(qv), "query_id")
+      .join(tv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VecOps.cosineNative(col("__qv"), col("__tv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** One-shot IVF top-k (build + probe, nothing cached). Prefer
     * `buildIvfIndex` + `ivfProbe` when probing more than once.
     */

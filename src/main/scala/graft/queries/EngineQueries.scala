@@ -488,6 +488,27 @@ object EngineQueries extends QueryPack {
     graft.SessionMemo.getOrElseUpdate(s, s"ivf_int8_index:$d")(
       SimilaritySearch.buildIvfInt8Index(Tables.embeddings(s, d), nlist = 8))(
       _.unpersist())
+
+  def prepareIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): SimilaritySearch.IvfPqIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"ivf_pq_index:$d")(
+      SimilaritySearch.buildIvfPqIndex(Tables.embeddings(s, d), nlist = 8,
+        m = 8, ksub = 64))(
+      _.unpersist())
+
+  // IVF-PQ with exact refine — the ANN family's memory floor: 8 code bytes
+  // per corpus vector (32× under float32) scanned by table-lookup ADC, then
+  // only the k·refine shortlist re-ranked against float vectors (point
+  // lookups, never a corpus scan). KMeans codebooks are engine floats →
+  // rows-only; SimilaritySearchSpec pins recall ≥ 0.6 refined / ≥ 0.25 ADC.
+  private val annIvfPq = OracleQuery(
+    "vx_ann_ivf_pq_top5",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.ivfProbePqRefined(prepareIvfPqIndex(s, d), emb,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 4, refine = 8)
+    },
+    None)
   private val annIvfInt8 = OracleQuery(
     "vx_ann_ivf_int8_top5",
     (s, d) =>
@@ -702,7 +723,7 @@ object EngineQueries extends QueryPack {
     ckaMatrixQuantized, ckaHalfQuantized,
     hllDistinct, approxPercentiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
-    annInt8, annIvfInt8,
+    annInt8, annIvfInt8, annIvfPq,
     dedupCosinePairs, dedupEmbeddingCanonical,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, curationFunnel,

@@ -97,12 +97,33 @@ class SimilaritySearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf8Recall = recallOf(ivf8Hits)
     idx8.unpersist()
+
+    // IVF-PQ, m=8 subspaces x 64 centroids = 8 code bytes/vector (32x
+    // compression). This corpus is near-random (low-cosine regime, the
+    // HARDEST case for PQ: no cluster structure for the codebook to spend
+    // bits on), so raw ADC distortion is large — documented bound for the
+    // pure-ADC probe: recall@5 >= 0.25 (measured 0.356). The production
+    // layout is ADC shortlist + exact refine of k*refine candidates,
+    // which buys back most of the distortion while the corpus-side scan
+    // still reads 8-byte codes, not vectors. Documented bound for the
+    // refined probe: recall@5 >= 0.6.
+    val idxPq = SimilaritySearch.buildIvfPqIndex(emb01, nlist = 8, m = 8, ksub = 64)
+    val pqHits = SimilaritySearch.ivfProbePq(idxPq, queries, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqRecall = recallOf(pqHits)
+    val pqRefHits = SimilaritySearch.ivfProbePqRefined(idxPq, emb01, queries,
+        k = 5, nprobe = 4, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqRefRecall = recallOf(pqRefHits)
+    idxPq.unpersist()
     emb01.unpersist()
 
-    info(f"recall@5 IVF(nlist=8,nprobe=4)=$ivfRecall%.3f LSH(24x5)=$lshRecall%.3f IVF-SQ8=$ivf8Recall%.3f")
+    info(f"recall@5 IVF(nlist=8,nprobe=4)=$ivfRecall%.3f LSH(24x5)=$lshRecall%.3f IVF-SQ8=$ivf8Recall%.3f IVF-PQ(8x64)=$pqRecall%.3f IVF-PQ+refine8=$pqRefRecall%.3f")
     assert(ivfRecall >= 0.8, f"IVF recall@5 $ivfRecall%.3f below documented 0.8")
     assert(lshRecall >= 0.6, f"LSH recall@5 $lshRecall%.3f below documented 0.6")
     assert(ivf8Recall >= 0.75, f"IVF-SQ8 recall@5 $ivf8Recall%.3f below documented 0.75")
+    assert(pqRecall >= 0.25, f"IVF-PQ recall@5 $pqRecall%.3f below documented 0.25")
+    assert(pqRefRecall >= 0.6, f"IVF-PQ+refine recall@5 $pqRefRecall%.3f below documented 0.6")
   }
 
   test("IVF index persists to parquet and probes identically after reload") {
