@@ -544,6 +544,48 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Persist an IVF-PQ index under `dir`: `assigned/` = the 8-byte-code
+    * inverted file partitioned by cell (same pruning layout as
+    * [[saveIvfIndex]]), `centers/` = the coarse quantizer, `codebook/` =
+    * the per-subspace PQ centroid tables as (sub, code, center) rows.
+    */
+  def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+    index.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    val book = for {
+      (codes, sub) <- index.book.centers.zipWithIndex
+      (ctr, code) <- codes.zipWithIndex
+    } yield (sub, code, ctr.toSeq)
+    book.toSeq.toDF("sub", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  /** Load an IVF-PQ index persisted by [[saveIvfPqIndex]]; probe results
+    * are identical after reload (spec-pinned).
+    */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      persist: Boolean = true): IvfPqIndex = {
+    val centers = spark.read.parquet(s"$dir/centers").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val bookRows = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val bookCenters = Array.tabulate(m) { sub =>
+      bookRows.filter(_._1 == sub).sortBy(_._2).map(_._3)
+    }
+    val dsub = bookCenters.head.head.length
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("neighbor_id"), col("codes"), col("rnorm"), col("cell"))
+    IvfPqIndex(centers, PqCodebook(m, dsub, bookCenters),
+      if (persist) assigned.persist() else assigned)
+  }
+
   /** IVF-PQ probe with a refine stage (the FAISS `IndexRefineFlat` layout,
     * the shape production PQ deployments actually run): ADC shortlists
     * `k·refine` candidates per query from the 8-byte codes — the

@@ -150,6 +150,25 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(cellDirs.length == 4, s"expected 4 cell partitions: ${cellDirs.toSeq}")
   }
 
+  test("IVF-PQ index persists (codes + codebook) and probes identically after reload") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = SimilaritySearch.buildIvfPqIndex(emb, nlist = 4, m = 8, ksub = 16)
+    val before = SimilaritySearch.ivfProbePq(idx, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    SimilaritySearch.saveIvfPqIndex(idx, dir)
+    idx.unpersist()
+    val loaded = SimilaritySearch.loadIvfPqIndex(spark, dir)
+    assert(loaded.book.m == 8 && loaded.book.dsub == 8)
+    val after = SimilaritySearch.ivfProbePq(loaded, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    loaded.unpersist()
+    // codebook floats and codes survive byte-exact → ADC scores identical
+    assert(before.nonEmpty && before == after,
+      s"PQ probe changed across save/load: ${before.diff(after).take(3)}")
+  }
+
   test("int8-quantized ANN matches the float path: top-5 overlap and cosine error") {
     val emb01 = Tables.embeddings(spark, sf01).cache()
     val queries = emb01.filter(col("vec_id") < 50)
