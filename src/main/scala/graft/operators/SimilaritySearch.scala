@@ -386,11 +386,15 @@ object SimilaritySearch {
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    require(ksub <= 256, s"ksub=$ksub codes must fit one byte")
     val dsub = dim / m
     val centers = Array.tabulate(m) { sub =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
-      val k = math.min(ksub, pts.distinct.length)
-      val ctr = pts.distinct.take(k).map(_.clone())
+      // content-distinct init (Array equality is by reference — distinct on
+      // the raw arrays would keep duplicate subvectors as coinciding seeds)
+      val uniq = pts.map(_.toSeq).distinct
+      val k = math.min(ksub, uniq.length)
+      val ctr = uniq.take(k).map(_.toArray)
       var it = 0
       while (it < iters) {
         val sums = Array.fill(k)(new Array[Double](dsub))
