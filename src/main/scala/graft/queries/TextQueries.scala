@@ -124,8 +124,12 @@ object TextQueries extends QueryPack {
   // ---- approximate heavy hitters (SpaceSaving typed Aggregator): the
   //      bounded-state path to t_word_freq_top20's answer — O(capacity)
   //      counters per partial instead of a full-vocabulary shuffle.
-  //      Near-threshold estimates depend on partition order → rows-only;
-  //      TopKSketchSpec pins the bounds and exact-regime agreement ----
+  //      capacity 512 ≥ this corpus's vocabulary (31 at both SFs), so NO
+  //      partial buffer ever evicts and SpaceSaving is provably EXACT:
+  //      est = true count, err = 0, and the top-20 (est desc, item asc)
+  //      equals the exact frequency head — which makes the REAL sketch
+  //      path fully oracle-checkable here. The approximate (evicting)
+  //      regime's bounds are TopKSketchSpec's adversarial cases ----
   private val heavyHitters = OracleQuery(
     "t_heavy_hitters_sketch",
     (s, d) => {
@@ -136,8 +140,11 @@ object TextQueries extends QueryPack {
           .as("top"))
         .select(explode(col("top")).as("e"))
         .select(col("e._1").as("w"), col("e._2").as("est"), col("e._3").as("err"))
+        .orderBy(col("est").desc, col("w"))
     },
-    None)
+    Some("""SELECT w, COUNT(*) AS est, CAST(0 AS BIGINT) AS err
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w ORDER BY est DESC, w LIMIT 20"""))
 
   // ---- global word frequency top-20 ----
   private val wordFreq = OracleQuery(

@@ -104,6 +104,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "top-k not group-limited")
   }
 
+  test("IVF-PQ probe broadcasts the query side; the code corpus never pre-shuffles") {
+    val df = SparkEntry.queries("vx_ann_ivf_pq_top5")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // the exploded (query, cell) side is tiny and must be the broadcast
+    // build side of the cell equi-join — the 8-byte-code inverted file
+    // is the big side and reaches ADC scoring without shuffling
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+    // allowed shuffles: ADC rank window, refine rank window, final sort —
+    // plus the candidate-distinct; the corpus side itself must not add one
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 4, s"PQ probe shuffles too much ($shuffles):\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-k not group-limited")
+  }
+
   test("token-rarity frequency table broadcasts back to the token stream") {
     val p = plan("t_token_rarity_score")
     // vocab-bounded side must be the build side of a broadcast join at this
