@@ -66,6 +66,9 @@ object Bench {
     build("ivf_pq_index", selected.contains("vx_ann_ivf_pq_top5")) {
       graft.queries.EngineQueries.prepareIvfPqIndex(spark, sfDir); ()
     }
+    build("srp_sketch", selected.contains("vx_ann_hamming_top5")) {
+      graft.queries.EngineQueries.prepareSrpSketch(spark, sfDir); ()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -622,6 +622,93 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Sign-random-projection sketch (Charikar 2002 SimHash for cosine)
+    * packed into `bits/64` LONG columns `sig0..sigW-1`: bit b = sign of
+    * the projection onto deterministic hyperplane b (same hash-derived
+    * planes as the LSH family — executors regenerate them, nothing is
+    * broadcast). The leanest resident ANN artifact in the family — 16
+    * bytes/vector at the 128-bit default, with a scoring path that is
+    * PURE built-in codegen (xor + bit_count per word, summed), no lookup
+    * tables, no UDF anywhere in the scan. P[bit agrees] = 1 − θ/π, so
+    * Hamming distance is a monotone estimator of angular distance and
+    * width is the resolution dial (this corpus's low-cosine regime needs
+    * 128 bits for a useful top-k ordering; 64 measured recall ~0.5).
+    * Build is a one-time map-only pass (the UDF cost sits in the
+    * memoized artifact, not the probe).
+    */
+  def srpSketch(df: DataFrame, bits: Int = 128, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bits % 64 == 0 && bits > 0, s"bits=$bits must be a positive multiple of 64")
+    val words = bits / 64
+    val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+    val sig = udf { (v: Seq[Float]) =>
+      val dim = v.length
+      val planes = cache.computeIfAbsent(dim, d =>
+        Array.tabulate(bits)(p => Array.tabulate(d)(planeComponent(p, _, seed))))
+      val out = new Array[Long](words)
+      var b = 0
+      while (b < bits) {
+        val p = planes(b)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += v(i) * p(i); i += 1 }
+        if (s >= 0) out(b / 64) |= (1L << (b % 64))
+        b += 1
+      }
+      out
+    }
+    df.select(col(idCol), sig(col(vecCol)).as("__s"))
+      .select(col(idCol) +: (0 until words).map(i => col("__s")(i).as(s"sig$i")): _*)
+  }
+
+  /** Brute Hamming top-k over SRP sketches with exact refine: the scan
+    * ranks every corpus row by `Σ bit_count(sig_w ^ qsig_w)` — one xor
+    * and one popcount per 64-bit word per candidate, whole-stage-codegen
+    * from scan to rank, 16× less bandwidth than the float scan at 128
+    * bits — then only the k·refine shortlist joins the float corpus for
+    * exact cosine re-ranking (same shape as [[ivfProbePqRefined]]).
+    * Unlike the bucketed LSH path there is no recall cliff from bucket
+    * misses: every row is scored, recall is bounded by sketch resolution
+    * alone. Returns (query_id, rn, neighbor_id, cosine).
+    */
+  def hammingTopK(
+      sketched: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      refine: Int = 8, bits: Int = 128, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val words = bits / 64
+    val sigCols = (0 until words).map(i => s"sig$i")
+    require(sigCols.forall(sketched.columns.contains),
+      s"sketched frame missing ${sigCols.mkString(",")} — built with a different width?")
+    val qs = srpSketch(queries, bits, seed, idCol, vecCol)
+      .select(col(idCol).as("query_id") +:
+        (0 until words).map(i => col(s"sig$i").as(s"qsig$i")): _*)
+    val hammingExpr = (0 until words)
+      .map(i => bit_count(col(s"sig$i").bitwiseXOR(col(s"qsig$i"))))
+      .reduce(_ + _)
+    val ranked = sketched
+      .select(col(idCol).as("neighbor_id") +: sigCols.map(col): _*)
+      .join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), hammingExpr.as("hamming"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val shortlist = ranked.withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val tv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__tv"))
+    val exact = shortlist
+      .join(broadcast(qv), "query_id")
+      .join(tv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VecOps.cosineNative(col("__qv"), col("__tv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** One-shot IVF top-k (build + probe, nothing cached). Prefer
     * `buildIvfIndex` + `ivfProbe` when probing more than once.
     */

@@ -496,6 +496,28 @@ object EngineQueries extends QueryPack {
         m = 8, ksub = 64))(
       _.unpersist())
 
+  def prepareSrpSketch(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.getOrElseUpdate(s, s"srp_sketch:$d") {
+      val sk = SimilaritySearch.srpSketch(Tables.embeddings(s, d)).persist()
+      sk.count()
+      sk
+    }(_.unpersist())
+
+  // SRP-Hamming brute scan + exact refine: every corpus row scored by
+  // xor+popcount over two packed longs — the scan is whole-stage codegen
+  // with NO UDF (PlanSpec-pinned), the leanest full-scan operating point
+  // (no bucket-miss cliff). Hyperplane signs are engine floats → rows-only;
+  // SimilaritySearchSpec pins recall ≥ 0.6 refined.
+  private val annHamming = OracleQuery(
+    "vx_ann_hamming_top5",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.hammingTopK(prepareSrpSketch(s, d), emb,
+        emb.filter(col("vec_id") < 10), k = 5, refine = 8)
+    },
+    None)
+
   // IVF-PQ with exact refine — the ANN family's memory floor: 8 code bytes
   // per corpus vector (32× under float32) scanned by table-lookup ADC, then
   // only the k·refine shortlist re-ranked against float vectors (point
@@ -723,7 +745,7 @@ object EngineQueries extends QueryPack {
     ckaMatrixQuantized, ckaHalfQuantized,
     hllDistinct, approxPercentiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
-    annInt8, annIvfInt8, annIvfPq,
+    annInt8, annIvfInt8, annIvfPq, annHamming,
     dedupCosinePairs, dedupEmbeddingCanonical,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, curationFunnel,

@@ -119,6 +119,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "top-k not group-limited")
   }
 
+  test("SRP-Hamming scan is UDF-free codegen: queries broadcast, corpus unshuffled") {
+    val df = SparkEntry.queries("vx_ann_hamming_top5")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+    // the Hamming scoring projection — the per-candidate hot path, executed
+    // |corpus|·|Q| times — must be built-in xor+bit_count with no UDF on
+    // its line (the sketch-build UDF may appear on the tiny broadcast
+    // query side; the corpus side reads the memoized sketch columns)
+    val scoring = p.linesIterator.filter(_.contains("bit_count")).toSeq
+    assert(scoring.nonEmpty, s"no bit_count scoring in plan:\n$p")
+    scoring.foreach(l => assert(!l.contains("UDF"), s"UDF in the scoring path: $l"))
+  }
+
   test("token-rarity frequency table broadcasts back to the token stream") {
     val p = plan("t_token_rarity_score")
     // vocab-bounded side must be the build side of a broadcast join at this

@@ -116,14 +116,23 @@ class SimilaritySearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val pqRefRecall = recallOf(pqRefHits)
     idxPq.unpersist()
+
+    // SRP 64-bit Hamming scan + refine: every row scored (no bucket-miss
+    // cliff), recall bounded by sketch resolution only. Documented bound:
+    // recall@5 >= 0.6 with refine=8.
+    val sk = SimilaritySearch.srpSketch(emb01)
+    val hamHits = SimilaritySearch.hammingTopK(sk, emb01, queries, k = 5, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hamRecall = recallOf(hamHits)
     emb01.unpersist()
 
-    info(f"recall@5 IVF(nlist=8,nprobe=4)=$ivfRecall%.3f LSH(24x5)=$lshRecall%.3f IVF-SQ8=$ivf8Recall%.3f IVF-PQ(8x64)=$pqRecall%.3f IVF-PQ+refine8=$pqRefRecall%.3f")
+    info(f"recall@5 IVF(nlist=8,nprobe=4)=$ivfRecall%.3f LSH(24x5)=$lshRecall%.3f IVF-SQ8=$ivf8Recall%.3f IVF-PQ(8x64)=$pqRecall%.3f IVF-PQ+refine8=$pqRefRecall%.3f SRP-Hamming+refine8=$hamRecall%.3f")
     assert(ivfRecall >= 0.8, f"IVF recall@5 $ivfRecall%.3f below documented 0.8")
     assert(lshRecall >= 0.6, f"LSH recall@5 $lshRecall%.3f below documented 0.6")
     assert(ivf8Recall >= 0.75, f"IVF-SQ8 recall@5 $ivf8Recall%.3f below documented 0.75")
     assert(pqRecall >= 0.25, f"IVF-PQ recall@5 $pqRecall%.3f below documented 0.25")
     assert(pqRefRecall >= 0.6, f"IVF-PQ+refine recall@5 $pqRefRecall%.3f below documented 0.6")
+    assert(hamRecall >= 0.6, f"SRP-Hamming recall@5 $hamRecall%.3f below documented 0.6")
   }
 
   test("IVF index persists to parquet and probes identically after reload") {
