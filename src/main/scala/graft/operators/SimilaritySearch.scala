@@ -503,8 +503,12 @@ object SimilaritySearch {
       centers.indices.map(c2 => (c2, sqDist(v, centers(c2))))
         .sortBy(_._2).take(nprobe).map(_._1).toArray
     }
+    // uniform stride = the largest subspace's centroid count: subspaces may
+    // train fewer than ksub centroids (distinct-subvector shortfall), and a
+    // head-length stride would mis-index or overflow when counts differ
+    val lutStride = bc.map(_.length).max
     val lutAndNorm = udf { (v: Seq[Float]) =>
-      val lut = new Array[Float](m * bc.head.length)
+      val lut = new Array[Float](m * lutStride)
       var sub = 0
       while (sub < m) {
         val ctr = bc(sub)
@@ -512,7 +516,7 @@ object SimilaritySearch {
         while (c < ctr.length) {
           var s = 0.0; var i = 0
           while (i < dsub) { s += v(sub * dsub + i).toDouble * ctr(c)(i); i += 1 }
-          lut(sub * bc.head.length + c) = s.toFloat
+          lut(sub * lutStride + c) = s.toFloat
           c += 1
         }
         sub += 1
