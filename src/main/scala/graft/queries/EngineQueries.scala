@@ -518,6 +518,26 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // the STREAMING vector near-dup detector in batch mode, driven as a
+  // re-ingest scenario: the session's memoized SRP sketch is unioned with
+  // an id-shifted copy of itself (a redelivered corpus), so every
+  // redelivered vector collides with its original on all 8 bands and the
+  // detector reports first_seen = the original id. Engine-hash bucket
+  // internals → rows-only; StreamingSpec pins micro-batch semantics
+  private val streamVecNearDup = OracleQuery(
+    "vx_stream_neardup_hits",
+    (s, d) => {
+      val sk = prepareSrpSketch(s, d)
+      val redelivered = sk.withColumn("vec_id", col("vec_id") + lit(1000000L))
+      graft.streaming.StreamingVecDedup.nearDupHits(Tables.embeddings(s, d),
+          sketch = Some(sk.unionByName(redelivered)))
+        .toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_band_hits"), min(col("first_doc_id")).as("first_seen"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   // IVF-PQ with exact refine — the ANN family's memory floor: 8 code bytes
   // per corpus vector (32× under float32) scanned by table-lookup ADC, then
   // only the k·refine shortlist re-ranked against float vectors (point
@@ -745,7 +765,7 @@ object EngineQueries extends QueryPack {
     ckaMatrixQuantized, ckaHalfQuantized,
     hllDistinct, approxPercentiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
-    annInt8, annIvfInt8, annIvfPq, annHamming,
+    annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, curationFunnel,

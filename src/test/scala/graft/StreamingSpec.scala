@@ -293,6 +293,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming vector near-dup: exact dup all bands, perturbed collides, distinct silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val vecs = stream.toDF().toDF("vec_id", "embedding")
+    val query = graft.streaming.StreamingVecDedup.nearDupHits(vecs)
+      .writeStream.format("memory").queryName("svdedup_test")
+      .outputMode("append").start()
+    // deterministic base vector; near = one dim nudged (sign pattern
+    // unchanged → same sketch); far = alternating-sign (orthogonal-ish)
+    val base = Array.tabulate(64)(i => (math.sin(i * 1.7) * 0.5).toFloat).toSeq
+    val near = base.updated(5, base(5) + 1e-4f)
+    val far = Array.tabulate(64)(i =>
+      (math.cos(i * 2.3) * (if (i % 2 == 0) 0.5 else -0.5)).toFloat).toSeq
+    try {
+      stream.addData((1L, base), (4L, far))
+      query.processAllAvailable()
+      assert(spark.table("svdedup_test").count() == 0, "distinct vectors produced hits")
+      stream.addData((2L, base), (3L, near))
+      query.processAllAvailable()
+      val hits = spark.table("svdedup_test")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // exact re-delivery collides on all 8 bands, claimed by id 1
+      val exact = hits.filter(_._1 == 2L)
+      assert(exact.length == 8, s"expected 8 band hits for the exact dup: ${hits.toSeq}")
+      assert(exact.forall(_._3 == 1L), s"hits: ${exact.toSeq}")
+      // tiny perturbation keeps every projection sign → also full collision
+      val nearHits = hits.filter(_._1 == 3L)
+      assert(nearHits.length == 8 && nearHits.forall(_._3 == 1L),
+        s"near-dup hits: ${nearHits.toSeq}")
+      assert(!hits.exists(_._1 == 4L), "distinct vector flagged")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
