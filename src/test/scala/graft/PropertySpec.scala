@@ -161,6 +161,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("knuth32 equals the BigInt formula for arbitrary longs (Spark column path)") {
+    val idGen = Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(-10L, 10L),                      // small ids
+      Gen.choose(3000000000L, 4000000000L))       // the naive-wrap regime
+    forSamples(Gen.listOfN(20, idGen), n = 6) { ids =>
+      val got = ids.toDF("id").select(Dedup.knuth32($"id").as("h"))
+        .collect().map(_.getLong(0))
+      val want = ids.map(id =>
+        ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong)
+      assert(got.toSeq == want, s"diverged on ${ids.zip(got).zip(want).find {
+        case ((_, g), w) => g != w }}")
+    }
+  }
+
+  test("SpaceSaving bounds hold for any stream split into any partials") {
+    import graft.operators.TopKSketch
+    val streamGen = for {
+      n <- Gen.choose(20, 200)
+      items <- Gen.listOfN(n, Gen.choose(0, 30).map(i => s"w$i"))
+      cuts <- Gen.listOfN(3, Gen.choose(0, n))
+    } yield (items, cuts.sorted)
+    forSamples(streamGen, n = 10) { case (items, cuts) =>
+      val cap = 8
+      // split the stream at arbitrary points, build partials via ssInsert,
+      // merge via ssMerge in sequence — the Aggregator's exact code paths
+      val parts = ((0 +: cuts) :+ items.length).sliding(2).map {
+        case Seq(a, b) => items.slice(a, b)
+      }.toList
+      val partials = parts.map(_.foldLeft(Map.empty: TopKSketch.Buf)(
+        TopKSketch.ssInsert(_, _, cap)))
+      val merged = partials.reduce(TopKSketch.ssMerge(_, _, cap))
+      val trueCounts = items.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      merged.foreach { case (item, (est, err)) =>
+        val t = trueCounts(item)
+        assert(est >= t, s"$item est $est < true $t (cuts $cuts)")
+        assert(est - err <= t, s"$item lower ${est - err} > true $t (cuts $cuts)")
+      }
+      // the guaranteed-survivor property: anything with true count above
+      // the merged buffer's max possible noise floor must be reported
+      val n = items.length.toLong
+      trueCounts.filter(_._2 > 2 * n / cap).keys.foreach { heavy =>
+        assert(merged.contains(heavy), s"heavy $heavy lost (cuts $cuts)")
+      }
+    }
+  }
+
   test("tsne output is finite and centered for any small input") {
     forSamples(Gen.choose(5, 15), n = 5) { n =>
       val rng = new scala.util.Random(n)
