@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Deterministic distributed sampling for the 100 TB regime.
+  *
+  * The workhorse is the mergeable BOTTOM-K sketch (Cohen & Kaplan 2007):
+  * "a uniform k-sample of a set = the k items with the smallest values of a
+  * fixed uniform hash". Because min-k is an associative, commutative,
+  * bounded-size summary, it runs as a typed Aggregator with map-side
+  * partial aggregation: each map task keeps at most k (hash, id) pairs per
+  * group and only O(k) rows per task reach the shuffle. The window
+  * formulation of the same sample (`row_number() OVER (ORDER BY hash)`)
+  * shuffles EVERY row to its group's partitions first — the difference
+  * between drawing 10k docs from 100 TB and range-sorting 100 TB.
+  *
+  * The hash is the overflow-safe Knuth multiplicative scheme
+  * ([[Dedup.knuth32]]), so the sample is a reproducible artifact across
+  * runs, engines, and partitionings, and the DuckDB oracle replays it
+  * row-for-row (`ORDER BY` [[graft.queries.Exact.KNUTH32]]`(id), id`).
+  * Ids must be distinct within a group (true of every key column here);
+  * duplicate ids collapse to one entry, keeping the sketch a set sample.
+  *
+  * Reference context: the reference samples per-group with
+  * `random.Random(42).sample` on a driver-resident list
+  * (/root/reference/utils/embedding_analysis_utils.py:118-135) — the
+  * bottom-k sketch is that operation's shuffle-free distributed form.
+  */
+object Sampling {
+
+  /** JVM twin of [[Dedup.knuth32]] — (id mod 2^32) * 2654435761 mod 2^32
+    * via a 16-bit limb split so no intermediate exceeds 2^49. Bit-equal to
+    * the Column form for every Long input (PropertySpec pins the Column
+    * form; SamplingSpec pins this one against it).
+    */
+  private[graft] def knuth32(id: Long): Long = {
+    val m = 4294967296L
+    val id32 = ((id % m) + m) % m
+    val hi = id32 >>> 16
+    val lo = id32 & 65535L
+    (((hi * 2654435761L) % m) * 65536L + lo * 2654435761L) % m
+  }
+
+  // sorted ascending by (hash, id), size <= k, ids distinct
+  private[graft] type Buf = Vector[(Long, Long)]
+
+  private[graft] def insert(b: Buf, id: Long, k: Int): Buf = {
+    val key = (knuth32(id), id)
+    if (b.length >= k && Ordering[(Long, Long)].lteq(b.last, key)) b
+    else {
+      val at = b.indexWhere(e => Ordering[(Long, Long)].gteq(e, key))
+      if (at >= 0 && b(at) == key) b // duplicate id: set semantics
+      else {
+        val grown =
+          if (at < 0) b :+ key
+          else (b.take(at) :+ key) ++ b.drop(at)
+        if (grown.length > k) grown.dropRight(grown.length - k) else grown
+      }
+    }
+  }
+
+  private[graft] def mergeBufs(a: Buf, b: Buf, k: Int): Buf = {
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      // merge two sorted runs, dropping duplicate ids, stopping at k
+      val out = Vector.newBuilder[(Long, Long)]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length ||
+          (i < a.length && Ordering[(Long, Long)].lteq(a(i), b(j)))
+        val e = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (j < b.length && e == b(j)) j += 1 // same id on both sides
+        out += e; n += 1
+      }
+      out.result()
+    }
+  }
+
+  private final class BottomK(k: Int)
+      extends Aggregator[Long, Buf, Seq[Long]] {
+    def zero: Buf = Vector.empty
+    def reduce(b: Buf, id: Long): Buf = insert(b, id, k)
+    def merge(a: Buf, b: Buf): Buf = mergeBufs(a, b, k)
+    /** ids in hash order — position i is the sample's rank-i element, so a
+      * prefix of the output is itself a valid smaller sample. */
+    def finish(b: Buf): Seq[Long] = b.map(_._2)
+    def bufferEncoder: Encoder[Buf] = ExpressionEncoder[Buf]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** `bottom_k_sample(idCol)`: ARRAY<BIGINT> of the k sampled ids in hash
+    * order. Use under `groupBy(...)` for per-stratum samples or `agg(...)`
+    * alone for a global one; state is O(k) per group either way, and
+    * partials combine map-side.
+    */
+  def bottomK(id: Column, k: Int): Column =
+    udaf(new BottomK(k), ExpressionEncoder[Long]())(id.cast("long"))
+}

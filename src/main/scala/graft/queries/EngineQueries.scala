@@ -613,6 +613,74 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // SemDeDup (Abbas et al. 2023) in its deterministic, oracle-replayable
+  // form: seed centroids = the 8 lowest-id embeddings, quantized to exact
+  // integers, argmin assignment with ties to the lowest center, prune
+  // priority (centroid_dist DESC, id ASC) — every comparison exact, so
+  // DuckDB replays cluster assignment AND the prune decision row-for-row.
+  // The 8-row centroid collect is the bounded quantizer artifact (same
+  // contract as the IVF centers).
+  private val semDedupQuantized = OracleQuery(
+    "vx_semdedup_quantized",
+    (s, d) => {
+      val embQ = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * lit(1e6)).cast("double")).as("embedding"))
+      val centers = embQ.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .collect()
+        .map(r => r.getSeq[Double](1).toIndexedSeq: Seq[Double]).toSeq
+      graft.operators.SemDedup.semDedup(embQ, centers, tau = 0.3)
+        .select(col("vec_id"), col("cluster_id"), col("centroid_dist"),
+          col("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings
+    ), d AS (
+      SELECT f.vec_id, c.vec_id AS cid,
+        SUM((f.vq - c.vq) * (f.vq - c.vq)) AS dist
+      FROM lf f JOIN lf c ON f.pos = c.pos AND c.vec_id < 8
+      GROUP BY 1, 2
+    ), asg AS (
+      SELECT vec_id, cid AS cluster_id, dist FROM (
+        SELECT vec_id, cid, dist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d) t WHERE rn = 1
+    ), pair AS (
+      SELECT x.vec_id AS xid, y.vec_id AS yid,
+        CAST(SUM(fx.vq * fy.vq) AS DOUBLE) AS dot,
+        CAST(SUM(fx.vq * fx.vq) AS DOUBLE) AS nx,
+        CAST(SUM(fy.vq * fy.vq) AS DOUBLE) AS ny
+      FROM asg x JOIN asg y ON x.cluster_id = y.cluster_id
+        AND (y.dist > x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+      JOIN lf fx ON fx.vec_id = x.vec_id
+      JOIN lf fy ON fy.vec_id = y.vec_id AND fy.pos = fx.pos
+      GROUP BY 1, 2
+    ), pruned AS (
+      SELECT DISTINCT xid FROM pair
+      WHERE dot / (sqrt(nx) * sqrt(ny) + 1e-12) > 0.3
+    )
+    SELECT a.vec_id, a.cluster_id, CAST(a.dist AS DOUBLE) AS centroid_dist,
+      (p.xid IS NULL) AS keep
+    FROM asg a LEFT JOIN pruned p ON a.vec_id = p.xid
+    ORDER BY a.vec_id"""))
+
+  // production SemDeDup: the cluster structure is the SAME bounded-sample
+  // k-means that builds the ANN inverted file — curation and retrieval
+  // share one clustering artifact. Iterative MLlib k-means → rows-only;
+  // SemDedupSpec pins semantics (near-dup planted pairs pruned, keep-rate
+  // monotone in tau, agreement with the oracle-verified seed-center form).
+  private val semDedupKmeans = OracleQuery(
+    "vx_semdedup_kmeans",
+    (s, d) => graft.operators.SemDedup.semDedupKMeans(
+        Tables.embeddings(s, d), nlist = 16, tau = 0.3)
+      .select(col("vec_id"), col("cluster_id"), col("keep"))
+      .orderBy(col("vec_id")),
+    None)
+
   // MinHash signatures memoized per (session, corpus dir): three gate
   // queries (tx_dedup_minhash_pairs, tx_dedup_canonical, and indirectly the
   // curation funnel's own pass) run the same signature pipeline over the
@@ -767,6 +835,7 @@ object EngineQueries extends QueryPack {
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical,
+    semDedupQuantized, semDedupKmeans,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, curationFunnel,
     pca2d, separability,

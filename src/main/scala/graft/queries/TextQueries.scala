@@ -663,11 +663,86 @@ object TextQueries extends QueryPack {
       WHEN 'src2' THEN 0.25 ELSE 0.1 END))
     ORDER BY doc_id"""))
 
+  // ---- per-stratum bottom-k sample: the shuffle-free "10k docs out of
+  //      100 TB" draw. The engine side runs the mergeable min-k Aggregator
+  //      (O(k) state per group, map-side combine; only k rows per task per
+  //      source reach the shuffle); the oracle replays the identical sample
+  //      with a full window sort — same rows, quadratically different data
+  //      movement. rn is 1-based rank in hash order, so any prefix of a
+  //      group's sample is itself a valid smaller sample ----
+  private val bottomKSample = OracleQuery(
+    "t_sample_bottomk_per_source",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(graft.operators.Sampling.bottomK(col("doc_id"), 10).as("sample"))
+        .select(col("source"), posexplode(col("sample")).as(Seq("pos", "doc_id")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rn"), col("doc_id"))
+        .orderBy(col("source"), col("rn")),
+    Some(s"""WITH ranked AS (
+      SELECT source, doc_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY ${KNUTH32("doc_id")}, doc_id) AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT source, rn, doc_id FROM ranked
+    WHERE rn <= 10 ORDER BY source, rn"""))
+
+  // ---- temperature-scaled source mixture (multilingual-training practice:
+  //      sample source s proportionally to n_s^alpha, alpha=0.5, so small
+  //      sources are up-weighted relative to their share). Quota arithmetic
+  //      follows the Exact convention: sqrt is IEEE-correctly-rounded on
+  //      both engines, each per-group double routes through a DECIMAL cast,
+  //      and the normalizing sum is an exact DECIMAL sum — so the
+  //      quota boundary is deterministic cross-engine. Selection within a
+  //      source is the same knuth32 hash order as the plain mixture ----
+  private val temperatureMixture = OracleQuery(
+    "t_mixture_temperature_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val perSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("w", sqrt(col("n").cast("double")).cast("decimal(27,6)"))
+      val total = perSrc.agg(
+        sum(col("n")).as("n_total"),
+        sum(col("w")).cast("double").as("w_total"))
+      val quota = perSrc.crossJoin(total)
+        .select(col("source"),
+          ceil(col("n_total") * (col("w").cast("double") / col("w_total")) * 0.25)
+            .as("quota"))
+      val h = graft.operators.Dedup.knuth32(col("doc_id"))
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      docs.withColumn("rn", row_number().over(w).cast("long"))
+        .join(quota, "source")
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH per_src AS (
+      SELECT source, COUNT(*) AS n,
+        CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(27,6)) AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n) AS n_total, CAST(SUM(w) AS DOUBLE) AS w_total FROM per_src
+    ), quota AS (
+      SELECT source,
+        ceil(n_total * (CAST(w AS DOUBLE) / w_total) * 0.25) AS quota
+      FROM per_src, tot
+    ), ranked AS (
+      SELECT doc_id, source,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY ${KNUTH32("doc_id")}, doc_id) AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rn FROM ranked r
+    JOIN quota q ON r.source = q.source
+    WHERE r.rn <= q.quota ORDER BY r.doc_id"""))
+
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
     wordFreq, heavyHitters, tokenRarity, tfidfTop3, ngramJaccard, fingerprint,
     tokenCountBpe, qualityScore,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
+    temperatureMixture, bottomKSample,
     chunkSliding, curationBySource, leakageSplit)
 }
