@@ -69,6 +69,9 @@ object Bench {
     build("srp_sketch", selected.contains("vx_ann_hamming_top5")) {
       graft.queries.EngineQueries.prepareSrpSketch(spark, sfDir); ()
     }
+    build("semdedup_centers", selected.contains("vx_semdedup_kmeans")) {
+      graft.queries.EngineQueries.prepareSemDedupCenters(spark, sfDir); ()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
