@@ -789,6 +789,30 @@ object EngineQueries extends QueryPack {
         .orderBy(col("shard"), col("est").desc, col("item")),
     None)
 
+  // streaming bottom-k sample, batch-mode twin. The bottom-k sketch is
+  // deterministic and order-free, so the batch twin (one micro-batch) must
+  // equal the window-sort sample EXACTLY — a full oracle over the real
+  // streaming code path (StreamingSpec separately pins that multi-batch
+  // streaming execution emits the same final sample).
+  private val streamSample = OracleQuery(
+    "tx_stream_sample_bottomk",
+    (s, d) =>
+      graft.streaming.StreamingSampling.bottomKSample(
+          Tables.documents(s, d), k = 10)
+        .toDF()
+        .select(col("group"), col("seq"),
+          posexplode(col("sample")).as(Seq("pos", "doc_id")))
+        .orderBy(col("group"), col("pos")),
+    Some(s"""WITH ranked AS (
+      SELECT source, doc_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY ${graft.queries.Exact.KNUTH32("doc_id")}, doc_id) AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT source AS "group", CAST(1 AS BIGINT) AS seq,
+      rn - 1 AS pos, doc_id
+    FROM ranked WHERE rn <= 10 ORDER BY source, pos"""))
+
   // full dedup pipeline: minhash candidate pairs → connected components →
   // canonical keep/drop decisions (the operational output of dedup)
   private val dedupCanonical = OracleQuery(
@@ -848,7 +872,7 @@ object EngineQueries extends QueryPack {
     dedupCosinePairs, dedupEmbeddingCanonical,
     semDedupQuantized, semDedupKmeans,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
-    streamNearDup, streamTopK, curationFunnel,
+    streamNearDup, streamTopK, streamSample, curationFunnel,
     pca2d, separability,
     separabilityGbt)
 }

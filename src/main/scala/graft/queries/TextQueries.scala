@@ -235,7 +235,16 @@ object TextQueries extends QueryPack {
     FROM documents ORDER BY doc_id"""))
 
   // ---- quality scoring composite (TextOps.qualityScore), pure arithmetic
-  //      so both engines compute the identical IEEE expression ----
+  //      so both engines compute the identical IEEE expression; the SQL
+  //      twin is shared by every oracle that consumes the score ----
+  private val QUALITY_SQL = """least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3
+      + CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE)
+        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 0.3
+      + (CASE WHEN CAST(length(text) AS DOUBLE)
+                / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0)
+              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+      + CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+        / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0) * 0.2"""
   private val qualityScore = OracleQuery(
     "t_quality_score",
     (s, d) =>
@@ -243,17 +252,35 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"),
           graft.functions.TextOps.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id")),
-    Some("""SELECT doc_id,
-      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3
-      + CAST(length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE)
-        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 0.3
-      + (CASE WHEN CAST(length(text) AS DOUBLE)
-                / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0)
-              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
-      + CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
-        / greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 1.0) * 0.2
-      AS quality
+    Some(s"""SELECT doc_id, $QUALITY_SQL AS quality
     FROM documents ORDER BY doc_id"""))
+
+  // ---- per-source quality percentile gate: keep each source's top
+  //      quartile by score. The published curation move this mirrors is
+  //      domain-aware quality filtering — a global cutoff would let one
+  //      high-scoring source crowd out every other domain, so the
+  //      percentile is computed WITHIN source. percent_rank over
+  //      (quality DESC, doc_id) is an exact rational of small integers —
+  //      deterministic cross-engine ----
+  private val qualityGate = OracleQuery(
+    "t_quality_gate_per_source",
+    (s, d) => {
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextOps.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      q.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") <= 0.25)
+        .select(col("doc_id"), col("source"), col("quality"), col("pr"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, source, quality, pr FROM (
+      SELECT doc_id, source, quality,
+        PERCENT_RANK() OVER (PARTITION BY source
+          ORDER BY quality DESC, doc_id) AS pr
+      FROM (SELECT doc_id, source, $QUALITY_SQL AS quality FROM documents) q) t
+    WHERE pr <= 0.25 ORDER BY doc_id"""))
 
   // ---- Gopher/C4-style quality-rule filter (published web-scrape filter
   //      heuristics as a rule pack): per-document rule booleans + keep
@@ -740,7 +767,7 @@ object TextQueries extends QueryPack {
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
     wordFreq, heavyHitters, tokenRarity, tfidfTop3, ngramJaccard, fingerprint,
-    tokenCountBpe, qualityScore,
+    tokenCountBpe, qualityScore, qualityGate,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
     temperatureMixture, bottomKSample,

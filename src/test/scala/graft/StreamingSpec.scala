@@ -345,4 +345,36 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Seq(1L, 2L, 3L), s"ids: $ids")
     } finally query.stop()
   }
+
+  test("streaming bottom-k sample: final snapshot equals the batch draw, any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    // real documents split into three arbitrary micro-batches: the merged
+    // stream sample must be BIT-identical to the batch Aggregator's draw
+    // (the mergeable-sketch property — arrival order never biases it)
+    val docs = Tables.documents(spark, sf001)
+      .select(col("source"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stream = MemoryStream[(String, Long)]
+    val query = graft.streaming.StreamingSampling.bottomKSample(
+        stream.toDF().toDF("source", "doc_id"), k = 7)
+      .writeStream.format("memory").queryName("ssample_test")
+      .outputMode("append").start()
+    try {
+      val thirds = docs.grouped((docs.length + 2) / 3).toSeq
+      thirds.foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      // keep the max-seq snapshot per group
+      val finals = spark.table("ssample_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (g, snaps) => g -> snaps.maxBy(_._2)._3 }
+      val batch = Tables.documents(spark, sf001)
+        .groupBy(col("source"))
+        .agg(graft.operators.Sampling.bottomK(col("doc_id"), 7).as("s"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(finals == batch,
+        s"stream ${finals.toSeq.sortBy(_._1).take(3)} vs batch ${batch.toSeq.sortBy(_._1).take(3)}")
+    } finally query.stop()
+  }
 }
