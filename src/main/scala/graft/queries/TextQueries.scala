@@ -764,12 +764,31 @@ object TextQueries extends QueryPack {
     JOIN quota q ON r.source = q.source
     WHERE r.rn <= q.quota ORDER BY r.doc_id"""))
 
+  // ---- DSIR importance selection (Xie et al. 2023): pick the raw docs
+  //      most target-like under hashed-bigram LMs. Here the "target" is
+  //      src0 and the raw pool is the whole corpus — the domain-targeting
+  //      shape (e.g. "select web text that reads like Wikipedia"). The two
+  //      LMs are fixed-size bucket vectors (built map-side-combinable,
+  //      broadcast back as closures), scoring is one map-only pass, and the
+  //      top-k is a TakeOrdered — nothing in the plan scales with corpus
+  //      size except the two scans. ln is float math → rows-only; DsirSpec
+  //      pins ranking semantics ----
+  private val dsirSelect = OracleQuery(
+    "t_dsir_select_topk",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Dsir.select(
+          docs, docs.filter(col("source") === "src0"), keep = 50)
+        .select(col("doc_id"), col("source"), col("dsir_weight"), col("n_grams"))
+    },
+    None)
+
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
     wordFreq, heavyHitters, tokenRarity, tfidfTop3, ngramJaccard, fingerprint,
     tokenCountBpe, qualityScore, qualityGate,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
-    temperatureMixture, bottomKSample,
+    temperatureMixture, bottomKSample, dsirSelect,
     chunkSliding, curationBySource, leakageSplit)
 }
