@@ -208,6 +208,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bottom-k sample equals brute force for any stream split into any partials") {
+    import graft.operators.Sampling
+    val streamGen = for {
+      n <- Gen.choose(5, 150)
+      ids <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      cuts <- Gen.listOfN(3, Gen.choose(0, n))
+      k <- Gen.choose(1, 12)
+    } yield (ids, cuts.sorted, k)
+    forSamples(streamGen, n = 12) { case (ids, cuts, k) =>
+      val parts = ((0 +: cuts) :+ ids.length).sliding(2).map {
+        case Seq(a, b) => ids.slice(a, b)
+      }.toList
+      val partials = parts.map(_.foldLeft(Vector.empty: Sampling.Buf)(
+        Sampling.insert(_, _, k)))
+      val merged = partials.reduce(Sampling.mergeBufs(_, _, k))
+      val expected = ids.distinct
+        .map(id => (Sampling.knuth32(id), id)).sorted.take(k).toVector
+      assert(merged == expected, s"cuts $cuts k $k")
+    }
+  }
+
   test("tsne output is finite and centered for any small input") {
     forSamples(Gen.choose(5, 15), n = 5) { n =>
       val rng = new scala.util.Random(n)
