@@ -293,7 +293,58 @@ object EventQueries extends QueryPack {
     WHERE session_id < mx
     ORDER BY user_id, session_start"""))
 
+  // ---- session path mining: the most common event-type SEQUENCES across
+  //      30-min-gap sessions (the path-analysis half of funnel work: the
+  //      funnel asks "how many reached step N", paths ask "what routes do
+  //      sessions actually take"). In-session order is pinned by
+  //      (ts, event_id): the engine sorts collected (ts, event_id, type)
+  //      structs per session (array_sort is deterministic), the oracle
+  //      uses ordered string_agg. Scale shape: one keyed window pass for
+  //      session ids, one (user, session) agg, then a global top-k that
+  //      runs as TakeOrdered over the path-count aggregate ----
+  private val sessionPaths = OracleQuery(
+    "e_session_paths_top",
+    (s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts") - col("prev_ts")) > expr("INTERVAL '30' MINUTE"), 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(runs))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(concat_ws(">", transform(col("evs"), _.getField("event_type")))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+    },
+    Some("""WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN LAG(ts, 1) OVER w IS NULL
+               OR ts - LAG(ts, 1) OVER w > INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts, event_type,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_id,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions FROM paths
+    GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10"""))
+
   override val all: Seq[OracleQuery] =
     Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
-      conversionFunnel, cohortRetention, sessionWindowNative, statefulSessions)
+      conversionFunnel, cohortRetention, sessionWindowNative, statefulSessions,
+      sessionPaths)
 }

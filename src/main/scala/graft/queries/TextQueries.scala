@@ -764,6 +764,55 @@ object TextQueries extends QueryPack {
     JOIN quota q ON r.source = q.source
     WHERE r.rn <= q.quota ORDER BY r.doc_id"""))
 
+  // ---- asymmetric containment pairs: flag doc A when ≥80% of A's trigram
+  //      shingles appear in some other doc B. The case Jaccard misses:
+  //      a short document quoted wholesale inside a much longer one has
+  //      tiny Jaccard (union is dominated by B) but containment ≈ 1 —
+  //      the near-copy direction published dedup pipelines treat
+  //      separately from symmetric similarity. Same inverted-index
+  //      equi-join scale shape as the Jaccard query ----
+  private val containmentPairs = OracleQuery(
+    "t_containment_pairs",
+    (s, d) => {
+      val ws = words(s, d).filter(col("doc_id") < 500)
+      val sh = ws.as("a")
+        .join(ws.as("b"), col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .join(ws.as("c"), col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
+        .select(col("a.doc_id").as("doc_id"),
+          concat_ws(" ", col("a.w"), col("b.w"), col("c.w")).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("x")
+        .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d_in"), col("y.doc_id").as("d_of"))
+        .agg(count(lit(1)).as("n_common"))
+      inter.join(sizes, col("d_in") === col("doc_id"))
+        .select(col("d_in"), col("d_of"), col("n_common"),
+          (col("n_common").cast("double") / col("sz")).as("containment"))
+        .filter(col("containment") >= 0.8)
+        .orderBy(col("d_in"), col("d_of"))
+    },
+    Some("""WITH w AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 500
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS d_in, y.doc_id AS d_of, COUNT(*) AS n_common
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.d_in, i.d_of, i.n_common,
+      CAST(i.n_common AS DOUBLE) / s.sz AS containment
+    FROM inter i JOIN sz s ON i.d_in = s.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / s.sz >= 0.8
+    ORDER BY i.d_in, i.d_of"""))
+
   // ---- DSIR importance selection (Xie et al. 2023): pick the raw docs
   //      most target-like under hashed-bigram LMs. Here the "target" is
   //      src0 and the raw pool is the whole corpus — the domain-targeting
@@ -789,6 +838,6 @@ object TextQueries extends QueryPack {
     tokenCountBpe, qualityScore, qualityGate,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
-    temperatureMixture, bottomKSample, dsirSelect,
+    temperatureMixture, bottomKSample, dsirSelect, containmentPairs,
     chunkSliding, curationBySource, leakageSplit)
 }
