@@ -360,6 +360,27 @@ object EngineQueries extends QueryPack {
         .orderBy(col("l_returnflag")),
     None)
 
+  // the sketch ARTIFACT pattern (DataSketches HLL): per-day sketches are
+  // small mergeable summaries a pipeline PERSISTS beside the data; any
+  // date-range distinct count is then a union of daily sketches — no
+  // rescan of history, the only viable "distinct users last N days" shape
+  // at 100 TB. agg_hll_distinct above answers one fixed question per scan;
+  // this materializes the reusable artifact. Sketch internals are
+  // engine-specific → rows-only; EngineQueriesSpec pins the union estimate
+  // against the exact count and against the single-pass sketch.
+  private val hllSketchUnion = OracleQuery(
+    "agg_hll_sketch_union",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+      daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users_est"),
+        sum(col("n_events")).as("n_events"))
+    },
+    None)
+
   // sketch-based percentiles (the 100 TB quantile path: one pass, mergeable
   // KLL-style summaries, no global sort — vs exact percentile's per-group
   // value gather). Accuracy parameter 10000 → rank error ≤ 1/10000;
@@ -866,7 +887,7 @@ object EngineQueries extends QueryPack {
   override val all: Seq[OracleQuery] = Seq(
     fastCentroidCosine, embeddingOutliers, ckaPerLabel, ckaGroupMatrix,
     ckaMatrixQuantized, ckaHalfQuantized,
-    hllDistinct, approxPercentiles,
+    hllDistinct, hllSketchUnion, approxPercentiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical,

@@ -90,6 +90,25 @@ class EngineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("agg_hll_sketch_union: merged daily sketches track exact distinct; union = single pass") {
+    val row = SparkEntry.queries("agg_hll_sketch_union")(spark, sf01).head()
+    val (unionEst, nEvents) = (row.getLong(0), row.getLong(1))
+    val exactUsers = Tables.events(spark, sf01)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    val total = Tables.events(spark, sf01).count()
+    assert(nEvents == total)
+    // DataSketches HLL_4 at default lgK=12: rse ~ 1.04/sqrt(2^12) ≈ 1.6%;
+    // allow 3σ
+    assert(math.abs(unionEst - exactUsers).toDouble / exactUsers <= 0.05,
+      s"union est $unionEst vs exact $exactUsers")
+    // merging per-day sketches must estimate the same as one global sketch
+    // over the raw column (mergeability = the artifact property)
+    val direct = Tables.events(spark, sf01)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head().getLong(0)
+    assert(unionEst == direct, s"union $unionEst != direct $direct")
+  }
+
   test("vx_fast_centroid_cosine agrees with the oracle long form") {
     val fast = SparkEntry.queries("vx_fast_centroid_cosine")(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
