@@ -343,8 +343,64 @@ object EventQueries extends QueryPack {
     SELECT path, COUNT(*) AS n_sessions FROM paths
     GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10"""))
 
+  // ---- event-rate anomaly detection: z-score of each 10-minute bucket's
+  //      event count against the TRAILING 6 buckets (frame excludes the
+  //      current bucket, so a spike can't mask itself). All inputs are
+  //      exact integer counts; mean/variance are single IEEE divisions of
+  //      exact sums, so the z-score and the |z| > 2 flag are deterministic
+  //      cross-engine. Scale shape: one keyed aggregation to buckets
+  //      (map-side combinable), then a window PARTITIONED BY DAY over the
+  //      bucket relation — the raw stream is never window-sorted and no
+  //      single-partition window appears (each day's first 6 buckets have
+  //      no full trailing frame and are excluded by the n_frame gate,
+  //      which the day partitioning makes a per-day warm-up) ----
+  private val rateAnomaly = OracleQuery(
+    "e_rate_anomaly_zscore",
+    (s, d) => {
+      val buckets = Tables.events(s, d)
+        .groupBy((floor(unix_timestamp(col("ts")) / 600L) * 600L).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("day", floor(col("bucket") / 86400L))
+      val w = Window.partitionBy(col("day")).orderBy(col("bucket"))
+        .rowsBetween(-6, -1)
+      buckets
+        .withColumn("n_frame", count(lit(1)).over(w))
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("msq", avg(col("n") * col("n")).over(w))
+        .filter(col("n_frame") === 6)
+        .withColumn("sigma", sqrt(col("msq") - col("mu") * col("mu")))
+        .select(col("bucket"), col("n"), col("mu"),
+          when(col("sigma") > 0.0,
+            (col("n").cast("double") - col("mu")) / col("sigma"))
+            .otherwise(lit(0.0)).as("z"),
+          (col("sigma") > 0.0 &&
+            abs((col("n").cast("double") - col("mu")) / col("sigma")) > 2.0)
+            .as("anomaly"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket,
+        COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), f AS (
+      SELECT bucket, n,
+        COUNT(*) OVER w AS n_frame,
+        AVG(n) OVER w AS mu,
+        AVG(n * n) OVER w AS msq
+      FROM b
+      WINDOW w AS (PARTITION BY CAST(floor(bucket / 86400) AS BIGINT)
+        ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT bucket, n, mu,
+      CASE WHEN sqrt(msq - mu * mu) > 0
+           THEN (CAST(n AS DOUBLE) - mu) / sqrt(msq - mu * mu)
+           ELSE 0.0 END AS z,
+      (sqrt(msq - mu * mu) > 0 AND
+       abs((CAST(n AS DOUBLE) - mu) / sqrt(msq - mu * mu)) > 2.0) AS anomaly
+    FROM f WHERE n_frame = 6 ORDER BY bucket"""))
+
   override val all: Seq[OracleQuery] =
     Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
       conversionFunnel, cohortRetention, sessionWindowNative, statefulSessions,
-      sessionPaths)
+      sessionPaths, rateAnomaly)
 }

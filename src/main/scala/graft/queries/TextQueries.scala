@@ -764,6 +764,41 @@ object TextQueries extends QueryPack {
     JOIN quota q ON r.source = q.source
     WHERE r.rn <= q.quota ORDER BY r.doc_id"""))
 
+  // ---- out-of-vocabulary rate against a corpus-derived vocabulary: the
+  //      tokenizer-coverage quality signal (docs full of tokens a fixed
+  //      vocab can't cover cost disproportionate sequence length after
+  //      byte-fallback). Vocabulary = top-500 corpus words by (freq DESC,
+  //      word ASC) — itself a deterministic relation, broadcast to the
+  //      token stream; the rate is a rational of exact integer counts ----
+  private val oovRate = OracleQuery(
+    "t_oov_rate",
+    (s, d) => {
+      val ws = words(s, d)
+      val vocab = ws.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w")).limit(500)
+        .select(col("w"), lit(true).as("in_vocab"))
+      ws.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab"), 0L).otherwise(1L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS freq FROM w GROUP BY w
+        ORDER BY freq DESC, w LIMIT 500) t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        AS oov_rate
+    FROM w LEFT JOIN vocab v USING (w)
+    GROUP BY doc_id ORDER BY doc_id"""))
+
   // ---- asymmetric containment pairs: flag doc A when ≥80% of A's trigram
   //      shingles appear in some other doc B. The case Jaccard misses:
   //      a short document quoted wholesale inside a much longer one has
@@ -838,6 +873,6 @@ object TextQueries extends QueryPack {
     tokenCountBpe, qualityScore, qualityGate,
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
-    temperatureMixture, bottomKSample, dsirSelect, containmentPairs,
+    temperatureMixture, bottomKSample, dsirSelect, containmentPairs, oovRate,
     chunkSliding, curationBySource, leakageSplit)
 }
