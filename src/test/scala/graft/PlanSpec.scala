@@ -182,6 +182,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bottom-k sample aggregates partially before the exchange") {
+    val p = plan("t_sample_bottomk_per_source")
+    // the whole point of the Aggregator form: a partial ObjectHashAggregate
+    // runs BELOW the exchange so only k rows per task per group shuffle —
+    // the window formulation (one Window over all rows) must not appear
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no map-side partial bottom-k:\n$p")
+    assert(!p.contains("Window"), s"sample fell back to a window sort:\n$p")
+  }
+
+  test("oov vocabulary broadcasts back to the token stream") {
+    val p = plan("t_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+  }
+
+  test("semdedup prune joins on cluster id, never a cartesian product") {
+    val p = plan("vx_semdedup_quantized")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup pair generation degenerated to a cross join:\n$p")
+  }
+
+  test("rate anomaly windows over day-partitioned buckets, never one partition") {
+    val p = plan("e_rate_anomaly_zscore").toLowerCase
+    assert(!p.contains("singlepartition"),
+      s"anomaly window gathered to one partition:\n$p")
+  }
+
   test("ntile runs as the two-pass bucket plan, never a one-partition window") {
     val p = plan("w_ntile_acctbal_quartiles").toLowerCase
     assert(!p.contains("window"), s"ntile fell back to a window:\n$p")
