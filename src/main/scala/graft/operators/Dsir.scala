@@ -116,4 +116,39 @@ object Dsir {
       .orderBy(col("dsir_weight").desc, col(idCol))
       .limit(keep)
   }
+
+  /** Common production case: the target IS a predicate over the raw corpus
+    * (a labeled domain, a source tag). Then both models come out of ONE
+    * scan — rows emit (bucket, isTarget) and a single agg yields raw and
+    * target counts per bucket — instead of two separate fit passes.
+    * Identical counts to the two-pass form (DsirSpec pins it).
+    */
+  def selectWhere(raw: DataFrame, targetPredicate: Column, keep: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = 1 << 14, alpha: Double = 1.0): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val nb = numBuckets
+    val counts = raw
+      .select(col(textCol).cast("string").as("t"), targetPredicate.as("tgt"))
+      .as[(String, Boolean)]
+      .flatMap { case (t, tgt) =>
+        val toks = tokensOf(t)
+        (1 until toks.length).iterator
+          .map(i => (bucketOf(toks(i - 1), toks(i), nb), tgt))
+      }
+      .groupBy(col("_1").as("bucket"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("_2"), 1L).otherwise(0L)).as("n_target"))
+      .collect()
+    val tCounts = Array.fill[Long](nb)(0L)
+    val rCounts = Array.fill[Long](nb)(0L)
+    counts.foreach { row =>
+      rCounts(row.getInt(0)) = row.getLong(1)
+      tCounts(row.getInt(0)) = row.getLong(2)
+    }
+    importanceWeights(raw, tCounts, rCounts, textCol, alpha)
+      .orderBy(col("dsir_weight").desc, col(idCol))
+      .limit(keep)
+  }
 }

@@ -859,12 +859,10 @@ object TextQueries extends QueryPack {
   //      pins ranking semantics ----
   private val dsirSelect = OracleQuery(
     "t_dsir_select_topk",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.Dsir.select(
-          docs, docs.filter(col("source") === "src0"), keep = 50)
-        .select(col("doc_id"), col("source"), col("dsir_weight"), col("n_grams"))
-    },
+    (s, d) =>
+      graft.operators.Dsir.selectWhere(
+          Tables.documents(s, d), col("source") === "src0", keep = 50)
+        .select(col("doc_id"), col("source"), col("dsir_weight"), col("n_grams")),
     None)
 
   override val all: Seq[OracleQuery] = Seq(

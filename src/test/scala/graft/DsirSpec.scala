@@ -57,6 +57,19 @@ class DsirSpec extends SparkSpec {
     assert(run(2) == run(11))
   }
 
+  test("single-pass selectWhere equals the two-pass select on a predicate target") {
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text", $"source")
+    val onePass = graft.operators.Dsir
+      .selectWhere(docs, $"source" === "src0", keep = 20)
+      .select($"doc_id", $"dsir_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val twoPass = graft.operators.Dsir
+      .select(docs, docs.filter($"source" === "src0"), keep = 20)
+      .select($"doc_id", $"dsir_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(onePass == twoPass)
+  }
+
   test("bucket counts: size fixed, totals equal the corpus bigram count") {
     val docs = Tables.documents(spark, sf001).select($"doc_id", $"text")
     val nb = 1 << 10
