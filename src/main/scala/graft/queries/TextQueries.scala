@@ -764,6 +764,52 @@ object TextQueries extends QueryPack {
     JOIN quota q ON r.source = q.source
     WHERE r.rn <= q.quota ORDER BY r.doc_id"""))
 
+  // ---- soft dedup: keep at most N copies per exact-duplicate cluster
+  //      (the published middle ground between keep-all and keep-1 — some
+  //      natural duplication is signal, unbounded duplication is not).
+  //      Which copies survive is decided by the deterministic knuth32
+  //      order, so the retained set is a reproducible artifact, and the
+  //      per-cluster rank is a window over the content-hash partition —
+  //      cluster-sized, never corpus-sized ----
+  private val dedupCapPerCluster = OracleQuery(
+    "t_dedup_cap_per_cluster",
+    (s, d) => {
+      val h = graft.operators.Dedup.knuth32(col("doc_id"))
+      val w = Window.partitionBy(col("content_hash")).orderBy(h, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("copy_rank", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("content_hash"), col("copy_rank"),
+          (col("copy_rank") <= 2).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, content_hash, copy_rank, copy_rank <= 2 AS keep
+    FROM (
+      SELECT doc_id, md5(text) AS content_hash,
+        CAST(ROW_NUMBER() OVER (PARTITION BY md5(text)
+          ORDER BY ${KNUTH32("doc_id")}, doc_id) AS BIGINT) AS copy_rank
+      FROM documents) t
+    ORDER BY doc_id"""))
+
+  // ---- content-defined chunk dedup profile: CDC-chunk the corpus (rolling
+  //      hash boundaries — edit-stable, see operators/Cdc) and measure, per
+  //      source, how much chunk-level duplication document-level dedup
+  //      would miss. Engine-hash boundaries → rows-only; CdcSpec pins
+  //      reconstruction, bounds, edit stability, and determinism ----
+  private val cdcChunkProfile = OracleQuery(
+    "t_cdc_chunk_profile",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Cdc.chunkDocuments(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_hash")).as("n_distinct"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("source"))
+    },
+    None)
+
   // ---- out-of-vocabulary rate against a corpus-derived vocabulary: the
   //      tokenizer-coverage quality signal (docs full of tokens a fixed
   //      vocab can't cover cost disproportionate sequence length after
@@ -872,5 +918,6 @@ object TextQueries extends QueryPack {
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
     temperatureMixture, bottomKSample, dsirSelect, containmentPairs, oovRate,
+    dedupCapPerCluster, cdcChunkProfile,
     chunkSliding, curationBySource, leakageSplit)
 }
