@@ -88,6 +88,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * `SELECT cosine_sim(a, b)` / `expr("cosine_sim(a, b)")` anywhere.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Register a Column-composer as a 1-arg SQL function: the composed
+    * expression tree inlines into the caller's plan (still pure Catalyst —
+    * no UDF boundary), so `SELECT graft_quality(text)` optimizes exactly
+    * like the library call.
+    */
+  private def colFn1(name: String, f: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column) = ((
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[GraftExtensions].getName, name),
+    (children: Seq[Expression]) =>
+      ColumnBridge.convertedExpression(f(ColumnBridge.column(children.head)))))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
@@ -98,5 +112,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
       (children: Seq[Expression]) =>
         Int8Cosine(children(0), children(1), children(2), children(3))))
+    // SQL surface for the text/hash library: the same Catalyst trees the
+    // Scala API composes, reachable from pure SQL sessions
+    ext.injectFunction(colFn1("graft_lang_id", graft.functions.TextOps.langId))
+    ext.injectFunction(colFn1("graft_quality", graft.functions.TextOps.qualityScore))
+    ext.injectFunction(colFn1("graft_knuth32", graft.operators.Dedup.knuth32))
   }
 }

@@ -14,4 +14,15 @@ object ColumnBridge {
 
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a Catalyst expression tree
+    * (UnresolvedFunction nodes and all), instead of the lazy
+    * `ColumnNodeExpression` wrapper `expression` returns. Function-builder
+    * contexts (SparkSessionExtensions.injectFunction) need this form: the
+    * analyzer resolves the returned tree's unresolved children in its
+    * fixed-point loop, while the lazy wrapper would survive analysis as an
+    * unevaluable leaf and fail at codegen.
+    */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

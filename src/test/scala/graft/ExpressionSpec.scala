@@ -53,6 +53,23 @@ class ExpressionSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(0) >= -1.01 && r.getDouble(0) <= 1.01))
   }
 
+  test("SQL-registered text/hash functions agree with the Scala composers") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val both = docs.select(
+      expr("graft_quality(text)").as("q_sql"),
+      graft.functions.TextOps.qualityScore(col("text")).as("q_lib"),
+      expr("graft_lang_id(text)").as("l_sql"),
+      graft.functions.TextOps.langId(col("text")).as("l_lib"),
+      expr("graft_knuth32(doc_id)").as("h_sql"),
+      graft.operators.Dedup.knuth32(col("doc_id")).as("h_lib"))
+    both.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getString(2) == r.getString(3))
+      assert(r.getLong(4) == r.getLong(5))
+    }
+  }
+
   test("cosine_sim: null inputs give null, self-similarity is 1") {
     import spark.implicits._
     val df = Seq(
