@@ -810,6 +810,19 @@ object EngineQueries extends QueryPack {
         .orderBy(col("shard"), col("est").desc, col("item")),
     None)
 
+  // streaming chunk-level dedup, batch-mode twin: CDC-chunk the corpus as
+  // a firehose and flag every chunk whose content was first claimed by a
+  // lower (doc, chunk) — sub-document duplication the document-level
+  // streams miss. Engine-hash chunk boundaries → rows-only; StreamingSpec
+  // pins multi-batch behavior and claim stability.
+  private val streamChunkDedup = OracleQuery(
+    "tx_stream_chunkdedup_hits",
+    (s, d) =>
+      graft.streaming.StreamingChunkDedup.chunkDupHits(Tables.documents(s, d))
+        .toDF()
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    None)
+
   // streaming bottom-k sample, batch-mode twin. The bottom-k sketch is
   // deterministic and order-free, so the batch twin (one micro-batch) must
   // equal the window-sort sample EXACTLY — a full oracle over the real
@@ -893,7 +906,7 @@ object EngineQueries extends QueryPack {
     dedupCosinePairs, dedupEmbeddingCanonical,
     semDedupQuantized, semDedupKmeans,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
-    streamNearDup, streamTopK, streamSample, curationFunnel,
+    streamNearDup, streamTopK, streamSample, streamChunkDedup, curationFunnel,
     pca2d, separability,
     separabilityGbt)
 }

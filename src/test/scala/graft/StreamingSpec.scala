@@ -346,6 +346,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming chunk dedup: shared passages hit, claims stay with the first batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // all-distinct tokens: no intra-document duplicate chunks, so the only
+    // hits are genuine cross-document passage repeats. Short chunks
+    // (mod 4, len 4-8) make boundaries overwhelmingly content-defined, so
+    // the two docs' passage chunks resynchronize despite different prefixes
+    val passage = (0 until 40).map(i => s"p$i").mkString(" ")
+    val unique1 = (0 until 20).map(i => s"a$i").mkString(" ")
+    val unique2 = (0 until 20).map(i => s"b$i").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingChunkDedup.chunkDupHits(
+        stream.toDF().toDF("doc_id", "text"),
+        modulus = 4, minLen = 4, maxLen = 8)
+      .writeStream.format("memory").queryName("schunk_test")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, unique1 + " " + passage))
+      query.processAllAvailable()
+      assert(spark.table("schunk_test").count() == 0,
+        "first ingest produced hits")
+      // a later doc repeating the passage (after different leading content)
+      // must collide on the passage's content-defined chunks, owned by doc 1
+      stream.addData((2L, unique2 + " " + passage))
+      query.processAllAvailable()
+      val hits = spark.table("schunk_test")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(hits.nonEmpty, "shared passage not detected across batches")
+      assert(hits.forall { case (d, o) => d == 2L && o == 1L }, s"hits: ${hits.toSeq}")
+      // re-ingesting doc 1 verbatim: every chunk repeats history, all owned
+      // by the original claim (stability), none self-owned
+      stream.addData((3L, unique1 + " " + passage))
+      query.processAllAvailable()
+      val later = spark.table("schunk_test")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .filter(_._1 == 3L)
+      assert(later.nonEmpty && later.forall(_._2 == 1L), s"later: ${later.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming bottom-k sample: final snapshot equals the batch draw, any batching") {
     implicit val sqlCtx = spark.sqlContext
     // real documents split into three arbitrary micro-batches: the merged
