@@ -326,6 +326,38 @@ object SimilaritySearch {
       if (persist) assigned.persist() else assigned)
   }
 
+  /** Persist an IVF-SQ8 index — completes the persistence symmetry with
+    * [[saveIvfIndex]]/[[saveIvfPqIndex]]: `assigned/` holds the QUANTIZED
+    * inverted file partitioned by cell (the resident artifact is dim
+    * bytes + scale + norm per vector — the 4× saving is exactly what gets
+    * persisted, floats stay in cold storage) and `centers/` the coarse
+    * quantizer. Probe-identical round-trip via [[loadIvfInt8Index]]
+    * (spec-pinned).
+    */
+  def saveIvfInt8Index(index: IvfInt8Index, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+    index.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+  }
+
+  /** Load an IVF-SQ8 index persisted by [[saveIvfInt8Index]]; the inverted
+    * file reads lazily with cell partition pruning intact.
+    */
+  def loadIvfInt8Index(spark: org.apache.spark.sql.SparkSession, dir: String,
+      persist: Boolean = true): IvfInt8Index = {
+    val centers = spark.read.parquet(s"$dir/centers").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("neighbor_id"), col("cell"), col("scale"), col("qnorm"),
+        col("qv"))
+    IvfInt8Index(centers, if (persist) assigned.persist() else assigned)
+  }
+
   /** Probe an IVF-SQ8 index: nprobe nearest cells per query, candidates
     * from the cell equi-join, scoring through the native int8 codegen
     * kernel. Same output shape as [[ivfProbe]].

@@ -178,6 +178,27 @@ class SimilaritySearchSpec extends SparkSpec {
       s"PQ probe changed across save/load: ${before.diff(after).take(3)}")
   }
 
+  test("IVF-SQ8 index persists quantized and probes identically after reload") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = SimilaritySearch.buildIvfInt8Index(emb, nlist = 4)
+    val before = SimilaritySearch.ivfProbeInt8(idx, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq8-idx").toString
+    SimilaritySearch.saveIvfInt8Index(idx, dir)
+    idx.unpersist()
+    val loaded = SimilaritySearch.loadIvfInt8Index(spark, dir)
+    val after = SimilaritySearch.ivfProbeInt8(loaded, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    loaded.unpersist()
+    assert(before.nonEmpty && before == after,
+      s"probe results changed across save/load: ${before.diff(after)}")
+    // what persisted is the QUANTIZED corpus: the bytes column, not floats
+    val schema = spark.read.parquet(s"$dir/assigned").schema
+    assert(schema("qv").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(!schema.fieldNames.contains("tv"), "float vectors leaked into the artifact")
+  }
+
   test("int8-quantized ANN matches the float path: top-5 overlap and cosine error") {
     val emb01 = Tables.embeddings(spark, sf01).cache()
     val queries = emb01.filter(col("vec_id") < 50)
