@@ -190,6 +190,69 @@ object AdvancedQueries extends QueryPack {
       GROUP BY l_returnflag)
     ORDER BY l_returnflag"""))
 
+  // ---- single-pass distribution profile: mean/variance/skewness/kurtosis
+  //      from raw power sums — the scale shape for statistical profiling
+  //      (one map-side-combinable aggregation, four exact DECIMAL sums; no
+  //      second centering pass). Central moments and the ratios compute in
+  //      double from exact integers with op-for-op identical expressions,
+  //      so the floats are deterministic cross-engine (built-in skewness()
+  //      is deliberately avoided: engines disagree on sample-vs-population
+  //      adjustment, the raw-sums algebra is unambiguous) ----
+  private val momentsPack = OracleQuery(
+    "stat_moments_quantity",
+    (s, d) => {
+      // LONG, not DECIMAL: decimal's type-level precision (p1+p2+1 per
+      // multiply) overflows 38 digits at the 4th power even though the
+      // VALUES are tiny; long math is exact here (x^4 <= 6.25e6, sums
+      // <= ~4e12 << 2^53, so the double casts are exact too)
+      val q = Tables.lineitem(s, d).select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("x"))
+      q.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("x") * col("x") * col("x")).cast("double").as("sxxx"),
+          sum(col("x") * col("x") * col("x") * col("x")).cast("double").as("sxxxx"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("q1", col("sxx") / col("n"))
+        .withColumn("q2", col("sxxx") / col("n"))
+        .withColumn("q3", col("sxxxx") / col("n"))
+        .withColumn("m2", col("q1") - col("mean") * col("mean"))
+        .withColumn("m3", col("q2") - lit(3.0) * col("mean") * col("q1")
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+        .withColumn("m4", col("q3") - lit(4.0) * col("mean") * col("q2")
+          + lit(6.0) * col("mean") * col("mean") * col("q1")
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+        .select(col("l_returnflag"), col("n"), col("mean"),
+          col("m2").as("variance"),
+          (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+          (col("m4") / (col("m2") * col("m2")) - lit(3.0)).as("kurtosis"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, n, mean, m2 AS variance,
+      m3 / (m2 * sqrt(m2)) AS skewness,
+      m4 / (m2 * m2) - 3.0 AS kurtosis
+    FROM (
+      SELECT l_returnflag, n, mean, q1, q2, q3,
+        q1 - mean * mean AS m2,
+        q2 - 3.0 * mean * q1 + 2.0 * mean * mean * mean AS m3,
+        q3 - 4.0 * mean * q2 + 6.0 * mean * mean * q1
+          - 3.0 * mean * mean * mean * mean AS m4
+      FROM (
+        SELECT l_returnflag, n, sx / n AS mean, sxx / n AS q1,
+          sxxx / n AS q2, sxxxx / n AS q3
+        FROM (
+          SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(x) AS DOUBLE) AS sx,
+            CAST(SUM(x * x) AS DOUBLE) AS sxx,
+            CAST(SUM(x * x * x) AS DOUBLE) AS sxxx,
+            CAST(SUM(x * x * x * x) AS DOUBLE) AS sxxxx
+          FROM (SELECT l_returnflag,
+                  CAST(floor(l_quantity) AS BIGINT) AS x
+                FROM lineitem)
+          GROUP BY l_returnflag)))
+    ORDER BY l_returnflag"""))
+
   // ---- exact order statistics: median + 90th percentile (both engines use
   //      linear interpolation for continuous percentiles over doubles —
   //      identical picks and identical IEEE interpolation) ----
@@ -505,5 +568,5 @@ object AdvancedQueries extends QueryPack {
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
     stringAgg, groupingSets, q5ish, q3ish, q17ish, arrayHof, regexpGroups, bagSetOps,
-    pivotQuery, unpivotQuery, rankStats)
+    pivotQuery, unpivotQuery, rankStats, momentsPack)
 }
