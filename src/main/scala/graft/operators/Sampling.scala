@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions.udaf
   * duplicate ids collapse to one entry, keeping the sketch a set sample.
   *
   * Reference context: the reference samples per-group with
-  * `random.Random(42).sample` on a driver-resident list
-  * (/root/reference/utils/embedding_analysis_utils.py:118-135) — the
+  * `rng.choice(X.shape[0], size=sample_per_model, replace=False)` on a
+  * driver-resident matrix
+  * (/root/reference/src/analyze_embedding_with_pca.py:117-118) — the
   * bottom-k sketch is that operation's shuffle-free distributed form.
   */
 object Sampling {

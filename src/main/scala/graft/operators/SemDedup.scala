@@ -29,10 +29,12 @@ import graft.functions.VecOps
   * the whole pass is replayable in ANSI SQL (the `vx_semdedup_quantized`
   * gate query hash-matches DuckDB end-to-end).
   *
-  * Reference context: the reference's near-dup story is pairwise cosine
-  * over the full embedding table
-  * (/root/reference/src/analyze_embedding_with_tsne.py:154-171); SemDeDup
-  * is the published curation-scale replacement.
+  * Reference context: the reference analyzes embedding-space structure by
+  * stacking per-model embeddings and running t-SNE over their pairwise
+  * affinities on a driver-resident, per-model-sampled matrix
+  * (/root/reference/src/analyze_embedding_with_tsne.py:150-173); SemDeDup
+  * is the published curation-scale form of acting on that same
+  * embedding-proximity structure.
   */
 object SemDedup {
 
