@@ -101,4 +101,73 @@ object Sampling {
     */
   def bottomK(id: Column, k: Int): Column =
     udaf(new BottomK(k), ExpressionEncoder[Long]())(id.cast("long"))
+
+  // ---- weighted variant (Efraimidis & Spirakis 2006, algorithm A-ES):
+  //      a weighted-without-replacement k-sample = the k items with the
+  //      smallest key -ln(u_i)/w_i, u_i uniform. u derives from the same
+  //      deterministic knuth32 hash ((h + 0.5) / 2^32, never 0 or 1), so
+  //      the draw is reproducible across runs and partitionings; with
+  //      equal weights the key is monotone in the hash, so the sample
+  //      degenerates to a plain uniform draw (spec-pinned). ln is float
+  //      math -> the gate entry is rows-only. Same O(k) mergeable-buffer
+  //      profile as the unweighted sketch. ----
+
+  private[graft] def esKey(id: Long, w: Double): Double =
+    -math.log((knuth32(id) + 0.5) / 4294967296.0) / w
+
+  // sorted ascending by (key, id), ids distinct, size <= k
+  private[graft] type WBuf = Vector[(Double, Long)]
+
+  private[graft] def winsert(b: WBuf, id: Long, w: Double, k: Int): WBuf =
+    if (w <= 0.0 || w.isNaN) b // non-positive weight = excluded
+    else {
+      val key = (esKey(id, w), id)
+      if (b.length >= k && Ordering[(Double, Long)].lteq(b.last, key)) b
+      else {
+        val at = b.indexWhere(e => Ordering[(Double, Long)].gteq(e, key))
+        if (at >= 0 && b(at)._2 == id) b // duplicate id: set semantics
+        else {
+          val grown =
+            if (at < 0) b :+ key
+            else (b.take(at) :+ key) ++ b.drop(at)
+          if (grown.length > k) grown.dropRight(grown.length - k) else grown
+        }
+      }
+    }
+
+  private[graft] def wmerge(a: WBuf, b: WBuf, k: Int): WBuf = {
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      val out = Vector.newBuilder[(Double, Long)]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length ||
+          (i < a.length && Ordering[(Double, Long)].lteq(a(i), b(j)))
+        val e = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (j < b.length && e == b(j)) j += 1
+        out += e; n += 1
+      }
+      out.result()
+    }
+  }
+
+  private final class WeightedK(k: Int)
+      extends Aggregator[(Long, Double), WBuf, Seq[Long]] {
+    def zero: WBuf = Vector.empty
+    def reduce(b: WBuf, in: (Long, Double)): WBuf = winsert(b, in._1, in._2, k)
+    def merge(a: WBuf, b: WBuf): WBuf = wmerge(a, b, k)
+    def finish(b: WBuf): Seq[Long] = b.map(_._2)
+    def bufferEncoder: Encoder[WBuf] = ExpressionEncoder[WBuf]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** `weighted_k_sample(id, weight)`: ARRAY<BIGINT> of k ids drawn
+    * without replacement with probability proportional to weight; rank-i
+    * prefix is a valid smaller weighted sample (A-ES property).
+    */
+  def weightedK(id: Column, weight: Column, k: Int): Column =
+    udaf(new WeightedK(k), ExpressionEncoder[(Long, Double)]())(
+      id.cast("long"), weight.cast("double"))
 }

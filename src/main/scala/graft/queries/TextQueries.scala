@@ -764,6 +764,23 @@ object TextQueries extends QueryPack {
     JOIN quota q ON r.source = q.source
     WHERE r.rn <= q.quota ORDER BY r.doc_id"""))
 
+  // ---- length-weighted sample: the curation draw that favors documents
+  //      proportionally to token mass (sampling for a token budget, not a
+  //      document budget — the quantity pretraining actually consumes).
+  //      A-ES keys are ln float math → rows-only; SamplingSpec pins the
+  //      weighted sketch against brute force under adversarial
+  //      partitioning ----
+  private val weightedSample = OracleQuery(
+    "t_sample_weighted_by_length",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(graft.operators.Sampling
+          .weightedK(col("doc_id"), col("n_chars"), 5).as("sample"))
+        .select(col("source"), posexplode(col("sample")).as(Seq("pos", "doc_id")))
+        .orderBy(col("source"), col("pos")),
+    None)
+
   // ---- soft dedup: keep at most N copies per exact-duplicate cluster
   //      (the published middle ground between keep-all and keep-1 — some
   //      natural duplication is signal, unbounded duplication is not).
@@ -918,6 +935,6 @@ object TextQueries extends QueryPack {
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
     temperatureMixture, bottomKSample, dsirSelect, containmentPairs, oovRate,
-    dedupCapPerCluster, cdcChunkProfile,
+    dedupCapPerCluster, cdcChunkProfile, weightedSample,
     chunkSliding, curationBySource, leakageSplit)
 }

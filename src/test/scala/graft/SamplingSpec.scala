@@ -55,6 +55,45 @@ class SamplingSpec extends SparkSpec {
     assert(s.length == 15 && s.distinct.length == 15)
   }
 
+  test("weighted sample equals brute-force A-ES keys under adversarial partitioning") {
+    val rows = (0L until 3000L).map(id => (id, 1.0 + (id % 5).toDouble))
+    val viaAgg = rows.toDF("id", "w").repartition(11)
+      .agg(Sampling.weightedK($"id", $"w", 25).as("s"))
+      .head().getSeq[Long](0)
+    val brute = rows.map { case (id, w) => (Sampling.esKey(id, w), id) }
+      .sorted.take(25).map(_._2)
+    assert(viaAgg == brute)
+  }
+
+  test("equal weights degenerate the weighted draw to a uniform one") {
+    val df = (0L until 1000L).toDF("id").repartition(7)
+    val weighted = df.agg(
+      Sampling.weightedK($"id", lit(3.0), 15).as("s")).head().getSeq[Long](0)
+    // -ln(u)/c is monotone DECREASING in the hash, so the equal-weight
+    // sample is exactly the 15 LARGEST knuth32 hashes
+    val brute = (0L until 1000L)
+      .map(id => (Sampling.knuth32(id), id)).sortBy(t => (-t._1, t._2))
+      .take(15).map(_._2)
+    assert(weighted.toSet == brute.toSet)
+  }
+
+  test("heavier items are strongly overrepresented in the weighted draw") {
+    // 100 heavy items (w=10) among 900 light (w=1): heavies are 10% of the
+    // population but ~10/19 of the total weight
+    val rows = (0L until 1000L).map(id => (id, if (id < 100) 10.0 else 1.0))
+    val sample = rows.toDF("id", "w").repartition(5)
+      .agg(Sampling.weightedK($"id", $"w", 100).as("s"))
+      .head().getSeq[Long](0)
+    val nHeavy = sample.count(_ < 100L)
+    assert(nHeavy >= 30, s"only $nHeavy/100 heavy items sampled")
+    // and non-positive weights never appear
+    val withZero = (rows ++ Seq((5000L, 0.0), (5001L, -3.0)))
+      .toDF("id", "w")
+      .agg(Sampling.weightedK($"id", $"w", 2000).as("s"))
+      .head().getSeq[Long](0)
+    assert(!withZero.contains(5000L) && !withZero.contains(5001L))
+  }
+
   test("buffer invariants: sorted, bounded, deduped under random merges") {
     val rng = new scala.util.Random(42)
     val ids = Vector.fill(500)(rng.nextLong() % 1000L)
