@@ -253,6 +253,23 @@ object AdvancedQueries extends QueryPack {
           GROUP BY l_returnflag)))
     ORDER BY l_returnflag"""))
 
+  // ---- equi-width histogram: the profiling shape that scales (one
+  //      map-side-combinable aggregation over computed bucket ids; never a
+  //      sort or a per-value gather). Bucket = floor(x / width) on an
+  //      exact-integer-domain double — deterministic cross-engine ----
+  private val histogram = OracleQuery(
+    "stat_histogram_totalprice",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"),
+          (floor(col("o_totalprice") / 25000.0) * 25000).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("bucket_lo")),
+    Some("""SELECT o_orderstatus,
+      CAST(floor(o_totalprice / 25000.0) * 25000 AS BIGINT) AS bucket_lo,
+      COUNT(*) AS n
+    FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket_lo"""))
+
   // ---- exact order statistics: median + 90th percentile (both engines use
   //      linear interpolation for continuous percentiles over doubles —
   //      identical picks and identical IEEE interpolation) ----
@@ -568,5 +585,5 @@ object AdvancedQueries extends QueryPack {
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
     stringAgg, groupingSets, q5ish, q3ish, q17ish, arrayHof, regexpGroups, bagSetOps,
-    pivotQuery, unpivotQuery, rankStats, momentsPack)
+    pivotQuery, unpivotQuery, rankStats, momentsPack, histogram)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Exact._
 
 /** Batch-checkable equivalents of the streaming surface (SURVEY.md §2.10):
@@ -399,8 +400,47 @@ object EventQueries extends QueryPack {
        abs((CAST(n AS DOUBLE) - mu) / sqrt(msq - mu * mu)) > 2.0) AS anomaly
     FROM f WHERE n_frame = 6 ORDER BY bucket"""))
 
+  // ---- time-weighted average: each reading weighted by how long it was
+  //      current (until the user's next event) — the correct mean for
+  //      irregularly-sampled gauges, where the arithmetic mean over-weights
+  //      busy periods. Exactness: value quantizes to cents, durations are
+  //      exact micros, products sum in DECIMAL, one final double division —
+  //      deterministic cross-engine. One keyed window pass + one agg ----
+  private val timeWeighted = OracleQuery(
+    "e_time_weighted_value",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dur_us", col("next_us") - col("us"))
+        .withColumn("vd",
+          (floor(col("value") * 100).cast("long") * col("dur_us"))
+            .cast(DecimalType(27, 0)))
+        .groupBy(col("user_id"))
+        .agg(
+          (sum(col("vd")).cast("double") /
+            (sum(col("dur_us")).cast("double") * 100.0)).as("twa"),
+          sum(col("dur_us")).as("span_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+        LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS next_us
+      FROM events
+    )
+    SELECT user_id,
+      CAST(SUM(CAST(CAST(floor(value * 100) AS BIGINT) * (next_us - us)
+          AS DECIMAL(27,0))) AS DOUBLE)
+        / (CAST(SUM(next_us - us) AS DOUBLE) * 100.0) AS twa,
+      CAST(SUM(next_us - us) AS BIGINT) AS span_us
+    FROM e WHERE next_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id"""))
+
   override val all: Seq[OracleQuery] =
     Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
       conversionFunnel, cohortRetention, sessionWindowNative, statefulSessions,
-      sessionPaths, rateAnomaly)
+      sessionPaths, rateAnomaly, timeWeighted)
 }

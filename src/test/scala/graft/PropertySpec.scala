@@ -229,6 +229,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CDC spans exactly partition any token stream within length bounds") {
+    import graft.operators.Cdc
+    val streamGen = for {
+      n <- Gen.choose(0, 300)
+      vocab <- Gen.choose(2, 40)
+      toks <- Gen.listOfN(n, Gen.choose(0, vocab).map(i => s"tok$i"))
+      mod <- Gen.oneOf(2, 4, 16)
+      min <- Gen.choose(1, 6)
+      extra <- Gen.choose(1, 40)
+    } yield (toks.toArray, mod, min, min + extra)
+    forSamples(streamGen, n = 15) { case (toks, mod, min, max) =>
+      val spans = Cdc.spansOf(toks, window = 4, modulus = mod,
+        minLen = min, maxLen = max)
+      // exact cover, in order, no gaps or overlaps
+      assert(spans.map(_._2).sum == toks.length)
+      assert(spans.map(_._1) == spans.scanLeft(0)((a, s) => a + s._2).init)
+      // bounds: every chunk but the last within [min, max]
+      spans.dropRight(1).foreach { case (_, n2) =>
+        assert(n2 >= min && n2 <= max, s"span $n2 outside [$min,$max]")
+      }
+      spans.lastOption.foreach { case (_, n2) => assert(n2 <= max) }
+    }
+  }
+
   test("tsne output is finite and centered for any small input") {
     forSamples(Gen.choose(5, 15), n = 5) { n =>
       val rng = new scala.util.Random(n)
