@@ -16,7 +16,9 @@ object ExplainDump {
       else Seq("p6_filter_project", "j1_region_customer_rollup",
         "j2_top_orders_by_revenue", "a2_pricing_summary",
         "v_centroid_cosine_matrix", "vx_fast_centroid_cosine",
-        "j_range_ship_within_30d", "tx_dedup_minhash_pairs")
+        "j_range_ship_within_30d", "tx_dedup_minhash_pairs",
+        "t_sample_bottomk_per_source", "vx_semdedup_quantized",
+        "t_dsir_select_topk", "stat_moments_quantity")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
