@@ -800,15 +800,38 @@ object EngineQueries extends QueryPack {
   // flatMapGroupsWithState group executes once over its full token set →
   // one exact SpaceSaving pass per shard). Shard assignment is engine-hash
   // → rows-only; TopKSketchSpec pins micro-batch parity with batch counts
+  // FULL oracle over the real streaming code path: sharding moved to a
+  // DuckDB-replayable knuth32 layout (sharding only partitions state —
+  // any deterministic assignment yields the same global sketch), and this
+  // corpus's vocabulary fits under capacity, so every per-shard buffer
+  // stays in SpaceSaving's EXACT regime: est = true count, err = 0, and
+  // the emitted top-10 per shard is the exact frequency head — all of
+  // which SQL can replay. TopKSketchSpec separately pins the
+  // approximation regime's bounds.
   private val streamTopK = OracleQuery(
     "tx_stream_topk_words",
     (s, d) =>
       graft.streaming.StreamingTopK.heavyHitters(
           Tables.documents(s, d).select(explode(split(col("text"), " ")).as("w")),
-          k = 10, capacity = 256, nShards = 4)
+          k = 10, capacity = 256, nShards = 4,
+          shardExpr = Some(pmod(
+            Dedup.knuth32(ascii(col("w")) * 31 + length(col("w"))), lit(4L))))
         .toDF()
         .orderBy(col("shard"), col("est").desc, col("item")),
-    None)
+    Some(s"""WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ), counted AS (
+      SELECT CAST(${graft.queries.Exact.KNUTH32("ascii(item)*31 + length(item)")} % 4
+          AS INT) AS shard,
+        item, COUNT(*) AS est
+      FROM w GROUP BY 1, 2
+    ), ranked AS (
+      SELECT shard, item, est,
+        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY est DESC, item) AS rn
+      FROM counted
+    )
+    SELECT shard, item, est, CAST(0 AS BIGINT) AS err FROM ranked
+    WHERE rn <= 10 ORDER BY shard, est DESC, item"""))
 
   // streaming chunk-level dedup, batch-mode twin: CDC-chunk the corpus as
   // a firehose and flag every chunk whose content was first claimed by a

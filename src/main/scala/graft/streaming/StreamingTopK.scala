@@ -29,8 +29,15 @@ final case class ShardTopK(shard: Int, item: String, est: Long, err: Long)
   */
 object StreamingTopK {
 
+  /** @param shardExpr optional custom shard assignment (must be an INT in
+    *   [0, nShards)); defaults to xxhash64 of the item. A caller needing a
+    *   cross-engine-replayable layout (the exact-regime oracle) passes a
+    *   hash both engines can compute — sharding only partitions state, so
+    *   any deterministic assignment yields the same global sketch.
+    */
   def heavyHitters(items: DataFrame, itemCol: String = "w",
-      k: Int = 20, capacity: Int = 256, nShards: Int = 8): Dataset[ShardTopK] = {
+      k: Int = 20, capacity: Int = 256, nShards: Int = 8,
+      shardExpr: Option[org.apache.spark.sql.Column] = None): Dataset[ShardTopK] = {
     val spark = items.sparkSession
     import spark.implicits._
 
@@ -58,7 +65,9 @@ object StreamingTopK {
     }
 
     items
-      .select(pmod(xxhash64(col(itemCol)), lit(nShards.toLong)).cast("int").as("shard"),
+      .select(shardExpr
+          .getOrElse(pmod(xxhash64(col(itemCol)), lit(nShards.toLong)))
+          .cast("int").as("shard"),
         col(itemCol).cast("string").as("item"))
       .as[(Int, String)]
       .groupByKey(_._1)
