@@ -15,7 +15,8 @@ object SparkEntry {
     VectorQueries,
     TextQueries,
     EngineQueries,
-    ScaleJoinQueries)
+    ScaleJoinQueries,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core question — pairwise similarity structure of the
