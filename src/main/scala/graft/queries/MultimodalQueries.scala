@@ -99,7 +99,7 @@ object MultimodalQueries extends QueryPack {
     (s, _) => {
       val root = ensureFixtures()
       val decoded = ImageIngest.decodeImages(
-        ImageIngest.scanImages(s, s"$root/img", dirGlob = ".*"))
+        ImageIngest.scanImages(s, s"$root/img"))
         .filter(col("ok"))
         .select(
           element_at(split(col("path"), "/"), -1).as("name"),

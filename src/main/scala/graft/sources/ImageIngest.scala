@@ -23,7 +23,7 @@ object ImageIngest {
     * Schema: (path, modificationTime, length, content BINARY).
     */
   def scanImages(spark: SparkSession, root: String,
-      dirGlob: String = "*"): DataFrame =
+      dirGlob: String = ".*"): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.{jpg,jpeg,png,bmp,webp,JPG,JPEG,PNG,BMP,WEBP}")
       .option("recursiveFileLookup", "true")
