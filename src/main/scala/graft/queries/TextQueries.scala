@@ -764,6 +764,39 @@ object TextQueries extends QueryPack {
     JOIN quota q ON r.source = q.source
     WHERE r.rn <= q.quota ORDER BY r.doc_id"""))
 
+  // ---- exact-threshold set-similarity join (PPJoin-style prefix filter):
+  //      all pairs with token-SET Jaccard ≥ 0.9, exactly. The engine runs
+  //      the prefix-filtered plan (rarest-token inverted index generates a
+  //      complete candidate set under the t/(1+t) prefix bound, exact
+  //      array-intersect verify); the oracle computes the same relation
+  //      the naive way — identical rows prove the filter lossless on real
+  //      data at both SFs, on top of SetJoinSpec's three-threshold
+  //      equality pin ----
+  private val setJoinPairs = OracleQuery(
+    "t_setjoin_jaccard_pairs",
+    (s, d) =>
+      graft.operators.SetJoin.jaccardJoin(
+          Tables.documents(s, d).filter(col("doc_id") < 200), t = 0.9)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 200
+    ), tok2 AS (
+      SELECT doc_id, w FROM tok WHERE w <> ''
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok2 GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM tok2 a JOIN tok2 b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.c AS n_common,
+      CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) AS jaccard
+    FROM inter i
+    JOIN sz s1 ON i.id_a = s1.doc_id JOIN sz s2 ON i.id_b = s2.doc_id
+    WHERE CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) >= 0.9
+    ORDER BY i.id_a, i.id_b"""))
+
   // ---- length-weighted sample: the curation draw that favors documents
   //      proportionally to token mass (sampling for a token budget, not a
   //      document budget — the quantity pretraining actually consumes).
@@ -935,6 +968,6 @@ object TextQueries extends QueryPack {
     gopherRules, piiRedact, seqPackChunked, seqPackGreedy,
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
     temperatureMixture, bottomKSample, dsirSelect, containmentPairs, oovRate,
-    dedupCapPerCluster, cdcChunkProfile, weightedSample,
+    dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
     chunkSliding, curationBySource, leakageSplit)
 }
