@@ -210,6 +210,21 @@ class PlanSpec extends SparkSpec {
       s"anomaly window gathered to one partition:\n$p")
   }
 
+  test("set-similarity join: freq table broadcasts, no cartesian anywhere") {
+    val p = plan("t_setjoin_jaccard_pairs")
+    assert(p.contains("BroadcastHashJoin"), s"freq table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"set join degenerated to a cross join:\n$p")
+  }
+
+  test("moments profile is one partial+final aggregation pair, no extra pass") {
+    val p = plan("stat_moments_quantity")
+    // all four power sums ride ONE HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"moments plan is not a single partial/final agg pair:\n$p")
+  }
+
   test("ntile runs as the two-pass bucket plan, never a one-partition window") {
     val p = plan("w_ntile_acctbal_quartiles").toLowerCase
     assert(!p.contains("window"), s"ntile fell back to a window:\n$p")
