@@ -229,6 +229,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weighted bottom-k equals brute force for any stream split into any partials") {
+    import graft.operators.Sampling
+    val streamGen = for {
+      n <- Gen.choose(5, 120)
+      ids <- Gen.listOfN(n, Gen.choose(-300L, 300L))
+      ws <- Gen.listOfN(n, Gen.oneOf(0.5, 1.0, 2.0, 10.0, 0.0, -1.0))
+      cuts <- Gen.listOfN(3, Gen.choose(0, n))
+      k <- Gen.choose(1, 10)
+    } yield (ids.zip(ws), cuts.sorted, k)
+    forSamples(streamGen, n = 12) { case (rows, cuts, k) =>
+      val parts = ((0 +: cuts) :+ rows.length).sliding(2).map {
+        case Seq(a, b) => rows.slice(a, b)
+      }.toList
+      val partials = parts.map(_.foldLeft(Vector.empty: Sampling.WBuf) {
+        case (b, (id, w)) => Sampling.winsert(b, id, w, k)
+      })
+      val merged = partials.reduce(Sampling.wmerge(_, _, k))
+      // brute force: positive-weight distinct ids by (A-ES key, id); a
+      // duplicate id keeps its FIRST weight occurrence only if keys tie —
+      // keys depend on weight, so dedup brute-force per (key, id) pair
+      val expected = rows.filter(_._2 > 0.0)
+        .map { case (id, w) => (Sampling.esKey(id, w), id) }
+        .distinct.sorted.take(k).toVector
+      assert(merged == expected, s"cuts $cuts k $k")
+    }
+  }
+
   test("CDC spans exactly partition any token stream within length bounds") {
     import graft.operators.Cdc
     val streamGen = for {
