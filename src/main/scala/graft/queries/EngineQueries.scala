@@ -833,6 +833,22 @@ object EngineQueries extends QueryPack {
     SELECT shard, item, est, CAST(0 AS BIGINT) AS err FROM ranked
     WHERE rn <= 10 ORDER BY shard, est DESC, item"""))
 
+  // weighted streaming sample, batch-mode twin (rows-only: A-ES keys are
+  // ln float math; StreamingSpec pins bit-parity with the batch Aggregator
+  // under multi-batch execution)
+  private val streamWeightedSample = OracleQuery(
+    "tx_stream_sample_weighted",
+    (s, d) =>
+      graft.streaming.StreamingSampling.weightedKSample(
+          Tables.documents(s, d).select(col("source"), col("doc_id"),
+            col("n_chars").cast("double").as("weight")),
+          k = 5)
+        .toDF()
+        .select(col("group"), col("seq"),
+          posexplode(col("sample")).as(Seq("pos", "doc_id")))
+        .orderBy(col("group"), col("pos")),
+    None)
+
   // streaming chunk-level dedup, batch-mode twin: CDC-chunk the corpus as
   // a firehose and flag every chunk whose content was first claimed by a
   // lower (doc, chunk) — sub-document duplication the document-level
@@ -929,7 +945,8 @@ object EngineQueries extends QueryPack {
     dedupCosinePairs, dedupEmbeddingCanonical,
     semDedupQuantized, semDedupKmeans,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
-    streamNearDup, streamTopK, streamSample, streamChunkDedup, curationFunnel,
+    streamNearDup, streamTopK, streamSample, streamWeightedSample,
+    streamChunkDedup, curationFunnel,
     pca2d, separability,
     separabilityGbt)
 }

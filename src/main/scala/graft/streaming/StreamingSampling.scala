@@ -53,4 +53,39 @@ object StreamingSampling {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** Weighted twin: maintains the Efraimidis–Spirakis weighted-without-
+    * replacement sample per group ([[graft.operators.Sampling.weightedK]])
+    * over an unbounded stream. Same exact-parity property as the uniform
+    * sampler — the A-ES keys derive from the deterministic hash, so any
+    * micro-batching yields the batch Aggregator's draw bit-for-bit.
+    */
+  def weightedKSample(rows: DataFrame, groupCol: String = "source",
+      idCol: String = "doc_id", weightCol: String = "weight",
+      k: Int = 10): Dataset[GroupSample] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+
+    def fn(group: String, it: Iterator[(String, Long, Double)],
+        state: GroupState[(Sampling.WBuf, Long)]): Iterator[GroupSample] = {
+      var local: Sampling.WBuf = Vector.empty
+      var any = false
+      it.foreach { r => any = true; local = Sampling.winsert(local, r._2, r._3, k) }
+      if (!any) Iterator.empty
+      else {
+        val (prev, seq) = state.getOption.getOrElse((Vector.empty: Sampling.WBuf, 0L))
+        val merged = Sampling.wmerge(prev, local, k)
+        state.update((merged, seq + 1))
+        Iterator.single(GroupSample(group, seq + 1, merged.map(_._2)))
+      }
+    }
+
+    rows
+      .select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("w"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

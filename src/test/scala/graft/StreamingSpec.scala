@@ -385,6 +385,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming weighted sample: final snapshot equals the batch draw, any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf001)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2).toDouble))
+    val stream = MemoryStream[(String, Long, Double)]
+    val query = graft.streaming.StreamingSampling.weightedKSample(
+        stream.toDF().toDF("source", "doc_id", "weight"), k = 5)
+      .writeStream.format("memory").queryName("swsample_test")
+      .outputMode("append").start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      val finals = spark.table("swsample_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (g, snaps) => g -> snaps.maxBy(_._2)._3 }
+      val batch = Tables.documents(spark, sf001)
+        .groupBy(col("source"))
+        .agg(graft.operators.Sampling
+          .weightedK(col("doc_id"), col("n_chars"), 5).as("s"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(finals == batch)
+    } finally query.stop()
+  }
+
   test("streaming bottom-k sample: final snapshot equals the batch draw, any batching") {
     implicit val sqlCtx = spark.sqlContext
     // real documents split into three arbitrary micro-batches: the merged
