@@ -259,8 +259,12 @@ object TextQueries extends QueryPack {
   //      quartile by score. The published curation move this mirrors is
   //      domain-aware quality filtering — a global cutoff would let one
   //      high-scoring source crowd out every other domain, so the
-  //      percentile is computed WITHIN source. percent_rank over
-  //      (quality DESC, doc_id) is an exact rational of small integers —
+  //      percentile is computed WITHIN source. `source` is low-cardinality,
+  //      so the window twin (`percent_rank OVER (PARTITION BY source)`)
+  //      would sort each source in ONE task at 100 TB; instead the rank
+  //      comes from GlobalRank.withGroupRank (buckets on the ORDER key, so
+  //      every task sorts ~1/p of the data) and percent_rank is its exact
+  //      closed form (rank−1)/(n−1) — the same rational of small integers,
   //      deterministic cross-engine ----
   private val qualityGate = OracleQuery(
     "t_quality_gate_per_source",
@@ -268,9 +272,15 @@ object TextQueries extends QueryPack {
       val q = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           graft.functions.TextOps.qualityScore(col("text")).as("quality"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("quality").desc, col("doc_id"))
-      q.withColumn("pr", percent_rank().over(w))
+      // quality DESC ≡ −quality ASC (no NaN/null by construction; doc_id
+      // breaks ties so rank = row_number and pr = (rn−1)/(n−1))
+      val ranked = graft.operators.GlobalRank.withGroupRank(
+        q, col("source"), "__rn", "__n", -col("quality"), col("doc_id"))
+      ranked
+        .withColumn("pr",
+          when(col("__n") > 1L,
+            (col("__rn") - 1L).cast("double") / (col("__n") - 1L).cast("double"))
+            .otherwise(0.0))
         .filter(col("pr") <= 0.25)
         .select(col("doc_id"), col("source"), col("quality"), col("pr"))
         .orderBy(col("doc_id"))
@@ -661,20 +671,25 @@ object TextQueries extends QueryPack {
       ${KNUTH32("canonical_id")} < 429496729 AS is_test
     FROM c ORDER BY doc_id"""))
 
+  // ---- proportional source mixture: keep a weight_s fraction of each
+  //      source, selected in knuth32 hash order (a reproducible prefix
+  //      sample). The per-source quota is proportional, so the draw is the
+  //      highest-frequency 100 TB operation here (every training-mix
+  //      draw); rank-within-source comes from GlobalRank.withGroupRank —
+  //      no `row_number OVER (PARTITION BY source)` single-task sort —
+  //      and the quota check is a map-only filter on the rank against the
+  //      group count the rank pass already carries ----
   private val sourceMixture = OracleQuery(
     "t_source_mixture_sample",
     (s, d) => {
       val h = graft.operators.Dedup.knuth32(col("doc_id"))
-      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
-      val n = Window.partitionBy(col("source"))
       val weight = when(col("source") === "src0", 1.0)
         .when(col("source") === "src1", 0.5)
         .when(col("source") === "src2", 0.25)
         .otherwise(0.1)
-      Tables.documents(s, d)
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("quota", ceil(count(lit(1)).over(n) * weight))
-        .filter(col("rn") <= col("quota"))
+      graft.operators.GlobalRank.withGroupRank(
+          Tables.documents(s, d), col("source"), "rn", "__n", h, col("doc_id"))
+        .filter(col("rn") <= ceil(col("__n") * weight))
         .select(col("doc_id"), col("source"), col("rn"))
         .orderBy(col("doc_id"))
     },
@@ -737,9 +752,11 @@ object TextQueries extends QueryPack {
           ceil(col("n_total") * (col("w").cast("double") / col("w_total")) * 0.25)
             .as("quota"))
       val h = graft.operators.Dedup.knuth32(col("doc_id"))
-      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
-      docs.withColumn("rn", row_number().over(w).cast("long"))
-        .join(quota, "source")
+      // rank-within-source via the bucketed two-pass plan (no per-source
+      // window sort); quota is a tiny per-source relation, broadcast back
+      graft.operators.GlobalRank.withGroupRank(
+          docs, col("source"), "rn", "__n", h, col("doc_id"))
+        .join(broadcast(quota), "source")
         .filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("source"), col("rn"))
         .orderBy(col("doc_id"))

@@ -77,4 +77,46 @@ class GlobalRankSpec extends SparkSpec {
     val schema = GlobalRank.withNtile(df, 4, "t", col("v"), col("id")).schema
     assert(schema("t").dataType == org.apache.spark.sql.types.IntegerType)
   }
+
+  // group sizes deliberately skewed (incl. a singleton group for the
+  // percent_rank n=1 edge) and order values heavily duplicated so groups
+  // straddle bucket boundaries mid-tie
+  private def mkGrouped(n: Int) = {
+    val rng = new scala.util.Random(11)
+    ((1 to n).map { i =>
+      val g = if (i % 7 == 0) "big" else if (i % 3 == 0) "mid" else "small"
+      (i.toLong, g, rng.nextInt(20).toDouble)
+    } :+ ((n + 1).toLong, "solo", 5.0)).toDF("id", "g", "v")
+      .repartition(4)
+  }
+
+  test("withGroupRank matches row_number over the per-group window") {
+    for (n <- Seq(40, 2000)) {
+      val df = mkGrouped(n)
+      val got = GlobalRank.withGroupRank(df, col("g"), "r", "cnt",
+          col("v"), col("id"))
+        .select(col("id"), col("r"), col("cnt"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, (t._2, t._3))).toMap
+      val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      val cw = Window.partitionBy(col("g"))
+      val want = df.select(col("id"),
+          row_number().over(w).cast("long"),
+          count(lit(1)).over(cw))
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, (t._2, t._3))).toMap
+      assert(got == want, s"group rank mismatch at n=$n")
+    }
+  }
+
+  test("withGroupRank descending order via negation (quality-gate shape)") {
+    val df = mkGrouped(300)
+    val got = GlobalRank.withGroupRank(df, col("g"), "r", "cnt",
+        -col("v"), col("id"))
+      .select(col("id"), col("r")).as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val want = df.select(col("id"), row_number().over(w).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
 }

@@ -192,6 +192,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"sample fell back to a window sort:\n$p")
   }
 
+  test("mixture and quality-gate plans never window-sort a source (r4 items 1-2)") {
+    // `source` is low-cardinality: a `PARTITION BY source` window funnels
+    // each source into ONE task at 100 TB. The GroupRank rewrite buckets on
+    // the order key instead — no Window node may appear anywhere.
+    for (q <- Seq("t_source_mixture_sample", "t_mixture_temperature_sample",
+        "t_quality_gate_per_source")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q fell back to a per-source window sort:\n$p")
+    }
+  }
+
   test("oov vocabulary broadcasts back to the token stream") {
     val p = plan("t_oov_rate")
     assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
