@@ -118,36 +118,50 @@ object Sampling {
   // sorted ascending by (key, id), ids distinct, size <= k
   private[graft] type WBuf = Vector[(Double, Long)]
 
+  private def winsertSorted(b: WBuf, key: (Double, Long), k: Int): WBuf = {
+    val at = b.indexWhere(e => Ordering[(Double, Long)].gteq(e, key))
+    val grown =
+      if (at < 0) b :+ key
+      else (b.take(at) :+ key) ++ b.drop(at)
+    if (grown.length > k) grown.dropRight(grown.length - k) else grown
+  }
+
+  /** Duplicate ids keep SET semantics regardless of weight: a re-arrival
+    * with a conflicting weight resolves to the smaller A-ES key (= the
+    * larger weight). Min-resolution is what makes the sketch a mergeable
+    * summary under conflicting duplicates — any occurrence truncated away
+    * is beaten by k distinct smaller-keyed ids in its buffer, so it could
+    * never reach the final bottom-k — whereas keeping both entries would
+    * silently double-sample the id (round-4 verdict item 7 / advice 1).
+    */
   private[graft] def winsert(b: WBuf, id: Long, w: Double, k: Int): WBuf =
     if (w <= 0.0 || w.isNaN) b // non-positive weight = excluded
     else {
       val key = (esKey(id, w), id)
-      if (b.length >= k && Ordering[(Double, Long)].lteq(b.last, key)) b
-      else {
-        val at = b.indexWhere(e => Ordering[(Double, Long)].gteq(e, key))
-        if (at >= 0 && b(at)._2 == id) b // duplicate id: set semantics
-        else {
-          val grown =
-            if (at < 0) b :+ key
-            else (b.take(at) :+ key) ++ b.drop(at)
-          if (grown.length > k) grown.dropRight(grown.length - k) else grown
-        }
-      }
+      val existing = b.indexWhere(_._2 == id)
+      if (existing >= 0) {
+        if (Ordering[(Double, Long)].lteq(b(existing), key)) b
+        else winsertSorted(b.take(existing) ++ b.drop(existing + 1), key, k)
+      } else if (b.length >= k && Ordering[(Double, Long)].lteq(b.last, key)) b
+      else winsertSorted(b, key, k)
     }
 
   private[graft] def wmerge(a: WBuf, b: WBuf, k: Int): WBuf = {
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
+      // merge two sorted runs; each side holds ids distinct, so the first
+      // occurrence of an id in merge order carries its min key — later
+      // ones are the conflicting-weight duplicates winsert resolves away
       val out = Vector.newBuilder[(Double, Long)]
+      val seen = scala.collection.mutable.HashSet.empty[Long]
       var i = 0; var j = 0; var n = 0
       while (n < k && (i < a.length || j < b.length)) {
         val takeA = j >= b.length ||
           (i < a.length && Ordering[(Double, Long)].lteq(a(i), b(j)))
         val e = if (takeA) a(i) else b(j)
         if (takeA) i += 1 else j += 1
-        if (j < b.length && e == b(j)) j += 1
-        out += e; n += 1
+        if (seen.add(e._2)) { out += e; n += 1 }
       }
       out.result()
     }

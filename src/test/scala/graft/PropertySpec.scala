@@ -246,12 +246,48 @@ class PropertySpec extends SparkSpec {
         case (b, (id, w)) => Sampling.winsert(b, id, w, k)
       })
       val merged = partials.reduce(Sampling.wmerge(_, _, k))
-      // brute force: positive-weight distinct ids by (A-ES key, id); a
-      // duplicate id keeps its FIRST weight occurrence only if keys tie —
-      // keys depend on weight, so dedup brute-force per (key, id) pair
+      // brute force: positive-weight ids, SET semantics — an id arriving
+      // with conflicting weights resolves to its minimum A-ES key (= max
+      // weight), never to two buffer entries (double-sampling)
       val expected = rows.filter(_._2 > 0.0)
-        .map { case (id, w) => (Sampling.esKey(id, w), id) }
-        .distinct.sorted.take(k).toVector
+        .groupBy(_._1)
+        .map { case (id, occ) => (occ.map(o => Sampling.esKey(id, o._2)).min, id) }
+        .toVector.sorted.take(k)
+      assert(merged == expected, s"cuts $cuts k $k")
+    }
+  }
+
+  test("weighted bottom-k: conflicting-weight duplicates never double-sample an id") {
+    import graft.operators.Sampling
+    // adversarial: every id appears twice with different weights, split so
+    // the duplicates land in different partials (merge path) and in the
+    // same partial (insert path); result must be split-invariant and hold
+    // each id at most once
+    val streamGen = for {
+      m <- Gen.choose(3, 40)
+      ids <- Gen.listOfN(m, Gen.choose(0L, 60L))
+      w1 <- Gen.listOfN(m, Gen.oneOf(0.5, 1.0, 4.0))
+      w2 <- Gen.listOfN(m, Gen.oneOf(2.0, 8.0, 16.0))
+      shuffleSeed <- Gen.choose(0L, 1000L)
+      cuts <- Gen.listOfN(2, Gen.choose(0, 2 * m))
+      k <- Gen.choose(1, 8)
+    } yield {
+      val rows = new scala.util.Random(shuffleSeed)
+        .shuffle(ids.zip(w1) ++ ids.zip(w2))
+      (rows, cuts.sorted, k)
+    }
+    forSamples(streamGen, n = 15) { case (rows, cuts, k) =>
+      val parts = ((0 +: cuts) :+ rows.length).sliding(2).map {
+        case Seq(a, b) => rows.slice(a, b)
+      }.toList
+      val merged = parts.map(_.foldLeft(Vector.empty: Sampling.WBuf) {
+          case (b, (id, w)) => Sampling.winsert(b, id, w, k)
+        }).reduce(Sampling.wmerge(_, _, k))
+      assert(merged.map(_._2).distinct.length == merged.length,
+        s"id sampled twice: $merged")
+      val expected = rows.groupBy(_._1)
+        .map { case (id, occ) => (occ.map(o => Sampling.esKey(id, o._2)).min, id) }
+        .toVector.sorted.take(k)
       assert(merged == expected, s"cuts $cuts k $k")
     }
   }
