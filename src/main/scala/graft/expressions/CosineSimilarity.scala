@@ -16,11 +16,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * The 1e-12 denominator guard mirrors the reference's zero-division
   * convention (src/compare_xception_featuremaps.py:50-62).
+  *
+  * Mismatched vector lengths return NULL — a length mismatch is a data
+  * error, and truncating to the shorter side would return a
+  * plausible-looking similarity that hides it. A null ELEMENT inside
+  * either array also yields NULL (checked only when the array type admits
+  * nulls, so the common containsNull=false scan pays nothing).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   private def isVec(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -38,14 +46,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elemIsFloat(t: DataType): Boolean =
     t.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHoldNullElems(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     val lf = elemIsFloat(left.dataType); val rf = elemIsFloat(right.dataType)
+    val ln = mayHoldNullElems(left.dataType)
+    val rn = mayHoldNullElems(right.dataType)
     var i = 0
     while (i < n) {
+      if ((ln && x.isNullAt(i)) || (rn && y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -65,15 +80,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val getA = if (elemIsFloat(left.dataType)) "getFloat" else "getDouble"
       val getB = if (elemIsFloat(right.dataType)) "getFloat" else "getDouble"
+      val nullElemCheck = (if (mayHoldNullElems(left.dataType))
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }" else "") +
+        (if (mayHoldNullElems(right.dataType))
+          s"if ($b.isNullAt($i)) { ${ev.isNull} = true; break; }" else "")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = (double) $a.$getA($i);
-          double $yi = (double) $b.$getB($i);
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullElemCheck
+            double $xi = (double) $a.$getA($i);
+            double $yi = (double) $b.$getB($i);
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny) + 1e-12);
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny) + 1e-12);
       """
     })
 
@@ -99,8 +125,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.Column) = ((
     new FunctionIdentifier(name),
     new ExpressionInfo(classOf[GraftExtensions].getName, name),
-    (children: Seq[Expression]) =>
-      ColumnBridge.convertedExpression(f(ColumnBridge.column(children.head)))))
+    (children: Seq[Expression]) => {
+      // analysis-time arity guard: without it `graft_quality()` dies with
+      // an opaque NoSuchElementException and extra args are silently
+      // ignored
+      if (children.size != 1)
+        throw new IllegalArgumentException(
+          s"$name expects exactly 1 argument, got ${children.size}")
+      ColumnBridge.convertedExpression(f(ColumnBridge.column(children.head)))
+    }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -82,18 +82,23 @@ object Dsir {
       "bucket vectors must have the same size")
     val nb = targetCounts.length
     // precompute per-bucket log-ratio once on the driver: ln of smoothed
-    // target probability minus ln of smoothed raw probability
+    // target probability minus ln of smoothed raw probability. Shipped as
+    // a real SparkContext broadcast (one copy per executor), not a UDF
+    // closure capture (one copy per task binary) — at 2^14 buckets the
+    // difference is noise, but callers may raise numBuckets
     val tTot = targetCounts.sum.toDouble + alpha * nb
     val rTot = rawCounts.sum.toDouble + alpha * nb
-    val logRatio = Array.tabulate(nb) { b =>
-      math.log((targetCounts(b) + alpha) / tTot) -
-        math.log((rawCounts(b) + alpha) / rTot)
-    }
+    val logRatio = raw.sparkSession.sparkContext.broadcast(
+      Array.tabulate(nb) { b =>
+        math.log((targetCounts(b) + alpha) / tTot) -
+          math.log((rawCounts(b) + alpha) / rTot)
+      })
     val score = udf { (t: String) =>
+      val lr = logRatio.value
       val toks = tokensOf(if (t == null) "" else t)
       var s = 0.0; var n = 0; var i = 1
       while (i < toks.length) {
-        s += logRatio(bucketOf(toks(i - 1), toks(i), nb)); n += 1; i += 1
+        s += lr(bucketOf(toks(i - 1), toks(i), nb)); n += 1; i += 1
       }
       (if (n == 0) 0.0 else s / n, n)
     }

@@ -74,11 +74,13 @@ object MultimodalQueries extends QueryPack {
     val img = new java.io.File(root, "img")
     val aud = new java.io.File(root, "aud")
     img.mkdirs(); aud.mkdirs()
-    def put(f: java.io.File, bytes: Array[Byte]): Unit =
-      if (!f.exists() || f.length() != bytes.length) {
-        val os = new java.io.FileOutputStream(f)
-        try os.write(bytes) finally os.close()
-      }
+    // unconditional overwrite: a same-length length check would keep a
+    // stale fixture from an older generator alive across JVM runs (the
+    // shared tmpdir persists); the files are tiny, rewriting is free
+    def put(f: java.io.File, bytes: Array[Byte]): Unit = {
+      val os = new java.io.FileOutputStream(f)
+      try os.write(bytes) finally os.close()
+    }
     // 4 distinct base patterns; seeds 0 and 2 get a near-dup noisy variant
     // and seed 0 an exact copy — known pair structure for the near-dup join
     Seq(0, 1, 2, 3).foreach(s => put(new java.io.File(img, s"base$s.png"), pngBytes(s, 0)))

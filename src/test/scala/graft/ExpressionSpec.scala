@@ -88,4 +88,38 @@ class ExpressionSpec extends SparkSpec {
       df.select(expr("cosine_sim(a, b)")).collect()
     }
   }
+
+  test("cosine_sim: mismatched lengths and null elements give null, both paths") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 2.0f)),
+      (Seq[java.lang.Float](3.0f, 4.0f), Seq[java.lang.Float](3.0f, 4.0f)))
+      .toDF("a", "b")
+    // codegen path
+    val out = df.select(expr("cosine_sim(a, b)")).collect()
+    assert(out(0).isNullAt(0), "length mismatch must be null, not truncated")
+    assert(out(1).isNullAt(0), "null element must poison the result")
+    assert(math.abs(out(2).getDouble(0) - 1.0) < 1e-9)
+    // interpreted path (eval): force through a CodegenFallback context
+    val expr0 = graft.expressions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 2.0f, 3.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)))
+    assert(expr0.eval(null) == null)
+  }
+
+  test("graft_quality arity errors name the function at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_quality()").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+        m.contains("graft_quality") && m.contains("exactly 1")),
+      s"opaque arity error: ${messages(e)}")
+  }
 }
