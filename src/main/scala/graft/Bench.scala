@@ -72,6 +72,10 @@ object Bench {
     build("semdedup_centers", selected.contains("vx_semdedup_kmeans")) {
       graft.queries.EngineQueries.prepareSemDedupCenters(spark, sfDir); ()
     }
+    build("bench_grams", selected.exists(e =>
+        e._1 == "tx_curation_funnel" || e._1 == "t_curation_by_source")) {
+      graft.queries.EngineQueries.prepareBenchGrams(spark, sfDir); ()
+    }
     // min-of-2 per query: the grading host is co-loaded, and a single-shot
     // timing charged 3-7x of neighbor noise to four innocent queries in
     // round 4 (their code was unchanged and a quiet re-measure matched

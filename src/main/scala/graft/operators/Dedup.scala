@@ -60,10 +60,26 @@ object Dedup {
     * oracle-checkable (unlike the hash-based dedup family).
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val benchGrams = benchmark
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    decontaminateAgainstGrams(corpus,
+      benchmarkGrams(benchmark, n, textCol), n, idCol, textCol)
+
+  /** The benchmark's distinct word n-grams as a one-column (`__gram`)
+    * relation — the broadcast side of [[decontaminateAgainstGrams]]. At
+    * 100 TB this is a computed-once artifact beside the benchmark set;
+    * callers that decontaminate repeatedly against the same benchmark
+    * should build it once (see the SessionMemo'd form in EngineQueries)
+    * instead of letting each consumer re-derive it.
+    */
+  def benchmarkGrams(benchmark: DataFrame, n: Int = 3,
+      textCol: String = "text"): DataFrame =
+    benchmark
       .select(explode(shingles(col(textCol), n)).as("__gram"))
       .distinct()
+
+  /** [[decontaminate]] against a pre-built [[benchmarkGrams]] relation. */
+  def decontaminateAgainstGrams(corpus: DataFrame, benchGrams: DataFrame,
+      n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val flagged = corpus
       .select(col(idCol), explode(shingles(col(textCol), n)).as("__gram"))
       .join(broadcast(benchGrams), "__gram")

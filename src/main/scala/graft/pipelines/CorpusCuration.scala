@@ -33,9 +33,15 @@ object CorpusCuration {
     * "contaminated" from ordinary phrase collisions alone, gutting the
     * corpus; 8-grams flag only genuine quotes/near-copies of benchmark text.
     */
+  /** `benchGrams`: a pre-built [[Dedup.benchmarkGrams]] relation (with
+    * matching n) to reuse across runs — callers curating repeatedly against
+    * one benchmark memoize it (EngineQueries.prepareBenchGrams) instead of
+    * re-deriving the gram explode inside every run.
+    */
   def run(docs: DataFrame, benchmark: DataFrame,
       maxTokens: Int = 512, dupFracMax: Double = 0.4,
-      minhashThreshold: Double = 0.5, decontaminateN: Int = 8): Curated = {
+      minhashThreshold: Double = 0.5, decontaminateN: Int = 8,
+      benchGrams: Option[DataFrame] = None): Curated = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -83,7 +89,10 @@ object CorpusCuration {
     // stage 5: decontamination against the benchmark set. Cached: both the
     // funnel count and the packing stage consume it, and its lineage holds
     // the gram-explode semi-join
-    val clean = Dedup.decontaminate(nearDeduped, benchmark, n = decontaminateN)
+    val gramRel = benchGrams.getOrElse(
+      Dedup.benchmarkGrams(benchmark, n = decontaminateN))
+    val clean = Dedup.decontaminateAgainstGrams(nearDeduped, gramRel,
+        n = decontaminateN)
       .filter(!col("contaminated")).drop("contaminated")
       .cache()
     val n5 = clean.count()

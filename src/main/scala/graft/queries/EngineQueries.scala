@@ -744,6 +744,20 @@ object EngineQueries extends QueryPack {
     (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3),
     None)
 
+  // Benchmark 8-gram set memoized per (session, corpus dir): the curation
+  // funnel and t_curation_by_source both decontaminate the same corpus
+  // against the same doc_id%50==0 benchmark slice — like the minhash
+  // signatures, the gram set is a computed-once artifact, not something
+  // each consumer re-derives (round-4 verdict item 5).
+  def prepareBenchGrams(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.getOrElseUpdate(s, s"bench_grams8:$d") {
+      val grams = Dedup.benchmarkGrams(
+        Tables.documents(s, d).filter(col("doc_id") % 50 === 0), n = 8).persist()
+      grams.count() // materialize eagerly so every consumer reuses one pass
+      grams
+    }(_.unpersist())
+
   // the end-to-end corpus-curation pipeline (rules → redact → exact dedup →
   // near-dup canonicalize → decontaminate → pack): the per-stage funnel is
   // the operational report. Stages 4-5 are minhash/LSH-based → rows-only;
@@ -755,7 +769,8 @@ object EngineQueries extends QueryPack {
       val docs = Tables.documents(s, d)
       graft.pipelines.CorpusCuration.run(
           docs.filter(col("doc_id") % 50 =!= 0),
-          docs.filter(col("doc_id") % 50 === 0))
+          docs.filter(col("doc_id") % 50 === 0),
+          benchGrams = Some(prepareBenchGrams(s, d)))
         .funnel.orderBy(col("stage"))
     },
     None)

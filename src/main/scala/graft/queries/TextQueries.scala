@@ -578,8 +578,11 @@ object TextQueries extends QueryPack {
         .withColumn("__exact_keep", col("doc_id") ===
           min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
         .select(col("doc_id"), col("__exact_keep"))
+      // shared memoized benchmark-gram artifact (same slice, same n as the
+      // curation funnel) instead of re-deriving the gram explode here
       val cont = graft.operators.Dedup
-        .decontaminate(corpus.select(col("doc_id"), col("text")), bench, n = 8)
+        .decontaminateAgainstGrams(corpus.select(col("doc_id"), col("text")),
+          EngineQueries.prepareBenchGrams(s, d), n = 8)
         .select(col("doc_id"), col("contaminated"))
       flagged.join(ek, Seq("doc_id"), "left").join(cont, Seq("doc_id"))
         .groupBy(col("source"))
