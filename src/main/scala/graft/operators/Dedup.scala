@@ -48,6 +48,46 @@ object Dedup {
         s => s.isNotNull))
   }
 
+  /** Row-local twin of [[shingles]]: identical distinct k-gram set in
+    * first-occurrence order, built in one pass over the split words
+    * (DedupSpec pins element-for-element parity on hostile inputs).
+    *
+    * MEASURED NO WIN on the decontaminate explode paths, so the HOF column
+    * stays there: at sf0.1 min-of-2, HOF vs UDF — curation funnel 7.39 vs
+    * 7.71–8.20 s, t_curation_by_source 3.15 vs 3.36–4.07 s, gram-set
+    * build 2.67 vs 3.06–3.57 s (two UDF runs, spread is host noise; see
+    * BASELINE.md round-5 notes). Unlike the minhash case — where the HOF
+    * form re-inlined shingle construction into each of 32 hash lambdas and
+    * the UDF won 36× — the explode path builds each gram once either way,
+    * and the UDF adds a serialization boundary without removing work. Kept
+    * (tested) for callers that want row-local gram sets without a Column
+    * context.
+    */
+  private[graft] def shinglesLocal(text: String, k: Int): Array[String] =
+    if (text == null) Array.empty
+    else {
+      val words = text.split(" ", -1)
+      if (words.length < k) Array.empty
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i + k <= words.length) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var w = 1
+          while (w < k) { sb.append(' ').append(words(i + w)); w += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
+
+  /** [[shinglesLocal]] as a Column (UDF). */
+  def shinglesFast(textCol: Column, k: Int = 3): Column = {
+    val f = udf((t: String) => shinglesLocal(t, k))
+    f(textCol)
+  }
+
   /** Benchmark decontamination (the published eval-overlap filter: GPT-3
     * appendix C, PaLM app. — corpus documents sharing any word n-gram with
     * an evaluation/benchmark set are flagged so they can be held out of

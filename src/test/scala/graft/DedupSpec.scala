@@ -25,6 +25,28 @@ class DedupSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("shinglesFast is element-for-element the HOF shingles on hostile text") {
+    // the decontaminate explode paths run the row-local UDF; it must be the
+    // HOF column's exact twin, including first-occurrence order, repeated
+    // grams, empty words from double spaces, and size<k edges
+    val texts = Seq(
+      "a b c d", "x y", "", " ", "a  b c", "a a a a a", "a b a b a b",
+      "one", "one two", "one two three", "  leading", "trailing  ",
+      (1 to 50).map(i => s"w${i % 7}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 8)) {
+      val both = df.select($"doc_id",
+          Dedup.shingles($"text", k).as("hof"),
+          Dedup.shinglesFast($"text", k).as("fast"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"k=$k doc=${r.getLong(0)}: hof=${r.getSeq[String](1)} fast=${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("minhash LSH finds identical and near-identical docs, skips distinct") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
