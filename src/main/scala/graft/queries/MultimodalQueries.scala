@@ -20,7 +20,7 @@ object MultimodalQueries extends QueryPack {
     * perturbs a sparse pixel subset, the near-dup regime pHash is built
     * to absorb.
     */
-  private def pngBytes(seed: Int, noise: Int): Array[Byte] = {
+  private[queries] def pngBytes(seed: Int, noise: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       32, 32, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0

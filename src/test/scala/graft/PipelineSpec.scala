@@ -100,6 +100,34 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(3) <= 1.0 + 1e-9))
   }
 
+  test("mx_deepfake_lifecycle gate entry: per-stage funnel matches the library calls") {
+    val rows = SparkEntry.queries("mx_deepfake_lifecycle")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // ingest: 6 good PNGs + 1 corrupt member scanned; corrupt-skip drops 1
+    assert(rows("0_ingested_files")._1 == 7L)
+    assert(rows("1_stub_embedded")._1 == 6L)
+    // 500 embeddings align across the two half-spaces; 10 groups × 30 cap
+    assert(rows("2_aligned_spaces")._1 == 500L)
+    assert(rows("3_equal_n_sampled")._1 == 300L)
+    // 10 labels → 55 unordered centroid pairs incl. self; 10 × 20 PCA coords
+    assert(rows("4_centroid_cosine_pairs")._1 == 55L)
+    assert(rows("5_pca_coords")._1 == 200L)
+    // separability metrics present, in [0,1], and EQUAL to the direct
+    // library call (parity: the gate entry is the composed flows, not a
+    // reimplementation)
+    val emb = Tables.embeddings(spark, sf001)
+    val a = emb.select(col("label"), col("vec_id"), slice(col("embedding"), 1, 32).as("v"))
+    val b = emb.select(col("label"), col("vec_id"), slice(col("embedding"), 33, 32).as("v"))
+    val direct = DeepfakeAnalysis.compareSpaces(a, b, "v", "vec_id", "label",
+      maxPerGroup = 30, cvFolds = 2)
+    assert(rows("6_separability_space_a")._2.contains(direct.separabilityA))
+    assert(rows("7_separability_space_b")._2.contains(direct.separabilityB))
+    assert(Seq("6_separability_space_a", "7_separability_space_b").forall { k =>
+      val m = rows(k)._2.get; m >= 0.0 && m <= 1.0
+    })
+  }
+
   test("compareSpaces: aligned counts, per-group CKA, separability (flow 3.3)") {
     val emb = Tables.embeddings(spark, sf001)
     // two "spaces": first/second halves of the embedding — same images,
