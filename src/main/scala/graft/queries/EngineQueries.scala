@@ -862,7 +862,23 @@ object EngineQueries extends QueryPack {
         .select(col("group"), col("seq"),
           posexplode(col("sample")).as(Seq("pos", "doc_id")))
         .orderBy(col("group"), col("pos")),
-    None)
+    // FULL oracle since round 5 (same argument as t_sample_weighted_by_
+    // length: selection-only output, rank-5/6 A-ES key gap ≥0.78% relative
+    // at both SFs vs ~1e-16 ln skew). Batch-mode flatMapGroupsWithState
+    // runs once per group → seq = 1, as in the bottom-k stream twin.
+    Some(s"""WITH keyed AS (
+      SELECT source, doc_id,
+        -ln(((${graft.queries.Exact.KNUTH32("doc_id")}) + 0.5) / 4294967296.0)
+          / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT source, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source AS "group", CAST(1 AS BIGINT) AS seq,
+      CAST(rn - 1 AS INT) AS pos, doc_id
+    FROM ranked WHERE rn <= 5 ORDER BY "group", pos"""))
 
   // streaming chunk-level dedup, batch-mode twin: CDC-chunk the corpus as
   // a firehose and flag every chunk whose content was first claimed by a

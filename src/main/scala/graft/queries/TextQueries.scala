@@ -863,7 +863,23 @@ object TextQueries extends QueryPack {
           .weightedK(col("doc_id"), col("n_chars"), 5).as("sample"))
         .select(col("source"), posexplode(col("sample")).as(Seq("pos", "doc_id")))
         .orderBy(col("source"), col("pos")),
-    None)
+    // FULL oracle since round 5: the A-ES key −ln((knuth32+0.5)/2^32)/w is
+    // float math, but the OUTPUT is selection-only (no float column), and
+    // the rank-5/6 key boundary is separated by ≥0.78% relative at both
+    // SFs (measured) vs ~1e-16 worst-case ln skew between the JVM and
+    // libm — so DuckDB replays the identical draw. Rows with weight ≤ 0
+    // are excluded by the sampler's contract, mirrored in the WHERE.
+    Some(s"""WITH keyed AS (
+      SELECT source, doc_id,
+        -ln(((${KNUTH32("doc_id")}) + 0.5) / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT source, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, CAST(rn - 1 AS INT) AS pos, doc_id
+    FROM ranked WHERE rn <= 5 ORDER BY source, pos"""))
 
   // ---- soft dedup: keep at most N copies per exact-duplicate cluster
   //      (the published middle ground between keep-all and keep-1 — some
