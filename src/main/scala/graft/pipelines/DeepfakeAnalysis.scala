@@ -176,11 +176,18 @@ object DeepfakeAnalysis {
 
   /** Both inputs: (groupCol, idCol, vecCol) with ids comparable across
     * spaces (the reference joins on image stem, J2).
+    *
+    * `lrMaxIter` bounds the LBFGS iterations of each separability fit; on
+    * weakly-separable data the solver otherwise runs to the cap, and each
+    * iteration is a Spark job — 100 iterations × folds × two spaces is
+    * ~9 s of pure job latency per CV at bench scale vs ~2 s at 30, for an
+    * identical chance-level score. The score is a bounded-sample statistic
+    * either way (never corpus-scale).
     */
   def compareSpaces(
       a: DataFrame, b: DataFrame, vecCol: String, idCol: String,
       groupCol: String, maxPerGroup: Int = 500, seed: Long = 42L,
-      cvFolds: Int = 3): SpaceComparison = {
+      cvFolds: Int = 3, lrMaxIter: Int = 100): SpaceComparison = {
 
     // J1: common groups; J2: row-level join on (group, id)
     val joined = a.select(col(groupCol), col(idCol), col(vecCol).as("__va"))
@@ -207,8 +214,10 @@ object DeepfakeAnalysis {
 
     // M7+M8: group separability in each space
     val indexed = MlOps.indexLabels(aligned, groupCol, "label_idx")
-    val accA = MlOps.logregCvAccuracy(indexed, "__va", "label_idx", idCol, cvFolds)
-    val accB = MlOps.logregCvAccuracy(indexed, "__vb", "label_idx", idCol, cvFolds)
+    val accA = MlOps.logregCvAccuracy(indexed, "__va", "label_idx", idCol,
+      cvFolds, maxIter = lrMaxIter)
+    val accB = MlOps.logregCvAccuracy(indexed, "__vb", "label_idx", idCol,
+      cvFolds, maxIter = lrMaxIter)
     aligned.unpersist()
     SpaceComparison(counts, cka, accA, accB)
   }

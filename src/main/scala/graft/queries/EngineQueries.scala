@@ -1014,7 +1014,8 @@ object EngineQueries extends QueryPack {
         slice(col("embedding"), 33, 32).as("v"))
       val nAligned = a.join(b, Seq("label", "vec_id")).count()
       val cmp = graft.pipelines.DeepfakeAnalysis.compareSpaces(
-        a, b, "v", "vec_id", "label", maxPerGroup = 30, cvFolds = 2)
+        a, b, "v", "vec_id", "label", maxPerGroup = 30, cvFolds = 2,
+        lrMaxIter = 30)
       val nSampled = cmp.alignedCounts.agg(coalesce(sum(col("n")), lit(0L)))
         .head().getLong(0)
       val nCosinePairs = emb.groupBy(col("label"))

@@ -120,7 +120,7 @@ class PipelineSpec extends SparkSpec {
     val a = emb.select(col("label"), col("vec_id"), slice(col("embedding"), 1, 32).as("v"))
     val b = emb.select(col("label"), col("vec_id"), slice(col("embedding"), 33, 32).as("v"))
     val direct = DeepfakeAnalysis.compareSpaces(a, b, "v", "vec_id", "label",
-      maxPerGroup = 30, cvFolds = 2)
+      maxPerGroup = 30, cvFolds = 2, lrMaxIter = 30)
     assert(rows("6_separability_space_a")._2.contains(direct.separabilityA))
     assert(rows("7_separability_space_b")._2.contains(direct.separabilityB))
     assert(Seq("6_separability_space_a", "7_separability_space_b").forall { k =>
