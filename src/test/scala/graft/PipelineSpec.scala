@@ -135,7 +135,7 @@ class PipelineSpec extends SparkSpec {
     val a = emb.select(col("label"), col("vec_id"), slice(col("embedding"), 1, 32).as("v"))
     val b = emb.select(col("label"), col("vec_id"), slice(col("embedding"), 33, 32).as("v"))
     val out = DeepfakeAnalysis.compareSpaces(a, b, "v", "vec_id", "label",
-      maxPerGroup = 30, cvFolds = 2)
+      maxPerGroup = 30, cvFolds = 2, lrMaxIter = 30)
     val counts = out.alignedCounts.collect()
     assert(counts.length == 10)
     assert(counts.forall(_.getLong(1) <= 30))

@@ -192,6 +192,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"sample fell back to a window sort:\n$p")
   }
 
+  test("fixed-k per-group caps push a WindowGroupLimit below the exchange (L1)") {
+    // the dividing line from the mixture rewrite: a PROPORTIONAL quota must
+    // avoid the per-group window entirely (GroupRank), but a FIXED-k cap is
+    // fine IF the rank filter compiles to WindowGroupLimit — each map task
+    // then forwards at most k rows per group, so the post-shuffle sort is
+    // bounded by k x tasks, not corpus size. Losing the pushdown silently
+    // reverts to the giant-partition sort.
+    val p = plan("l1_seeded_group_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"L1 cap lost the group-limit pushdown:\n$p")
+  }
+
   test("mixture and quality-gate plans never window-sort a source (r4 items 1-2)") {
     // `source` is low-cardinality: a `PARTITION BY source` window funnels
     // each source into ONE task at 100 TB. The GroupRank rewrite buckets on
