@@ -46,6 +46,33 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Cross-set embedding decontamination — the vector-space twin of the
+    * n-gram [[Dedup.decontaminate]] family (semantic train/eval overlap
+    * that paraphrasing hides from token matching; the discipline behind
+    * published embedding-similarity contamination audits). Flags every
+    * corpus vector whose cosine to ANY benchmark vector is ≥ `tau`, with
+    * the hit count. Returns `corpus` columns + (`n_hits`, `contaminated`).
+    *
+    * Scale shape mirrors the text path: the benchmark side is tiny
+    * relative to the corpus and BROADCASTS; scoring is a map-only
+    * broadcast nested-loop with the codegen'd cosine — the corpus never
+    * shuffles to score. Only the hit set (≪ corpus under any useful tau)
+    * reaches the id-keyed aggregation and joins back. For benchmark sets
+    * too big to broadcast, prefilter candidates with [[srpSketch]] or an
+    * IVF probe and verify exactly — the same widen-then-verify ladder as
+    * the ANN family.
+    */
+  def crossDecontaminate(corpus: DataFrame, bench: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hits = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(bench.select(col(vecCol).as("__bv"))))
+      .filter(VecOps.cosineNative(col("__cv"), col("__bv")) >= tau)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * splitmix64-style finalizer → uniform in [-1, 1]. Derived purely from
     * (plane index, dim, seed), so both join sides and all executors agree

@@ -928,6 +928,44 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // cross-set embedding decontamination (the vector twin of
+  // t_decontaminate_flags: semantic train/eval overlap that paraphrasing
+  // hides from n-gram matching). FULL oracle via the exact-integer
+  // convention: inputs quantized to floor(v·1e4) (exact in float32 and
+  // double), every dot/norm term < 2^53, so the cosine is bit-identical
+  // cross-engine and the tau compare cannot flap. Benchmark slice
+  // (vec_id % 50 = 0) broadcasts; corpus scoring is map-only.
+  private val crossDecontaminateEmb = OracleQuery(
+    "vx_decontaminate_embedding",
+    (s, d) => {
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1e4)).cast("float")).as("qv"))
+      SimilaritySearch.crossDecontaminate(
+          q.filter(col("vec_id") % 50 =!= 0),
+          q.filter(col("vec_id") % 50 === 0), tau = 0.30, vecCol = "qv")
+        .select(col("vec_id"), col("n_hits"), col("contaminated"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH q AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS DOUBLE)) AS v,
+        vec_id % 50 = 0 AS is_bench
+      FROM embeddings
+    ), hits AS (
+      SELECT c.vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM q c JOIN q b ON (NOT c.is_bench) AND b.is_bench
+        AND list_dot_product(c.v, b.v) /
+            (sqrt(list_dot_product(c.v, c.v))
+             * sqrt(list_dot_product(b.v, b.v)) + 1e-12) >= 0.30
+      GROUP BY c.vec_id
+    )
+    SELECT q.vec_id, COALESCE(h.n_hits, 0) AS n_hits,
+      h.vec_id IS NOT NULL AS contaminated
+    FROM q LEFT JOIN hits h ON q.vec_id = h.vec_id
+    WHERE NOT q.is_bench ORDER BY q.vec_id"""))
+
   // PCA projection of the embedding space to 2-D (M5) with label carried
   private val pca2d = OracleQuery(
     "mx_pca_2d",
@@ -1068,7 +1106,7 @@ object EngineQueries extends QueryPack {
     hllDistinct, hllSketchUnion, approxPercentiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
-    dedupCosinePairs, dedupEmbeddingCanonical,
+    dedupCosinePairs, dedupEmbeddingCanonical, crossDecontaminateEmb,
     semDedupQuantized, semDedupKmeans,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, streamSample, streamWeightedSample,

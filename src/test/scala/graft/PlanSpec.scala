@@ -192,6 +192,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"sample fell back to a window sort:\n$p")
   }
 
+  test("embedding decontamination broadcasts the benchmark, never shuffles to score") {
+    val p = plan("vx_decontaminate_embedding")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"benchmark side not broadcast:\n$p")
+    // scoring must happen before any corpus exchange: the only shuffles are
+    // the hit-set aggregation and the id join back
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
+
   test("fixed-k per-group caps push a WindowGroupLimit below the exchange (L1)") {
     // the dividing line from the mixture rewrite: a PROPORTIONAL quota must
     // avoid the per-group window entirely (GroupRank), but a FIXED-k cap is

@@ -228,4 +228,31 @@ class SimilaritySearchSpec extends SparkSpec {
     val b = SimilaritySearch.lshTopK(emb, queries, k = 3).collect().toSeq
     assert(a == b)
   }
+
+  test("crossDecontaminate flags planted semantic overlap, spares the rest") {
+    import spark.implicits._
+    // bench: two orthogonal axes. corpus: an exact copy (cos 1), a scaled
+    // copy (cos 1 — scale-invariant), a slight rotation (cos ~0.995), an
+    // orthogonal vector (cos 0), and an anti-parallel one (cos -1)
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // exact copy
+      (2L, Seq(5.0f, 0.0f, 0.0f, 0.0f)),   // scaled copy
+      (3L, Seq(0.995f, 0.0999f, 0.0f, 0.0f)), // near-copy
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),   // orthogonal
+      (5L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))   // anti-parallel
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.crossDecontaminate(corpus, bench, tau = 0.9)
+      .select(col("vec_id"), col("n_hits"), col("contaminated"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, true)) && out(3L) == ((1L, true)),
+      s"copies not flagged: $out")
+    assert(out(4L) == ((0L, false)) && out(5L) == ((0L, false)),
+      s"clean rows flagged: $out")
+    // output schema carries ALL corpus columns plus the two flags
+    val cols = SimilaritySearch.crossDecontaminate(corpus, bench, tau = 0.9).columns.toSeq
+    assert(cols == Seq("vec_id", "embedding", "n_hits", "contaminated"))
+  }
 }
