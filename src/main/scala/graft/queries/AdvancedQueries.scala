@@ -581,9 +581,70 @@ object AdvancedQueries extends QueryPack {
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     ORDER BY c_custkey"""))
 
+  // ---- TPC-H Q12-shape: CONDITIONAL aggregation — per-group counts split
+  //      by a CASE over another table's column after an equi-join. The plan
+  //      property under test: the CASE folds into the aggregate (one
+  //      partial/final pair), never a pivot or a second scan ----
+  private val q12ish = OracleQuery(
+    "j_tpch_q12ish_priority_counts",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      val o = Tables.orders(s, d)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("""SELECT l_linestatus,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  // ---- TPC-H Q19-shape: DISJUNCTIVE multi-column predicates over a join —
+  //      revenue where (brand, quantity-range) alternatives hold. The plan
+  //      property under test: the common conjuncts (p_partkey join key;
+  //      per-branch pushable ranges) still prune, and the OR never forces a
+  //      cartesian ----
+  private val q19ish = OracleQuery(
+    "j_tpch_q19ish_disjunctive_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val cond =
+        (col("p_brand") === "Brand#1" &&
+          col("l_quantity").between(1, 15) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#2" &&
+          col("l_quantity").between(10, 25) && col("p_size").between(1, 20)) ||
+        (col("p_brand") === "Brand#3" &&
+          col("l_quantity").between(20, 35) && col("p_size").between(1, 30))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .filter(cond)
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""SELECT
+      ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25
+           AND p_size BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35
+           AND p_size BETWEEN 1 AND 30)"""))
+
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
-    stringAgg, groupingSets, q5ish, q3ish, q17ish, arrayHof, regexpGroups, bagSetOps,
+    stringAgg, groupingSets, q5ish, q3ish, q17ish, q12ish, q19ish,
+    arrayHof, regexpGroups, bagSetOps,
     pivotQuery, unpivotQuery, rankStats, momentsPack, histogram)
 }

@@ -192,6 +192,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"sample fell back to a window sort:\n$p")
   }
 
+  test("q12 conditional aggregation folds the CASE into one agg pair") {
+    val p = plan("j_tpch_q12ish_priority_counts")
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"CASE split into extra agg passes:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"orders side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"needless sort-merge:\n$p")
+  }
+
+  test("q19 disjunctive predicates push per-side hulls into both scans") {
+    // Catalyst must extract the pushable disjunction for EACH side of the
+    // join (the l_quantity range union into the lineitem scan, the
+    // brand/size union into the part scan) — losing this reads both tables
+    // in full and filters post-join
+    val f = formatted("j_tpch_q19ish_disjunctive_revenue")
+    val pushedLines = f.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushedLines.exists(l => l.contains("l_quantity") && l.contains("Or(")),
+      s"quantity disjunction not pushed to lineitem scan:\n$f")
+    assert(pushedLines.exists(l => l.contains("p_brand") && l.contains("Or(")),
+      s"brand disjunction not pushed to part scan:\n$f")
+    assert(f.contains("BroadcastHashJoin"), s"part side not broadcast:\n$f")
+  }
+
   test("embedding decontamination broadcasts the benchmark, never shuffles to score") {
     val p = plan("vx_decontaminate_embedding")
     assert(p.contains("BroadcastNestedLoopJoin"),
