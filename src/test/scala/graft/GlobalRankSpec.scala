@@ -109,6 +109,31 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("withGroupRank hostile edges: empty input, one group, one row") {
+    // empty: quantile sketch returns no bounds; every stage must pass
+    // through to an empty result, not throw
+    val empty = mkGrouped(5).filter(col("id") < 0)
+    assert(GlobalRank.withGroupRank(empty, col("g"), "r", "cnt",
+      col("v"), col("id")).count() == 0L)
+    // single row: rank 1, count 1 (the percent_rank n=1 edge upstream)
+    val one = Seq((7L, "only", 3.0)).toDF("id", "g", "v")
+    val r1 = GlobalRank.withGroupRank(one, col("g"), "r", "cnt",
+        col("v"), col("id"))
+      .select(col("r"), col("cnt")).as[(Long, Long)].head()
+    assert(r1 == ((1L, 1L)))
+    // all rows in ONE group with all-equal order keys: ranks must still be
+    // a permutation of 1..n (doc-id tiebreak), count constant
+    val flat = (1L to 50L).map((_, "g", 1.0)).toDF("id", "g", "v").repartition(4)
+    val rs = GlobalRank.withGroupRank(flat, col("g"), "r", "cnt",
+        col("v"), col("id"))
+      .select(col("id"), col("r"), col("cnt"))
+      .as[(Long, Long, Long)].collect()
+    assert(rs.map(_._2).sorted.toSeq == (1L to 50L))
+    assert(rs.forall(_._3 == 50L))
+    assert(rs.sortBy(_._1).map(_._2).toSeq == (1L to 50L),
+      "equal keys must rank by the id tiebreak")
+  }
+
   test("withGroupRank descending order via negation (quality-gate shape)") {
     val df = mkGrouped(300)
     val got = GlobalRank.withGroupRank(df, col("g"), "r", "cnt",
