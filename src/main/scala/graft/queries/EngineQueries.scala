@@ -397,14 +397,41 @@ object EngineQueries extends QueryPack {
         .orderBy(col("o_orderstatus")),
     None)
 
-  // brute-force exact ANN (small query set broadcast against the corpus)
+  // brute-force exact ANN (small query set broadcast against the corpus).
+  // FULL oracle since round 5 via margin analysis: the raw float cosine is
+  // a sequential double fold in both engines, whose worst-case
+  // summation-order skew (~1e-15) is 10 orders under the measured rank-5/6
+  // selection gap (≥1.9e-5 at both SFs), and the reported value quantizes
+  // to floor(cos·1e6) with ≥0.01-quantum boundary distance — neither the
+  // selection nor the floor can flap. (vx_ann_brute_quantized remains the
+  // exact-integer-algebra twin with zero float assumptions.)
   private val annBrute = OracleQuery(
     "vx_ann_brute_top5",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rn").cast("long").as("rn"),
+          col("neighbor_id"),
+          floor(col("cosine") * lit(1000000.0)).cast("long").as("cosine_q"))
+        .orderBy(col("query_id"), col("rn"))
     },
-    None)
+    Some("""WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v)) + 1e-12) AS cos
+      FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rn, neighbor_id,
+      CAST(floor(cos * 1000000.0) AS BIGINT) AS cosine_q
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rn"""))
 
   // LSH-bucketed approximate ANN (the sub-linear scale path)
   private val annLsh = OracleQuery(
