@@ -424,8 +424,12 @@ object TextQueries extends QueryPack {
     ORDER BY doc_id"""))
 
   // ---- greedy first-fit packing (capacity-respecting; docs never split):
-  //      per-bin occupancy summary. Deterministic but imperative per-shard
-  //      state — SeqPackSpec carries the invariants; rows-only here ----
+  //      per-bin occupancy summary. FULL oracle since round 5: the
+  //      per-shard fold is deterministic integer state (shard = doc_id%8,
+  //      in-doc_id-order, capacity test on exact token counts), so a
+  //      DuckDB RECURSIVE CTE replays the fill row-for-row — the
+  //      imperative mapPartitions loop and the SQL recursion must agree on
+  //      every bin boundary. SeqPackSpec still carries the invariants ----
   private val seqPackGreedy = OracleQuery(
     "t_seq_pack_greedy_bins",
     (s, d) =>
@@ -437,7 +441,27 @@ object TextQueries extends QueryPack {
         .groupBy(col("bin_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
         .orderBy(col("bin_id")),
-    None)
+    Some(s"""WITH RECURSIVE ord AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${graft.functions.TextOps.bpeTokenPattern}')) AS BIGINT) AS n_tokens,
+        doc_id % 8 AS shard,
+        ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ), fill AS (
+      SELECT shard, rn, doc_id, n_tokens, n_tokens AS used,
+        CAST(0 AS BIGINT) AS bin
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+        CASE WHEN f.used > 0 AND f.used + o.n_tokens > 512
+             THEN o.n_tokens ELSE f.used + o.n_tokens END,
+        CASE WHEN f.used > 0 AND f.used + o.n_tokens > 512
+             THEN f.bin + 1 ELSE f.bin END
+      FROM fill f JOIN ord o ON o.shard = f.shard AND o.rn = f.rn + 1
+    )
+    SELECT shard * 8589934592 + bin AS bin_id,
+      COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM fill GROUP BY 1 ORDER BY 1"""))
 
   // ---- benchmark decontamination: docs sharing any word 3-gram with the
   //      "benchmark" slice (doc_id % 50 = 0 stands in for an eval set) are
