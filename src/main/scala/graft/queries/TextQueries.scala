@@ -839,6 +839,99 @@ object TextQueries extends QueryPack {
     JOIN quota q ON r.source = q.source
     WHERE r.rn <= q.quota ORDER BY r.doc_id"""))
 
+  // ---- the composed training-mix pipeline, FULL oracle end-to-end: the
+  //      three draws a training run actually chains — per-source quality
+  //      gate (top quartile by score, GroupRank percent_rank) →
+  //      temperature-scaled quota over the SURVIVORS (n_s^0.5, exact
+  //      DECIMAL normalization, keep half the gated mass) → knuth32-order
+  //      selection (GroupRank) → first-fit packing into 512-token bins
+  //      (shard-local, recursive-CTE-replayable). Every stage is
+  //      individually oracle-proven (t_quality_gate_per_source,
+  //      t_mixture_temperature_sample, t_seq_pack_greedy_bins); this entry
+  //      pins their COMPOSITION — the full lineage from raw corpus to
+  //      packed training sequence hash-matches DuckDB ----
+  private val trainingMixPipeline = OracleQuery(
+    "t_training_mix_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = docs.select(col("doc_id"), col("source"), col("text"),
+        graft.functions.TextOps.qualityScore(col("text")).as("quality"))
+      val gated = graft.operators.GlobalRank.withGroupRank(
+          q, col("source"), "__qrn", "__qn", -col("quality"), col("doc_id"))
+        .filter(when(col("__qn") > 1L,
+            (col("__qrn") - 1L).cast("double") / (col("__qn") - 1L).cast("double"))
+          .otherwise(0.0) <= 0.25)
+        .select(col("doc_id"), col("source"), col("text"))
+      val perSrc = gated.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("w", sqrt(col("n").cast("double")).cast("decimal(27,6)"))
+      val total = perSrc.agg(sum(col("n")).as("n_total"),
+        sum(col("w")).cast("double").as("w_total"))
+      val quota = perSrc.crossJoin(total)
+        .select(col("source"),
+          ceil(col("n_total") * (col("w").cast("double") / col("w_total")) * 0.5)
+            .as("quota"))
+      val h = graft.operators.Dedup.knuth32(col("doc_id"))
+      val selected = graft.operators.GlobalRank.withGroupRank(
+          gated, col("source"), "__rn", "__n2", h, col("doc_id"))
+        .join(broadcast(quota), "source")
+        .filter(col("__rn") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("text"))
+      graft.operators.SeqPack.packGreedy(
+          selected.select(col("doc_id"),
+            graft.functions.TextOps.tokenCount(col("text")).as("n_tokens")),
+          "n_tokens", maxTokens = 512, shards = 8)
+        .join(selected.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE gated AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+          PERCENT_RANK() OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id) AS pr
+        FROM (SELECT doc_id, source, text, $QUALITY_SQL AS quality
+              FROM documents) q) t
+      WHERE pr <= 0.25
+    ), per_src AS (
+      SELECT source, COUNT(*) AS n,
+        CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(27,6)) AS w
+      FROM gated GROUP BY source
+    ), tot AS (
+      SELECT SUM(n) AS n_total, CAST(SUM(w) AS DOUBLE) AS w_total FROM per_src
+    ), quota AS (
+      SELECT source,
+        ceil(n_total * (CAST(w AS DOUBLE) / w_total) * 0.5) AS quota
+      FROM per_src, tot
+    ), ranked AS (
+      SELECT doc_id, source, text,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY ${KNUTH32("doc_id")}, doc_id) AS BIGINT) AS rn
+      FROM gated
+    ), selected AS (
+      SELECT r.doc_id, r.source, r.text
+      FROM ranked r JOIN quota q ON r.source = q.source
+      WHERE r.rn <= q.quota
+    ), ord AS (
+      SELECT doc_id, source,
+        CAST(len(regexp_extract_all(text, '${graft.functions.TextOps.bpeTokenPattern}')) AS BIGINT) AS n_tokens,
+        doc_id % 8 AS shard,
+        ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM selected
+    ), fill AS (
+      SELECT shard, rn, doc_id, source, n_tokens, n_tokens AS used,
+        CAST(0 AS BIGINT) AS bin
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.source, o.n_tokens,
+        CASE WHEN f.used > 0 AND f.used + o.n_tokens > 512
+             THEN o.n_tokens ELSE f.used + o.n_tokens END,
+        CASE WHEN f.used > 0 AND f.used + o.n_tokens > 512
+             THEN f.bin + 1 ELSE f.bin END
+      FROM fill f JOIN ord o ON o.shard = f.shard AND o.rn = f.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, shard * 8589934592 + bin AS bin_id
+    FROM fill ORDER BY doc_id"""))
+
   // ---- exact-threshold set-similarity join (PPJoin-style prefix filter):
   //      all pairs with token-SET Jaccard ≥ 0.9, exactly. The engine runs
   //      the prefix-filtered plan (rarest-token inverted index generates a
@@ -1060,5 +1153,5 @@ object TextQueries extends QueryPack {
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
     temperatureMixture, bottomKSample, dsirSelect, containmentPairs, oovRate,
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
-    chunkSliding, curationBySource, leakageSplit)
+    chunkSliding, curationBySource, leakageSplit, trainingMixPipeline)
 }
