@@ -839,6 +839,59 @@ object TextQueries extends QueryPack {
     JOIN quota q ON r.source = q.source
     WHERE r.rn <= q.quota ORDER BY r.doc_id"""))
 
+  // ---- bigram-LM quality scoring (CCNet-style published filter: score
+  //      candidates by likelihood under a model fit on a high-quality
+  //      reference — here the src0 slice). The per-term score quantizes
+  //      each small-integer-argument ln SEPARATELY (floor(ln(c12+1)·1e6) −
+  //      floor(ln(c1+V)·1e6)), so the per-doc sum is exact integer
+  //      arithmetic and the gate is a FULL oracle (measured ln-boundary
+  //      distance ≥7e-4 quanta over every observed argument at both SFs
+  //      vs ~1e-9-quanta engine skew). Model broadcasts; scoring map-only ----
+  private val lmQuality = OracleQuery(
+    "t_lm_quality_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.operators.NgramLm.fit(docs.filter(col("source") === "src0"))
+      graft.operators.NgramLm.score(docs, model).orderBy(col("doc_id"))
+    },
+    Some("""WITH ref_toks AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE source = 'src0'
+    ), uni AS (
+      SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM ref_toks GROUP BY 1
+    ), big AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM ref_toks a JOIN ref_toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ), v AS (SELECT COUNT(*) AS v FROM uni
+    ), all_toks AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), doc_big AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM all_toks a JOIN all_toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ), terms AS (
+      SELECT d.doc_id,
+        CAST(floor(ln(COALESCE(big.c12, 0) + 1) * 1000000.0) AS BIGINT)
+        - CAST(floor(ln(COALESCE(uni.c1, 0) + v.v) * 1000000.0) AS BIGINT) AS lnq
+      FROM doc_big d
+      LEFT JOIN big ON d.w1 = big.w1 AND d.w2 = big.w2
+      LEFT JOIN uni ON d.w1 = uni.w1
+      CROSS JOIN v
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(lnq) AS BIGINT) AS lm_q
+      FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+      COALESCE(a.lm_q, 0) AS lm_q
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id"""))
+
   // ---- the composed training-mix pipeline, FULL oracle end-to-end: the
   //      three draws a training run actually chains — per-source quality
   //      gate (top quartile by score, GroupRank percent_rank) →
@@ -1153,5 +1206,6 @@ object TextQueries extends QueryPack {
     decontaminate, decontaminateBloom, repetitionFilter, sourceMixture,
     temperatureMixture, bottomKSample, dsirSelect, containmentPairs, oovRate,
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
-    chunkSliding, curationBySource, leakageSplit, trainingMixPipeline)
+    chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
+    lmQuality)
 }
