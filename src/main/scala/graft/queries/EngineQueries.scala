@@ -907,6 +907,64 @@ object EngineQueries extends QueryPack {
       CAST(rn - 1 AS INT) AS pos, doc_id
     FROM ranked WHERE rn <= 5 ORDER BY "group", pos"""))
 
+  // the COMPOSED streaming curation pipeline run in batch mode (rules →
+  // redact → exact-dedup first-claim). flatMapGroupsWithState executes
+  // once per content-hash group with empty state, so the survivor set is
+  // exactly "min doc_id per redacted content among rule-passers" — pure
+  // relational semantics → FULL oracle (rules + redaction + group-min all
+  // have proven SQL twins); StreamingSpec pins the multi-batch behavior
+  private val streamCuration = OracleQuery(
+    "tx_stream_curation_clean",
+    (s, d) =>
+      graft.streaming.StreamingCuration.cleanStream(Tables.documents(s, d))
+        .toDF()
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+    Some("""WITH d AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS words,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS n_chars
+      FROM documents
+    ), bigr AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+      FROM (
+        SELECT a.doc_id, a.w || ' ' || b.w AS gram
+        FROM (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM d) a
+        JOIN (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM d) b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)
+      GROUP BY doc_id
+    ), r AS (
+      SELECT d.doc_id, d.source, d.text,
+        (d.n_words BETWEEN 10 AND 1000
+         AND d.n_chars / CAST(d.n_words AS DOUBLE) >= 2.0
+         AND d.n_chars / CAST(d.n_words AS DOUBLE) <= 10.0
+         AND CAST(len(list_filter(d.words, x -> regexp_matches(x, '[#_{}]'))) AS DOUBLE)
+           <= CAST(d.n_words AS DOUBLE) * 0.1
+         AND CAST(len(list_filter(d.words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           >= CAST(d.n_words AS DOUBLE) * 0.8
+         AND CAST(len(list_filter(d.words,
+           x -> x IN ('the','and','of','to','a','in','that','for'))) AS BIGINT) >= 2
+         AND (CASE WHEN COALESCE(bigr.n_grams, 0) = 0 THEN 0.0
+              ELSE 1.0 - CAST(bigr.n_distinct AS DOUBLE) / CAST(bigr.n_grams AS DOUBLE)
+              END) <= 0.4) AS keep
+      FROM d LEFT JOIN bigr ON d.doc_id = bigr.doc_id
+    ), red AS (
+      SELECT doc_id, source,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{7,}', '<NUM>', 'g') AS rtext
+      FROM r WHERE keep
+    )
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+        doc_id = MIN(doc_id) OVER (PARTITION BY rtext) AS k
+      FROM red) t
+    WHERE k ORDER BY doc_id"""))
+
   // streaming chunk-level dedup, batch-mode twin: CDC-chunk the corpus as
   // a firehose and flag every chunk whose content was first claimed by a
   // lower (doc, chunk) — sub-document duplication the document-level
@@ -1137,7 +1195,7 @@ object EngineQueries extends QueryPack {
     semDedupQuantized, semDedupKmeans,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, streamSample, streamWeightedSample,
-    streamChunkDedup, curationFunnel,
+    streamChunkDedup, streamCuration, curationFunnel,
     pca2d, separability, deepfakeLifecycle,
     separabilityGbt)
 }

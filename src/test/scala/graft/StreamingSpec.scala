@@ -444,6 +444,59 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming curation pipeline matches batch rules+redact+dedup, any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    // real documents in doc_id order across three micro-batches: survivors
+    // must equal the batch pipeline's stage-3 set (min doc_id per redacted
+    // content among rule-passers) — ordered arrival makes first-wins and
+    // min-id coincide
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stream = MemoryStream[(Long, String, String)]
+    val query = graft.streaming.StreamingCuration.cleanStream(
+        stream.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("scur_test")
+      .outputMode("append").start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      val got = spark.table("scur_test").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = graft.SparkEntry.queries("tx_stream_curation_clean")(spark, sf001)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"stream ${got.take(5)}... vs batch ${want.take(5)}...")
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("streaming curation: later duplicate dropped, intra-batch dup resolves to min id") {
+    implicit val sqlCtx = spark.sqlContext
+    // rule-passing text: 40 words, 2 stopwords, all bigrams distinct (a
+    // repeated filler phrase would trip the duplication-fraction rule)
+    val good = ("the" +: "and" +: (1 to 38).map(i => s"wx$i")).mkString(" ")
+    val stream = MemoryStream[(Long, String, String)]
+    val query = graft.streaming.StreamingCuration.cleanStream(
+        stream.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("scur_edge")
+      .outputMode("append").start()
+    try {
+      // batch 1: ids 5 and 2 carry identical content → min id 2 survives
+      stream.addData((5L, "s", good), (2L, "s", good))
+      query.processAllAvailable()
+      // batch 2: id 1 repeats the content → dropped (claim is permanent,
+      // even though 1 < 2)
+      stream.addData((1L, "s", good))
+      query.processAllAvailable()
+      val ids = spark.table("scur_edge").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(2L), s"ids: $ids")
+    } finally query.stop()
+  }
+
   test("checkpoint restart: dedup bucket claims survive a stop/start") {
     // the GroupState twins claim their state lives in the (RocksDB) state
     // store at scale — prove the recovery half: stop a query, restart it
