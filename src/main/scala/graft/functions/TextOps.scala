@@ -46,6 +46,23 @@ object TextOps {
     f(text)
   }
 
+  /** Bigram duplication fraction ∈ [0,1]: 1 − |distinct bigrams| / |bigrams|
+    * over the space-split words; ≤1-word documents score 0. The repeated-
+    * phrase signal the C4/Gopher-style curation gates threshold (batch
+    * pipeline, per-source report, and streaming twin all share this exact
+    * column expression — their rule outcomes must never drift apart).
+    */
+  def bigramDupFraction(text: Column): Column = {
+    val words = split(text, " ")
+    val grams = filter(
+      transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
+        i => when(size(words) >= 2, concat_ws(" ", slice(words, i + 1, lit(2))))),
+      g => g.isNotNull)
+    when(size(words) <= 1, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") /
+        (size(words) - 1).cast("double"))
+  }
+
   /** Quality score ∈ [0,1]: composite of length band, alphabetic ratio,
     * mean word length band, and repetition penalty — the shape of the
     * heuristics used to filter web scrapes for training corpora. Pure

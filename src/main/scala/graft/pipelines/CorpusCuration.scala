@@ -48,20 +48,10 @@ object CorpusCuration {
     // stage 1: map-only quality rules (quality gates first — cheapest).
     // One cached pass computes the flags; input + survivor counts come
     // from a single aggregation over it instead of two scans
-    val words = split(col("text"), " ")
-    val grams = filter(
-      transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
-        i => when(size(words) >= 2, concat_ws(" ", slice(words, i + 1, lit(2))))),
-      g => g.isNotNull)
     val flagged = docs
-      .withColumn("__rules", TextOps.gopherRules(col("text")))
-      .withColumn("__dup_frac",
-        when(size(words) <= 1, lit(0.0))
-          .otherwise(lit(1.0) -
-            size(array_distinct(grams)).cast("double") /
-              (size(words) - 1).cast("double")))
-      .withColumn("__keep", col("__rules.keep") && col("__dup_frac") <= dupFracMax)
-      .drop("__rules", "__dup_frac")
+      .withColumn("__keep",
+        TextOps.gopherRules(col("text")).getField("keep") &&
+          TextOps.bigramDupFraction(col("text")) <= dupFracMax)
       .cache()
     val c01 = flagged.agg(count(lit(1)), count(when(col("__keep"), lit(1)))).head()
     val (n0, n1) = (c01.getLong(0), c01.getLong(1))

@@ -618,17 +618,9 @@ object TextQueries extends QueryPack {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 50 =!= 0)
       val bench = docs.filter(col("doc_id") % 50 === 0)
-      val words = split(col("text"), " ")
-      val grams = filter(
-        transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
-          i => when(size(words) >= 2, concat_ws(" ", slice(words, i + 1, lit(2))))),
-        g => g.isNotNull)
-      val dupFrac = when(size(words) <= 1, lit(0.0))
-        .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") /
-          (size(words) - 1).cast("double"))
       val flagged = corpus.withColumn("__keep",
         graft.functions.TextOps.gopherRules(col("text")).getField("keep") &&
-          dupFrac <= 0.4)
+          graft.functions.TextOps.bigramDupFraction(col("text")) <= 0.4)
       val ek = flagged.filter(col("__keep"))
         .withColumn("__exact_keep", col("doc_id") ===
           min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))

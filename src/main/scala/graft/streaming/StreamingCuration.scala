@@ -39,17 +39,9 @@ object StreamingCuration {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val words = split(col(textCol), " ")
-    val grams = filter(
-      transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
-        i => when(size(words) >= 2, concat_ws(" ", slice(words, i + 1, lit(2))))),
-      g => g.isNotNull)
-    val dupFrac = when(size(words) <= 1, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") /
-        (size(words) - 1).cast("double"))
     val ruled = docs
       .filter(TextOps.gopherRules(col(textCol)).getField("keep") &&
-        dupFrac <= dupFracMax)
+        TextOps.bigramDupFraction(col(textCol)) <= dupFracMax)
       .select(col(idCol).cast("long").as("doc_id"),
         col(sourceCol).cast("string").as("source"),
         TextOps.redactPii(col(textCol)).as("text"))
