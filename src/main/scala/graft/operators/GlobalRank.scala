@@ -168,6 +168,29 @@ object GlobalRank {
       .drop("__rk", "__gk", "__mid", "__pid", "__offset", "__mn")
   }
 
+  /** Exact per-GROUP NTILE(k) — `ntile(k).over(Window.partitionBy(group)
+    * .orderBy(order))` without the low-cardinality-group window sort.
+    * Same closed form as [[withNtile]], applied to [[withGroupRank]]'s
+    * rank and group count: within a group of n rows, the first n % k
+    * tiles hold ceil(n/k) rows, the rest floor(n/k).
+    */
+  def withGroupNtile(df: DataFrame, group: Column, k: Int, tileCol: String,
+      order: Column*): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1, got $k")
+    val ranked = withGroupRank(df, group, "__rank", "__n", order: _*)
+    val q = floor(col("__n") / k)           // small-tile size, per group
+    val rem = col("__n") % k                // number of big (q+1) tiles
+    val cutoff = rem * (q + lit(1L))
+    // doubles exact for n < 2^53; otherwise-branch divisor guarded as in
+    // withNtile (unreachable when q == 0 since then cutoff == n >= rank)
+    val tile = when(col("__rank") <= cutoff,
+        floor((col("__rank") - 1) / (q + lit(1L)).cast("double")) + 1)
+      .otherwise(
+        floor((col("__rank") - cutoff - 1) / greatest(q, lit(1L)).cast("double"))
+          + rem + 1)
+    ranked.withColumn(tileCol, tile.cast("int")).drop("__rank", "__n")
+  }
+
   /** Exact NTILE(k) over a total order, as a scale-safe two-pass plan.
     * Closed form over the global rank r with n rows: the first n % k
     * buckets hold ceil(n/k) rows, the rest floor(n/k) — identical output

@@ -323,6 +323,27 @@ object TextQueries extends QueryPack {
       FROM (SELECT doc_id, source, $QUALITY_SQL AS quality FROM documents) q) t
     WHERE pr <= 0.25 ORDER BY doc_id"""))
 
+  // ---- per-source quality QUARTILE assignment — the grouped-NTILE twin
+  //      of the gate: every doc labeled 1-4 within its source by score.
+  //      Runs on GlobalRank.withGroupNtile (closed-form tiles over the
+  //      bucketed rank; no per-source window sort — plan-pinned) ----
+  private val qualityNtile = OracleQuery(
+    "t_ntile_quality_per_source",
+    (s, d) => {
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextOps.qualityScore(col("text")).as("quality"))
+      graft.operators.GlobalRank.withGroupNtile(
+          q, col("source"), 4, "tile", -col("quality"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("tile"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, source,
+      NTILE(4) OVER (PARTITION BY source
+        ORDER BY quality DESC, doc_id) AS tile
+    FROM (SELECT doc_id, source, $QUALITY_SQL AS quality FROM documents) q
+    ORDER BY doc_id"""))
+
   // ---- Gopher/C4-style quality-rule filter (published web-scrape filter
   //      heuristics as a rule pack): per-document rule booleans + keep
   //      conjunction, all exact integer counts / deterministic double
@@ -1199,5 +1220,5 @@ object TextQueries extends QueryPack {
     temperatureMixture, bottomKSample, dsirSelect, containmentPairs, oovRate,
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
-    lmQuality)
+    lmQuality, qualityNtile)
 }

@@ -134,6 +134,19 @@ class GlobalRankSpec extends SparkSpec {
       "equal keys must rank by the id tiebreak")
   }
 
+  test("withGroupNtile matches ntile(k) over the per-group window") {
+    for (n <- Seq(37, 400); k <- Seq(1, 4, 7)) {
+      val df = mkGrouped(n)
+      val got = GlobalRank.withGroupNtile(df, col("g"), k, "t",
+          col("v"), col("id"))
+        .select(col("id"), col("t")).as[(Long, Int)].collect().toMap
+      val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      val want = df.select(col("id"), ntile(k).over(w))
+        .as[(Long, Int)].collect().toMap
+      assert(got == want, s"grouped ntile mismatch at n=$n k=$k")
+    }
+  }
+
   test("withGroupRank descending order via negation (quality-gate shape)") {
     val df = mkGrouped(300)
     val got = GlobalRank.withGroupRank(df, col("g"), "r", "cnt",

@@ -240,7 +240,8 @@ class PlanSpec extends SparkSpec {
     // each source into ONE task at 100 TB. The GroupRank rewrite buckets on
     // the order key instead — no Window node may appear anywhere.
     for (q <- Seq("t_source_mixture_sample", "t_mixture_temperature_sample",
-        "t_quality_gate_per_source", "t_training_mix_pipeline")) {
+        "t_quality_gate_per_source", "t_training_mix_pipeline",
+        "t_ntile_quality_per_source")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q fell back to a per-source window sort:\n$p")
     }
