@@ -76,6 +76,9 @@ object Bench {
         e._1 == "tx_curation_funnel" || e._1 == "t_curation_by_source")) {
       graft.queries.EngineQueries.prepareBenchGrams(spark, sfDir); ()
     }
+    build("lm_bigram_model", selected.contains("t_lm_quality_score")) {
+      graft.queries.TextQueries.prepareLmModel(spark, sfDir); ()
+    }
     // min-of-2 per query: the grading host is co-loaded, and a single-shot
     // timing charged 3-7x of neighbor noise to four innocent queries in
     // round 4 (their code was unchanged and a quiet re-measure matched

@@ -135,16 +135,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ColumnBridge.convertedExpression(f(ColumnBridge.column(children.head)))
     }))
 
+  private def arity(name: String, n: Int, children: Seq[Expression]): Unit =
+    if (children.size != n)
+      throw new IllegalArgumentException(
+        s"$name expects exactly $n arguments, got ${children.size}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("cosine_sim", 2, children)
+        CosineSimilarity(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("int8_cosine"),
       new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
-      (children: Seq[Expression]) =>
-        Int8Cosine(children(0), children(1), children(2), children(3))))
+      (children: Seq[Expression]) => {
+        arity("int8_cosine", 4, children)
+        Int8Cosine(children(0), children(1), children(2), children(3))
+      }))
     // SQL surface for the text/hash library: the same Catalyst trees the
     // Scala API composes, reachable from pure SQL sessions
     ext.injectFunction(colFn1("graft_lang_id", graft.functions.TextOps.langId))

@@ -64,6 +64,9 @@ object Dedup {
     * context.
     */
   private[graft] def shinglesLocal(text: String, k: Int): Array[String] =
+    // twin contract on NULL text: the HOF yields EMPTY, not null —
+    // greatest(size(null) − k, 0) absorbs the null into 0, sequence(0,0)
+    // builds [0], and the null-gram filter drops it (DedupSpec pins this)
     if (text == null) Array.empty
     else {
       val words = text.split(" ", -1)

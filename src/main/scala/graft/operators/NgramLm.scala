@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
 object NgramLm {
 
   final case class BigramModel(
-      bigrams: DataFrame,   // (w1, w2, c12)
-      unigrams: DataFrame,  // (w1, c1)
-      vocabSize: Long)
+      bigrams: DataFrame,   // (w1, w2, c12), persisted
+      unigrams: DataFrame,  // (w1, c1), persisted
+      vocabSize: Long) {
+    def unpersist(): Unit = { bigrams.unpersist(); unigrams.unpersist(); () }
+  }
 
   /** (w1, w2) adjacent-word pairs of `textCol` as an exploded relation. */
   private def bigramPairs(df: DataFrame, idCol: String, textCol: String) = {
@@ -44,13 +46,20 @@ object NgramLm {
       .select(col(idCol), col("p.0").as("w1"), col("p.1").as("w2"))
   }
 
-  /** Fit the reference model: exact bigram + unigram counts and |vocab|. */
+  /** Fit the reference model: exact bigram + unigram counts and |vocab|.
+    * Both count relations persist eagerly — the model is a computed-once
+    * artifact (vocabSize already forces one action; without the persist,
+    * each scoring broadcast would re-scan the reference corpus). Callers
+    * release with [[BigramModel.unpersist]]; repeated consumers memoize
+    * per (session, dir) like the other build-once artifacts.
+    */
   def fit(ref: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): BigramModel = {
     val toks = ref.select(explode(split(col(textCol), " ")).as("w1"))
-    val unigrams = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val unigrams = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1")).persist()
     val bigrams = bigramPairs(ref, idCol, textCol)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")).persist()
+    bigrams.count() // materialize both while the scan is hot
     BigramModel(bigrams, unigrams, unigrams.count())
   }
 

@@ -138,12 +138,19 @@ object Sampling {
     if (w <= 0.0 || w.isNaN) b // non-positive weight = excluded
     else {
       val key = (esKey(id, w), id)
-      val existing = b.indexWhere(_._2 == id)
-      if (existing >= 0) {
-        if (Ordering[(Double, Long)].lteq(b(existing), key)) b
-        else winsertSorted(b.take(existing) ++ b.drop(existing + 1), key, k)
-      } else if (b.length >= k && Ordering[(Double, Long)].lteq(b.last, key)) b
-      else winsertSorted(b, key, k)
+      // cheap full-buffer rejection FIRST (the streaming common case): when
+      // the buffer is full and key >= b.last, any existing entry for this
+      // id also satisfies b(existing) <= b.last <= key, so the id-scan
+      // branch would return b unchanged anyway — one comparison, no O(k)
+      // scan
+      if (b.length >= k && Ordering[(Double, Long)].lteq(b.last, key)) b
+      else {
+        val existing = b.indexWhere(_._2 == id)
+        if (existing >= 0) {
+          if (Ordering[(Double, Long)].lteq(b(existing), key)) b
+          else winsertSorted(b.take(existing) ++ b.drop(existing + 1), key, k)
+        } else winsertSorted(b, key, k)
+      }
     }
 
   private[graft] def wmerge(a: WBuf, b: WBuf, k: Int): WBuf = {

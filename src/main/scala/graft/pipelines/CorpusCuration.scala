@@ -32,8 +32,8 @@ object CorpusCuration {
     * sf0.1 corpus, 3-gram matching flagged 99.4% of near-dedup survivors as
     * "contaminated" from ordinary phrase collisions alone, gutting the
     * corpus; 8-grams flag only genuine quotes/near-copies of benchmark text.
-    */
-  /** `benchGrams`: a pre-built [[Dedup.benchmarkGrams]] relation (with
+    *
+    * `benchGrams`: a pre-built [[Dedup.benchmarkGrams]] relation (with
     * matching n) to reuse across runs — callers curating repeatedly against
     * one benchmark memoize it (EngineQueries.prepareBenchGrams) instead of
     * re-deriving the gram explode inside every run.

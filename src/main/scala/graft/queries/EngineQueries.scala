@@ -920,43 +920,9 @@ object EngineQueries extends QueryPack {
         .toDF()
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id")),
-    Some("""WITH d AS (
-      SELECT doc_id, source, text, string_split(text, ' ') AS words,
-        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS n_chars
-      FROM documents
-    ), bigr AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-        CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
-      FROM (
-        SELECT a.doc_id, a.w || ' ' || b.w AS gram
-        FROM (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM d) a
-        JOIN (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM d) b
-          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)
-      GROUP BY doc_id
-    ), r AS (
-      SELECT d.doc_id, d.source, d.text,
-        (d.n_words BETWEEN 10 AND 1000
-         AND d.n_chars / CAST(d.n_words AS DOUBLE) >= 2.0
-         AND d.n_chars / CAST(d.n_words AS DOUBLE) <= 10.0
-         AND CAST(len(list_filter(d.words, x -> regexp_matches(x, '[#_{}]'))) AS DOUBLE)
-           <= CAST(d.n_words AS DOUBLE) * 0.1
-         AND CAST(len(list_filter(d.words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-           >= CAST(d.n_words AS DOUBLE) * 0.8
-         AND CAST(len(list_filter(d.words,
-           x -> x IN ('the','and','of','to','a','in','that','for'))) AS BIGINT) >= 2
-         AND (CASE WHEN COALESCE(bigr.n_grams, 0) = 0 THEN 0.0
-              ELSE 1.0 - CAST(bigr.n_distinct AS DOUBLE) / CAST(bigr.n_grams AS DOUBLE)
-              END) <= 0.4) AS keep
-      FROM d LEFT JOIN bigr ON d.doc_id = bigr.doc_id
-    ), red AS (
+    Some(s"""WITH ${graft.queries.Exact.CURATION_RULES_CTES("")}, red AS (
       SELECT doc_id, source,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(text,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
-            '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
-          '[0-9]{7,}', '<NUM>', 'g') AS rtext
+        ${graft.queries.Exact.REDACT("text")} AS rtext
       FROM r WHERE keep
     )
     SELECT doc_id, source FROM (
@@ -1084,6 +1050,14 @@ object EngineQueries extends QueryPack {
   private def ensureGenImageFixtures(): String = {
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft-genimage-fixtures")
+    // rebuild from scratch: overwriting known names is not enough — a
+    // member REMOVED from this generator would survive from a prior JVM
+    // run in the shared tmpdir and shift the pinned lifecycle counts
+    def purge(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(purge)
+      f.delete(); ()
+    }
+    if (root.exists()) purge(root)
     def put(f: java.io.File, bytes: Array[Byte]): Unit = {
       val os = new java.io.FileOutputStream(f)
       try os.write(bytes) finally os.close()

@@ -47,6 +47,58 @@ object Exact {
   def DAVG(e: String, p: Int = 27, s: Int = 6): String =
     s"${DSUM(e, p, s)} / COUNT(*)"
 
+  /** SQL twin of [[graft.functions.TextOps.redactPii]] — email, IPv4, then
+    * long digit runs. ONE definition feeding every oracle that redacts, so
+    * a pattern change cannot drift between twins.
+    */
+  def REDACT(e: String): String =
+    s"""regexp_replace(
+      regexp_replace(
+        regexp_replace($e,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+      '[0-9]{7,}', '<NUM>', 'g')"""
+
+  /** Shared CTE chain `d, bigr, r` for the curation rule pack: word/char
+    * profile, per-doc bigram counts, and the Gopher-keep ∧ dup-fraction
+    * boolean — the SQL twin of `TextOps.gopherRules(...).keep &&
+    * TextOps.bigramDupFraction(...) <= 0.4`, defined ONCE for the batch
+    * report and the streaming twin (their rule outcomes must never drift,
+    * mirroring the shared Scala expression). `where` filters the documents
+    * scan ("" = all).
+    */
+  def CURATION_RULES_CTES(where: String): String =
+    s"""d AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS words,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS n_chars
+      FROM documents $where
+    ), bigr AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+      FROM (
+        SELECT a.doc_id, a.w || ' ' || b.w AS gram
+        FROM (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM d) a
+        JOIN (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM d) b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)
+      GROUP BY doc_id
+    ), r AS (
+      SELECT d.doc_id, d.source, d.text, d.words,
+        (d.n_words BETWEEN 10 AND 1000
+         AND d.n_chars / CAST(d.n_words AS DOUBLE) >= 2.0
+         AND d.n_chars / CAST(d.n_words AS DOUBLE) <= 10.0
+         AND CAST(len(list_filter(d.words, x -> regexp_matches(x, '[#_{}]'))) AS DOUBLE)
+           <= CAST(d.n_words AS DOUBLE) * 0.1
+         AND CAST(len(list_filter(d.words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           >= CAST(d.n_words AS DOUBLE) * 0.8
+         AND CAST(len(list_filter(d.words,
+           x -> x IN ('the','and','of','to','a','in','that','for'))) AS BIGINT) >= 2
+         AND (CASE WHEN COALESCE(bigr.n_grams, 0) = 0 THEN 0.0
+              ELSE 1.0 - CAST(bigr.n_distinct AS DOUBLE) / CAST(bigr.n_grams AS DOUBLE)
+              END) <= 0.4) AS keep
+      FROM d LEFT JOIN bigr ON d.doc_id = bigr.doc_id
+    )"""
+
   /** SQL twin of [[graft.operators.Dedup.knuth32]] for the DuckDB oracle:
     * (e * 2654435761) mod 2^32 via 16-bit limb split, so no intermediate
     * exceeds 2^49 — DuckDB errors on BIGINT overflow where Spark wraps, so

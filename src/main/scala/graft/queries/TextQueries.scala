@@ -401,17 +401,11 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"),
           graft.functions.TextOps.redactPii(col("dirty")).as("clean"))
         .orderBy(col("doc_id")),
-    Some("""SELECT doc_id,
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            text || ' contact user' || CAST(doc_id AS VARCHAR)
+    Some(s"""SELECT doc_id,
+      ${REDACT("""text || ' contact user' || CAST(doc_id AS VARCHAR)
               || '@mail.example.com from 10.0.'
               || CAST(doc_id % 200 AS VARCHAR)
-              || '.7 ref 1234567' || CAST(doc_id AS VARCHAR),
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
-        '[0-9]{7,}', '<NUM>', 'g') AS clean
+              || '.7 ref 1234567' || CAST(doc_id AS VARCHAR)""")} AS clean
     FROM documents ORDER BY doc_id"""))
 
   // ---- sequence packing, chunked layout (GPT-style concat-then-chunk):
@@ -662,36 +656,7 @@ object TextQueries extends QueryPack {
             1L).otherwise(0L)).as("n_clean"))
         .orderBy(col("source"))
     },
-    Some("""WITH d AS (
-      SELECT doc_id, source, text, string_split(text, ' ') AS words,
-        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS n_chars
-      FROM documents WHERE doc_id % 50 <> 0
-    ), bigr AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-        CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
-      FROM (
-        SELECT a.doc_id, a.w || ' ' || b.w AS gram
-        FROM (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM d) a
-        JOIN (SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM d) b
-          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)
-      GROUP BY doc_id
-    ), r AS (
-      SELECT d.doc_id, d.source, d.text, d.words,
-        (d.n_words BETWEEN 10 AND 1000
-         AND d.n_chars / CAST(d.n_words AS DOUBLE) >= 2.0
-         AND d.n_chars / CAST(d.n_words AS DOUBLE) <= 10.0
-         AND CAST(len(list_filter(d.words, x -> regexp_matches(x, '[#_{}]'))) AS DOUBLE)
-           <= CAST(d.n_words AS DOUBLE) * 0.1
-         AND CAST(len(list_filter(d.words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-           >= CAST(d.n_words AS DOUBLE) * 0.8
-         AND CAST(len(list_filter(d.words,
-           x -> x IN ('the','and','of','to','a','in','that','for'))) AS BIGINT) >= 2
-         AND (CASE WHEN COALESCE(bigr.n_grams, 0) = 0 THEN 0.0
-              ELSE 1.0 - CAST(bigr.n_distinct AS DOUBLE) / CAST(bigr.n_grams AS DOUBLE)
-              END) <= 0.4) AS keep
-      FROM d LEFT JOIN bigr ON d.doc_id = bigr.doc_id
-    ), ek AS (
+    Some(s"""WITH ${CURATION_RULES_CTES("WHERE doc_id % 50 <> 0")}, ek AS (
       SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keep
       FROM r WHERE keep
     ), bg AS (
@@ -860,13 +825,20 @@ object TextQueries extends QueryPack {
   //      arithmetic and the gate is a FULL oracle (measured ln-boundary
   //      distance ≥7e-4 quanta over every observed argument at both SFs
   //      vs ~1e-9-quanta engine skew). Model broadcasts; scoring map-only ----
+  /** Bigram model memoized per (session, dir) — a build-once artifact like
+    * the minhash signatures and benchmark grams (fit persists its count
+    * relations; the memo's release unpersists them).
+    */
+  def prepareLmModel(s: SparkSession, d: String): graft.operators.NgramLm.BigramModel =
+    graft.SessionMemo.getOrElseUpdate(s, s"lm_bigram_model:$d")(
+      graft.operators.NgramLm.fit(
+        Tables.documents(s, d).filter(col("source") === "src0")))(_.unpersist())
+
   private val lmQuality = OracleQuery(
     "t_lm_quality_score",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val model = graft.operators.NgramLm.fit(docs.filter(col("source") === "src0"))
-      graft.operators.NgramLm.score(docs, model).orderBy(col("doc_id"))
-    },
+    (s, d) =>
+      graft.operators.NgramLm.score(Tables.documents(s, d), prepareLmModel(s, d))
+        .orderBy(col("doc_id")),
     Some("""WITH ref_toks AS (
       SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
              unnest(string_split(text, ' ')) AS w

@@ -45,6 +45,21 @@ class DedupSpec extends SparkSpec {
           s"k=$k doc=${r.getLong(0)}: hof=${r.getSeq[String](1)} fast=${r.getSeq[String](2)}")
       }
     }
+    // NULL text: the HOF yields EMPTY (greatest() absorbs the null into
+    // the sequence bound and the null grams filter out) — the twin must
+    // match that, not propagate null
+    val withNull = Seq((97L, None: Option[String]), (98L, Some("a b c")))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        Dedup.shingles($"text", 2).as("hof"),
+        Dedup.shinglesFast($"text", 2).as("fast"))
+      .collect()
+    withNull.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2),
+        s"doc ${r.getLong(0)}: expected empty, got null")
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"null-text parity broken for doc ${r.getLong(0)}")
+    }
   }
 
   test("minhash LSH finds identical and near-identical docs, skips distinct") {
