@@ -641,10 +641,67 @@ object AdvancedQueries extends QueryPack {
        OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35
            AND p_size BETWEEN 1 AND 30)"""))
 
+  // ---- TPC-H Q14-shape: conditional revenue SHARE — the promo fraction
+  //      of total revenue in one aggregation pass (numerator = CASE-gated
+  //      sum, denominator = full sum, divided after; never two scans).
+  //      Exact-DECIMAL sums per the oracle convention; the final division
+  //      is one IEEE double op on two exactly-agreed values ----
+  private val q14ish = OracleQuery(
+    "j_tpch_q14ish_promo_share",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+      val p = Tables.part(s, d)
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .agg(
+          (dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) * 100.0 /
+            dsum(rev)).as("promo_share_pct"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""SELECT
+      ${DSUM("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+        * 100.0 / ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS promo_share_pct,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'"""))
+
+  // ---- TPC-H Q22-shape: scalar-subquery threshold + anti-join — count
+  //      and balance of above-average customers with no RECENT order (the
+  //      date restriction keeps the relation non-degenerate at every SF).
+  //      The plan properties: the AVG is a one-row broadcast (not a
+  //      per-row correlated rescan) and the NOT EXISTS compiles to a
+  //      (broadcast) anti hash join over the pre-filtered orders side ----
+  private val q22ish = OracleQuery(
+    "j_tpch_q22ish_idle_rich_customers",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
+      // exact-DECIMAL average: a plain double AVG is summation-order
+      // dependent and the threshold compare could flip boundary customers
+      // cross-engine
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).as("__avg"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n_custs,
+      ${DSUM("c_acctbal")} AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT ${DAVG("c_acctbal")} FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
     stringAgg, groupingSets, q5ish, q3ish, q17ish, q12ish, q19ish,
-    arrayHof, regexpGroups, bagSetOps,
+    q14ish, q22ish, arrayHof, regexpGroups, bagSetOps,
     pivotQuery, unpivotQuery, rankStats, momentsPack, histogram)
 }

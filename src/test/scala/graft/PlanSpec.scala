@@ -214,6 +214,14 @@ class PlanSpec extends SparkSpec {
     assert(f.contains("BroadcastHashJoin"), s"part side not broadcast:\n$f")
   }
 
+  test("q22 threshold+anti-join: scalar avg broadcasts, NOT EXISTS is a hash anti join") {
+    val p = plan("j_tpch_q22ish_idle_rich_customers")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"one-row threshold not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"threshold join degenerated:\n$p")
+  }
+
   test("embedding decontamination broadcasts the benchmark, never shuffles to score") {
     val p = plan("vx_decontaminate_embedding")
     assert(p.contains("BroadcastNestedLoopJoin"),
