@@ -36,6 +36,34 @@ class PropertySpec extends SparkSpec {
   private val matGen: Gen[List[List[Float]]] =
     Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, vecGen))
 
+  test("withGroupRank equals the per-group window for arbitrary data/groupings") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    val rowsGen = for {
+      n <- Gen.choose(4, 120)
+      nGroups <- Gen.choose(1, 5)
+      gs <- Gen.listOfN(n, Gen.choose(0, nGroups - 1).map(g => s"g$g"))
+      // few distinct values: ties must straddle bucket boundaries
+      vs <- Gen.listOfN(n, Gen.choose(0, 8).map(_.toDouble))
+      parts <- Gen.choose(1, 6)
+    } yield (gs.zip(vs).zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }, parts)
+    forSamples(rowsGen, n = 10) { case (rows, parts) =>
+      val df = rows.toDF("id", "g", "v").repartition(parts)
+      val got = GlobalRank.withGroupRank(df, col("g"), "r", "cnt",
+          col("v"), col("id"))
+        .select(col("id"), col("r"), col("cnt"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, (t._2, t._3))).toMap
+      val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      val want = df.select(col("id"),
+          row_number().over(w).cast("long"),
+          count(lit(1)).over(Window.partitionBy(col("g"))))
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, (t._2, t._3))).toMap
+      assert(got == want, s"n=${rows.length} parts=$parts")
+    }
+  }
+
   test("GlobalRank is a permutation of 1..n agreeing with the sort order") {
     val rowsGen = Gen.choose(5, 120).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-100.0, 100.0)))
