@@ -271,12 +271,16 @@ object Dedup {
     * document maps to the minimum doc id in its connected component
     * (transitive closure — a~b, b~c ⇒ {a,b,c} share one keeper).
     *
-    * Iterative min-label propagation: each round joins current labels
-    * across edges (both directions) and keeps the min; components of
-    * diameter d converge in ceil(log2(d)) + 1 rounds of the doubled edge
-    * set — here plain propagation with a bounded round count, since dup
-    * components are shallow in practice (near-clique blobs, not chains).
-    * Each round is one shuffle on doc id; no driver-side graph.
+    * Distributed path: alternating large-star / small-star contraction
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
+    * Each alternation rewires every node's neighbors to its neighborhood
+    * minimum, so path-shaped components collapse in O(log^2 n) alternations
+    * regardless of diameter — plain min-label propagation (the previous
+    * form) needs O(diameter) rounds and a single 10k-long near-dup chain
+    * (consecutive crawl snapshots) would exhaust any bounded round count.
+    * Each alternation is two key shuffles over the current edge set, and
+    * the edge set only shrinks (toward one star per component); no
+    * driver-side graph.
     */
   def canonicalize(pairs: DataFrame, maxRounds: Int = 10,
       driverThreshold: Long = 5000000L): DataFrame = {
@@ -339,33 +343,74 @@ object Dedup {
       return spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), schema)
     }
-    val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .cache()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .cache()
+    // Large-star over a symmetric neighbor view: every neighbor u of v with
+    // u > v is rewired to m = min(N(v) ∪ {v}). Output edges all satisfy
+    // src > dst (u > v ≥ m), so the canonical hi→lo orientation is free.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      nbrs.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // Small-star on the hi→lo orientation: all of v's smaller neighbors (and
+    // v itself) are rewired to the smallest of them. dst ≥ m by minimality,
+    // so orientation is again preserved after dropping self-loops.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("src").agg(min("dst").as("m"))
+      e.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // Each alternation references `e` several times (symmetric union + two
+    // joins), so the logical plan grows geometrically round over round —
+    // caching alone does NOT truncate lineage and the planner chokes after
+    // a few rounds. Truncate per round: a reliable checkpoint when the
+    // session has a checkpoint dir (cluster path — survives executor loss),
+    // else an eager localCheckpoint (executor-resident, fine for local and
+    // short chains of rounds). Superseded round RDDs are dropped by the
+    // ContextCleaner once unreferenced.
+    def truncated(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var e = truncated {
+      val sym = p.filter(col("id_a") =!= col("id_b"))
+      sym.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(sym.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .filter(col("src") > col("dst"))
+        .distinct()
+    }
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      val propagated = edges
-        .join(labels, edges("id_b") === labels("id"))
-        .groupBy(col("id_a").as("id"))
-        .agg(min(col("rep")).as("nrep"))
-      val next = labels.join(propagated, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .cache()
-      // one job per round: the convergence probe also materializes `next`
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val next = truncated(smallStar(largeStar(e)))
+      // at the fixpoint the edge set is exactly one star per component, and
+      // both steps are identity on stars — set equality detects it (the
+      // checkpoint already materialized `next`).
+      converged = next.count() == e.count() &&
+        next.except(e).limit(1).count() == 0
+      e = next
       round += 1
     }
-    p.unpersist()
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("rep").as("canonical_id"),
+    // every node is a src of its star edge except component roots (and
+    // self-pair-only docs); the left join gives those rep = self.
+    val nodes = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+    val reps = e.groupBy(col("src").as("id")).agg(min("dst").as("rep"))
+    val labels = nodes.join(reps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    val out = labels.select(col("id").as("doc_id"), col("rep").as("canonical_id"),
       (col("id") === col("rep")).as("keep"))
+    // materialize before dropping the pair cache the `nodes` side depends on
+    val frozen = out.cache()
+    frozen.count()
+    p.unpersist()
+    frozen
   }
 
   /** Overflow-safe Knuth multiplicative hash into [0, 2^32): equals
@@ -542,5 +587,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Span-level exact dedup, the C4 "three-sentence span" / RefinedWeb
+    * line-dedup family: cut each document into fixed `segTokens`-token
+    * spans, keep only the FIRST corpus-wide occurrence of each distinct
+    * span (lexicographically smallest (doc id, span index)), and rebuild
+    * every document from its surviving spans. Removes boilerplate
+    * (headers, license blocks, navigation chrome) that repeats across
+    * crawled pages without dropping whole documents.
+    *
+    * Output: one row per doc — (idCol, n_segs, n_kept, clean_text).
+    * A fully-duplicated document survives with clean_text = "" so the
+    * caller decides whether to drop empties.
+    *
+    * 100 TB shape: span construction is map-only HOF arithmetic (no
+    * explode until spans exist, one row per span after); first-occurrence
+    * resolution is two span-keyed aggregations plus one span-keyed join —
+    * all partition on the span hash, no windows, no skew beyond genuinely
+    * viral spans (bounded: a span seen k times contributes k join rows,
+    * not k²). Reconstruction is one groupBy on doc id.
+    */
+  def spanDedup(docs: DataFrame, segTokens: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nseg = ceil(size(toks).cast("double") / segTokens).cast("int")
+    // split('') yields [''], so nseg >= 1 always and sequence() is safe
+    val segs = docs
+      .select(col(idCol), transform(sequence(lit(0), nseg - 1), i =>
+        array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")).as("sg"))
+      .select(col(idCol), posexplode(col("sg")).as(Seq("seg_idx", "seg")))
+    val firstDoc = segs.groupBy(col("seg")).agg(min(col(idCol)).as("kdoc"))
+    val firstOcc = segs.as("s")
+      .join(firstDoc.as("f"),
+        col("s.seg") === col("f.seg") && col(s"s.$idCol") === col("f.kdoc"))
+      .groupBy(col("s.seg").as("kseg"), col("f.kdoc"))
+      .agg(min(col("s.seg_idx")).as("kidx"))
+    segs.as("s")
+      .join(firstOcc.as("k"),
+        col("s.seg") === col("k.kseg") && col(s"s.$idCol") === col("k.kdoc") &&
+          col("s.seg_idx") === col("k.kidx"),
+        "left")
+      .select(col(s"s.$idCol").as(idCol), col("s.seg_idx").as("seg_idx"),
+        col("s.seg").as("seg"), col("k.kseg").isNotNull.as("keep"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("seg_idx"), col("seg"))))),
+            _.getField("seg")),
+          " ").as("clean_text"))
   }
 }

@@ -30,6 +30,42 @@ object TextQueries extends QueryPack {
       MIN(doc_id) AS keep_id
     FROM documents GROUP BY 1 ORDER BY content_hash"""))
 
+  // ---- span-level exact dedup (C4 three-sentence-span / RefinedWeb line
+  //      dedup analog): 10-token spans, first corpus-wide occurrence wins,
+  //      documents rebuilt from surviving spans. The oracle replays the
+  //      same two-level (min doc, then min index) keeper resolution ----
+  private val spanDedup = OracleQuery(
+    "t_span_dedup_first_wins",
+    (s, d) =>
+      graft.operators.Dedup.spanDedup(Tables.documents(s, d), segTokens = 10)
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), idx AS (
+      SELECT doc_id, tk,
+        unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS i
+      FROM toks
+    ), segs AS (
+      SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        array_to_string(tk[(i*10 + 1):(i*10 + 10)], ' ') AS seg
+      FROM idx
+    ), firstdoc AS (
+      SELECT seg, MIN(doc_id) AS kdoc FROM segs GROUP BY seg
+    ), firstocc AS (
+      SELECT s.seg, s.doc_id AS kdoc, MIN(s.seg_idx) AS kidx
+      FROM segs s JOIN firstdoc f ON s.seg = f.seg AND s.doc_id = f.kdoc
+      GROUP BY s.seg, s.doc_id
+    ), marked AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, k.seg IS NOT NULL AS keep
+      FROM segs s LEFT JOIN firstocc k
+        ON s.seg = k.seg AND s.doc_id = k.kdoc AND s.seg_idx = k.kidx
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx),
+               '') AS clean_text
+    FROM marked GROUP BY doc_id ORDER BY doc_id"""))
+
   // ---- token counting + quality ratios (whitespace tokenizer) ----
   private val tokenStats = OracleQuery(
     "t_token_stats",
@@ -1192,5 +1228,5 @@ object TextQueries extends QueryPack {
     temperatureMixture, bottomKSample, dsirSelect, containmentPairs, oovRate,
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
-    lmQuality, qualityNtile)
+    lmQuality, qualityNtile, spanDedup)
 }

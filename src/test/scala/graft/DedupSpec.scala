@@ -123,6 +123,46 @@ class DedupSpec extends SparkSpec {
     assert(driver == distributed, s"driver=$driver distributed=$distributed")
   }
 
+  test("canonicalize distributed path collapses a long chain within the round bound") {
+    // a 120-link chain has diameter 120: plain min-label propagation would
+    // need 120 rounds, far past maxRounds=10 — large-star/small-star must
+    // finish inside it. Shuffled edge order and reversed orientation mix in.
+    val links = scala.util.Random.shuffle(
+      (1L until 121L).map(i => if (i % 3 == 0) (i + 1, i) else (i, i + 1)).toList)
+    val pairs = links.toDF("id_a", "id_b")
+    val out = Dedup.canonicalize(pairs, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 121)
+    assert(out.values.forall(_ == 1L), s"non-root reps: ${out.filter(_._2 != 1L)}")
+  }
+
+  test("canonicalize distributed path matches driver union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .toDF("id_a", "id_b")
+    val driver = Dedup.canonicalize(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val distributed = Dedup.canonicalize(pairs, driverThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(driver == distributed)
+  }
+
+  test("canonicalize distributed path keeps self-pair-only docs as their own keeper") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalize(pairs, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(5L) == ((5L, true)))
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)))
+  }
+
+  test("canonicalize distributed path works on string ids") {
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val out = Dedup.canonicalize(pairs, driverThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("canonicalize composes with minhash pairs end to end") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val df = docsDf((5L, base), (9L, base), (2L, base), (100L, "totally different words here entirely"))
@@ -131,6 +171,42 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(canon(5L) == 2L && canon(9L) == 2L && canon(2L) == 2L)
     assert(!canon.contains(100L)) // never paired → not in the dup graph
+  }
+
+  test("spanDedup keeps the first corpus-wide occurrence of each span") {
+    // 4-token spans; doc 1 and doc 2 share an identical first span
+    // ("license header"); doc 2's second span is unique; doc 3 is a full
+    // duplicate of doc 1 and must survive as an empty shell
+    val df = docsDf(
+      (1L, "copy right head er body one two three"),
+      (2L, "copy right head er other unique body here"),
+      (3L, "copy right head er body one two three"))
+    val out = Dedup.spanDedup(df, segTokens = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, "copy right head er body one two three")))
+    assert(out(2L) == ((2L, 1L, "other unique body here")))
+    assert(out(3L) == ((2L, 0L, "")))
+  }
+
+  test("spanDedup dedupes repeats within a single document, keeping the earliest") {
+    val df = docsDf((7L, "a b a b a b c d"))
+    val out = Dedup.spanDedup(df, segTokens = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // spans: "a b","a b","a b","c d" → keep idx 0 and "c d"
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getString(3) == "a b c d")
+  }
+
+  test("spanDedup trailing partial span is its own unit") {
+    val df = docsDf((1L, "x y z"), (2L, "x y z q"))
+    val out = Dedup.spanDedup(df, segTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // doc1 spans: "x y","z"; doc2 spans: "x y","z q" — only "x y" collides
+    assert(out(1L) == "x y z")
+    assert(out(2L) == "z q")
   }
 
   test("decontaminate flags exactly the docs sharing a benchmark n-gram") {
