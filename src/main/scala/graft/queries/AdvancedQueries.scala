@@ -698,10 +698,190 @@ object AdvancedQueries extends QueryPack {
         AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  // ---- TPC-H Q7-shape: nation-pair trade volume — a 5-way join where the
+  //      two tiny dims (supplier nation, customer nation) broadcast and the
+  //      pair restriction prunes BEFORE the fact-fact join output grows.
+  //      Plan property: nation joins are broadcasts; the only shuffles are
+  //      the lineitem↔orders and orders↔customer equi-joins ----
+  private val q7ish = OracleQuery(
+    "j_tpch_q7ish_nation_pair_volume",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS INT) AS l_year,
+      ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  // ---- TPC-H Q10-shape: returned-item reporting — top 20 customers by
+  //      refund-quarter revenue. Exact-DECIMAL revenue keeps the DESC
+  //      ordering (and thus the LIMIT frontier) identical cross-engine;
+  //      c_custkey breaks ties ----
+  private val q10ish = OracleQuery(
+    "j_tpch_q10ish_returned_revenue",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val n = Tables.nation(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, n_name,
+      ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  // ---- TPC-H Q13-shape: customer order-count DISTRIBUTION — a left outer
+  //      join with an extra join-side predicate (not a WHERE: customers
+  //      with zero qualifying orders must keep their 0 bucket), then a
+  //      second aggregation over the first's output ----
+  private val q13ish = OracleQuery(
+    "j_tpch_q13ish_order_count_dist",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val perCust = c.join(o,
+          c("c_custkey") === o("o_custkey") &&
+            o("o_orderpriority") =!= "1-URGENT",
+          "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"))
+      perCust.groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("n_custs").desc, col("n_orders").desc)
+    },
+    Some("""SELECT n_orders, COUNT(*) AS n_custs FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY n_orders ORDER BY n_custs DESC, n_orders DESC"""))
+
+  // ---- TPC-H Q18-shape: large-volume orders — a grouped HAVING over the
+  //      fact table reused as a semi-filter carrying its aggregate. Plan
+  //      property: ONE aggregation of lineitem feeds both the filter and
+  //      the reported total_qty (no second scan, no re-aggregation) ----
+  private val q18ish = OracleQuery(
+    "j_tpch_q18ish_large_volume_orders",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some(s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      total_qty
+    FROM orders
+      JOIN (SELECT l_orderkey, ${DSUM("l_quantity")} AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING ${DSUM("l_quantity")} > 250.0) big
+        ON o_orderkey = big.l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  // ---- TPC-H Q21-shape: suppliers who kept orders waiting — the classic
+  //      EXISTS (another supplier on the order) + NOT EXISTS (no OTHER
+  //      supplier was late) double correlation. Spark-first form: both
+  //      correlated subqueries collapse into ONE per-(order,supplier)
+  //      aggregation and ONE per-order aggregation that carries the
+  //      (bounded: suppliers-per-order) late-supplier set — a single
+  //      lineitem scan and two shuffles, where the classic plan joins the
+  //      per-supplier relation back against its own per-order rollup and
+  //      scans the fact table twice ----
+  private val q21ish = OracleQuery(
+    "j_tpch_q21ish_waiting_suppliers",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val su = Tables.supplier(s, d)
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 100 DAYS")
+      val perSupp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
+      perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          collect_set(when(col("late"), col("l_suppkey"))).as("late_supps"))
+        .filter(col("n_supp") > 1 && size(col("late_supps")) === 1)
+        .select(element_at(col("late_supps"), 1).as("l_suppkey"))
+        .join(su, col("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(25)
+    },
+    Some("""WITH go AS (
+      SELECT l_orderkey, l_suppkey,
+        MAX(l_shipdate > o_orderdate + INTERVAL 100 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM go g1 JOIN supplier ON g1.l_suppkey = s_suppkey
+    WHERE g1.late
+      AND EXISTS (SELECT 1 FROM go g2 WHERE g2.l_orderkey = g1.l_orderkey
+        AND g2.l_suppkey <> g1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM go g3 WHERE g3.l_orderkey = g1.l_orderkey
+        AND g3.l_suppkey <> g1.l_suppkey AND g3.late)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25"""))
+
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
     stringAgg, groupingSets, q5ish, q3ish, q17ish, q12ish, q19ish,
-    q14ish, q22ish, arrayHof, regexpGroups, bagSetOps,
+    q14ish, q22ish, q7ish, q10ish, q13ish, q18ish, q21ish,
+    arrayHof, regexpGroups, bagSetOps,
     pivotQuery, unpivotQuery, rankStats, momentsPack, histogram)
 }

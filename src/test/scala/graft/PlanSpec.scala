@@ -288,6 +288,30 @@ class PlanSpec extends SparkSpec {
       s"moments plan is not a single partial/final agg pair:\n$p")
   }
 
+  test("q7 nation-pair: both nation dims broadcast, pair filter above no cartesian") {
+    val p = plan("j_tpch_q7ish_nation_pair_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair restriction degenerated:\n$p")
+  }
+
+  test("q18 large-volume: lineitem is scanned once, aggregate feeds filter and output") {
+    val p = plan("j_tpch_q18ish_large_volume_orders")
+    assert("lineitem".r.findAllIn(p).size <= 2, // scan node prints name ≤2×
+      s"lineitem re-scanned for the HAVING side:\n$p")
+  }
+
+  test("q21 waiting-suppliers compiles to aggregations, not correlated self-joins") {
+    val p = plan("j_tpch_q21ish_waiting_suppliers")
+    // the EXISTS / NOT EXISTS pair must NOT become two extra joins of the
+    // per-(order,supplier) relation against itself — the engine form is two
+    // stacked aggregations plus one equi-join back
+    assert(!p.contains("CartesianProduct"))
+    val liScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 1, s"lineitem scanned $liScans times:\n$p")
+  }
+
   test("ntile runs as the two-pass bucket plan, never a one-partition window") {
     val p = plan("w_ntile_acctbal_quartiles").toLowerCase
     assert(!p.contains("window"), s"ntile fell back to a window:\n$p")
