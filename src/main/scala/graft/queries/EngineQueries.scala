@@ -944,6 +944,40 @@ object EngineQueries extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx")),
     None)
 
+  // streaming span-level dedup, batch-mode twin: every 10-token span
+  // occurrence gets a kept/dropped verdict (first corpus-wide occurrence
+  // wins). flatMapGroupsWithState in batch mode runs each span group once
+  // with empty state, so the verdicts are exactly the batch operator's
+  // min-(doc,idx) resolution — pure relational semantics → FULL oracle;
+  // StreamingSpec pins multi-batch claims
+  private val streamSpanDedup = OracleQuery(
+    "tx_stream_span_claims",
+    (s, d) =>
+      graft.streaming.StreamingSpanDedup.spanClaims(Tables.documents(s, d))
+        .toDF()
+        .orderBy(col("doc_id"), col("seg_idx")),
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), idx AS (
+      SELECT doc_id, tk,
+        unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS i
+      FROM toks
+    ), segs AS (
+      SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        array_to_string(tk[(i*10 + 1):(i*10 + 10)], ' ') AS seg
+      FROM idx
+    ), firstdoc AS (
+      SELECT seg, MIN(doc_id) AS kdoc FROM segs GROUP BY seg
+    ), firstocc AS (
+      SELECT s.seg, s.doc_id AS kdoc, MIN(s.seg_idx) AS kidx
+      FROM segs s JOIN firstdoc f ON s.seg = f.seg AND s.doc_id = f.kdoc
+      GROUP BY s.seg, s.doc_id
+    )
+    SELECT s.doc_id, s.seg_idx, k.seg IS NOT NULL AS kept
+    FROM segs s LEFT JOIN firstocc k
+      ON s.seg = k.seg AND s.doc_id = k.kdoc AND s.seg_idx = k.kidx
+    ORDER BY s.doc_id, s.seg_idx"""))
+
   // streaming bottom-k sample, batch-mode twin. The bottom-k sketch is
   // deterministic and order-free, so the batch twin (one micro-batch) must
   // equal the window-sort sample EXACTLY — a full oracle over the real
@@ -1169,7 +1203,7 @@ object EngineQueries extends QueryPack {
     semDedupQuantized, semDedupKmeans,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, streamSample, streamWeightedSample,
-    streamChunkDedup, streamCuration, curationFunnel,
+    streamChunkDedup, streamCuration, streamSpanDedup, curationFunnel,
     pca2d, separability, deepfakeLifecycle,
     separabilityGbt)
 }

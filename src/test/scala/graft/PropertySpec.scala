@@ -105,6 +105,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("canonicalize: distributed large/small-star ≡ driver union-find on random graphs") {
+    // the two paths are independent implementations of connected
+    // components; generated edge lists (with self-loops and duplicates
+    // allowed) must produce identical labelings — and a reference
+    // transitive-closure check pins both to the true components
+    val edgesGen = for {
+      n <- Gen.choose(1, 40)
+      nodes <- Gen.choose(2, 30)
+      es <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, nodes.toLong),
+        Gen.choose(0L, nodes.toLong)))
+    } yield es
+    forSamples(edgesGen, n = 8) { es =>
+      val pairs = es.toDF("id_a", "id_b")
+      val driver = Dedup.canonicalize(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val dist = Dedup.canonicalize(pairs, driverThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(driver == dist, s"paths disagree on $es")
+      // reference components via fixpoint closure over the edge list
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def component(start: Long): Set[Long] = {
+        var seen = Set(start); var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen
+      }
+      driver.foreach { case (id, rep, keep) =>
+        assert(rep == component(id).min, s"node $id labeled $rep")
+        assert(keep == (id == rep))
+      }
+    }
+  }
+
   test("cosine ∈ [-1,1] and cosine(v,v) ≈ 1 for any nonzero vectors") {
     forSamples2(vecGen, vecGen) { (a, b) =>
       if (a.exists(_ != 0f) && b.exists(_ != 0f)) {

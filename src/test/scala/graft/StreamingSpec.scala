@@ -385,6 +385,59 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming span dedup matches the batch operator under ascending arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).take(120)
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingSpanDedup.spanClaims(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sspan_test")
+      .outputMode("append").start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      val got = spark.table("sspan_test")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+      val batch = graft.operators.Dedup.spanDedup(
+          Tables.documents(spark, sf001).filter($"doc_id".isin(docs.map(_._1): _*)))
+        .select("doc_id", "n_segs", "n_kept").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // per-doc span and kept counts agree with the batch operator
+      val gotPerDoc = got.groupBy(_._1).map { case (d, s) =>
+        d -> ((s.size.toLong, s.count(_._3).toLong)) }
+      assert(gotPerDoc == batch,
+        s"stream ${gotPerDoc.take(3)} vs batch ${batch.take(3)}")
+      assert(got.exists(!_._3), "no duplicate span detected at this SF")
+    } finally query.stop()
+  }
+
+  test("streaming span dedup: claims are permanent across batches, min-wins within") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingSpanDedup.spanClaims(
+        stream.toDF().toDF("doc_id", "text"), segTokens = 2)
+      .writeStream.format("memory").queryName("sspan_edge")
+      .outputMode("append").start()
+    try {
+      // batch 1: docs 5 and 2 share span "a b" → doc 2 (min id) keeps it
+      stream.addData((5L, "a b x y"), (2L, "a b u v"))
+      query.processAllAvailable()
+      // batch 2: doc 1 repeats "a b" → dropped though 1 < 2 (permanent claim)
+      stream.addData((1L, "a b q r"))
+      query.processAllAvailable()
+      val kept = spark.table("sspan_edge")
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getBoolean(2))).toMap
+      assert(kept((2L, 0)) && !kept((5L, 0)) && !kept((1L, 0)),
+        s"span 'a b' claims wrong: $kept")
+      // every doc's unique tail span is kept
+      assert(kept((5L, 1)) && kept((2L, 1)) && kept((1L, 1)))
+    } finally query.stop()
+  }
+
   test("streaming weighted sample: final snapshot equals the batch draw, any batching") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf001)
