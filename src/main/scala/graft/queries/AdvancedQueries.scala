@@ -877,11 +877,187 @@ object AdvancedQueries extends QueryPack {
         AND g3.l_suppkey <> g1.l_suppkey AND g3.late)
     GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25"""))
 
+  // ---- TPC-H Q4-shape: priority waiting report — orders in a quarter with
+  //      at least one LATE lineitem (shipped >90 days after the order; the
+  //      test corpus has no commit/receipt dates, so lateness is
+  //      ship-vs-order). The EXISTS must compile to a LEFT SEMI join —
+  //      never an inner join + distinct, which would duplicate an order per
+  //      late line before deduplicating it back ----
+  private val q4ish = OracleQuery(
+    "j_tpch_q4ish_priority_waiting",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // ---- TPC-H Q6-shape: forecasting revenue change — the canonical
+  //      scan-filter-aggregate with NO join. Plan property: all three
+  //      predicates reach the parquet scan as PushedFilters and the whole
+  //      query is one WholeStageCodegen span around one partial/final agg
+  //      pair — the minimal possible 100 TB plan (I/O-bound, embarrassingly
+  //      parallel, k rows per task to the single exchange) ----
+  private val q6ish = OracleQuery(
+    "j_tpch_q6ish_forecast_revenue",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.04, 0.06) && col("l_quantity") < 25.0)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items")),
+    Some(s"""SELECT ${DSUM("l_extendedprice * l_discount")} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 25.0"""))
+
+  // ---- TPC-H Q8-shape: national market share — one nation's fraction of a
+  //      part-type market's revenue per year, restricted to customers in one
+  //      region. Six-way join where every dim that stays small at 100 TB
+  //      (nation ×2, region) broadcasts, the type-filtered part side is left
+  //      to AQE (part scales linearly — a forced broadcast would OOM), and
+  //      the share is a ratio of two exact-DECIMAL sums in ONE aggregation
+  //      pass over the joined fact rows ----
+  private val q8ish = OracleQuery(
+    "j_tpch_q8ish_market_share",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("c_rk") === r("r_regionkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0))) /
+            dsum(rev)).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_year"))
+    },
+    Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      ${DSUM("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+        / ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS mkt_share,
+      COUNT(*) AS n_items
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1"""))
+
+  // ---- TPC-H Q9-shape: product-type profit by nation and year. The test
+  //      corpus has no partsupp/supplycost, so cost is proxied as 10% of
+  //      retail price × quantity — same dataflow: a name-filtered part dim,
+  //      supplier→nation for the grouping key, orders for the year, one
+  //      per-row profit expression summed exactly per (nation, year) ----
+  private val q9ish = OracleQuery(
+    "j_tpch_q9ish_nation_profit",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val su = Tables.supplier(s, d)
+      val p = Tables.part(s, d).filter(col("p_name").contains("widget"))
+      val n = Tables.nation(s, d)
+      val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("p_retailprice") * lit(0.1) * col("l_quantity")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(profit).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some(s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      ${DSUM("l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.1 * l_quantity")}
+        AS sum_profit
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC"""))
+
+  // ---- TPC-H Q15-shape: top supplier(s) by quarterly revenue — a grouped
+  //      rollup reused as both the ranking relation and the scalar-max
+  //      source, ties kept. Plan properties: lineitem aggregates ONCE (the
+  //      max reads the rollup, not the fact table) and the one-row max
+  //      broadcasts back — never a sort of all suppliers just to take the
+  //      head. Exact-DECIMAL revenue makes the equality threshold
+  //      deterministic cross-engine ----
+  private val q15ish = OracleQuery(
+    "j_tpch_q15ish_top_supplier",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+      rev.join(broadcast(mx))
+        .filter(col("total_revenue") === col("__mx"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some(s"""WITH rev AS (
+      SELECT l_suppkey,
+        ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey"""))
+
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
     stringAgg, groupingSets, q5ish, q3ish, q17ish, q12ish, q19ish,
     q14ish, q22ish, q7ish, q10ish, q13ish, q18ish, q21ish,
+    q4ish, q6ish, q8ish, q9ish, q15ish,
     arrayHof, regexpGroups, bagSetOps,
     pivotQuery, unpivotQuery, rankStats, momentsPack, histogram)
 }

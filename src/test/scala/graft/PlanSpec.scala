@@ -301,6 +301,47 @@ class PlanSpec extends SparkSpec {
       s"lineitem re-scanned for the HAVING side:\n$p")
   }
 
+  test("q4 priority-waiting EXISTS compiles to a left semi join") {
+    // an inner join + distinct would duplicate each order per late line
+    // before collapsing it back — the semi join forwards each order once
+    val p = plan("j_tpch_q4ish_priority_waiting")
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q6 scan-filter-agg: predicates pushed, one agg pair, no join") {
+    val f = formatted("j_tpch_q6ish_forecast_revenue")
+    assert(f.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("l_shipdate") && l.contains("l_quantity")),
+      s"range predicates not pushed to the lineitem scan:\n$f")
+    assert(!f.contains("Join"), s"Q6 must be join-free:\n$f")
+    val p = plan("j_tpch_q6ish_forecast_revenue")
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"not a single partial/final agg pair:\n$p")
+  }
+
+  test("q8 market share: small dims broadcast, share folds into one agg pass") {
+    val p = plan("j_tpch_q8ish_market_share")
+    // nation x2 + region are the forced broadcasts; the type-filtered part
+    // side must not degenerate to a cartesian either way AQE resolves it
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"small dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"join degenerated:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"share ratio split into extra agg passes:\n$p")
+  }
+
+  test("q15 top supplier: lineitem aggregates once, scalar max broadcasts back") {
+    val p = plan("j_tpch_q15ish_top_supplier")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 2, s"lineitem scanned $liScans times:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"one-row max not broadcast:\n$p")
+    assert(!p.contains("TakeOrdered") || !p.contains("Sort"),
+      s"ties-kept max degenerated to a global sort:\n$p")
+  }
+
   test("q21 waiting-suppliers compiles to aggregations, not correlated self-joins") {
     val p = plan("j_tpch_q21ish_waiting_suppliers")
     // the EXISTS / NOT EXISTS pair must NOT become two extra joins of the
