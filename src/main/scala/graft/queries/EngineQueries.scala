@@ -661,6 +661,53 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // the canonicalize (connected-components) operator under a FULL oracle:
+  // exact quantized-cosine pairs (bit-identical cross-engine, the
+  // vx_dedup_cosine_pairs scheme) feed large/small-star labeling, and
+  // DuckDB replays the components as a recursive-CTE reachability closure
+  // + min label. Brute-force pair generation is the oracle-parity form
+  // over a bounded slice; the scale path (LSH buckets → same canonicalize)
+  // is vx_dedup_embedding_canonical above — THIS query is what proves the
+  // labeling itself exact, per-row, against an independent algorithm
+  private val dedupCanonicalExact = OracleQuery(
+    "vx_dedup_canonical_exact",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * lit(1e6)).cast("double")).as("q"))
+      val pairs = emb.select(col("vec_id").as("id_a"), col("q").as("a"))
+        .crossJoin(emb.select(col("vec_id").as("id_b"), col("q").as("b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.VecOps.cosineNative(col("a"), col("b")) >= 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.canonicalize(pairs).orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings WHERE vec_id < 100
+    ), pr AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+        CAST(SUM(a.vq * b.vq) AS DOUBLE) AS dot,
+        CAST(SUM(a.vq * a.vq) AS DOUBLE) AS nx,
+        CAST(SUM(b.vq * b.vq) AS DOUBLE) AS ny
+      FROM lf a JOIN lf b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT ia AS a, ib AS b FROM pr
+        WHERE dot / (sqrt(nx) * sqrt(ny) + 1e-12) >= 0.3
+      UNION
+      SELECT ib, ia FROM pr
+        WHERE dot / (sqrt(nx) * sqrt(ny) + 1e-12) >= 0.3
+    ), reach(a, b) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS canonical_id, MIN(b) = a AS keep
+    FROM reach GROUP BY a ORDER BY doc_id"""))
+
   // SemDeDup (Abbas et al. 2023) in its deterministic, oracle-replayable
   // form: seed centroids = the 8 lowest-id embeddings, quantized to exact
   // integers, argmin assignment with ties to the lowest center, prune
@@ -1200,7 +1247,7 @@ object EngineQueries extends QueryPack {
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical, crossDecontaminateEmb,
-    semDedupQuantized, semDedupKmeans,
+    dedupCanonicalExact, semDedupQuantized, semDedupKmeans,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, streamSample, streamWeightedSample,
     streamChunkDedup, streamCuration, streamSpanDedup, curationFunnel,
