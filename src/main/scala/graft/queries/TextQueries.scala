@@ -853,6 +853,110 @@ object TextQueries extends QueryPack {
     JOIN quota q ON r.source = q.source
     WHERE r.rn <= q.quota ORDER BY r.doc_id"""))
 
+  // ---- fractional-epoch upsampling (repeated-epoch data mixing, as in
+  //      published LLM data recipes where a source's target weight exceeds
+  //      one pass over it): every document gets floor(epochs) full copies
+  //      plus one more iff its knuth32 hash clears the fractional
+  //      threshold — deterministic, seedless, reproducible. Thresholds are
+  //      integer literals (frac × 2^32 precomputed), so the compare is
+  //      exact integer arithmetic cross-engine. 100 TB shape: ZERO
+  //      shuffles — the expansion is a map-only explode of a generated
+  //      index array, each row's fate decided from its own columns; the
+  //      op composes directly with sequence packing downstream ----
+  private val epochUpsample = OracleQuery(
+    "t_epoch_upsample",
+    (s, d) => {
+      // epochs: src0 = 1.0, src1 = 2.5, src2 = 0.75, others = 1.25
+      val h = graft.operators.Dedup.knuth32(col("doc_id"))
+      val full = when(col("source") === "src1", 2)
+        .when(col("source") === "src2", 0).otherwise(1)
+      val fracThresh = when(col("source") === "src0", 0L)
+        .when(col("source") === "src1", 2147483648L) // 0.50 × 2^32
+        .when(col("source") === "src2", 3221225472L) // 0.75 × 2^32
+        .otherwise(1073741824L)                      // 0.25 × 2^32
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (full + when(h < fracThresh, 1).otherwise(0)).as("n_copies"))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), (col("n_copies") - 1).cast("long")))
+            .as("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    },
+    Some(s"""WITH c AS (
+      SELECT doc_id, source,
+        (CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0 ELSE 1 END)
+        + (CASE WHEN ${KNUTH32("doc_id")} <
+            (CASE source WHEN 'src0' THEN 0
+                         WHEN 'src1' THEN 2147483648
+                         WHEN 'src2' THEN 3221225472
+                         ELSE 1073741824 END)
+           THEN 1 ELSE 0 END) AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
+    FROM c WHERE n_copies > 0
+    ORDER BY doc_id, copy_idx"""))
+
+  // ---- cross-source contamination matrix: for every source pair, how
+  //      many distinct word 3-grams they share, plus the containment ratio
+  //      in each direction (shared / |grams of that source|) — the
+  //      corpus-level overlap report run before mixing sources into a
+  //      training set. 100 TB shape: explode → per-source DISTINCT first
+  //      (the dedup prunes the join input to unique (source, gram) rows),
+  //      then a gram-keyed equi self-join whose output is bounded by
+  //      sources² per gram (sources is small by construction), and the
+  //      per-source totals re-attach as a broadcast. Ratios divide two
+  //      exact longs in double — deterministic cross-engine ----
+  private val crossSourceOverlap = OracleQuery(
+    "t_cross_source_overlap",
+    (s, d) => {
+      val sg = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
+        .distinct()
+      val totals = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val shared = sg.select(col("source").as("source_a"), col("gram"))
+        .join(sg.select(col("source").as("source_b"), col("gram")), "gram")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(totals.withColumnRenamed("source", "source_a")
+          .withColumnRenamed("n_grams", "n_a")), "source_a")
+        .join(broadcast(totals.withColumnRenamed("source", "source_b")
+          .withColumnRenamed("n_grams", "n_b")), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_a").cast("double"))
+            .as("containment_a"),
+          (col("n_shared").cast("double") / col("n_b").cast("double"))
+            .as("containment_b"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH w AS (
+      SELECT doc_id, source, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), sg AS (
+      SELECT DISTINCT a.source, a.w || ' ' || b.w || ' ' || c.w AS gram
+      FROM w a
+      JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), totals AS (
+      SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+      CAST(n_shared AS DOUBLE) / CAST(ta.n_grams AS DOUBLE) AS containment_a,
+      CAST(n_shared AS DOUBLE) / CAST(tb.n_grams AS DOUBLE) AS containment_b
+    FROM shared
+      JOIN totals ta ON ta.source = source_a
+      JOIN totals tb ON tb.source = source_b
+    ORDER BY source_a, source_b"""))
+
   // ---- bigram-LM quality scoring (CCNet-style published filter: score
   //      candidates by likelihood under a model fit on a high-quality
   //      reference — here the src0 slice). The per-term score quantizes
@@ -1228,5 +1332,5 @@ object TextQueries extends QueryPack {
     temperatureMixture, bottomKSample, dsirSelect, containmentPairs, oovRate,
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
-    lmQuality, qualityNtile, spanDedup)
+    lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap)
 }

@@ -342,6 +342,25 @@ class PlanSpec extends SparkSpec {
       s"ties-kept max degenerated to a global sort:\n$p")
   }
 
+  test("epoch upsampling is map-only: no join, no aggregate, one generate") {
+    // the expansion must be decided row-locally (hash + threshold) and
+    // materialized by a generator — any join or aggregation means the plan
+    // is consulting other rows for a per-row decision
+    val p = plan("t_epoch_upsample")
+    assert(!p.contains("Join"), s"epoch expansion grew a join:\n$p")
+    assert(!p.contains("HashAggregate"), s"epoch expansion grew an aggregate:\n$p")
+    assert(p.contains("Generate"), s"no generator for the copy explode:\n$p")
+  }
+
+  test("cross-source overlap: totals broadcast back, no cartesian") {
+    val p = plan("t_cross_source_overlap")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"per-source totals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram self-join degenerated:\n$p")
+  }
+
   test("q21 waiting-suppliers compiles to aggregations, not correlated self-joins") {
     val p = plan("j_tpch_q21ish_waiting_suppliers")
     // the EXISTS / NOT EXISTS pair must NOT become two extra joins of the
