@@ -50,6 +50,9 @@ object Bench {
     build("bucketed_tables", selected.contains("jx_bucketed_order_revenue")) {
       graft.queries.ScaleJoinQueries.prepareBucketedTables(spark, sfDir); ()
     }
+    build("dpp_table", selected.contains("jx_dpp_partition_pruned")) {
+      graft.queries.ScaleJoinQueries.prepareDppTable(spark, sfDir); ()
+    }
     build("ivf_index", selected.contains("vx_ann_ivf_probe_top5")) {
       graft.queries.EngineQueries.prepareIvfIndex(spark, sfDir); ()
     }

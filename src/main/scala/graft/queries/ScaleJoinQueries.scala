@@ -100,6 +100,52 @@ object ScaleJoinQueries extends QueryPack {
     ) ON l_suppkey = s_suppkey
     GROUP BY l_suppkey ORDER BY l_suppkey"""))
 
+  // ---- dynamic partition pruning: the 100 TB date-partitioned-fact shape.
+  //      The fact table is laid out partitioned by ship month (the
+  //      amortized write, memoized like the bucketed tables); the query
+  //      joins it to a SELECTIVE month dim derived at runtime (order months
+  //      of one quarter — unknowable at compile time, so a static partition
+  //      filter cannot exist). Catalyst's DPP inserts the dim's month set
+  //      as a runtime partition filter on the fact scan: 3 of ~80 month
+  //      partitions are read, the rest never open — THE mechanism that
+  //      turns a full-corpus scan into a quarter scan on a 1000-executor
+  //      cluster. PlanSpec pins `dynamicpruning` in the scan's partition
+  //      filters; the oracle pins the result against the plain join ----
+  def prepareDppTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.SessionMemo.getOrElseUpdate(s, s"dpp_table:$d") {
+      val t = s"li_bymonth_${math.abs(d.hashCode)}"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("ship_month").saveAsTable(t)
+      t
+    }(_ => ())
+  private val dppPruned = OracleQuery(
+    "jx_dpp_partition_pruned",
+    (s, d) => {
+      val fact = s.table(prepareDppTable(s, d))
+      val months = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+        .distinct()
+      fact.join(months, "ship_month")
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("ship_month"))
+    },
+    Some(s"""SELECT m AS ship_month, COUNT(*) AS n_items,
+      ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem JOIN (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00')
+      ON strftime(l_shipdate, '%Y-%m') = m
+    GROUP BY 1 ORDER BY 1"""))
+
   // ---- key-skew profile: the measurement that picks the salt factor for
   //      the join above — top-10 heaviest lineitem supplier keys with row
   //      share and skew-vs-mean, exact-double arithmetic → full oracle ----
@@ -140,5 +186,5 @@ object ScaleJoinQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] =
     Seq(saltedSupplierRevenue, bucketedOrderRevenue, keySkewProfile, bloomSemi,
-      zorderSpans)
+      zorderSpans, dppPruned)
 }

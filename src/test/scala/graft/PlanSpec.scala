@@ -342,6 +342,16 @@ class PlanSpec extends SparkSpec {
       s"ties-kept max degenerated to a global sort:\n$p")
   }
 
+  test("dpp query prunes fact partitions with a runtime dynamicpruning filter") {
+    // the month dim is computed at runtime, so only DPP can restrict the
+    // partitioned fact scan — without it every month partition is read and
+    // filtered post-join, the exact full-corpus-scan failure the layout
+    // exists to prevent
+    val f = formatted("jx_dpp_partition_pruned")
+    assert(f.contains("dynamicpruning"),
+      s"fact scan has no runtime partition filter:\n$f")
+  }
+
   test("epoch upsampling is map-only: no join, no aggregate, one generate") {
     // the expansion must be decided row-locally (hash + threshold) and
     // materialized by a generator — any join or aggregation means the plan
