@@ -903,11 +903,14 @@ object TextQueries extends QueryPack {
   //      in each direction (shared / |grams of that source|) — the
   //      corpus-level overlap report run before mixing sources into a
   //      training set. 100 TB shape: explode → per-source DISTINCT first
-  //      (the dedup prunes the join input to unique (source, gram) rows),
-  //      then a gram-keyed equi self-join whose output is bounded by
-  //      sources² per gram (sources is small by construction), and the
-  //      per-source totals re-attach as a broadcast. Ratios divide two
-  //      exact longs in double — deterministic cross-engine ----
+  //      (the dedup prunes everything downstream to unique (source, gram)
+  //      rows), then ONE gram-keyed aggregation collecting each gram's
+  //      source set (bounded by the source count, small by construction)
+  //      whose pairs explode row-locally into a map-side-combinable count —
+  //      the self-join twin would shuffle the gram set twice and move
+  //      sources² rows per gram through the join; this form moves each
+  //      gram once. Per-source totals re-attach as a broadcast. Ratios
+  //      divide two exact longs in double — deterministic cross-engine ----
   private val crossSourceOverlap = OracleQuery(
     "t_cross_source_overlap",
     (s, d) => {
@@ -916,10 +919,16 @@ object TextQueries extends QueryPack {
           explode(graft.operators.Dedup.shingles(col("text"), 3)).as("gram"))
         .distinct()
       val totals = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-      val shared = sg.select(col("source").as("source_a"), col("gram"))
-        .join(sg.select(col("source").as("source_b"), col("gram")), "gram")
-        .filter(col("source_a") < col("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
+      // sorted source set per gram → all (a < b) pairs, generated in-row
+      val pairs = flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          b => struct(a.as("source_a"), b.as("source_b")))))
+      val shared = sg.groupBy(col("gram"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(pairs).as("p"))
+        .groupBy(col("p.source_a").as("source_a"),
+          col("p.source_b").as("source_b"))
         .agg(count(lit(1)).as("n_shared"))
       shared
         .join(broadcast(totals.withColumnRenamed("source", "source_a")

@@ -362,13 +362,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"no generator for the copy explode:\n$p")
   }
 
-  test("cross-source overlap: totals broadcast back, no cartesian") {
+  test("cross-source overlap: one gram shuffle, totals broadcast, no self-join") {
     val p = plan("t_cross_source_overlap")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"per-source totals not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"gram self-join degenerated:\n$p")
+    // the ONLY joins allowed are the two broadcast total-attachments — a
+    // SortMergeJoin or ShuffledHashJoin means the gram set is being
+    // self-joined (shuffled twice) instead of aggregated once
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram overlap degenerated to a self-join:\n$p")
   }
 
   test("q21 waiting-suppliers compiles to aggregations, not correlated self-joins") {
