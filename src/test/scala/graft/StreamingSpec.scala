@@ -438,6 +438,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ttl dedup: dup within retention, re-claimed after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    // ttl = 10 min, watermark delay 0 so the horizon advances immediately
+    val query = graft.streaming.StreamingTtlDedup.dupVerdicts(
+        stream.toDF().toDF("doc_id", "text", "ts"),
+        ttlMs = 10 * 60 * 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ttl_dedup_test")
+      .outputMode("append").start()
+    try {
+      // t=1: first claim; t=5: same content inside ttl → dup
+      stream.addData((1L, "same text", ts(1)), (2L, "same text", ts(5)))
+      query.processAllAvailable()
+      // t=20: claim (from t=1) expired at t=11 → content kept AGAIN
+      // t=25: inside the NEW claim's ttl → dup
+      stream.addData((3L, "same text", ts(20)), (4L, "same text", ts(25)))
+      query.processAllAvailable()
+      // distinct content is never a dup regardless of timing
+      stream.addData((5L, "other text", ts(26)))
+      query.processAllAvailable()
+      val got = spark.table("ttl_dedup_test")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+        5L -> false), s"verdicts wrong: $got")
+    } finally query.stop()
+  }
+
+  test("ttl dedup: in-batch ties resolve by (event time, id) deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val query = graft.streaming.StreamingTtlDedup.dupVerdicts(
+        stream.toDF().toDF("doc_id", "text", "ts"),
+        ttlMs = 60 * 60 * 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ttl_dedup_ties")
+      .outputMode("append").start()
+    try {
+      // same batch, same content, same timestamp: lowest doc id claims;
+      // a later-timestamped row in the same batch is a dup of that claim
+      stream.addData((9L, "x y", ts(3)), (4L, "x y", ts(3)), (7L, "x y", ts(8)))
+      query.processAllAvailable()
+      val got = spark.table("ttl_dedup_ties")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got == Map(4L -> false, 9L -> true, 7L -> true),
+        s"tie resolution wrong: $got")
+    } finally query.stop()
+  }
+
   test("streaming weighted sample: final snapshot equals the batch draw, any batching") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf001)
