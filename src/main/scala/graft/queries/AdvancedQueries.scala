@@ -270,6 +270,35 @@ object AdvancedQueries extends QueryPack {
       COUNT(*) AS n
     FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket_lo"""))
 
+  // ---- equi-DEPTH histogram: 8 equal-count buckets per order status with
+  //      exact bucket boundaries — the complement of the equi-width form
+  //      above, and the profile a data-skew report actually wants (bucket
+  //      counts fixed, boundaries float). Runs on the same bucketed
+  //      two-pass rank as every per-group quantile op in the repo (no
+  //      per-status window sort; PlanSpec pins ntile plans globally);
+  //      boundaries are raw parquet doubles picked, not computed →
+  //      deterministic cross-engine ----
+  private val histogramEquidepth = OracleQuery(
+    "stat_histogram_equidepth",
+    (s, d) => {
+      val tiled = graft.operators.GlobalRank.withGroupNtile(
+        Tables.orders(s, d).select(col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderkey")),
+        col("o_orderstatus"), 8, "tile", col("o_totalprice"), col("o_orderkey"))
+      tiled.groupBy(col("o_orderstatus"), col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderstatus"), col("tile"))
+    },
+    Some("""SELECT o_orderstatus, tile, COUNT(*) AS n,
+      MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM (SELECT o_orderstatus, o_totalprice,
+            NTILE(8) OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice, o_orderkey) AS tile
+          FROM orders)
+    GROUP BY 1, 2 ORDER BY o_orderstatus, tile"""))
+
   // ---- exact order statistics: median + 90th percentile (both engines use
   //      linear interpolation for continuous percentiles over doubles —
   //      identical picks and identical IEEE interpolation) ----
@@ -1059,5 +1088,6 @@ object AdvancedQueries extends QueryPack {
     q14ish, q22ish, q7ish, q10ish, q13ish, q18ish, q21ish,
     q4ish, q6ish, q8ish, q9ish, q15ish,
     arrayHof, regexpGroups, bagSetOps,
-    pivotQuery, unpivotQuery, rankStats, momentsPack, histogram)
+    pivotQuery, unpivotQuery, rankStats, momentsPack, histogram,
+    histogramEquidepth)
 }

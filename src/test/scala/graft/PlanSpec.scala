@@ -385,6 +385,14 @@ class PlanSpec extends SparkSpec {
     assert(liScans == 1, s"lineitem scanned $liScans times:\n$p")
   }
 
+  test("equi-depth histogram never window-sorts a status partition") {
+    // o_orderstatus has 3 values — a PARTITION BY window would funnel a
+    // third of the fact table into one task; the GroupNtile plan buckets
+    // on the price rank instead
+    val p = plan("stat_histogram_equidepth")
+    assert(!p.contains("Window"), s"equi-depth fell back to a window sort:\n$p")
+  }
+
   test("ntile runs as the two-pass bucket plan, never a one-partition window") {
     val p = plan("w_ntile_acctbal_quartiles").toLowerCase
     assert(!p.contains("window"), s"ntile fell back to a window:\n$p")
