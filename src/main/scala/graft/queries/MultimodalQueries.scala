@@ -45,14 +45,14 @@ object MultimodalQueries extends QueryPack {
     * `mask` bit i (on = 0.5-amplitude square wave, off = silence).
     */
   private def wavBytes(mask: Int, segments: Int = 8,
-      perSegment: Int = 1000): Array[Byte] = {
+      perSegment: Int = 1000, amp: Int = 16384): Array[Byte] = {
     import javax.sound.sampled._
     val n = segments * perSegment
     val data = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
       val on = ((mask >> (i / perSegment)) & 1) == 1
-      val s = if (!on) 0 else if (i % 2 == 0) 16384 else -16384
+      val s = if (!on) 0 else if (i % 2 == 0) amp else -amp
       data(2 * i) = (s & 0xFF).toByte
       data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
@@ -89,6 +89,15 @@ object MultimodalQueries extends QueryPack {
     put(new java.io.File(img, "base0_copy.png"), pngBytes(0, 0))
     (0 until 6).foreach(i =>
       put(new java.io.File(aud, s"clip$i.wav"), wavBytes(mask = (0x35 * (i + 1)) & 0xFF)))
+    // near-dup corpus (own subdir so the energy-profile query's row set is
+    // untouched): two base patterns, each with a lower-gain re-encode —
+    // same envelope SHAPE, the invariance the delta fingerprint encodes
+    val and = new java.io.File(root, "aud_nd")
+    and.mkdirs()
+    put(new java.io.File(and, "songA.wav"), wavBytes(mask = 0x35))
+    put(new java.io.File(and, "songA_quiet.wav"), wavBytes(mask = 0x35, amp = 9011))
+    put(new java.io.File(and, "songB.wav"), wavBytes(mask = 0xC6))
+    put(new java.io.File(and, "songB_quiet.wav"), wavBytes(mask = 0xC6, amp = 11800))
     root.getAbsolutePath
   }
 
@@ -107,6 +116,30 @@ object MultimodalQueries extends QueryPack {
           element_at(split(col("path"), "/"), -1).as("name"),
           Multimodal.perceptualHash(col("pixels"), 32, 32).as("phash"))
       Multimodal.imageNearDups(decoded, maxHamming = 3, idCol = "name")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  // audio near-dup discovery over REAL decoded PCM: binaryFile scan →
+  // javax.sound.sampled decode → 65-segment envelope → energy-delta
+  // fingerprint (gain-invariant by construction) → the same 4×16-bit
+  // Hamming block join the image family uses. The lower-gain re-encodes
+  // must pair with their bases; JVM codec byte math → rows-only,
+  // MultimodalSpec pins the fingerprint semantics
+  private val audioNearDupPairs = OracleQuery(
+    "mm_audio_neardup_pairs",
+    (s, _) => {
+      val root = ensureFixtures()
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav").load(s"$root/aud_nd")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("name"),
+          lit("audio").as("kind"),
+          col("content").as("payload"))
+      val withFp = Multimodal.audioFeatures(media, dim = 65)
+        .select(col("name"),
+          Multimodal.audioFingerprint(col("features")).as("afp"))
+      Multimodal.audioNearDups(withFp, maxHamming = 3, idCol = "name")
         .orderBy(col("id_a"), col("id_b"))
     },
     None)
@@ -139,5 +172,6 @@ object MultimodalQueries extends QueryPack {
     },
     None)
 
-  override val all: Seq[OracleQuery] = Seq(imageNearDups, audioEnergy)
+  override val all: Seq[OracleQuery] =
+    Seq(imageNearDups, audioEnergy, audioNearDupPairs)
 }

@@ -237,6 +237,39 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Energy-delta audio fingerprint (Haitsma & Kalker 2002's bit
+    * derivation over one band, published robust-hash math): bit i is set
+    * iff envelope(i+1) > envelope(i), so the fingerprint encodes the
+    * SHAPE of the energy curve and is invariant to overall gain — the
+    * property that makes re-encoded/re-normalized copies collide. Feed a
+    * 65-segment envelope (`audioFeatures(dim = 65)`) for all 64 bits.
+    * Map-only codegen-adjacent UDF; the near-dup join below shares the
+    * image family's 4×16-bit Hamming block machinery unchanged.
+    */
+  def audioFingerprint(features: Column): Column = {
+    val f = udf { (env: Seq[Float]) =>
+      if (env == null || env.length < 2) None
+      else {
+        var h = 0L; var i = 0
+        val n = math.min(env.length - 1, 64)
+        while (i < n) { if (env(i + 1) > env(i)) h |= (1L << i); i += 1 }
+        Some(h)
+      }
+    }
+    f(features)
+  }
+
+  /** Audio near-dup pairs over the energy-delta fingerprint — the Hamming
+    * block join is hash-agnostic (any 64-bit code), so this IS
+    * [[imageNearDups]] pointed at the audio fingerprint column: 4×16-bit
+    * pigeonhole blocks (complete recall to Hamming 3), hot-bucket guard,
+    * exact bit_count verify.
+    */
+  def audioNearDups(withFp: DataFrame, maxHamming: Int = 3,
+      idCol: String = "asset_id", fpCol: String = "afp",
+      maxBucketSize: Int = 1000): DataFrame =
+    imageNearDups(withFp, maxHamming, idCol, fpCol, maxBucketSize)
+
   /** Audio feature extraction: payload → fixed-length feature vector. REAL
     * for payloads `javax.sound.sampled` can parse (WAV/AIFF/AU containers,
     * any encoding the JDK converts to 16-bit signed PCM — pure JVM, the

@@ -255,4 +255,45 @@ class MultimodalSpec extends SparkSpec {
     // unparseable payload falls back to the deterministic stub contract
     assert(feats(11L).length == 8 && feats(11L).forall(x => x >= -1f && x <= 1f))
   }
+
+  test("audio fingerprint: gain-invariant collisions, shape separation, near-dup join") {
+    import javax.sound.sampled._
+    def wav(samples: Array[Float], rate: Float = 8000f): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val v = math.max(-32768, math.min(32767, math.round(s * 32768f)))
+        data(2 * i) = (v & 0xFF).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, samples.length),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // a ramp-up/down energy pattern; the 0.55-gain copy has the SAME
+    // envelope shape (every delta compare preserved), the reversed pattern
+    // the opposite shape
+    val n = 6500
+    def tone(i: Int, amp: Float) = if (i % 2 == 0) amp else -amp
+    val ramp = Array.tabulate(n)(i => tone(i, 0.1f + 0.8f * i / n))
+    val quiet = ramp.map(_ * 0.55f)
+    val reverse = ramp.reverse
+    val rows = java.util.Arrays.asList(
+      Row(1L, "audio", Row(null, null, 1000L, 8000, "wav"), wav(ramp)),
+      Row(2L, "audio", Row(null, null, 1000L, 8000, "wav"), wav(quiet)),
+      Row(3L, "audio", Row(null, null, 1000L, 8000, "wav"), wav(reverse)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val withFp = Multimodal.audioFeatures(media, dim = 65)
+      .select(col("asset_id"),
+        Multimodal.audioFingerprint(col("features")).as("afp"))
+    val fps = withFp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L), "gain change altered the fingerprint")
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > 20,
+      s"reversed envelope not separated (hamming ${java.lang.Long.bitCount(fps(1L) ^ fps(3L))})")
+    val pairs = Multimodal.audioNearDups(withFp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"near-dup pairs wrong: $pairs")
+  }
 }
