@@ -1119,6 +1119,89 @@ object TextQueries extends QueryPack {
     SELECT doc_id, source, n_tokens, shard * 8589934592 + bin AS bin_id
     FROM fill ORDER BY doc_id"""))
 
+  // ---- composed mix-with-repetition budget: temperature mixture →
+  //      per-source epoch factors → the per-source training-budget report
+  //      (docs selected, instances after repetition, total tokens) every
+  //      training run states up front. The epoch contribution folds as
+  //      n_tokens × n_copies — no explode needed for the budget, the
+  //      instance-level layout is t_epoch_upsample's job. All exact
+  //      integer arithmetic end-to-end → FULL oracle ----
+  private val mixEpochBudget = OracleQuery(
+    "t_training_mix_epochs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val perSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("w", sqrt(col("n").cast("double")).cast("decimal(27,6)"))
+      val total = perSrc.agg(
+        sum(col("n")).as("n_total"),
+        sum(col("w")).cast("double").as("w_total"))
+      val quota = perSrc.crossJoin(total)
+        .select(col("source"),
+          ceil(col("n_total") * (col("w").cast("double") / col("w_total")) * 0.25)
+            .as("quota"))
+      val h = graft.operators.Dedup.knuth32(col("doc_id"))
+      val selected = graft.operators.GlobalRank.withGroupRank(
+          docs, col("source"), "rn", "__n", h, col("doc_id"))
+        .join(broadcast(quota), "source")
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("text"))
+      // epochs: src0 = 1.0, src1 = 2.5, src2 = 0.75, others = 1.25 — the
+      // same integer-threshold scheme as t_epoch_upsample
+      val full = when(col("source") === "src1", 2L)
+        .when(col("source") === "src2", 0L).otherwise(1L)
+      val fracThresh = when(col("source") === "src0", 0L)
+        .when(col("source") === "src1", 2147483648L)
+        .when(col("source") === "src2", 3221225472L)
+        .otherwise(1073741824L)
+      selected
+        .withColumn("n_copies",
+          full + when(h < fracThresh, 1L).otherwise(0L))
+        .withColumn("n_tokens",
+          graft.functions.TextOps.tokenCount(col("text")))
+        .filter(col("n_copies") > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_copies")).as("n_instances"),
+          sum(col("n_tokens") * col("n_copies")).as("n_tokens_total"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH per_src AS (
+      SELECT source, COUNT(*) AS n,
+        CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(27,6)) AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n) AS n_total, CAST(SUM(w) AS DOUBLE) AS w_total FROM per_src
+    ), quota AS (
+      SELECT source,
+        ceil(n_total * (CAST(w AS DOUBLE) / w_total) * 0.25) AS quota
+      FROM per_src, tot
+    ), ranked AS (
+      SELECT doc_id, source, text,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY ${KNUTH32("doc_id")}, doc_id) AS BIGINT) AS rn
+      FROM documents
+    ), selected AS (
+      SELECT r.doc_id, r.source, r.text
+      FROM ranked r JOIN quota q ON r.source = q.source
+      WHERE r.rn <= q.quota
+    ), c AS (
+      SELECT doc_id, source,
+        CAST(len(regexp_extract_all(text, '${graft.functions.TextOps.bpeTokenPattern}')) AS BIGINT) AS n_tokens,
+        (CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0 ELSE 1 END)
+        + (CASE WHEN ${KNUTH32("doc_id")} <
+            (CASE source WHEN 'src0' THEN 0
+                         WHEN 'src1' THEN 2147483648
+                         WHEN 'src2' THEN 3221225472
+                         ELSE 1073741824 END)
+           THEN 1 ELSE 0 END) AS n_copies
+      FROM selected
+    )
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_copies) AS BIGINT) AS n_instances,
+      CAST(SUM(n_tokens * n_copies) AS BIGINT) AS n_tokens_total
+    FROM c WHERE n_copies > 0
+    GROUP BY source ORDER BY source"""))
+
   // ---- exact-threshold set-similarity join (PPJoin-style prefix filter):
   //      all pairs with token-SET Jaccard ≥ 0.9, exactly. The engine runs
   //      the prefix-filtered plan (rarest-token inverted index generates a
@@ -1341,5 +1424,6 @@ object TextQueries extends QueryPack {
     temperatureMixture, bottomKSample, dsirSelect, containmentPairs, oovRate,
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
-    lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap)
+    lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
+    mixEpochBudget)
 }
