@@ -156,6 +156,16 @@ object SimilaritySearch {
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__v").setPredictionCol("__cell").fit(train)
     val centers = model.clusterCenters.map(_.toArray)
+    val assigned = assignToCells(corpus, centers, idCol, vecCol)
+    IvfIndex(centers, if (persist) assigned.persist() else assigned)
+  }
+
+  /** Map-only nearest-center assignment under a FROZEN quantizer — the
+    * shared step of the initial build and every incremental append.
+    */
+  private[graft] def assignToCells(vecs: DataFrame,
+      centers: Array[Array[Double]],
+      idCol: String, vecCol: String): DataFrame = {
     val assign = udf { (v: Seq[Float]) =>
       var best = 0; var bestD = Double.MaxValue
       var c2 = 0
@@ -166,9 +176,29 @@ object SimilaritySearch {
       }
       best
     }
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("tv"),
+    vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("tv"),
       assign(col(vecCol)).as("cell"))
-    IvfIndex(centers, if (persist) assigned.persist() else assigned)
+  }
+
+  /** Incremental index maintenance: assign `newVecs` under the persisted
+    * index's EXISTING centers and append them to its inverted file —
+    * nightly vector arrivals join the index without a rebuild. The coarse
+    * quantizer stays frozen (published IVF practice: retrain offline only
+    * when drift degrades cell balance — Faiss's add-vs-train split);
+    * assignment is one map-only pass and each new row lands in its cell's
+    * partition directory via an append write, touching no existing file.
+    * Probing the appended index is EXACTLY probing a fresh same-centers
+    * assignment of the union corpus (spec-pinned): same centers → same
+    * cells → same candidate sets → same exact re-rank distances.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val centers = spark.read.parquet(s"$dir/centers").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    assignToCells(newVecs, centers, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
   /** Persist a built IVF index as parquet artifacts under `dir` — the

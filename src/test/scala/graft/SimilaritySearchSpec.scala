@@ -159,6 +159,36 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(cellDirs.length == 4, s"expected 4 cell partitions: ${cellDirs.toSeq}")
   }
 
+  test("incremental append probes exactly like a same-centers rebuild of the union") {
+    val emb = Tables.embeddings(spark, sf001)
+    val sliceA = emb.filter(col("vec_id") < 300)
+    val sliceB = emb.filter(col("vec_id") >= 300 && col("vec_id") < 500)
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = SimilaritySearch.buildIvfIndex(sliceA, nlist = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    SimilaritySearch.saveIvfIndex(idx, dir)
+    // nightly arrival: slice B joins the persisted index, no rebuild
+    SimilaritySearch.appendToIvfIndex(spark, dir, sliceB)
+    val appended = SimilaritySearch.loadIvfIndex(spark, dir)
+    val got = SimilaritySearch.ivfProbe(appended, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    appended.unpersist()
+    // independent reference: the union corpus assigned FRESH under the
+    // same frozen centers (never reading the appended artifact) — frozen
+    // quantizer makes append ≡ rebuild exactly, not approximately
+    val ref = SimilaritySearch.IvfIndex(idx.centers,
+      SimilaritySearch.assignToCells(sliceA.unionByName(sliceB), idx.centers,
+        "vec_id", "embedding"))
+    val want = SimilaritySearch.ivfProbe(ref, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    idx.unpersist()
+    assert(got.nonEmpty && got == want,
+      s"append diverged from same-centers rebuild: ${got.diff(want).take(5)}")
+    // and the appended index really contains both slices
+    assert(SimilaritySearch.loadIvfIndex(spark, dir, persist = false)
+      .assigned.count() == 500)
+  }
+
   test("IVF-PQ index persists (codes + codebook) and probes identically after reload") {
     val emb = Tables.embeddings(spark, sf001)
     val queries = emb.filter(col("vec_id") < 10)
