@@ -708,6 +708,58 @@ object EngineQueries extends QueryPack {
     SELECT a AS doc_id, MIN(b) AS canonical_id, MIN(b) = a AS keep
     FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  // the dedup RUN REPORT over those components: cluster-size histogram
+  // (how many clusters of each size, how many documents they hold) — the
+  // number a curation run publishes to justify its dedup rate. Same
+  // exact pair relation, same independent reachability oracle, two more
+  // exact aggregations on top
+  private val dedupClusterProfile = OracleQuery(
+    "vx_dedup_cluster_profile",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * lit(1e6)).cast("double")).as("q"))
+      val pairs = emb.select(col("vec_id").as("id_a"), col("q").as("a"))
+        .crossJoin(emb.select(col("vec_id").as("id_b"), col("q").as("b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.VecOps.cosineNative(col("a"), col("b")) >= 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.canonicalize(pairs)
+        .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+        .orderBy(col("sz"))
+    },
+    Some("""WITH RECURSIVE lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings WHERE vec_id < 100
+    ), pr AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+        CAST(SUM(a.vq * b.vq) AS DOUBLE) AS dot,
+        CAST(SUM(a.vq * a.vq) AS DOUBLE) AS nx,
+        CAST(SUM(b.vq * b.vq) AS DOUBLE) AS ny
+      FROM lf a JOIN lf b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT ia AS a, ib AS b FROM pr
+        WHERE dot / (sqrt(nx) * sqrt(ny) + 1e-12) >= 0.3
+      UNION
+      SELECT ib, ia FROM pr
+        WHERE dot / (sqrt(nx) * sqrt(ny) + 1e-12) >= 0.3
+    ), reach(a, b) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ), comp AS (
+      SELECT a, MIN(b) AS rep FROM reach GROUP BY a
+    ), sizes AS (
+      SELECT rep, COUNT(*) AS sz FROM comp GROUP BY rep
+    )
+    SELECT sz, COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz ORDER BY sz"""))
+
   // SemDeDup (Abbas et al. 2023) in its deterministic, oracle-replayable
   // form: seed centroids = the 8 lowest-id embeddings, quantized to exact
   // integers, argmin assignment with ties to the lowest center, prune
@@ -1247,7 +1299,7 @@ object EngineQueries extends QueryPack {
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical, crossDecontaminateEmb,
-    dedupCanonicalExact, semDedupQuantized, semDedupKmeans,
+    dedupCanonicalExact, dedupClusterProfile, semDedupQuantized, semDedupKmeans,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, streamSample, streamWeightedSample,
     streamChunkDedup, streamCuration, streamSpanDedup, curationFunnel,
