@@ -464,6 +464,32 @@ object Dedup {
     joined.withColumn("is_test", bucket < lit(testPpm * 4294967296L / 1000000L))
   }
 
+  /** K-fold generalization of [[leakageSafeSplit]]: assign every document
+    * to one of `k` cross-validation folds such that all members of a
+    * duplicate cluster land in the SAME fold (fold = canonical id's hash
+    * bucket scaled by k — a held-out fold never sees a near-copy of a
+    * training document). The scale shape is the split's: one canonical
+    * join, then map-only arithmetic. The double product k·bucket < 2^37
+    * is exact in IEEE, so fold boundaries are deterministic cross-engine.
+    */
+  def leakageSafeFolds(docs: DataFrame, pairs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    val canon = canonicalize(pairs)
+      .select(col("doc_id").as(idCol), col("canonical_id"))
+    val joined = docs.join(canon, Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol)))
+    val bucket = joined.schema("canonical_id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        knuth32(col("canonical_id"))
+      case StringType => pmod(xxhash64(col("canonical_id")), lit(4294967296L))
+      case t => throw new IllegalArgumentException(
+        s"leakageSafeFolds: canonical id must be integral or string, got $t")
+    }
+    joined.withColumn("fold",
+      floor(bucket * lit(k.toLong) / lit(4294967296.0)).cast("int"))
+  }
+
   /** Incremental dedup of an arriving batch against an existing canonical
     * corpus — the production daily-ingest shape, where the corpus is orders
     * of magnitude larger than the batch and must never self-join or

@@ -743,6 +743,32 @@ object TextQueries extends QueryPack {
       ${KNUTH32("canonical_id")} < 429496729 AS is_test
     FROM c ORDER BY doc_id"""))
 
+  // ---- k-fold twin of the leakage-safe split: 5 CV folds where every
+  //      duplicate cluster lands whole in one fold, so no held-out fold
+  //      ever sees a near-copy of a training document ----
+  private val leakageFolds = OracleQuery(
+    "t_kfold_leakage_safe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val groups = h.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+      val pairs = h.join(groups, "h")
+        .filter(col("doc_id") =!= col("id_a"))
+        .select(col("id_a"), col("doc_id").as("id_b"))
+      graft.operators.Dedup.leakageSafeFolds(docs, pairs, k = 5)
+        .select(col("doc_id"), col("canonical_id"), col("fold"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH c AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents
+    )
+    SELECT doc_id, canonical_id,
+      CAST(floor((${KNUTH32("canonical_id")}) * 5 / 4294967296.0) AS INT) AS fold
+    FROM c ORDER BY doc_id"""))
+
   // ---- proportional source mixture: keep a weight_s fraction of each
   //      source, selected in knuth32 hash order (a reproducible prefix
   //      sample). The per-source quota is proportional, so the draw is the
@@ -1425,5 +1451,5 @@ object TextQueries extends QueryPack {
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
-    mixEpochBudget)
+    mixEpochBudget, leakageFolds)
 }

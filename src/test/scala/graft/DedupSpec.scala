@@ -301,6 +301,24 @@ class DedupSpec extends SparkSpec {
     assert(cluster.map(_.getBoolean(2)).toSet.size == 1, "dup cluster split across sides")
   }
 
+  test("k-fold split: clusters land whole in one fold, folds cover the range") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text")) ++
+      (4L to 200L).map(i => (i, s"unique $i"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeFolds(df, pairs, k = 5)
+      .select($"doc_id", $"fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 200)
+    assert(out.values.forall(f => f >= 0 && f < 5), "fold outside [0, k)")
+    assert(Set(out(1L), out(2L), out(3L)).size == 1,
+      "duplicate cluster split across folds")
+    // 200 hash-spread docs must touch every fold
+    assert(out.values.toSet == Set(0, 1, 2, 3, 4),
+      s"folds not covered: ${out.values.toSet}")
+  }
+
   test("knuth32 matches (id * 2654435761) mod 2^32 exactly, huge ids included") {
     // ids past ~3.47e9 wrap the naive Long product; the limb-split form
     // must still equal the true mathematical value (BigInt oracle)
