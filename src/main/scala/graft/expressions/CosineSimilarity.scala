@@ -149,6 +149,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        arity("graft_nfc", 1, children)
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("int8_cosine"),
       new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
       (children: Seq[Expression]) => {

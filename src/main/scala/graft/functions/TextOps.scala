@@ -21,6 +21,18 @@ object TextOps {
     "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
     "es" -> Set("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"))
 
+  /** Unicode NFC normalization as a native codegen expression
+    * ([[graft.expressions.NfcNormalize]]) — the canonicalization every
+    * text-dedup stage needs before hashing: decomposed and precomposed
+    * spellings are different byte strings until normalized, so exact
+    * dedup, shingles, and fingerprints silently miss such duplicates.
+    * Also registered in SQL as `graft_nfc`.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.NfcNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Language-ID heuristic: CJK character ratio → zh; otherwise the profile
     * with the highest stopword hit rate; "und" (undetermined) when nothing
     * scores. One pass per row.

@@ -743,6 +743,35 @@ object TextQueries extends QueryPack {
       ${KNUTH32("canonical_id")} < 429496729 AS is_test
     FROM c ORDER BY doc_id"""))
 
+  // ---- native NFC normalization (graft.expressions.NfcNormalize, also
+  //      SQL `graft_nfc`): decomposed combining sequences (e +
+  //      U+0301, A + U+030A, o + U+0308) appended to every document must
+  //      compose to their precomposed forms — DuckDB's nfc_normalize is
+  //      the independent implementation, and the shrinking codepoint
+  //      count shows composition happened. Spark has no built-in for
+  //      this; the expression keeps the per-row hot path inside
+  //      whole-stage codegen where a Scala UDF would break it ----
+  private val nfcNormalizeQ = OracleQuery(
+    "f_nfc_normalize",
+    (s, d) => {
+      val raw = concat(col("text"),
+        lit(" cafe\u0301 A\u030Angstro\u0308m")) // decomposed accents
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextOps.nfcNormalize(raw).as("norm"),
+          length(raw).as("len_raw"))
+        .withColumn("len_norm", length(col("norm")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+        || 'ngstro' || chr(776) || 'm') AS norm,
+      length(text || ' cafe' || chr(769) || ' A' || chr(778)
+        || 'ngstro' || chr(776) || 'm') AS len_raw,
+      length(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+        || 'ngstro' || chr(776) || 'm')) AS len_norm
+    FROM documents ORDER BY doc_id"""))
+
   // ---- k-fold twin of the leakage-safe split: 5 CV folds where every
   //      duplicate cluster lands whole in one fold, so no held-out fold
   //      ever sees a near-copy of a training document ----
@@ -1451,5 +1480,5 @@ object TextQueries extends QueryPack {
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
-    mixEpochBudget, leakageFolds)
+    mixEpochBudget, leakageFolds, nfcNormalizeQ)
 }

@@ -112,6 +112,37 @@ class ExpressionSpec extends SparkSpec {
     assert(expr0.eval(null) == null)
   }
 
+  test("graft_nfc: composes decomposed sequences, idempotent, null-safe, both paths") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301 A\u030Angstro\u0308m"
+    val precomposed = "caf\u00e9 \u00c5ngstr\u00f6m"
+    val df = Seq(Tuple1(decomposed), Tuple1(precomposed), Tuple1(null: String))
+      .toDF("s")
+    // codegen path, via the SQL registration
+    val out = df.select(expr("graft_nfc(s)")).collect()
+    assert(out(0).getString(0) == precomposed,
+      s"composition failed: ${out(0).getString(0).codePoints.toArray.toSeq}")
+    assert(out(1).getString(0) == precomposed, "NFC not idempotent")
+    assert(out(2).isNullAt(0), "null input must stay null")
+    // Scala composer agrees
+    val viaApi = df.select(graft.functions.TextOps.nfcNormalize($"s")).collect()
+    assert(viaApi(0).getString(0) == precomposed)
+    // interpreted path
+    val e = graft.expressions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed),
+        org.apache.spark.sql.types.StringType))
+    assert(e.eval(null).toString == precomposed)
+    // stays inside whole-stage codegen (no CodegenFallback eviction) — on
+    // a parquet-backed scan; a local Seq constant-folds to LocalTableScan
+    val scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(expr("graft_nfc(text)").as("n"))
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("nfcnormalize")).get
+    assert(line.contains("*("), s"nfc evicted from codegen:\n$plan")
+  }
+
   test("graft_quality arity errors name the function at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_quality()").collect()
