@@ -772,6 +772,53 @@ object TextQueries extends QueryPack {
         || 'ngstro' || chr(776) || 'm')) AS len_norm
     FROM documents ORDER BY doc_id"""))
 
+  // ---- NFC-then-dedup composition: even-id documents carry a PRECOMPOSED
+  //      suffix, odd-id documents the DECOMPOSED spelling of the same
+  //      text — different byte strings, same canonical content. Dedup
+  //      keyed on md5(graft_nfc(text)) must group them; dedup on the raw
+  //      bytes would not. This is the query that shows WHY normalization
+  //      precedes hashing in every curation pipeline ----
+  private val nfcDedup = OracleQuery(
+    "t_nfc_dedup_groups",
+    (s, d) => {
+      val suffix = when(col("doc_id") % 2 === 0,
+        lit(" caf\u00e9")).otherwise(lit(" cafe\u0301"))
+      val docs = Tables.documents(s, d)
+        // pair up documents: id 2k and 2k+1 share a body, differ in form
+        .select(col("doc_id"),
+          concat(element_at(split(col("text"), " "), 1),
+            lit(" body "), floor(col("doc_id") / 2).cast("string"),
+            suffix).as("text"))
+      docs
+        .withColumn("h",
+          md5(graft.functions.TextOps.nfcNormalize(col("text"))))
+        .withColumn("h_raw", md5(col("text")))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_members"),
+          count_distinct(col("h_raw")).as("n_raw_forms"),
+          min(col("doc_id")).as("canonical_id"))
+        .groupBy(col("n_members"), col("n_raw_forms"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_members")).as("n_docs"))
+        .orderBy(col("n_members"), col("n_raw_forms"))
+    },
+    Some("""WITH t AS (
+      SELECT doc_id,
+        string_split(text, ' ')[1] || ' body ' ||
+          CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR) ||
+          (CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+                ELSE ' cafe' || chr(769) END) AS text
+      FROM documents
+    ), g AS (
+      SELECT md5(nfc_normalize(text)) AS h,
+        COUNT(*) AS n_members,
+        COUNT(DISTINCT md5(text)) AS n_raw_forms,
+        MIN(doc_id) AS canonical_id
+      FROM t GROUP BY 1
+    )
+    SELECT n_members, n_raw_forms, COUNT(*) AS n_groups,
+      CAST(SUM(n_members) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1, 2 ORDER BY n_members, n_raw_forms"""))
+
   // ---- k-fold twin of the leakage-safe split: 5 CV folds where every
   //      duplicate cluster lands whole in one fold, so no held-out fold
   //      ever sees a near-copy of a training document ----
@@ -1480,5 +1527,5 @@ object TextQueries extends QueryPack {
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
-    mixEpochBudget, leakageFolds, nfcNormalizeQ)
+    mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup)
 }
