@@ -299,6 +299,41 @@ object AdvancedQueries extends QueryPack {
           FROM orders)
     GROUP BY 1, 2 ORDER BY o_orderstatus, tile"""))
 
+  // ---- null-semantics pack: the corners users hit when keys go null.
+  //      The corpus has no nulls, so nullif() manufactures them, then the
+  //      pack exercises (a) GROUP BY with a null group, (b) null-safe
+  //      equi-join (<=> / IS NOT DISTINCT FROM — the ONLY join form where
+  //      the null group survives; a plain equi-join drops it silently),
+  //      (c) explicit NULLS FIRST ordering, (d) coalesce labeling. Both
+  //      engines implement the same ANSI semantics; the oracle proves the
+  //      engine's null group flows through join and sort intact ----
+  private val nullSemantics = OracleQuery(
+    "f_null_semantics_pack",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pri"),
+          col("o_totalprice"))
+      val agg = o.groupBy(col("pri"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      val dim = agg.select(col("pri").as("pri2"))
+        .withColumn("label", coalesce(col("pri2"), lit("UNSPECIFIED")))
+      agg.join(dim, col("pri") <=> col("pri2"))
+        .select(col("label"), col("pri"), col("n_orders"), col("revenue"))
+        .orderBy(col("pri").asc_nulls_first)
+    },
+    Some(s"""WITH o AS (
+      SELECT nullif(o_orderpriority, '3-MEDIUM') AS pri, o_totalprice
+      FROM orders
+    ), agg AS (
+      SELECT pri, COUNT(*) AS n_orders, ${DSUM("o_totalprice")} AS revenue
+      FROM o GROUP BY pri
+    ), dim AS (
+      SELECT pri AS pri2, coalesce(pri, 'UNSPECIFIED') AS label FROM agg
+    )
+    SELECT label, pri, n_orders, revenue
+    FROM agg JOIN dim ON pri IS NOT DISTINCT FROM pri2
+    ORDER BY pri NULLS FIRST"""))
+
   // ---- exact order statistics: median + 90th percentile (both engines use
   //      linear interpolation for continuous percentiles over doubles —
   //      identical picks and identical IEEE interpolation) ----
@@ -1089,5 +1124,5 @@ object AdvancedQueries extends QueryPack {
     q4ish, q6ish, q8ish, q9ish, q15ish,
     arrayHof, regexpGroups, bagSetOps,
     pivotQuery, unpivotQuery, rankStats, momentsPack, histogram,
-    histogramEquidepth)
+    histogramEquidepth, nullSemantics)
 }
