@@ -229,6 +229,32 @@ object RelationalQueries extends QueryPack {
       LEAD(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
     FROM events ORDER BY user_id, ts, event_id"""))
 
+  // ---- LOCF gap-fill (forward fill): carry the last non-null observation
+  //      forward per user — THE standard event-stream repair for sparse
+  //      gauges. Nulls are manufactured (the corpus has none) by blanking
+  //      every non-"purchase" reading; `last(..., ignoreNulls)` over the
+  //      running frame implements the carry, DuckDB's IGNORE NULLS window
+  //      is the independent twin. Values are raw parquet doubles picked,
+  //      not computed — deterministic cross-engine ----
+  private val gapFill = OracleQuery(
+    "w_gap_fill_locf",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "purchase", col("value")).as("reading"))
+        .withColumn("filled",
+          last(col("reading"), ignoreNulls = true).over(w))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, ts,
+      CASE WHEN event_type = 'purchase' THEN value END AS reading,
+      LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM events ORDER BY user_id, ts, event_id"""))
+
   // ---- frame-spec window: running total. Even an ordered frame is not fp-
   //      safe cross-engine (DuckDB aggregates window frames via segment
   //      trees, a different fp association), so the sum is decimal-exact ----
@@ -485,7 +511,7 @@ object RelationalQueries extends QueryPack {
     pricingSummary, filterProject, regionRollup, topOrdersByRevenue,
     semiJoin, antiJoin, outerJoin, crossPairs,
     unionParties, intersectNations, exceptNations,
-    rankTopParts, lagLead, runningTotal,
+    rankTopParts, lagLead, runningTotal, gapFill,
     groupSample, topOrders, distinctCounts,
     rollupOrders, cubeLineitem, havingMinGroup,
     stringPack, datePack, jsonPack, caseBucket, mathPack,
