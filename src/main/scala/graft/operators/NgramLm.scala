@@ -63,6 +63,35 @@ object NgramLm {
     BigramModel(bigrams, unigrams, unigrams.count())
   }
 
+  /** Persist a fitted model as parquet artifacts under `dir` — the text
+    * twin of the IVF index persistence: fit on the reference corpus once
+    * (the expensive double scan), then every scoring job loads the
+    * vocab-bounded count relations instead of re-fitting. `vocab/` is a
+    * one-row table so the load needs no extra action over the counts.
+    */
+  def save(model: BigramModel, dir: String): Unit = {
+    model.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    model.unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
+    val spark = model.bigrams.sparkSession
+    import spark.implicits._
+    Seq(model.vocabSize).toDF("vocab_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a persisted model; scoring against it is row-for-row identical
+    * to scoring against the in-session fit (spec-pinned: exact integer
+    * counts survive parquet bit-for-bit).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+      persist: Boolean = true): BigramModel = {
+    val big = spark.read.parquet(s"$dir/bigrams")
+    val uni = spark.read.parquet(s"$dir/unigrams")
+    val v = spark.read.parquet(s"$dir/vocab").collect()(0).getLong(0)
+    BigramModel(
+      if (persist) big.persist() else big,
+      if (persist) uni.persist() else uni, v)
+  }
+
   /** Score every document: (idCol, n_bigrams, lm_q) where lm_q is the
     * exact-integer quantized log-likelihood sum (higher = closer to the
     * reference). Documents with < 2 words score (0, 0).

@@ -33,6 +33,23 @@ class NgramLmSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L)))
   }
 
+  test("model persists to parquet and scores row-identically after reload") {
+    val ref = Tables.documents(spark, sf001).filter(col("source") === "src0")
+    val model = NgramLm.fit(ref)
+    val docs = Tables.documents(spark, sf001).limit(200)
+    val before = NgramLm.score(docs, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-model").toString
+    NgramLm.save(model, dir)
+    model.unpersist()
+    val loaded = NgramLm.load(spark, dir)
+    val after = NgramLm.score(docs, loaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    loaded.unpersist()
+    assert(before.nonEmpty && before == after,
+      s"scores changed across save/load: ${before.diff(after).take(3)}")
+  }
+
   test("reference docs outscore shuffled-register docs under their own model") {
     // the filter's purpose: text drawn from the reference register scores
     // higher per bigram than vocabulary-matched but order-scrambled text
