@@ -180,8 +180,18 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       numHashes: Int = 32,
-      shingleK: Int = 3): DataFrame = {
-    val mh = udf { (text: String) =>
+      shingleK: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        minhashUdf(numHashes, shingleK)(col(textCol)).as("minhash"))
+      .filter(col("minhash").isNotNull)
+
+  /** The signature kernel as a reusable UDF — consumers that must keep
+    * their other columns (the streaming TTL near-dup carries its
+    * watermarked timestamp) apply it with withColumn instead of the
+    * projecting [[minhashSignatures]] form.
+    */
+  private[graft] def minhashUdf(numHashes: Int, shingleK: Int) =
+    udf { (text: String) =>
       val words = text.split(" ", -1)
       if (words.length < shingleK) None
       else {
@@ -208,9 +218,7 @@ object Dedup {
         Some(mins)
       }
     }
-    docs.select(col(idCol), mh(col(textCol)).as("minhash"))
-      .filter(col("minhash").isNotNull)
-  }
+
 
   /** LSH banding over minhash signatures → candidate near-dup pairs with
     * their estimated Jaccard (fraction of agreeing minhashes).

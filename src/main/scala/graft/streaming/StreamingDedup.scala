@@ -79,4 +79,68 @@ object StreamingDedup {
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** Retention-bounded twin of [[nearDupHits]] — the near-dup member of
+    * the TTL family ([[StreamingTtlDedup]] is the exact member): a band
+    * bucket's claim expires `ttlMs` after its claimant's event time, the
+    * watermark sweeps dead entries, and a later arrival in an expired
+    * bucket claims it fresh instead of emitting a hit. State becomes
+    * O(distinct (band, bucket) within retention) — fixed by retention ×
+    * ingest rate, the profile that lets the store run indefinitely. Same
+    * analyzer constraints as the exact twin: the watermarked timestamp
+    * must reach the stateful operator as a bare alias, and the sweep
+    * timeout clamps above the current watermark.
+    */
+  def nearDupHitsTtl(docs: DataFrame, ttlMs: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", watermarkDelay: String = "10 seconds",
+      numHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
+      shingleK: Int = 3, sigs: Option[DataFrame] = None): Dataset[BandHit] = {
+    require(bands * rowsPerBand == numHashes,
+      s"bands($bands) x rowsPerBand($rowsPerBand) must equal numHashes($numHashes)")
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // signature appended IN PLACE so the watermarked timestamp column
+    // travels with it — a signature join-back would be a stream-stream join
+    val withSig = sigs.getOrElse(
+      docs.withColumn("minhash",
+          Dedup.minhashUdf(numHashes, shingleK)(col(textCol)))
+        .filter(col("minhash").isNotNull))
+    val banded = withSig
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",",
+              slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+          .as(Seq("band", "bucket")))
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+
+    val ttlUs = ttlMs * 1000L
+    def fn(key: (Int, Long), rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
+        state: GroupState[(Long, Long)]): Iterator[BandHit] = {
+      if (!rows.hasNext && state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        // deterministic in-batch order: (event time, doc id)
+        val batch = rows.map(r => (r._2.getTime * 1000L, r._1)).toArray.sortInPlace()
+        var (claimant, claimUs) = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+        val out = batch.iterator.flatMap { case (eventUs, docId) =>
+          val live = claimUs != Long.MinValue && eventUs < claimUs + ttlUs
+          if (live) Some(BandHit(docId, key._1, claimant))
+          else { claimant = docId; claimUs = eventUs; None }
+        }.toArray
+        state.update((claimant, claimUs))
+        state.setTimeoutTimestamp(
+          math.max((claimUs + ttlUs) / 1000L, state.getCurrentWatermarkMs + 1))
+        out.iterator
+      }
+    }
+
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -485,6 +485,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ttl near-dup: bucket hits inside retention, fresh claims after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val query = graft.streaming.StreamingDedup.nearDupHitsTtl(
+        stream.toDF().toDF("doc_id", "text", "ts"),
+        ttlMs = 10 * 60 * 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ttl_neardup_test")
+      .outputMode("append").start()
+    try {
+      // identical text = identical signature = all 8 band buckets shared.
+      // t=1 claims; t=5 inside ttl → 8 hits against doc 1
+      stream.addData((1L, body, ts(1)), (2L, body, ts(5)))
+      query.processAllAvailable()
+      // t=20: every claim (from t=1) expired at t=11 → doc 3 claims fresh,
+      // NO hits; t=25 inside doc 3's ttl → 8 hits against doc 3
+      stream.addData((3L, body, ts(20)))
+      query.processAllAvailable()
+      stream.addData((4L, body, ts(25)))
+      query.processAllAvailable()
+      val hits = spark.table("ttl_neardup_test")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val byDoc = hits.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(byDoc.get(2L).contains(Set(1L)) && hits.count(_._1 == 2L) == 8,
+        s"doc 2 should hit doc 1 on all 8 bands: ${byDoc.get(2L)}")
+      assert(!byDoc.contains(3L), s"doc 3 arrived past ttl, must claim fresh: $byDoc")
+      assert(byDoc.get(4L).contains(Set(3L)),
+        s"doc 4 should hit the NEW claimant doc 3: ${byDoc.get(4L)}")
+    } finally query.stop()
+  }
+
   test("streaming weighted sample: final snapshot equals the batch draw, any batching") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf001)
