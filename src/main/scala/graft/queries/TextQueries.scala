@@ -772,6 +772,31 @@ object TextQueries extends QueryPack {
         || 'ngstro' || chr(776) || 'm')) AS len_norm
     FROM documents ORDER BY doc_id"""))
 
+  // ---- Count-Min point-frequency estimates vs exact counts: build the
+  //      4×1024 sketch over all corpus words (one bounded row per
+  //      partition reaches the shuffle), then report est vs exact for the
+  //      exact top-20 — the overestimate_ok column is the one-sided bound
+  //      made visible. Estimates are a deterministic artifact of (corpus,
+  //      hash family) — bit-identical under any partitioning (spec-pinned)
+  //      — but the engine hash is not SQL-replayable → rows-only ----
+  private val cmsWordFreq = OracleQuery(
+    "t_cms_word_freq",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+      // the sketch is a d·w-long bounded artifact (32 KiB), driver math
+      val table = words.agg(graft.operators.CmsSketch.sketch(col("w")).as("t"))
+        .collect()(0).getSeq[Long](0).toArray
+      val est = udf((w: String) =>
+        graft.operators.CmsSketch.cmsEstimate(table, w, 4, 1024))
+      words.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w")).limit(20)
+        .select(col("w"), col("n_exact"), est(col("w")).as("n_est"),
+          (est(col("w")) >= col("n_exact")).as("overestimate_ok"))
+        .orderBy(col("w"))
+    },
+    None)
+
   // ---- NFC-then-dedup composition: even-id documents carry a PRECOMPOSED
   //      suffix, odd-id documents the DECOMPOSED spelling of the same
   //      text — different byte strings, same canonical content. Dedup
@@ -1527,5 +1552,5 @@ object TextQueries extends QueryPack {
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
-    mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup)
+    mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq)
 }
