@@ -45,6 +45,22 @@ class CmsSketchSpec extends SparkSpec {
       "partitioning changed the sketch — merge not exactly associative")
   }
 
+  test("per-source sketch artifacts sum to the global sketch (artifact union)") {
+    // the HLL-union pattern for CMS: keep one sketch per source/day as a
+    // persisted artifact, answer whole-corpus point queries by elementwise
+    // sum — exact associativity makes the union EQUAL the single-pass
+    // sketch, not an approximation of it
+    val sw = Tables.documents(spark, sf001)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val global = sw.agg(CmsSketch.sketch(col("w"), D, W))
+      .collect()(0).getSeq[Long](0)
+    val perSource = sw.groupBy(col("source"))
+      .agg(CmsSketch.sketch(col("w"), D, W).as("t"))
+      .collect().map(_.getSeq[Long](1))
+    val unioned = perSource.reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    assert(unioned == global, "artifact union diverged from the single pass")
+  }
+
   test("unseen keys estimate only collision mass; empty sketch estimates zero") {
     val empty = new Array[Long](D * W)
     assert(CmsSketch.cmsEstimate(empty, "anything", D, W) == 0L)
