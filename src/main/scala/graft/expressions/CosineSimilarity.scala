@@ -141,6 +141,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects exactly $n arguments, got ${children.size}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom optimizer rule (the Rule[LogicalPlan] extension point):
+    // nested NFC normalizations collapse to one — see CollapseNfc
+    ext.injectOptimizerRule(_ => CollapseNfc)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

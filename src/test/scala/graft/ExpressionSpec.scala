@@ -143,6 +143,22 @@ class ExpressionSpec extends SparkSpec {
     assert(line.contains("*("), s"nfc evicted from codegen:\n$plan")
   }
 
+  test("CollapseNfc: nested normalizations collapse to one in the optimized plan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(expr("graft_nfc(graft_nfc(graft_nfc(text)))").as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString.toLowerCase
+    val occurrences = "nfcnormalize".r.findAllIn(optimized).size
+    assert(occurrences == 1,
+      s"nested graft_nfc not collapsed ($occurrences nodes):\n$optimized")
+    // and the collapsed plan still computes the right thing
+    val got = df.limit(1).collect()(0).getString(0)
+    val want = java.text.Normalizer.normalize(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text").limit(1).collect()(0).getString(0),
+      java.text.Normalizer.Form.NFC)
+    assert(got == want)
+  }
+
   test("graft_quality arity errors name the function at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_quality()").collect()
