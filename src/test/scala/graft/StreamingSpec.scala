@@ -485,6 +485,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CMS: final shard union is bit-identical to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val words = Tables.documents(spark, sf001).limit(200)
+      .select(explode(split($"text", " ")).as("w")).as[String].collect()
+    val stream = MemoryStream[String]
+    val query = graft.streaming.StreamingCms.pointCounts(
+        stream.toDF().toDF("w"), d = 4, w = 256, nShards = 4)
+      .writeStream.format("memory").queryName("cms_stream_test")
+      .outputMode("append").start()
+    try {
+      words.grouped((words.length + 2) / 3).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      // latest snapshot per shard, summed elementwise
+      import org.apache.spark.sql.expressions.Window
+      val latest = spark.table("cms_stream_test")
+        .withColumn("rn", monotonically_increasing_id())
+        .withColumn("last", max($"rn").over(Window.partitionBy($"shard")))
+        .filter($"rn" === $"last")
+        .select($"table").collect().map(_.getSeq[Long](0))
+      val unioned = latest.reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+      val batch = Tables.documents(spark, sf001).limit(200)
+        .select(explode(split($"text", " ")).as("w"))
+        .agg(graft.operators.CmsSketch.sketch($"w", 4, 256))
+        .collect()(0).getSeq[Long](0)
+      assert(unioned == batch,
+        "streaming shard union diverged from the batch sketch")
+    } finally query.stop()
+  }
+
   test("ttl near-dup: bucket hits inside retention, fresh claims after expiry") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Timestamp)]
