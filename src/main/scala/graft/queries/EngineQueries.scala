@@ -381,6 +381,80 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // ---- engine-native KLL quantile sketch in its EXACT REGIME: the gate
+  //      slice (240 rows) never overflows a k=256 level-0 buffer, so no
+  //      compaction fires, the sketch IS the dataset, and every quantile
+  //      answer is cross-engine exact under the shared rank convention
+  //      (smallest v with cume_dist ≥ q) → FULL oracle, same design as
+  //      the heavy-hitters sketch's exact-regime entry. Past k items the
+  //      sketch degrades gracefully (QuantileSketchSpec pins ≤2%-of-N
+  //      rank error on 60k lineitem prices under adversarial
+  //      partitionings); the one-row crossJoin fans the single artifact
+  //      row across the four probe quantiles ----
+  private val kllExactQuantiles = OracleQuery(
+    "stat_kll_quantiles_exact",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val art = Tables.orders(s, d).filter(col("o_orderkey") < 240)
+        .agg(graft.operators.QuantileSketch.sketch(col("o_totalprice"), k = 256)
+          .as("sk"))
+      val qf = udf((levels: Seq[Seq[Double]], q: Double) =>
+        graft.operators.QuantileSketch.quantile(levels, q))
+      art.crossJoin(Seq(0.25, 0.5, 0.75, 0.9).toDF("q"))
+        .select(col("q"), qf(col("sk"), col("q")).as("value"))
+        .orderBy(col("q"))
+    },
+    Some("""WITH s AS (
+      SELECT o_totalprice AS x FROM orders WHERE o_orderkey < 240
+    ), c AS (
+      SELECT x, cume_dist() OVER (ORDER BY x) AS cd FROM s
+    ), qv AS (
+      SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.25),(0.5),(0.75),(0.9)) v(q)
+    )
+    SELECT q, min(x) AS value FROM c, qv WHERE cd >= q
+    GROUP BY q ORDER BY q"""))
+
+  // ---- the KLL artifact UNION (the quantile twin of the HLL union
+  //      above): per-day sketches of the event value stream fold into one
+  //      summary answering any date-range quantile without rescanning
+  //      history. Approximate regime + merge-tree-dependent → rows-only;
+  //      the output carries the exact quantiles and the |rank error| ≤
+  //      2%·N bound check alongside the estimates so the gate row IS the
+  //      accuracy audit ----
+  private val kllUnionDays = OracleQuery(
+    "stat_kll_union_days",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.operators.QuantileSketch.sketch(col("value")).as("sk"),
+          count(lit(1)).as("n"))
+      val unioned = daily.agg(
+        graft.operators.QuantileSketch.unionSketch(col("sk")).as("sk"),
+        sum(col("n")).as("n"))
+      val qf = udf((levels: Seq[Seq[Double]], q: Double) =>
+        graft.operators.QuantileSketch.quantile(levels, q))
+      val probes = unioned
+        .crossJoin(Seq(0.25, 0.5, 0.75, 0.9).toDF("q"))
+        .select(col("q"), qf(col("sk"), col("q")).as("est_value"), col("n"))
+      // the accuracy audit IS the gate row: the estimate's TRUE rank
+      // (one map-only conditional count per probe, probes broadcast —
+      // events never shuffles) must land within 2% of N of the target
+      Tables.events(s, d).select(col("value"))
+        .crossJoin(broadcast(probes))
+        .groupBy(col("q"), col("est_value"), col("n"))
+        .agg(sum(when(col("value") <= col("est_value"), 1L).otherwise(0L))
+          .as("rank_exact"))
+        .select(col("q"), col("est_value"), col("rank_exact"),
+          ceil(col("q") * col("n")).cast("long").as("rank_target"),
+          (abs(col("rank_exact") - ceil(col("q") * col("n")).cast("long")) <=
+            (col("n") / lit(50)).cast("long")).as("rank_within_2pct"))
+        .orderBy(col("q"))
+    },
+    None)
+
   // sketch-based percentiles (the 100 TB quantile path: one pass, mergeable
   // KLL-style summaries, no global sort — vs exact percentile's per-group
   // value gather). Accuracy parameter 10000 → rank error ≤ 1/10000;
@@ -1296,6 +1370,7 @@ object EngineQueries extends QueryPack {
     fastCentroidCosine, embeddingOutliers, ckaPerLabel, ckaGroupMatrix,
     ckaMatrixQuantized, ckaHalfQuantized,
     hllDistinct, hllSketchUnion, approxPercentiles,
+    kllExactQuantiles, kllUnionDays,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical, crossDecontaminateEmb,

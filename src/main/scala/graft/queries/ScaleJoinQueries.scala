@@ -184,7 +184,32 @@ object ScaleJoinQueries extends QueryPack {
     },
     None)
 
+  // ---- exact edit-distance similarity join (Ed-Join, q-gram prefix
+  //      filter): all customer-name pairs within levenshtein 1 — the
+  //      serial-number-drift typo cluster a record-linkage pass hunts.
+  //      Both engines ship the same exact levenshtein, so the naive
+  //      DuckDB cross join is a FULL oracle proving the filter chain
+  //      lossless end-to-end (the Spark side never builds the cross
+  //      product — PlanSpec pins no CartesianProduct). Input bounded to
+  //      the first 1500 keys so the oracle's n² verify stays replayable
+  //      at every SF; the operator itself is the scale path ----
+  private val edJoinTypos = OracleQuery(
+    "jx_edjoin_customer_typos",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") < 1500)
+        .select(col("c_custkey"), col("c_name"))
+      graft.operators.EdJoin.edJoin(c, tau = 1,
+          idCol = "c_custkey", strCol = "c_name")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 1500 AND b.c_custkey < 1500
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b"""))
+
   override val all: Seq[OracleQuery] =
     Seq(saltedSupplierRevenue, bucketedOrderRevenue, keySkewProfile, bloomSemi,
-      zorderSpans, dppPruned)
+      zorderSpans, dppPruned, edJoinTypos)
 }

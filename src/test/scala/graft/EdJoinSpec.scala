@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.EdJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class EdJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive ground truth: levenshtein over the full cross product. */
+  private def naive(df: DataFrame, tau: Int): Set[(Long, Long, Long)] = {
+    val a = df.select($"id".as("ia"), $"s".as("sa"))
+    val b = df.select($"id".as("ib"), $"s".as("sb"))
+    a.crossJoin(b).filter($"ia" < $"ib")
+      .withColumn("d", levenshtein($"sa", $"sb"))
+      .filter($"d" <= tau)
+      .select($"ia", $"ib", $"d".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def viaFilter(df: DataFrame, tau: Int, q: Int = 2)
+      : Set[(Long, Long, Long)] =
+    EdJoin.edJoin(df, tau, q = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("q-gram-filtered join equals the naive cross join on real names") {
+    val names = Tables.customer(spark, sf01)
+      .filter($"c_custkey" < 400)
+      .select($"c_custkey".as("id"), $"c_name".as("s"))
+    Seq(1, 2).foreach { tau =>
+      val fast = viaFilter(names, tau)
+      val truth = naive(names, tau)
+      assert(fast == truth,
+        s"tau=$tau: missing ${(truth -- fast).take(3)}, extra ${(fast -- truth).take(3)}")
+      assert(truth.nonEmpty, s"tau=$tau produced no pairs — vacuous check")
+    }
+  }
+
+  test("degenerate strings: empty, shorter than q, identical, unicode") {
+    val df = Seq(
+      (1L, ""),        // empty
+      (2L, "a"),       // 1 char: ed("", "a") = 1
+      (3L, "b"),       // ed("a","b") = 1
+      (4L, "ab"),      // ed("a","ab") = 1
+      (5L, "ab"),      // identical -> ed 0
+      (6L, "xyzzy"),   // far from everything
+      (7L, "café"), // unicode
+      (8L, "cafe")     // ed 1 from café
+    ).toDF("id", "s")
+    Seq(0, 1, 2).foreach { tau =>
+      assert(viaFilter(df, tau) == naive(df, tau), s"tau=$tau diverged")
+    }
+    // the pairs the padding exists for: short strings must still pair up
+    assert(viaFilter(df, 1).map(p => (p._1, p._2))
+      .intersect(Set((1L, 2L), (2L, 3L), (7L, 8L))) ==
+      Set((1L, 2L), (2L, 3L), (7L, 8L)))
+  }
+
+  test("q=3 grams stay complete too") {
+    val names = Tables.customer(spark, sf01)
+      .filter($"c_custkey" < 300)
+      .select($"c_custkey".as("id"), $"c_name".as("s"))
+    assert(viaFilter(names, 1, q = 3) == naive(names, 1))
+  }
+
+  test("posting cap trades recall for work, never precision") {
+    val names = Tables.customer(spark, sf01)
+      .filter($"c_custkey" < 300)
+      .select($"c_custkey".as("id"), $"c_name".as("s"))
+    val truth = naive(names, 1)
+    val capped = EdJoin.edJoin(names, 1, maxPostingSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped.subsetOf(truth), "cap must not create false pairs")
+  }
+
+  test("plan never builds a cartesian product") {
+    val names = Tables.customer(spark, sf01)
+      .filter($"c_custkey" < 300)
+      .select($"c_custkey".as("id"), $"c_name".as("s"))
+    val plan = EdJoin.edJoin(names, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"ed-join fell back to a cross product:\n$plan")
+  }
+}
