@@ -370,6 +370,65 @@ object AdvancedQueries extends QueryPack {
                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_orders_30d
     FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
+  // ---- SCD2 validity intervals via gaps-and-islands: collapse each
+  //      customer's order-status history into slowly-changing-dimension
+  //      rows (valid_from, valid_to, is_current), opening a new interval
+  //      only when the status CHANGES — the lakehouse dimension-table
+  //      maintenance pattern. Two stacked windows (lag to flag changes,
+  //      running sum to number islands) plus one group-by, ALL
+  //      partitioned by the high-cardinality customer key — no global
+  //      sort anywhere. Every step is deterministic (ties broken by
+  //      order key) → full oracle ----
+  private val scd2Intervals = OracleQuery(
+    "w_scd2_validity_intervals",
+    (s, d) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val flagged = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"))
+        .withColumn("chg",
+          when(lag(col("o_orderstatus"), 1).over(byCust).isNull ||
+            lag(col("o_orderstatus"), 1).over(byCust) =!= col("o_orderstatus"),
+            1L).otherwise(0L))
+        .withColumn("island", sum(col("chg")).over(byCust))
+      flagged.groupBy(col("o_custkey"), col("island"), col("o_orderstatus"))
+        .agg(min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("valid_to",
+          lead(col("valid_from"), 1).over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("island"))))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("o_custkey"), col("island"), col("o_orderstatus"),
+          col("valid_from"), col("valid_to"), col("n_orders"),
+          col("is_current"))
+        .orderBy(col("o_custkey"), col("island"))
+    },
+    Some("""WITH flagged AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+          OR LAG(o_orderstatus) OVER w <> o_orderstatus
+          THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), islands AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS island
+      FROM flagged
+    ), iv AS (
+      SELECT o_custkey, island, o_orderstatus,
+        MIN(o_orderdate) AS valid_from,
+        CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM islands GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey, island, o_orderstatus, valid_from,
+      LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+        AS valid_to,
+      n_orders,
+      LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) IS NULL
+        AS is_current
+    FROM iv ORDER BY o_custkey, island"""))
+
   // ---- first/last value windows ----
   private val firstLast = OracleQuery(
     "w_first_last_event",
@@ -1119,6 +1178,7 @@ object AdvancedQueries extends QueryPack {
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
+    scd2Intervals,
     stringAgg, groupingSets, q5ish, q3ish, q17ish, q12ish, q19ish,
     q14ish, q22ish, q7ish, q10ish, q13ish, q18ish, q21ish,
     q4ish, q6ish, q8ish, q9ish, q15ish,

@@ -213,6 +213,77 @@ object TextQueries extends QueryPack {
     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
     GROUP BY w ORDER BY est DESC, w LIMIT 20"""))
 
+  // ---- PMI collocations (Church & Hanks 1990): top word pairs by
+  //      pointwise mutual information ln(p(ab)/(p(a)p(b))) with a
+  //      min-support floor — the collocation-mining primitive behind
+  //      tokenizer-merge candidates and phrase detection. Bigram
+  //      extraction is a MAP-ONLY zip of each doc's token array against
+  //      its own tail (no positional self-join), counts are
+  //      vocabulary-bounded aggs, and the two one-row totals ride a
+  //      broadcast crossJoin. Both engines build the PMI double with the
+  //      IDENTICAL operation order, rank by the QUANTIZED value (never
+  //      the raw double), and report floor(pmi·1e6) — same discipline as
+  //      t_tfidf_top3; the selected rows' pmi·1e6 sit ≥ 2e-2 from the
+  //      nearest integer at both SFs, so the floor can't flap ----
+  private val pmiCollocations = OracleQuery(
+    "t_pmi_collocations",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val bg = Tables.documents(s, d)
+        .select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bc = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_ab"))
+      val uc = words(s, d).groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nu = words(s, d).agg(count(lit(1)).as("nu"))
+      val nb = bg.agg(count(lit(1)).as("nb"))
+      bc.join(broadcast(uc.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+        .join(broadcast(uc.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .filter(col("c_ab") >= 5)
+        .withColumn("pmi_q",
+          floor(log(
+            (col("c_ab").cast("double") * col("nu").cast("double") *
+              col("nu").cast("double")) /
+            (col("nb").cast("double") * col("c_a").cast("double") *
+              col("c_b").cast("double"))) * lit(1000000.0)).cast("long"))
+        .select(col("w1"), col("w2"), col("c_ab"), col("pmi_q"))
+        .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), u AS (
+      SELECT unnest(ws) AS w FROM t
+    ), uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1
+    ), nu AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM u
+    ), bp AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w FROM t) a
+      JOIN (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w FROM t) b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bp GROUP BY 1, 2
+    ), nb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bp
+    )
+    SELECT w1, w2, c_ab,
+      CAST(floor(ln(
+        ((CAST(c_ab AS DOUBLE) * CAST(nu.nu AS DOUBLE)) * CAST(nu.nu AS DOUBLE)) /
+        ((CAST(nb.nb AS DOUBLE) * CAST(ca.c AS DOUBLE)) * CAST(cb.c AS DOUBLE)))
+        * 1000000.0) AS BIGINT) AS pmi_q
+    FROM bc
+    JOIN uc ca ON bc.w1 = ca.w
+    JOIN uc cb ON bc.w2 = cb.w
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE c_ab >= 5
+    ORDER BY pmi_q DESC, w1, w2 LIMIT 20"""))
+
   // ---- global word frequency top-20 ----
   private val wordFreq = OracleQuery(
     "t_word_freq_top20",
@@ -1552,5 +1623,6 @@ object TextQueries extends QueryPack {
     dedupCapPerCluster, cdcChunkProfile, weightedSample, setJoinPairs,
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
-    mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq)
+    mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
+    pmiCollocations)
 }
