@@ -455,6 +455,45 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // ---- the STREAMING KLL twin in the same exact regime: values shard
+  //      by a DuckDB-replayable knuth32 layout, each shard's GroupState
+  //      level stack never overflows (≤ ~60 values per shard vs k=256,
+  //      no compaction fires), so every per-shard quantile is exact and
+  //      the full oracle replays shard membership + cume_dist ranks.
+  //      Batch-mode flatMapGroupsWithState runs once per shard;
+  //      QuantileSketchSpec pins the true-streaming MemoryStream parity
+  //      and the approximate regime's error bound ----
+  private val streamKllQuantiles = OracleQuery(
+    "tx_stream_kll_quantiles",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val slice = Tables.orders(s, d).filter(col("o_orderkey") < 240)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val shards = graft.streaming.StreamingKll.quantileSketch(
+        slice, valueCol = "o_totalprice", nShards = 4,
+        shardExpr = Some(pmod(Dedup.knuth32(col("o_orderkey")), lit(4L))))
+      val qf = udf((levels: Seq[Seq[Double]], q: Double) =>
+        graft.operators.QuantileSketch.quantile(levels, q))
+      shards.toDF()
+        .crossJoin(Seq(0.25, 0.5, 0.75, 0.9).toDF("q"))
+        .select(col("shard"), col("q"), qf(col("levels"), col("q")).as("value"))
+        .orderBy(col("shard"), col("q"))
+    },
+    Some(s"""WITH s AS (
+      SELECT CAST(${graft.queries.Exact.KNUTH32("o_orderkey")} % 4 AS INT)
+          AS shard,
+        o_totalprice AS x
+      FROM orders WHERE o_orderkey < 240
+    ), c AS (
+      SELECT shard, x, cume_dist() OVER (PARTITION BY shard ORDER BY x) AS cd
+      FROM s
+    ), qv AS (
+      SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.25),(0.5),(0.75),(0.9)) v(q)
+    )
+    SELECT shard, q, min(x) AS value FROM c, qv WHERE cd >= q
+    GROUP BY shard, q ORDER BY shard, q"""))
+
   // sketch-based percentiles (the 100 TB quantile path: one pass, mergeable
   // KLL-style summaries, no global sort — vs exact percentile's per-group
   // value gather). Accuracy parameter 10000 → rank error ≤ 1/10000;
@@ -1370,7 +1409,7 @@ object EngineQueries extends QueryPack {
     fastCentroidCosine, embeddingOutliers, ckaPerLabel, ckaGroupMatrix,
     ckaMatrixQuantized, ckaHalfQuantized,
     hllDistinct, hllSketchUnion, approxPercentiles,
-    kllExactQuantiles, kllUnionDays,
+    kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical, crossDecontaminateEmb,

@@ -108,6 +108,43 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming twin: union of shard states answers like the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val xs = Tables.lineitem(spark, sf001)
+      .select($"l_extendedprice").as[Double].collect().toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Double]
+    val query = graft.streaming.StreamingKll
+      .quantileSketch(stream.toDF().toDF("x"), nShards = 4)
+      .writeStream.format("memory").queryName("kll_stream_test")
+      .outputMode("append").start()
+    try {
+      // three uneven micro-batches — state must carry across
+      val (b1, rest) = xs.splitAt(xs.length / 5)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => stream.addData(b); query.processAllAvailable() }
+      // last emitted artifact per shard = final state snapshot
+      val finals = spark.table("kll_stream_test")
+        .withColumn("seq", monotonically_increasing_id())
+        .orderBy($"seq".desc).collect()
+        .groupBy(_.getInt(0)).map { case (_, rows) => rows.head }
+      val sorted = xs.sorted
+      val n = sorted.length
+      // union the shard artifacts through the real union path
+      val arts = finals.toSeq
+        .map(r => r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](1)
+          .map(_.toSeq).toSeq)
+      val art = artOf(arts.toDF("sk")
+        .agg(QuantileSketch.unionSketch($"sk").as("u")).collect()(0))
+      probeQs.foreach { q =>
+        val est = QuantileSketch.quantile(art, q)
+        val rank = sorted.count(_ <= est)
+        assert(math.abs(rank - math.ceil(q * n)) <= math.max(1.0, n * 0.02),
+          s"streamed q=$q rank err on n=$n")
+      }
+    } finally query.stop()
+  }
+
   test("degenerate inputs: empty, single value, all-equal") {
     assert(QuantileSketch.quantile(Seq(Seq.empty[Double]), 0.5).isNaN)
     val one = sketchOf(Seq(42.0), 1)
