@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.VecOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy k-center coreset selection (farthest-point traversal — the
+  * 2-approximation of Gonzalez 1985, used as the "Coreset" data-selection
+  * baseline in active learning, Sener & Savarese 2018): pick k rows whose
+  * embeddings COVER the corpus — every point is within the returned
+  * radius of some center — the diversity-maximizing complement of
+  * [[SemDedup]] (which REMOVES near-duplicate points, keeping density;
+  * this keeps one point per region, discarding density).
+  *
+  * Algorithm: seed with the minimum-id row (deterministic), then k−1
+  * rounds of "broadcast the newest center, one MAP-ONLY pass updates
+  * each row's running min-distance-to-centers, TakeOrdered(1) picks the
+  * farthest point" (ties by id, so the selection is reproducible across
+  * partitionings — spec-pinned). The greedy invariant — selection
+  * distances are non-increasing, and every later point sits within the
+  * last selection distance of some center — is exactly the
+  * 2-approximation certificate, and CoresetSpec re-verifies it from
+  * scratch.
+  *
+  * 100 TB shape: k scans of a cached (id, vector, minDist) projection —
+  * each round ships ONE vector in the task closure and reduces to ONE
+  * row (TakeOrdered); no shuffle of the corpus, ever; driver state is
+  * the k selected vectors. k is dozens by contract (it bounds both the
+  * scan count and the closure size), matching the reference's
+  * bounded-sample analysis contract
+  * (/root/reference/src/analyze_embedding_with_pca.py:117-118 samples
+  * per-group on the driver; this is the distributed diversity twin).
+  */
+object Coreset {
+
+  /** The k selected (id, round, sel_dist2) rows, in selection order.
+    * `sel_dist2` = the squared distance from the new center to the
+    * nearest previously-selected center at selection time (0 for the
+    * seed); it is non-increasing, and its final value bounds every
+    * remaining point's distance to the coreset (radius certificate).
+    */
+  def kCenter(df: DataFrame, k: Int,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec")).cache()
+    try {
+      val seed = base.orderBy(col("id")).limit(1)
+        .select(col("id"), col("vec")).collect()(0)
+      var centers = Vector((seed.getLong(0), 0.0))
+      var centerVec = seed.getSeq[Float](1).toArray
+
+      // running min squared distance to the selected set; updated with
+      // ONE l2sq against the newest center per round (map-only)
+      var state = base
+        .withColumn("minDist",
+          VecOps.l2sq(col("vec"), lit(centerVec.map(_.toDouble))))
+        .select(col("id"), col("vec"), col("minDist"))
+        .cache()
+
+      var r = 1
+      while (r < k) {
+        val next = state.orderBy(col("minDist").desc, col("id")).limit(1)
+          .collect()(0)
+        centers :+= ((next.getLong(0), next.getDouble(2)))
+        centerVec = next.getSeq[Float](1).toArray
+        val prev = state
+        state = prev
+          .withColumn("minDist", least(col("minDist"),
+            VecOps.l2sq(col("vec"), lit(centerVec.map(_.toDouble)))))
+          .select(col("id"), col("vec"), col("minDist"))
+          .cache()
+        state.count() // materialize before unpersisting the parent
+        prev.unpersist()
+        r += 1
+      }
+      state.unpersist()
+      centers.zipWithIndex
+        .map { case ((id, d2), i) => (id, i.toLong, d2) }
+        .toDF("id", "round", "sel_dist2")
+    } finally base.unpersist()
+  }
+}

@@ -105,10 +105,14 @@ object EdJoin {
       .select(col("__id"), lit(Pad * (q + 1)).as("g"))
     val posting = sorted.select(col("__id"), explode(col("prefix")).as("g"))
       .union(shortBucket)
-    val guarded = posting.join(
-      posting.groupBy(col("g")).agg(count(lit(1)).as("__ps"))
-        .filter(col("__ps") <= maxPostingSize).select(col("g")),
-      Seq("g"))
+    // the hot-posting guard costs an extra agg+join pass — only pay it
+    // when a cap is actually set (the gate query runs uncapped)
+    val guarded =
+      if (maxPostingSize == Int.MaxValue) posting
+      else posting.join(
+        posting.groupBy(col("g")).agg(count(lit(1)).as("__ps"))
+          .filter(col("__ps") <= maxPostingSize).select(col("g")),
+        Seq("g"))
     val candidates = guarded.join(
         guarded.select(col("g"), col("__id").as("__id2")), Seq("g"))
       .filter(col("__id") < col("__id2"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Exact._
@@ -369,6 +370,74 @@ object AdvancedQueries extends QueryPack {
       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_orders_30d
     FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  // ---- Poisson bootstrap (Chamandy et al. 2012): the MAP-ONLY bootstrap
+  //      that works at 100 TB. The classic resample-n-rows-B-times
+  //      bootstrap needs B global draws of the corpus; the Poisson
+  //      formulation gives each row an independent Poisson(1) weight per
+  //      replicate — one pass, B weights per row, partial-aggregating to
+  //      B keys. Weights derive from the knuth32 hash through the
+  //      INVERSE Poisson CDF with thresholds hardcoded as identical
+  //      decimal literals in both engines (both parse to the same
+  //      binary64, u is exact by construction, so every branch decision
+  //      is bit-identical) and the replicate means use exact decimal
+  //      sums → the whole 64-replicate bootstrap distribution is
+  //      cross-engine EXACT, full oracle ----
+  private val bootstrapMeans = OracleQuery(
+    "stat_bootstrap_poisson_means",
+    (s, d) => {
+      val B = 64
+      // P(Pois(1) <= k) thresholds, k = 0..8; tail clips to 9
+      val t = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+        0.9999167588507119, 0.9999897508033253, 0.9999988747974049)
+      val li = Tables.lineitem(s, d)
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+          col("l_quantity").cast("double").as("x"))
+        .select(col("rid"), col("x"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("u",
+          (graft.operators.Dedup.knuth32(col("rid") * lit(B.toLong) + col("b"))
+            + lit(0.5)) / lit(4294967296.0))
+      val w = t.zipWithIndex.foldRight(lit(9): Column) {
+        case ((thr, k), rest) => when(col("u") < thr, lit(k)).otherwise(rest)
+      }
+      li.withColumn("w", w)
+        .filter(col("w") > 0)
+        .groupBy(col("b").cast("long").as("b"))
+        .agg(sum(col("w")).cast("long").as("n_eff"),
+          (dsum(col("w") * col("x")) /
+            sum(col("w")).cast("double")).as("mean_boot"))
+        .orderBy(col("b"))
+    },
+    Some(s"""WITH li AS (
+      SELECT l_orderkey * 8 + l_linenumber AS rid,
+        CAST(l_quantity AS DOUBLE) AS x
+      FROM lineitem
+    ), e AS (
+      SELECT rid, x, unnest(range(0, 64)) AS b FROM li
+    ), u AS (
+      SELECT b, x, ((${KNUTH32("rid * 64 + b")}) + 0.5) / 4294967296.0 AS u
+      FROM e
+    ), w AS (
+      SELECT b, x,
+        CASE WHEN u < 0.36787944117144233 THEN 0
+             WHEN u < 0.7357588823428847 THEN 1
+             WHEN u < 0.9196986029286058 THEN 2
+             WHEN u < 0.9810118431238462 THEN 3
+             WHEN u < 0.9963401531726563 THEN 4
+             WHEN u < 0.9994058151824183 THEN 5
+             WHEN u < 0.9999167588507119 THEN 6
+             WHEN u < 0.9999897508033253 THEN 7
+             WHEN u < 0.9999988747974049 THEN 8
+             ELSE 9 END AS w
+      FROM u
+    )
+    SELECT CAST(b AS BIGINT) AS b,
+      CAST(SUM(w) AS BIGINT) AS n_eff,
+      ${DSUM("w * x")} / CAST(SUM(w) AS DOUBLE) AS mean_boot
+    FROM w WHERE w > 0
+    GROUP BY b ORDER BY b"""))
 
   // ---- SCD2 validity intervals via gaps-and-islands: collapse each
   //      customer's order-status history into slowly-changing-dimension
@@ -1178,7 +1247,7 @@ object AdvancedQueries extends QueryPack {
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
-    scd2Intervals,
+    scd2Intervals, bootstrapMeans,
     stringAgg, groupingSets, q5ish, q3ish, q17ish, q12ish, q19ish,
     q14ish, q22ish, q7ish, q10ish, q13ish, q18ish, q21ish,
     q4ish, q6ish, q8ish, q9ish, q15ish,

@@ -510,6 +510,21 @@ object EngineQueries extends QueryPack {
         .orderBy(col("o_orderstatus")),
     None)
 
+  // ---- greedy k-center coreset (diversity selection): 8 embeddings
+  //      covering the corpus — k map-only scans + TakeOrdered(1) per
+  //      round, corpus never shuffles. Float distance sums are
+  //      HOF-fold order math → rows-only; CoresetSpec replays the greedy
+  //      traversal on the driver and pins id-exact agreement, the
+  //      non-increasing selection-distance certificate, and partition
+  //      invariance ----
+  private val coresetKcenter = OracleQuery(
+    "vx_coreset_kcenter",
+    (s, d) =>
+      graft.operators.Coreset.kCenter(
+        Tables.embeddings(s, d), k = 8, idCol = "vec_id", vecCol = "embedding")
+        .orderBy(col("round")),
+    None)
+
   // brute-force exact ANN (small query set broadcast against the corpus).
   // FULL oracle since round 5 via margin analysis: the raw float cosine is
   // a sequential double fold in both engines, whose worst-case
@@ -1410,7 +1425,8 @@ object EngineQueries extends QueryPack {
     ckaMatrixQuantized, ckaHalfQuantized,
     hllDistinct, hllSketchUnion, approxPercentiles,
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
-    nativeCosine, annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
+    nativeCosine, coresetKcenter,
+    annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical, crossDecontaminateEmb,
     dedupCanonicalExact, dedupClusterProfile, semDedupQuantized, semDedupKmeans,
