@@ -54,12 +54,17 @@ object Coreset {
       var centerVec = seed.getSeq[Float](1).toArray
 
       // running min squared distance to the selected set; updated with
-      // ONE l2sq against the newest center per round (map-only)
+      // ONE l2sq against the newest center per round (map-only).
+      // localCheckpoint each round: the iterative withColumn chain grows
+      // the logical plan linearly, and Catalyst re-analyzes the whole
+      // chain per round (the plan blowup measured at 30+ s/round by
+      // round 15 of the BPE trainer); truncating lineage keeps every
+      // round flat regardless of k.
       var state = base
         .withColumn("minDist",
           VecOps.l2sq(col("vec"), lit(centerVec.map(_.toDouble))))
         .select(col("id"), col("vec"), col("minDist"))
-        .cache()
+        .localCheckpoint(true)
 
       var r = 1
       while (r < k) {
@@ -67,17 +72,13 @@ object Coreset {
           .collect()(0)
         centers :+= ((next.getLong(0), next.getDouble(2)))
         centerVec = next.getSeq[Float](1).toArray
-        val prev = state
-        state = prev
+        state = state
           .withColumn("minDist", least(col("minDist"),
             VecOps.l2sq(col("vec"), lit(centerVec.map(_.toDouble)))))
           .select(col("id"), col("vec"), col("minDist"))
-          .cache()
-        state.count() // materialize before unpersisting the parent
-        prev.unpersist()
+          .localCheckpoint(true)
         r += 1
       }
-      state.unpersist()
       centers.zipWithIndex
         .map { case ((id, d2), i) => (id, i.toLong, d2) }
         .toDF("id", "round", "sel_dist2")

@@ -284,6 +284,92 @@ object TextQueries extends QueryPack {
     WHERE c_ab >= 5
     ORDER BY pmi_q DESC, w1, w2 LIMIT 20"""))
 
+  // ---- PSI distribution-drift report (population stability index —
+  //      the model-monitoring standard for "did this source's feature
+  //      distribution shift vs the corpus"): decile-bucket the corpus on
+  //      a total order (exact two-pass GlobalRank NTILE — never a
+  //      single-partition window), count per (source, decile), and score
+  //      each source against the global decile mass with
+  //      Σ (p−q)·ln(p/q) under add-one smoothing (no zero-bucket
+  //      blowups). Counts are exact integers, the ratios are exact-
+  //      rational doubles, and the reported PSI is quantized to
+  //      floor(psi·1e6) — the selected values sit ≥ 1e-3 of an integer
+  //      from the floor boundary at both SFs (ln-ulp-safe, same
+  //      discipline as t_tfidf_top3/t_pmi_collocations) ----
+  private val psiDrift = OracleQuery(
+    "t_psi_drift_by_source",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val dec = graft.operators.GlobalRank.withNtile(docs, 10, "decile",
+        col("n_chars"), col("doc_id"))
+      val cells = dec.groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("c_sb"))
+      val totals = dec.groupBy(col("decile")).agg(count(lit(1)).as("c_b"))
+      val srcN = cells.groupBy(col("source")).agg(sum(col("c_sb")).as("n_s"))
+      val n = dec.agg(count(lit(1)).as("n"))
+      // every (source, decile) cell must exist — absent cells still carry
+      // the smoothed mass — so rebuild the dense grid with a small cross
+      // join of the two bounded dims before the left join
+      val grid = srcN.crossJoin(broadcast(totals))
+      val terms = grid.join(cells, Seq("source", "decile"), "left")
+        .na.fill(0L, Seq("c_sb"))
+        .crossJoin(broadcast(n))
+        .withColumn("p", (col("c_sb") + lit(1)).cast("double") /
+          (col("n_s") + lit(10)).cast("double"))
+        .withColumn("q", (col("c_b") + lit(1)).cast("double") /
+          (col("n") + lit(10)).cast("double"))
+        .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      terms.groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"),
+          floor(dsum(col("term"), 27, 18) * lit(1000000.0)).cast("long")
+            .as("psi_q"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH dec AS (
+      SELECT doc_id, source,
+        NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    ), cells AS (
+      SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS c_sb
+      FROM dec GROUP BY 1, 2
+    ), totals AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS c_b FROM dec GROUP BY 1
+    ), srcn AS (
+      SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM cells GROUP BY 1
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dec
+    ), grid AS (
+      SELECT srcn.source, srcn.n_s, totals.decile, totals.c_b
+      FROM srcn CROSS JOIN totals
+    ), terms AS (
+      SELECT g.source, g.n_s,
+        (CAST(COALESCE(c.c_sb, 0) + 1 AS DOUBLE) / CAST(g.n_s + 10 AS DOUBLE)
+          - CAST(g.c_b + 1 AS DOUBLE) / CAST(n.n + 10 AS DOUBLE))
+        * ln((CAST(COALESCE(c.c_sb, 0) + 1 AS DOUBLE) / CAST(g.n_s + 10 AS DOUBLE))
+          / (CAST(g.c_b + 1 AS DOUBLE) / CAST(n.n + 10 AS DOUBLE))) AS term
+      FROM grid g
+      LEFT JOIN cells c ON c.source = g.source AND c.decile = g.decile
+      CROSS JOIN n
+    )
+    SELECT source, MAX(n_s) AS n_docs,
+      CAST(floor(${DSUM("term", 27, 18)} * 1000000.0) AS BIGINT) AS psi_q
+    FROM terms GROUP BY source ORDER BY source"""))
+
+  // ---- BPE merge training (Sennrich 2016): the tokenizer-construction
+  //      pass. One corpus scan builds the word-frequency vocabulary;
+  //      the 16 merge rounds then run vocab-bounded (pair-count agg +
+  //      deterministic argmax + map-only re-segmentation). Merge
+  //      selection is iterative-argmax over engine state → rows-only;
+  //      BpeTrainSpec pins the table merge-for-merge against a driver
+  //      reference, replay-reproducibility, and partition invariance ----
+  private val bpeMerges = OracleQuery(
+    "t_bpe_merges",
+    (s, d) =>
+      graft.operators.BpeTrain.train(Tables.documents(s, d), k = 16)
+        .orderBy(col("round")),
+    None)
+
   // ---- global word frequency top-20 ----
   private val wordFreq = OracleQuery(
     "t_word_freq_top20",
@@ -1624,5 +1710,5 @@ object TextQueries extends QueryPack {
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
-    pmiCollocations)
+    pmiCollocations, psiDrift, bpeMerges)
 }
