@@ -209,7 +209,41 @@ object ScaleJoinQueries extends QueryPack {
       AND levenshtein(a.c_name, b.c_name) <= 1
     ORDER BY id_a, id_b"""))
 
+  // ---- fuzzy-key canonicalize: the ed-join composed into the dedup
+  //      stack — typo-cluster pairs feed the same large/small-star
+  //      labeling every other dedup family member uses, and DuckDB
+  //      replays BOTH halves independently (naive levenshtein join +
+  //      recursive reachability closure + min label), proving the fuzzy
+  //      record-linkage path exact end-to-end. Slice bounded to 400 keys
+  //      so the oracle's transitive closure stays replayable ----
+  private val edJoinCanonical = OracleQuery(
+    "jx_edjoin_canonical",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") < 400)
+        .select(col("c_custkey"), col("c_name"))
+      val pairs = graft.operators.EdJoin.edJoin(c, tau = 1,
+          idCol = "c_custkey", strCol = "c_name")
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.canonicalize(pairs).orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE pr AS (
+      SELECT a.c_custkey AS ia, b.c_custkey AS ib
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE a.c_custkey < 400 AND b.c_custkey < 400
+        AND levenshtein(a.c_name, b.c_name) <= 1
+    ), e AS (
+      SELECT ia AS a, ib AS b FROM pr
+      UNION
+      SELECT ib, ia FROM pr
+    ), reach(a, b) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS canonical_id, MIN(b) = a AS keep
+    FROM reach GROUP BY a ORDER BY doc_id"""))
+
   override val all: Seq[OracleQuery] =
     Seq(saltedSupplierRevenue, bucketedOrderRevenue, keySkewProfile, bloomSemi,
-      zorderSpans, dppPruned, edJoinTypos)
+      zorderSpans, dppPruned, edJoinTypos, edJoinCanonical)
 }

@@ -370,6 +370,39 @@ object TextQueries extends QueryPack {
         .orderBy(col("round")),
     None)
 
+  // ---- quantile-stratified sampling: equal-k draws from each decile of
+  //      the length distribution — the "cover the whole difficulty
+  //      spectrum" selection a curriculum or eval set needs (vs
+  //      t_sample_bottomk_per_source's categorical strata). Composes the
+  //      two scale-safe primitives: exact two-pass NTILE for strata
+  //      (never a global window sort) and the mergeable bottom-k sketch
+  //      within each (k rows per task reach the shuffle). Deterministic
+  //      knuth32 order → both halves replay in SQL → full oracle ----
+  private val stratifiedSample = OracleQuery(
+    "t_stratified_decile_sample",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val dec = graft.operators.GlobalRank.withNtile(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        10, "decile", col("n_chars"), col("doc_id"))
+      dec.groupBy(col("decile"))
+        .agg(graft.operators.Sampling.bottomK(col("doc_id"), 5).as("sample"))
+        .select(col("decile"), explode(col("sample")).as("doc_id"))
+        .orderBy(col("decile"), col("doc_id"))
+    },
+    Some(s"""WITH dec AS (
+      SELECT doc_id, NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    ), r AS (
+      SELECT decile, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY decile
+          ORDER BY ${KNUTH32("doc_id")}, doc_id) AS rn
+      FROM dec
+    )
+    SELECT decile, doc_id FROM r WHERE rn <= 5
+    ORDER BY decile, doc_id"""))
+
   // ---- global word frequency top-20 ----
   private val wordFreq = OracleQuery(
     "t_word_freq_top20",
@@ -1710,5 +1743,5 @@ object TextQueries extends QueryPack {
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
-    pmiCollocations, psiDrift, bpeMerges)
+    pmiCollocations, psiDrift, bpeMerges, stratifiedSample)
 }
