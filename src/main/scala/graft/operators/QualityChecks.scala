@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint report (the Deequ/
+  * great-expectations pattern, Schelter et al. 2018 "Automating
+  * Large-Scale Data Quality Verification"): evaluate a set of named
+  * row-level predicates over a table in ONE aggregation pass and publish
+  * (check, n_rows, n_violations, pass) — the contract gate a pipeline
+  * runs before promoting a snapshot.
+  *
+  * Every check is a conditional count folded into the same map-side
+  * partial aggregate, so the report costs one scan regardless of how
+  * many constraints it carries; uniqueness checks (not expressible as a
+  * row predicate) run as a key-grouped duplicate count and union in —
+  * one extra shuffle on the checked key, still payload-free.
+  */
+object QualityChecks {
+
+  /** One scan, all row-level predicates. `checks` maps check name →
+    * predicate that must hold for every row.
+    */
+  def report(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val n = count(lit(1))
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+    }
+    val row = df.agg(n.as("__n"), aggs: _*)
+    // unpivot the single summary row into (check, n_rows, n_violations)
+    val stacked = checks.map { case (name, _) =>
+      struct(lit(name).as("check"), col("__n").as("n_rows"),
+        col(s"__v_$name").as("n_violations"))
+    }
+    row.select(explode(array(stacked: _*)).as("r"))
+      .select(col("r.check"), col("r.n_rows"), col("r.n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Uniqueness constraint on a key: rows carrying a duplicated key
+    * count as violations (all members of a duplicate group, matching
+    * the "every row must be uniquely keyed" contract).
+    */
+  def uniqueCheck(df: DataFrame, name: String, keyCols: Seq[String])
+      : DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__n"),
+        coalesce(sum(when(col("__c") > 1, col("__c"))), lit(0L)).as("__v"))
+      .select(lit(name).as("check"), col("__n").as("n_rows"),
+        col("__v").as("n_violations"),
+        (col("__v") === 0L).as("pass"))
+}

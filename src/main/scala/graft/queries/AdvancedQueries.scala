@@ -371,6 +371,55 @@ object AdvancedQueries extends QueryPack {
                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_orders_30d
     FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
+  // ---- declarative data-quality contract report (the Deequ pattern):
+  //      four row-level constraints in ONE aggregation pass plus a
+  //      key-uniqueness check unioned in — the promote-gate a snapshot
+  //      passes before downstream jobs trust it. Counts are exact
+  //      integers → full oracle ----
+  private val dataQualityReport = OracleQuery(
+    "t_data_quality_report",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val rowChecks = graft.operators.QualityChecks.report(o, Seq(
+        "date_not_null" -> col("o_orderdate").isNotNull,
+        "priority_format" -> col("o_orderpriority").rlike("^[1-5]-"),
+        "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "totalprice_positive" -> (col("o_totalprice") > 0)))
+      val unique = graft.operators.QualityChecks.uniqueCheck(o,
+        "orderkey_unique", Seq("o_orderkey"))
+      rowChecks.unionByName(unique).orderBy(col("check"))
+    },
+    Some("""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    rowchecks AS (
+      SELECT 'date_not_null' AS check, n.n AS n_rows,
+        CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violations
+      FROM orders, n GROUP BY n.n
+      UNION ALL
+      SELECT 'priority_format', n.n,
+        CAST(SUM(CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority,
+          '^[1-5]-'), false) THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders, n GROUP BY n.n
+      UNION ALL
+      SELECT 'status_in_domain', n.n,
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+          OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders, n GROUP BY n.n
+      UNION ALL
+      SELECT 'totalprice_positive', n.n,
+        CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, false)
+          THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders, n GROUP BY n.n
+      UNION ALL
+      SELECT 'orderkey_unique', n.n,
+        CAST(COALESCE((SELECT SUM(c) FROM (
+          SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)), 0) AS BIGINT)
+      FROM n
+    )
+    SELECT "check", n_rows, n_violations, n_violations = 0 AS pass
+    FROM rowchecks ORDER BY "check""""))
+
   // ---- Poisson bootstrap (Chamandy et al. 2012): the MAP-ONLY bootstrap
   //      that works at 100 TB. The classic resample-n-rows-B-times
   //      bootstrap needs B global draws of the corpus; the Poisson
@@ -1247,7 +1296,7 @@ object AdvancedQueries extends QueryPack {
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
-    scd2Intervals, bootstrapMeans,
+    scd2Intervals, bootstrapMeans, dataQualityReport,
     stringAgg, groupingSets, q5ish, q3ish, q17ish, q12ish, q19ish,
     q14ish, q22ish, q7ish, q10ish, q13ish, q18ish, q21ish,
     q4ish, q6ish, q8ish, q9ish, q15ish,

@@ -403,6 +403,38 @@ object TextQueries extends QueryPack {
     SELECT decile, doc_id FROM r WHERE rn <= 5
     ORDER BY decile, doc_id"""))
 
+  // ---- keyed snapshot diff (data versioning): two deterministic corpus
+  //      "versions" (different retention filters; every 11th doc edited)
+  //      classified row-by-row through the one-join fingerprint diff —
+  //      the incremental contract replacing full rescans. The oracle
+  //      replays status with direct value comparison, which the
+  //      fingerprint equality is exactly equivalent to ----
+  private val snapshotDiff = OracleQuery(
+    "t_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.TableDiff.diff(v1, v2, Seq("doc_id"), Seq("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH a AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ), b AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      CASE WHEN a.doc_id IS NULL THEN 'added'
+           WHEN b.doc_id IS NULL THEN 'removed'
+           WHEN a.text <> b.text THEN 'changed'
+           ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ORDER BY doc_id"""))
+
   // ---- global word frequency top-20 ----
   private val wordFreq = OracleQuery(
     "t_word_freq_top20",
@@ -1743,5 +1775,5 @@ object TextQueries extends QueryPack {
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
-    pmiCollocations, psiDrift, bpeMerges, stratifiedSample)
+    pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff)
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{QualityChecks, TableDiff}
+import org.apache.spark.sql.functions._
+
+class TableDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diff classifies added/removed/changed/unchanged correctly") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    val neu = Seq((2L, "b"), (3L, "C"), (4L, "d"), (5L, "e"))
+      .toDF("id", "v")
+    val got = TableDiff.diff(old, neu, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+    val sum = TableDiff.summary(old, neu, Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 2L))
+  }
+
+  test("null vs empty string cannot collide in the fingerprint") {
+    val old = Seq((1L, Option.empty[String]), (2L, Some("")))
+      .toDF("id", "v")
+    val neu = Seq((1L, Some("")), (2L, Option.empty[String]))
+      .toDF("id", "v")
+    val got = TableDiff.diff(old, neu, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("multi-column keys and selective compare columns") {
+    val old = Seq((1L, 1L, "x", "keep"), (1L, 2L, "y", "keep"))
+      .toDF("k1", "k2", "v", "ignored")
+    val neu = Seq((1L, 1L, "x", "DIFFERENT"), (1L, 2L, "z", "keep"))
+      .toDF("k1", "k2", "v", "ignored")
+    val got = TableDiff.diff(old, neu, Seq("k1", "k2"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got == Map((1L, 1L) -> "unchanged", (1L, 2L) -> "changed"))
+  }
+
+  test("quality report: one pass, exact violation counts, pass flags") {
+    val df = Seq((1L, 10.0), (2L, -5.0), (3L, 0.0), (3L, 7.0))
+      .toDF("id", "x")
+    val rep = QualityChecks.report(df, Seq(
+      "x_positive" -> (col("x") > 0),
+      "id_small" -> (col("id") < 100)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep("x_positive") == ((4L, 2L, false)))
+    assert(rep("id_small") == ((4L, 0L, true)))
+    val uq = QualityChecks.uniqueCheck(df, "id_unique", Seq("id")).collect()(0)
+    assert((uq.getLong(1), uq.getLong(2), uq.getBoolean(3)) == ((4L, 2L, false)))
+  }
+
+  test("null predicate results count as violations") {
+    val df = Seq((1L, Some(5.0)), (2L, Option.empty[Double]))
+      .toDF("id", "x")
+    val rep = QualityChecks.report(df,
+      Seq("x_positive" -> (col("x") > 0))).collect()(0)
+    assert(rep.getLong(2) == 1L && !rep.getBoolean(3))
+  }
+}
