@@ -393,6 +393,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"equi-depth fell back to a window sort:\n$p")
   }
 
+  test("PSI and stratified sampling never fall back to a global window sort") {
+    // both bucket on GlobalRank's two-pass NTILE; a Window node would
+    // mean the whole corpus funneled through one task's sort
+    Seq("t_psi_drift_by_source", "t_stratified_decile_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q fell back to a window sort:\n$p")
+    }
+  }
+
+  test("ed-join gate queries never build a cartesian product") {
+    Seq("jx_edjoin_customer_typos", "jx_edjoin_canonical").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q fell back to a cross product:\n$p")
+    }
+  }
+
+  test("bootstrap replicate means stay map-only up to the 64-key exchange") {
+    // the 64x explode must partial-aggregate map-side: the only wide
+    // exchange in the plan hashes on the replicate id, never on row data
+    val p = plan("stat_bootstrap_poisson_means").toLowerCase
+    assert(!p.contains("sortmergejoin") && !p.contains("cartesianproduct"),
+      s"bootstrap grew a join:\n$p")
+    // map-side combine proof: the 64x exploded rows partial-aggregate
+    // BEFORE any exchange, so only 64 keys per task reach the shuffle
+    assert(p.contains("partial_sum"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("snapshot diff ships fingerprints, not payloads, through the join") {
+    val p = plan("t_snapshot_diff")
+    assert(p.contains("md5"), s"fingerprint projection missing:\n$p")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"diff is not a single full-outer join:\n$p")
+  }
+
   test("ntile runs as the two-pass bucket plan, never a one-partition window") {
     val p = plan("w_ntile_acctbal_quartiles").toLowerCase
     assert(!p.contains("window"), s"ntile fell back to a window:\n$p")
