@@ -510,6 +510,45 @@ object EngineQueries extends QueryPack {
         .orderBy(col("o_orderstatus")),
     None)
 
+  // ---- streaming drift monitor (rows-only): the firehose twin of
+  //      t_psi_drift_by_source, wired like production — bucket cuts
+  //      FROZEN from a KLL artifact of the reference half of the corpus,
+  //      the other half streamed against the reference masses with
+  //      per-source GroupState bucket counts (10 longs per source, ever).
+  //      StreamingDriftSpec pins MemoryStream batch parity and the
+  //      exact-regime boundary agreement ----
+  private val streamPsiDrift = OracleQuery(
+    "tx_stream_psi_drift",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(col("doc_id") % 3 === 0)
+      val levels = ref
+        .agg(graft.operators.QuantileSketch.sketch(col("n_chars")).as("sk"))
+        .collect()(0)
+        .getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+        .map(_.toSeq).toSeq
+      val bounds = graft.streaming.StreamingDrift
+        .boundariesFromSketch(levels, 10)
+      val bUdf = udf((v: Double) =>
+        graft.streaming.StreamingDrift.bucketOf(v, bounds))
+      val refCounts = {
+        val m = ref.select(bUdf(col("n_chars").cast("double")).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        Array.tabulate(10)(i => m.getOrElse(i, 0L))
+      }
+      graft.streaming.StreamingDrift
+        .psiAgainstReference(docs.filter(col("doc_id") % 3 =!= 0),
+          bounds, refCounts)
+        .toDF()
+        .select(col("source"), col("n"),
+          floor(col("psi") * lit(1000000.0)).cast("long").as("psi_q"))
+        .orderBy(col("source"))
+    },
+    None)
+
   // ---- greedy k-center coreset (diversity selection): 8 embeddings
   //      covering the corpus — k map-only scans + TakeOrdered(1) per
   //      round, corpus never shuffles. Float distance sums are
@@ -1425,7 +1464,7 @@ object EngineQueries extends QueryPack {
     ckaMatrixQuantized, ckaHalfQuantized,
     hllDistinct, hllSketchUnion, approxPercentiles,
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
-    nativeCosine, coresetKcenter,
+    nativeCosine, coresetKcenter, streamPsiDrift,
     annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical, crossDecontaminateEmb,
