@@ -403,6 +403,101 @@ object TextQueries extends QueryPack {
     SELECT decile, doc_id FROM r WHERE rn <= 5
     ORDER BY decile, doc_id"""))
 
+  // ---- BM25 retrieval scoring (Robertson & Zaragoza 2009; k1=1.2,
+  //      b=0.75): top-10 documents for the three rarest-term query —
+  //      the lexical-retrieval primitive beside the ANN family's dense
+  //      retrieval. tf/df/doc-length are vocab- and corpus-bounded
+  //      aggregates, the query terms broadcast, scoring is map-only.
+  //      Both engines build every float in the IDENTICAL operation
+  //      order, per-(doc,term) scores sum through the exact-decimal
+  //      boundary, ranking uses the QUANTIZED score with doc-id
+  //      tiebreak → full oracle (selected floor margins ≥ 2.5e-2 at
+  //      both SFs, measured) ----
+  private val bm25TopK = OracleQuery(
+    "t_bm25_topk",
+    (s, d) => {
+      val tf = words(s, d).groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nn = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val ad = dl.agg(sum(col("dl")).as("__sdl")).crossJoin(broadcast(nn))
+        .select((col("__sdl").cast("double") / col("n").cast("double"))
+          .as("avgdl"))
+      val q = dfT.orderBy(col("df"), col("w")).limit(3)
+      val sc = tf.join(broadcast(q), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(ad))
+        .withColumn("s",
+          log(((col("n") - col("df")).cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+          ((col("tf").cast("double") * lit(2.2)) /
+           (col("tf").cast("double") + lit(1.2) *
+             (lit(0.25) + lit(0.75) *
+               (col("dl").cast("double") / col("avgdl"))))))
+      sc.groupBy(col("doc_id"))
+        .agg(floor(dsum(col("s"), 27, 12) * lit(1000000.0)).cast("long")
+          .as("score_q"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      SELECT w, df FROM dft ORDER BY df, w LIMIT 3
+    ), sc AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+    )
+    SELECT doc_id,
+      CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
+    FROM sc GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id LIMIT 10"""))
+
+  // ---- the BPE train→apply closure: tokenize the corpus with the 16
+  //      learned merges (train on the word-frequency vocabulary, apply
+  //      as a broadcast merge table — one corpus pass each way) and
+  //      report the top-10 LEARNED multi-char tokens by corpus
+  //      frequency. Rows-only (merge table is engine state);
+  //      BpeTrainSpec pins the replay semantics ----
+  private val bpeTokenizeStats = OracleQuery(
+    "t_bpe_tokenize_stats",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val table = graft.operators.BpeTrain.train(Tables.documents(s, d), 16)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val tok = udf((w: String) =>
+        graft.operators.BpeTrain.applyMerges(w, table))
+      words(s, d)
+        .select(explode(tok(col("w"))).as("token"))
+        .filter(length(col("token")) > 1)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(10)
+    },
+    None)
+
   // ---- keyed snapshot diff (data versioning): two deterministic corpus
   //      "versions" (different retention filters; every 11th doc edited)
   //      classified row-by-row through the one-join fingerprint diff —
@@ -1775,5 +1870,6 @@ object TextQueries extends QueryPack {
     chunkSliding, curationBySource, leakageSplit, trainingMixPipeline,
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
-    pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff)
+    pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
+    bm25TopK, bpeTokenizeStats)
 }
