@@ -488,6 +488,97 @@ object AdvancedQueries extends QueryPack {
     FROM w WHERE w > 0
     GROUP BY b ORDER BY b"""))
 
+  // ---- per-group OLS trend (closed-form simple regression from exact
+  //      power sums — the distributed-regression shape: one pass of
+  //      map-side-combinable sums, closed form on 4 scalars per group):
+  //      daily revenue slope per order status. Integer x-sums are exact,
+  //      double y-sums cross the exact-decimal boundary, the closed form
+  //      evaluates in the identical operation order → full oracle on
+  //      quantized slope/intercept ----
+  private val olsTrend = OracleQuery(
+    "stat_ols_trend_per_status",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          (unix_timestamp(col("o_orderdate")) / lit(86400L)).cast("long")
+            .as("x"),
+          col("o_totalprice").cast("double").as("y"))
+      o.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          dsum(col("y")).as("sy"),
+          dsum(col("x").cast("double") * col("y"), 38, 6).as("sxy"))
+        .select(col("o_orderstatus"), col("n"),
+          floor(((col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+            * lit(1000000000.0)).cast("long").as("slope_e9"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""WITH o AS (
+      SELECT o_orderstatus,
+        CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS x,
+        CAST(o_totalprice AS DOUBLE) AS y
+      FROM orders
+    ), a AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        ${DSUM("y")} AS sy,
+        ${DSUM("CAST(x AS DOUBLE) * y", 38, 6)} AS sxy
+      FROM o GROUP BY 1
+    )
+    SELECT o_orderstatus, n,
+      CAST(floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1000000000.0)
+        AS BIGINT) AS slope_e9
+    FROM a ORDER BY o_orderstatus"""))
+
+  // ---- robust MAD outlier report (median absolute deviation, the
+  //      robust-statistics alternative to vx_embedding_outliers'
+  //      z-score): per-status exact medians, exact MAD, and the count
+  //      beyond the 3σ-equivalent 4.4478·MAD fence. Every float is
+  //      bit-identical cross-engine (exact medians, identical
+  //      comparison operands) so med and mad ship UNQUANTIZED ----
+  private val madOutliers = OracleQuery(
+    "stat_mad_outliers",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice").cast("double")
+          .as("y"))
+      val med = o.groupBy(col("o_orderstatus"))
+        .agg(median(col("y")).as("med"))
+      val dev = o.join(broadcast(med), "o_orderstatus")
+        .withColumn("ad", abs(col("y") - col("med")))
+      val mad = dev.groupBy(col("o_orderstatus"))
+        .agg(median(col("ad")).as("mad"))
+      dev.join(broadcast(mad), "o_orderstatus")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH o AS (
+      SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS y FROM orders
+    ), med AS (
+      SELECT o_orderstatus, median(y) AS med FROM o GROUP BY 1
+    ), dev AS (
+      SELECT o.o_orderstatus, o.y, med.med, abs(o.y - med.med) AS ad
+      FROM o JOIN med USING (o_orderstatus)
+    ), mad AS (
+      SELECT o_orderstatus, median(ad) AS mad FROM dev GROUP BY 1
+    )
+    SELECT dev.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      MAX(dev.med) AS med, MAX(mad.mad) AS mad,
+      CAST(SUM(CASE WHEN dev.ad > 4.4478 * mad.mad THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (o_orderstatus)
+    GROUP BY 1 ORDER BY 1"""))
+
   // ---- SCD2 validity intervals via gaps-and-islands: collapse each
   //      customer's order-status history into slowly-changing-dimension
   //      rows (valid_from, valid_to, is_current), opening a new interval
@@ -1296,7 +1387,7 @@ object AdvancedQueries extends QueryPack {
   override val all: Seq[OracleQuery] = Seq(
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
-    scd2Intervals, bootstrapMeans, dataQualityReport,
+    scd2Intervals, bootstrapMeans, dataQualityReport, olsTrend, madOutliers,
     stringAgg, groupingSets, q5ish, q3ish, q17ish, q12ish, q19ish,
     q14ish, q22ish, q7ish, q10ish, q13ish, q18ish, q21ish,
     q4ish, q6ish, q8ish, q9ish, q15ish,

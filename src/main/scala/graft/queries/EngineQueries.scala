@@ -549,6 +549,128 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // ---- hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+  //      2009, the k=60 convention): dense cosine ranks against query
+  //      vector 0 fused with lexical BM25 ranks for the rarest-term
+  //      query — the dense+sparse ensemble production search runs.
+  //      Dense similarities are the exact-integer quantized-cosine
+  //      scheme (order-free integer sums, one double division), BOTH
+  //      rank lists come from the two-pass GlobalRank (no global window
+  //      sort), and the fused score is two small rationals added in a
+  //      fixed order → full oracle on the quantized fusion (margins
+  //      measured; ranks are small ints so 1/(60+r) terms are coarse) ----
+  private val hybridRrf = OracleQuery(
+    "vx_hybrid_rrf_top10",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1e6)).cast("double")).as("q"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("q").as("qq"))
+      val cosDf = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          graft.functions.VecOps.cosineNative(col("q"), col("qq")).as("c"))
+      val (dr, _) = graft.operators.GlobalRank.withGlobalRank(
+        cosDf, "rd", -col("c"), col("vec_id"))
+      val dense = dr.select(col("vec_id").as("doc_id"), col("rd"))
+
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nn = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val ad = dl.agg(sum(col("dl")).as("__sdl")).crossJoin(broadcast(nn))
+        .select((col("__sdl").cast("double") / col("n").cast("double"))
+          .as("avgdl"))
+      val qterms = dfT.orderBy(col("df"), col("w")).limit(3)
+      val sc = tf.join(broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(ad))
+        .withColumn("s",
+          log(((col("n") - col("df")).cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+          ((col("tf").cast("double") * lit(2.2)) /
+           (col("tf").cast("double") + lit(1.2) *
+             (lit(0.25) + lit(0.75) *
+               (col("dl").cast("double") / col("avgdl"))))))
+      val lex = sc.groupBy(col("doc_id"))
+        .agg(floor(graft.queries.Exact.dsum(col("s"), 27, 12)
+          * lit(1000000.0)).cast("long").as("score_q"))
+      val (lr, _) = graft.operators.GlobalRank.withGlobalRank(
+        lex, "rl", -col("score_q"), col("doc_id"))
+      val lexR = lr.select(col("doc_id"), col("rl"))
+
+      dense.join(lexR, Seq("doc_id"), "left")
+        .withColumn("rrf",
+          lit(1.0) / (lit(60.0) + col("rd").cast("double")) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rl").cast("double")),
+              lit(0.0)))
+        .select(col("doc_id"),
+          floor(col("rrf") * lit(1000000000.0)).cast("long").as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+          AS vq
+      FROM embeddings
+    ), qv AS (
+      SELECT pos, vq FROM lf WHERE vec_id = 0
+    ), cos AS (
+      SELECT lf.vec_id,
+        CAST(SUM(lf.vq * qv.vq) AS DOUBLE) /
+        (sqrt(CAST(SUM(lf.vq * lf.vq) AS DOUBLE)) *
+         sqrt(CAST(SUM(qv.vq * qv.vq) AS DOUBLE)) + 1e-12) AS c
+      FROM lf JOIN qv ON lf.pos = qv.pos
+      WHERE lf.vec_id <> 0 GROUP BY lf.vec_id
+    ), dr AS (
+      SELECT vec_id AS doc_id,
+        ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rd
+      FROM cos
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      SELECT w, df FROM dft ORDER BY df, w LIMIT 3
+    ), scx AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+    ), lex AS (
+      SELECT doc_id,
+        CAST(floor(${graft.queries.Exact.DSUM("s", 27, 12)} * 1000000.0)
+          AS BIGINT) AS score_q
+      FROM scx GROUP BY doc_id
+    ), lr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rl
+      FROM lex
+    ), f AS (
+      SELECT dr.doc_id,
+        1.0 / (60.0 + CAST(rd AS DOUBLE)) +
+          COALESCE(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0) AS rrf
+      FROM dr LEFT JOIN lr ON dr.doc_id = lr.doc_id
+    )
+    SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
+    FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10"""))
+
   // ---- greedy k-center coreset (diversity selection): 8 embeddings
   //      covering the corpus — k map-only scans + TakeOrdered(1) per
   //      round, corpus never shuffles. Float distance sums are
@@ -1464,7 +1586,7 @@ object EngineQueries extends QueryPack {
     ckaMatrixQuantized, ckaHalfQuantized,
     hllDistinct, hllSketchUnion, approxPercentiles,
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
-    nativeCosine, coresetKcenter, streamPsiDrift,
+    nativeCosine, coresetKcenter, streamPsiDrift, hybridRrf,
     annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical, crossDecontaminateEmb,
