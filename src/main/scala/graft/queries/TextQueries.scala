@@ -530,6 +530,39 @@ object TextQueries extends QueryPack {
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     ORDER BY doc_id"""))
 
+  // ---- the snapshot diff's STREAM twin: new-version rows scored
+  //      against the reference fingerprint table (stream-static left
+  //      join — no streaming state at all), emitting only added/changed.
+  //      Fingerprint status ≡ direct value comparison, so the batch-mode
+  //      run gets a FULL oracle; StreamingDiffSpec drives the real
+  //      MemoryStream path and pins batch parity ----
+  private val streamSnapshotChanges = OracleQuery(
+    "tx_stream_snapshot_changes",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.streaming.StreamingDiff.changes(v2,
+          graft.streaming.StreamingDiff.referenceFingerprints(v1,
+            Seq("doc_id"), Seq("text")),
+          Seq("doc_id"), Seq("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH a AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ), b AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT b.doc_id,
+      CASE WHEN a.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+    FROM b LEFT JOIN a ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR a.text <> b.text
+    ORDER BY b.doc_id"""))
+
   // ---- global word frequency top-20 ----
   private val wordFreq = OracleQuery(
     "t_word_freq_top20",
@@ -1871,5 +1904,5 @@ object TextQueries extends QueryPack {
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
-    bm25TopK, bpeTokenizeStats)
+    bm25TopK, bpeTokenizeStats, streamSnapshotChanges)
 }
