@@ -60,6 +60,20 @@ object BpeTrain {
   def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(segment(word)) { case (s, (l, r)) => mergeOnce(s, l, r) }
 
+  /** Persist the merge table — the tokenizer IS this artifact, like the
+    * IVF/PQ indexes and the bigram LM: train once, load everywhere.
+    */
+  def save(merges: DataFrame, dir: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a merge table back in training order, ready for
+    * [[applyMerges]].
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, String)] =
+    spark.read.parquet(dir).orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+
   /** Learn `k` merges from `docs(textCol)`. Returns (round, left, right,
     * pair_count) in training order; `pair_count` is the merged pair's
     * corpus frequency (weighted by word frequency) at selection time.

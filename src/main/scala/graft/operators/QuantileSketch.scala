@@ -125,7 +125,11 @@ object QuantileSketch {
   private final class Kll(k: Int)
       extends Aggregator[Double, Buf, Seq[Seq[Double]]] {
     def zero: Buf = empty
-    def reduce(b: Buf, x: Double): Buf = insert(b, x, k)
+    // NaN is excluded, not ranked: a NaN inside a level would poison the
+    // compaction sort (IEEE NaN breaks total order) and no rank
+    // convention places it; matches SQL aggregates ignoring NULL
+    def reduce(b: Buf, x: Double): Buf =
+      if (x.isNaN) b else insert(b, x, k)
     def merge(a: Buf, b: Buf): Buf = mergeBufs(a, b, k)
     def finish(b: Buf): Seq[Seq[Double]] = b.levels
     def bufferEncoder: Encoder[Buf] = ExpressionEncoder[Buf]()

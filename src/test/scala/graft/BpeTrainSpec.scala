@@ -83,6 +83,19 @@ class BpeTrainSpec extends SparkSpec {
     assert(a == b, "repartitioning changed the merge table")
   }
 
+  test("merge table round-trips through parquet in training order") {
+    val merges = BpeTrain.train(Tables.documents(spark, sf001), 8)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    BpeTrain.save(merges, dir)
+    val back = BpeTrain.load(spark, dir)
+    val want = merges.orderBy($"round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(back == want, "merge table changed across persistence")
+    // loaded table must tokenize identically
+    assert(BpeTrain.applyMerges("lowest", back) ==
+      BpeTrain.applyMerges("lowest", want))
+  }
+
   test("degenerate inputs: empty corpus, single-char words") {
     assert(BpeTrain.train(Seq.empty[String].toDF("text"), 5).count() == 0)
     // single-char words have one symbol ("x</w>") — no pairs, no merges

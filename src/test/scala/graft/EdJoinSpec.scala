@@ -63,6 +63,15 @@ class EdJoinSpec extends SparkSpec {
     assert(viaFilter(names, 1, q = 3) == naive(names, 1))
   }
 
+  test("null strings produce no pairs — matching SQL levenshtein semantics") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("abc")),
+      (3L, Some("abd")), (4L, Option.empty[String])).toDF("id", "s")
+    val got = EdJoin.edJoin(df, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // levenshtein(NULL, x) is NULL in SQL -> never <= tau; only (2,3) pairs
+    assert(got == Set((2L, 3L)), s"null handling diverged: $got")
+  }
+
   test("posting cap trades recall for work, never precision") {
     val names = Tables.customer(spark, sf01)
       .filter($"c_custkey" < 300)

@@ -429,6 +429,12 @@ class PlanSpec extends SparkSpec {
       s"diff is not a single full-outer join:\n$p")
   }
 
+  test("hybrid RRF builds both rank lists without a window or cartesian") {
+    val p = plan("vx_hybrid_rrf_top10")
+    assert(!p.contains("Window"), s"rank list fell back to a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fusion grew a cross product:\n$p")
+  }
+
   test("ntile runs as the two-pass bucket plan, never a one-partition window") {
     val p = plan("w_ntile_acctbal_quartiles").toLowerCase
     assert(!p.contains("window"), s"ntile fell back to a window:\n$p")

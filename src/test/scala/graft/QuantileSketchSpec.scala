@@ -145,6 +145,20 @@ class QuantileSketchSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("NaN values are excluded, never ranked or sort-poisoning") {
+    val xs = Seq(3.0, Double.NaN, 1.0, Double.NaN, 2.0)
+    val art = sketchOf(xs, 2)
+    val w = art.zipWithIndex.map { case (l, i) => l.length.toLong << i }.sum
+    assert(w == 3L, s"NaN leaked into the sketch (weight $w)")
+    assert(QuantileSketch.quantile(art, 0.5) == 2.0)
+    // a NaN flood with real values interleaved must not corrupt compaction
+    val flood = (1 to 5000).flatMap(i => Seq(i.toDouble, Double.NaN))
+    val big = sketchOf(flood, 8, k = 64)
+    val est = QuantileSketch.quantile(big, 0.5)
+    assert(!est.isNaN && math.abs(est - 2500.0) <= 5000 * 0.05,
+      s"median after NaN flood: $est")
+  }
+
   test("degenerate inputs: empty, single value, all-equal") {
     assert(QuantileSketch.quantile(Seq(Seq.empty[Double]), 0.5).isNaN)
     val one = sketchOf(Seq(42.0), 1)
