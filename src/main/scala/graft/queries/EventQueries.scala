@@ -439,8 +439,80 @@ object EventQueries extends QueryPack {
     FROM e WHERE next_us IS NOT NULL
     GROUP BY user_id ORDER BY user_id"""))
 
+  // ---- windowed drift monitoring: PSI of each (day, event_type)'s
+  //      value distribution against the corpus-wide decile mass — "did
+  //      click values drift on Tuesday", the time-series form of
+  //      t_psi_drift_by_source. Deciles come from the exact two-pass
+  //      GlobalRank NTILE (SQL-replayable, unlike the stream twin's
+  //      KLL-derived cuts), counts are exact integers under add-one
+  //      smoothing, terms cross the exact-decimal boundary, and only
+  //      days with ≥ 50 events report (small cells are all smoothing
+  //      noise). Quantized PSI, deterministic ordering → full oracle ----
+  private val psiWindowed = OracleQuery(
+    "e_psi_drift_windowed",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        to_date(col("ts")).as("day"), col("event_type"), col("value"))
+      val dec = graft.operators.GlobalRank.withNtile(ev, 10, "decile",
+        col("value"), col("event_id"))
+      val cells = dec.groupBy(col("day"), col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("c"))
+      val winN = cells.groupBy(col("day"), col("event_type"))
+        .agg(sum(col("c")).as("n_w")).filter(col("n_w") >= 50)
+      val totals = dec.groupBy(col("decile")).agg(count(lit(1)).as("c_b"))
+      val n = dec.agg(count(lit(1)).as("n"))
+      val grid = winN.crossJoin(broadcast(totals))
+      grid.join(cells, Seq("day", "event_type", "decile"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(n))
+        .withColumn("p", (col("c") + lit(1)).cast("double") /
+          (col("n_w") + lit(10)).cast("double"))
+        .withColumn("q", (col("c_b") + lit(1)).cast("double") /
+          (col("n") + lit(10)).cast("double"))
+        .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+        .groupBy(col("day"), col("event_type"))
+        .agg(max(col("n_w")).as("n_events"),
+          floor(dsum(col("term"), 27, 18) * lit(1000000.0)).cast("long")
+            .as("psi_q"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT event_id, CAST(ts AS DATE) AS day, event_type, value
+      FROM events
+    ), dec AS (
+      SELECT day, event_type,
+        NTILE(10) OVER (ORDER BY value, event_id) AS decile
+      FROM ev
+    ), cells AS (
+      SELECT day, event_type, decile, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dec GROUP BY 1, 2, 3
+    ), winn AS (
+      SELECT day, event_type, CAST(SUM(c) AS BIGINT) AS n_w
+      FROM cells GROUP BY 1, 2 HAVING SUM(c) >= 50
+    ), totals AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS c_b FROM dec GROUP BY 1
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dec
+    ), grid AS (
+      SELECT w.day, w.event_type, w.n_w, t.decile, t.c_b
+      FROM winn w CROSS JOIN totals t
+    ), terms AS (
+      SELECT g.day, g.event_type, g.n_w,
+        (CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / CAST(g.n_w + 10 AS DOUBLE)
+          - CAST(g.c_b + 1 AS DOUBLE) / CAST(n.n + 10 AS DOUBLE))
+        * ln((CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / CAST(g.n_w + 10 AS DOUBLE))
+          / (CAST(g.c_b + 1 AS DOUBLE) / CAST(n.n + 10 AS DOUBLE))) AS term
+      FROM grid g
+      LEFT JOIN cells c ON c.day = g.day AND c.event_type = g.event_type
+        AND c.decile = g.decile
+      CROSS JOIN n
+    )
+    SELECT day, event_type, MAX(n_w) AS n_events,
+      CAST(floor(${DSUM("term", 27, 18)} * 1000000.0) AS BIGINT) AS psi_q
+    FROM terms GROUP BY day, event_type ORDER BY day, event_type"""))
+
   override val all: Seq[OracleQuery] =
     Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
       conversionFunnel, cohortRetention, sessionWindowNative, statefulSessions,
-      sessionPaths, rateAnomaly, timeWeighted)
+      sessionPaths, rateAnomaly, timeWeighted, psiWindowed)
 }
