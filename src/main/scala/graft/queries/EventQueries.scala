@@ -439,6 +439,47 @@ object EventQueries extends QueryPack {
     FROM e WHERE next_us IS NOT NULL
     GROUP BY user_id ORDER BY user_id"""))
 
+  // ---- first-order Markov transition matrix over each user's event
+  //      sequence: P(next | current) — the behavioral-model artifact
+  //      behind next-event prediction and anomaly scoring (a transition
+  //      seen at p≈0 is the anomaly). One lead window per user (high-
+  //      cardinality key), pair counts, and a single exact-integer
+  //      division — the probability doubles are bit-identical
+  //      cross-engine, so they ship UNQUANTIZED ----
+  private val markovTransitions = OracleQuery(
+    "e_markov_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("c"))
+      val totals = pairs.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("c_tot"))
+      pairs.join(totals, "event_type")
+        .select(col("event_type"), col("next_type"), col("c"),
+          (col("c").cast("double") / col("c_tot").cast("double")).as("p"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+    Some("""WITH seq AS (
+      SELECT event_type,
+        LEAD(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS c_tot
+      FROM pairs GROUP BY 1
+    )
+    SELECT p.event_type, p.next_type, p.c,
+      CAST(p.c AS DOUBLE) / CAST(t.c_tot AS DOUBLE) AS p
+    FROM pairs p JOIN totals t ON p.event_type = t.event_type
+    ORDER BY p.event_type, p.next_type"""))
+
   // ---- windowed drift monitoring: PSI of each (day, event_type)'s
   //      value distribution against the corpus-wide decile mass — "did
   //      click values drift on Tuesday", the time-series form of
@@ -514,5 +555,6 @@ object EventQueries extends QueryPack {
   override val all: Seq[OracleQuery] =
     Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
       conversionFunnel, cohortRetention, sessionWindowNative, statefulSessions,
-      sessionPaths, rateAnomaly, timeWeighted, psiWindowed)
+      sessionPaths, rateAnomaly, timeWeighted, psiWindowed,
+      markovTransitions)
 }
