@@ -48,10 +48,14 @@ object Coreset {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vec")).cache()
     try {
+      // element-type agnostic (FLOAT[] embeddings or DOUBLE[] quantized
+      // twins both work): boxed numerics through doubleValue
+      def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+        r.getSeq[Number](1).map(_.doubleValue).toArray
       val seed = base.orderBy(col("id")).limit(1)
         .select(col("id"), col("vec")).collect()(0)
       var centers = Vector((seed.getLong(0), 0.0))
-      var centerVec = seed.getSeq[Float](1).toArray
+      var centerVec = vecOf(seed)
 
       // running min squared distance to the selected set; updated with
       // ONE l2sq against the newest center per round (map-only).
@@ -61,8 +65,7 @@ object Coreset {
       // round 15 of the BPE trainer); truncating lineage keeps every
       // round flat regardless of k.
       var state = base
-        .withColumn("minDist",
-          VecOps.l2sq(col("vec"), lit(centerVec.map(_.toDouble))))
+        .withColumn("minDist", VecOps.l2sq(col("vec"), lit(centerVec)))
         .select(col("id"), col("vec"), col("minDist"))
         .localCheckpoint(true)
 
@@ -71,10 +74,10 @@ object Coreset {
         val next = state.orderBy(col("minDist").desc, col("id")).limit(1)
           .collect()(0)
         centers :+= ((next.getLong(0), next.getDouble(2)))
-        centerVec = next.getSeq[Float](1).toArray
+        centerVec = vecOf(next)
         state = state
           .withColumn("minDist", least(col("minDist"),
-            VecOps.l2sq(col("vec"), lit(centerVec.map(_.toDouble)))))
+            VecOps.l2sq(col("vec"), lit(centerVec))))
           .select(col("id"), col("vec"), col("minDist"))
           .localCheckpoint(true)
         r += 1

@@ -671,6 +671,72 @@ object EngineQueries extends QueryPack {
     SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
     FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10"""))
 
+  /** Unrolled SQL replay of k greedy farthest-point rounds over the
+    * quantized slice: per round, distances to the newest center, a
+    * running LEAST, and the deterministic argmax. Every distance is a
+    * sum of exact integer squares < 2^53 held in doubles, so SUM order
+    * cannot matter and the selection distances ship unquantized.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS DOUBLE)
+          AS vq
+      FROM embeddings WHERE vec_id < 300
+    ), seed AS (
+      SELECT MIN(vec_id) AS vec_id FROM lf
+    ), d0 AS (
+      SELECT lf.vec_id, SUM((lf.vq - q.vq) * (lf.vq - q.vq)) AS dist
+      FROM lf JOIN lf q ON lf.pos = q.pos
+        AND q.vec_id = (SELECT vec_id FROM seed)
+      GROUP BY lf.vec_id
+    ), m0 AS (SELECT vec_id, dist FROM d0)"""
+    for (r <- 1 until k) {
+      sb ++= s""", c$r AS (
+      SELECT vec_id, dist FROM m${r - 1} ORDER BY dist DESC, vec_id LIMIT 1
+    ), d$r AS (
+      SELECT lf.vec_id, SUM((lf.vq - q.vq) * (lf.vq - q.vq)) AS dist
+      FROM lf JOIN lf q ON lf.pos = q.pos
+        AND q.vec_id = (SELECT vec_id FROM c$r)
+      GROUP BY lf.vec_id
+    ), m$r AS (
+      SELECT m.vec_id, LEAST(m.dist, d.dist) AS dist
+      FROM m${r - 1} m JOIN d$r d ON m.vec_id = d.vec_id
+    )"""
+    }
+    sb ++= """
+    SELECT CAST((SELECT vec_id FROM seed) AS BIGINT) AS id,
+      CAST(0 AS BIGINT) AS round, CAST(0.0 AS DOUBLE) AS sel_dist2"""
+    for (r <- 1 until k)
+      sb ++= s"""
+    UNION ALL SELECT CAST(vec_id AS BIGINT), CAST($r AS BIGINT),
+      CAST(dist AS DOUBLE) FROM c$r"""
+    sb ++= "\n    ORDER BY round"
+    sb.toString
+  }
+
+  // ---- the coreset under a FULL oracle (the vx_cka_matrix_quantized
+  //      pattern): run the REAL iterative operator on pre-quantized
+  //      integer vectors, where every distance and comparison is exact,
+  //      and let DuckDB independently replay all 6 greedy rounds
+  //      unrolled — selection ids AND selection distances must match
+  //      bit-for-bit. THIS is what proves the iterative labeling exact;
+  //      the raw-float production path is vx_coreset_kcenter below ----
+  private val coresetQuantized = OracleQuery(
+    "vx_coreset_kcenter_quantized",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * lit(1000000.0)).cast("double"))
+            .as("qv"))
+      graft.operators.Coreset.kCenter(emb, k = 6,
+          idCol = "vec_id", vecCol = "qv")
+        .orderBy(col("round"))
+    },
+    Some(kcenterOracleSql(6)))
+
   // ---- greedy k-center coreset (diversity selection): 8 embeddings
   //      covering the corpus — k map-only scans + TakeOrdered(1) per
   //      round, corpus never shuffles. Float distance sums are
@@ -1586,7 +1652,7 @@ object EngineQueries extends QueryPack {
     ckaMatrixQuantized, ckaHalfQuantized,
     hllDistinct, hllSketchUnion, approxPercentiles,
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
-    nativeCosine, coresetKcenter, streamPsiDrift, hybridRrf,
+    nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,
     annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     dedupCosinePairs, dedupEmbeddingCanonical, crossDecontaminateEmb,
