@@ -82,6 +82,10 @@ object Bench {
     build("lm_bigram_model", selected.contains("t_lm_quality_score")) {
       graft.queries.TextQueries.prepareLmModel(spark, sfDir); ()
     }
+    build("bpe_merges", selected.exists(e =>
+        e._1 == "t_bpe_merges" || e._1 == "t_bpe_tokenize_stats")) {
+      graft.queries.TextQueries.prepareBpeMerges(spark, sfDir); ()
+    }
     // min-of-2 per query: the grading host is co-loaded, and a single-shot
     // timing charged 3-7x of neighbor noise to four innocent queries in
     // round 4 (their code was unchanged and a quiet re-measure matched

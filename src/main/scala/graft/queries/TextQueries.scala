@@ -363,11 +363,26 @@ object TextQueries extends QueryPack {
   //      selection is iterative-argmax over engine state → rows-only;
   //      BpeTrainSpec pins the table merge-for-merge against a driver
   //      reference, replay-reproducibility, and partition invariance ----
+  /** Build-once BPE merge table per (session, corpus dir) — the trained
+    * tokenizer is an artifact like the LM model and minhash signatures;
+    * both BPE gate queries and the bench build split share it.
+    */
+  def prepareBpeMerges(s: SparkSession, d: String)
+      : Seq[(Long, String, String, Long)] =
+    graft.SessionMemo.getOrElseUpdate(s, s"bpe_merges:$d")(
+      graft.operators.BpeTrain.train(Tables.documents(s, d), k = 16)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq)(_ => ())
+
   private val bpeMerges = OracleQuery(
     "t_bpe_merges",
-    (s, d) =>
-      graft.operators.BpeTrain.train(Tables.documents(s, d), k = 16)
-        .orderBy(col("round")),
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      prepareBpeMerges(s, d).toDF("round", "left", "right", "pair_count")
+        .orderBy(col("round"))
+    },
     None)
 
   // ---- quantile-stratified sampling: equal-k draws from each decile of
@@ -482,11 +497,7 @@ object TextQueries extends QueryPack {
   private val bpeTokenizeStats = OracleQuery(
     "t_bpe_tokenize_stats",
     (s, d) => {
-      val spark = s
-      import spark.implicits._
-      val table = graft.operators.BpeTrain.train(Tables.documents(s, d), 16)
-        .orderBy(col("round")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val table = prepareBpeMerges(s, d).map(m => (m._2, m._3))
       val tok = udf((w: String) =>
         graft.operators.BpeTrain.applyMerges(w, table))
       words(s, d)
