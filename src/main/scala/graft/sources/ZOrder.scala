@@ -105,4 +105,76 @@ object ZOrder {
       .sortWithinPartitions(col("__zv"))
       .drop("__zv")
   }
+
+  // ---- incremental append under a FROZEN layout (the lakehouse
+  //      OPTIMIZE-once-append-forever pattern, mirroring
+  //      SimilaritySearch.appendToIvfIndex's frozen-quantizer contract):
+  //      the layout's rank bounds and file z-spans persist as an
+  //      artifact; new batches bucket against the frozen artifact with
+  //      map-only binary searches and ONE shuffle on the file id — no
+  //      rescan or re-sort of history, and appended files share the
+  //      existing span structure so multi-key pruning keeps working
+  //      across old and new files alike (ZOrderSpec pins both). ----
+
+  /** Frozen layout metadata: per-key rank cut points + per-file z-value
+    * cut points. Megabyte-scale regardless of data size.
+    */
+  final case class LayoutMeta(boundsA: Array[Double], boundsB: Array[Double],
+      fileBounds: Array[Double])
+
+  /** Build the artifact from the corpus (one sketch pass per dimension
+    * family + one for the z-distribution).
+    */
+  def layoutMeta(df: DataFrame, a: Column, b: Column,
+      numFiles: Int, buckets: Int = 64): LayoutMeta = {
+    val (ba, bb) = rankBounds(df, a, b, buckets)
+    val z = interleave(bucketExpr(a, ba), bucketExpr(b, bb))
+    val probs = (1 until numFiles).map(_.toDouble / numFiles).toArray
+    val fb = df.select(z.cast("double").as("__zv"))
+      .stat.approxQuantile("__zv", probs, 1.0 / (4.0 * numFiles))
+      .distinct.sorted
+    LayoutMeta(ba, bb, fb)
+  }
+
+  /** Deterministic file id of each row under the frozen meta. */
+  def fileIdUnder(meta: LayoutMeta, a: Column, b: Column): Column =
+    bucketExpr(
+      interleave(bucketExpr(a, meta.boundsA), bucketExpr(b, meta.boundsB))
+        .cast("double"),
+      meta.fileBounds)
+
+  /** Append a new batch under the frozen layout: map-only bucket
+    * assignment, one shuffle on the file id, per-file sort — history
+    * untouched.
+    */
+  def appendToLayout(newDf: DataFrame, meta: LayoutMeta,
+      a: Column, b: Column): DataFrame = {
+    val z = interleave(bucketExpr(a, meta.boundsA), bucketExpr(b, meta.boundsB))
+    newDf.withColumn("__fid", fileIdUnder(meta, a, b))
+      .withColumn("__zv", z)
+      .repartition(col("__fid"))
+      .sortWithinPartitions(col("__fid"), col("__zv"))
+      .drop("__zv")
+  }
+
+  /** Persist / load the artifact as parquet (kind, idx, value rows). */
+  def saveLayoutMeta(spark: org.apache.spark.sql.SparkSession,
+      meta: LayoutMeta, dir: String): Unit = {
+    import spark.implicits._
+    val rows =
+      meta.boundsA.zipWithIndex.map { case (v, i) => ("a", i, v) } ++
+        meta.boundsB.zipWithIndex.map { case (v, i) => ("b", i, v) } ++
+        meta.fileBounds.zipWithIndex.map { case (v, i) => ("f", i, v) }
+    rows.toSeq.toDF("kind", "idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadLayoutMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): LayoutMeta = {
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    def part(k: String) =
+      rows.filter(_._1 == k).sortBy(_._2).map(_._3)
+    LayoutMeta(part("a"), part("b"), part("f"))
+  }
 }

@@ -76,4 +76,56 @@ class ZOrderSpec extends SparkSpec {
     assert(sHit >= files * 3 / 4, s"baseline unexpectedly prunes ($sHit/$files)")
     assert(zHit * 2 <= sHit, s"z-order hit $zHit vs single-key $sHit of $files")
   }
+
+  test("frozen-layout append assigns rows exactly as the artifact dictates") {
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_partkey")
+    val base = li.filter($"l_orderkey" % 3 =!= 0)
+    val fresh = li.filter($"l_orderkey" % 3 === 0)
+    val meta = graft.sources.ZOrder.layoutMeta(base,
+      $"l_orderkey", $"l_partkey", numFiles = 8)
+    // the frozen contract: assignment is a pure function of (meta, row) —
+    // appending the fresh batch and re-assigning base+fresh together must
+    // give every fresh row the same file id
+    val viaAppend = fresh
+      .withColumn("fid", graft.sources.ZOrder.fileIdUnder(meta,
+        $"l_orderkey", $"l_partkey"))
+      .select($"l_orderkey", $"l_partkey", $"fid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaUnion = base.unionByName(fresh)
+      .withColumn("fid", graft.sources.ZOrder.fileIdUnder(meta,
+        $"l_orderkey", $"l_partkey"))
+      .filter($"l_orderkey" % 3 === 0)
+      .select($"l_orderkey", $"l_partkey", $"fid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaAppend == viaUnion, "assignment depended on the batch, not the artifact")
+    // appended files keep narrow spans on BOTH keys: each appended file id
+    // must overlap the z-span structure, so per-file key ranges stay far
+    // narrower than the global range
+    val spans = graft.sources.ZOrder.appendToLayout(fresh, meta,
+        $"l_orderkey", $"l_partkey")
+      .groupBy($"__fid")
+      .agg(min($"l_orderkey").as("okmin"), max($"l_orderkey").as("okmax"),
+        min($"l_partkey").as("pkmin"), max($"l_partkey").as("pkmax"))
+      .collect()
+    val (okLo, okHi) = (fresh.agg(min($"l_orderkey")).head.getLong(0),
+      fresh.agg(max($"l_orderkey")).head.getLong(0))
+    val avgSpan = spans.map(r => r.getLong(2) - r.getLong(1)).sum.toDouble / spans.length
+    assert(spans.length >= 4, s"append collapsed to ${spans.length} files")
+    assert(avgSpan < (okHi - okLo) * 0.8,
+      s"appended files carry no orderkey locality: avg $avgSpan of ${okHi - okLo}")
+  }
+
+  test("layout metadata round-trips through parquet") {
+    val li = Tables.lineitem(spark, sf001).select($"l_orderkey", $"l_partkey")
+    val meta = graft.sources.ZOrder.layoutMeta(li,
+      $"l_orderkey", $"l_partkey", numFiles = 8)
+    val dir = java.nio.file.Files.createTempDirectory("zmeta").toString
+    graft.sources.ZOrder.saveLayoutMeta(spark, meta, dir)
+    val back = graft.sources.ZOrder.loadLayoutMeta(spark, dir)
+    assert(back.boundsA.toSeq == meta.boundsA.toSeq &&
+      back.boundsB.toSeq == meta.boundsB.toSeq &&
+      back.fileBounds.toSeq == meta.fileBounds.toSeq,
+      "layout artifact changed across persistence")
+  }
 }
