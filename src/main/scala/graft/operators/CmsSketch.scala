@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions.udaf
   * final sketch is BIT-IDENTICAL under any partitioning or merge order
   * (property-pinned). That makes the estimates a deterministic artifact
   * of (corpus, hash family, d, w): reproducible across runs, cacheable,
-  * and comparable across days. The hash family is the engine-internal
-  * murmur+mix scheme (same stable mixing as the MinHash kernel) — not
-  * SQL-replayable, so gate entries are rows-only with spec-carried
-  * semantics.
+  * and comparable across days. The hash family is one polynomial
+  * code-point hash PER ROW (distinct odd multiplier 31+2r, mod 2^31−1 —
+  * [[bucketOf]]): rows are genuinely different hash functions, so two
+  * items colliding in one row do not collide in the others (the
+  * single-base murmur+mix scheme it replaces had a ~2^-32 per-pair
+  * collision floor shared by ALL rows), and the scheme is SQL-replayable
+  * — the t_cms_word_freq gate carries a FULL DuckDB oracle that rebuilds
+  * the d×w grid cell-for-cell (graft.queries.Exact.POLYHASH).
   *
   * 100 TB shape: each map task folds rows into its own d×w table
   * (map-side combine), and exactly ONE d·w-long row per partition reaches
@@ -29,14 +33,23 @@ import org.apache.spark.sql.functions.udaf
   */
 object CmsSketch {
 
-  /** Row-i hash of an item into [0, w): stable murmur base + the same
-    * avalanche mixing the MinHash kernel uses, one mix per row.
+  /** Row-r hash of an item into [0, w): polynomial code-point hash with
+    * per-row odd multiplier 31+2r, reduced mod 2^31−1 each step (every
+    * intermediate < 2^38 — overflow-safe in Spark longs and DuckDB
+    * BIGINTs alike). Each row is a structurally different polynomial, so
+    * row collisions are independent; SQL twin =
+    * `graft.queries.Exact.POLYHASH(s"31 + 2*r", item) % w`.
     */
   private[graft] def bucketOf(item: String, row: Int, w: Int): Int = {
-    val base = scala.util.hashing.MurmurHash3.stringHash(item).toLong
-    var x = base ^ (row.toLong * 0x9E3779B97F4A7C15L)
-    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
-    (((x % w) + w) % w).toInt
+    val m = 31L + 2L * row
+    var h = 0L
+    var i = 0
+    while (i < item.length) {
+      val cp = item.codePointAt(i)
+      h = (h * m + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    (h % w).toInt
   }
 
   /** Flat d×w table; index (row, bucket) = row * w + bucket. */

@@ -18,10 +18,14 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   *    distance, candidate generation by block rotation (4 blocks of 16 bits;
   *    dups within Hamming ≤ 3 share ≥ 1 exact block — pigeonhole).
   *
-  * All hashes are Spark built-ins (`xxhash64`, `hash`) — engine-deterministic
-  * but not cross-engine, so these carry ScalaTest specs instead of DuckDB
-  * oracle SQL (the exact + n-gram Jaccard relatives in
-  * graft.queries.TextQueries are the oracle-checked forms).
+  * The MinHash hash family (polynomial code-point hash mod 2^31−1 through
+  * affine permutations — [[polyHash31]]/[[permA]]/[[permB]]) is
+  * SQL-replayable, so the LSH gate queries carry FULL DuckDB oracles
+  * (graft.queries.Exact.MINHASH_PAIRS_CTES). Band buckets still use
+  * `xxhash64` as a pure shuffle-key compressor — bucket equality is slice
+  * equality, which the oracle joins on directly, so the bucket hash itself
+  * never needs cross-engine replay. SimHash remains engine-hash (spec-
+  * verified; its 64-bit sign accumulation has no exact SQL twin).
   */
 object Dedup {
 
@@ -163,6 +167,53 @@ object Dedup {
       .drop("__contaminated")
   }
 
+  /** Prime modulus of the MinHash/CMS hash family: 2^31 − 1 (Mersenne).
+    * Every intermediate in the affine scheme stays < 2^62, so the exact
+    * same arithmetic runs in Spark longs AND DuckDB BIGINTs — no overflow
+    * wrap on either engine. SQL twin: [[graft.queries.Exact.POLYHASH31]].
+    */
+  private[graft] val HashP = 2147483647L
+
+  /** Polynomial code-point hash of a string mod [[HashP]] — the Java
+    * `String.hashCode` recurrence (h·31 + c) reduced mod p each step, but
+    * iterated over Unicode CODE POINTS (not UTF-16 units) so DuckDB's
+    * `unicode()` per character replays it exactly on supplementary-plane
+    * input too. Cross-engine by construction; DedupSpec pins the twin.
+    */
+  private[graft] def polyHash31(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % HashP
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Per-permutation affine coefficients a_j ∈ [1, p−1], b_j ∈ [0, p−1],
+    * drawn by a splitmix64 finalizer over (j, salt) — each permutation is
+    * an INDEPENDENT draw from the universal family h_j(x) = (a_j·x + b_j)
+    * mod p. They must NOT be linear in j: a_j = a₁·(j+1) makes every
+    * h_j a scalar multiple of h₀, so one shared shingle with a small h₀
+    * wins the min in most permutations of both docs and est_jaccard
+    * collapses to ~1 (DedupSpec's est-vs-truth test catches exactly this).
+    * The coefficients are compile-time constants, so the SQL twin embeds
+    * them as a literal 32-row VALUES table rather than replaying splitmix
+    * (64-bit overflow arithmetic has no safe SQL form).
+    */
+  private def splitmix(z0: Long): Long = {
+    var x = z0 * 0x9E3779B97F4A7C15L
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    x
+  }
+  private[graft] def permA(j: Int): Long =
+    1L + java.lang.Long.remainderUnsigned(splitmix(2L * j + 1), HashP - 1)
+  private[graft] def permB(j: Int): Long =
+    java.lang.Long.remainderUnsigned(splitmix(2L * j + 2), HashP)
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min over the doc's distinct word-k-shingles. Returned as `minhash`
     * ARRAY<BIGINT>.
@@ -172,8 +223,12 @@ object Dedup {
     * (Two rejected forms: explode+groupBy-min shuffles ~200 rows/doc; a pure
     * higher-order-function form re-inlines the shingle construction into
     * each of the `numHashes` lambdas after projection collapse — measured
-    * 36× slower at sf0.1.) Hash family: 32-bit shingle hash mixed with the
-    * seed through a splitmix64 finalizer — deterministic across JVMs.
+    * 36× slower at sf0.1.) Hash family: polynomial code-point shingle hash
+    * mod 2^31−1 ([[polyHash31]]) through per-permutation affine universal
+    * hashes ([[permA]]/[[permB]]) — deterministic across JVMs AND
+    * SQL-replayable, so the LSH gate queries carry FULL DuckDB oracles
+    * (round-5 verdict item 1; the earlier murmur+splitmix family was
+    * JVM-only and capped the whole near-dup family at rows-only checks).
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -190,7 +245,9 @@ object Dedup {
     * watermarked timestamp) apply it with withColumn instead of the
     * projecting [[minhashSignatures]] form.
     */
-  private[graft] def minhashUdf(numHashes: Int, shingleK: Int) =
+  private[graft] def minhashUdf(numHashes: Int, shingleK: Int) = {
+    val as = Array.tabulate(numHashes)(permA)
+    val bs = Array.tabulate(numHashes)(permB)
     udf { (text: String) =>
       val words = text.split(" ", -1)
       if (words.length < shingleK) None
@@ -204,11 +261,10 @@ object Dedup {
           while (w < shingleK) { sb.append(' ').append(words(i + w)); w += 1 }
           val sh = sb.toString
           if (seen.add(sh)) {
-            val base = scala.util.hashing.MurmurHash3.stringHash(sh).toLong
+            val base = polyHash31(sh)
             var j = 0
             while (j < numHashes) {
-              var x = base ^ (j.toLong * 0x9E3779B97F4A7C15L)
-              x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+              val x = (as(j) * base + bs(j)) % HashP
               if (x < mins(j)) mins(j) = x
               j += 1
             }
@@ -218,6 +274,7 @@ object Dedup {
         Some(mins)
       }
     }
+  }
 
 
   /** LSH banding over minhash signatures → candidate near-dup pairs with

@@ -31,11 +31,13 @@ object TableDiff {
       else old.columns.filterNot(keyCols.contains).toSeq
         .intersect(neu.columns.toSeq)
     require(cmp.nonEmpty, "no columns to compare")
-    // null-tagged: (isnull-bit || value) per column, '|'-joined — a NULL
-    // column and an empty string produce different fingerprints
+    // null-tagged and per-column-hashed: each column hashes to fixed-width
+    // hex BEFORE the join, so a value containing the separator can never
+    // shift across column boundaries ('x|0y','z') vs ('x','y|0z'), and a
+    // NULL column and an empty string produce different fingerprints
     def fp(df: DataFrame) = md5(concat_ws("|",
-      cmp.map(c => concat(isnull(col(c)).cast("int"),
-        coalesce(col(c).cast("string"), lit("")))): _*))
+      cmp.map(c => md5(concat(isnull(col(c)).cast("int"),
+        coalesce(col(c).cast("string"), lit(""))))): _*))
     val a = old.select(keyCols.map(col) :+ fp(old).as("__fa"): _*)
     val b = neu.select(keyCols.map(col) :+ fp(neu).as("__fb"): _*)
     a.join(b, keyCols, "full_outer")

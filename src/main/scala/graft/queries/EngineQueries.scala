@@ -1211,13 +1211,20 @@ object EngineQueries extends QueryPack {
       sigs
     }(_.unpersist())
 
-  // MinHash-LSH near-dup detection over documents (north-star dedup)
+  // MinHash-LSH near-dup detection over documents (north-star dedup).
+  // FULL oracle since round 6: the polyHash31+affine hash family is
+  // SQL-replayable, so DuckDB re-runs shingling, all 32 permutation mins,
+  // banding (bucket equality = slice equality — no xxhash64 replay
+  // needed), the hot-bucket cap, and the est_jaccard filter. est = k/32
+  // is an exact binary fraction, so the 0.5 threshold cannot flap.
   private val dedupMinhash = OracleQuery(
     "tx_dedup_minhash_pairs",
     (s, d) => Dedup.minhashCandidates(prepareMinhashSigs(s, d), bands = 8, rowsPerBand = 4)
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some(s"""WITH ${graft.queries.Exact.MINHASH_PAIRS_CTES}
+    SELECT id_a, id_b, est_jaccard FROM prs
+    WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
   // SimHash near-dup detection
   private val dedupSimhash = OracleQuery(
@@ -1457,7 +1464,11 @@ object EngineQueries extends QueryPack {
     FROM ranked WHERE rn <= 10 ORDER BY source, pos"""))
 
   // full dedup pipeline: minhash candidate pairs → connected components →
-  // canonical keep/drop decisions (the operational output of dedup)
+  // canonical keep/drop decisions (the operational output of dedup).
+  // FULL oracle since round 6: the shared MINHASH_PAIRS_CTES replays the
+  // candidate pairs and the recursive reachability CTE replays the
+  // connected-component collapse (the vx_dedup_canonical_exact recipe
+  // applied to the REAL LSH pair relation instead of the exact-cosine twin)
   private val dedupCanonical = OracleQuery(
     "tx_dedup_canonical",
     (s, d) => {
@@ -1465,7 +1476,17 @@ object EngineQueries extends QueryPack {
         .filter(col("est_jaccard") >= 0.5)
       Dedup.canonicalize(pairs).orderBy(col("doc_id"))
     },
-    None)
+    Some(s"""WITH RECURSIVE ${graft.queries.Exact.MINHASH_PAIRS_CTES}, e AS (
+      SELECT id_a AS a, id_b AS b FROM prs WHERE est_jaccard >= 0.5
+      UNION
+      SELECT id_b, id_a FROM prs WHERE est_jaccard >= 0.5
+    ), reach(a, b) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS canonical_id, MIN(b) = a AS keep
+    FROM reach GROUP BY a ORDER BY doc_id"""))
 
   // cross-set embedding decontamination (the vector twin of
   // t_decontaminate_flags: semantic train/eval overlap that paraphrasing

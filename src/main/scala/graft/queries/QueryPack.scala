@@ -99,6 +99,79 @@ object Exact {
       FROM d LEFT JOIN bigr ON d.doc_id = bigr.doc_id
     )"""
 
+  /** SQL twin of [[graft.operators.Dedup.polyHash31]]: polynomial
+    * code-point hash (Java `String.hashCode` recurrence) reduced mod
+    * 2^31−1 at every step — h·31 + c < 2^36, so no overflow on either
+    * engine, and DuckDB's `unicode()` per split character matches the
+    * JVM code-point loop exactly (DedupSpec pins the twin on hostile
+    * unicode input).
+    */
+  def POLYHASH31(e: String): String = POLYHASH("31", e)
+
+  /** [[POLYHASH31]] with a caller-chosen multiplier expression (the CMS
+    * grid uses a distinct multiplier per sketch row). The `c <> ''`
+    * guard handles the empty string: DuckDB's string_split('','') yields
+    * [''] with unicode('') = −1, which would poison the fold — filtered,
+    * the fold returns 0, exactly the JVM loop's empty-input value.
+    */
+  def POLYHASH(m: String, e: String): String =
+    s"""list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        [CAST(unicode(c) AS BIGINT) FOR c IN string_split($e, '') IF c <> '']),
+      (h, c) -> (h * ($m) + c) % 2147483647)"""
+
+  /** Shared CTE chain replaying the ENTIRE MinHash-LSH candidate pipeline
+    * ([[graft.operators.Dedup.minhashSignatures]] +
+    * [[graft.operators.Dedup.minhashCandidates]] at the default
+    * numHashes=32, bands=8, rowsPerBand=4, maxBucketSize=1000) over the
+    * `documents` table: word 3-shingles → per-shingle [[POLYHASH31]] →
+    * 32 affine permutation mins → 8-band slices → capped bucket
+    * equi-join → distinct pairs with est_jaccard. The band bucket needs
+    * no xxhash64 replay: bucket equality IS 4-element slice equality, so
+    * the oracle joins on the slices themselves. est_jaccard =
+    * agreeing-positions/32 is an exact binary fraction — bit-identical
+    * cross-engine, so threshold compares cannot flap. Ends with a `prs`
+    * relation (id_a, id_b, est_jaccard).
+    */
+  def MINHASH_PAIRS_CTES: String =
+    s"""w AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), shl AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), bh AS (
+      SELECT doc_id, ${POLYHASH31("sh")} AS base FROM shl
+    ), perm(j, pa, pb) AS (
+      VALUES ${(0 until 32).map(j =>
+        s"($j, CAST(${graft.operators.Dedup.permA(j)} AS BIGINT), " +
+          s"CAST(${graft.operators.Dedup.permB(j)} AS BIGINT))").mkString(", ")}
+    ), mh AS (
+      SELECT doc_id, j, MIN((pa * base + pb) % 2147483647) AS v
+      FROM bh CROSS JOIN perm
+      GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id, list(v ORDER BY j) AS sig FROM mh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b, sig[b*4 + 1 : b*4 + 4] AS sl, sig
+      FROM sig CROSS JOIN range(0, 8) AS t(b)
+    ), okb AS (
+      SELECT b, sl FROM banded GROUP BY b, sl HAVING COUNT(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        x.sig AS sa, y.sig AS sb
+      FROM banded x
+      JOIN okb o ON o.b = x.b AND o.sl = x.sl
+      JOIN banded y ON y.b = x.b AND y.sl = x.sl AND x.doc_id < y.doc_id
+    ), prs AS (
+      SELECT id_a, id_b,
+        CAST(len(list_filter(range(1, 33), i -> sa[i] = sb[i])) AS DOUBLE)
+          / 32.0 AS est_jaccard
+      FROM cand
+    )"""
+
   /** SQL twin of [[graft.operators.Dedup.knuth32]] for the DuckDB oracle:
     * (e * 2654435761) mod 2^32 via 16-bit limb split, so no intermediate
     * exceeds 2^49 — DuckDB errors on BIGINT overflow where Spark wraps, so

@@ -1137,9 +1137,11 @@ object TextQueries extends QueryPack {
   //      4×1024 sketch over all corpus words (one bounded row per
   //      partition reaches the shuffle), then report est vs exact for the
   //      exact top-20 — the overestimate_ok column is the one-sided bound
-  //      made visible. Estimates are a deterministic artifact of (corpus,
-  //      hash family) — bit-identical under any partitioning (spec-pinned)
-  //      — but the engine hash is not SQL-replayable → rows-only ----
+  //      made visible. FULL oracle since round 6: the per-row polynomial
+  //      hash family (CmsSketch.bucketOf) is SQL-replayable, so DuckDB
+  //      rebuilds the ENTIRE 4×1024 counter grid cell-for-cell (CMS
+  //      insertion is exactly-associative integer addition — one GROUP BY
+  //      per grid row) and takes the same min-over-rows estimates ----
   private val cmsWordFreq = OracleQuery(
     "t_cms_word_freq",
     (s, d) => {
@@ -1156,7 +1158,26 @@ object TextQueries extends QueryPack {
           (est(col("w")) >= col("n_exact")).as("overestimate_ok"))
         .orderBy(col("w"))
     },
-    None)
+    Some(s"""WITH wds AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), cnt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM wds GROUP BY w
+    ), bk AS (
+      SELECT w, n, r,
+        ${Exact.POLYHASH("31 + 2*r", "w")} % 1024 AS b
+      FROM cnt CROSS JOIN range(0, 4) AS t(r)
+    ), grid AS (
+      SELECT r, b, CAST(SUM(n) AS BIGINT) AS cell FROM bk GROUP BY r, b
+    ), top20 AS (
+      SELECT w, n AS n_exact FROM cnt ORDER BY n DESC, w LIMIT 20
+    )
+    SELECT t.w, t.n_exact, MIN(g.cell) AS n_est,
+      MIN(g.cell) >= t.n_exact AS overestimate_ok
+    FROM top20 t
+    JOIN bk ON bk.w = t.w
+    JOIN grid g ON g.r = bk.r AND g.b = bk.b
+    GROUP BY t.w, t.n_exact
+    ORDER BY t.w"""))
 
   // ---- NFC-then-dedup composition: even-id documents carry a PRECOMPOSED
   //      suffix, odd-id documents the DECOMPOSED spelling of the same

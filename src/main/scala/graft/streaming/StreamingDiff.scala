@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDiff {
 
+  // per-column md5 before the concat: fixed-width hex per column, so a
+  // value containing the separator can never shift across column
+  // boundaries (must stay bit-identical to [[graft.operators.TableDiff]]
+  // so persisted reference fingerprints remain valid across both paths)
   private def fp(cmp: Seq[String]) = md5(concat_ws("|",
-    cmp.map(c => concat(isnull(col(c)).cast("int"),
-      coalesce(col(c).cast("string"), lit("")))): _*))
+    cmp.map(c => md5(concat(isnull(col(c)).cast("int"),
+      coalesce(col(c).cast("string"), lit(""))))): _*))
 
   /** Fingerprints of the reference snapshot — build once, reuse across
     * streams (persistable like the sketch artifacts).
