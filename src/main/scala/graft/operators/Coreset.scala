@@ -52,8 +52,11 @@ object Coreset {
       // twins both work): boxed numerics through doubleValue
       def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
         r.getSeq[Number](1).map(_.doubleValue).toArray
-      val seed = base.orderBy(col("id")).limit(1)
-        .select(col("id"), col("vec")).collect()(0)
+      val seedRows = base.orderBy(col("id")).limit(1)
+        .select(col("id"), col("vec")).collect()
+      require(seedRows.nonEmpty,
+        "kCenter: input DataFrame is empty — need at least one row to seed")
+      val seed = seedRows(0)
       var centers = Vector((seed.getLong(0), 0.0))
       var centerVec = vecOf(seed)
 
@@ -70,16 +73,23 @@ object Coreset {
         .localCheckpoint(true)
 
       var r = 1
-      while (r < k) {
+      var covered = false
+      while (r < k && !covered) {
         val next = state.orderBy(col("minDist").desc, col("id")).limit(1)
           .collect()(0)
-        centers :+= ((next.getLong(0), next.getDouble(2)))
-        centerVec = vecOf(next)
-        state = state
-          .withColumn("minDist", least(col("minDist"),
-            VecOps.l2sq(col("vec"), lit(centerVec))))
-          .select(col("id"), col("vec"), col("minDist"))
-          .localCheckpoint(true)
+        // farthest remaining point at distance 0 ⇒ every point coincides
+        // with a selected center (k exceeds the distinct-vector count):
+        // stop instead of re-selecting the same row as a duplicate center
+        if (next.getDouble(2) == 0.0) covered = true
+        else {
+          centers :+= ((next.getLong(0), next.getDouble(2)))
+          centerVec = vecOf(next)
+          state = state
+            .withColumn("minDist", least(col("minDist"),
+              VecOps.l2sq(col("vec"), lit(centerVec))))
+            .select(col("id"), col("vec"), col("minDist"))
+            .localCheckpoint(true)
+        }
         r += 1
       }
       centers.zipWithIndex

@@ -467,8 +467,35 @@ object Dedup {
     val nodes = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
     val reps = e.groupBy(col("src").as("id")).agg(min("dst").as("rep"))
-    val labels = nodes.join(reps, Seq("id"), "left")
+    var labels = nodes.join(reps, Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    if (!converged) {
+      // the star loop exhausted maxRounds before reaching its fixpoint:
+      // labels may contain rep CHAINS (a canonical_id that is itself
+      // non-canonical), which would silently split components. Flatten by
+      // pointer jumping — each pass halves the longest chain, so the
+      // bounded loop resolves chains up to 2^maxRounds links.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"canonicalize: star contraction hit maxRounds=$maxRounds without " +
+          "converging; flattening rep chains by pointer jumping")
+      var changed = true
+      var fr = 0
+      val flattenRounds = math.max(maxRounds, 16) // 2^16 links is any real chain
+      while (changed && fr < flattenRounds) {
+        val chased = labels.as("a")
+          .join(labels.select(col("id").as("__rid"), col("rep").as("__rrep")),
+            col("a.rep") === col("__rid"), "left")
+          .select(col("a.id").as("id"),
+            coalesce(col("__rrep"), col("a.rep")).as("rep"))
+          .localCheckpoint(true)
+        changed = chased.as("x")
+          .join(labels.select(col("id").as("__yid"), col("rep").as("__yrep")),
+            col("x.id") === col("__yid"))
+          .filter(col("x.rep") =!= col("__yrep")).limit(1).count() > 0
+        labels = chased
+        fr += 1
+      }
+    }
     val out = labels.select(col("id").as("doc_id"), col("rep").as("canonical_id"),
       (col("id") === col("rep")).as("keep"))
     // materialize before dropping the pair cache the `nodes` side depends on

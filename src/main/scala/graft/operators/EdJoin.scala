@@ -76,6 +76,16 @@ object EdJoin {
       maxPostingSize: Int = Int.MaxValue): DataFrame = {
     require(tau >= 0, "tau must be >= 0")
     require(q >= 1, "q must be >= 1")
+    // the id is cast to long for the __id < __id2 candidate predicate; a
+    // non-numeric id would cast to NULL, fail every comparison, and the
+    // join would silently return zero pairs — fail loudly instead
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case t => throw new IllegalArgumentException(
+        s"edJoin: id column '$idCol' must be numeric (got $t) — non-numeric " +
+          "ids cast to NULL and silently empty the join; add a surrogate " +
+          "key (e.g. monotonically_increasing_id or a rank) first")
+    }
     val base = df.select(col(idCol).cast("long").as("__id"),
       col(strCol).as("__s"))
     val tok = base

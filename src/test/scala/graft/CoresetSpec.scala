@@ -91,4 +91,24 @@ class CoresetSpec extends SparkSpec {
     assert(one.length == 1 && one(0).getLong(0) == 0L &&
       one(0).getDouble(2) == 0.0)
   }
+
+  test("k beyond the distinct-vector count stops early with no duplicate centers") {
+    // 3 rows but only 2 distinct vectors: once both are selected, the
+    // farthest remaining minDist is 0 and selection must STOP rather than
+    // re-emit an already-covered row as a fake center
+    val df = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 0.0)), (2L, Seq(3.0, 4.0)))
+      .toDF("id", "vec")
+    val sel = Coreset.kCenter(df, 5).collect()
+    assert(sel.length == 2, s"expected 2 centers, got ${sel.length}")
+    assert(sel.map(_.getLong(0)).distinct.length == 2, "duplicate center ids")
+  }
+
+  test("empty input fails with a clear message, not IndexOutOfBounds") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Coreset.kCenter(empty, 3)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
 }

@@ -163,6 +163,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("canonicalize under-budgeted rounds still emits chain-free labels") {
+    // a 60-link path with maxRounds=1: the star loop cannot converge, so
+    // the fallback pointer-jumping flatten must guarantee the output
+    // invariant — every canonical_id is itself canonical (no rep chains)
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalize(pairs, maxRounds = 1, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.values.foreach { c =>
+      assert(out.getOrElse(c, c) == c, s"rep chain: canonical $c maps to ${out(c)}")
+    }
+  }
+
   test("canonicalize composes with minhash pairs end to end") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val df = docsDf((5L, base), (9L, base), (2L, base), (100L, "totally different words here entirely"))

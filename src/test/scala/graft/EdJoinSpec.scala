@@ -82,6 +82,14 @@ class EdJoinSpec extends SparkSpec {
     assert(capped.subsetOf(truth), "cap must not create false pairs")
   }
 
+  test("non-numeric id column fails fast instead of silently emptying the join") {
+    val df = Seq(("a", "hello"), ("b", "hallo")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      EdJoin.edJoin(df, 1)
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
   test("plan never builds a cartesian product") {
     val names = Tables.customer(spark, sf01)
       .filter($"c_custkey" < 300)
