@@ -167,22 +167,60 @@ object ScaleJoinQueries extends QueryPack {
   // ---- Z-order layout spans: lay lineitem on the Morton curve of
   //      (l_orderkey, l_partkey) and report per-file key spans — the
   //      multi-key locality that makes parquet min/max skipping work on
-  //      BOTH keys. Range-partition boundaries are sampled, so file
-  //      membership is not cross-engine reproducible → rows-only;
-  //      ZOrderSpec pins bit-exact interleaving and the pruning win ----
+  //      BOTH keys. FULL oracle since round 6: rank buckets come from the
+  //      EXACT scale-safe NTILE (GlobalRank.withNtile over a unique total
+  //      order — SQL twin is plain NTILE) instead of the GK sketch, file
+  //      membership from an exact equi-depth cut of the z-value order
+  //      instead of sampled repartitionByRange, and the Morton interleave
+  //      is pure integer bit math DuckDB replays ladder-step-for-step.
+  //      The sampled production layout() path (approxQuantile bounds +
+  //      repartitionByRange) stays pinned by ZOrderSpec (bit-exact
+  //      kernel, ≥2× pruning, frozen-meta append parity) ----
+  private def SPREAD16(e: String): String = {
+    val steps = Seq(
+      (8, 71777214294589695L), (4, 1085102592571150095L),
+      (2, 3689348814741910323L), (1, 6148914691236517205L))
+    steps.foldLeft(s"(($e) & 65535)") { case (acc, (sh, mask)) =>
+      s"((($acc | ($acc << $sh)) & $mask))"
+    }
+  }
   private val zorderSpans = OracleQuery(
     "jx_zorder_layout_spans",
     (s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      graft.sources.ZOrder.layout(li, col("l_orderkey"), col("l_partkey"), 16)
-        .select(spark_partition_id().as("file_id"), col("l_orderkey"), col("l_partkey"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val ta = graft.operators.GlobalRank.withNtile(li, 64, "__ba",
+        col("l_orderkey"), col("l_linenumber"))
+      val tb = graft.operators.GlobalRank.withNtile(ta, 64, "__bb",
+        col("l_partkey"), col("l_orderkey"), col("l_linenumber"))
+      val withZ = tb.withColumn("__zv", graft.sources.ZOrder.interleave(
+        (col("__ba") - 1).cast("long"), (col("__bb") - 1).cast("long")))
+      graft.operators.GlobalRank.withNtile(withZ, 16, "file_id",
+          col("__zv"), col("l_orderkey"), col("l_linenumber"))
         .groupBy(col("file_id"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("l_orderkey")).as("ok_min"), max(col("l_orderkey")).as("ok_max"),
           min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"))
         .orderBy(col("file_id"))
     },
-    None)
+    Some(s"""WITH t AS (
+      SELECT l_orderkey, l_partkey, l_linenumber,
+        NTILE(64) OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS ba,
+        NTILE(64) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1 AS bb
+      FROM lineitem
+    ), z AS (
+      SELECT l_orderkey, l_partkey, l_linenumber,
+        (${SPREAD16("ba")} | (${SPREAD16("bb")} << 1)) AS zv
+      FROM t
+    ), f AS (
+      SELECT l_orderkey, l_partkey,
+        NTILE(16) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS file_id
+      FROM z
+    )
+    SELECT CAST(file_id AS INT) AS file_id, COUNT(*) AS n_rows,
+      MIN(l_orderkey) AS ok_min, MAX(l_orderkey) AS ok_max,
+      MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max
+    FROM f GROUP BY file_id ORDER BY file_id"""))
 
   // ---- exact edit-distance similarity join (Ed-Join, q-gram prefix
   //      filter): all customer-name pairs within levenshtein 1 — the
