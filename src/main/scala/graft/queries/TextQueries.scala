@@ -375,6 +375,61 @@ object TextQueries extends QueryPack {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3))).toSeq)(_ => ())
 
+  /** The 16-round BPE training replay as one unrolled DuckDB query
+    * (round-5 verdict item 8, the greedy-packer unroll pattern at its
+    * largest). Each word's segmentation rides as ONE string with every
+    * symbol bracketed in U+0001/U+0002 sentinels, so
+    * `replace(seg, ␁l␂␁r␂, ␁lr␂)` IS Sennrich's left-to-right
+    * non-overlapping mergeOnce — replace scans left to right and resumes
+    * after each replacement, and the sentinels make cross-symbol false
+    * matches impossible (corpus text never contains control chars; merges
+    * can't create them). Pair counting re-parses the brackets with one
+    * regexp_extract_all per round; argmax is (count DESC, l, r) exactly
+    * like the trainer. v-CTEs are MATERIALIZED: each round references its
+    * predecessor twice, and DuckDB's default inlining would otherwise
+    * expand the 16-round chain exponentially.
+    */
+  private def bpeReplaySql(k: Int): String = {
+    val A = "\u0001"; val B = "\u0002"
+    def e(s: String) = "'" + s + "'"
+    val v0 = s"""v0 AS MATERIALIZED (
+      SELECT array_to_string(list_transform(range(1, len(cs)+1),
+        i -> ${e(A)} || cs[i] ||
+          CASE WHEN i = len(cs) THEN '</w>' ELSE '' END || ${e(B)}), '')
+        AS seg, freq
+      FROM (
+        SELECT string_split(w, '') AS cs, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w)
+    )"""
+    val rounds = (0 until k).flatMap { r =>
+      Seq(
+        s"""p$r AS (
+      SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (SELECT regexp_extract_all(seg,
+              ${e(A)}||'([^'||${e(B)}||']*)'||${e(B)}, 1) AS syms, freq
+            FROM v$r),
+           LATERAL unnest(range(1, len(syms))) t(i)
+      GROUP BY 1, 2
+    )""",
+        s"""t$r AS MATERIALIZED (
+      SELECT CAST($r AS BIGINT) AS round, l AS "left", r AS "right",
+        n AS pair_count
+      FROM p$r ORDER BY n DESC, l, r LIMIT 1
+    )""",
+        s"""v${r + 1} AS MATERIALIZED (
+      SELECT replace(seg,
+          ${e(A)}||"left"||${e(B)}||${e(A)}||"right"||${e(B)},
+          ${e(A)}||"left"||"right"||${e(B)}) AS seg, freq
+      FROM v$r CROSS JOIN t$r
+    )""")
+    }
+    "WITH " + (v0 +: rounds).mkString(",\n") +
+      "\nSELECT * FROM (" +
+      (0 until k).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ") +
+      ") ORDER BY round"
+  }
+
   private val bpeMerges = OracleQuery(
     "t_bpe_merges",
     (s, d) => {
@@ -383,7 +438,7 @@ object TextQueries extends QueryPack {
       prepareBpeMerges(s, d).toDF("round", "left", "right", "pair_count")
         .orderBy(col("round"))
     },
-    None)
+    Some(bpeReplaySql(16)))
 
   // ---- quantile-stratified sampling: equal-k draws from each decile of
   //      the length distribution — the "cover the whole difficulty
