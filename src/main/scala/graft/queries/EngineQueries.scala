@@ -1377,8 +1377,9 @@ object EngineQueries extends QueryPack {
   // the STREAMING near-dup detector run in batch mode (flatMapGroupsWithState
   // executes per-group once with empty state, so a doc is flagged iff a
   // lower-id doc claimed one of its band buckets — the same candidate set
-  // as the banded join). Hash-bucket internals aren't cross-engine, so
-  // rows-only; StreamingSpec pins exact parity with minhashCandidates
+  // as the banded join). FULL oracle since round 6: bucket claims key on
+  // (band, signature-slice), and the replayable signature CTEs let DuckDB
+  // rebuild every bucket's min-id claimant and each later member's hits
   private val streamNearDup = OracleQuery(
     "tx_stream_neardup_hits",
     (s, d) =>
@@ -1391,13 +1392,21 @@ object EngineQueries extends QueryPack {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_band_hits"), min(col("first_doc_id")).as("first_seen"))
         .orderBy(col("doc_id")),
-    None)
+    Some(s"""WITH ${graft.queries.Exact.MINHASH_SIG_CTES}, m AS (
+      SELECT b, sl, MIN(doc_id) AS first FROM banded GROUP BY b, sl
+    )
+    SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_band_hits,
+      MIN(m.first) AS first_seen
+    FROM banded x JOIN m ON m.b = x.b AND m.sl = x.sl AND x.doc_id > m.first
+    GROUP BY x.doc_id ORDER BY x.doc_id"""))
 
   // incremental (batch-vs-corpus) dedup — the daily-ingest shape: arriving
   // docs (doc_id % 10 == 0 stands in for the day's batch) probe the
   // standing corpus's hash set and banded bucket table asymmetrically;
-  // the corpus never self-joins. MinHash internals → rows-only; DedupSpec
-  // pins exact/near/novel classification
+  // the corpus never self-joins. FULL oracle since round 6: exact_dup is
+  // content-hash membership ≡ text membership, and the asymmetric banded
+  // probe (corpus-side hot-bucket cap, est ≥ 0.5 ≡ ≥16 agreeing
+  // positions, min corpus id) replays from the shared signature CTEs
   private val dedupIncremental = OracleQuery(
     "tx_dedup_incremental",
     (s, d) => {
@@ -1408,7 +1417,28 @@ object EngineQueries extends QueryPack {
         .select(col("doc_id"), col("exact_dup"), col("near_dup_of"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some(s"""WITH ${graft.queries.Exact.MINHASH_SIG_CTES}, cb AS (
+      SELECT doc_id, b, sl, sig FROM banded WHERE doc_id % 10 <> 0
+    ), bb AS (
+      SELECT doc_id, b, sl, sig FROM banded WHERE doc_id % 10 = 0
+    ), okc AS (
+      SELECT b, sl FROM cb GROUP BY b, sl HAVING COUNT(*) <= 1000
+    ), nd AS (
+      SELECT bid, MIN(cid) AS near_dup_of FROM (
+        SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid,
+          bb.sig AS sb, cb.sig AS sc
+        FROM bb
+        JOIN okc o ON o.b = bb.b AND o.sl = bb.sl
+        JOIN cb ON cb.b = bb.b AND cb.sl = bb.sl) t
+      WHERE len(list_filter(range(1, 33), i -> sb[i] = sc[i])) >= 16
+      GROUP BY bid
+    )
+    SELECT d.doc_id,
+      (d.text IN (SELECT text FROM documents WHERE doc_id % 10 <> 0))
+        AS exact_dup,
+      nd.near_dup_of
+    FROM documents d LEFT JOIN nd ON nd.bid = d.doc_id
+    WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id"""))
 
   // the STREAMING heavy-hitter sketch run in batch mode (each shard's
   // flatMapGroupsWithState group executes once over its full token set →

@@ -120,20 +120,15 @@ object Exact {
         [CAST(unicode(c) AS BIGINT) FOR c IN string_split($e, '') IF c <> '']),
       (h, c) -> (h * ($m) + c) % 2147483647)"""
 
-  /** Shared CTE chain replaying the ENTIRE MinHash-LSH candidate pipeline
-    * ([[graft.operators.Dedup.minhashSignatures]] +
-    * [[graft.operators.Dedup.minhashCandidates]] at the default
-    * numHashes=32, bands=8, rowsPerBand=4, maxBucketSize=1000) over the
-    * `documents` table: word 3-shingles → per-shingle [[POLYHASH31]] →
-    * 32 affine permutation mins → 8-band slices → capped bucket
-    * equi-join → distinct pairs with est_jaccard. The band bucket needs
-    * no xxhash64 replay: bucket equality IS 4-element slice equality, so
-    * the oracle joins on the slices themselves. est_jaccard =
-    * agreeing-positions/32 is an exact binary fraction — bit-identical
-    * cross-engine, so threshold compares cannot flap. Ends with a `prs`
-    * relation (id_a, id_b, est_jaccard).
+  /** Shared CTE prefix replaying
+    * [[graft.operators.Dedup.minhashSignatures]] (numHashes=32, word
+    * 3-shingles) over the `documents` table: shingles → per-shingle
+    * [[POLYHASH31]] → 32 affine permutation mins → per-doc signature →
+    * 8-band 4-element slices. The band bucket needs no xxhash64 replay:
+    * bucket equality IS slice equality, so consumers join on the slices
+    * themselves. Ends with `banded` (doc_id, b, sl, sig).
     */
-  def MINHASH_PAIRS_CTES: String =
+  def MINHASH_SIG_CTES: String =
     s"""w AS (
       SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
              unnest(string_split(text, ' ')) AS w
@@ -157,7 +152,17 @@ object Exact {
     ), banded AS (
       SELECT doc_id, b, sig[b*4 + 1 : b*4 + 4] AS sl, sig
       FROM sig CROSS JOIN range(0, 8) AS t(b)
-    ), okb AS (
+    )"""
+
+  /** [[MINHASH_SIG_CTES]] plus the self-join candidate tail of
+    * [[graft.operators.Dedup.minhashCandidates]] (bands=8, rowsPerBand=4,
+    * maxBucketSize=1000): capped bucket equi-join → distinct pairs →
+    * est_jaccard = agreeing-positions/32, an exact binary fraction —
+    * bit-identical cross-engine, so threshold compares cannot flap.
+    * Ends with a `prs` relation (id_a, id_b, est_jaccard).
+    */
+  def MINHASH_PAIRS_CTES: String =
+    s"""$MINHASH_SIG_CTES, okb AS (
       SELECT b, sl FROM banded GROUP BY b, sl HAVING COUNT(*) <= 1000
     ), cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
