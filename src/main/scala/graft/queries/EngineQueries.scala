@@ -1359,9 +1359,14 @@ object EngineQueries extends QueryPack {
 
   // the end-to-end corpus-curation pipeline (rules → redact → exact dedup →
   // near-dup canonicalize → decontaminate → pack): the per-stage funnel is
-  // the operational report. Stages 4-5 are minhash/LSH-based → rows-only;
-  // CorpusCurationSpec pins monotonicity, packing invariants, and
-  // PII/dup-free survivors
+  // the operational report. FULL oracle since round 6 — the last two
+  // engine-hash stages became replayable with the MinHash family, so
+  // DuckDB now replays the ENTIRE pipeline: rule pack (shared
+  // CURATION_RULES_CTES twin), redaction, exact dedup as min-id-per-
+  // redacted-content, LSH canonicalize over the SURVIVOR relation
+  // (MINHASH_SIG_CTES_FROM("s3") + recursive reachability), and 8-gram
+  // benchmark decontamination. CorpusCurationSpec still pins packing
+  // invariants and survivor properties
   private val curationFunnel = OracleQuery(
     "tx_curation_funnel",
     (s, d) => {
@@ -1372,7 +1377,54 @@ object EngineQueries extends QueryPack {
           benchGrams = Some(prepareBenchGrams(s, d)))
         .funnel.orderBy(col("stage"))
     },
-    None)
+    Some(s"""WITH RECURSIVE ${graft.queries.Exact.CURATION_RULES_CTES(
+        "WHERE doc_id % 50 <> 0")}, red AS (
+      SELECT doc_id, ${graft.queries.Exact.REDACT("text")} AS text
+      FROM r WHERE keep
+    ), s3 AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id, text FROM red GROUP BY text
+    ), ${graft.queries.Exact.MINHASH_SIG_CTES_FROM("s3")}, okb AS (
+      SELECT b, sl FROM banded GROUP BY b, sl HAVING COUNT(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        x.sig AS sa, y.sig AS sb
+      FROM banded x JOIN okb o ON o.b = x.b AND o.sl = x.sl
+      JOIN banded y ON y.b = x.b AND y.sl = x.sl AND x.doc_id < y.doc_id
+    ), prs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE len(list_filter(range(1, 33), i -> sa[i] = sb[i])) >= 16
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs
+    ), reach(a, b) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ), drops AS MATERIALIZED (
+      SELECT a AS doc_id
+      FROM (SELECT a, MIN(b) AS rep FROM reach GROUP BY a) WHERE rep <> a
+    ), s4 AS MATERIALIZED (
+      SELECT doc_id, text FROM s3
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ), bg AS MATERIALIZED (
+      SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS g
+      FROM (SELECT string_split(text, ' ') AS tk FROM documents
+            WHERE doc_id % 50 = 0),
+           LATERAL unnest(range(1, len(tk) - 6)) t(i)
+    ), contaminated AS MATERIALIZED (
+      SELECT DISTINCT s.doc_id
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM s4) s,
+           LATERAL unnest(range(1, len(tk) - 6)) t(i)
+      JOIN bg ON bg.g = array_to_string(tk[i:i+7], ' ')
+    )
+    SELECT '0_input' AS stage, (SELECT COUNT(*) FROM d) AS n_docs
+    UNION ALL SELECT '1_rules', (SELECT COUNT(*) FROM r WHERE keep)
+    UNION ALL SELECT '2_redacted', (SELECT COUNT(*) FROM r WHERE keep)
+    UNION ALL SELECT '3_exact_dedup', (SELECT COUNT(*) FROM s3)
+    UNION ALL SELECT '4_near_dedup', (SELECT COUNT(*) FROM s4)
+    UNION ALL SELECT '5_decontaminated',
+      (SELECT COUNT(*) FROM s4
+       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+    ORDER BY stage"""))
 
   // the STREAMING near-dup detector run in batch mode (flatMapGroupsWithState
   // executes per-group once with empty state, so a doc is flagged iff a

@@ -128,11 +128,16 @@ object Exact {
     * bucket equality IS slice equality, so consumers join on the slices
     * themselves. Ends with `banded` (doc_id, b, sl, sig).
     */
-  def MINHASH_SIG_CTES: String =
+  def MINHASH_SIG_CTES: String = MINHASH_SIG_CTES_FROM("documents")
+
+  /** [[MINHASH_SIG_CTES]] over an arbitrary (doc_id, text) relation —
+    * the curation-funnel oracle signs its own survivor CTE.
+    */
+  def MINHASH_SIG_CTES_FROM(rel: String): String =
     s"""w AS (
       SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
              unnest(string_split(text, ' ')) AS w
-      FROM documents
+      FROM $rel
     ), shl AS (
       SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
       FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1

@@ -389,7 +389,12 @@ object TextQueries extends QueryPack {
     * predecessor twice, and DuckDB's default inlining would otherwise
     * expand the 16-round chain exponentially.
     */
-  private def bpeReplaySql(k: Int): String = {
+  private def bpeReplaySql(k: Int): String = bpeReplaySql(k,
+    "SELECT * FROM (" +
+      (0 until k).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ") +
+      ") ORDER BY round")
+
+  private def bpeReplaySql(k: Int, tail: String): String = {
     val A = "\u0001"; val B = "\u0002"
     def e(s: String) = "'" + s + "'"
     val v0 = s"""v0 AS MATERIALIZED (
@@ -424,10 +429,7 @@ object TextQueries extends QueryPack {
       FROM v$r CROSS JOIN t$r
     )""")
     }
-    "WITH " + (v0 +: rounds).mkString(",\n") +
-      "\nSELECT * FROM (" +
-      (0 until k).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ") +
-      ") ORDER BY round"
+    "WITH " + (v0 +: rounds).mkString(",\n") + "\n" + tail
   }
 
   private val bpeMerges = OracleQuery(
@@ -547,8 +549,10 @@ object TextQueries extends QueryPack {
   //      learned merges (train on the word-frequency vocabulary, apply
   //      as a broadcast merge table — one corpus pass each way) and
   //      report the top-10 LEARNED multi-char tokens by corpus
-  //      frequency. Rows-only (merge table is engine state);
-  //      BpeTrainSpec pins the replay semantics ----
+  //      frequency. FULL oracle since round 6: the training replay's
+  //      FINAL vocabulary state (v16) IS applyMerges of every distinct
+  //      word, so tokenization replays by re-parsing the bracketed
+  //      segmentations and weighting by word frequency ----
   private val bpeTokenizeStats = OracleQuery(
     "t_bpe_tokenize_stats",
     (s, d) => {
@@ -562,7 +566,14 @@ object TextQueries extends QueryPack {
         .orderBy(col("n").desc, col("token"))
         .limit(10)
     },
-    None)
+    Some(bpeReplaySql(16, s"""SELECT token, CAST(SUM(freq) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(regexp_extract_all(seg,
+        '${"\u0001"}' || '([^' || '${"\u0002"}' || ']*)' || '${"\u0002"}', 1)) AS token,
+        freq
+      FROM v16)
+    WHERE length(token) > 1
+    GROUP BY token ORDER BY n DESC, token LIMIT 10""")))
 
   // ---- keyed snapshot diff (data versioning): two deterministic corpus
   //      "versions" (different retention filters; every 11th doc edited)
