@@ -651,6 +651,13 @@ object Dedup {
     * of Σ_tokens (±1 according to bit j of hash(token)). Row-local one-pass
     * UDF — no tokenizer explode, no shuffle (the alternative explode +
     * 64-column groupBy shuffles |docs|·|tokens| rows and re-hashes per bit).
+    *
+    * Token hash = [[polyHash31]] base widened through a two-round
+    * multiply-xor avalanche. Every step is SQL-replayable (the wrapping
+    * 64-bit multiplies are mod-2^64 in DuckDB HUGEINT arithmetic, `>>>`
+    * is unsigned floor division), so the near-dup gate carries a FULL
+    * oracle; the avalanche restores the high-bit diffusion a bare
+    * polynomial hash lacks (DedupSpec's hamming-separation tests pin it).
     */
   def simhash(
       docs: DataFrame,
@@ -659,7 +666,7 @@ object Dedup {
     val sh = udf { (text: String) =>
       val counts = new Array[Int](64)
       text.split(" ", -1).foreach { tok =>
-        var x = scala.util.hashing.MurmurHash3.stringHash(tok).toLong * 0x9E3779B97F4A7C15L
+        var x = polyHash31(tok) * 0x9E3779B97F4A7C15L
         x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
         var j = 0
         while (j < 64) {

@@ -1337,11 +1337,64 @@ object EngineQueries extends QueryPack {
     SELECT id_a, id_b, est_jaccard FROM prs
     WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
-  // SimHash near-dup detection
+  // SimHash near-dup detection. FULL oracle since round 6: the token hash
+  // (polyHash31 base + two-round multiply-xor avalanche) replays in
+  // DuckDB HUGEINT arithmetic — wrapping 64-bit multiplies via a 32-bit
+  // limb split (HUGEINT is signed 128-bit, so a direct 2^64×2^64 product
+  // overflows), >>> as unsigned floor division — and the per-bit sign
+  // votes, fingerprint assembly (bit 63 = −2^63), 16-bit block LSH with
+  // the hot-bucket cap, and hamming filter are all integer-exact.
   private val dedupSimhash = OracleQuery(
     "tx_dedup_simhash_pairs",
     (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3),
-    None)
+    Some {
+      val m64 = "18446744073709551616"
+      val m32 = "4294967296"
+      // (a * b) mod 2^64 for a < 2^64, b a constant < 2^64
+      def mulmod(a: String, b: String) =
+        s"((((($a) // $m32) * $b) % $m32) * $m32 + (($a) % $m32) * $b) % $m64"
+      val poly = graft.queries.Exact.POLYHASH31("w")
+      val pw = (0 until 64).map(j =>
+        s"($j, CAST(${BigInt(1) << j} AS HUGEINT))").mkString(", ")
+      s"""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT DISTINCT w FROM toks
+    ), s1 AS (
+      SELECT w, ${mulmod(s"CAST($poly AS HUGEINT)", "11400714819323198485")}
+        AS x1 FROM vocab
+    ), s2 AS (SELECT w, xor(x1, x1 // 8589934592) AS y1 FROM s1
+    ), s3 AS (SELECT w, ${mulmod("y1", "18397679294719823053")} AS x2 FROM s2
+    ), wh AS (SELECT w, xor(x2, x2 // 8589934592) AS x FROM s3
+    ), pw(j, p) AS (VALUES $pw
+    ), wbit AS (
+      SELECT w, j, CAST((x // p) % 2 AS INT) AS bit FROM wh CROSS JOIN pw
+    ), tokcnt AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY doc_id, w
+    ), dbit AS (
+      SELECT doc_id, j, SUM(cnt * (2*bit - 1)) AS c
+      FROM tokcnt JOIN wbit ON wbit.w = tokcnt.w GROUP BY doc_id, j
+    ), fp AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN
+          CASE WHEN j = 63 THEN -9223372036854775808
+               ELSE (CAST(1 AS BIGINT) << j) END ELSE 0 END) AS BIGINT) AS fp
+      FROM dbit GROUP BY doc_id
+    ), blocks AS (
+      SELECT doc_id, fp, b, (fp >> (b*16)) & 65535 AS bval
+      FROM fp CROSS JOIN range(0, 4) t(b)
+    ), okb AS (
+      SELECT b, bval FROM blocks GROUP BY b, bval HAVING COUNT(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        x.fp AS fa, y.fp AS fb
+      FROM blocks x JOIN okb o ON o.b = x.b AND o.bval = x.bval
+      JOIN blocks y ON y.b = x.b AND y.bval = x.bval AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    ORDER BY id_a, id_b"""
+    })
 
   // Benchmark 8-gram set memoized per (session, corpus dir): the curation
   // funnel and t_curation_by_source both decontaminate the same corpus

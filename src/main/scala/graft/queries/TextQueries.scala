@@ -1980,15 +1980,61 @@ object TextQueries extends QueryPack {
   //      LMs are fixed-size bucket vectors (built map-side-combinable,
   //      broadcast back as closures), scoring is one map-only pass, and the
   //      top-k is a TakeOrdered — nothing in the plan scales with corpus
-  //      size except the two scans. ln is float math → rows-only; DsirSpec
-  //      pins ranking semantics ----
+  //      size except the two scans. FULL oracle since round 6: the FNV-1a
+  //      bigram hash replays in DuckDB HUGEINT arithmetic (xor + wrapping
+  //      64-bit multiply as mod-2^64), bucket = h mod 2^14 (the JVM's
+  //      signed-remainder normalization is exactly unsigned mod because
+  //      2^14 divides 2^64), and the per-doc weight replays as an ORDERED
+  //      list_reduce over bigram positions, so even the sequential double
+  //      accumulation matches bit-for-bit — the raw doubles hash-match
+  //      with no quantization ----
   private val dsirSelect = OracleQuery(
     "t_dsir_select_topk",
     (s, d) =>
       graft.operators.Dsir.selectWhere(
           Tables.documents(s, d), col("source") === "src0", keep = 50)
         .select(col("doc_id"), col("source"), col("dsir_weight"), col("n_grams")),
-    None)
+    Some(s"""WITH toks AS (
+      SELECT doc_id, source,
+        list_filter(string_split_regex(lower(text), '[^\\pL]+'), t -> t <> '')
+          AS tk
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, source, i, tk[i] AS w1, tk[i+1] AS w2
+      FROM toks, LATERAL unnest(range(1, len(tk))) t(i)
+    ), bkt AS (
+      SELECT doc_id, source, i,
+        CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          [CAST(unicode(c) AS HUGEINT)
+           FOR c IN string_split(w1 || ' ' || w2, '') IF c <> '']),
+          (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)
+          % 16384 AS INT) AS b
+      FROM bg
+    ), tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bkt
+      WHERE source = 'src0' GROUP BY b
+    ), rawc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bkt GROUP BY b
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM bkt WHERE source = 'src0') + 16384.0
+          AS ttot,
+        (SELECT COUNT(*) FROM bkt) + 16384.0 AS rtot
+    ), lw AS (
+      SELECT bkt.doc_id, bkt.i,
+        ln((COALESCE(t.c, 0) + 1.0) / tot.ttot)
+          - ln((r.c + 1.0) / tot.rtot) AS lr
+      FROM bkt LEFT JOIN tgt t ON t.b = bkt.b
+      JOIN rawc r ON r.b = bkt.b CROSS JOIN tot
+    ), score AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lr ORDER BY i)),
+          (a, b) -> a + b) / COUNT(*) AS dsir_weight
+      FROM lw GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source, COALESCE(s.dsir_weight, 0.0) AS dsir_weight,
+      COALESCE(s.n_grams, 0) AS n_grams
+    FROM documents d LEFT JOIN score s ON s.doc_id = d.doc_id
+    ORDER BY dsir_weight DESC, d.doc_id LIMIT 50"""))
 
   override val all: Seq[OracleQuery] = Seq(
     exactDedup, tokenStats, langSource, stopwordRatio,
