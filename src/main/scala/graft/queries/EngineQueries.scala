@@ -1643,13 +1643,25 @@ object EngineQueries extends QueryPack {
   // lower (doc, chunk) — sub-document duplication the document-level
   // streams miss. Engine-hash chunk boundaries → rows-only; StreamingSpec
   // pins multi-batch behavior and claim stability.
+  // FULL oracle since round 6: the CDC chunk relation replays via
+  // Exact.CDC_CHUNKS_CTES and the per-hash first-claim resolves as
+  // row_number over (doc_id, chunk_idx) within each chunk content
   private val streamChunkDedup = OracleQuery(
     "tx_stream_chunkdedup_hits",
     (s, d) =>
       graft.streaming.StreamingChunkDedup.chunkDupHits(Tables.documents(s, d))
         .toDF()
         .orderBy(col("doc_id"), col("chunk_idx")),
-    None)
+    Some(s"""WITH RECURSIVE ${graft.queries.Exact.CDC_CHUNKS_CTES}, rk AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+        ROW_NUMBER() OVER (PARTITION BY chunk_text
+          ORDER BY doc_id, chunk_idx) AS rn,
+        FIRST_VALUE(doc_id) OVER (PARTITION BY chunk_text
+          ORDER BY doc_id, chunk_idx) AS owner_doc
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx, owner_doc
+    FROM rk WHERE rn > 1 ORDER BY doc_id, chunk_idx"""))
 
   // streaming span-level dedup, batch-mode twin: every 10-token span
   // occurrence gets a kept/dropped verdict (first corpus-wide occurrence

@@ -182,6 +182,93 @@ object Exact {
       FROM cand
     )"""
 
+  /** SQL twin of [[graft.operators.Dsir.fnv1a]]: 64-bit FNV-1a replayed
+    * in DuckDB HUGEINT arithmetic — xor per code point, wrapping multiply
+    * as mod-2^64 (product < 2^104 fits signed 128-bit). The `c <> ''`
+    * guard mirrors [[POLYHASH]]'s empty-string handling.
+    */
+  def FNV1A64(e: String): String =
+    s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      [CAST(unicode(c) AS HUGEINT) FOR c IN string_split($e, '') IF c <> '']),
+      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)"""
+
+  /** (a · b) mod 2^64 for a HUGEINT `a` < 2^64 and a CONSTANT b < 2^64,
+    * via a 32-bit limb split: HUGEINT is signed 128-bit, so the direct
+    * product of two 2^64-scale values overflows; each limb product stays
+    * < 2^96. The HUGEINT twin of the [[KNUTH32]] trick.
+    */
+  def MULMOD64(a: String, b: String): String = {
+    val m64 = "18446744073709551616"
+    val m32 = "4294967296"
+    s"((((($a) // $m32) * ($b)) % $m32) * $m32 + (($a) % $m32) * ($b)) % $m64"
+  }
+
+  /** Shared CTE chain replaying [[graft.operators.Cdc.chunkDocuments]]
+    * (window=4, modulus=16, minLen=8, maxLen=64) over `documents`: the
+    * JVM's rolling hash telescopes to a pure 4-term window polynomial
+    * (h_i = Σ_j hv(i−j)·B^j mod 2^64 — the subtract-the-outgoing-token
+    * update is exactly this closed form), so per-position hashes come
+    * from three self-joins; boundary chaining is a recursive CTE over
+    * precomputed next-zero-position lookups (no aggregates in the
+    * recursive term). Requires WITH RECURSIVE. Ends with `chunks`
+    * (doc_id, chunk_idx, token_start, n_tokens, chunk_text).
+    */
+  def CDC_CHUNKS_CTES: String = {
+    val B = 1000003L
+    val B2 = B * B // < 2^40, exact
+    val B3 = BigInt(B).pow(3) // < 2^60, exact
+    s"""toks AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk,
+        len(list_filter(string_split(text, ' '), t -> t <> '')) AS n
+      FROM documents
+    ), cvocab AS MATERIALIZED (
+      SELECT w, ${FNV1A64("w")} AS f
+      FROM (SELECT DISTINCT unnest(tk) AS w FROM toks)
+    ), posf AS MATERIALIZED (
+      SELECT p.doc_id, p.i, v.f FROM (
+        SELECT t.doc_id, i - 1 AS i, t.tk[i] AS w
+        FROM toks t, LATERAL unnest(range(1, n + 1)) u(i)) p
+      JOIN cvocab v ON v.w = p.w
+    ), hh AS MATERIALIZED (
+      SELECT p0.doc_id, p0.i,
+        (p0.f + COALESCE(${MULMOD64("p1.f", B.toString)}, 0)
+         + COALESCE(${MULMOD64("p2.f", B2.toString)}, 0)
+         + COALESCE(${MULMOD64("p3.f", B3.toString)}, 0))
+          % 18446744073709551616 AS h
+      FROM posf p0
+      LEFT JOIN posf p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i - 1
+      LEFT JOIN posf p2 ON p2.doc_id = p0.doc_id AND p2.i = p0.i - 2
+      LEFT JOIN posf p3 ON p3.doc_id = p0.doc_id AND p3.i = p0.i - 3
+    ), nz AS MATERIALIZED (
+      SELECT doc_id, i, MIN(CASE WHEN h % 16 = 0 THEN i END)
+        OVER (PARTITION BY doc_id ORDER BY i ASC
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS zge
+      FROM hh
+    ), bnd AS MATERIALIZED (
+      SELECT x.doc_id, x.p,
+        CASE WHEN LEAST(COALESCE(z.zge, 9223372036854775807), x.p + 63)
+                    <= x.n - 1
+             THEN LEAST(COALESCE(z.zge, 9223372036854775807), x.p + 63)
+             END AS b
+      FROM (SELECT doc_id, n, unnest(range(0, n)) AS p FROM toks) x
+      LEFT JOIN nz z ON z.doc_id = x.doc_id AND z.i = x.p + 7
+    ), sp(doc_id, idx, start) AS (
+      SELECT doc_id, 0, 0 FROM toks WHERE n > 0
+      UNION ALL
+      SELECT s.doc_id, s.idx + 1, bd.b + 1
+      FROM sp s JOIN bnd bd ON bd.doc_id = s.doc_id AND bd.p = s.start
+      JOIN toks t ON t.doc_id = s.doc_id
+      WHERE bd.b IS NOT NULL AND bd.b < t.n - 1
+    ), chunks AS (
+      SELECT s.doc_id, s.idx AS chunk_idx, s.start AS token_start,
+        COALESCE(bd.b, t.n - 1) - s.start + 1 AS n_tokens,
+        array_to_string(t.tk[s.start + 1 : COALESCE(bd.b, t.n - 1) + 1], ' ')
+          AS chunk_text
+      FROM sp s JOIN toks t ON t.doc_id = s.doc_id
+      JOIN bnd bd ON bd.doc_id = s.doc_id AND bd.p = s.start
+    )"""
+  }
+
   /** SQL twin of [[graft.operators.Dedup.knuth32]] for the DuckDB oracle:
     * (e * 2654435761) mod 2^32 via 16-bit limb split, so no intermediate
     * exceeds 2^49 — DuckDB errors on BIGINT overflow where Spark wraps, so

@@ -1873,8 +1873,11 @@ object TextQueries extends QueryPack {
   // ---- content-defined chunk dedup profile: CDC-chunk the corpus (rolling
   //      hash boundaries — edit-stable, see operators/Cdc) and measure, per
   //      source, how much chunk-level duplication document-level dedup
-  //      would miss. Engine-hash boundaries → rows-only; CdcSpec pins
-  //      reconstruction, bounds, edit stability, and determinism ----
+  //      would miss. FULL oracle since round 6: the rolling hash
+  //      telescopes to a pure 4-term window polynomial over FNV-1a token
+  //      hashes (both replayed in HUGEINT mod-2^64 arithmetic) and the
+  //      boundary chain replays as a recursive CTE over next-zero
+  //      lookups — Exact.CDC_CHUNKS_CTES, shared with the streaming twin ----
   private val cdcChunkProfile = OracleQuery(
     "t_cdc_chunk_profile",
     (s, d) => {
@@ -1887,7 +1890,12 @@ object TextQueries extends QueryPack {
           sum(col("n_tokens")).as("n_tokens"))
         .orderBy(col("source"))
     },
-    None)
+    Some(s"""WITH RECURSIVE ${Exact.CDC_CHUNKS_CTES}
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(COUNT(DISTINCT md5(c.chunk_text)) AS BIGINT) AS n_distinct,
+      CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens
+    FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY d.source ORDER BY d.source"""))
 
   // ---- out-of-vocabulary rate against a corpus-derived vocabulary: the
   //      tokenizer-coverage quality signal (docs full of tokens a fixed
