@@ -61,6 +61,24 @@ class CmsSketchSpec extends SparkSpec {
     assert(unioned == global, "artifact union diverged from the single pass")
   }
 
+  test("row hashes are per-row polynomials — pinned values, row independence") {
+    // pinned against the BigInt recurrence the DuckDB twin replays
+    // (Exact.POLYHASH(31+2r) % w); the empty string folds to bucket 0
+    assert((0 until 4).map(CmsSketch.bucketOf("the", _, 1024)) ==
+      Seq(113, 833, 433, 961))
+    assert((0 until 4).map(CmsSketch.bucketOf("hello", _, 1024)) ==
+      Seq(210, 116, 110, 944))
+    assert((0 until 4).map(CmsSketch.bucketOf("", _, 1024)) == Seq(0, 0, 0, 0))
+    // row independence in the concrete sense ADVICE flagged: items that
+    // collide in one row must not be forced to collide in every row
+    // (the old single-murmur-base scheme collided globally). Check over a
+    // vocabulary: no pair collides in ALL 4 rows.
+    val vocab = (0 until 2000).map(i => s"tok$i")
+    val sigs = vocab.map(v => (0 until 4).map(CmsSketch.bucketOf(v, _, 1024)))
+    assert(sigs.distinct.size == vocab.size,
+      "two distinct items collide in every row — rows are not independent")
+  }
+
   test("unseen keys estimate only collision mass; empty sketch estimates zero") {
     val empty = new Array[Long](D * W)
     assert(CmsSketch.cmsEstimate(empty, "anything", D, W) == 0L)

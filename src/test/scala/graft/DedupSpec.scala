@@ -331,6 +331,45 @@ class DedupSpec extends SparkSpec {
       s"folds not covered: ${out.values.toSet}")
   }
 
+  test("polyHash31 is the Java hashCode recurrence mod 2^31-1 over code points") {
+    // BigInt oracle of the recurrence the DuckDB twin replays
+    // (Exact.POLYHASH31: unicode() per split character, (h*31+c) mod p).
+    // Includes a supplementary-plane char — the JVM loop must advance by
+    // code POINT (charCount 2), matching DuckDB's per-character split.
+    val p = BigInt(2147483647L)
+    val cases = Seq("", "a", "abc", "hello world", "café",
+      "é", new String(Character.toChars(0x1F600)) + "x")
+    cases.foreach { s =>
+      var want = BigInt(0)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        want = (want * 31 + cp) mod p
+        i += Character.charCount(cp)
+      }
+      assert(Dedup.polyHash31(s) == want.toLong, s"polyHash31 diverges on '$s'")
+    }
+    assert(Dedup.polyHash31("abc") == 96354L) // == "abc".hashCode (< p)
+  }
+
+  test("minhash permutation coefficients are independent draws, not linear in j") {
+    // the round-6 regression this family had: a_j = a1*(j+1) makes every
+    // h_j a scalar multiple of h_0 and est_jaccard collapses toward 1 for
+    // docs sharing ONE small-hash shingle. Pin a_j in [1, p-1], b_j in
+    // [0, p-1], all distinct, and no common-ratio structure.
+    val p = 2147483647L
+    val as = (0 until 32).map(Dedup.permA)
+    val bs = (0 until 32).map(Dedup.permB)
+    assert(as.forall(a => a >= 1 && a < p) && bs.forall(b => b >= 0 && b < p))
+    assert(as.distinct.size == 32 && bs.distinct.size == 32)
+    // a_j linear in (j+1) would make a_j * inverse(a_0) == (j+1) for all j
+    val ratioLinear = (1 until 32).forall { j =>
+      BigInt(as(j)) * BigInt(as.head).modInverse(BigInt(p)) % BigInt(p) ==
+        BigInt(j + 1)
+    }
+    assert(!ratioLinear, "permA is linear in j — correlated permutations")
+  }
+
   test("knuth32 matches (id * 2654435761) mod 2^32 exactly, huge ids included") {
     // ids past ~3.47e9 wrap the naive Long product; the limb-split form
     // must still equal the true mathematical value (BigInt oracle)
