@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale evidence for SURVEY §4.4 (round-5 verdict item 3).
+  *
+  * Generates a factor-F corpus (default ×10 ≈ sf1) from the sf0.1 testdata
+  * and times the heaviest operator families at BOTH sizes, reporting the
+  * empirical scaling exponent e = ln(t_big/t_small)/ln(F). A shuffle-safe
+  * family should land near e ≈ 1 (linear); any hidden superlinear stage
+  * (candidate blowup, unbounded window, driver collect) surfaces as e ≫ 1
+  * here rather than in production.
+  *
+  * Replica construction decorrelates the copies so the ×F corpus behaves
+  * like F independent sf0.1 corpora (bigger sources, not more sources) —
+  * NOT like one corpus duplicated F times, which would hand the dedup
+  * families an artificial 100× candidate-pair workload that no real sf1
+  * corpus has:
+  *   - documents: replica k>0 rewrites the 9 most common letters via a
+  *     rotated `translate` alphabet — same length (n_chars stays valid),
+  *     same source/lang marginals, but shingle/token sets disjoint from
+  *     every other replica, so no cross-replica near-dup pairs;
+  *   - embeddings: replica k rotates each vector by k positions — a fixed
+  *     permutation preserves all within-replica cosines exactly while
+  *     scrambling cross-replica cosines to background level;
+  *   - customer: replica k>0 prefixes names with "kkk-" (3 edits between
+  *     any two replica tags > tau=1, so no cross-replica ed-join pairs);
+  *   - events: pure id-shift (users are independent across replicas).
+  *
+  * Artifact builds (minhash signatures, benchmark grams) are timed
+  * separately from the min-of-2 query timings, mirroring Bench.scala's
+  * build/probe split: at 100 TB those are persisted artifacts amortized
+  * over every downstream consumer.
+  */
+object ScaleBench {
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+  private val LETTERS = "etaoinshr"
+  private def rotated(k: Int): String = {
+    val r = k % LETTERS.length
+    LETTERS.drop(r) + LETTERS.take(r)
+  }
+
+  def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val doneMarker = new java.io.File(s"$out/_DONE")
+    if (doneMarker.exists()) return
+
+    def replicas(df: DataFrame)(perturb: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => perturb(df, k)).reduce(_ unionByName _)
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    replicas(docs) { (d, k) =>
+      val shifted = d.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
+      if (k == 0) shifted
+      else shifted.withColumn("text", translate(col("text"), LETTERS, rotated(k)))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    replicas(emb) { (e, k) =>
+      val shifted = e.withColumn("vec_id", col("vec_id") + lit(k.toLong * 10000000L))
+      if (k == 0) shifted
+      else shifted.withColumn("embedding",
+        expr(s"concat(slice(embedding, ${k + 1}, 1000000), slice(embedding, 1, $k))"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    replicas(cust) { (c, k) =>
+      val shifted = c.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * 10000000L))
+      if (k == 0) shifted
+      else shifted.withColumn("c_name", concat(lit(s"$k$k$k-"), col("c_name")))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // events.parquet carries INT64 TIMESTAMP(NANOS); read the nanos as raw
+    // longs (the Tables.events convention) and write them back as longs so
+    // the scaled dir round-trips through the same loader unchanged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    replicas(ev) { (e, k) =>
+      e.withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(k.toLong * 10000000L))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    doneMarker.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"target/scaledata/x$factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-scale-warehouse").toString)
+      .withExtensions(new graft.expressions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val t0gen = System.nanoTime()
+    generate(spark, base, out, factor)
+    println(s"SCALEGEN ${fmt((System.nanoTime() - t0gen) / 1e9)}s -> $out")
+
+    import graft.operators.{Dedup, EdJoin, SetJoin}
+
+    // operator-level scope (NOT the slice-capped oracle gates): the gate
+    // caps exist so the DuckDB n² replay stays feasible; the scaling
+    // question is about the operator's full-corpus plan
+    val families: Seq[(String, String => DataFrame)] = Seq(
+      "minhash_canonicalize" -> { dir: String =>
+        val sigs = graft.queries.EngineQueries.prepareMinhashSigs(spark, dir)
+        Dedup.canonicalize(
+          Dedup.minhashCandidates(sigs, bands = 8, rowsPerBand = 4)
+            .filter(col("est_jaccard") >= 0.5))
+      },
+      "setjoin_jaccard" -> { dir: String =>
+        SetJoin.jaccardJoin(Tables.documents(spark, dir), t = 0.9)
+      },
+      "edjoin_typos" -> { dir: String =>
+        EdJoin.edJoin(
+          Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+          tau = 1, idCol = "c_custkey", strCol = "c_name")
+      },
+      "cross_source_overlap" -> { dir: String =>
+        SparkEntry.queries("t_cross_source_overlap")(spark, dir)
+      },
+      "mixture_temperature" -> { dir: String =>
+        SparkEntry.queries("t_mixture_temperature_sample")(spark, dir)
+      },
+      "curation_funnel" -> { dir: String =>
+        SparkEntry.queries("tx_curation_funnel")(spark, dir)
+      },
+      "embedding_canonicalize" -> { dir: String =>
+        SparkEntry.queries("vx_dedup_embedding_canonical")(spark, dir)
+      },
+      "sessionize_events" -> { dir: String =>
+        SparkEntry.queries("e_sessionize_30min_gap")(spark, dir)
+      })
+    // comma-separated subset for re-measuring single families after a fix
+    val wanted = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def familySelected(n: String): Boolean = wanted.forall(_.contains(n))
+    val selectedFamilies = families.filter { case (n, _) => familySelected(n) }
+
+    // artifact builds, timed separately per dir (they are themselves part
+    // of the scaling story — map-only, expected e ≈ 1)
+    val builds = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    if (familySelected("minhash_canonicalize"))
+      builds("minhash_sigs") = (
+        timeIt { graft.queries.EngineQueries.prepareMinhashSigs(spark, base); () },
+        timeIt { graft.queries.EngineQueries.prepareMinhashSigs(spark, out); () })
+    if (familySelected("curation_funnel"))
+      builds("bench_grams") = (
+        timeIt { graft.queries.EngineQueries.prepareBenchGrams(spark, base); () },
+        timeIt { graft.queries.EngineQueries.prepareBenchGrams(spark, out); () })
+
+    def minOf2(mk: => DataFrame): Double =
+      Seq.fill(2)(timeIt { mk.count(); () }).min
+
+    val results = selectedFamilies.map { case (name, mk) =>
+      val small = minOf2(mk(base))
+      val big = minOf2(mk(out))
+      val e = math.log(big / small) / math.log(factor.toDouble)
+      println(s"SCALEQ $name small=${fmt(small)} big=${fmt(big)} exponent=${fmt(e)}")
+      (name, small, big, e)
+    }
+
+    val famJson = results.map { case (n, s, b, e) =>
+      s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"exponent":${fmt(e)}}"""
+    }.mkString("{", ",", "}")
+    val buildJson = builds.map { case (n, (s, b)) =>
+      val e = math.log(b / s) / math.log(factor.toDouble)
+      s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"exponent":${fmt(e)}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_exponent","factor":$factor,"base":"$base","families":$famJson,"builds":$buildJson}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/scalebench.json"),
+      json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

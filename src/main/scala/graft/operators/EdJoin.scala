@@ -68,8 +68,42 @@ object EdJoin {
       i => padded.substr(i, lit(q))))
   }
 
+  /** Single-deletion neighborhood keys of `s`, hashed to longs: the
+    * string itself plus every length−1 variant. Two strings within
+    * Levenshtein 1 ALWAYS share a key (the symmetric-delete argument,
+    * as in SymSpell-style spelling indexes):
+    *
+    *  - `ed = 0`: both post the full string.
+    *  - substitution at position i: deleting position i from either side
+    *    yields the same length−1 string.
+    *  - insertion/deletion (WLOG `b` = `a` with one char inserted at i):
+    *    `b` deleting position i yields `a`, which `a` posts verbatim.
+    *
+    * Keys are `xxhash64` of the variants — a hash collision can only ADD
+    * a candidate (verify discards it), never lose a true pair. Postings
+    * under these keys are bounded by the TRUE near-dup cluster sizes
+    * (plus vanishing hash collisions), not by gram vocabulary — the
+    * property the q-gram path loses on fixed-format serial keys, where
+    * the ~10²-gram digit alphabet saturates and postings grow linearly
+    * with the corpus (measured: scaling exponent 2.04 on 15k → 150k
+    * TPC-H customer names before this path, ~linear after; BASELINE.md
+    * scaling table).
+    */
+  private def deletionKeys(s: Column): Column = {
+    val variants = transform(
+      sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    transform(array_union(array(s), variants), v => xxhash64(v))
+  }
+
   /** All (id_a < id_b) pairs with `levenshtein <= tau`, exactly.
     * Returns (id_a, id_b, dist).
+    *
+    * Routing: `tau == 1` (the record-linkage/typo case) uses
+    * [[deletionKeys]] blocking — candidate volume proportional to the
+    * output, immune to gram-vocabulary saturation; `tau != 1` uses the
+    * q-gram count+prefix+length chain below (deletion neighborhoods grow
+    * C(len, tau)-fold and stop paying for themselves at tau ≥ 2).
     */
   def edJoin(df: DataFrame, tau: Int,
       idCol: String = "id", strCol: String = "s", q: Int = 2,
@@ -88,6 +122,32 @@ object EdJoin {
     }
     val base = df.select(col(idCol).cast("long").as("__id"),
       col(strCol).as("__s"))
+    // exact verify on candidate id pairs — shared by both candidate
+    // generators; output exactness never depends on the blocking scheme
+    def verify(candidates: DataFrame): DataFrame = {
+      val a = base.select(col("__id"), col("__s").as("__sa"))
+      val b = base.select(col("__id").as("__id2"), col("__s").as("__sb"))
+      candidates.join(a, "__id").join(b, "__id2")
+        .filter(abs(length(col("__sa")) - length(col("__sb"))) <= tau)
+        .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+        .filter(col("dist") <= tau)
+        .select(col("__id").as("id_a"), col("__id2").as("id_b"),
+          col("dist").cast("long").as("dist"))
+    }
+    if (tau == 1) {
+      val posting = base
+        .select(col("__id"), explode(deletionKeys(col("__s"))).as("g"))
+      val guarded =
+        if (maxPostingSize == Int.MaxValue) posting
+        else posting.join(
+          posting.groupBy(col("g")).agg(count(lit(1)).as("__ps"))
+            .filter(col("__ps") <= maxPostingSize).select(col("g")),
+          Seq("g"))
+      return verify(guarded.join(
+          guarded.select(col("g"), col("__id").as("__id2")), Seq("g"))
+        .filter(col("__id") < col("__id2"))
+        .select(col("__id"), col("__id2")).distinct())
+    }
     val tok = base
       .select(col("__id"), explode(grams(col("__s"), q)).as("g"))
     val freq = tok.groupBy(col("g")).agg(count(lit(1)).as("__f"))
@@ -123,17 +183,9 @@ object EdJoin {
         posting.groupBy(col("g")).agg(count(lit(1)).as("__ps"))
           .filter(col("__ps") <= maxPostingSize).select(col("g")),
         Seq("g"))
-    val candidates = guarded.join(
+    verify(guarded.join(
         guarded.select(col("g"), col("__id").as("__id2")), Seq("g"))
       .filter(col("__id") < col("__id2"))
-      .select(col("__id"), col("__id2")).distinct()
-    val a = base.select(col("__id"), col("__s").as("__sa"))
-    val b = base.select(col("__id").as("__id2"), col("__s").as("__sb"))
-    candidates.join(a, "__id").join(b, "__id2")
-      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= tau)
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= tau)
-      .select(col("__id").as("id_a"), col("__id2").as("id_b"),
-        col("dist").cast("long").as("dist"))
+      .select(col("__id"), col("__id2")).distinct())
   }
 }
