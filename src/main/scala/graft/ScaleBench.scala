@@ -38,10 +38,22 @@ object ScaleBench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
-  private val LETTERS = "etaoinshr"
-  private def rotated(k: Int): String = {
-    val r = k % LETTERS.length
-    LETTERS.drop(r) + LETTERS.take(r)
+  private val ALPHA = "abcdefghijklmnopqrstuvwxyz"
+  // multipliers coprime to 26 — affine ciphers i -> a·i + b are bijections
+  private val COPRIMES = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Affine substitution alphabet for replica k: position i maps to
+    * (a_k·i + b_k) mod 26 with a_k coprime to 26 — 312 distinct letter
+    * bijections, k = 0 the identity. A bijection preserves every
+    * within-replica equality/shingle relation exactly while making
+    * word/shingle vocabularies disjoint across replicas. (An earlier
+    * 9-letter rotation scheme collided at k ≡ 0 mod 9, silently making
+    * replica 9 an exact duplicate of replica 0.)
+    */
+  private[graft] def affineAlpha(k: Int): String = {
+    val a = COPRIMES(k % COPRIMES.length)
+    val b = k / COPRIMES.length
+    String.valueOf(Array.tabulate(26)(i => ALPHA((a * i + b) % 26)))
   }
 
   def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
@@ -55,15 +67,26 @@ object ScaleBench {
     replicas(docs) { (d, k) =>
       val shifted = d.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
       if (k == 0) shifted
-      else shifted.withColumn("text", translate(col("text"), LETTERS, rotated(k)))
+      else shifted.withColumn("text", translate(col("text"), ALPHA, affineAlpha(k)))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+    // rotation by k mod dim, negated every full cycle: 2·dim distinct
+    // orthogonal transforms — within-replica cosines preserved exactly,
+    // cross-replica cosines scrambled to background, no k-collision up to
+    // factor 2·dim
     replicas(emb) { (e, k) =>
       val shifted = e.withColumn("vec_id", col("vec_id") + lit(k.toLong * 10000000L))
-      if (k == 0) shifted
-      else shifted.withColumn("embedding",
-        expr(s"concat(slice(embedding, ${k + 1}, 1000000), slice(embedding, 1, $k))"))
+      val r = k % dim
+      val sgn = if ((k / dim) % 2 == 1) -1.0f else 1.0f
+      val rotated =
+        if (r == 0) shifted
+        else shifted.withColumn("embedding",
+          expr(s"concat(slice(embedding, ${r + 1}, 1000000), slice(embedding, 1, $r))"))
+      if (sgn == 1.0f) rotated
+      else rotated.withColumn("embedding",
+        expr("transform(embedding, x -> -x)"))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val cust = spark.read.parquet(s"$base/customer.parquet")
@@ -119,6 +142,14 @@ object ScaleBench {
           Dedup.minhashCandidates(sigs, bands = 8, rowsPerBand = 4)
             .filter(col("est_jaccard") >= 0.5))
       },
+      // candidate stage alone — isolates banded-join cost from the
+      // iterative connected-components rounds when the combined exponent
+      // needs explaining
+      "minhash_candidates" -> { dir: String =>
+        val sigs = graft.queries.EngineQueries.prepareMinhashSigs(spark, dir)
+        Dedup.minhashCandidates(sigs, bands = 8, rowsPerBand = 4)
+          .filter(col("est_jaccard") >= 0.5)
+      },
       "setjoin_jaccard" -> { dir: String =>
         SetJoin.jaccardJoin(Tables.documents(spark, dir), t = 0.9)
       },
@@ -136,8 +167,23 @@ object ScaleBench {
       "curation_funnel" -> { dir: String =>
         SparkEntry.queries("tx_curation_funnel")(spark, dir)
       },
+      // NOT the gate query: the gate pins bitsPerTable=6, tuned to the
+      // 2k-vector testdata's low-cosine regime. Signature length is the
+      // documented log(n) dial (SimilaritySearch scaladoc) — holding it
+      // fixed while growing the corpus 100× hands the bucket join ~n²/2^b
+      // candidate pairs and the ×100 run measured exactly that (disk-full
+      // from SMJ spill, BASELINE.md). The scale measurement applies the
+      // dial the way production would.
       "embedding_canonicalize" -> { dir: String =>
-        SparkEntry.queries("vx_dedup_embedding_canonical")(spark, dir)
+        import graft.operators.{Dedup => DD, SimilaritySearch}
+        val emb = Tables.embeddings(spark, dir)
+        val n = emb.count()
+        val bits = math.max(6,
+          math.ceil(math.log(n.toDouble / 32.0) / math.log(2.0)).toInt)
+        val pairs = SimilaritySearch.lshNearDupPairs(emb, threshold = 0.3,
+            numTables = 8, bitsPerTable = bits)
+          .select(col("id_a"), col("id_b"))
+        DD.canonicalize(pairs)
       },
       "sessionize_events" -> { dir: String =>
         SparkEntry.queries("e_sessionize_30min_gap")(spark, dir)
