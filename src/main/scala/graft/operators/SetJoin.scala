@@ -40,10 +40,25 @@ object SetJoin {
   /** All (id_a < id_b) pairs with token-set Jaccard ≥ t, exactly.
     * `docs` needs idCol and a textCol whose whitespace tokens define the
     * set. Returns (id_a, id_b, n_common, jaccard).
+    *
+    * `enumSaltFactor` spreads the posting self-join's OUTPUT skew: the
+    * join key is a token, so a corpus with few distinct prefix tokens
+    * (low-vocabulary text) concentrates the pair enumeration on a handful
+    * of shuffle partitions — and AQE's skew-join split cannot help,
+    * because its detector sizes partitions by INPUT bytes and posting
+    * rows are tiny; it is the join fan-out that explodes. One side
+    * replicates over `R` salts, the other assigns `hash(id) mod R`, the
+    * join adds the salt to the key — every (token, a, b) row still
+    * appears exactly once (b lands on exactly one salt), so the candidate
+    * multiset is unchanged (SetJoinSpec pins naive-join equality), while
+    * enumeration work spreads R× wider. Measured on the 30-word-vocab
+    * sf0.1 corpus: 143 s → see BASELINE.md scaling table.
     */
   def jaccardJoin(docs: DataFrame, t: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      maxPostingSize: Int = Int.MaxValue): DataFrame = {
+      maxPostingSize: Int = Int.MaxValue,
+      enumSaltFactor: Int = 16): DataFrame = {
+    require(enumSaltFactor >= 1, "enumSaltFactor must be >= 1")
     require(t > 0.0 && t <= 1.0, "threshold must be in (0, 1]")
     val tok = docs
       .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("w"))
@@ -61,15 +76,27 @@ object SetJoin {
     val withPrefix = sorted.withColumn("prefix",
       slice(col("toks"), lit(1),
         (col("n") - ceil(col("n") * lit(t / (1 + t))) + 1).cast("int")))
+    // postings carry the set size so the SIZE filter (Jaccard ≥ t implies
+    // t·max(na,nb) ≤ min(na,nb), since J ≤ min/max always) prunes at
+    // candidate-emission time — before the distinct and before any token
+    // array ships to the verify join. Exact: a pair cut here is ≤ the same
+    // double t the final Jaccard compare uses, so it could never survive
+    // verification.
     val posting = withPrefix
-      .select(col("__id"), explode(col("prefix")).as("w"))
+      .select(col("__id"), col("n"), explode(col("prefix")).as("w"))
     val guarded = posting.join(
       posting.groupBy(col("w")).agg(count(lit(1)).as("__ps"))
         .filter(col("__ps") <= maxPostingSize).select(col("w")),
       Seq("w"))
-    val candidates = guarded.join(
-        guarded.select(col("w"), col("__id").as("__id2")), Seq("w"))
+    val salted = guarded.select(col("w"), col("__id"), col("n"),
+      explode(sequence(lit(0), lit(enumSaltFactor - 1))).as("__salt"))
+    val probes = guarded.select(col("w"), col("__id").as("__id2"),
+      col("n").as("__n2"),
+      pmod(xxhash64(col("__id")), lit(enumSaltFactor.toLong)).as("__salt"))
+    val candidates = salted.join(probes, Seq("w", "__salt"))
       .filter(col("__id") < col("__id2"))
+      .filter(col("n") * lit(t) <= col("__n2") &&
+        col("__n2") * lit(t) <= col("n"))
       .select(col("__id"), col("__id2")).distinct()
     val a = sorted.select(col("__id"), col("toks").as("__ta"), col("n").as("__na"))
     val b = sorted.select(col("__id").as("__id2"), col("toks").as("__tb"),
