@@ -176,12 +176,8 @@ object ScaleBench {
       // dial the way production would.
       "embedding_canonicalize" -> { dir: String =>
         import graft.operators.{Dedup => DD, SimilaritySearch}
-        val emb = Tables.embeddings(spark, dir)
-        val n = emb.count()
-        val bits = math.max(6,
-          math.ceil(math.log(n.toDouble / 32.0) / math.log(2.0)).toInt)
-        val pairs = SimilaritySearch.lshNearDupPairs(emb, threshold = 0.3,
-            numTables = 8, bitsPerTable = bits)
+        val pairs = SimilaritySearch.lshNearDupPairsAuto(
+            Tables.embeddings(spark, dir), threshold = 0.3, numTables = 8)
           .select(col("id_a"), col("id_b"))
         DD.canonicalize(pairs)
       },

@@ -270,6 +270,34 @@ object SimilaritySearch {
     * afterwards (the candidate set is ≪ corpus, so those joins are cheap
     * relative to shuffling every candidate's vectors through a distinct).
     */
+  /** [[lshNearDupPairs]] with the signature length derived from the
+    * corpus size instead of pinned by the caller: bits =
+    * ceil(log₂(n / targetBucketSize)), floored at 4. Signature length is
+    * a LOAD-BEARING scale dial, not a tuning constant — expected bucket
+    * occupancy is n/2^bits, and the bucket self-join enumerates
+    * ~n²/2^bits candidate pairs, so holding bits fixed while the corpus
+    * grows 100× multiplies candidate volume 100× (measured: the ×100
+    * ScaleBench run at a fixed 6 bits filled the disk from sort-merge
+    * spill before finishing; the log-n policy ran the same corpus at
+    * wall-clock exponent 0.61 — BASELINE.md "Measured scaling
+    * exponents"). Costs one `count()` of the corpus; callers that
+    * already know n should call [[lshNearDupPairs]] with the policy
+    * applied themselves.
+    */
+  def lshNearDupPairsAuto(
+      corpus: DataFrame, threshold: Double,
+      numTables: Int = 8, targetBucketSize: Int = 32, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(targetBucketSize >= 1, "targetBucketSize must be >= 1")
+    val n = corpus.count()
+    val bits = math.min(62, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
+        math.log(2.0)).toInt))
+    lshNearDupPairs(corpus, threshold, numTables, bits, seed, idCol, vecCol,
+      maxBucketSize)
+  }
+
   def lshNearDupPairs(
       corpus: DataFrame, threshold: Double,
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L,

@@ -56,6 +56,22 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.6, s"near-dup recall too low: $recall")
   }
 
+  test("lshNearDupPairsAuto derives the log-n signature length and stays exact-precision") {
+    // the dial lesson from the x100 scale run (BASELINE.md): expected
+    // bucket occupancy is n/2^bits, so bits must grow with log(n) or the
+    // bucket self-join's candidate volume grows quadratically. The auto
+    // variant delegates to the manual one with bits = ceil(log2(n/target)),
+    // so on this corpus (n=500, target=32 → ceil(log2(15.6)) = 4) it must
+    // produce EXACTLY the manual 4-bit call's pairs.
+    val auto = SimilaritySearch.lshNearDupPairsAuto(emb, threshold = 0.3,
+        numTables = 16, targetBucketSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = SimilaritySearch.lshNearDupPairs(emb, threshold = 0.3,
+        numTables = 16, bitsPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == manual)
+  }
+
   test("ANN retrieval QUALITY: recall@5 vs brute force on sf0.01, documented bounds") {
     // mechanics are hash-verified elsewhere; this pins retrieval quality so
     // silent regressions in signature/probe code fail loudly. Ground truth =
