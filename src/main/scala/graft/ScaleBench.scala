@@ -56,21 +56,72 @@ object ScaleBench {
     String.valueOf(Array.tabulate(26)(i => ALPHA((a * i + b) % 26)))
   }
 
+  // k=312 wraps to (a=1, b=26 ≡ 0) = identity: replica 312 would be an
+  // exact duplicate of replica 0 and re-correlate the dedup workload
+  private[graft] val MaxFactor = 312
+
+  private val DIGITS = "0123456789"
+  private val DIGIT_COPRIMES = Array(1, 3, 7, 9)
+
+  /** Digit analog of [[affineAlpha]]: i -> (a_k·i + b_k) mod 10 with a_k
+    * coprime to 10 — 40 distinct digit bijections (cycling past k=40 is
+    * fine: letter alphabets alone keep replicas distinct; the digit map
+    * exists so texts with NO letters — digits/punctuation — still
+    * decorrelate instead of replicating as exact cross-replica dups).
+    */
+  private[graft] def digitAlpha(k: Int): String = {
+    val a = DIGIT_COPRIMES(k % DIGIT_COPRIMES.length)
+    val b = (k / DIGIT_COPRIMES.length) % 10
+    String.valueOf(Array.tabulate(10)(i => DIGITS((a * i + b) % 10)))
+  }
+
+  // translate source/target: lowercase + uppercase (same bijection,
+  // case-preserved) + digits, so only punctuation/whitespace are fixed
+  // points of the substitution
+  private val SUBST_SRC = ALPHA + ALPHA.toUpperCase + DIGITS
+  private[graft] def substAlpha(k: Int): String =
+    affineAlpha(k) + affineAlpha(k).toUpperCase + digitAlpha(k)
+
+  // scheme token written into the _DONE marker: bump when the replica
+  // construction changes so stale corpora regenerate instead of silently
+  // reporting exponents against the wrong construction
+  private val Scheme = "v2-affine-azAZ09"
+
   def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    require(factor >= 1 && factor <= MaxFactor,
+      s"factor must be in [1, $MaxFactor] (letter bijections repeat past $MaxFactor)")
     val doneMarker = new java.io.File(s"$out/_DONE")
-    if (doneMarker.exists()) return
+    val markerContent = s"base=$base factor=$factor scheme=$Scheme"
+    if (doneMarker.exists()) {
+      val existing = new String(
+        java.nio.file.Files.readAllBytes(doneMarker.toPath), "UTF-8").trim
+      if (existing == markerContent) return
+      // stale corpus (different base/factor/scheme): fall through and
+      // regenerate — every table write below is mode("overwrite")
+      println(s"SCALEGEN stale marker ('$existing' != '$markerContent'): regenerating")
+    }
+
+    // the id shifts below assume every base id fits under the replica
+    // stride; a base corpus larger than that would silently collide ids
+    // across replicas
+    def requireMaxId(df: DataFrame, c: String, stride: Long): Unit = {
+      val m = df.agg(max(col(c).cast("long"))).head().getLong(0)
+      require(m < stride, s"$c max $m >= replica stride $stride")
+    }
 
     def replicas(df: DataFrame)(perturb: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => perturb(df, k)).reduce(_ unionByName _)
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
+    requireMaxId(docs, "doc_id", 10000000L)
     replicas(docs) { (d, k) =>
       val shifted = d.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
       if (k == 0) shifted
-      else shifted.withColumn("text", translate(col("text"), ALPHA, affineAlpha(k)))
+      else shifted.withColumn("text", translate(col("text"), SUBST_SRC, substAlpha(k)))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    requireMaxId(emb, "vec_id", 10000000L)
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)
     // rotation by k mod dim, negated every full cycle: 2·dim distinct
     // orthogonal transforms — within-replica cosines preserved exactly,
@@ -90,6 +141,7 @@ object ScaleBench {
     }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val cust = spark.read.parquet(s"$base/customer.parquet")
+    requireMaxId(cust, "c_custkey", 10000000L)
     replicas(cust) { (c, k) =>
       val shifted = c.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * 10000000L))
       if (k == 0) shifted
@@ -101,12 +153,14 @@ object ScaleBench {
     // the scaled dir round-trips through the same loader unchanged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$base/events.parquet")
+    requireMaxId(ev, "event_id", 1000000000L)
+    requireMaxId(ev, "user_id", 10000000L)
     replicas(ev) { (e, k) =>
       e.withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
         .withColumn("user_id", col("user_id") + lit(k.toLong * 10000000L))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    doneMarker.createNewFile()
+    java.nio.file.Files.write(doneMarker.toPath, markerContent.getBytes("UTF-8"))
     ()
   }
 
@@ -150,8 +204,11 @@ object ScaleBench {
         Dedup.minhashCandidates(sigs, bands = 8, rowsPerBand = 4)
           .filter(col("est_jaccard") >= 0.5)
       },
+      // enumSaltFactor=16: this corpus is the measured skew case (tiny
+      // word vocabulary concentrates pair enumeration; see SetJoin scaladoc)
       "setjoin_jaccard" -> { dir: String =>
-        SetJoin.jaccardJoin(Tables.documents(spark, dir), t = 0.9)
+        SetJoin.jaccardJoin(Tables.documents(spark, dir), t = 0.9,
+          enumSaltFactor = 16)
       },
       "edjoin_typos" -> { dir: String =>
         EdJoin.edJoin(

@@ -52,12 +52,17 @@ object SetJoin {
     * appears exactly once (b lands on exactly one salt), so the candidate
     * multiset is unchanged (SetJoinSpec pins naive-join equality), while
     * enumeration work spreads R× wider. Measured on the 30-word-vocab
-    * sf0.1 corpus: 143 s → see BASELINE.md scaling table.
+    * sf0.1 corpus: 143 s → see BASELINE.md scaling table. Salting is
+    * OPT-IN (default 1 = unsalted): replicating the build side R× costs
+    * R× shuffle volume and join input, a pure loss on corpora whose
+    * prefix-token postings are already well distributed — pass R > 1 only
+    * when the vocabulary is known-small/skewed (the measured bench corpus
+    * sets 16 explicitly).
     */
   def jaccardJoin(docs: DataFrame, t: Double,
       idCol: String = "doc_id", textCol: String = "text",
       maxPostingSize: Int = Int.MaxValue,
-      enumSaltFactor: Int = 16): DataFrame = {
+      enumSaltFactor: Int = 1): DataFrame = {
     require(enumSaltFactor >= 1, "enumSaltFactor must be >= 1")
     require(t > 0.0 && t <= 1.0, "threshold must be in (0, 1]")
     val tok = docs

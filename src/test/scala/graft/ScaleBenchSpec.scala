@@ -27,6 +27,43 @@ class ScaleBenchSpec extends SparkSpec {
     // pairwise distinct — replica k and k' never share a letter mapping,
     // the flaw the earlier 9-letter rotation scheme had at k ≡ 0 (mod 9)
     assert(alphas.toSet.size == 100)
+    // distinct up to the documented ceiling; k=MaxFactor would wrap to
+    // the identity (the re-correlation generate() now guards against)
+    assert((0 until ScaleBench.MaxFactor).map(ScaleBench.affineAlpha).toSet.size ==
+      ScaleBench.MaxFactor)
+    assert(ScaleBench.affineAlpha(ScaleBench.MaxFactor) ==
+      ScaleBench.affineAlpha(0))
+  }
+
+  test("digit substitution: bijections, identity at k=0, letter-free texts decorrelate") {
+    assert(ScaleBench.digitAlpha(0) == "0123456789")
+    (0 until 40).foreach(k => assert(ScaleBench.digitAlpha(k).toSet.size == 10))
+    assert((0 until 40).map(ScaleBench.digitAlpha).toSet.size == 40)
+    // the full substitution covers lower, upper, and digits — a text of
+    // digits only (no letters) is no longer a fixed point for k=1..3
+    (1 until 4).foreach { k =>
+      val s = ScaleBench.substAlpha(k)
+      assert(s.length == 62)
+      assert(s.substring(52) != "0123456789")
+      // case-consistent: the uppercase block mirrors the lowercase one
+      assert(s.substring(26, 52) == s.substring(0, 26).toUpperCase)
+    }
+  }
+
+  test("generate rejects factor beyond the bijection ceiling and stale markers regenerate") {
+    intercept[IllegalArgumentException] {
+      ScaleBench.generate(spark, sf001, "/tmp/never-written", factor = 313)
+    }
+    // marker mismatch (different factor, same dir) must NOT silently
+    // reuse the factor-4 corpus: regenerate at factor 2 and observe 2x rows
+    val base = spark.read.parquet(s"$sf001/documents.parquet").count()
+    val dir = out // factor-4 corpus built by the lazy val
+    ScaleBench.generate(spark, sf001, dir, factor = 2)
+    assert(spark.read.parquet(s"$dir/documents.parquet").count() == 2 * base)
+    // restore the factor-4 corpus for the remaining tests (marker now
+    // records factor=2, so this regenerates again)
+    ScaleBench.generate(spark, sf001, dir, factor = 4)
+    assert(spark.read.parquet(s"$dir/documents.parquet").count() == 4 * base)
   }
 
   test("documents: 4x rows, zero cross-replica exact duplicates, marginals preserved") {
@@ -71,10 +108,19 @@ class ScaleBenchSpec extends SparkSpec {
 
   test("customer: replica tags keep cross-replica names beyond edit distance 1") {
     val gen = spark.read.parquet(s"$out/customer.parquet")
+    // deterministic coverage: compare each replica-0 name against BOTH its
+    // own replica-1 twin (custkey + stride — the closest pair by
+    // construction) and a fixed orderBy-pinned 60x60 cross sample
     val r0 = gen.filter(col("c_custkey") < 10000000L)
-      .select(col("c_name").as("a")).limit(30)
+      .orderBy(col("c_custkey"))
+      .select(col("c_custkey").as("k"), col("c_name").as("a")).limit(60)
     val r1 = gen.filter(col("c_custkey") >= 10000000L && col("c_custkey") < 20000000L)
-      .select(col("c_name").as("b")).limit(30)
+      .orderBy(col("c_custkey"))
+      .select((col("c_custkey") - 10000000L).as("k2"), col("c_name").as("b")).limit(60)
+    val minTwin = r0.join(r1, col("k") === col("k2"))
+      .select(min(levenshtein(col("a"), col("b"))).as("d"))
+      .head().getInt(0)
+    assert(minTwin > 1, s"replica twin names within tau=1 (min dist $minTwin)")
     val minDist = r0.crossJoin(r1)
       .select(min(levenshtein(col("a"), col("b"))).as("d"))
       .head().getInt(0)
