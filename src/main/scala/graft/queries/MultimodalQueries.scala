@@ -11,16 +11,51 @@ import org.apache.spark.sql.functions._
   * into a temp directory by the query itself — the parquet testdata has no
   * binary columns, and a gate query must be self-contained — then read
   * back through the SAME `binaryFile` scan the production ingest uses.
-  * Codec boundaries are JVM-library byte math (not SQL-expressible) →
-  * rows-only; MultimodalSpec and IngestSpec pin the decode semantics.
+  *
+  * FULL oracles since round 7, by splitting at the decode boundary: the
+  * fixture generators are pure integer math and both codecs round-trip
+  * losslessly (PNG is lossless; WAV stores the exact 16-bit PCM written),
+  * so the decoded pixels/PCM the Spark side sees equal the generator's
+  * values — which DuckDB can REGENERATE in SQL and push through the same
+  * dataflow: quantized-integer DCT pHash (shared literal cosine table,
+  * [[Multimodal.dctCosQ]]) → 4×16-bit Hamming block join for images;
+  * exact-float RMS envelope (power-of-two amplitude divisions and
+  * equal-term sums are IEEE-exact, sqrt/÷ correctly rounded on both
+  * engines) → energy-delta fingerprint → the same block join for audio.
+  * The JVM codecs themselves stay spec-pinned (MultimodalSpec, IngestSpec
+  * real-PNG/real-WAV round-trips) — the oracle proves everything AFTER
+  * the decode, plus the decode's losslessness on these fixtures.
   */
 object MultimodalQueries extends QueryPack {
 
+  /** (name, seed, noise): 4 distinct base patterns; seeds 0 and 2 get a
+    * near-dup noisy variant and seed 0 an exact copy — known pair
+    * structure for the near-dup join. Shared by the fixture writer AND
+    * the oracle SQL generator so both engines see one definition.
+    */
+  private[graft] val imageFixtures: Seq[(String, Int, Int)] = Seq(
+    ("base0.png", 0, 0), ("base1.png", 1, 0), ("base2.png", 2, 0),
+    ("base3.png", 3, 0), ("base0_noisy.png", 0, 12),
+    ("base2_noisy.png", 2, -12), ("base0_copy.png", 0, 0))
+
+  /** (name, mask): 8-bit on/off energy pattern per clip. */
+  private[graft] val clipFixtures: Seq[(String, Int)] =
+    (0 until 6).map(i => (s"clip$i.wav", (0x35 * (i + 1)) & 0xFF))
+
+  /** (name, mask, amp): two base patterns, each with a lower-gain
+    * re-encode — same envelope SHAPE, the invariance the delta
+    * fingerprint encodes.
+    */
+  private[graft] val ndClipFixtures: Seq[(String, Int, Int)] = Seq(
+    ("songA.wav", 0x35, 16384), ("songA_quiet.wav", 0x35, 9011),
+    ("songB.wav", 0xC6, 16384), ("songB_quiet.wav", 0xC6, 11800))
+
   /** 32×32 RGB PNG with a deterministic two-gradient pattern; `noise`
     * perturbs a sparse pixel subset, the near-dup regime pHash is built
-    * to absorb.
+    * to absorb. The pixel value is pure integer math in (x, y, seed,
+    * noise) — the oracle SQL regenerates it (PNG round-trips losslessly).
     */
-  private[queries] def pngBytes(seed: Int, noise: Int): Array[Byte] = {
+  private[graft] def pngBytes(seed: Int, noise: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       32, 32, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
@@ -41,8 +76,8 @@ object MultimodalQueries extends QueryPack {
     bos.toByteArray
   }
 
-  /** 16-bit mono PCM WAV: `dim`-segment on/off energy pattern selected by
-    * `mask` bit i (on = 0.5-amplitude square wave, off = silence).
+  /** 16-bit mono PCM WAV: 8-segment on/off energy pattern selected by
+    * `mask` bit i (on = `amp`-amplitude square wave, off = silence).
     */
   private def wavBytes(mask: Int, segments: Int = 8,
       perSegment: Int = 1000, amp: Int = 16384): Array[Byte] = {
@@ -81,30 +116,52 @@ object MultimodalQueries extends QueryPack {
       val os = new java.io.FileOutputStream(f)
       try os.write(bytes) finally os.close()
     }
-    // 4 distinct base patterns; seeds 0 and 2 get a near-dup noisy variant
-    // and seed 0 an exact copy — known pair structure for the near-dup join
-    Seq(0, 1, 2, 3).foreach(s => put(new java.io.File(img, s"base$s.png"), pngBytes(s, 0)))
-    put(new java.io.File(img, "base0_noisy.png"), pngBytes(0, 12))
-    put(new java.io.File(img, "base2_noisy.png"), pngBytes(2, -12))
-    put(new java.io.File(img, "base0_copy.png"), pngBytes(0, 0))
-    (0 until 6).foreach(i =>
-      put(new java.io.File(aud, s"clip$i.wav"), wavBytes(mask = (0x35 * (i + 1)) & 0xFF)))
+    imageFixtures.foreach { case (name, seed, noise) =>
+      put(new java.io.File(img, name), pngBytes(seed, noise))
+    }
+    clipFixtures.foreach { case (name, mask) =>
+      put(new java.io.File(aud, name), wavBytes(mask = mask))
+    }
     // near-dup corpus (own subdir so the energy-profile query's row set is
-    // untouched): two base patterns, each with a lower-gain re-encode —
-    // same envelope SHAPE, the invariance the delta fingerprint encodes
+    // untouched)
     val and = new java.io.File(root, "aud_nd")
     and.mkdirs()
-    put(new java.io.File(and, "songA.wav"), wavBytes(mask = 0x35))
-    put(new java.io.File(and, "songA_quiet.wav"), wavBytes(mask = 0x35, amp = 9011))
-    put(new java.io.File(and, "songB.wav"), wavBytes(mask = 0xC6))
-    put(new java.io.File(and, "songB_quiet.wav"), wavBytes(mask = 0xC6, amp = 11800))
+    ndClipFixtures.foreach { case (name, mask, amp) =>
+      put(new java.io.File(and, name), wavBytes(mask = mask, amp = amp))
+    }
     root.getAbsolutePath
   }
 
+  /** Shared SQL tail: 4×16-bit pigeonhole block join + hot-bucket guard +
+    * exact bit_count verify over a `(name, h BIGINT)` relation named
+    * `src` — the DuckDB mirror of [[Multimodal.imageNearDups]]. The `&
+    * 65535` mask makes DuckDB's arithmetic `>>` equal Spark's
+    * shiftrightunsigned on the kept bits (both hashes here are built
+    * from bits 0..63 with bit 63 unused, but the mask keeps it safe
+    * regardless).
+    */
+  private def hammingTailSql(src: String): String = s"""blocks AS (
+      SELECT name, h, b, (h >> (b*16)) & 65535 AS bval
+      FROM $src CROSS JOIN range(0, 4) t(b)
+    ), okb AS (
+      SELECT b, bval FROM blocks GROUP BY b, bval HAVING COUNT(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT x.name AS id_a, y.name AS id_b, x.h AS ha, y.h AS hb
+      FROM blocks x JOIN okb o ON o.b = x.b AND o.bval = x.bval
+      JOIN blocks y ON y.b = x.b AND y.bval = x.bval AND x.name < y.name
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY id_a, id_b"""
+
   // image near-dup discovery over REAL decoded pixels: binaryFile scan →
-  // imageio decode → DCT pHash → 4-block pigeonhole join with hot-bucket
-  // guard. The noisy variants and the exact copy must pair with their
-  // bases; distinct patterns must not.
+  // imageio decode → quantized-integer DCT pHash → 4-block pigeonhole
+  // join with hot-bucket guard. The noisy variants and the exact copy
+  // must pair with their bases; distinct patterns must not. FULL oracle:
+  // DuckDB regenerates the pixel grid from the fixture math (PNG is
+  // lossless, so decoded pixels == generated values — IngestSpec pins
+  // the round-trip) and replays block-sum → integer DCT (shared literal
+  // cosine table) → median bits → block join, all in BIGINT.
   private val imageNearDups = OracleQuery(
     "mm_image_neardup_pairs",
     (s, _) => {
@@ -114,18 +171,60 @@ object MultimodalQueries extends QueryPack {
         .filter(col("ok"))
         .select(
           element_at(split(col("path"), "/"), -1).as("name"),
-          Multimodal.perceptualHash(col("pixels"), 32, 32).as("phash"))
+          Multimodal.perceptualHashQuantized(col("pixels"), 32, 32).as("phash"))
       Multimodal.imageNearDups(decoded, maxHamming = 3, idCol = "name")
         .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some {
+      val imgs = imageFixtures.map { case (n, s, nz) => s"('$n', $s, $nz)" }
+        .mkString(", ")
+      val cqRows = (for { y <- 0 until 32; u <- 0 until 8 }
+        yield s"($y, $u, CAST(${Multimodal.dctCosQ(y)(u)} AS BIGINT))")
+        .mkString(", ")
+      s"""WITH imgs(name, seed, noise) AS (VALUES $imgs
+    ), xy AS (
+      SELECT x, y FROM range(0, 32) tx(x) CROSS JOIN range(0, 32) ty(y)
+    ), px AS (
+      -- the pngBytes pattern: two-gradient checker + sparse noise, clamped
+      SELECT name, x, y, LEAST(255, GREATEST(0,
+        (CASE WHEN ((x // (4 + seed % 3)) + (y // (3 + seed % 4))) % 2 = 0
+              THEN 40 + 13*seed ELSE 215 - 11*seed END)
+        + (CASE WHEN noise <> 0 AND (x*31 + y*17) % 37 = 0
+                THEN noise ELSE 0 END))) AS v
+      FROM imgs CROSS JOIN xy
+    ), cq(i, u, c) AS (VALUES $cqRows
+    ), coef AS (
+      -- 32x32 input -> 1-pixel blocks; g = r+g+b = 3v; integer DCT-II
+      SELECT p.name, cu.u AS u, cv.u AS v,
+        CAST(SUM(CAST(3 * p.v AS BIGINT) * cu.c * cv.c) AS BIGINT) AS coef
+      FROM px p
+      JOIN cq cu ON cu.i = p.y
+      JOIN cq cv ON cv.i = p.x
+      GROUP BY p.name, cu.u, cv.u
+    ), lowf AS (
+      SELECT name, u, v, coef FROM coef WHERE NOT (u = 0 AND v = 0)
+    ), med AS (
+      SELECT name, coef AS med FROM (
+        SELECT name, coef,
+          row_number() OVER (PARTITION BY name ORDER BY coef) AS rn
+        FROM lowf) WHERE rn = 32
+    ), hash AS (
+      SELECT l.name, CAST(SUM(CASE WHEN l.coef > m.med
+          THEN (CAST(1 AS BIGINT) << (l.u*8 + l.v - 1)) ELSE 0 END)
+        AS BIGINT) AS h
+      FROM lowf l JOIN med m ON m.name = l.name GROUP BY l.name
+    ), ${hammingTailSql("hash")}"""
+    })
 
   // audio near-dup discovery over REAL decoded PCM: binaryFile scan →
   // javax.sound.sampled decode → 65-segment envelope → energy-delta
   // fingerprint (gain-invariant by construction) → the same 4×16-bit
-  // Hamming block join the image family uses. The lower-gain re-encodes
-  // must pair with their bases; JVM codec byte math → rows-only,
-  // MultimodalSpec pins the fingerprint semantics
+  // Hamming block join the image family uses. FULL oracle: WAV stores
+  // the exact PCM the generator wrote, amp/2^15 is float-exact, the
+  // per-segment sum of equal squares is double-exact at every partial
+  // order, and ÷/sqrt/float-cast are correctly rounded on both engines —
+  // so DuckDB regenerates the envelope bit-for-bit and replays
+  // fingerprint + block join in BIGINT.
   private val audioNearDupPairs = OracleQuery(
     "mm_audio_neardup_pairs",
     (s, _) => {
@@ -142,11 +241,44 @@ object MultimodalQueries extends QueryPack {
       Multimodal.audioNearDups(withFp, maxHamming = 3, idCol = "name")
         .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some {
+      val clips = ndClipFixtures.map { case (n, m, a) => s"('$n', $m, $a)" }
+        .mkString(", ")
+      s"""WITH clips(name, mask, amp) AS (VALUES $clips
+    ), segs AS (
+      -- fractional envelope bounds: s0 = i*8000/65 (integer division),
+      -- the energyEnvelope discipline
+      SELECT i, (i * 8000) // 65 AS s0, ((i + 1) * 8000) // 65 AS s1
+      FROM range(0, 65) t(i)
+    ), smp AS (
+      SELECT name, mask, amp, j
+      FROM clips CROSS JOIN range(0, 8000) t(j)
+    ), seg_sum AS (
+      -- sample j: on iff mask bit (j/1000); mono = ±amp/2^15 (exact
+      -- float); squared in double (exact); summed (equal terms, exact)
+      SELECT s.name, g.i, g.s1 - g.s0 AS len,
+        SUM(CASE WHEN (s.mask >> (s.j // 1000)) & 1 = 1
+            THEN (s.amp/32768.0) * (s.amp/32768.0) ELSE 0.0 END) AS ss
+      FROM smp s JOIN segs g ON s.j >= g.s0 AND s.j < g.s1
+      GROUP BY s.name, g.i, g.s1 - g.s0
+    ), env AS (
+      SELECT name, i, CAST(sqrt(ss / len) AS REAL) AS rms FROM seg_sum
+    ), fp AS (
+      -- bit i set iff env(i+1) > env(i): the Haitsma-Kalker delta bits
+      SELECT a.name, CAST(SUM(CASE WHEN b.rms > a.rms
+          THEN (CAST(1 AS BIGINT) << a.i) ELSE 0 END) AS BIGINT) AS h
+      FROM env a JOIN env b ON b.name = a.name AND b.i = a.i + 1
+      WHERE a.i < 64
+      GROUP BY a.name
+    ), ${hammingTailSql("fp")}"""
+    })
 
   // audio energy profiling over REAL decoded PCM: binaryFile scan →
   // javax.sound.sampled decode → 8-segment RMS envelope → per-clip
-  // activity stats (the shape a voice-activity / silence-trim stage needs)
+  // activity stats (the shape a voice-activity / silence-trim stage
+  // needs). FULL oracle: same exact-arithmetic argument as the near-dup
+  // twin (here segment bounds align with the 1000-sample pattern, so
+  // every RMS is exactly amp/2^15 or 0).
   private val audioEnergy = OracleQuery(
     "mm_audio_energy_profile",
     (s, _) => {
@@ -170,7 +302,27 @@ object MultimodalQueries extends QueryPack {
           round(array_max(col("features")).cast("double"), 3).as("peak_rms"))
         .orderBy(col("name"))
     },
-    None)
+    Some {
+      val clips = clipFixtures.map { case (n, m) => s"('$n', $m)" }
+        .mkString(", ")
+      s"""WITH clips(name, mask) AS (VALUES $clips
+    ), smp AS (
+      SELECT name, mask, j
+      FROM clips CROSS JOIN range(0, 8000) t(j)
+    ), sq AS (
+      SELECT name, j // 1000 AS seg,
+        CASE WHEN (mask >> (j // 1000)) & 1 = 1 THEN 0.25 ELSE 0.0 END AS m
+      FROM smp
+    ), env AS (
+      SELECT name, seg, CAST(sqrt(SUM(m) / 1000.0) AS REAL) AS rms
+      FROM sq GROUP BY name, seg
+    )
+    SELECT name,
+      CAST(SUM(CASE WHEN rms > CAST(0.1 AS REAL) THEN 1 ELSE 0 END) AS INT)
+        AS active_segments,
+      ROUND(CAST(MAX(rms) AS DOUBLE), 3) AS peak_rms
+    FROM env GROUP BY name ORDER BY name"""
+    })
 
   override val all: Seq[OracleQuery] =
     Seq(imageNearDups, audioEnergy, audioNearDupPairs)

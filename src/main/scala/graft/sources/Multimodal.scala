@@ -196,6 +196,89 @@ object Multimodal {
     f(pixels)
   }
 
+  /** Quantized DCT basis shared by [[perceptualHashQuantized]] and the
+    * DuckDB oracle that replays it: round(cos((2y+1)·u·π/64)·2^15). The
+    * table is INTEGER LITERALS on both sides (the gate's oracle SQL is
+    * built from this array), so no engine ever re-evaluates a
+    * transcendental — the cross-engine-exact discipline of the
+    * vx_cka_matrix_quantized family applied to the 2-D DCT.
+    */
+  private[graft] val dctCosQ: Array[Array[Long]] = Array.tabulate(32, 8)(
+    (y, u) => math.round(math.cos((2 * y + 1) * u * math.Pi / 64.0) * 32768.0))
+
+  /** Integer-exact twin of [[perceptualHash]] — same structure (grayscale
+    * block reduce → 2-D DCT-II → 63 low-frequency bits vs their median),
+    * arithmetic restricted to Long so an independent engine replays the
+    * hash bit-for-bit (the mm_image_neardup_pairs FULL oracle):
+    *   - block SUMS of (r+g+b) replace grayscale MEANS — both rescale g
+    *     by the constant 3·blockPixels, and the DCT is linear, so every
+    *     coefficient (and the median) scales identically: the
+    *     coef-vs-median sign structure is unchanged;
+    *   - the cosine basis is the shared [[dctCosQ]] integer table; a
+    *     positive scale factor (2^15 per axis) again preserves signs.
+    * Requires w,h multiples of 32 (constant block size keeps the scale
+    * argument exact; the float form handles ragged sizes) and w·h ≤ 2^22
+    * pixels so the worst-case |Σ g·c·c| stays under Long.MaxValue.
+    * The float [[perceptualHash]] remains the production path for
+    * arbitrary dimensions; MultimodalSpec pins that both forms agree on
+    * the near-dup pair structure.
+    */
+  def perceptualHashQuantized(pixels: Column, w: Int, h: Int): Column = {
+    require(w >= 32 && h >= 32 && w % 32 == 0 && h % 32 == 0,
+      "quantized pHash needs w,h multiples of 32")
+    require(w.toLong * h <= (1L << 22), "quantized pHash overflow bound: w*h <= 2^22")
+    val cq = dctCosQ
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.length < w * h * 3) None
+      else {
+        val bw = w / 32; val bh = h / 32
+        val g = Array.ofDim[Long](32, 32)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = (y * w + x) * 3
+            g(y / bh)(x / bw) +=
+              (bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) + (bytes(p + 2) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        val dct = Array.ofDim[Long](8, 8)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0L
+            var yy = 0
+            while (yy < 32) {
+              var xx = 0
+              while (xx < 32) {
+                s += g(yy)(xx) * cq(yy)(u) * cq(xx)(v)
+                xx += 1
+              }
+              yy += 1
+            }
+            dct(u)(v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val coefs = (for { u2 <- 0 until 8; v2 <- 0 until 8
+          if u2 != 0 || v2 != 0 } yield dct(u2)(v2)).toArray
+        val median = coefs.sorted.apply(coefs.length / 2)
+        var hash = 0L
+        var i = 0
+        while (i < coefs.length) {
+          if (coefs(i) > median) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    }
+    f(pixels)
+  }
+
   /** Image near-dup candidate pairs by pHash Hamming distance ≤ maxHamming,
     * found via the SimHash pigeonhole block join (4×16-bit blocks: any pair
     * within Hamming ≤ 3 shares ≥ 1 exact block) — never all-pairs. Shares

@@ -56,6 +56,68 @@ class MultimodalSpec extends SparkSpec {
     assert(hamming(hashed(1L), hashed(4L)) >= 10)
   }
 
+  test("quantized pHash twin: same near-dup structure as the float form") {
+    import spark.implicits._
+    // the gate fixtures themselves: decoded-PNG pixels == generated
+    // pattern (lossless), so build pixels directly from the generator
+    def pattern(seed: Int, noise: Int): Array[Byte] =
+      Array.tabulate(32 * 32 * 3) { i =>
+        val p = i / 3; val x = p % 32; val y = p / 32
+        val base = if (((x / (4 + seed % 3)) + (y / (3 + seed % 4))) % 2 == 0)
+          40 + 13 * seed else 215 - 11 * seed
+        val n = if (noise != 0 && (x * 31 + y * 17) % 37 == 0) noise else 0
+        math.max(0, math.min(255, base + n)).toByte
+      }
+    val imgs = graft.queries.MultimodalQueries.imageFixtures
+      .map { case (name, s, nz) => (name, pattern(s, nz)) }
+      .toDF("name", "pixels")
+    def pairs(hashCol: org.apache.spark.sql.Column): Set[(String, String)] =
+      Multimodal.imageNearDups(
+          imgs.select(col("name"), hashCol.as("h")),
+          maxHamming = 3, idCol = "name", hashCol = "h")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fl = pairs(Multimodal.perceptualHash(col("pixels"), 32, 32))
+    val qz = pairs(Multimodal.perceptualHashQuantized(col("pixels"), 32, 32))
+    // same pair structure: base0/base0_copy/base0_noisy clique and the
+    // base2/base2_noisy pair, nothing else — and float ≡ quantized
+    assert(qz == fl, s"quantized $qz != float $fl")
+    assert(qz.contains(("base0.png", "base0_copy.png")))
+    assert(qz.contains(("base2.png", "base2_noisy.png")))
+    assert(qz.forall { case (a, b) => a.take(5) == b.take(5) },
+      s"cross-pattern false pair in $qz")
+    // quantized hash is non-negative by construction (bits 0..62 only) —
+    // the property the oracle's arithmetic >> relies on
+    val qhashes = imgs.select(
+        Multimodal.perceptualHashQuantized(col("pixels"), 32, 32))
+      .collect().map(_.getLong(0))
+    assert(qhashes.forall(_ >= 0L))
+    // block-sum path (w,h > 32): on SMOOTH spectra (coefficients well
+    // separated from the median — the blocky checker fixtures instead
+    // put a dense tie cluster AT the median, where float-vs-integer
+    // tie-breaking legitimately differs) the two forms agree bit-for-bit
+    // up to cosine-quantization noise
+    def smooth(seed: Int): Array[Byte] =
+      Array.tabulate(64 * 64 * 3) { i =>
+        val p = i / 3; val x = p % 64; val y = p / 64
+        val v = 128 +
+          40 * math.sin(x / (5.0 + seed * 0.3) + y / 14.0 + seed) +
+          35 * math.cos(x / 10.0 - y / (7.0 + seed * 0.2) + 2 * seed)
+        math.max(0, math.min(255, v.toInt)).toByte
+      }
+    val up = Seq((0, smooth(0)), (7, smooth(7)), (13, smooth(13)))
+      .toDF("name", "pixels")
+    val flUp = up.select(col("name"),
+        Multimodal.perceptualHash(col("pixels"), 64, 64).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val qzUp = up.select(col("name"),
+        Multimodal.perceptualHashQuantized(col("pixels"), 64, 64).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    flUp.foreach { case (n, h) =>
+      assert(java.lang.Long.bitCount(h ^ qzUp(n)) <= 3,
+        s"$n: float/quantized diverge at 64x64: ${java.lang.Long.bitCount(h ^ qzUp(n))}")
+    }
+  }
+
   test("imageNearDups pairs only the perceptually-near images") {
     import spark.implicits._
     val (w, h) = (32, 32)
