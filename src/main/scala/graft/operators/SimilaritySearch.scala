@@ -84,6 +84,63 @@ object SimilaritySearch {
     (h & 0xFFFFF).toDouble / 0xFFFFF.toDouble * 2.0 - 1.0
   }
 
+  /** Integer twin of [[planeComponent]]: the same avalanche over (plane,
+    * dim, seed), with the low 20 bits mapped to the ODD integer
+    * 2·(h & 0xFFFFF) − 0xFFFFF ∈ [−2^20+1, 2^20−1] instead of a float in
+    * [−1, 1]. Every step is wrapping 64-bit integer arithmetic, so a SQL
+    * engine replays it exactly (HUGEINT limb-split multiply, `//` for the
+    * unsigned shifts — the tx_dedup_simhash_pairs recipe); the constant
+    * positive rescale between the two forms preserves each component's
+    * SIGN DISTRIBUTION but not values, so quantized signatures are a
+    * parallel hash family, not a bit-for-bit match of the float one.
+    */
+  private[graft] def planeComponentQ(plane: Int, d: Int, seed: Long): Long = {
+    var h = seed ^ (plane.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xC2B2AE3D27D4EB4FL)
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    2L * (h & 0xFFFFFL) - 0xFFFFFL
+  }
+
+  /** floor(v·10⁶) per element — the engine-wide exact-arithmetic input
+    * quantization (QueryPack convention): integer-valued doubles both
+    * engines derive bit-identically from the stored floats.
+    */
+  private[graft] def quantizeExpr(vecCol: Column): Column =
+    transform(vecCol, v => floor(v.cast("double") * lit(1e6)).cast("double"))
+
+  /** [[signatures]] over QUANTIZED vectors and the integer hyperplane
+    * family: bit j of table t = sign of Σ_d vq[d]·planeComponentQ(p, d) —
+    * pure Long arithmetic end-to-end (|vq| ≤ ~10⁷, |c| < 2^20, dim ≤ 10³
+    * keeps every dot far from overflow), so DuckDB replays the whole
+    * signature → band → bucket pipeline and the gates built on this form
+    * carry FULL oracles. The float [[signatures]] family stays the
+    * production path; recall specs pin its behavior.
+    */
+  private def signaturesQuantized(numTables: Int, bitsPerTable: Int, seed: Long) = {
+    val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Long]]]()
+    udf { (v: Seq[Double]) =>
+      val dim = v.length
+      val planes = cache.computeIfAbsent(dim, d =>
+        Array.tabulate(numTables * bitsPerTable)(p =>
+          Array.tabulate(d)(planeComponentQ(p, _, seed))))
+      val vq = new Array[Long](dim)
+      var i = 0
+      while (i < dim) { vq(i) = v(i).toLong; i += 1 }
+      Array.tabulate(numTables) { t =>
+        var sig = 0L
+        var j = 0
+        while (j < bitsPerTable) {
+          val p = planes(t * bitsPerTable + j)
+          var s = 0L
+          var d2 = 0
+          while (d2 < dim) { s += vq(d2) * p(d2); d2 += 1 }
+          if (s >= 0) sig |= (1L << j)
+          j += 1
+        }
+        sig
+      }
+    }
+  }
+
   /** All-table signature vector via one UDF call per row with the plane
     * matrix captured in the closure (built lazily per observed dim). An
     * earlier all-Catalyst form re-derived every plane component via a hash
@@ -325,6 +382,78 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"),
         VecOps.cosineNative(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** [[lshNearDupPairs]] in the exact-arithmetic regime: quantized input
+    * vectors, the integer hyperplane family ([[planeComponentQ]]), and the
+    * quantized-cosine verify — every comparison on both engines is over
+    * bit-identical integers/doubles, so the pair set (and anything built
+    * on it, e.g. canonicalize) carries a FULL DuckDB oracle. Same bucket
+    * machinery and hot-bucket guard as the float form; use that one in
+    * production (its floats cost nothing extra), this one where
+    * cross-engine exactness is the point.
+    */
+  def lshNearDupPairsQuantized(
+      corpus: DataFrame, threshold: Double,
+      numTables: Int = 8, bitsPerTable: Int = 6, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 100000): DataFrame = {
+    val q = corpus.select(col(idCol), quantizeExpr(col(vecCol)).as("__q"))
+    val sigUdf = signaturesQuantized(numTables, bitsPerTable, seed)
+    val bucketed = q
+      .select(col(idCol).as("__id"),
+        posexplode(sigUdf(col("__q"))).as(Seq("table", "sig")))
+    val guarded = bucketed.join(
+      bucketed.groupBy(col("table"), col("sig"))
+        .agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= maxBucketSize)
+        .select(col("table"), col("sig")),
+      Seq("table", "sig"))
+    val pairs = guarded.join(
+        guarded.select(col("table"), col("sig"), col("__id").as("__id2")),
+        Seq("table", "sig"))
+      .filter(col("__id") < col("__id2"))
+      .select(col("__id").as("id_a"), col("__id2").as("id_b"))
+      .distinct()
+    val va = q.select(col(idCol).as("id_a"), col("__q").as("__va"))
+    val vb = q.select(col(idCol).as("id_b"), col("__q").as("__vb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        VecOps.cosineNative(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** [[srpSketch]] over the quantized vectors and integer hyperplanes —
+    * the exact-arithmetic twin feeding [[graft.streaming.StreamingVecDedup]]
+    * when its band claims need a FULL oracle (the float sketch keeps the
+    * recall-bounded production role). Same (idCol, sig0..sigW) layout.
+    */
+  def srpSketchQuantized(df: DataFrame, bits: Int = 128, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bits % 64 == 0 && bits > 0, s"bits=$bits must be a positive multiple of 64")
+    val words = bits / 64
+    val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Long]]]()
+    val sig = udf { (v: Seq[Double]) =>
+      val dim = v.length
+      val planes = cache.computeIfAbsent(dim, d =>
+        Array.tabulate(bits)(p => Array.tabulate(d)(planeComponentQ(p, _, seed))))
+      val vq = new Array[Long](dim)
+      var i = 0
+      while (i < dim) { vq(i) = v(i).toLong; i += 1 }
+      val out = new Array[Long](words)
+      var b = 0
+      while (b < bits) {
+        val p = planes(b)
+        var s = 0L
+        var j = 0
+        while (j < dim) { s += vq(j) * p(j); j += 1 }
+        if (s >= 0) out(b / 64) |= (1L << (b % 64))
+        b += 1
+      }
+      out
+    }
+    df.select(col(idCol), sig(quantizeExpr(col(vecCol))).as("__s"))
+      .select(col(idCol) +: (0 until words).map(i => col("__s")(i).as(s"sig$i")): _*)
   }
 
   /** Scalar int8 quantization of the embedding column: per-vector symmetric

@@ -1127,6 +1127,140 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  /** DuckDB replay of [[SimilaritySearch.planeComponentQ]] for planes
+    * 0..nPlanes−1 over the corpus's observed dimensions: the wrapping
+    * 64-bit avalanche in HUGEINT arithmetic (limb-split multiply for the
+    * 64×64 product, `//` for the unsigned shifts — the
+    * tx_dedup_simhash_pairs recipe), low 20 bits to the odd integer
+    * 2m − 0xFFFFF. Emits a CTE chain ending in `pl(p, pos, c)`; assumes a
+    * prior CTE `lf` with (vec_id, pos, vq).
+    */
+  private def planeQCtes(nPlanes: Int): String = {
+    val m64 = "18446744073709551616"
+    val m32 = "4294967296"
+    def mulmod(a: String, b: String) =
+      s"((((($a) // $m32) * $b) % $m32) * $m32 + (($a) % $m32) * $b) % $m64"
+    s"""dims AS (
+      SELECT DISTINCT pos FROM lf
+    ), pl0 AS (
+      SELECT p, pos,
+        xor(xor(CAST(42 AS HUGEINT),
+          (p * CAST(11400714819323198485 AS HUGEINT)) % $m64),
+          (pos * CAST(14029467366897019727 AS HUGEINT)) % $m64) AS h0
+      FROM range(0, $nPlanes) t(p) CROSS JOIN dims
+    ), pl1 AS (SELECT p, pos, xor(h0, h0 // 8589934592) AS h1 FROM pl0
+    ), pl2 AS (SELECT p, pos, ${mulmod("h1", "18397679294719823053")} AS h2 FROM pl1
+    ), pl3 AS (SELECT p, pos, xor(h2, h2 // 8589934592) AS h3 FROM pl2
+    ), pl AS (SELECT p, pos, CAST(2 * (h3 % 1048576) - 1048575 AS BIGINT) AS c FROM pl3)"""
+  }
+
+  // the quantized-hyperplane FULL-oracle twin of vx_dedup_embedding_canonical:
+  // integer signatures over quantized vectors → band buckets (hot-bucket
+  // guard) → exact quantized-cosine verify → connected components, with
+  // DuckDB replaying signature bits, bucket join, threshold, AND the
+  // reachability closure end-to-end — the r6 frozen-quantizer pattern
+  // (vx_ann_ivf_probe_top5) applied to the SRP/LSH hash family itself.
+  // The float-hyperplane form above keeps the production role + recall
+  // specs; this twin proves the banded dataflow exact per-row.
+  private val dedupEmbeddingCanonicalQ = OracleQuery(
+    "vx_dedup_embedding_canonical_q",
+    (s, d) => {
+      val pairs = SimilaritySearch.lshNearDupPairsQuantized(
+          Tables.embeddings(s, d), threshold = 0.3,
+          numTables = 8, bitsPerTable = 6)
+        .select(col("id_a"), col("id_b"))
+      Dedup.canonicalize(pairs).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings
+    ), ${planeQCtes(48)}
+    , dotp AS (
+      SELECT l.vec_id, pl.p, SUM(l.vq * pl.c) AS s
+      FROM lf l JOIN pl ON pl.pos = l.pos
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT vec_id, p // 6 AS tbl,
+        CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << (p % 6))
+          ELSE 0 END) AS BIGINT) AS sg
+      FROM dotp GROUP BY 1, 2
+    ), okb AS (
+      SELECT tbl, sg FROM sig GROUP BY tbl, sg HAVING COUNT(*) <= 100000
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+      FROM sig a JOIN okb k ON k.tbl = a.tbl AND k.sg = a.sg
+      JOIN sig b ON b.tbl = a.tbl AND b.sg = a.sg AND a.vec_id < b.vec_id
+    ), pr AS (
+      SELECT c.ia, c.ib,
+        CAST(SUM(x.vq * y.vq) AS DOUBLE) AS dot,
+        CAST(SUM(x.vq * x.vq) AS DOUBLE) AS nx,
+        CAST(SUM(y.vq * y.vq) AS DOUBLE) AS ny
+      FROM cand c JOIN lf x ON x.vec_id = c.ia
+      JOIN lf y ON y.vec_id = c.ib AND y.pos = x.pos
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT ia AS a, ib AS b FROM pr
+        WHERE dot / (sqrt(nx) * sqrt(ny) + 1e-12) >= 0.3
+      UNION
+      SELECT ib, ia FROM pr
+        WHERE dot / (sqrt(nx) * sqrt(ny) + 1e-12) >= 0.3
+    ), reach(a, b) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS canonical_id, MIN(b) = a AS keep
+    FROM reach GROUP BY a ORDER BY doc_id"""))
+
+  // the quantized FULL-oracle twin of vx_stream_neardup_hits: the SAME
+  // StreamingVecDedup operator (batch mode, redelivered-corpus scenario)
+  // fed the quantized SRP sketch — band claims become integer-exact, so
+  // DuckDB replays 128 signature bits, the 8×16-bit band slicing, and the
+  // first-claimant-per-bucket semantics (min id per band bucket, the
+  // batch reduction of the GroupState claim) end-to-end.
+  private val streamVecNearDupQ = OracleQuery(
+    "vx_stream_neardup_hits_q",
+    (s, d) => {
+      val skq = SimilaritySearch.srpSketchQuantized(Tables.embeddings(s, d))
+      val redelivered = skq.withColumn("vec_id", col("vec_id") + lit(1000000L))
+      graft.streaming.StreamingVecDedup.nearDupHits(Tables.embeddings(s, d),
+          sketch = Some(skq.unionByName(redelivered)))
+        .toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_band_hits"),
+          min(col("first_doc_id")).as("first_seen"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings
+    ), ${planeQCtes(128)}
+    , dotp AS (
+      SELECT l.vec_id, pl.p, SUM(l.vq * pl.c) AS s
+      FROM lf l JOIN pl ON pl.pos = l.pos
+      GROUP BY 1, 2
+    ), bb AS (
+      SELECT vec_id, p // 16 AS band,
+        CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << (p % 16))
+          ELSE 0 END) AS BIGINT) AS bucket
+      FROM dotp GROUP BY 1, 2
+    ), allv AS (
+      SELECT vec_id AS doc_id, band, bucket FROM bb
+      UNION ALL
+      SELECT vec_id + 1000000, band, bucket FROM bb
+    ), grp AS (
+      SELECT band, bucket, MIN(doc_id) AS first FROM allv GROUP BY 1, 2
+    ), hits AS (
+      SELECT a.doc_id, g.first FROM allv a
+      JOIN grp g ON g.band = a.band AND g.bucket = a.bucket
+      WHERE a.doc_id <> g.first
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_band_hits,
+      MIN(first) AS first_seen
+    FROM hits GROUP BY doc_id ORDER BY doc_id"""))
+
   // the canonicalize (connected-components) operator under a FULL oracle:
   // exact quantized-cosine pairs (bit-identical cross-engine, the
   // vx_dedup_cosine_pairs scheme) feed large/small-star labeling, and
@@ -1943,7 +2077,9 @@ object EngineQueries extends QueryPack {
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,
     annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
-    dedupCosinePairs, dedupEmbeddingCanonical, crossDecontaminateEmb,
+    streamVecNearDupQ,
+    dedupCosinePairs, dedupEmbeddingCanonical, dedupEmbeddingCanonicalQ,
+    crossDecontaminateEmb,
     dedupCanonicalExact, dedupClusterProfile, semDedupQuantized, semDedupKmeans,
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, streamSample, streamWeightedSample,

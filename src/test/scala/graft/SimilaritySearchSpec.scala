@@ -56,6 +56,41 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.6, s"near-dup recall too low: $recall")
   }
 
+  test("quantized-hyperplane twins: exact precision, recall, layout parity") {
+    // quantized pairs are exact-cosine verified over QUANTIZED vectors —
+    // no false positives vs the quantized-cosine ground truth
+    val q = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        v => floor(v.cast("double") * lit(1e6)).cast("double")).as("qv"))
+    val exactQ = q.select(col("vec_id").as("id_a"), col("qv").as("va"))
+      .crossJoin(q.select(col("vec_id").as("id_b"), col("qv").as("vb")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VecOps.cosineNative(col("va"), col("vb")) >= 0.3)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxQ = SimilaritySearch.lshNearDupPairsQuantized(emb,
+        threshold = 0.3, numTables = 16, bitsPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approxQ.subsetOf(exactQ), s"false positives: ${approxQ -- exactQ}")
+    assert(exactQ.nonEmpty)
+    val recall = (exactQ & approxQ).size.toDouble / exactQ.size
+    assert(recall >= 0.6, s"quantized near-dup recall too low: $recall")
+    // quantized SRP sketch: same (idCol, sig0, sig1) layout as the float
+    // sketch, deterministic under repartitioning, and an exact duplicate
+    // collides on every band (the StreamingVecDedup contract)
+    val sk1 = SimilaritySearch.srpSketchQuantized(emb)
+    assert(sk1.columns.toSeq == Seq("vec_id", "sig0", "sig1"))
+    val sk2 = SimilaritySearch.srpSketchQuantized(emb.repartition(13))
+    assert(sk1.orderBy(col("vec_id")).collect().toSeq ==
+      sk2.orderBy(col("vec_id")).collect().toSeq)
+    val dup = emb.limit(1).withColumn("vec_id", col("vec_id") + lit(9999L))
+    val both = SimilaritySearch.srpSketchQuantized(emb.limit(1).unionByName(dup))
+      .collect()
+    assert(both.length == 2 &&
+      both(0).getLong(1) == both(1).getLong(1) &&
+      both(0).getLong(2) == both(1).getLong(2))
+  }
+
   test("lshNearDupPairsAuto derives the log-n signature length and stays exact-precision") {
     // the dial lesson from the x100 scale run (BASELINE.md): expected
     // bucket occupancy is n/2^bits, so bits must grow with log(n) or the
