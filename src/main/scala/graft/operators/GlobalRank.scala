@@ -44,6 +44,51 @@ object GlobalRank {
     * `order`.
     */
   def withGlobalRank(df: DataFrame, rankCol: String, order: Column*): (DataFrame, Long) = {
+    withGlobalRankImpl(df, rankCol, checkpoint = false, order)
+  }
+
+  /** `checkpoint = true` materializes the shuffled sort once
+    * (localCheckpoint — the BPE/Coreset lineage-truncation tool) so the
+    * stats pass AND the ranked output read stored blocks instead of
+    * re-sorting; right when the caller consumes the ranked relation a
+    * second time or discards most of it (the boundary-ntile filter).
+    * Materialization also makes the GK-sketch pre-pass unnecessary: the
+    * sketch exists to pin ONE deterministic bucketing across recomputes,
+    * but a checkpointed relation never recomputes, so this path uses
+    * `repartitionByRange` (a bounded reservoir sample instead of a full
+    * quantile pass) and reads partition ids for the bucket order.
+    * Default false: at 100 TB storing the full sorted relation is a
+    * bigger bill than one recompute, so opting in is a per-call-site
+    * decision.
+    */
+  private def withGlobalRankImpl(df: DataFrame, rankCol: String,
+      checkpoint: Boolean, order: Seq[Column]): (DataFrame, Long) = {
+    if (checkpoint) {
+      val spark = df.sparkSession
+      val p = spark.sessionState.conf.numShufflePartitions
+      val local = df
+        .repartitionByRange(p, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__mid", monotonically_increasing_id())
+        .localCheckpoint()
+      val stats = local.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("cnt"), min(col("__mid")).as("mn"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val n = stats.map(_._2).sum
+      var acc = 0L
+      val offRows = stats.map { case (pidV, cnt, mn) =>
+        val row = (pidV, acc, mn)
+        acc += cnt
+        row
+      }
+      val offDf = spark.createDataFrame(offRows.toSeq).toDF("__pid", "__offset", "__mn")
+      val ranked = local.join(broadcast(offDf), "__pid")
+        .withColumn(rankCol, col("__offset") + (col("__mid") - col("__mn")) + lit(1L))
+        .drop("__mid", "__pid", "__offset", "__mn")
+      return (ranked, n)
+    }
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     // pass 0: deterministic cut points of the first order key
@@ -191,14 +236,97 @@ object GlobalRank {
     ranked.withColumn(tileCol, tile.cast("int")).drop("__rank", "__n")
   }
 
+  /** Exact NTILE(k) as a BOUNDED-OUTPUT boundary job + a map-only bucket
+    * compare — the composition-friendly form of [[withNtile]].
+    *
+    * [[withNtile]] materializes a broadcast join over every row, so
+    * CHAINING ntiles (the Z-order layout ranks two keys, then tiles the
+    * interleaved value — three ntiles deep) re-executes each predecessor's
+    * join inside every downstream pass. Here the full-relation work ends
+    * at the boundary COLLECT: one rank job filters to the k−1 exact
+    * bucket-boundary rows (the tuples at ranks t·⌈n/k⌉ / cutoff+…·⌊n/k⌋),
+    * ≤ k−1 tuples come to the driver, and tile assignment is a
+    * closure-captured lexicographic binary search — no join, no shuffle,
+    * map-only on the output side, so a chain of these costs one bounded
+    * rank job each plus ONE map-only pass at the end. Identical output to
+    * `ntile(k).over(Window.orderBy(order))` (same closed form as
+    * [[withNtile]] — the jx_zorder_layout_spans oracle hash is unchanged).
+    *
+    * Requirements: `order` must be a UNIQUE total order of INTEGRAL
+    * columns (tuples are compared as Longs; uniqueness makes rank
+    * comparisons equal tuple comparisons, which is what lets the
+    * boundary tuples stand in for boundary ranks). On a NON-unique order
+    * this form is WRONG, not just tie-arbitrary: a value compare cannot
+    * split a tie run across a bucket boundary, so every row tied with a
+    * boundary lands in one tile and the exact-count NTILE contract
+    * breaks (measured on lineitem's 24%-duplicate (orderkey, linenumber)
+    * pairs) — use [[withNtileCheckpointed]] there.
+    */
+  def withNtileByBoundaries(df: DataFrame, k: Int, tileCol: String,
+      order: Column*): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1, got $k")
+    val (ranked, n) = withGlobalRankImpl(df, "__rank", checkpoint = true, order)
+    val q = n / k
+    val rem = n % k
+    val cutoff = rem * (q + 1)
+    def endRank(t: Long): Long = if (t <= rem) t * (q + 1) else cutoff + (t - rem) * q
+    val boundaryRanks = (1L until k).map(endRank).distinct.filter(_ >= 1L)
+    val tupleCol = array(order.map(_.cast("long")): _*)
+    val bounds: Array[Array[Long]] = ranked
+      .filter(col("__rank").isin(boundaryRanks: _*))
+      .select(tupleCol.as("__t"), col("__rank"))
+      .collect()
+      .sortBy(_.getLong(1))
+      .map(_.getSeq[Long](0).toArray)
+    val bset = bounds // capture
+    val tile = {
+      val f = udf { (t: Seq[Long]) =>
+        // count boundaries strictly below t: first index with b >= t
+        def cmp(b: Array[Long]): Int = {
+          var i = 0
+          while (i < b.length) {
+            if (b(i) != t(i)) return java.lang.Long.compare(b(i), t(i))
+            i += 1
+          }
+          0
+        }
+        var lo = 0
+        var hi = bset.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cmp(bset(mid)) < 0) lo = mid + 1 else hi = mid
+        }
+        lo + 1
+      }
+      f(tupleCol)
+    }
+    df.withColumn(tileCol, tile.cast("int"))
+  }
+
   /** Exact NTILE(k) over a total order, as a scale-safe two-pass plan.
     * Closed form over the global rank r with n rows: the first n % k
     * buckets hold ceil(n/k) rows, the rest floor(n/k) — identical output
     * (IntegerType) to `ntile(k).over(Window.orderBy(order))`.
     */
-  def withNtile(df: DataFrame, k: Int, tileCol: String, order: Column*): DataFrame = {
+  def withNtile(df: DataFrame, k: Int, tileCol: String, order: Column*): DataFrame =
+    ntileImpl(df, k, tileCol, checkpoint = false, order)
+
+  /** [[withNtile]] over a checkpointed sort ([[withGlobalRankImpl]]'s
+    * fast path): one materialization feeds the count pass AND the tile
+    * output, so CHAINED ntiles (the Z-order layout runs three deep) stop
+    * re-executing each predecessor's shuffle through their lineage.
+    * Unlike [[withNtileByBoundaries]] this keeps the rank machinery, so
+    * ties are SPLIT across a tile boundary exactly like the window
+    * form's (counts exact on non-unique orders).
+    */
+  def withNtileCheckpointed(df: DataFrame, k: Int, tileCol: String,
+      order: Column*): DataFrame =
+    ntileImpl(df, k, tileCol, checkpoint = true, order)
+
+  private def ntileImpl(df: DataFrame, k: Int, tileCol: String,
+      checkpoint: Boolean, order: Seq[Column]): DataFrame = {
     require(k >= 1, s"ntile k must be >= 1, got $k")
-    val (ranked, n) = withGlobalRank(df, "__rank", order: _*)
+    val (ranked, n) = withGlobalRankImpl(df, "__rank", checkpoint, order)
     val q = n / k       // small-bucket size
     val rem = n % k     // number of big (q+1) buckets
     val cutoff = rem * (q + 1)

@@ -187,15 +187,24 @@ object ScaleJoinQueries extends QueryPack {
   private val zorderSpans = OracleQuery(
     "jx_zorder_layout_spans",
     (s, d) => {
+      // three CHAINED exact ntiles on CHECKPOINTED sorts: each ntile's
+      // shuffle materializes once and feeds both its count pass and its
+      // tile output, so the chain stops re-executing predecessors'
+      // shuffles through the lineage — the round-6 2x gate regression,
+      // folded back. Rank-based tie splitting is load-bearing here: the
+      // testdata's (l_orderkey, l_linenumber) pairs are 24% duplicated,
+      // so the value-compare boundary form (withNtileByBoundaries) would
+      // break the exact NTILE counts (same closed form otherwise; oracle
+      // hash unchanged)
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      val ta = graft.operators.GlobalRank.withNtile(li, 64, "__ba",
+      val ta = graft.operators.GlobalRank.withNtileCheckpointed(li, 64, "__ba",
         col("l_orderkey"), col("l_linenumber"))
-      val tb = graft.operators.GlobalRank.withNtile(ta, 64, "__bb",
+      val tb = graft.operators.GlobalRank.withNtileCheckpointed(ta, 64, "__bb",
         col("l_partkey"), col("l_orderkey"), col("l_linenumber"))
       val withZ = tb.withColumn("__zv", graft.sources.ZOrder.interleave(
         (col("__ba") - 1).cast("long"), (col("__bb") - 1).cast("long")))
-      graft.operators.GlobalRank.withNtile(withZ, 16, "file_id",
+      graft.operators.GlobalRank.withNtileCheckpointed(withZ, 16, "file_id",
           col("__zv"), col("l_orderkey"), col("l_linenumber"))
         .groupBy(col("file_id"))
         .agg(count(lit(1)).as("n_rows"),

@@ -72,6 +72,26 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("withNtileByBoundaries matches ntile(k) window for every n % k residue") {
+    // incl. n < k (q = 0: every row its own tile) and k = 1
+    for (n <- Seq(3, 99, 100, 101, 102, 103); k <- Seq(1, 4, 7, 128)) {
+      val df = mkDf(n).withColumn("vi", col("v").cast("long"))
+      val got = GlobalRank.withNtileByBoundaries(df, k, "t", col("vi"), col("id"))
+        .select(col("id"), col("t")).as[(Long, Int)].collect().toMap
+      val want = df.select(col("id"),
+          ntile(k).over(Window.orderBy(col("vi"), col("id"))))
+        .as[(Long, Int)].collect().toMap
+      assert(got == want, s"boundary-ntile mismatch at n=$n k=$k")
+    }
+    // map-only output side: the assigned relation adds no shuffle on top
+    // of the input (boundaries are closure-captured, not joined)
+    val df = mkDf(50).withColumn("vi", col("v").cast("long"))
+    val plan = GlobalRank.withNtileByBoundaries(df, 4, "t", col("vi"), col("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"boundary ntile output side must be join-free:\n$plan")
+  }
+
   test("ntile output column is IntegerType (matches window ntile)") {
     val df = mkDf(10)
     val schema = GlobalRank.withNtile(df, 4, "t", col("v"), col("id")).schema
