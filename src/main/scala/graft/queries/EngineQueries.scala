@@ -1929,6 +1929,22 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // the out-of-sample 2-D map (round-6 "What's missing" #1): the PCA
+  // basis fits on the bounded per-label landmark sample (the reference's
+  // --sample_per_model contract), then EVERY corpus row projects through
+  // the fitted model map-only — the first reduce2d flow that touches the
+  // full corpus. maxPerGroup=20 keeps the landmark set a strict subset at
+  // every SF so the extension path is genuinely exercised. MLlib float
+  // SVD → rows-only; Reduce2dSpec pins landmark-coord parity, coverage,
+  // and extension determinism
+  private val reduce2dFull = OracleQuery(
+    "mx_reduce2d_full",
+    (s, d) =>
+      graft.ml.Reduce2d.full(Tables.embeddings(s, d), "embedding", "vec_id",
+          "label", method = "pca", maxPerGroup = 20)
+        .orderBy(col("id")),
+    None)
+
   // label-separability score (M8): logreg CV accuracy as a 1-row relation
   private val separability = OracleQuery(
     "mx_separability_logreg",
@@ -2084,6 +2100,6 @@ object EngineQueries extends QueryPack {
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, streamSample, streamWeightedSample,
     streamChunkDedup, streamCuration, streamSpanDedup, curationFunnel,
-    pca2d, separability, deepfakeLifecycle,
+    pca2d, reduce2dFull, separability, deepfakeLifecycle,
     separabilityGbt)
 }

@@ -44,6 +44,65 @@ class Reduce2dSpec extends SparkSpec {
     assert(out.count() == 50) // 10 labels × 5 cap
   }
 
+  test("full pca: every row mapped, landmark parity with the sample-only fit") {
+    val emb = Tables.embeddings(spark, sf001)
+    val out = Reduce2d.full(emb, "embedding", "vec_id", "label",
+      method = "pca", maxPerGroup = 10).cache()
+    try {
+      assert(out.columns.toSeq == Seq("id", "label", "x", "y", "is_landmark"))
+      assert(out.count() == emb.count()) // one output row per input row
+      assert(out.filter(col("is_landmark")).count() == 100) // 10 labels x 10
+      // landmark coords equal the bounded-sample fit (same deterministic
+      // hash-order sample, same fitted basis) up to float-summation noise
+      // from differing partition layouts
+      val sampleOnly = Reduce2d(emb, "embedding", "vec_id", "label",
+          method = "pca", maxPerGroup = 10)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      val fullLm = out.filter(col("is_landmark"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      assert(fullLm.keySet == sampleOnly.keySet, "landmark sample set differs")
+      fullLm.foreach { case (id, (x, y)) =>
+        val (sx, sy) = sampleOnly(id)
+        assert(math.abs(x - sx) < 1e-6 && math.abs(y - sy) < 1e-6,
+          s"landmark $id moved: ($x,$y) vs ($sx,$sy)")
+      }
+      // extension is deterministic
+      val again = Reduce2d.full(emb, "embedding", "vec_id", "label",
+          method = "pca", maxPerGroup = 10)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      val first = out.collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      assert(again == first)
+    } finally { out.unpersist(); () }
+  }
+
+  test("full tsne: landmarks keep their exact coords, extension lands near them") {
+    val emb = Tables.embeddings(spark, sf001).filter(col("vec_id") < 100)
+    val out = Reduce2d.full(emb, "embedding", "vec_id", "label",
+      method = "tsne", maxPerGroup = 5, iterations = 50, knn = 3).cache()
+    try {
+      assert(out.count() == 100)
+      // landmark coords are bit-equal to the sample-only fit (identical
+      // id-ordered input to the identical deterministic optimizer)
+      val sampleOnly = Reduce2d(emb, "embedding", "vec_id", "label",
+          method = "tsne", maxPerGroup = 5, iterations = 50)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      val lm = out.filter(col("is_landmark"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      assert(lm == sampleOnly, "landmark coords diverged from the bounded fit")
+      // every extended point sits inside the landmark bounding box (a
+      // convex combination of landmark coords cannot escape it)
+      val (xs, ys) = (lm.values.map(_._1), lm.values.map(_._2))
+      val ext = out.filter(!col("is_landmark")).collect()
+      ext.foreach { r =>
+        val (x, y) = (r.getDouble(2), r.getDouble(3))
+        assert(x >= xs.min - 1e-9 && x <= xs.max + 1e-9 &&
+          y >= ys.min - 1e-9 && y <= ys.max + 1e-9,
+          s"extended point (${r.getLong(0)}) outside landmark hull bbox")
+      }
+      assert(ext.nonEmpty)
+    } finally { out.unpersist(); () }
+  }
+
   test("reduce2d rejects unknown methods") {
     val emb = Tables.embeddings(spark, sf001)
     intercept[IllegalArgumentException] {
