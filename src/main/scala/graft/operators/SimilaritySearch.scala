@@ -290,6 +290,49 @@ object SimilaritySearch {
     IvfIndex(centers, if (persist) assigned.persist() else assigned)
   }
 
+  /** Cell-occupancy health of a persisted IVF index — the maintenance
+    * trigger that keeps the build-once artifact honest under continuous
+    * [[appendToIvfIndex]] ingest. A FROZEN quantizer never re-balances:
+    * if the ingest distribution drifts away from the training sample, new
+    * vectors pile into few cells, and probe cost/recall degrade silently
+    * (a probe visiting a cell at s×mean scans s× its candidate budget,
+    * while the queries those vectors answer concentrate where the
+    * quantizer no longer separates). `skew` = max cell size / mean cell
+    * size over ALL nlist cells (empty cells count in the mean — drift
+    * shows up as empty-plus-overfull, and shrinking the denominator would
+    * understate it).
+    *
+    * `needsRecluster` trips at `reclusterSkewThreshold` (default 4: a
+    * probe touching the hot cell pays ≥4× its candidate budget — the
+    * point where re-training the quantizer on a fresh sample costs less
+    * than every future probe overpaying; same order as the FAISS
+    * imbalance-factor guidance). Note skew is bounded above by nlist
+    * (all mass in one cell), so the threshold only has headroom when
+    * nlist ≫ threshold — at tiny nlist, watch maxCellSize directly.
+    * One cell-count aggregation — O(nlist) result, safe to run per
+    * append batch.
+    */
+  final case class IvfSkewReport(
+      nlist: Int, nonEmptyCells: Int, totalVectors: Long,
+      maxCellSize: Long, meanCellSize: Double, skew: Double,
+      needsRecluster: Boolean)
+
+  def ivfSkewReport(spark: org.apache.spark.sql.SparkSession, dir: String,
+      reclusterSkewThreshold: Double = 4.0): IvfSkewReport = {
+    require(reclusterSkewThreshold > 1.0,
+      s"threshold must exceed 1 (perfect balance), got $reclusterSkewThreshold")
+    val nlist = spark.read.parquet(s"$dir/centers").count().toInt
+    val counts = spark.read.parquet(s"$dir/assigned")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1))
+    val total = counts.sum
+    val maxSz = if (counts.isEmpty) 0L else counts.max
+    val mean = if (nlist == 0) 0.0 else total.toDouble / nlist
+    val skew = if (mean == 0.0) 1.0 else maxSz / mean
+    IvfSkewReport(nlist, counts.length, total, maxSz, mean, skew,
+      skew >= reclusterSkewThreshold)
+  }
+
   /** Probe a prebuilt IVF index: each query visits its `nprobe` nearest
     * cells and exact-re-ranks only those cells' vectors via a cell-id
     * equi-join — |corpus|·nprobe/nlist expected candidates per query, the

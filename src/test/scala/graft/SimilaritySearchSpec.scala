@@ -240,6 +240,39 @@ class SimilaritySearchSpec extends SparkSpec {
       .assigned.count() == 500)
   }
 
+  test("ivfSkewReport: balanced index healthy, drifted ingest trips the recluster trigger") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    // nlist=8: skew is bounded above by nlist (all mass in one cell), so
+    // the 4x trigger needs headroom to be meaningful
+    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-skew").toString
+    SimilaritySearch.saveIvfIndex(idx, dir)
+    idx.unpersist()
+    val before = SimilaritySearch.ivfSkewReport(spark, dir)
+    assert(before.nlist == 8 && before.totalVectors == 500)
+    assert(before.skew >= 1.0 && before.meanCellSize == 62.5)
+    // k-means on its own training distribution stays within the trigger
+    assert(!before.needsRecluster,
+      s"fresh index flagged for recluster: skew=${before.skew}")
+    // drifted ingest: a batch of near-identical vectors (10x the corpus)
+    // — a frozen quantizer piles them all into ONE cell
+    val dim = 64
+    val drifted = (10000L until 15000L).map { i =>
+      (i, Array.tabulate(dim)(j => 5.0f + (if (j == 0) (i % 7) * 1e-4f else 0f)))
+    }.toDF("vec_id", "embedding")
+    SimilaritySearch.appendToIvfIndex(spark, dir, drifted)
+    val after = SimilaritySearch.ivfSkewReport(spark, dir)
+    assert(after.totalVectors == 5500)
+    assert(after.skew > before.skew)
+    assert(after.needsRecluster,
+      s"drifted index not flagged: skew=${after.skew} max=${after.maxCellSize}")
+    // threshold is a dial: the same report under a looser threshold
+    val loose = SimilaritySearch.ivfSkewReport(spark, dir,
+      reclusterSkewThreshold = after.skew + 1.0)
+    assert(!loose.needsRecluster && loose.skew == after.skew)
+  }
+
   test("IVF-PQ index persists (codes + codebook) and probes identically after reload") {
     val emb = Tables.embeddings(spark, sf001)
     val queries = emb.filter(col("vec_id") < 10)
