@@ -164,6 +164,41 @@ object ScaleBench {
     ()
   }
 
+  /** Mean recall@k of `approx` against ground truth `truth`, both in the
+    * (query_id, rn, neighbor_id, ...) shape every ANN probe returns and
+    * already cut to their top-k. Distributed — one inner join and two
+    * counts, no collect of the rankings. Queries the ground truth knows
+    * but the probe missed entirely still count against recall (the join
+    * is against truth rows, not probe rows).
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame): Double = {
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val total = t.count()
+    if (total == 0L) 1.0
+    else t.join(a, Seq("query_id", "neighbor_id")).count().toDouble / total
+  }
+
+  /** IVF scale policy (published Faiss practice, re-derived): nlist ≈ √n
+    * balances the per-query centroid scan (∝ nlist) against the probed
+    * candidate scan (∝ nprobe·n/nlist); nprobe = nlist/16 (floored at 4)
+    * keeps the PROBED FRACTION of the corpus ≥ 1/16 constant as n grows —
+    * the dial that decides recall, because a fixed absolute nprobe over a
+    * growing nlist silently shrinks the searched fraction and recall
+    * decays with corpus size. Like the LSH bits dial (BASELINE.md round-6
+    * lesson), these are part of the operator contract, not tuning
+    * constants; the recall harness below exists to measure that the
+    * policy actually holds recall across ×10/×100.
+    */
+  private[graft] def ivfScaleParams(n: Long): (Int, Int) = {
+    val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    // ceil, not floor: a floored nprobe lets the probed fraction drift
+    // under 1/16 as nlist grows, which is exactly the decay the policy
+    // exists to prevent
+    val nprobe = math.max(4, math.ceil(nlist / 16.0).toInt)
+    (nlist, nprobe)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -224,6 +259,16 @@ object ScaleBench {
       "curation_funnel" -> { dir: String =>
         SparkEntry.queries("tx_curation_funnel")(spark, dir)
       },
+      // the composed end-to-end pipeline (ingest -> embed -> align ->
+      // sample -> centroid matrix -> PCA -> CV separability): the fixture
+      // ingest and the CV (bounded per-label sample) are fixed-cost; the
+      // corpus-driven stages are the align join, the centroid aggregate
+      // and the PCA landmark sample, so the whole composition should read
+      // sub-linear — this row exists to catch any stage that stops being
+      // bounded when the embedding table grows 100x
+      "deepfake_lifecycle" -> { dir: String =>
+        SparkEntry.queries("mx_deepfake_lifecycle")(spark, dir)
+      },
       // NOT the gate query: the gate pins bitsPerTable=6, tuned to the
       // 2k-vector testdata's low-cosine regime. Signature length is the
       // documented log(n) dial (SimilaritySearch scaladoc) — holding it
@@ -273,6 +318,90 @@ object ScaleBench {
       (name, small, big, e)
     }
 
+    // ANN recall at scale (round-6 verdict item 3): the recall bounds are
+    // spec-pinned only at the 2k-vector testdata; cell counts and probe
+    // ratios that hold recall at 2k may not at 200k. Measure recall@5
+    // against exact brute force at BOTH sizes with the scale policies
+    // applied (ivfScaleParams for IVF/IVF-PQ; SRP is a full-scan sketch
+    // whose recall is resolution-bounded, so its 128-bit dial is
+    // size-independent by design — that claim is exactly what the big
+    // point verifies).
+    val recallJson: Option[String] =
+      if (!familySelected("ann_recall")) None
+      else Some {
+        import graft.operators.SimilaritySearch
+        val K = 5
+        val NQ = 50
+        val sections = Seq("small" -> base, "big" -> out).map { case (tag, dir) =>
+          val emb = Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding")).persist()
+          val n = emb.count()
+          val (nlist, nprobe) = ivfScaleParams(n)
+          // deterministic query draw: hash-ordered head, not limit()'s
+          // plan-dependent first partitions
+          val queries = emb.orderBy(xxhash64(col("vec_id"), lit(7L)))
+            .limit(NQ).persist()
+          queries.count()
+          val truth = SimilaritySearch
+            .bruteForceTopK(emb, queries, K).persist()
+          val tBrute = timeIt { truth.count(); () }
+
+          var ivfIdx: SimilaritySearch.IvfIndex = null
+          val tIvfBuild = timeIt {
+            ivfIdx = SimilaritySearch.buildIvfIndex(emb, nlist = nlist)
+            ivfIdx.assigned.count(); ()
+          }
+          var ivfProbe: DataFrame = null
+          val tIvfProbe = timeIt {
+            ivfProbe = SimilaritySearch
+              .ivfProbe(ivfIdx, queries, K, nprobe = nprobe).persist()
+            ivfProbe.count(); ()
+          }
+          val rIvf = recallAtK(truth, ivfProbe)
+
+          var pqIdx: SimilaritySearch.IvfPqIndex = null
+          val tPqBuild = timeIt {
+            pqIdx = SimilaritySearch.buildIvfPqIndex(emb, nlist = nlist)
+            pqIdx.assigned.count(); ()
+          }
+          var pqProbe: DataFrame = null
+          val tPqProbe = timeIt {
+            pqProbe = SimilaritySearch.ivfProbePqRefined(
+              pqIdx, emb, queries, K, nprobe = nprobe, refine = 4).persist()
+            pqProbe.count(); ()
+          }
+          val rPq = recallAtK(truth, pqProbe)
+
+          var sketched: DataFrame = null
+          val tSrpBuild = timeIt {
+            sketched = SimilaritySearch.srpSketch(emb, bits = 128).persist()
+            sketched.count(); ()
+          }
+          var srpProbe: DataFrame = null
+          val tSrpProbe = timeIt {
+            srpProbe = SimilaritySearch.hammingTopK(
+              sketched, emb, queries, K, refine = 8, bits = 128).persist()
+            srpProbe.count(); ()
+          }
+          val rSrp = recallAtK(truth, srpProbe)
+
+          println(s"SCALERECALL $tag n=$n nlist=$nlist nprobe=$nprobe " +
+            s"brute=${fmt(tBrute)}s " +
+            s"ivf=${fmt(rIvf)} (build ${fmt(tIvfBuild)}s probe ${fmt(tIvfProbe)}s) " +
+            s"ivfpq=${fmt(rPq)} (build ${fmt(tPqBuild)}s probe ${fmt(tPqProbe)}s) " +
+            s"srp=${fmt(rSrp)} (build ${fmt(tSrpBuild)}s probe ${fmt(tSrpProbe)}s)")
+          Seq(ivfProbe, pqProbe, srpProbe, sketched, truth, queries, emb)
+            .foreach(_.unpersist())
+          ivfIdx.unpersist(); pqIdx.unpersist()
+          s""""$tag":{"n":$n,"nlist":$nlist,"nprobe":$nprobe,"k":$K,"queries":$NQ,""" +
+            s""""brute_sec":${fmt(tBrute)},""" +
+            s""""ivf":{"recall":${fmt(rIvf)},"build_sec":${fmt(tIvfBuild)},"probe_sec":${fmt(tIvfProbe)}},""" +
+            s""""ivfpq_refined":{"recall":${fmt(rPq)},"build_sec":${fmt(tPqBuild)},"probe_sec":${fmt(tPqProbe)}},""" +
+            s""""srp_hamming":{"recall":${fmt(rSrp)},"build_sec":${fmt(tSrpBuild)},"probe_sec":${fmt(tSrpProbe)}}}"""
+        }
+        sections.mkString("{", ",", "}")
+      }
+
     val famJson = results.map { case (n, s, b, e) =>
       s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"exponent":${fmt(e)}}"""
     }.mkString("{", ",", "}")
@@ -280,8 +409,9 @@ object ScaleBench {
       val e = math.log(b / s) / math.log(factor.toDouble)
       s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"exponent":${fmt(e)}}"""
     }.mkString("{", ",", "}")
+    val recallField = recallJson.map(r => s""","recall":$r""").getOrElse("")
     val json =
-      s"""{"metric":"scale_exponent","factor":$factor,"base":"$base","families":$famJson,"builds":$buildJson}"""
+      s"""{"metric":"scale_exponent","factor":$factor,"base":"$base","families":$famJson,"builds":$buildJson$recallField}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("target/scalebench.json"),
       json.getBytes("UTF-8"))

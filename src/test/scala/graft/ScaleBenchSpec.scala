@@ -135,4 +135,63 @@ class ScaleBenchSpec extends SparkSpec {
     // the ts column survives the write/read cycle as a usable timestamp
     assert(gen.filter(col("ts").isNull).count() == 0)
   }
+
+  test("recallAtK: counts truth rows recovered, ignores extra probe rows") {
+    import spark.implicits._
+    val truth = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L), (2L, 24L))
+      .toDF("query_id", "neighbor_id")
+    // q1 recovers 4/5; q2 recovers 3/5 plus two wrong neighbors (which
+    // must not add recall) — mean over truth rows = 7/10
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 99L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 98L), (2L, 97L))
+      .toDF("query_id", "neighbor_id")
+    assert(math.abs(ScaleBench.recallAtK(truth, approx) - 0.7) < 1e-12)
+    // a query the probe missed entirely still counts against recall
+    val missingQ2 = approx.filter(col("query_id") === 1L)
+    assert(math.abs(ScaleBench.recallAtK(truth, missingQ2) - 0.4) < 1e-12)
+  }
+
+  test("ivfScaleParams: sqrt-n cells, constant probed fraction, floors at tiny n") {
+    // floors: tiny corpora keep a searchable index
+    assert(ScaleBench.ivfScaleParams(100L) == ((16, 4)))
+    // the 2k testdata point and the x100 = 200k point
+    assert(ScaleBench.ivfScaleParams(2000L) == ((45, 4)))
+    assert(ScaleBench.ivfScaleParams(200000L) == ((447, 28)))
+    // above the floors the probed fraction nprobe/nlist stays ~1/16 as n
+    // grows — the invariant that keeps recall size-independent
+    for (n <- Seq(50000L, 200000L, 2000000L, 20000000L)) {
+      val (nlist, nprobe) = ScaleBench.ivfScaleParams(n)
+      val frac = nprobe.toDouble / nlist
+      assert(frac >= 1.0 / 16 - 1e-9 && frac < 2.0 / 16 + 1e-9,
+        s"probed fraction $frac off-policy at n=$n")
+    }
+  }
+
+  test("ann recall under the scale policy: measured bounds at the testdata size") {
+    import graft.operators.SimilaritySearch
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).persist()
+    val n = emb.count()
+    val (nlist, nprobe) = ScaleBench.ivfScaleParams(n)
+    val queries = emb.orderBy(xxhash64(col("vec_id"), lit(7L))).limit(20)
+    val truth = SimilaritySearch.bruteForceTopK(emb, queries, 5).persist()
+    val ivfIdx = SimilaritySearch.buildIvfIndex(emb, nlist = nlist)
+    val rIvf = ScaleBench.recallAtK(truth,
+      SimilaritySearch.ivfProbe(ivfIdx, queries, 5, nprobe = nprobe))
+    // this corpus's low-cosine regime scatters true neighbors across
+    // cells; the 1/16-fraction policy still recovers the majority
+    // (measured 0.58 at n=500; the ScaleBench harness tracks the same
+    // number at x10/x100 in BASELINE.md)
+    assert(rIvf >= 0.4, s"IVF policy recall@5 $rIvf below bound")
+    val sketched = SimilaritySearch.srpSketch(emb, bits = 128)
+    val rSrp = ScaleBench.recallAtK(truth,
+      SimilaritySearch.hammingTopK(sketched, emb, queries, 5, refine = 8))
+    // full-scan sketch: recall bounded by resolution alone (measured
+    // 0.70 at n=500)
+    assert(rSrp >= 0.5, s"SRP policy recall@5 $rSrp below bound")
+    ivfIdx.unpersist(); truth.unpersist(); emb.unpersist()
+  }
 }
