@@ -179,25 +179,13 @@ object ScaleBench {
     else t.join(a, Seq("query_id", "neighbor_id")).count().toDouble / total
   }
 
-  /** IVF scale policy (published Faiss practice, re-derived): nlist ≈ √n
-    * balances the per-query centroid scan (∝ nlist) against the probed
-    * candidate scan (∝ nprobe·n/nlist); nprobe = nlist/16 (floored at 4)
-    * keeps the PROBED FRACTION of the corpus ≥ 1/16 constant as n grows —
-    * the dial that decides recall, because a fixed absolute nprobe over a
-    * growing nlist silently shrinks the searched fraction and recall
-    * decays with corpus size. Like the LSH bits dial (BASELINE.md round-6
-    * lesson), these are part of the operator contract, not tuning
-    * constants; the recall harness below exists to measure that the
-    * policy actually holds recall across ×10/×100.
+  /** The operator-level IVF scale policy — see
+    * [[graft.operators.SimilaritySearch.ivfScaleParams]]; the recall
+    * harness below exists to measure that the policy actually holds
+    * recall across ×10/×100.
     */
-  private[graft] def ivfScaleParams(n: Long): (Int, Int) = {
-    val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
-    // ceil, not floor: a floored nprobe lets the probed fraction drift
-    // under 1/16 as nlist grows, which is exactly the decay the policy
-    // exists to prevent
-    val nprobe = math.max(4, math.ceil(nlist / 16.0).toInt)
-    (nlist, nprobe)
-  }
+  private[graft] def ivfScaleParams(n: Long): (Int, Int) =
+    graft.operators.SimilaritySearch.ivfScaleParams(n)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -385,19 +373,43 @@ object ScaleBench {
           }
           val rSrp = recallAtK(truth, srpProbe)
 
+          // the refine dial at the same size: for the shortlist methods
+          // (SRP full-scan sketch, IVF-PQ ADC) refine touches only the
+          // exact re-rank join — the Hamming/ADC scan cost is unchanged —
+          // so recovering recall lost to margin collapse is nearly free.
+          // These second points measure that recovery and its cost.
+          var pqProbeW: DataFrame = null
+          val tPqProbeW = timeIt {
+            pqProbeW = SimilaritySearch.ivfProbePqRefined(
+              pqIdx, emb, queries, K, nprobe = nprobe, refine = 16).persist()
+            pqProbeW.count(); ()
+          }
+          val rPqW = recallAtK(truth, pqProbeW)
+          var srpProbeW: DataFrame = null
+          val tSrpProbeW = timeIt {
+            srpProbeW = SimilaritySearch.hammingTopK(
+              sketched, emb, queries, K, refine = 64, bits = 128).persist()
+            srpProbeW.count(); ()
+          }
+          val rSrpW = recallAtK(truth, srpProbeW)
+
           println(s"SCALERECALL $tag n=$n nlist=$nlist nprobe=$nprobe " +
             s"brute=${fmt(tBrute)}s " +
             s"ivf=${fmt(rIvf)} (build ${fmt(tIvfBuild)}s probe ${fmt(tIvfProbe)}s) " +
             s"ivfpq=${fmt(rPq)} (build ${fmt(tPqBuild)}s probe ${fmt(tPqProbe)}s) " +
-            s"srp=${fmt(rSrp)} (build ${fmt(tSrpBuild)}s probe ${fmt(tSrpProbe)}s)")
-          Seq(ivfProbe, pqProbe, srpProbe, sketched, truth, queries, emb)
-            .foreach(_.unpersist())
+            s"ivfpq_r16=${fmt(rPqW)} (probe ${fmt(tPqProbeW)}s) " +
+            s"srp=${fmt(rSrp)} (build ${fmt(tSrpBuild)}s probe ${fmt(tSrpProbe)}s) " +
+            s"srp_r64=${fmt(rSrpW)} (probe ${fmt(tSrpProbeW)}s)")
+          Seq(ivfProbe, pqProbe, pqProbeW, srpProbe, srpProbeW, sketched,
+            truth, queries, emb).foreach(_.unpersist())
           ivfIdx.unpersist(); pqIdx.unpersist()
           s""""$tag":{"n":$n,"nlist":$nlist,"nprobe":$nprobe,"k":$K,"queries":$NQ,""" +
             s""""brute_sec":${fmt(tBrute)},""" +
             s""""ivf":{"recall":${fmt(rIvf)},"build_sec":${fmt(tIvfBuild)},"probe_sec":${fmt(tIvfProbe)}},""" +
             s""""ivfpq_refined":{"recall":${fmt(rPq)},"build_sec":${fmt(tPqBuild)},"probe_sec":${fmt(tPqProbe)}},""" +
-            s""""srp_hamming":{"recall":${fmt(rSrp)},"build_sec":${fmt(tSrpBuild)},"probe_sec":${fmt(tSrpProbe)}}}"""
+            s""""ivfpq_refine16":{"recall":${fmt(rPqW)},"probe_sec":${fmt(tPqProbeW)}},""" +
+            s""""srp_hamming":{"recall":${fmt(rSrp)},"build_sec":${fmt(tSrpBuild)},"probe_sec":${fmt(tSrpProbe)}},""" +
+            s""""srp_refine64":{"recall":${fmt(rSrpW)},"probe_sec":${fmt(tSrpProbeW)}}}"""
         }
         sections.mkString("{", ",", "}")
       }

@@ -894,6 +894,14 @@ object SimilaritySearch {
     * its 32× memory floor (spec-measured: 0.36 ADC-only → ~0.8 refined
     * on the low-cosine test corpus).
     */
+  /** [[ivfProbePq]] with an exact-cosine re-rank of the k·`refine` ADC
+    * shortlist. `refine` is a scale dial (see [[hammingTopK]]'s note —
+    * same mechanism): ADC quantization noise is fixed by the codebook,
+    * so on thin-margin corpora a fixed shortlist dilutes as n grows and
+    * recall decays; widening refine costs only the re-rank join, never
+    * the ADC scan. Measured decay and recovery points: BASELINE.md
+    * recall table.
+    */
   def ivfProbePqRefined(
       index: IvfPqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int = 4, refine: Int = 4,
@@ -961,8 +969,18 @@ object SimilaritySearch {
     * bits — then only the k·refine shortlist joins the float corpus for
     * exact cosine re-ranking (same shape as [[ivfProbePqRefined]]).
     * Unlike the bucketed LSH path there is no recall cliff from bucket
-    * misses: every row is scored, recall is bounded by sketch resolution
-    * alone. Returns (query_id, rn, neighbor_id, cosine).
+    * misses: every row is scored, so recall is set by sketch resolution
+    * AND the `refine` shortlist width. `refine` is a scale dial, not a
+    * constant (BASELINE.md recall table): the Hamming estimator's noise
+    * is fixed by `bits`, so the number of competitors whose estimated
+    * score ties the true k-th neighbor grows with n on corpora whose
+    * cosine margins are thin (the measured testdata regime: top-5 ≈
+    * 0.36–0.45 vs rank-40 ≈ 0.26) — a fixed shortlist then dilutes and
+    * recall decays (measured 0.60 → 0.34 across ×10 at refine=8).
+    * Widening refine recovers it almost for free: the dial touches ONLY
+    * the exact re-rank join (k·refine rows/query), never the scan, which
+    * is the dominant cost (measured recovery points in the BASELINE.md
+    * recall table). Returns (query_id, rn, neighbor_id, cosine).
     */
   def hammingTopK(
       sketched: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
@@ -1012,6 +1030,35 @@ object SimilaritySearch {
     ivfProbe(
       buildIvfIndex(corpus, nlist, seed, idCol, vecCol, persist = false),
       queries, k, nprobe, idCol, vecCol)
+
+  /** IVF scale policy (published Faiss practice, re-derived): nlist ≈ √n
+    * balances the per-query centroid scan (∝ nlist) against the probed
+    * candidate scan (∝ nprobe·n/nlist); nprobe = ⌈nlist/16⌉ keeps the
+    * PROBED FRACTION of the corpus ≥ 1/16 constant as n grows. Like the
+    * LSH signature-length dial ([[lshNearDupPairsAuto]]), these are part
+    * of the operator contract, not tuning constants: a fixed absolute
+    * nprobe over a growing nlist silently shrinks the searched fraction
+    * and recall decays with corpus size, while the constant-fraction
+    * policy held recall@5 flat across ×10/×100 in the measured
+    * BASELINE.md recall table (graft.ScaleBench's ann_recall harness).
+    */
+  def ivfScaleParams(n: Long): (Int, Int) = {
+    val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(4, math.ceil(nlist / 16.0).toInt)
+    (nlist, nprobe)
+  }
+
+  /** [[ivfTopK]] with (nlist, nprobe) derived from the corpus size via
+    * [[ivfScaleParams]] instead of pinned by the caller. Costs one
+    * `count()`; callers that already know n should apply the policy
+    * themselves.
+    */
+  def ivfTopKAuto(
+      corpus: DataFrame, queries: DataFrame, k: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (nlist, nprobe) = ivfScaleParams(corpus.count())
+    ivfTopK(corpus, queries, k, nlist, nprobe, seed, idCol, vecCol)
+  }
 
   /** LSH-bucketed approximate cosine top-k. Each side gets `numTables`
     * signatures; candidate pairs share (table, signature); exact cosine

@@ -182,15 +182,19 @@ class ScaleBenchSpec extends SparkSpec {
     val rIvf = ScaleBench.recallAtK(truth,
       SimilaritySearch.ivfProbe(ivfIdx, queries, 5, nprobe = nprobe))
     // this corpus's low-cosine regime scatters true neighbors across
-    // cells; the 1/16-fraction policy still recovers the majority
-    // (measured 0.58 at n=500; the ScaleBench harness tracks the same
-    // number at x10/x100 in BASELINE.md)
+    // cells; the 1/16-fraction policy still recovers enough to clear the
+    // floor here, and the ScaleBench ann_recall harness tracks the same
+    // number at x10/x100 (BASELINE.md recall table: flat 0.44-0.52
+    // across 100x under the policy)
+    info(s"IVF policy recall@5 at n=$n: $rIvf")
     assert(rIvf >= 0.4, s"IVF policy recall@5 $rIvf below bound")
     val sketched = SimilaritySearch.srpSketch(emb, bits = 128)
     val rSrp = ScaleBench.recallAtK(truth,
       SimilaritySearch.hammingTopK(sketched, emb, queries, 5, refine = 8))
-    // full-scan sketch: recall bounded by resolution alone (measured
-    // 0.70 at n=500)
+    // full-scan sketch at the testdata size; at bigger n the fixed
+    // refine=8 shortlist dilutes (BASELINE.md) - this floor is a
+    // small-n pin, not a size-independent claim
+    info(s"SRP refine=8 recall@5 at n=$n: $rSrp")
     assert(rSrp >= 0.5, s"SRP policy recall@5 $rSrp below bound")
     ivfIdx.unpersist(); truth.unpersist(); emb.unpersist()
   }

@@ -107,6 +107,21 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(auto == manual)
   }
 
+  test("ivfTopKAuto applies the scale policy and matches explicit params") {
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val (nlist, nprobe) = SimilaritySearch.ivfScaleParams(n)
+    // same frozen seed -> same KMeans -> identical rankings
+    val qs = emb.orderBy(col("vec_id")).limit(5)
+    val auto = SimilaritySearch.ivfTopKAuto(emb, qs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val explicit = SimilaritySearch
+      .ivfTopK(emb, qs, k = 3, nlist = nlist, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(auto == explicit)
+  }
+
   test("ANN retrieval QUALITY: recall@5 vs brute force on sf0.01, documented bounds") {
     // mechanics are hash-verified elsewhere; this pins retrieval quality so
     // silent regressions in signature/probe code fail loudly. Ground truth =
