@@ -64,16 +64,19 @@ object TextOps {
     * pipeline, per-source report, and streaming twin all share this exact
     * column expression — their rule outcomes must never drift apart).
     */
-  def bigramDupFraction(text: Column): Column = {
-    val words = split(text, " ")
-    val grams = filter(
-      transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
-        i => when(size(words) >= 2, concat_ws(" ", slice(words, i + 1, lit(2))))),
-      g => g.isNotNull)
-    when(size(words) <= 1, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") /
-        (size(words) - 1).cast("double"))
-  }
+  def bigramDupFraction(text: Column): Column =
+    // split let-bound through a single-element transform (the
+    // Dedup.shingles pattern): Catalyst re-evaluates an inlined split
+    // inside every per-index lambda element — O(words²) chars per row
+    transform(array(split(text, " ")), words => {
+      val grams = filter(
+        transform(sequence(lit(0), greatest(size(words) - 2, lit(0))),
+          i => when(size(words) >= 2, concat_ws(" ", slice(words, i + 1, lit(2))))),
+        g => g.isNotNull)
+      when(size(words) <= 1, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") /
+          (size(words) - 1).cast("double"))
+    }).getItem(0)
 
   /** Quality score ∈ [0,1]: composite of length band, alphabetic ratio,
     * mean word length band, and repetition penalty — the shape of the

@@ -41,16 +41,25 @@ object Dedup {
       .drop("__rn", "__content_hash")
   }
 
-  /** Word k-shingles as one array column (distinct). */
-  def shingles(textCol: Column, k: Int = 3): Column = {
-    val words = split(textCol, " ")
-    // sliding window over word positions via transform on an index sequence
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
-          i => when(size(words) >= k, concat_ws(" ", slice(words, i + 1, lit(k))))),
-        s => s.isNotNull))
-  }
+  /** Word k-shingles as one array column (distinct).
+    *
+    * The split is LET-BOUND through a single-element `transform` lambda
+    * before the sliding window references it: Catalyst has no common
+    * subexpression elimination across nested lambda bodies, so the naive
+    * form (`val words = split(...)` inlined into the per-index lambda)
+    * re-splits the text once per word position — O(words²) chars per row.
+    * Measured at sf0.1 (5k docs, 54 words avg): inlined explode 3.9 s vs
+    * 1.2 s let-bound, and the round-5 "HOF vs UDF no win" note is
+    * superseded — the let-bound HOF matches the UDF twin's speed while
+    * staying whole-stage-codegen.
+    */
+  def shingles(textCol: Column, k: Int = 3): Column =
+    transform(array(split(textCol, " ")), words =>
+      array_distinct(
+        filter(
+          transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
+            i => when(size(words) >= k, concat_ws(" ", slice(words, i + 1, lit(k))))),
+          s => s.isNotNull))).getItem(0)
 
   /** Row-local twin of [[shingles]]: identical distinct k-gram set in
     * first-occurrence order, built in one pass over the split words
@@ -735,12 +744,17 @@ object Dedup {
     */
   def spanDedup(docs: DataFrame, segTokens: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nseg = ceil(size(toks).cast("double") / segTokens).cast("int")
-    // split('') yields [''], so nseg >= 1 always and sequence() is safe
+    // split let-bound through a single-element transform (the
+    // Dedup.shingles pattern) so the per-segment lambda slices a
+    // materialized array instead of re-splitting the text per segment
+    val segArray = transform(array(split(col(textCol), " ")), toks => {
+      val nseg = ceil(size(toks).cast("double") / segTokens).cast("int")
+      // split('') yields [''], so nseg >= 1 always and sequence() is safe
+      transform(sequence(lit(0), nseg - 1), i =>
+        array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    }).getItem(0)
     val segs = docs
-      .select(col(idCol), transform(sequence(lit(0), nseg - 1), i =>
-        array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")).as("sg"))
+      .select(col(idCol), segArray.as("sg"))
       .select(col(idCol), posexplode(col("sg")).as(Seq("seg_idx", "seg")))
     val firstDoc = segs.groupBy(col("seg")).agg(min(col(idCol)).as("kdoc"))
     val firstOcc = segs.as("s")

@@ -37,13 +37,17 @@ object StreamingSpanDedup {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val toks = split(col(textCol), " ")
-    val nseg = ceil(size(toks).cast("double") / segTokens).cast("int")
+    // split let-bound through a single-element transform (the
+    // Dedup.shingles pattern): an inlined split re-evaluates inside every
+    // per-segment lambda element — O(tokens²) chars per row
+    val segArray = transform(array(split(col(textCol), " ")), toks => {
+      val nseg = ceil(size(toks).cast("double") / segTokens).cast("int")
+      transform(sequence(lit(0), nseg - 1), i =>
+        array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    }).getItem(0)
     val spans = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(transform(sequence(lit(0), nseg - 1), i =>
-          array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
-          .as(Seq("seg_idx", "seg")))
+        posexplode(segArray).as(Seq("seg_idx", "seg")))
       .as[(Long, Int, String)]
 
     def fn(seg: String, rows: Iterator[(Long, Int, String)],
