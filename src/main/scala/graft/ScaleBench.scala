@@ -179,6 +179,45 @@ object ScaleBench {
     else t.join(a, Seq("query_id", "neighbor_id")).count().toDouble / total
   }
 
+  // planted ids live above every replica-shifted corpus id (max shift =
+  // MaxFactor·1e7 < 1e10)
+  private[graft] val PlantBase = 10000000000L
+
+  /** Deterministic planted near-neighbors: `copies` perturbed twins of
+    * each query vector with ids PlantBase + vec_id·copies + j. Per-dim
+    * RELATIVE noise — v'ᵢ = vᵢ·(1 + amp·uᵢ) with uᵢ ∈ [−1, 1] hashed
+    * from (vec_id, j, i) — keeps cosine(v, v') ≈ 1 − amp²/6 (≈ 0.96 at
+    * amp = 0.5) regardless of the vector's norm, far above the ~0.55
+    * extreme-value background of 200k near-random 64-d vectors, so the
+    * planted set IS the exact top-`copies` of its query (spec-pinned via
+    * brute force). This is the planted-ground-truth eval shape published
+    * ANN benchmarks use when the corpus's own neighbor structure is too
+    * thin to grade against.
+    */
+  private[graft] def plantNeighbors(queries: DataFrame, copies: Int,
+      amp: Double): DataFrame =
+    queries
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(copies - 1))).as("__j"))
+      .select(
+        (lit(PlantBase) + col("vec_id") * copies + col("__j")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) + lit(amp) *
+            (pmod(xxhash64(col("vec_id"), col("__j"), i), lit(1001))
+              .cast("double") / lit(500.0) - lit(1.0))))
+            .cast("float")).as("embedding"))
+
+  /** The planted truth relation for [[plantNeighbors]]: (query_id,
+    * neighbor_id) rows naming each query's `copies` twins.
+    */
+  private[graft] def plantedTruth(queries: DataFrame, copies: Int): DataFrame =
+    queries
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(copies - 1))).as("__j"))
+      .select(col("query_id"),
+        (lit(PlantBase) + col("query_id") * copies + col("__j"))
+          .as("neighbor_id"))
+
   /** The operator-level IVF scale policy — see
     * [[graft.operators.SimilaritySearch.ivfScaleParams]]; the recall
     * harness below exists to measure that the policy actually holds
@@ -414,6 +453,76 @@ object ScaleBench {
         sections.mkString("{", ",", "}")
       }
 
+    // planted-structure recall: the decorrelated corpus is margin-
+    // collapsed (absolute recall low by construction), so this section
+    // plants unambiguous structure — 5 twins per query at cosine ≈ 0.96
+    // against a ≤ ~0.55 background — and asks whether each index family
+    // still FINDS it as the background grows 100×. This is the claim a
+    // near-dup retrieval user needs; the un-planted section above is the
+    // worst-case floor.
+    val plantedJson: Option[String] =
+      if (!familySelected("ann_recall_planted")) None
+      else Some {
+        import graft.operators.SimilaritySearch
+        val K = 5
+        val NQ = 50
+        Seq("small" -> base, "big" -> out).map { case (tag, dir) =>
+          val embBase = Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding"))
+          val queries = embBase.orderBy(xxhash64(col("vec_id"), lit(7L)))
+            .limit(NQ).persist()
+          queries.count()
+          val corpus = embBase
+            .unionByName(plantNeighbors(queries, K, amp = 0.5))
+            .persist()
+          val n = corpus.count()
+          val truth = plantedTruth(queries, K)
+          val (nlist, nprobe) = ivfScaleParams(n)
+
+          val ivfIdx = SimilaritySearch.buildIvfIndex(corpus, nlist = nlist)
+          ivfIdx.assigned.count()
+          var probeDf: DataFrame = null
+          val tIvf = timeIt {
+            probeDf = SimilaritySearch
+              .ivfProbe(ivfIdx, queries, K, nprobe = nprobe).persist()
+            probeDf.count(); ()
+          }
+          val rIvf = recallAtK(truth, probeDf)
+
+          val sketched = SimilaritySearch.srpSketch(corpus, bits = 128).persist()
+          sketched.count()
+          var srpDf: DataFrame = null
+          val tSrp = timeIt {
+            srpDf = SimilaritySearch.hammingTopK(
+              sketched, corpus, queries, K, refine = 8, bits = 128).persist()
+            srpDf.count(); ()
+          }
+          val rSrp = recallAtK(truth, srpDf)
+
+          val pqIdx = SimilaritySearch.buildIvfPqIndex(corpus, nlist = nlist)
+          pqIdx.assigned.count()
+          var pqDf: DataFrame = null
+          val tPq = timeIt {
+            pqDf = SimilaritySearch.ivfProbePqRefined(
+              pqIdx, corpus, queries, K, nprobe = nprobe, refine = 4).persist()
+            pqDf.count(); ()
+          }
+          val rPq = recallAtK(truth, pqDf)
+
+          println(s"SCALEPLANTED $tag n=$n nlist=$nlist nprobe=$nprobe " +
+            s"ivf=${fmt(rIvf)} (${fmt(tIvf)}s) " +
+            s"ivfpq=${fmt(rPq)} (${fmt(tPq)}s) " +
+            s"srp=${fmt(rSrp)} (${fmt(tSrp)}s)")
+          Seq(probeDf, srpDf, pqDf, sketched, corpus, queries)
+            .foreach(_.unpersist())
+          ivfIdx.unpersist(); pqIdx.unpersist()
+          s""""$tag":{"n":$n,"nlist":$nlist,"nprobe":$nprobe,""" +
+            s""""ivf":{"recall":${fmt(rIvf)},"probe_sec":${fmt(tIvf)}},""" +
+            s""""ivfpq_refined":{"recall":${fmt(rPq)},"probe_sec":${fmt(tPq)}},""" +
+            s""""srp_hamming":{"recall":${fmt(rSrp)},"probe_sec":${fmt(tSrp)}}}"""
+        }.mkString("{", ",", "}")
+      }
+
     val famJson = results.map { case (n, s, b, e) =>
       s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"exponent":${fmt(e)}}"""
     }.mkString("{", ",", "}")
@@ -421,7 +530,8 @@ object ScaleBench {
       val e = math.log(b / s) / math.log(factor.toDouble)
       s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"exponent":${fmt(e)}}"""
     }.mkString("{", ",", "}")
-    val recallField = recallJson.map(r => s""","recall":$r""").getOrElse("")
+    val recallField = recallJson.map(r => s""","recall":$r""").getOrElse("") +
+      plantedJson.map(r => s""","recall_planted":$r""").getOrElse("")
     val json =
       s"""{"metric":"scale_exponent","factor":$factor,"base":"$base","families":$famJson,"builds":$buildJson$recallField}"""
     println(json)

@@ -170,6 +170,30 @@ class ScaleBenchSpec extends SparkSpec {
     }
   }
 
+  test("planted neighbors: deterministic, and exactly the brute-force top-k") {
+    import graft.operators.SimilaritySearch
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.orderBy(xxhash64(col("vec_id"), lit(7L))).limit(10)
+    val planted = ScaleBench.plantNeighbors(queries, copies = 5, amp = 0.5)
+    // hash-derived noise: two evaluations produce identical vectors
+    def snapshot(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("embedding").cast("string").as("e"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snapshot(planted) ==
+      snapshot(ScaleBench.plantNeighbors(queries, copies = 5, amp = 0.5)))
+    // the planted twins (cosine ~0.96) beat every background vector: the
+    // exact brute-force top-5 of each query IS its planted set
+    val corpus = emb.unionByName(planted)
+    val truth = ScaleBench.plantedTruth(queries, copies = 5)
+    val brute = SimilaritySearch.bruteForceTopK(corpus, queries, 5)
+    val b = brute.select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b == t, "planted set is not the exact top-5")
+    assert(ScaleBench.recallAtK(truth, brute) == 1.0)
+  }
+
   test("ann recall under the scale policy: measured bounds at the testdata size") {
     import graft.operators.SimilaritySearch
     val emb = Tables.embeddings(spark, sf001)
