@@ -2044,7 +2044,137 @@ object TextQueries extends QueryPack {
     FROM documents d LEFT JOIN score s ON s.doc_id = d.doc_id
     ORDER BY dsir_weight DESC, d.doc_id LIMIT 50"""))
 
+  // ---- exact duplicate-SPAN dedup (Lee et al. 2022 substring dedup,
+  //      operators/DupSpans): every 5-token window occurring >1 time in the
+  //      corpus marks duplicated text; non-first occurrences merge into
+  //      maximal per-doc spans, which scrub removes. The span relation is
+  //      the shared memoized artifact for all three gates (at 100 TB it is
+  //      a computed-once table beside the corpus, like minhash sigs). FULL
+  //      oracle: window text is compared as STRINGS, so DuckDB replays
+  //      first-occurrence choice, island merge, and token-level scrub
+  //      end-to-end — the engine's xxhash64 prefilter is provably lossless
+  //      (superset) and never surfaces in the output ----
+  private val dupSpanK = 5
+  def prepareDupSpans(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate(s, s"dupspans$dupSpanK:$d") {
+      val sp = graft.operators.DupSpans
+        .dupSpans(Tables.documents(s, d), dupSpanK).persist()
+      sp.count() // materialize so all consumers share one detection pass
+      sp
+    }(_.unpersist())
+
+  /** Shared DuckDB CTE prefix replaying [[graft.operators.DupSpans]] with
+    * k=5 over `documents`: windows → non-first occurrences of duplicated
+    * grams → gaps-and-islands interval merge. Ends with `spans`
+    * (doc_id, span_start, span_end).
+    */
+  private val DUPSPAN_CTES: String = s"""t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), occ AS (
+      SELECT doc_id, unnest(range(0, len(toks) - ${dupSpanK - 1})) AS pos,
+        toks
+      FROM t WHERE len(toks) >= $dupSpanK
+    ), g AS (
+      SELECT doc_id, pos,
+        array_to_string(list_slice(toks, pos + 1, pos + $dupSpanK), ' ')
+          AS gram
+      FROM occ
+    ), red AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+          ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM g) q WHERE rn > 1
+    ), isl AS (
+      SELECT doc_id, pos, CASE WHEN pos > COALESCE(MAX(pos + $dupSpanK)
+          OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS ni
+      FROM red
+    ), isl2 AS (
+      SELECT doc_id, pos,
+        SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        CAST(MAX(pos) + $dupSpanK AS BIGINT) AS span_end
+      FROM isl2 GROUP BY doc_id, island
+    )"""
+
+  private val dupSpanSpans = OracleQuery(
+    "t_dupspan_spans",
+    (s, d) => prepareDupSpans(s, d)
+      .orderBy(col("doc_id"), col("span_start")),
+    Some(s"""WITH $DUPSPAN_CTES
+    SELECT doc_id, span_start, span_end, span_end - span_start AS n_tokens
+    FROM spans ORDER BY doc_id, span_start"""))
+
+  private val dupSpanScrub = OracleQuery(
+    "t_dupspan_scrub",
+    (s, d) => graft.operators.DupSpans
+      .scrubWith(Tables.documents(s, d), prepareDupSpans(s, d))
+      .filter(col("n_tokens_removed") > 0)
+      .select(col("doc_id"), col("text"), col("n_tokens_before"),
+        col("n_tokens_removed"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $DUPSPAN_CTES, cov AS (
+      SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS tpos
+      FROM spans
+    ), tok AS (
+      SELECT doc_id,
+        generate_subscripts(string_split(text, ' '), 1) - 1 AS tpos,
+        unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), kept AS (
+      SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.tpos) AS text
+      FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.tpos = k.tpos
+      WHERE c.doc_id IS NULL GROUP BY k.doc_id
+    ), rem AS (
+      SELECT doc_id, CAST(SUM(span_end - span_start) AS BIGINT) AS removed
+      FROM spans GROUP BY doc_id
+    )
+    SELECT r.doc_id, COALESCE(kp.text, '') AS text,
+      CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_before,
+      r.removed AS n_tokens_removed
+    FROM rem r
+    JOIN documents d ON d.doc_id = r.doc_id
+    LEFT JOIN kept kp ON kp.doc_id = r.doc_id
+    ORDER BY r.doc_id"""))
+
+  private val dupSpanStats = OracleQuery(
+    "t_dupspan_scrub_stats",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val rem = prepareDupSpans(s, d).groupBy(col("doc_id"))
+        .agg(sum(col("n_tokens")).as("removed"))
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .join(rem, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_toks")).cast("long").as("toks_before"),
+          sum(coalesce(col("removed"), lit(0L))).cast("long")
+            .as("toks_removed"),
+          count(col("removed")).cast("long").as("docs_affected"))
+        .withColumn("removed_frac",
+          col("toks_removed").cast("double") /
+            col("toks_before").cast("double"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $DUPSPAN_CTES, rem AS (
+      SELECT doc_id, SUM(span_end - span_start) AS removed
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS toks_before,
+      CAST(SUM(COALESCE(r.removed, 0)) AS BIGINT) AS toks_removed,
+      CAST(COUNT(r.doc_id) AS BIGINT) AS docs_affected,
+      CAST(SUM(COALESCE(r.removed, 0)) AS DOUBLE) /
+        CAST(SUM(len(string_split(d.text, ' '))) AS DOUBLE) AS removed_frac
+    FROM documents d LEFT JOIN rem r ON r.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source"""))
+
   override val all: Seq[OracleQuery] = Seq(
+    dupSpanSpans, dupSpanScrub, dupSpanStats,
     exactDedup, tokenStats, langSource, stopwordRatio,
     wordFreq, heavyHitters, tokenRarity, tfidfTop3, ngramJaccard, fingerprint,
     tokenCountBpe, qualityScore, qualityGate,

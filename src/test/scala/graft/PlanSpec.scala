@@ -435,6 +435,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"fusion grew a cross product:\n$p")
   }
 
+  test("dupspan detection prefilters on hashes; island merge windows per-doc") {
+    val p = plan("t_dupspan_spans")
+    // the 8-byte xxhash64 prefilter must reach the plan as a semi-join:
+    // gram STRINGS only shuffle for prefilter survivors
+    assert(p.contains("LeftSemi"), s"hash prefilter semi-join missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair blow-up:\n$p")
+    // gaps-and-islands windows are keyed by doc_id — a global window would
+    // funnel every redundant occurrence into one task at 100 TB
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"island merge not partitioned by doc_id:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition stage in the span pipeline:\n$p")
+  }
+
   test("ntile runs as the two-pass bucket plan, never a one-partition window") {
     val p = plan("w_ntile_acctbal_quartiles").toLowerCase
     assert(!p.contains("window"), s"ntile fell back to a window:\n$p")
