@@ -928,15 +928,13 @@ object EngineQueries extends QueryPack {
       assigned.count() // materialize once — probes time the join, not the build
       SimilaritySearch.IvfIndex(centers, assigned)
     }(_.unpersist())
-  private val annIvfProbe = OracleQuery(
-    "vx_ann_ivf_probe_top5",
-    (s, d) =>
-      SimilaritySearch.ivfProbe(prepareIvfIndex(s, d),
-          quantizedEmb(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 4)
-        .select(col("query_id"), col("rn"), col("neighbor_id"),
-          floor(col("cosine") * lit(1000000.0)).cast("long").as("cosine_q"))
-        .orderBy(col("query_id"), col("rn")),
-    Some("""WITH lf AS (
+  /** Shared DuckDB CTE prefix replaying the frozen-quantizer IVF serving
+    * path (cell assignment → 4-cell probe → exact re-rank) over the
+    * floor(v·1e4)-quantized embeddings; ends with `ranked`
+    * (query_id, neighbor_id, cos, rn). Consumers: the probe gate and the
+    * retrieval-eval gates (which score this exact result list).
+    */
+  private val IVF_PROBE_CTES: String = """lf AS (
       SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS vq
       FROM embeddings
@@ -970,10 +968,89 @@ object EngineQueries extends QueryPack {
         ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY cos DESC, neighbor_id) AS rn
       FROM scored
-    )
+    )"""
+
+  private val annIvfProbe = OracleQuery(
+    "vx_ann_ivf_probe_top5",
+    (s, d) =>
+      SimilaritySearch.ivfProbe(prepareIvfIndex(s, d),
+          quantizedEmb(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 4)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          floor(col("cosine") * lit(1000000.0)).cast("long").as("cosine_q"))
+        .orderBy(col("query_id"), col("rn")),
+    Some(s"""WITH $IVF_PROBE_CTES
     SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id,
       CAST(floor(cos * 1000000.0) AS BIGINT) AS cosine_q
     FROM ranked WHERE rn <= 5 ORDER BY query_id, rn"""))
+
+  // ---- retrieval-eval harness (operators/RetrievalEval): the REAL IVF
+  //      probe result list scored per-query against exact brute-force
+  //      ground truth over the SAME frozen-quantizer corpus — recall@5,
+  //      first-hit rank, MRR, hit rate, all exact-rational/IEEE so DuckDB
+  //      replays index, probe, truth, AND metric end-to-end. This is the
+  //      loop ScaleBench's recall tables measure offline, as a first-class
+  //      query ----
+  private val IVF_EVAL_CTES: String = s"""$IVF_PROBE_CTES, res AS (
+      SELECT query_id, neighbor_id, rn FROM ranked WHERE rn <= 5
+    ), bp AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(SUM(q.vq * c.vq) AS DOUBLE) AS dot,
+        CAST(SUM(q.vq * q.vq) AS DOUBLE) AS nq,
+        CAST(SUM(c.vq * c.vq) AS DOUBLE) AS nc
+      FROM lf q JOIN lf c ON q.pos = c.pos
+        AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2
+    ), bt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY dot / (sqrt(nq) * sqrt(nc) + 1e-12) DESC, neighbor_id)
+            AS rn
+        FROM bp) t WHERE rn <= 5
+    ), hits AS (
+      SELECT r.query_id, COUNT(*) AS n_hits, MIN(r.rn) AS fr
+      FROM res r JOIN bt ON bt.query_id = r.query_id
+        AND bt.neighbor_id = r.neighbor_id
+      GROUP BY 1
+    ), pq AS (
+      SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(h.fr AS BIGINT) AS first_hit_rank,
+        CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_k,
+        CASE WHEN h.fr IS NULL THEN 0.0
+             ELSE 1.0 / CAST(h.fr AS DOUBLE) END AS reciprocal_rank
+      FROM (SELECT DISTINCT query_id FROM bt) q
+      LEFT JOIN hits h ON h.query_id = q.query_id
+    )"""
+
+  private def ivfEvalPerQuery(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val embQ = quantizedEmb(s, d)
+    val queries = embQ.filter(col("vec_id") < 10)
+    val results = SimilaritySearch.ivfProbe(prepareIvfIndex(s, d), queries,
+      k = 5, nprobe = 4)
+    val truth = SimilaritySearch.bruteForceTopK(embQ, queries, k = 5)
+    graft.operators.RetrievalEval.perQuery(results, truth, k = 5)
+  }
+
+  private val retrievalEvalIvf = OracleQuery(
+    "vx_retrieval_eval_ivf",
+    (s, d) => ivfEvalPerQuery(s, d).orderBy(col("query_id")),
+    Some(s"""WITH $IVF_EVAL_CTES
+    SELECT query_id, n_hits, first_hit_rank, recall_at_k, reciprocal_rank
+    FROM pq ORDER BY query_id"""))
+
+  private val retrievalEvalSummary = OracleQuery(
+    "vx_retrieval_eval_summary",
+    (s, d) => graft.operators.RetrievalEval.summarize(ivfEvalPerQuery(s, d)),
+    Some(s"""WITH $IVF_EVAL_CTES
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      CAST(SUM(CAST(recall_at_k AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*)
+        AS mean_recall,
+      CAST(SUM(CAST(reciprocal_rank AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*)
+        AS mrr,
+      CAST(SUM(CAST(CASE WHEN n_hits > 0 THEN 1.0 ELSE 0.0 END
+        AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS hit_rate
+    FROM pq"""))
 
   // int8-quantized brute-force ANN (the 4×-compressed scan path; scalar
   // quantization is float-rounding math → rows-only; the spec pins top-5
@@ -2092,6 +2169,7 @@ object EngineQueries extends QueryPack {
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,
     annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
+    retrievalEvalIvf, retrievalEvalSummary,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     streamVecNearDupQ,
     dedupCosinePairs, dedupEmbeddingCanonical, dedupEmbeddingCanonicalQ,
