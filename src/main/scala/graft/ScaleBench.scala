@@ -312,6 +312,20 @@ object ScaleBench {
       },
       "sessionize_events" -> { dir: String =>
         SparkEntry.queries("e_sessionize_30min_gap")(spark, dir)
+      },
+      // full substring-dedup pipeline (window explode → hash prefilter →
+      // exact confirm → island merge → row-local scrub). The decorrelated
+      // corpus letter-rotates text per replica, so cross-replica grams are
+      // disjoint and the duplicated-span structure grows ∝ replicas — the
+      // "more sources, not bigger sources" shape; the gram-keyed
+      // aggregations and the per-doc windows are the scaling surfaces
+      // the filter consumer defeats count()'s pruning: a bare count prunes
+      // the row-local text rebuild, and count-of-ungrouped-agg is constant-
+      // folded to 1 without running ANY of the pipeline — the filter makes
+      // every counted row prove its rebuilt text and removal count exist
+      "dupspan_scrub" -> { dir: String =>
+        graft.operators.DupSpans.scrub(Tables.documents(spark, dir), 5)
+          .filter(length(col("text")) >= 0 && col("n_tokens_removed") >= 0)
       })
     // comma-separated subset for re-measuring single families after a fix
     val wanted = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

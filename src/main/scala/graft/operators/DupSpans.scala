@@ -102,6 +102,30 @@ object DupSpans {
         (col("span_end") - col("span_start")).as("n_tokens"))
   }
 
+  /** Spans of corpus text duplicated VERBATIM from `bench`: span-level
+    * decontamination. [[Dedup.decontaminateAgainstGrams]] answers "is this
+    * document contaminated?" (a boolean per doc); this answers "WHICH
+    * tokens" — the published eval-decontamination practice that removes the
+    * matching span and keeps the rest of the document instead of dropping
+    * it wholesale. A corpus window is contaminated iff its k-gram text
+    * occurs anywhere in `bench`; contaminated windows merge per-doc into
+    * maximal `[span_start, span_end)` intervals.
+    *
+    * Scale shape: the bench side is small by construction (benchmarks ≪
+    * corpus), so its distinct gram set broadcasts and the corpus-side probe
+    * is a map-only semi join — corpus grams never shuffle. Compose with
+    * [[scrubWith]] to rewrite the corpus.
+    */
+  def contaminatedSpans(corpus: DataFrame, bench: DataFrame,
+      k: Int): DataFrame = {
+    val benchGrams = windowOccurrences(bench, k)
+      .select(col("gram")).distinct()
+    val hits = windowOccurrences(corpus, k)
+      .join(broadcast(benchGrams), Seq("gram"), "leftsemi")
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(hits, k)
+  }
+
   /** Remove every token covered by a duplicated span, keeping the corpus's
     * first copy of each duplicated substring (its windows are non-redundant
     * by construction). Output: `doc_id, text (scrubbed), n_tokens_before,

@@ -2173,8 +2173,57 @@ object TextQueries extends QueryPack {
     FROM documents d LEFT JOIN rem r ON r.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source"""))
 
+  // ---- span-level decontamination (DupSpans.contaminatedSpans): WHICH
+  //      corpus tokens verbatim-duplicate benchmark text, as maximal 8-gram
+  //      spans — the remove-the-span-keep-the-doc practice, vs the per-doc
+  //      boolean of t_decontaminate_bloom_flags. Same corpus/bench split as
+  //      the curation funnel (doc_id % 50) ----
+  private val dupSpanDecontaminate = OracleQuery(
+    "t_dupspan_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.DupSpans.contaminatedSpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some("""WITH c AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % 50 <> 0
+    ), b AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % 50 = 0
+    ), cg AS (
+      SELECT doc_id, pos,
+        array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS gram
+      FROM (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks
+            FROM c WHERE len(toks) >= 8) q
+    ), bg AS (
+      SELECT DISTINCT
+        array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS gram
+      FROM (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks
+            FROM b WHERE len(toks) >= 8) q
+    ), hit AS (
+      SELECT doc_id, pos FROM cg WHERE gram IN (SELECT gram FROM bg)
+    ), isl AS (
+      SELECT doc_id, pos, CASE WHEN pos > COALESCE(MAX(pos + 8)
+          OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS ni
+      FROM hit
+    ), isl2 AS (
+      SELECT doc_id, pos,
+        SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+      CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS n_tokens
+    FROM isl2 GROUP BY doc_id, island
+    ORDER BY doc_id, span_start"""))
+
   override val all: Seq[OracleQuery] = Seq(
-    dupSpanSpans, dupSpanScrub, dupSpanStats,
+    dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
     exactDedup, tokenStats, langSource, stopwordRatio,
     wordFreq, heavyHitters, tokenRarity, tfidfTop3, ngramJaccard, fingerprint,
     tokenCountBpe, qualityScore, qualityGate,

@@ -110,6 +110,33 @@ class DupSpansSpec extends SparkSpec {
     assert(got == expSpans)
   }
 
+  test("cross-set contamination: bench text inside a corpus doc is located and scrubbed") {
+    val bench = docs(100L -> "the quick brown fox jumps over dog")
+    val corpus = docs(
+      0L -> "intro words here the quick brown fox jumps over outro",
+      1L -> "totally unrelated content with no benchmark overlap at all")
+    val spans = DupSpans.contaminatedSpans(corpus, bench, k = 5)
+      .orderBy($"doc_id", $"span_start").collect()
+    // doc 0 tokens 3..8 = "the quick brown fox jumps over": 5-windows at
+    // pos 3 and 4 both occur in bench => one span [3, 9)
+    assert(spans.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 3L, 9L)))
+    val scrubbed = DupSpans
+      .scrubWith(corpus, DupSpans.contaminatedSpans(corpus, bench, 5))
+      .orderBy($"doc_id").collect()
+    assert(scrubbed(0).getAs[String]("text") == "intro words here outro")
+    assert(scrubbed(1).getAs[Long]("n_tokens_removed") == 0L)
+  }
+
+  test("contamination hits EVERY corpus copy — no first-occurrence exemption") {
+    val bench = docs(100L -> "a b c d e")
+    val corpus = docs(0L -> "a b c d e x", 1L -> "y a b c d e")
+    val spans = DupSpans.contaminatedSpans(corpus, bench, k = 5)
+      .orderBy($"doc_id").collect()
+    assert(spans.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0L, 5L), (1L, 1L, 6L)))
+  }
+
   test("scrub removal count equals total merged span length per doc") {
     val d = Tables.documents(spark, sf01).limit(200)
     val spans = DupSpans.dupSpans(d, 5)
