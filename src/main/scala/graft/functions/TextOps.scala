@@ -58,6 +58,18 @@ object TextOps {
     f(text)
   }
 
+  /** ALL word n-gram occurrences in order (NOT distinct — the counting twin
+    * of [[graft.operators.Dedup.shingles]], whose distinct set cannot feed
+    * frequency signals). Split let-bound through a single-element transform
+    * (the lambda-CSE rule — an inlined split re-evaluates per index).
+    */
+  def ngrams(text: Column, n: Int): Column =
+    transform(array(split(text, " ")), words =>
+      filter(
+        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => when(size(words) >= n, concat_ws(" ", slice(words, i + 1, lit(n))))),
+        g => g.isNotNull)).getItem(0)
+
   /** Bigram duplication fraction ∈ [0,1]: 1 − |distinct bigrams| / |bigrams|
     * over the space-split words; ≤1-word documents score 0. The repeated-
     * phrase signal the C4/Gopher-style curation gates threshold (batch

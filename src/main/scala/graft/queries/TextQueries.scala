@@ -2173,6 +2173,73 @@ object TextQueries extends QueryPack {
     FROM documents d LEFT JOIN rem r ON r.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source"""))
 
+  // ---- Gopher top-n-gram repetition signals (Rae et al. 2021 §A1.1: the
+  //      "fraction of characters in the most frequent n-gram" family,
+  //      n = 2,3,4 with the published thresholds 0.20/0.18/0.16 —
+  //      complementing t_repetition_filter's duplicate-n-gram fraction).
+  //      char_frac = top count × gram chars / doc chars, integer numerator;
+  //      tie-break = highest count then lexicographically smallest gram,
+  //      encoded as min(struct(-cnt, gram)) so both engines pick one gram.
+  //      All aggregations keyed by doc_id (± gram) — corpus-linear ----
+  private def topGramForN(docs: DataFrame, n: Int, thr: Double): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      explode(graft.functions.TextOps.ngrams(col("text"), n)).as("gram"))
+    val top = occ
+      .groupBy(col("doc_id"), col("n_chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("gram").as("g"))).as("top"))
+    docs.select(col("doc_id"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(n).as("n"), col("top.g").as("top_gram"),
+        coalesce(-col("top.nc"), lit(0L)).as("top_cnt"),
+        when(col("top.nc").isNull, lit(0.0))
+          .otherwise((-col("top.nc") * length(col("top.g"))).cast("double") /
+            col("n_chars").cast("double")).as("char_frac"))
+      .withColumn("keep", col("char_frac") <= thr)
+  }
+  private val topGramSql = """SELECT d.doc_id, v.n,
+      t2.gram AS top_gram, CAST(COALESCE(t2.c, 0) AS BIGINT) AS top_cnt,
+      CASE WHEN t2.c IS NULL THEN 0.0
+           ELSE CAST(t2.c * length(t2.gram) AS DOUBLE)
+                / CAST(t2.n_chars AS DOUBLE) END AS char_frac,
+      CASE WHEN t2.c IS NULL THEN 0.0
+           ELSE CAST(t2.c * length(t2.gram) AS DOUBLE)
+                / CAST(t2.n_chars AS DOUBLE) END
+        <= CASE v.n WHEN 2 THEN 0.20 WHEN 3 THEN 0.18 ELSE 0.16 END AS keep
+    FROM documents d CROSS JOIN (VALUES (2), (3), (4)) v(n)
+    LEFT JOIN top t2 ON t2.doc_id = d.doc_id AND t2.n = v.n
+    ORDER BY d.doc_id, v.n"""
+  private val repetitionTopgram = OracleQuery(
+    "t_repetition_topgram",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      topGramForN(docs, 2, 0.20)
+        .unionByName(topGramForN(docs, 3, 0.18))
+        .unionByName(topGramForN(docs, 4, 0.16))
+        .orderBy(col("doc_id"), col("n"))
+    },
+    Some(s"""WITH t AS (
+      SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, n_chars, n,
+        array_to_string(list_slice(toks, pos + 1, pos + n), ' ') AS gram
+      FROM (SELECT doc_id, n_chars, toks, n,
+              unnest(range(0, greatest(len(toks) - n + 1, 0))) AS pos
+            FROM t, (VALUES (2), (3), (4)) v(n)) q
+    ), cnt AS (
+      SELECT doc_id, n_chars, n, gram, COUNT(*) AS c
+      FROM occ GROUP BY doc_id, n_chars, n, gram
+    ), top AS (
+      SELECT doc_id, n_chars, n, gram, c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+          ORDER BY c DESC, gram) AS rn FROM cnt) q
+      WHERE rn = 1
+    )
+    $topGramSql"""))
+
   // ---- span-level decontamination (DupSpans.contaminatedSpans): WHICH
   //      corpus tokens verbatim-duplicate benchmark text, as maximal 8-gram
   //      spans — the remove-the-span-keep-the-doc practice, vs the per-doc
@@ -2224,6 +2291,7 @@ object TextQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
+    repetitionTopgram,
     exactDedup, tokenStats, langSource, stopwordRatio,
     wordFreq, heavyHitters, tokenRarity, tfidfTop3, ngramJaccard, fingerprint,
     tokenCountBpe, qualityScore, qualityGate,

@@ -92,4 +92,40 @@ class TextOpsSpec extends SparkSpec {
     assert(d0.map(_._2).toSeq == Seq("sat", "cat"))
     assert(math.abs(d0(1)._5 - math.log(2.0)) < 1e-12)
   }
+
+  test("ngrams emits ALL occurrences in order, unlike the distinct shingles") {
+    val df = Seq("a b a b a", "x", "", null.asInstanceOf[String])
+      .toDF("text")
+    val out = df.select(TextOps.ngrams($"text", 2).as("g"))
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toSeq))
+    assert(out(0).get == Seq("a b", "b a", "a b", "b a"))
+    assert(out(1).get == Seq())
+    assert(out(2).get == Seq())
+    assert(out(3).get == Seq()) // null text folds to empty like shingles
+    // the distinct form would collapse the repeats — that is the difference
+    val sh = df.limit(1)
+      .select(graft.operators.Dedup.shingles($"text", 2).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(sh.toSeq == Seq("a b", "b a"))
+  }
+
+  test("top-n-gram repetition signal: frac/keep consistent, top gram is a real mode") {
+    val q = SparkEntry.queries("t_repetition_topgram")
+    val out = q(spark, sf001).filter($"n" === 2).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val frac = r.getAs[Double]("char_frac")
+      assert(r.getAs[Boolean]("keep") == (frac <= 0.20))
+    }
+    // cross-check one doc against a driver-side recount of its bigrams
+    val doc = Tables.documents(spark, sf001).orderBy($"doc_id").limit(1)
+      .collect()(0)
+    val words = doc.getAs[String]("text").split(" ")
+    val counts = words.sliding(2).map(_.mkString(" ")).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val best = counts.toSeq.map { case (g, c) => (-c, g) }.min
+    val row = out.find(_.getAs[Long]("doc_id") == doc.getAs[Long]("doc_id")).get
+    assert(row.getAs[String]("top_gram") == best._2)
+    assert(row.getAs[Long]("top_cnt") == -best._1.toLong)
+  }
 }
