@@ -290,7 +290,63 @@ object ScaleJoinQueries extends QueryPack {
     SELECT a AS doc_id, MIN(b) AS canonical_id, MIN(b) = a AS keep
     FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  // ---- small-file compaction planning (sources/Compaction): the
+  //      OPTIMIZE-style maintenance plan over a synthetic per-(ship-month,
+  //      orderkey-slice) file listing derived from lineitem — sequential
+  //      greedy close-on-overflow bins per partition, the SeqPack greedy
+  //      fold on file metadata, replayed by the same recursive-CTE shape.
+  //      The real-parquet listing/execution path (_metadata file sizes) is
+  //      CompactionSpec's end-to-end test ----
+  private def fileListing(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d).groupBy(
+        date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+        (col("l_orderkey") % 200).as("file_id"))
+      .agg((count(lit(1)) * 100L).cast("long").as("bytes"))
+  private val FILES_CTE = """files AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS part,
+        l_orderkey % 200 AS file_id,
+        CAST(COUNT(*) * 100 AS BIGINT) AS bytes
+      FROM lineitem GROUP BY 1, 2
+    ), ord AS (
+      SELECT part, file_id, bytes,
+        ROW_NUMBER() OVER (PARTITION BY part ORDER BY file_id) AS rn
+      FROM files
+    ), fill AS (
+      SELECT part, rn, file_id, bytes, bytes AS used, CAST(0 AS BIGINT) AS bin
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.part, o.rn, o.file_id, o.bytes,
+        CASE WHEN f.used > 0 AND f.used + o.bytes > 4000
+             THEN o.bytes ELSE f.used + o.bytes END,
+        CASE WHEN f.used > 0 AND f.used + o.bytes > 4000
+             THEN f.bin + 1 ELSE f.bin END
+      FROM fill f JOIN ord o ON o.part = f.part AND o.rn = f.rn + 1
+    )"""
+  private val compactionPlan = OracleQuery(
+    "jx_compaction_plan",
+    (s, d) => graft.sources.Compaction
+      .planCompaction(fileListing(s, d), targetBytes = 4000L)
+      .orderBy(col("part"), col("file_id")),
+    Some(s"""WITH RECURSIVE $FILES_CTE
+    SELECT part, file_id, bytes, bin FROM fill ORDER BY part, file_id"""))
+  private val compactionReport = OracleQuery(
+    "jx_compaction_report",
+    (s, d) => graft.sources.Compaction
+      .compactionReport(graft.sources.Compaction
+        .planCompaction(fileListing(s, d), targetBytes = 4000L),
+        targetBytes = 4000L)
+      .orderBy(col("part")),
+    Some(s"""WITH RECURSIVE $FILES_CTE
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_files,
+      CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+      CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+      CAST(SUM(CASE WHEN bytes < 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_small_files,
+      CAST(COUNT(*) - MAX(bin) - 1 AS BIGINT) AS files_saved
+    FROM fill GROUP BY part ORDER BY part"""))
+
   override val all: Seq[OracleQuery] =
     Seq(saltedSupplierRevenue, bucketedOrderRevenue, keySkewProfile, bloomSemi,
-      zorderSpans, dppPruned, edJoinTypos, edJoinCanonical)
+      zorderSpans, dppPruned, edJoinTypos, edJoinCanonical,
+      compactionPlan, compactionReport)
 }

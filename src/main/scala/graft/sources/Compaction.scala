@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction planning and execution — the OPTIMIZE-style table
+  * maintenance op that completes the layout family ([[Bucketing]] for join
+  * locality, [[ZOrder]] for scan locality, this for file-count health). A
+  * 100 TB table accretes small files from streaming/incremental writes;
+  * every reader then pays per-file open cost and the scheduler pays
+  * per-split overhead, so periodic re-binning into target-size files is a
+  * standing pipeline job in every production lakehouse.
+  *
+  * The PLAN is the deterministic contract (gate-checked): per partition,
+  * files in `file_id` order fill the current bin until the next file would
+  * overflow `targetBytes` — the sequential greedy layout production
+  * compactors use (and the same close-on-overflow fold as
+  * [[graft.operators.SeqPack.packGreedy]], whose recursive-CTE oracle
+  * replay this reuses). Oversized files keep a bin of their own — never
+  * split, never rewritten together.
+  *
+  * Scale shape: planning is pure METADATA work — one group per partition,
+  * state bounded by files-per-partition (thousands, not rows), partitions
+  * the parallel unit. Execution reads each bin's rows once and writes one
+  * file per bin.
+  */
+object Compaction {
+
+  /** Greedy sequential bin assignment per partition. Input columns:
+    * `part` (string), `file_id` (long, the deterministic order), `bytes`
+    * (long). Output adds `bin` (0-based, per partition).
+    */
+  def planCompaction(files: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val spark = files.sparkSession
+    import spark.implicits._
+    files
+      .select(col("part").cast("string"), col("file_id").cast("long"),
+        col("bytes").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (part, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        var bin = 0L
+        var used = 0L
+        sorted.iterator.map { case (_, id, b) =>
+          if (used > 0L && used + b > targetBytes) { bin += 1L; used = b }
+          else used += b
+          (part, id, b, bin)
+        }
+      }
+      .toDF("part", "file_id", "bytes", "bin")
+  }
+
+  /** Per-partition health report over a [[planCompaction]] relation:
+    * file/bin counts, bytes, small-file count (< targetBytes/2), and the
+    * files saved by executing the plan. Exact integer arithmetic.
+    */
+  def compactionReport(plan: DataFrame, targetBytes: Long): DataFrame =
+    plan.groupBy(col("part"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col("bytes")).cast("long").as("total_bytes"),
+        (max(col("bin")) + 1L).cast("long").as("n_bins"),
+        sum(when(col("bytes") < lit(targetBytes / 2), 1L).otherwise(0L))
+          .cast("long").as("n_small_files"))
+      .withColumn("files_saved", (col("n_files") - col("n_bins")).cast("long"))
+
+  /** Real-file listing of a parquet directory via the `_metadata` hidden
+    * column: one row per file with its byte size, `file_id` assigned by
+    * path order within the containing directory (= the partition).
+    */
+  def parquetFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("path"),
+        col("_metadata.file_size").as("bytes"))
+      .distinct()
+      .withColumn("part", regexp_replace(col("path"), "/[^/]+$", ""))
+      .withColumn("file_id",
+        row_number().over(
+          Window.partitionBy(col("part")).orderBy(col("path"))).cast("long"))
+
+  /** Execute a compaction: rewrite `inDir` to `outDir` with one output
+    * partition per planned bin (each holding its bin's rows; empty
+    * partitions write nothing). Returns (filesBefore, binsPlanned).
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): (Long, Long) = {
+    val listing = parquetFiles(spark, dir = inDir)
+    val plan = planCompaction(listing, targetBytes)
+      .join(listing.select(col("part"), col("file_id"), col("path")),
+        Seq("part", "file_id"))
+      .select(col("path"), (hash(col("part")).cast("long") * 65536L +
+        col("bin")).as("__bin"))
+    val nFiles = plan.count()
+    val nBins = plan.select(col("__bin")).distinct().count()
+    spark.read.parquet(inDir)
+      .withColumn("path", col("_metadata.file_path"))
+      .join(broadcast(plan), Seq("path"))
+      .drop("path")
+      .repartition(nBins.toInt, col("__bin"))
+      .drop("__bin")
+      .write.mode("overwrite").parquet(outDir)
+    (nFiles, nBins)
+  }
+}
