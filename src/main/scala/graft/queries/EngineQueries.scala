@@ -1052,6 +1052,44 @@ object EngineQueries extends QueryPack {
         AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS hit_rate
     FROM pq"""))
 
+  // ---- cluster-balanced diversity sampling: equal-quota draw per
+  //      embedding cluster (the published cluster-balanced data-selection
+  //      shape — no single dense region dominates the sample). Reuses the
+  //      frozen-quantizer cell assignment (same artifact as the IVF
+  //      inverted file / SemDeDup clustering) and ranks WITHIN cluster by
+  //      knuth32(vec_id) through the two-pass GroupRank — the cluster
+  //      count is small, so a PARTITION BY cell window would funnel each
+  //      cluster into one task at 100 TB (the banned mixture shape);
+  //      GroupRank buckets on the hash order instead. FULL oracle: DuckDB
+  //      replays assignment, hash order, rank, and quota ----
+  private val clusterBalancedSample = OracleQuery(
+    "vx_cluster_balanced_sample",
+    (s, d) => {
+      // the persisted inverted file carries (cell, neighbor_id, tv) — the
+      // probe-side naming; re-alias the id for the sampling relation
+      val asg = prepareIvfIndex(s, d).assigned
+        .select(col("neighbor_id").as("vec_id"), col("cell"))
+        .withColumn("h", graft.operators.Dedup.knuth32(col("vec_id")))
+      graft.operators.GlobalRank
+        .withGroupRank(asg, col("cell"), "rk", "cluster_n",
+          col("h"), col("vec_id"))
+        .filter(col("rk") <= 25)
+        .select(col("cell"), col("vec_id"), col("rk"), col("cluster_n"))
+        .orderBy(col("cell"), col("rk"))
+    },
+    Some(s"""WITH $IVF_PROBE_CTES, keyed AS (
+      SELECT vec_id, cell, ${graft.queries.Exact.KNUTH32("vec_id")} AS h
+      FROM asg
+    ), r AS (
+      SELECT cell, vec_id,
+        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY h, vec_id) AS rk,
+        COUNT(*) OVER (PARTITION BY cell) AS cn
+      FROM keyed
+    )
+    SELECT cell, vec_id, CAST(rk AS BIGINT) AS rk, CAST(cn AS BIGINT)
+      AS cluster_n
+    FROM r WHERE rk <= 25 ORDER BY cell, rk"""))
+
   // int8-quantized brute-force ANN (the 4×-compressed scan path; scalar
   // quantization is float-rounding math → rows-only; the spec pins top-5
   // overlap ≥ 0.9 and cosine error ≤ 1e-2 vs the float path). The
@@ -2169,7 +2207,7 @@ object EngineQueries extends QueryPack {
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,
     annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
-    retrievalEvalIvf, retrievalEvalSummary,
+    retrievalEvalIvf, retrievalEvalSummary, clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     streamVecNearDupQ,
     dedupCosinePairs, dedupEmbeddingCanonical, dedupEmbeddingCanonicalQ,

@@ -136,6 +136,23 @@ class EngineQueriesSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSet.subsetOf(ids))
   }
 
+  test("cluster-balanced sample: per-cell quota, no overlap, prefix-stable") {
+    val out = SparkEntry.queries("vx_cluster_balanced_sample")(spark, sf001)
+      .collect()
+    assert(out.nonEmpty)
+    val byCell = out.groupBy(_.getAs[Int]("cell"))
+    byCell.foreach { case (cell, rows) =>
+      val n = rows.head.getAs[Long]("cluster_n")
+      // quota = min(25, cluster size), ranks are exactly 1..quota
+      assert(rows.length == math.min(25L, n).toInt, s"cell $cell quota")
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // a vec appears in exactly one cell's sample
+    val ids = out.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("GBT CV harness runs and beats chance on separable blobs") {
     val rng = new scala.util.Random(5)
     def blob(c: Double, label: Int, from: Int) =
