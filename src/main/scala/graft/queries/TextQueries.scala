@@ -2245,16 +2245,13 @@ object TextQueries extends QueryPack {
   //      spans — the remove-the-span-keep-the-doc practice, vs the per-doc
   //      boolean of t_decontaminate_bloom_flags. Same corpus/bench split as
   //      the curation funnel (doc_id % 50) ----
-  private val dupSpanDecontaminate = OracleQuery(
-    "t_dupspan_decontaminate",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.operators.DupSpans.contaminatedSpans(
-          docs.filter(col("doc_id") % 50 =!= 0),
-          docs.filter(col("doc_id") % 50 === 0), k = 8)
-        .orderBy(col("doc_id"), col("span_start"))
-    },
-    Some("""WITH c AS (
+  /** Shared DuckDB CTE prefix for the cross-set span pipeline (corpus =
+    * doc_id % 50 ≠ 0, bench = the rest, 8-gram windows): contaminated
+    * window hits → islands. Ends with `spans`
+    * (doc_id, span_start, span_end). Consumers: the batch gate and the
+    * streaming scrub twin.
+    */
+  private val DECON_SPAN_CTES: String = """c AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       WHERE doc_id % 50 <> 0
     ), b AS (
@@ -2282,16 +2279,72 @@ object TextQueries extends QueryPack {
       SELECT doc_id, pos,
         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
       FROM isl
+    ), spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        CAST(MAX(pos) + 8 AS BIGINT) AS span_end
+      FROM isl2 GROUP BY doc_id, island
+    )"""
+
+  private val dupSpanDecontaminate = OracleQuery(
+    "t_dupspan_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.DupSpans.contaminatedSpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""WITH $DECON_SPAN_CTES
+    SELECT doc_id, span_start, span_end,
+      span_end - span_start AS n_tokens
+    FROM spans ORDER BY doc_id, span_start"""))
+
+  // ---- streaming span decontamination (StreamingDecontaminate): the
+  //      stateless ingest-time twin — each arriving doc scrubbed row-
+  //      locally against the broadcast 8-gram benchmark artifact (shared
+  //      with the curation funnel via prepareBenchGrams). No state, no
+  //      shuffle ⇒ batch mode IS the semantics, so the FULL oracle needs
+  //      no ordered-arrival argument; DupSpansSpec pins row-local ≡
+  //      relational composition, StreamingSpec the MemoryStream parity ----
+  private val streamDecontaminate = OracleQuery(
+    "tx_stream_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.streaming.StreamingDecontaminate.scrubStream(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          EngineQueries.prepareBenchGrams(s, d)
+            .select(col("__gram").as("gram")), k = 8)
+        .filter(col("n_tokens_removed") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $DECON_SPAN_CTES, cov AS (
+      SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS tpos
+      FROM spans
+    ), tok AS (
+      SELECT doc_id,
+        generate_subscripts(string_split(text, ' '), 1) - 1 AS tpos,
+        unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 50 <> 0
+    ), kept AS (
+      SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.tpos) AS text
+      FROM tok k LEFT JOIN cov cc ON cc.doc_id = k.doc_id
+        AND cc.tpos = k.tpos
+      WHERE cc.doc_id IS NULL GROUP BY k.doc_id
+    ), rem AS (
+      SELECT doc_id, CAST(SUM(span_end - span_start) AS BIGINT) AS removed
+      FROM spans GROUP BY doc_id
     )
-    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-      CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
-      CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS n_tokens
-    FROM isl2 GROUP BY doc_id, island
-    ORDER BY doc_id, span_start"""))
+    SELECT r.doc_id, d.source, COALESCE(kp.text, '') AS text,
+      CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_before,
+      r.removed AS n_tokens_removed
+    FROM rem r
+    JOIN documents d ON d.doc_id = r.doc_id
+    LEFT JOIN kept kp ON kp.doc_id = r.doc_id
+    ORDER BY r.doc_id"""))
 
   override val all: Seq[OracleQuery] = Seq(
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
-    repetitionTopgram,
+    streamDecontaminate, repetitionTopgram,
     exactDedup, tokenStats, langSource, stopwordRatio,
     wordFreq, heavyHitters, tokenRarity, tfidfTop3, ngramJaccard, fingerprint,
     tokenCountBpe, qualityScore, qualityGate,

@@ -137,6 +137,26 @@ class DupSpansSpec extends SparkSpec {
       Seq((0L, 0L, 5L), (1L, 1L, 6L)))
   }
 
+  test("row-local streaming scrub ≡ relational contaminatedSpans + scrubWith") {
+    val all = Tables.documents(spark, sf01)
+    val corpus = all.filter($"doc_id" % 50 =!= 0)
+    val bench = all.filter($"doc_id" % 50 === 0)
+    val relational = DupSpans
+      .scrubWith(corpus, DupSpans.contaminatedSpans(corpus, bench, 8))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_tokens_removed"))).toSet
+    val grams = graft.operators.Dedup.benchmarkGrams(bench, n = 8)
+      .select($"__gram".as("gram"))
+    val rowLocal = graft.streaming.StreamingDecontaminate
+      .scrubStream(corpus, grams, k = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_tokens_removed"))).toSet
+    assert(rowLocal == relational)
+    assert(rowLocal.exists(_._3 > 0), "no contamination found — test is vacuous")
+  }
+
   test("scrub removal count equals total merged span length per doc") {
     val d = Tables.documents(spark, sf01).limit(200)
     val spans = DupSpans.dupSpans(d, 5)

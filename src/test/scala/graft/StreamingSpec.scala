@@ -731,4 +731,37 @@ class StreamingSpec extends SparkSpec {
     assert(finalSample._2 == expected,
       s"draw changed across restart: ${finalSample._2} vs $expected")
   }
+
+  test("streaming span decontamination: stateless scrub identical across any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "b", "the secret eval answer key five")).toDF("doc_id", "source", "text")
+    val grams = graft.operators.Dedup.benchmarkGrams(bench, n = 5)
+      .select($"__gram".as("gram"))
+    val d1 = (1L, "s", "prefix the secret eval answer key five suffix")
+    val d2 = (2L, "s", "clean document with no benchmark text inside here")
+    val d3 = (3L, "s", "the secret eval answer key five")
+    val stream = MemoryStream[(Long, String, String)]
+    val docs = stream.toDF().toDF("doc_id", "source", "text")
+    val q = graft.streaming.StreamingDecontaminate.scrubStream(docs, grams, 5)
+      .writeStream.format("memory").queryName("decon_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(d1)
+      q.processAllAvailable()
+      stream.addData(d2, d3)
+      q.processAllAvailable()
+      val out = spark.table("decon_test").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("text"), r.getAs[Long]("n_tokens_removed"))).toMap
+      assert(out(1L) == ("prefix suffix", 6L))
+      assert(out(2L)._2 == 0L)
+      assert(out(3L) == ("", 6L))
+      // batch mode produces the identical relation — stateless by design
+      val batch = graft.streaming.StreamingDecontaminate.scrubStream(
+        Seq(d1, d2, d3).toDF("doc_id", "source", "text"), grams, 5)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("text"), r.getAs[Long]("n_tokens_removed"))).toMap
+      assert(batch == out)
+    } finally q.stop()
+  }
 }
