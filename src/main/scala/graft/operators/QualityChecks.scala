@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality constraint report (the Deequ/
@@ -51,4 +52,39 @@ object QualityChecks {
       .select(lit(name).as("check"), col("__n").as("n_rows"),
         col("__v").as("n_violations"),
         (col("__v") === 0L).as("pass"))
+
+  /** k-anonymity audit over a quasi-identifier tuple (Sweeney 2002): a row
+    * is AT RISK when its quasi-identifier equivalence class holds fewer
+    * than k rows — the re-identification exposure a dataset release must
+    * report alongside PII redaction. Output is the equivalence-class SIZE
+    * histogram (`class_size, n_classes, n_rows, at_risk`) — the shape
+    * analysts act on — never the quasi-identifier values themselves, so
+    * the report is safe to publish even when the classes are not. One
+    * groupBy on the tuple + one on the size; payload-free at any scale.
+    */
+  def kAnonymityReport(df: DataFrame, quasiIds: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "no quasi-identifier columns given")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        (count(lit(1)) * col("class_size")).cast("long").as("n_rows"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
+
+  /** The rows a k-anonymity release would have to suppress or generalize:
+    * every member of an equivalence class smaller than k, keyed by the
+    * caller's row id so no quasi-identifier leaves the operator.
+    */
+  def kAnonymityRiskRows(df: DataFrame, quasiIds: Seq[String], k: Long,
+      idCol: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val byClass = Window.partitionBy(quasiIds.map(col): _*)
+    df.select(col(idCol) +: quasiIds.map(col): _*)
+      .withColumn("class_size", count(lit(1)).over(byClass))
+      .filter(col("class_size") < k)
+      .select(col(idCol), col("class_size").cast("long"))
+  }
 }

@@ -1384,7 +1384,50 @@ object AdvancedQueries extends QueryPack {
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
     ORDER BY s_suppkey"""))
 
+  // ---- k-anonymity audit (QualityChecks.kAnonymityReport/RiskRows,
+  //      Sweeney 2002): re-identification exposure over the quasi-
+  //      identifier tuple (nation, segment, 500-unit balance band) — the
+  //      governance report a dataset release ships beside PII redaction.
+  //      The histogram publishes class SIZES only (safe to share); the
+  //      risk-rows gate keys by c_custkey so quasi-values never leave the
+  //      operator. Exact integer counts → FULL oracle ----
+  private def custQuasi(c: org.apache.spark.sql.DataFrame) =
+    c.withColumn("bal_band", floor(col("c_acctbal") / 500.0))
+  private val kAnonReport = OracleQuery(
+    "t_k_anonymity_report",
+    (s, d) => graft.operators.QualityChecks
+      .kAnonymityReport(custQuasi(Tables.customer(s, d)),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
+      .select(col("class_size").cast("long").as("class_size"),
+        col("n_classes"), col("n_rows"), col("at_risk"))
+      .orderBy(col("class_size")),
+    Some("""WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 500.0) AS b,
+        COUNT(*) AS class_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+      CAST(COUNT(*) AS BIGINT) AS n_classes,
+      CAST(COUNT(*) * class_size AS BIGINT) AS n_rows,
+      class_size < 5 AS at_risk
+    FROM cls GROUP BY class_size ORDER BY class_size"""))
+  private val kAnonRiskRows = OracleQuery(
+    "t_k_anonymity_risk_rows",
+    (s, d) => graft.operators.QualityChecks
+      .kAnonymityRiskRows(custQuasi(Tables.customer(s, d)),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5,
+        idCol = "c_custkey")
+      .orderBy(col("c_custkey")),
+    Some("""WITH cls AS (
+      SELECT c_custkey, COUNT(*) OVER (PARTITION BY c_nationkey,
+        c_mktsegment, floor(c_acctbal / 500.0)) AS class_size
+      FROM customer
+    )
+    SELECT c_custkey, CAST(class_size AS BIGINT) AS class_size
+    FROM cls WHERE class_size < 5 ORDER BY c_custkey"""))
+
   override val all: Seq[OracleQuery] = Seq(
+    kAnonReport, kAnonRiskRows,
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
     scd2Intervals, bootstrapMeans, dataQualityReport, olsTrend, madOutliers,

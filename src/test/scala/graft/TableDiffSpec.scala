@@ -62,4 +62,21 @@ class TableDiffSpec extends SparkSpec {
       Seq("x_positive" -> (col("x") > 0))).collect()(0)
     assert(rep.getLong(2) == 1L && !rep.getBoolean(3))
   }
+
+  test("k-anonymity: histogram partitions the table, risk rows = members of small classes") {
+    // classes: (a,1)x3, (a,2)x1, (b,1)x2 — with k=3 only the first is safe
+    val df = Seq((1L, "a", 1), (2L, "a", 1), (3L, "a", 1),
+      (4L, "a", 2), (5L, "b", 1), (6L, "b", 1)).toDF("id", "q1", "q2")
+    val hist = QualityChecks.kAnonymityReport(df, Seq("q1", "q2"), k = 3)
+      .collect().map(r => r.getAs[Long]("class_size") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Boolean]("at_risk")))).toMap
+    assert(hist == Map(1L -> ((1L, 1L, true)), 2L -> ((1L, 2L, true)),
+      3L -> ((1L, 3L, false))))
+    // histogram row counts sum back to the table
+    assert(hist.values.map(_._2).sum == 6L)
+    val risky = QualityChecks.kAnonymityRiskRows(df, Seq("q1", "q2"), 3, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(risky == Map(4L -> 1L, 5L -> 2L, 6L -> 2L))
+  }
 }
