@@ -221,6 +221,48 @@ object EventQueries extends QueryPack {
       ON p.user_id = v.user_id AND p.ts >= v.ts
     ORDER BY p.user_id, p.ts, p.event_id"""))
 
+  // ---- point-in-time feature join (the feature-store correctness op):
+  //      attach to each purchase the per-user feature snapshot AS OF the
+  //      event time, with features published at day-END (available from
+  //      the NEXT midnight) — the leakage-safe convention: an event never
+  //      sees features computed from its own day. Composition of the
+  //      running-total feature build and AsofJoin; DuckDB replays it with
+  //      its native ASOF LEFT JOIN. First-day purchases correctly get
+  //      NULL features (no snapshot exists yet) ----
+  private val pitFeatureJoin = OracleQuery(
+    "e_pit_feature_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val feats = ev
+        .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_day"))
+        .select(col("user_id"),
+          (col("day") + expr("INTERVAL 1 DAY")).as("ts"),
+          sum(col("n_day")).over(Window.partitionBy(col("user_id"))
+            .orderBy(col("day"))).as("events_to_date"))
+      val spine = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsofJoin.asofJoin(spine, feats, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_events_to_date").as("events_to_date"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_day
+      FROM events GROUP BY 1, 2
+    ), feats AS (
+      SELECT user_id, day + INTERVAL 1 DAY AS fts,
+        CAST(SUM(n_day) OVER (PARTITION BY user_id ORDER BY day) AS BIGINT)
+          AS events_to_date
+      FROM daily
+    ), spine AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.event_id, s.user_id, s.ts, f.events_to_date
+    FROM spine s
+    ASOF LEFT JOIN feats f ON s.user_id = f.user_id AND s.ts >= f.fts
+    ORDER BY s.event_id"""))
+
   // ---- native session_window in batch mode, oracle-checked against the
   //      lag-construction: Spark's merging session state must produce
   //      exactly the sessions the relational gap-flag form derives
@@ -556,5 +598,5 @@ object EventQueries extends QueryPack {
     Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
       conversionFunnel, cohortRetention, sessionWindowNative, statefulSessions,
       sessionPaths, rateAnomaly, timeWeighted, psiWindowed,
-      markovTransitions)
+      markovTransitions, pitFeatureJoin)
 }

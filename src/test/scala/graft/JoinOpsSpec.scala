@@ -100,4 +100,28 @@ class JoinOpsSpec extends SparkSpec {
       assert(joined.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("PIT feature join is leakage-safe: snapshots exclude the event's own day") {
+    val out = SparkEntry.queries("e_pit_feature_join")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val events = Tables.events(spark, sf001)
+      .select($"user_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    def dayOf(t: java.sql.Timestamp) = t.toInstant.truncatedTo(
+      java.time.temporal.ChronoUnit.DAYS)
+    var checked = 0
+    out.take(200).foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val ts = r.getAs[java.sql.Timestamp]("ts")
+      val expected = events.count { case (eu, et) =>
+        eu == u && dayOf(et).isBefore(dayOf(ts))
+      }
+      val got = if (r.isNullAt(r.fieldIndex("events_to_date"))) 0L
+        else r.getAs[Long]("events_to_date")
+      assert(got == expected.toLong,
+        s"user $u at $ts: features=$got, strictly-prior-day events=$expected")
+      checked += 1
+    }
+    assert(checked > 0)
+  }
 }
