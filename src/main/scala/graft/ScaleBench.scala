@@ -326,6 +326,19 @@ object ScaleBench {
       "dupspan_scrub" -> { dir: String =>
         graft.operators.DupSpans.scrub(Tables.documents(spark, dir), 5)
           .filter(length(col("text")) >= 0 && col("n_tokens_removed") >= 0)
+      },
+      // compaction planning over the lineitem-derived listing: the fact
+      // scan+aggregate deriving the file metadata is the corpus-scale
+      // stage; the greedy fold itself touches only files-per-partition
+      // metadata rows — the row validating that maintenance planning
+      // stays scan-bounded as the table grows 100x
+      "compaction_plan" -> { dir: String =>
+        val listing = Tables.lineitem(spark, dir).groupBy(
+            date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+            (col("l_orderkey") % 200).as("file_id"))
+          .agg((count(lit(1)) * 100L).cast("long").as("bytes"))
+        graft.sources.Compaction.planCompaction(listing, 4000L)
+          .filter(col("bin") >= 0)
       })
     // comma-separated subset for re-measuring single families after a fix
     val wanted = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

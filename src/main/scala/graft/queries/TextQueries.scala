@@ -545,6 +545,32 @@ object TextQueries extends QueryPack {
     FROM sc GROUP BY doc_id
     ORDER BY score_q DESC, doc_id LIMIT 10"""))
 
+  // ---- BM25 served from the PERSISTED inverted index (the sparse twin
+  //      of the IVF artifact): build once → partitioned-parquet posting
+  //      lists (term-hash buckets, the probe's partition-pruning key) →
+  //      load → probe. The oracle is t_bm25_topk's SQL VERBATIM: the
+  //      artifact probe must reproduce the direct corpus computation
+  //      bit-for-bit, scores included — persisting an index must never
+  //      change a score ----
+  def prepareLexIndex(s: SparkSession,
+      d: String): graft.operators.InvertedIndex.LexIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"lex_index:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lexidx").toString
+      graft.operators.InvertedIndex.save(
+        graft.operators.InvertedIndex.build(Tables.documents(s, d)), dir)
+      graft.operators.InvertedIndex.load(s, dir)
+    }(_ => ())
+  private val bm25Artifact = OracleQuery(
+    "t_bm25_artifact_topk",
+    (s, d) => {
+      val idx = prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.InvertedIndex.bm25TopK(idx, terms, 10)
+    },
+    bm25TopK.sql)
+
   // ---- the BPE train→apply closure: tokenize the corpus with the 16
   //      learned merges (train on the word-frequency vocabulary, apply
   //      as a broadcast merge table — one corpus pass each way) and
@@ -2356,5 +2382,5 @@ object TextQueries extends QueryPack {
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
-    bm25TopK, bpeTokenizeStats, streamSnapshotChanges)
+    bm25TopK, bm25Artifact, bpeTokenizeStats, streamSnapshotChanges)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.InvertedIndex
+import org.apache.spark.sql.functions._
+
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val idxDir =
+    java.nio.file.Files.createTempDirectory("graft-lexidx-spec").toString
+  private lazy val built =
+    InvertedIndex.build(Tables.documents(spark, sf001))
+
+  test("build: doc lengths and dfs are consistent rollups of the postings") {
+    val fromPostings = built.postings.groupBy($"doc_id")
+      .agg(sum($"tf").as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dl = built.docLens.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl == fromPostings)
+    assert(built.n == Tables.documents(spark, sf001).count())
+    val sdl = dl.values.sum
+    assert(built.avgdl == sdl.toDouble / built.n)
+  }
+
+  test("save/load probe is bit-identical to the in-memory probe") {
+    InvertedIndex.save(built, idxDir)
+    val loaded = InvertedIndex.load(spark, idxDir)
+    assert(loaded.n == built.n && loaded.avgdl == built.avgdl)
+    val terms = built.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    def probe(i: InvertedIndex.LexIndex) =
+      InvertedIndex.bm25TopK(i, terms, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe(loaded) == probe(built))
+  }
+
+  test("probe prunes posting partitions to the query terms' buckets") {
+    InvertedIndex.save(built, idxDir)
+    val loaded = InvertedIndex.load(spark, idxDir)
+    val terms = Seq("spark") // one term => at most one bucket scanned
+    val plan = InvertedIndex.bm25TopK(loaded, terms, 5)
+      .queryExecution.executedPlan.toString
+    // the bucket filter must reach the scan as a partition filter, not a
+    // post-scan predicate over all 64 buckets
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("bucket"), s"no partition pruning:\n$plan")
+  }
+
+  test("ranking semantics: a term unique to one doc ranks that doc first") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta beta delta"),
+      (3L, "zeta zeta zeta unique0")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs)
+    val top = InvertedIndex.bm25TopK(idx, Seq("unique0"), 3).collect()
+    assert(top.length == 1 && top(0).getLong(0) == 3L)
+    // a term present everywhere still scores > 0 under the +1 idf floor
+    val all = InvertedIndex.bm25TopK(idx, Seq("alpha"), 3).collect()
+    assert(all.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+}
