@@ -85,7 +85,7 @@ object ScaleBench {
   // scheme token written into the _DONE marker: bump when the replica
   // construction changes so stale corpora regenerate instead of silently
   // reporting exponents against the wrong construction
-  private val Scheme = "v2-affine-azAZ09"
+  private val Scheme = "v3-affine-azAZ09-lineitem"
 
   def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     require(factor >= 1 && factor <= MaxFactor,
@@ -147,6 +147,18 @@ object ScaleBench {
       if (k == 0) shifted
       else shifted.withColumn("c_name", concat(lit(s"$k$k$k-"), col("c_name")))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // lineitem feeds the compaction-planning family: replicas shift the
+    // ship month by k months (MORE partitions, not bigger ones — the
+    // "growing table history" shape a maintenance job actually sees) and
+    // stride the order keys so file ids stay decorrelated
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    requireMaxId(li, "l_orderkey", 10000000L)
+    replicas(li) { (l, k) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 10000000L))
+        .withColumn("l_shipdate", add_months(col("l_shipdate"), k))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     // events.parquet carries INT64 TIMESTAMP(NANOS); read the nanos as raw
     // longs (the Tables.events convention) and write them back as longs so
