@@ -30,7 +30,11 @@ object InvertedIndex {
       docLens: DataFrame,  // doc_id, dl
       termDf: DataFrame,   // term, df
       n: Long,
-      avgdl: Double)
+      sdl: Long) {
+    /** Mean document length, derived from the exact integer sums so an
+      * appended artifact reproduces it bit-for-bit. */
+    def avgdl: Double = if (n == 0) 0.0 else sdl.toDouble / n.toDouble
+  }
 
   private def bucketOf(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(Buckets.toLong)).cast("int")
@@ -51,9 +55,9 @@ object InvertedIndex {
     // two bounded scalars close the build — the artifact's meta row
     val nRow = docs.agg(count(lit(1)).as("n")).collect()(0)
     val n = nRow.getLong(0)
-    val sdl = docLens.agg(sum(col("dl"))).collect()(0).getLong(0)
-    LexIndex(postings, docLens, termDf, n,
-      if (n == 0) 0.0 else sdl.toDouble / n.toDouble)
+    val sdl =
+      if (n == 0) 0L else docLens.agg(sum(col("dl"))).collect()(0).getLong(0)
+    LexIndex(postings, docLens, termDf, n, sdl)
   }
 
   /** Persist: postings partitioned by term hash bucket (the pruning key),
@@ -67,17 +71,41 @@ object InvertedIndex {
     idx.termDf.write.mode("overwrite").parquet(s"$dir/termdf")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    Seq((idx.n, idx.avgdl)).toDF("n", "avgdl")
+    Seq((idx.n, idx.sdl)).toDF("n", "sdl")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Append a disjoint batch of new documents to a persisted index: the
+    * delta's postings/doc-lengths/dfs/meta write as APPEND rows and
+    * [[load]] re-aggregates (df and the (n, sdl) stats are sums, exact
+    * because doc ids are disjoint across batches — the caller's contract,
+    * as in `appendToIvfIndex`). A probe after append is bit-identical to
+    * a rebuild over the unioned corpus (spec-pinned): every BM25 input —
+    * df, n, avgdl, tf, dl — is an exact integer or a ratio of exact sums.
+    */
+  def append(dir: String, newDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val delta = build(newDocs, idCol, textCol)
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    delta.postings.write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    delta.docLens.write.mode("append").parquet(s"$dir/doclens")
+    delta.termDf.write.mode("append").parquet(s"$dir/termdf")
+    Seq((delta.n, delta.sdl)).toDF("n", "sdl")
+      .write.mode("append").parquet(s"$dir/meta")
+  }
+
   def load(spark: SparkSession, dir: String): LexIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    // meta and termDf re-aggregate so appended deltas merge exactly
+    val meta = spark.read.parquet(s"$dir/meta")
+      .agg(sum(col("n")), sum(col("sdl"))).collect()(0)
     LexIndex(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclens"),
-      spark.read.parquet(s"$dir/termdf"),
-      meta.getAs[Long]("n"), meta.getAs[Double]("avgdl"))
+      spark.read.parquet(s"$dir/termdf")
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      meta.getLong(0), meta.getLong(1))
   }
 
   /** BM25 top-k over the artifact for a bag of query terms. The posting

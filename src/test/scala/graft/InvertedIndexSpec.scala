@@ -47,6 +47,25 @@ class InvertedIndexSpec extends SparkSpec {
       plan.contains("bucket"), s"no partition pruning:\n$plan")
   }
 
+  test("append then load probes bit-identically to a rebuild over the union") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-append").toString
+    val all = Tables.documents(spark, sf001)
+    val first = all.filter($"doc_id" % 3 =!= 0)
+    val batch = all.filter($"doc_id" % 3 === 0)
+    InvertedIndex.save(InvertedIndex.build(first), dir)
+    InvertedIndex.append(dir, batch)
+    val appended = InvertedIndex.load(spark, dir)
+    val rebuilt = InvertedIndex.build(all)
+    assert(appended.n == rebuilt.n && appended.sdl == rebuilt.sdl)
+    val terms = rebuilt.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    def probe(i: InvertedIndex.LexIndex) =
+      InvertedIndex.bm25TopK(i, terms, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe(appended) == probe(rebuilt))
+  }
+
   test("ranking semantics: a term unique to one doc ranks that doc first") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
