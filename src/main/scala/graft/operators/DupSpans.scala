@@ -147,7 +147,12 @@ object DupSpans {
         col("span_end").as("e"))).as("spans"))
     docs
       .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+      .select(col("doc_id"),
+        // null text = zero tokens (not a null-poisoned count); an EMPTY
+        // string keeps split's [""] per the cross-engine len(string_split)
+        // convention
+        when(col("text").isNull, array().cast("array<string>"))
+          .otherwise(split(col("text"), " ")).as("toks"),
         coalesce(col("spans"), array()).as("spans"))
       .select(col("doc_id"),
         filter(col("toks"), (_, i) =>

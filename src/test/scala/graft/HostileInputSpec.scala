@@ -84,4 +84,44 @@ class HostileInputSpec extends SparkSpec {
       .select(graft.functions.TextOps.gopherRules($"text").as("r"))
       .collect()
   }
+
+  test("duplicate-span dedup: hostile corpus scrubs without loss or crash") {
+    // the 30k-char "repeat repeat ..." doc self-duplicates massively; the
+    // null/empty/single docs must pass through untouched
+    val out = graft.operators.DupSpans.scrub(docs.select($"doc_id", $"text"), 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_tokens_before"),
+          r.getAs[Long]("n_tokens_removed")))).toMap
+    assert(out.size == hostile.size)
+    // repeat-doc: all 4996 windows carry the identical gram; only the
+    // pos-0 window is the corpus-first occurrence, so the merged redundant
+    // span is [1, 5000) and a single leading token survives
+    val (text9, before9, removed9) = out(9L)
+    assert(before9 == 5000L && removed9 == 4999L && text9 == "repeat")
+    // short/degenerate docs untouched (no window reaches k=5)
+    Seq(2L, 3L, 4L, 5L, 6L).foreach { id =>
+      assert(out(id)._3 == 0L, s"doc $id scrubbed unexpectedly")
+    }
+    // only the repeat-doc loses tokens; every other hostile shape is
+    // untouched, with sane zero counts on null/empty text
+    out.foreach { case (id, (_, before, removed)) =>
+      assert(removed >= 0 && removed <= before, s"doc $id counts insane")
+      if (id != 9L) assert(removed == 0L, s"doc $id scrubbed unexpectedly")
+    }
+    assert(out(1L)._2 == 0L) // null text = zero tokens, not null-poisoned
+  }
+
+  test("top-n-gram and streaming scrub survive the hostile corpus") {
+    val grams = graft.operators.Dedup.benchmarkGrams(
+      Seq((100L, "repeat repeat repeat repeat repeat")).toDF("doc_id", "text"),
+      n = 5).select($"__gram".as("gram"))
+    val out = graft.streaming.StreamingDecontaminate
+      .scrubStream(docs, grams, 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_tokens_removed")).toMap
+    assert(out(9L) == 5000L) // the whole repeat-doc is benchmark text
+    assert(out(1L) == 0L && out(2L) == 0L)
+    // ngrams on nulls/unicode: arrays, never exceptions
+    docs.select(graft.functions.TextOps.ngrams($"text", 3)).collect()
+  }
 }
