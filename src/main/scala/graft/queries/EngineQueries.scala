@@ -2044,6 +2044,84 @@ object EngineQueries extends QueryPack {
     },
     None)
 
+  // ---- cross-engine-exact power-iteration PCA twin (ml/PowerIter): the
+  //      leading two eigenvectors of the exact centered gram of the
+  //      quantized corpus, 10 fixed rounds + deflation, every reduction
+  //      through the DECIMAL boundary — DuckDB replays the ENTIRE
+  //      iterative eigen-solve (gram, matvecs, norms, deflation,
+  //      projections) via 2×10 unrolled CTE rounds. Projections reported
+  //      SQUARED (sign-free). mx_pca_2d stays the MLlib production path
+  //      (rows-only) — the vx_semdedup split extended from k-means
+  //      assignment to iterative linear algebra ----
+  private val pcaPowerQuantized = OracleQuery(
+    "vx_pca_power_quantized",
+    (s, d) => {
+      val lf = Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"),
+          floor(col("col").cast("double") * lit(10000.0)).cast("long").as("q"))
+      graft.ml.PowerIter.projectSquared(lf, dim = 64, iters = 10,
+          idFilter = col("vec_id") < 20)
+        .orderBy(col("vec_id"), col("comp"))
+    },
+    Some {
+      def rounds(tag: String, gram: String): String =
+        (1 to 10).map { k =>
+          val prev = if (k == 1) s"v${tag}_0" else s"v${tag}_${k - 1}"
+          s"""mv${tag}_$k AS MATERIALIZED (
+      SELECT g.i, CAST(SUM(CAST(g.gd * v.x AS DECIMAL(38,18))) AS DOUBLE)
+        AS x
+      FROM $gram g JOIN $prev v ON g.j = v.i GROUP BY g.i
+    ), nr${tag}_$k AS MATERIALIZED (
+      SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)) AS nn
+      FROM mv${tag}_$k
+    ), v${tag}_$k AS MATERIALIZED (
+      SELECT i, x / nn AS x FROM mv${tag}_$k, nr${tag}_$k
+    )"""
+        }.mkString(", ")
+      s"""WITH lf AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)
+          AS q
+      FROM embeddings
+    ), nn0 AS (
+      SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM lf
+    ), cs AS (
+      SELECT pos, SUM(q) AS s FROM lf GROUP BY pos
+    ), y AS MATERIALIZED (
+      SELECT lf.vec_id, lf.pos, nn0.n * lf.q - cs.s AS y
+      FROM lf JOIN cs ON cs.pos = lf.pos CROSS JOIN nn0
+    ), g AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j,
+        CAST(SUM(CAST(a.y * b.y AS DECIMAL(38,0))) AS DOUBLE)
+          / 1125899906842624.0 AS gd
+      FROM y a JOIN y b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ), v1_0 AS (
+      SELECT CAST(i AS INT) AS i, 1.0 AS x FROM range(0, 64) t(i)
+    ), ${rounds("1", "g")}, g2 AS MATERIALIZED (
+      SELECT g.i, g.j, g.gd - nr1_10.nn * vi.x * vj.x AS gd
+      FROM g JOIN v1_10 vi ON vi.i = g.i
+      JOIN v1_10 vj ON vj.i = g.j CROSS JOIN nr1_10
+    ), v2_0 AS (
+      SELECT CAST(i AS INT) AS i, 1.0 AS x FROM range(0, 64) t(i)
+    ), ${rounds("2", "g2")}, ev AS (
+      SELECT 1 AS comp, i, x FROM v1_10
+      UNION ALL SELECT 2 AS comp, i, x FROM v2_10
+    ), lam AS (
+      SELECT 1 AS comp, nn FROM nr1_10
+      UNION ALL SELECT 2 AS comp, nn FROM nr2_10
+    ), sc AS (
+      SELECT y.vec_id, ev.comp,
+        CAST(SUM(CAST(CAST(y.y AS DOUBLE) * ev.x AS DECIMAL(38,18)))
+          AS DOUBLE) AS s
+      FROM y JOIN ev ON ev.i = y.pos WHERE y.vec_id < 20 GROUP BY 1, 2
+    )
+    SELECT sc.vec_id, sc.comp, CAST(floor(s * s) AS BIGINT) AS proj2_q,
+      CAST(floor(lam.nn * 1000000.0) AS BIGINT) AS lam_q
+    FROM sc JOIN lam ON lam.comp = sc.comp
+    ORDER BY sc.vec_id, sc.comp"""
+    })
+
   // the out-of-sample 2-D map (round-6 "What's missing" #1): the PCA
   // basis fits on the bounded per-label landmark sample (the reference's
   // --sample_per_model contract), then EVERY corpus row projects through
@@ -2216,6 +2294,6 @@ object EngineQueries extends QueryPack {
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, streamSample, streamWeightedSample,
     streamChunkDedup, streamCuration, streamSpanDedup, curationFunnel,
-    pca2d, reduce2dFull, separability, deepfakeLifecycle,
+    pca2d, pcaPowerQuantized, reduce2dFull, separability, deepfakeLifecycle,
     separabilityGbt)
 }
