@@ -2122,6 +2122,90 @@ object EngineQueries extends QueryPack {
     ORDER BY sc.vec_id, sc.comp"""
     })
 
+  // ---- cross-engine-exact LINEAR PROBE (ml/LinearProbe): ridge of the
+  //      ±1 label (label < 5) on the quantized embeddings, solved by 8
+  //      fixed conjugate-gradient rounds on the exact normal equations —
+  //      no exp/sigmoid (libm exp is not correctly-rounded, so a logistic
+  //      twin could flap), every reduction DECIMAL-bounded, per-element
+  //      updates IEEE. DuckDB replays gram, b, all 8 CG rounds, scoring,
+  //      and the sign readout; mx_separability_logreg stays the MLlib
+  //      production path ----
+  private val linearProbeQuantized = OracleQuery(
+    "vx_linear_probe_quantized",
+    (s, d) => {
+      val lf = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          floor(col("col").cast("double") * lit(10000.0)).cast("long").as("q"))
+      graft.ml.LinearProbe.probeReport(lf, dim = 64, rounds = 8,
+          posBelow = 5)
+        .orderBy(col("label"))
+    },
+    Some {
+      val D18 = "DECIMAL(38,18)"
+      def ds(e: String) = s"CAST(SUM(CAST($e AS $D18)) AS DOUBLE)"
+      val rounds = (1 to 8).map { k =>
+        val (pw, pr, pp, prs) =
+          (s"w_${k - 1}", s"r_${k - 1}", s"p_${k - 1}", s"rs_${k - 1}")
+        s"""ap_$k AS MATERIALIZED (
+      SELECT a.i, ${ds("a.ad * p.x")} AS x
+      FROM a JOIN $pp p ON a.j = p.i GROUP BY a.i
+    ), pap_$k AS MATERIALIZED (
+      SELECT ${ds("p.x * ap.x")} AS v
+      FROM $pp p JOIN ap_$k ap ON ap.i = p.i
+    ), al_$k AS MATERIALIZED (
+      SELECT CASE WHEN pap_$k.v = 0 THEN 0.0 ELSE $prs.v / pap_$k.v END
+        AS a
+      FROM $prs, pap_$k
+    ), w_$k AS MATERIALIZED (
+      SELECT w.i, w.x + al_$k.a * p.x AS x
+      FROM $pw w JOIN $pp p ON p.i = w.i CROSS JOIN al_$k
+    ), r_$k AS MATERIALIZED (
+      SELECT r.i, r.x - al_$k.a * ap.x AS x
+      FROM $pr r JOIN ap_$k ap ON ap.i = r.i CROSS JOIN al_$k
+    ), rs_$k AS MATERIALIZED (
+      SELECT ${ds("x * x")} AS v FROM r_$k
+    ), be_$k AS MATERIALIZED (
+      SELECT CASE WHEN $prs.v = 0 THEN 0.0 ELSE rs_$k.v / $prs.v END AS b
+      FROM rs_$k, $prs
+    ), p_$k AS MATERIALIZED (
+      SELECT r.i, r.x + be_$k.b * p.x AS x
+      FROM r_$k r JOIN $pp p ON p.i = r.i CROSS JOIN be_$k
+    )"""
+      }.mkString(", ")
+      s"""WITH lfq AS MATERIALIZED (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)
+          AS q,
+        CASE WHEN label < 5 THEN 1.0 ELSE -1.0 END AS y
+      FROM embeddings
+    ), a AS MATERIALIZED (
+      SELECT i, j, g + CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS ad FROM (
+        SELECT x.pos AS i, z.pos AS j,
+          CAST(SUM(CAST(x.q * z.q AS DECIMAL(38,0))) AS DOUBLE)
+            / 1073741824.0 AS g
+        FROM lfq x JOIN lfq z ON x.vec_id = z.vec_id GROUP BY 1, 2) t
+    ), b AS MATERIALIZED (
+      SELECT pos AS i,
+        CAST(SUM(CAST(q * y AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0
+          AS x
+      FROM lfq GROUP BY pos
+    ), w_0 AS (SELECT i, 0.0 AS x FROM b
+    ), r_0 AS MATERIALIZED (SELECT i, x FROM b
+    ), p_0 AS MATERIALIZED (SELECT i, x FROM b
+    ), rs_0 AS MATERIALIZED (SELECT ${ds("x * x")} AS v FROM b
+    ), $rounds, sc AS MATERIALIZED (
+      SELECT lfq.vec_id, lfq.label, lfq.y,
+        ${ds("CAST(lfq.q AS DOUBLE) * w.x")} AS s
+      FROM lfq JOIN w_8 w ON w.i = lfq.pos GROUP BY 1, 2, 3
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+      CAST(SUM(CASE WHEN (s > 0) = (y > 0) THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct
+    FROM sc GROUP BY label ORDER BY label"""
+    })
+
   // the out-of-sample 2-D map (round-6 "What's missing" #1): the PCA
   // basis fits on the bounded per-label landmark sample (the reference's
   // --sample_per_model contract), then EVERY corpus row projects through
@@ -2294,6 +2378,7 @@ object EngineQueries extends QueryPack {
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, streamSample, streamWeightedSample,
     streamChunkDedup, streamCuration, streamSpanDedup, curationFunnel,
-    pca2d, pcaPowerQuantized, reduce2dFull, separability, deepfakeLifecycle,
+    pca2d, pcaPowerQuantized, linearProbeQuantized, reduce2dFull,
+    separability, deepfakeLifecycle,
     separabilityGbt)
 }
