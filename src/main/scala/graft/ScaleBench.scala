@@ -351,6 +351,19 @@ object ScaleBench {
           .agg((count(lit(1)) * 100L).cast("long").as("bytes"))
         graft.sources.Compaction.planCompaction(listing, 4000L)
           .filter(col("bin") >= 0)
+      },
+      // exact-CG linear probe: the corpus-scale stages are the d² gram
+      // and the scoring pass; the 8 CG rounds run on 64-row local
+      // relations regardless of corpus size — the row verifying that the
+      // iterative-solver twins stay scan-bounded at 100x (grouped output:
+      // count cannot constant-fold)
+      "linear_probe" -> { dir: String =>
+        val lf = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            floor(col("col").cast("double") * lit(10000.0)).cast("long")
+              .as("q"))
+        graft.ml.LinearProbe.probeReport(lf, 64, 8, 5)
       })
     // comma-separated subset for re-measuring single families after a fix
     val wanted = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
