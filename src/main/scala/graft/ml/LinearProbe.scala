@@ -108,10 +108,20 @@ object LinearProbe {
     */
   def probeReport(lf: DataFrame, dim: Int, rounds: Int,
       posBelow: Int): DataFrame = {
-    val labeled = lf.withColumn("y",
-      when(col("label") < posBelow, 1.0).otherwise(-1.0))
-    val w = fitCg(labeled.select(col("vec_id"), col("pos"), col("q"),
-      col("y")), dim, rounds)
+    val w = fitCg(withSign(lf, posBelow).select(col("vec_id"), col("pos"),
+      col("q"), col("y")), dim, rounds)
+    reportWith(lf, w, posBelow)
+  }
+
+  private def withSign(lf: DataFrame, posBelow: Int): DataFrame =
+    lf.withColumn("y", when(col("label") < posBelow, 1.0).otherwise(-1.0))
+
+  /** [[probeReport]] against precomputed (memoized) weights — times the
+    * recurring scoring pass, not the build-once CG solve.
+    */
+  def reportWith(lf: DataFrame, w: Seq[(Int, Double)],
+      posBelow: Int): DataFrame = {
+    val labeled = withSign(lf, posBelow)
     val spark = lf.sparkSession
     import spark.implicits._
     val wDf = w.toDF("wi", "wx")

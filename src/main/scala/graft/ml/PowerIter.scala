@@ -66,6 +66,18 @@ object PowerIter {
       : (DataFrame, DataFrame) = {
     val spark = lf.sparkSession
     import spark.implicits._
+    val (eigs, lams) = leadingTwoLocal(lf, dim, iters)
+    (eigs.toDF("comp", "i", "x"), lams.toDF("comp", "nn"))
+  }
+
+  /** [[leadingTwo]] returning plain local collections — the memoizable
+    * artifact form (the solve is build-once per corpus; consumers re-inject
+    * the 2×dim values as local relations).
+    */
+  def leadingTwoLocal(lf: DataFrame, dim: Int, iters: Int)
+      : (Seq[(Int, Int, Double)], Seq[(Int, Double)]) = {
+    val spark = lf.sparkSession
+    import spark.implicits._
     val n = lf.select(col("vec_id")).distinct().count()
     val y = centered(lf, n)
     // exact integer gram through DECIMAL(38,0), one rounding, one exact /2^50
@@ -103,10 +115,9 @@ object PowerIter {
     }
     val (v2, lam2) = iterate(g2.toSeq)
 
-    val eigs = v1.map { case (i, x) => (1, i, x) }
-      .++(v2.map { case (i, x) => (2, i, x) }).toDF("comp", "i", "x")
-    val lams = Seq((1, lam1), (2, lam2)).toDF("comp", "nn")
-    (eigs, lams)
+    val eigs = v1.map { case (i, x) => (1, i, x) } ++
+      v2.map { case (i, x) => (2, i, x) }
+    (eigs, Seq((1, lam1), (2, lam2)))
   }
 
   /** Exact integer centering: y = n·q − S_pos. */
@@ -121,9 +132,20 @@ object PowerIter {
     * eigenvectors (sign-free), plus the scaled lambdas — the gate relation.
     */
   def projectSquared(lf: DataFrame, dim: Int, iters: Int,
+      idFilter: Column): DataFrame =
+    projectSquaredWith(lf, leadingTwoLocal(lf, dim, iters), idFilter)
+
+  /** [[projectSquared]] against a precomputed (memoized) solve — times the
+    * recurring scoring pass, not the build-once eigen-solve.
+    */
+  def projectSquaredWith(lf: DataFrame,
+      solve: (Seq[(Int, Int, Double)], Seq[(Int, Double)]),
       idFilter: Column): DataFrame = {
+    val spark = lf.sparkSession
+    import spark.implicits._
+    val (eigs, lams) = (solve._1.toDF("comp", "i", "x"),
+      solve._2.toDF("comp", "nn"))
     val n = lf.select(col("vec_id")).distinct().count()
-    val (eigs, lams) = leadingTwo(lf, dim, iters)
     val y = centered(lf, n).filter(idFilter)
     val sc = y.join(eigs, y("pos") === eigs("i"))
       .groupBy(col("vec_id"), col("comp"))
