@@ -126,6 +126,31 @@ object DupSpans {
     mergeSpans(hits, k)
   }
 
+  /** Incremental (batch-vs-corpus) duplicate spans: which spans of NEW
+    * documents duplicate the EXISTING corpus or an earlier position within
+    * the batch itself — the ingest-time form ([[Dedup.incrementalDedup]]'s
+    * asymmetric probe at substring granularity). Corpus text is never
+    * re-scrubbed and never shuffles beyond its gram projection; the batch
+    * is the small side. Compose with [[scrubWith]] to clean the batch
+    * before appending it.
+    */
+  def incrementalSpans(corpus: DataFrame, batch: DataFrame,
+      k: Int): DataFrame = {
+    val occB = windowOccurrences(batch, k)
+    // batch grams present anywhere in the corpus: hash prefilter first so
+    // corpus gram strings ship only for candidate hashes
+    val corpusOcc = windowOccurrences(corpus, k)
+    val batchHashes = occB.select(xxhash64(col("gram")).as("gh")).distinct()
+    val corpusGrams = corpusOcc
+      .withColumn("gh", xxhash64(col("gram")))
+      .join(batchHashes, Seq("gh"), "leftsemi")
+      .select(col("gram")).distinct()
+    val vsCorpus = occB.join(corpusGrams, Seq("gram"), "leftsemi")
+      .select(col("doc_id"), col("pos"))
+    val withinBatch = redundantOccurrences(occB)
+    mergeSpans(vsCorpus.unionByName(withinBatch).distinct(), k)
+  }
+
   /** Remove every token covered by a duplicated span, keeping the corpus's
     * first copy of each duplicated substring (its windows are non-redundant
     * by construction). Output: `doc_id, text (scrubbed), n_tokens_before,

@@ -2325,6 +2325,62 @@ object TextQueries extends QueryPack {
       span_end - span_start AS n_tokens
     FROM spans ORDER BY doc_id, span_start"""))
 
+  // ---- incremental substring dedup (DupSpans.incrementalSpans): spans of
+  //      a NEW batch (doc_id % 3 = 0) duplicating the existing corpus or
+  //      an earlier position within the batch — the ingest-time asymmetric
+  //      probe at span granularity, ready to scrub before append ----
+  private val dupSpanIncremental = OracleQuery(
+    "t_dupspan_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.DupSpans.incrementalSpans(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0), k = 5)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some("""WITH cb AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % 3 = 0
+    ), co AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % 3 <> 0
+    ), ob AS (
+      SELECT doc_id, pos,
+        array_to_string(list_slice(toks, pos + 1, pos + 5), ' ') AS gram
+      FROM (SELECT doc_id, unnest(range(0, len(toks) - 4)) AS pos, toks
+            FROM cb WHERE len(toks) >= 5) q
+    ), cg AS (
+      SELECT DISTINCT
+        array_to_string(list_slice(toks, pos + 1, pos + 5), ' ') AS gram
+      FROM (SELECT doc_id, unnest(range(0, len(toks) - 4)) AS pos, toks
+            FROM co WHERE len(toks) >= 5) q
+    ), redc AS (
+      SELECT doc_id, pos FROM ob WHERE gram IN (SELECT gram FROM cg)
+    ), redw AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+          ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM ob) q WHERE rn > 1
+    ), red AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT * FROM redc UNION ALL SELECT * FROM redw) u
+    ), isl AS (
+      SELECT doc_id, pos, CASE WHEN pos > COALESCE(MAX(pos + 5)
+          OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS ni
+      FROM red
+    ), isl2 AS (
+      SELECT doc_id, pos,
+        SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
+      CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS n_tokens
+    FROM isl2 GROUP BY doc_id, island
+    ORDER BY doc_id, span_start"""))
+
   // ---- streaming span decontamination (StreamingDecontaminate): the
   //      stateless ingest-time twin — each arriving doc scrubbed row-
   //      locally against the broadcast 8-gram benchmark artifact (shared
@@ -2370,7 +2426,7 @@ object TextQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
-    streamDecontaminate, repetitionTopgram,
+    dupSpanIncremental, streamDecontaminate, repetitionTopgram,
     exactDedup, tokenStats, langSource, stopwordRatio,
     wordFreq, heavyHitters, tokenRarity, tfidfTop3, ngramJaccard, fingerprint,
     tokenCountBpe, qualityScore, qualityGate,

@@ -157,6 +157,25 @@ class DupSpansSpec extends SparkSpec {
     assert(rowLocal.exists(_._3 > 0), "no contamination found — test is vacuous")
   }
 
+  test("incremental spans: vs-corpus and within-batch hits merge; corpus untouched") {
+    val corpus = docs(0L -> "old corpus text alpha beta gamma delta")
+    val rep = "one two three four five"
+    val batch = docs(
+      // shares a 5-gram with the corpus AND repeats one internally
+      3L -> s"corpus text alpha beta gamma tail $rep",
+      6L -> s"fresh start here $rep closing words now")
+    val spans = DupSpans.incrementalSpans(corpus, batch, k = 5)
+      .orderBy($"doc_id", $"span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 3: tokens 0..4 "corpus text alpha beta gamma" hit the corpus
+    // (its window at pos 1..5? corpus has "corpus text alpha beta gamma"?)
+    // corpus windows include "corpus text alpha beta gamma" at pos 1 =>
+    // doc3 pos0 window matches => span [0,5). doc 6 carries the batch's
+    // SECOND copy of the repeated phrase at tokens 3..7 => span [3,8);
+    // doc 3's copy (pos 6) is the batch-first occurrence and stays
+    assert(spans == Seq((3L, 0L, 5L), (6L, 3L, 8L)))
+  }
+
   test("scrub removal count equals total merged span length per doc") {
     val d = Tables.documents(spark, sf01).limit(200)
     val spans = DupSpans.dupSpans(d, 5)
