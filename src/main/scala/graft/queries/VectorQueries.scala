@@ -222,7 +222,64 @@ object VectorQueries extends QueryPack {
                            ORDER BY cosine DESC, neighbor_id) AS rn
       FROM cos) WHERE rn <= 5 ORDER BY query_id, rn"""))
 
+  // ---- embedding drift between two corpus snapshots (vec_id parity
+  //      stands in for snapshot versions, as in t_snapshot_diff): per
+  //      label, the cosine between snapshot centroid directions and the
+  //      centroid-norm ratio — the vector-space member of the monitoring
+  //      family (PSI drift covers scalars, this covers representations).
+  //      Cosine is scale-invariant so exact integer SUM vectors stand in
+  //      for centroids; dots go through DECIMAL(38,0) and stay exact ----
+  private val embeddingDrift = OracleQuery(
+    "vx_embedding_drift",
+    (s, d) => {
+      def half(parity: Int) = longForm(s, d)
+        .filter(pmod(col("vec_id"), lit(2)) === parity)
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("vq")).as("sv"),
+          countDistinct(col("vec_id")).as("n"))
+      val j = half(0).select(col("label"), col("pos"), col("sv").as("sa"),
+          col("n").as("n_a"))
+        .join(half(1).select(col("label"), col("pos"), col("sv").as("sb"),
+          col("n").as("n_b")), Seq("label", "pos"))
+      j.groupBy(col("label"), col("n_a"), col("n_b"))
+        .agg(
+          sum((col("sa") * col("sb")).cast(DecimalType(38, 0)))
+            .cast("double").as("dab"),
+          sum((col("sa") * col("sa")).cast(DecimalType(38, 0)))
+            .cast("double").as("daa"),
+          sum((col("sb") * col("sb")).cast(DecimalType(38, 0)))
+            .cast("double").as("dbb"))
+        .select(col("label"), col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          (col("dab") / (sqrt(col("daa")) * sqrt(col("dbb")) + lit(1e-12)))
+            .as("centroid_cos"),
+          ((sqrt(col("daa")) / col("n_a").cast("double")) /
+            (sqrt(col("dbb")) / col("n_b").cast("double")))
+            .as("cnorm_ratio"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH lf AS ($LF_SQL), h AS (
+      SELECT label, pos, vec_id % 2 AS par, SUM(vq) AS sv,
+        COUNT(DISTINCT vec_id) AS n
+      FROM lf GROUP BY 1, 2, 3
+    ), j AS (
+      SELECT a.label, a.pos, a.sv AS sa, a.n AS n_a, b.sv AS sb, b.n AS n_b
+      FROM h a JOIN h b ON b.label = a.label AND b.pos = a.pos
+        AND a.par = 0 AND b.par = 1
+    ), dots AS (
+      SELECT label, n_a, n_b,
+        CAST(SUM(CAST(sa * sb AS DECIMAL(38,0))) AS DOUBLE) AS dab,
+        CAST(SUM(CAST(sa * sa AS DECIMAL(38,0))) AS DOUBLE) AS daa,
+        CAST(SUM(CAST(sb * sb AS DECIMAL(38,0))) AS DOUBLE) AS dbb
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      dab / (sqrt(daa) * sqrt(dbb) + 1e-12) AS centroid_cos,
+      (sqrt(daa) / CAST(n_a AS DOUBLE)) / (sqrt(dbb) / CAST(n_b AS DOUBLE))
+        AS cnorm_ratio
+    FROM dots ORDER BY label"""))
+
   override val all: Seq[OracleQuery] = Seq(
     centroidPerLabel, l2norm, centroidCosine, centerMinmax,
-    varianceTopk, simTopk)
+    varianceTopk, simTopk, embeddingDrift)
 }
