@@ -47,6 +47,51 @@ object RetrievalEval {
           .as("reciprocal_rank"))
   }
 
+  /** Discount weights 1/log₂(r+1) for ranks 1..k and their prefix sums —
+    * computed ONCE in the JVM and embedded as shortest-roundtrip literals
+    * everywhere they are used (including oracle SQL): libm log is not
+    * bit-stable across engines, but a literal parsed back IS the same
+    * double, so the log-discounted metric becomes exactly replayable (the
+    * Poisson-bootstrap identical-literals recipe).
+    */
+  def ndcgWeights(k: Int): Seq[(Int, BigDecimal, BigDecimal)] = {
+    // quantize each libm-computed weight to an EXACT 15-digit decimal
+    // rational; all downstream sums are then pure decimal arithmetic with
+    // no double→decimal cast whose tie-rounding could differ cross-engine
+    val w = (1 to k).map(r => BigDecimal(
+      1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(15, BigDecimal.RoundingMode.HALF_UP))
+    val cum = w.scanLeft(BigDecimal(0))(_ + _).tail
+    (1 to k).map(r => (r, w(r - 1), cum(r - 1)))
+  }
+
+  /** Per-query binary-relevance nDCG@k: DCG over the hit ranks with the
+    * literal discount table, ideal DCG from the truth-list size's prefix
+    * sum. Output `(query_id, n_rel, dcg, ndcg)`.
+    */
+  def ndcgPerQuery(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = results.sparkSession
+    import spark.implicits._
+    val wDf = ndcgWeights(k).map(t => (t._1, t._2)).toDF("rn", "wt")
+    val cumDf = ndcgWeights(k).map(t => (t._1, t._3)).toDF("nr", "cw")
+    val rel = truth.filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val dcg = results.filter(col("rn") <= k)
+      .join(rel, Seq("query_id", "neighbor_id"))
+      .join(broadcast(wDf), Seq("rn"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("wt")).cast(DoubleType).as("dcg")) // exact decimal sum
+    truth.filter(col("rn") <= k).groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("n_rel"))
+      .join(broadcast(cumDf), col("n_rel") === col("nr"))
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel").cast("long").as("n_rel"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        (coalesce(col("dcg"), lit(0.0)) / col("cw").cast(DoubleType))
+          .as("ndcg"))
+  }
+
   /** Macro-averaged summary of a [[perQuery]] relation: query count, mean
     * recall@k, MRR, and hit rate. Double means go through an exact DECIMAL
     * sum (the engine-wide Exact.dsum convention) so the averages are

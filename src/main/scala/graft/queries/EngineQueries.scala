@@ -1039,6 +1039,47 @@ object EngineQueries extends QueryPack {
     SELECT query_id, n_hits, first_hit_rank, recall_at_k, reciprocal_rank
     FROM pq ORDER BY query_id"""))
 
+  // nDCG over the same IVF-vs-truth pairing: log-discount weights are
+  // JVM-computed once and embedded as shortest-roundtrip literals in BOTH
+  // engines (libm log is not bit-stable; a parsed literal is), so the
+  // published ranking metric joins the exact-replayable set
+  private val retrievalEvalNdcg = OracleQuery(
+    "vx_retrieval_eval_ndcg",
+    (s, d) => {
+      val embQ = quantizedEmb(s, d)
+      val queries = embQ.filter(col("vec_id") < 10)
+      val results = SimilaritySearch.ivfProbe(prepareIvfIndex(s, d), queries,
+        k = 5, nprobe = 4)
+      val truth = SimilaritySearch.bruteForceTopK(embQ, queries, k = 5)
+      graft.operators.RetrievalEval.ndcgPerQuery(results, truth, k = 5)
+        .orderBy(col("query_id"))
+    },
+    Some {
+      val wRows = graft.operators.RetrievalEval.ndcgWeights(5)
+        .map { case (r, w, _) =>
+          s"($r, CAST($w AS DECIMAL(16,15)))" }.mkString(", ")
+      val cRows = graft.operators.RetrievalEval.ndcgWeights(5)
+        .map { case (r, _, c) =>
+          s"($r, CAST($c AS DECIMAL(16,15)))" }.mkString(", ")
+      s"""WITH $IVF_EVAL_CTES, wt(rn, w) AS (VALUES $wRows
+    ), cum(nr, cw) AS (VALUES $cRows
+    ), dcg AS (
+      SELECT r.query_id, CAST(SUM(wt.w) AS DOUBLE) AS dcg
+      FROM res r
+      JOIN bt ON bt.query_id = r.query_id AND bt.neighbor_id = r.neighbor_id
+      JOIN wt ON wt.rn = r.rn
+      GROUP BY 1
+    ), nrel AS (
+      SELECT query_id, CAST(COUNT(*) AS INT) AS n_rel FROM bt GROUP BY 1
+    )
+    SELECT q.query_id, CAST(q.n_rel AS BIGINT) AS n_rel,
+      COALESCE(d.dcg, 0.0) AS dcg,
+      COALESCE(d.dcg, 0.0) / CAST(cum.cw AS DOUBLE) AS ndcg
+    FROM nrel q JOIN cum ON cum.nr = q.n_rel
+    LEFT JOIN dcg d ON d.query_id = q.query_id
+    ORDER BY q.query_id"""
+    })
+
   private val retrievalEvalSummary = OracleQuery(
     "vx_retrieval_eval_summary",
     (s, d) => graft.operators.RetrievalEval.summarize(ivfEvalPerQuery(s, d)),
@@ -2383,7 +2424,8 @@ object EngineQueries extends QueryPack {
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,
     annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
-    retrievalEvalIvf, retrievalEvalSummary, clusterBalancedSample,
+    retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
+    clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
     streamVecNearDupQ,
     dedupCosinePairs, dedupEmbeddingCanonical, dedupEmbeddingCanonicalQ,

@@ -68,6 +68,23 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(sm.getAs[Double]("hit_rate") == 0.5)
   }
 
+  test("nDCG: perfect list scores 1, a single late hit scores w(r)/idcg") {
+    val truth = ranks((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val perfect = RetrievalEval.ndcgPerQuery(truth, truth, k = 3).collect()(0)
+    assert(math.abs(perfect.getAs[Double]("ndcg") - 1.0) < 1e-12)
+    // only truth-doc 12 retrieved, at result rank 2
+    val res = ranks((1L, 99L, 1), (1L, 12L, 2), (1L, 98L, 3))
+    val one = RetrievalEval.ndcgPerQuery(res, truth, k = 3).collect()(0)
+    val w = RetrievalEval.ndcgWeights(3)
+    val expected = (w(1)._2 / w(2)._3).toDouble
+    assert(math.abs(one.getAs[Double]("ndcg") - expected) < 1e-12,
+      s"ndcg ${one.getAs[Double]("ndcg")} vs $expected")
+    // no hits => ndcg 0, query kept
+    val none = RetrievalEval.ndcgPerQuery(
+      ranks((1L, 77L, 1)), truth, k = 3).collect()(0)
+    assert(none.getAs[Double]("ndcg") == 0.0)
+  }
+
   test("IVF recall spec bound holds through the eval operator at sf0.001") {
     val emb = Tables.embeddings(spark, sf001)
     val queries = emb.filter(col("vec_id") < 10)
