@@ -89,7 +89,12 @@ object Bench {
     build("lex_index", selected.exists(_._1 == "t_bm25_artifact_topk")) {
       graft.queries.TextQueries.prepareLexIndex(spark, sfDir); ()
     }
-    build("dupspan_spans", selected.exists(_._1.startsWith("t_dupspan_"))) {
+    // only the three consumers of the memoized detection pass — the
+    // decontaminate/incremental gates build their own (benchmark-bounded /
+    // batch-bounded) artifacts and never read prepareDupSpans
+    build("dupspan_spans", selected.exists(e =>
+        e._1 == "t_dupspan_spans" || e._1 == "t_dupspan_scrub" ||
+        e._1 == "t_dupspan_scrub_stats")) {
       graft.queries.TextQueries.prepareDupSpans(spark, sfDir); ()
     }
     build("power_eigs", selected.exists(_._1 == "vx_pca_power_quantized")) {

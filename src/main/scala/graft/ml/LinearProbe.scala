@@ -18,8 +18,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * would poison a cross-engine gate. Ridge + sign readout gives the same
   * separability signal with exactly replayable arithmetic.
   *
-  * Exactness inventory: A = XᵀX/2²⁰ + I (gram exact integers, one double
-  * rounding each, exact power-of-two scaling, unit ridge), b = Xᵀy/2²⁰
+  * Exactness inventory: A = XᵀX/2³⁰ + I (gram exact integers, one double
+  * rounding each, exact power-of-two scaling, unit ridge), b = Xᵀy/2³⁰
   * (y = ±1, exact), CG state updates are per-element IEEE (mul-then-add,
   * identical order both engines), all reductions through DECIMAL(38,18).
   * Fixed `rounds` — convergence is the SPEC's claim (accuracy vs MLlib),
@@ -48,7 +48,7 @@ object LinearProbe {
   def fitCg(lf: DataFrame, dim: Int, rounds: Int): Seq[(Int, Double)] = {
     val spark = lf.sparkSession
     import spark.implicits._
-    // A = XᵀX / 2^20 + I  (exact ints -> one rounding -> exact scaling)
+    // A = XᵀX / 2^30 + I  (exact ints -> one rounding -> exact scaling)
     val aRows = lf.as("a").join(lf.as("b"), "vec_id")
       .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
       .agg((sum((col("a.q") * col("b.q")).cast(DecimalType(38, 0)))
@@ -57,7 +57,7 @@ object LinearProbe {
         r.getDouble(2) + (if (r.getInt(0) == r.getInt(1)) 1.0 else 0.0)))
     require(aRows.length == dim * dim, s"gram has ${aRows.length} entries")
     val aLocal = aRows.toSeq.toDF("i", "j", "ad")
-    // b = Xᵀy / 2^20 (y = ±1 -> q*y exact integer)
+    // b = Xᵀy / 2^30 (y = ±1 -> q*y exact integer)
     val b = lf.groupBy(col("pos").as("i"))
       .agg((sum((col("q") * col("y")).cast(DecimalType(38, 0)))
         .cast(DoubleType) / lit(GramScale)).as("bd"))

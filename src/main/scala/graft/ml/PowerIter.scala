@@ -80,10 +80,15 @@ object PowerIter {
     import spark.implicits._
     val n = lf.select(col("vec_id")).distinct().count()
     val y = centered(lf, n)
-    // exact integer gram through DECIMAL(38,0), one rounding, one exact /2^50
+    // exact integer gram through DECIMAL(38,0), one rounding, one exact /2^50.
+    // Each factor is cast to DECIMAL(19,0) BEFORE the multiply: y ≈ n·q grows
+    // with corpus size, and a LongType product would wrap silently past ~3e5
+    // vectors while the DuckDB replay stays exact in HUGEINT.
+    val yA = col("a.y").cast(DecimalType(19, 0))
+    val yB = col("b.y").cast(DecimalType(19, 0))
     val gRows = y.as("a").join(y.as("b"), "vec_id")
       .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
-      .agg((sum((col("a.y") * col("b.y")).cast(DecimalType(38, 0)))
+      .agg((sum((yA * yB).cast(DecimalType(38, 0)))
         .cast(DoubleType) / lit(GramScale)).as("gd"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     require(gRows.length == dim * dim, s"gram has ${gRows.length} entries")

@@ -241,14 +241,17 @@ object VectorQueries extends QueryPack {
           col("n").as("n_a"))
         .join(half(1).select(col("label"), col("pos"), col("sv").as("sb"),
           col("n").as("n_b")), Seq("label", "pos"))
+      // Cast the Long sum-vectors to DECIMAL(19,0) BEFORE multiplying so the
+      // product itself is decimal-exact (DECIMAL(38,0)); a LongType multiply
+      // would wrap silently once a label/parity half exceeds ~3000 vectors
+      // while the DuckDB oracle computes it exactly in HUGEINT.
+      val sa = col("sa").cast(DecimalType(19, 0))
+      val sb = col("sb").cast(DecimalType(19, 0))
       j.groupBy(col("label"), col("n_a"), col("n_b"))
         .agg(
-          sum((col("sa") * col("sb")).cast(DecimalType(38, 0)))
-            .cast("double").as("dab"),
-          sum((col("sa") * col("sa")).cast(DecimalType(38, 0)))
-            .cast("double").as("daa"),
-          sum((col("sb") * col("sb")).cast(DecimalType(38, 0)))
-            .cast("double").as("dbb"))
+          sum((sa * sb).cast(DecimalType(38, 0))).cast("double").as("dab"),
+          sum((sa * sa).cast(DecimalType(38, 0))).cast("double").as("daa"),
+          sum((sb * sb).cast(DecimalType(38, 0))).cast("double").as("dbb"))
         .select(col("label"), col("n_a").cast("long").as("n_a"),
           col("n_b").cast("long").as("n_b"),
           (col("dab") / (sqrt(col("daa")) * sqrt(col("dbb")) + lit(1e-12)))

@@ -80,9 +80,14 @@ object Compaction {
         row_number().over(
           Window.partitionBy(col("part")).orderBy(col("path"))).cast("long"))
 
-  /** Execute a compaction: rewrite `inDir` to `outDir` with one output
-    * partition per planned bin (each holding its bin's rows; empty
-    * partitions write nothing). Returns (filesBefore, binsPlanned).
+  /** Execute a compaction: rewrite `inDir` to `outDir` with EXACTLY one
+    * output file per planned bin. Each (part, bin) pair gets a dense id
+    * 0..nBins-1 from the collected plan — bounded metadata, one row per
+    * INPUT FILE, never per data row — and an identity partitioner places
+    * each bin in its own output partition. (A hash `repartition` on a raw
+    * bin key would co-locate ~1/e of bins into doubled files that overshoot
+    * `targetBytes` while leaving other partitions empty.) Returns
+    * (filesBefore, binsPlanned).
     */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): (Long, Long) = {
@@ -90,17 +95,36 @@ object Compaction {
     val plan = planCompaction(listing, targetBytes)
       .join(listing.select(col("part"), col("file_id"), col("path")),
         Seq("part", "file_id"))
-      .select(col("path"), (hash(col("part")).cast("long") * 65536L +
-        col("bin")).as("__bin"))
-    val nFiles = plan.count()
-    val nBins = plan.select(col("__bin")).distinct().count()
-    spark.read.parquet(inDir)
+      .select(col("path"), col("part"), col("bin"))
+    val pathBin = plan.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // dense bin ids in deterministic (part, bin) order — no hash collisions
+    val bid = pathBin.map { case (_, part, bin) => (part, bin) }.distinct
+      .sorted.zipWithIndex.toMap
+    val nFiles = pathBin.length.toLong
+    val nBins = bid.size
+    if (nBins == 0) return (0L, 0L)
+    import spark.implicits._
+    val pathBid = pathBin.toSeq
+      .map { case (p, part, bin) => (p, bid((part, bin))) }
+      .toDF("path", "__bid")
+    val data = spark.read.parquet(inDir)
       .withColumn("path", col("_metadata.file_path"))
-      .join(broadcast(plan), Seq("path"))
+      .join(broadcast(pathBid), Seq("path"))
       .drop("path")
-      .repartition(nBins.toInt, col("__bin"))
-      .drop("__bin")
+    val bidIdx = data.schema.fieldIndex("__bid")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      data.schema.filterNot(_.name == "__bid"))
+    val identityPart = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nBins
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val rdd = data.rdd
+      .map(r => (r.getInt(bidIdx),
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(bidIdx, Nil, 1))))
+      .partitionBy(identityPart).values
+    spark.createDataFrame(rdd, outSchema)
       .write.mode("overwrite").parquet(outDir)
-    (nFiles, nBins)
+    (nFiles, nBins.toLong)
   }
 }

@@ -75,7 +75,9 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == rowsBefore)
     val filesAfter = new java.io.File(out).listFiles()
       .count(_.getName.endsWith(".parquet"))
-    assert(filesAfter <= nBins.toInt,
+    // the plan's promise is EXACT: one output file per planned bin, so the
+    // size ceiling the plan computed actually holds in the rewrite
+    assert(filesAfter == nBins.toInt,
       s"wrote $filesAfter files for $nBins planned bins")
   }
 }
