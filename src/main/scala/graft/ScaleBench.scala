@@ -464,22 +464,26 @@ object ScaleBench {
           }
           val rSrp = recallAtK(truth, srpProbe)
 
-          // the refine dial at the same size: for the shortlist methods
-          // (SRP full-scan sketch, IVF-PQ ADC) refine touches only the
-          // exact re-rank join — the Hamming/ADC scan cost is unchanged —
-          // so recovering recall lost to margin collapse is nearly free.
-          // These second points measure that recovery and its cost.
+          // the refine dial at the same size, now via the AUTO policy
+          // (refineScaleParam: refine ∝ √(n/2000) from the measured base
+          // dial): for the shortlist methods (SRP full-scan sketch, IVF-PQ
+          // ADC) refine touches only the exact re-rank join — the
+          // Hamming/ADC scan cost is unchanged — so recovering recall lost
+          // to margin collapse is nearly free. These second points measure
+          // the policy's recovery and its cost at every size.
+          val refPq = SimilaritySearch.refineScaleParam(n, base = 4)
+          val refSrp = SimilaritySearch.refineScaleParam(n, base = 8)
           var pqProbeW: DataFrame = null
           val tPqProbeW = timeIt {
             pqProbeW = SimilaritySearch.ivfProbePqRefined(
-              pqIdx, emb, queries, K, nprobe = nprobe, refine = 16).persist()
+              pqIdx, emb, queries, K, nprobe = nprobe, refine = refPq).persist()
             pqProbeW.count(); ()
           }
           val rPqW = recallAtK(truth, pqProbeW)
           var srpProbeW: DataFrame = null
           val tSrpProbeW = timeIt {
             srpProbeW = SimilaritySearch.hammingTopK(
-              sketched, emb, queries, K, refine = 64, bits = 128).persist()
+              sketched, emb, queries, K, refine = refSrp, bits = 128).persist()
             srpProbeW.count(); ()
           }
           val rSrpW = recallAtK(truth, srpProbeW)
@@ -488,9 +492,9 @@ object ScaleBench {
             s"brute=${fmt(tBrute)}s " +
             s"ivf=${fmt(rIvf)} (build ${fmt(tIvfBuild)}s probe ${fmt(tIvfProbe)}s) " +
             s"ivfpq=${fmt(rPq)} (build ${fmt(tPqBuild)}s probe ${fmt(tPqProbe)}s) " +
-            s"ivfpq_r16=${fmt(rPqW)} (probe ${fmt(tPqProbeW)}s) " +
+            s"ivfpq_auto_r$refPq=${fmt(rPqW)} (probe ${fmt(tPqProbeW)}s) " +
             s"srp=${fmt(rSrp)} (build ${fmt(tSrpBuild)}s probe ${fmt(tSrpProbe)}s) " +
-            s"srp_r64=${fmt(rSrpW)} (probe ${fmt(tSrpProbeW)}s)")
+            s"srp_auto_r$refSrp=${fmt(rSrpW)} (probe ${fmt(tSrpProbeW)}s)")
           Seq(ivfProbe, pqProbe, pqProbeW, srpProbe, srpProbeW, sketched,
             truth, queries, emb).foreach(_.unpersist())
           ivfIdx.unpersist(); pqIdx.unpersist()
@@ -498,9 +502,9 @@ object ScaleBench {
             s""""brute_sec":${fmt(tBrute)},""" +
             s""""ivf":{"recall":${fmt(rIvf)},"build_sec":${fmt(tIvfBuild)},"probe_sec":${fmt(tIvfProbe)}},""" +
             s""""ivfpq_refined":{"recall":${fmt(rPq)},"build_sec":${fmt(tPqBuild)},"probe_sec":${fmt(tPqProbe)}},""" +
-            s""""ivfpq_refine16":{"recall":${fmt(rPqW)},"probe_sec":${fmt(tPqProbeW)}},""" +
+            s""""ivfpq_auto":{"refine":$refPq,"recall":${fmt(rPqW)},"probe_sec":${fmt(tPqProbeW)}},""" +
             s""""srp_hamming":{"recall":${fmt(rSrp)},"build_sec":${fmt(tSrpBuild)},"probe_sec":${fmt(tSrpProbe)}},""" +
-            s""""srp_refine64":{"recall":${fmt(rSrpW)},"probe_sec":${fmt(tSrpProbeW)}}}"""
+            s""""srp_auto":{"refine":$refSrp,"recall":${fmt(rSrpW)},"probe_sec":${fmt(tSrpProbeW)}}}"""
         }
         sections.mkString("{", ",", "}")
       }

@@ -1048,6 +1048,60 @@ object SimilaritySearch {
     (nlist, nprobe)
   }
 
+  /** Shortlist-width scale policy for the re-rank families ([[hammingTopK]],
+    * [[ivfProbePqRefined]]): refine grows ∝ √(n/2000) from the family's
+    * measured-good base dial at the 2k testdata. Mechanism (BASELINE.md
+    * recall table): the Hamming/ADC estimator's noise is FIXED (by `bits` /
+    * the codebook), so on margin-collapsed corpora the number of background
+    * competitors whose estimated score ties the true k-th neighbor grows
+    * with n, and a fixed shortlist dilutes — measured decay 0.60 → 0.24
+    * (SRP refine=8) and 0.37 → 0.16 (ADC refine=4) across ×100. Widening
+    * refine touches ONLY the k·refine-row exact re-rank join, never the
+    * scan (SRP refine=64 measured FASTER than refine=8 at every size), so
+    * the √n policy buys back most of the decay at negligible cost: at 200k
+    * it lands at/above the measured recovery dials (SRP ≥ 64 → recall
+    * 0.48 vs 0.24; ADC ≥ 16 → 0.29 vs 0.16). Full flatness on a
+    * margin-collapsed corpus would need shortlist ∝ n (no sub-linear
+    * method avoids that regime); on structured corpora the base dial is
+    * already recall-1.0 (planted-twin table). `cap` bounds the re-rank
+    * join for pathological n.
+    */
+  def refineScaleParam(n: Long, base: Int, cap: Int = 1024): Int = {
+    require(base > 0 && cap >= base, s"need 0 < base <= cap, got $base/$cap")
+    val scaled = math.ceil(base * math.sqrt(n.toDouble / 2000.0)).toInt
+    math.min(cap, math.max(base, scaled))
+  }
+
+  /** [[hammingTopK]] with the shortlist width derived from the corpus size
+    * via [[refineScaleParam]] (base = the 2k-measured dial 8) instead of
+    * pinned by the caller — a user who follows the types gets the policy,
+    * not a silently-decaying constant. Costs one `count()`; callers that
+    * already know n should apply [[refineScaleParam]] themselves. Recall
+    * is monotone in refine (a wider shortlist is a superset and exact
+    * re-ranking cannot evict a true top-k neighbor), so auto ≥ fixed-base
+    * recall deterministically — ScaleBenchSpec pins both the policy values
+    * at the measured sizes and the monotonicity end-to-end.
+    */
+  def hammingTopKAuto(
+      sketched: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 128, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val refine = refineScaleParam(corpus.count(), base = 8)
+    hammingTopK(sketched, corpus, queries, k, refine, bits, seed, idCol, vecCol)
+  }
+
+  /** [[ivfProbePqRefined]] with the shortlist width derived from the
+    * corpus size via [[refineScaleParam]] (base = the 2k-measured dial 4);
+    * see [[hammingTopKAuto]] for the contract.
+    */
+  def ivfProbePqRefinedAuto(
+      index: IvfPqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val refine = refineScaleParam(corpus.count(), base = 4)
+    ivfProbePqRefined(index, corpus, queries, k, nprobe, refine, idCol, vecCol)
+  }
+
   /** [[ivfTopK]] with (nlist, nprobe) derived from the corpus size via
     * [[ivfScaleParams]] instead of pinned by the caller. Costs one
     * `count()`; callers that already know n should apply the policy

@@ -222,4 +222,70 @@ class ScaleBenchSpec extends SparkSpec {
     assert(rSrp >= 0.5, s"SRP policy recall@5 $rSrp below bound")
     ivfIdx.unpersist(); truth.unpersist(); emb.unpersist()
   }
+
+  test("refineScaleParam: base at the 2k point, measured recovery dials at 200k, capped") {
+    import graft.operators.SimilaritySearch.refineScaleParam
+    // identity at the measurement anchor
+    assert(refineScaleParam(2000L, 8) == 8)
+    assert(refineScaleParam(2000L, 4) == 4)
+    // floors below the anchor
+    assert(refineScaleParam(100L, 8) == 8)
+    // the x100 point must land at/above the dials whose recall was
+    // measured to recover the fixed-dial decay (BASELINE.md recall
+    // table: SRP refine=64 -> 0.484 vs refine=8 -> 0.236; ADC
+    // refine=16 -> 0.292 vs refine=4 -> 0.156)
+    assert(refineScaleParam(200000L, 8) >= 64,
+      s"SRP auto refine ${refineScaleParam(200000L, 8)} below measured recovery dial")
+    assert(refineScaleParam(200000L, 4) >= 16,
+      s"ADC auto refine ${refineScaleParam(200000L, 4)} below measured recovery dial")
+    // monotone in n; cap bounds the re-rank join
+    val vals = Seq(2000L, 20000L, 200000L, 2000000L).map(refineScaleParam(_, 8))
+    assert(vals == vals.sorted)
+    assert(refineScaleParam(10000000000L, 8) == 1024)
+  }
+
+  test("auto refine APIs: recall monotone vs the fixed base dial on the x4 corpus") {
+    import graft.operators.SimilaritySearch
+    val emb = Tables.embeddings(spark, out)
+      .select(col("vec_id"), col("embedding")).persist()
+    val n = emb.count()
+    assert(n == 2000L, s"x4 corpus has $n vectors")
+    // 2000 is the policy's measurement anchor: auto == the measured base
+    // dial there (widening starts above it — the 200k pins are in the
+    // refineScaleParam test)
+    assert(SimilaritySearch.refineScaleParam(n, 8) == 8)
+    val queries = emb.orderBy(xxhash64(col("vec_id"), lit(7L))).limit(15)
+    val truth = SimilaritySearch.bruteForceTopK(emb, queries, 5).persist()
+    val sketched = SimilaritySearch.srpSketch(emb, bits = 128).persist()
+    val rAuto = ScaleBench.recallAtK(truth,
+      SimilaritySearch.hammingTopKAuto(sketched, emb, queries, 5))
+    val rFixed = ScaleBench.recallAtK(truth,
+      SimilaritySearch.hammingTopK(sketched, emb, queries, 5, refine = 8))
+    // at the anchor, auto must reproduce the fixed dial exactly
+    info(s"SRP at n=$n: fixed refine=8 recall $rFixed, auto recall $rAuto")
+    assert(rAuto == rFixed, s"auto $rAuto != fixed $rFixed at the anchor")
+    // the monotonicity that makes the policy safe: a wider shortlist is a
+    // superset and exact re-ranking cannot evict a true top-k neighbor,
+    // so recall never DECREASES as refine widens
+    val rWide = ScaleBench.recallAtK(truth,
+      SimilaritySearch.hammingTopK(sketched, emb, queries, 5, refine = 32))
+    info(s"SRP at n=$n: refine=32 recall $rWide")
+    assert(rWide >= rFixed,
+      s"refine=32 recall $rWide below refine=8 $rFixed — monotonicity broken")
+    val pqIdx = SimilaritySearch.buildIvfPqIndex(emb,
+      nlist = ScaleBench.ivfScaleParams(n)._1)
+    val nprobe = ScaleBench.ivfScaleParams(n)._2
+    val rPqFixed = ScaleBench.recallAtK(truth, SimilaritySearch
+      .ivfProbePqRefined(pqIdx, emb, queries, 5, nprobe = nprobe, refine = 4))
+    val rPqAuto = ScaleBench.recallAtK(truth, SimilaritySearch
+      .ivfProbePqRefinedAuto(pqIdx, emb, queries, 5, nprobe = nprobe))
+    info(s"IVF-PQ at n=$n: fixed refine=4 recall $rPqFixed, auto recall $rPqAuto")
+    assert(rPqAuto == rPqFixed, s"auto $rPqAuto != fixed $rPqFixed at the anchor")
+    val rPqWide = ScaleBench.recallAtK(truth, SimilaritySearch
+      .ivfProbePqRefined(pqIdx, emb, queries, 5, nprobe = nprobe, refine = 16))
+    info(s"IVF-PQ at n=$n: refine=16 recall $rPqWide")
+    assert(rPqWide >= rPqFixed,
+      s"refine=16 recall $rPqWide below refine=4 $rPqFixed — monotonicity broken")
+    pqIdx.unpersist(); sketched.unpersist(); truth.unpersist(); emb.unpersist()
+  }
 }
