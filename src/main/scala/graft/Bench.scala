@@ -97,6 +97,9 @@ object Bench {
         e._1 == "t_dupspan_scrub_stats")) {
       graft.queries.TextQueries.prepareDupSpans(spark, sfDir); ()
     }
+    build("zorder_layout", selected.exists(_._1 == "jx_zorder_layout_spans")) {
+      graft.queries.ScaleJoinQueries.prepareZorderLayout(spark, sfDir); ()
+    }
     build("power_eigs", selected.exists(_._1 == "vx_pca_power_quantized")) {
       graft.queries.EngineQueries.preparePowerEigs(spark, sfDir); ()
     }
