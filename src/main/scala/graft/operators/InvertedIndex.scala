@@ -96,16 +96,97 @@ object InvertedIndex {
       .write.mode("append").parquet(s"$dir/meta")
   }
 
+  /** Tombstone a batch of document ids (takedowns/right-to-erasure — the
+    * same governance motivation as the k-anonymity audit): appends to the
+    * `tombstones` relation; [[load]] applies them EXACTLY, so a probe
+    * after delete is bit-identical to a from-scratch build over the
+    * surviving corpus without touching the posting files. Idempotent
+    * (ids are distinct-ed at load) and safe for ids the index never held.
+    * Write cost is O(batch); the posting rewrite is deferred to
+    * [[compact]].
+    */
+  def delete(ids: DataFrame, dir: String, idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** [[delete]] for a driver-side id list. */
+  def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    delete(ids.toDF("doc_id"), dir)
+  }
+
+  /** Exact tombstone application: every BM25 input the deletions touch is
+    * reconstructed from the artifact itself — the dead docs' posting rows
+    * give the per-term df decrement, their doclens rows give the (n, sdl)
+    * decrement — so the adjusted index equals a rebuild over the
+    * surviving corpus relation-for-relation (integers throughout). The
+    * anti-joins broadcast the tombstone set (bounded by deletions, ≪
+    * corpus) and sit ABOVE the bucket filter in the probe plan, so
+    * partition pruning still reaches the posting scan.
+    */
+  private def applyTombstones(spark: SparkSession, idx: LexIndex,
+      dir: String): LexIndex = {
+    val tomb = spark.read.parquet(s"$dir/tombstones")
+      .select(col("doc_id")).distinct()
+    val dfDelta = idx.postings.join(broadcast(tomb), Seq("doc_id"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__ddf"))
+    val termDf = idx.termDf.join(broadcast(dfDelta), Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val dead = idx.docLens.join(broadcast(tomb), Seq("doc_id"))
+      .agg(count(lit(1)).as("dn"),
+        coalesce(sum(col("dl")), lit(0L)).as("dsdl")).collect()(0)
+    LexIndex(
+      idx.postings.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      idx.docLens.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      termDf,
+      idx.n - dead.getLong(0), idx.sdl - dead.getLong(1))
+  }
+
   def load(spark: SparkSession, dir: String): LexIndex = {
     // meta and termDf re-aggregate so appended deltas merge exactly
     val meta = spark.read.parquet(s"$dir/meta")
       .agg(sum(col("n")), sum(col("sdl"))).collect()(0)
-    LexIndex(
+    val base = LexIndex(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclens"),
       spark.read.parquet(s"$dir/termdf")
         .groupBy(col("term")).agg(sum(col("df")).as("df")),
       meta.getLong(0), meta.getLong(1))
+    if (new java.io.File(s"$dir/tombstones").exists())
+      applyTombstones(spark, base, dir)
+    else base
+  }
+
+  /** Fold accumulated tombstones into the artifact: rewrite the four
+    * relations with the dead documents removed (the [[Compaction]] rewrite
+    * shape applied to the index) and drop the tombstone relation. After
+    * compact, probes are bit-identical to a from-scratch build over the
+    * surviving corpus with NO per-probe anti-join cost. Stages into a
+    * sibling directory and swaps — at cluster scale this is the versioned
+    * artifact-directory cut-over; locally a rename.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    if (!new java.io.File(s"$dir/tombstones").exists()) return
+    val adjusted = load(spark, dir)
+    val staging = s"$dir-compact-staging"
+    save(LexIndex(
+      adjusted.postings.select(col("term"), col("doc_id"), col("tf"),
+        col("bucket")),
+      adjusted.docLens, adjusted.termDf, adjusted.n, adjusted.sdl), staging)
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmTree)
+      p.delete(); ()
+    }
+    Seq("postings", "doclens", "termdf", "meta").foreach { sub =>
+      rmTree(new java.io.File(s"$dir/$sub"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$staging/$sub"),
+        java.nio.file.Paths.get(s"$dir/$sub"))
+    }
+    rmTree(new java.io.File(s"$dir/tombstones"))
+    rmTree(new java.io.File(staging))
   }
 
   /** BM25 top-k over the artifact for a bag of query terms. The posting

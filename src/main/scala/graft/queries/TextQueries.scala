@@ -561,6 +561,72 @@ object TextQueries extends QueryPack {
         graft.operators.InvertedIndex.build(Tables.documents(s, d)), dir)
       graft.operators.InvertedIndex.load(s, dir)
     }(_ => ())
+  // ---- the tombstone-deletion lifecycle on the persisted index
+  //      (takedowns): build over the full corpus, DELETE doc_id%7==3,
+  //      COMPACT (folds those tombstones into rewritten postings), then
+  //      DELETE doc_id%5==1 and leave those tombstones LIVE — so the
+  //      probe exercises both the compacted rewrite and the
+  //      anti-join-at-probe path in one gate. The oracle computes BM25
+  //      from scratch over the surviving documents: every df/n/avgdl/tf/dl
+  //      the deletions touch must adjust EXACTLY for the hash to match ----
+  def prepareTombLexIndex(s: SparkSession,
+      d: String): graft.operators.InvertedIndex.LexIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"lex_index_tomb:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lexidx-tomb").toString
+      val docs = Tables.documents(s, d)
+      graft.operators.InvertedIndex.save(
+        graft.operators.InvertedIndex.build(docs), dir)
+      graft.operators.InvertedIndex.delete(
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), dir)
+      graft.operators.InvertedIndex.compact(s, dir)
+      graft.operators.InvertedIndex.delete(
+        docs.filter(col("doc_id") % 5 === 1).select(col("doc_id")), dir)
+      graft.operators.InvertedIndex.load(s, dir)
+    }(_ => ())
+  private val bm25Tombstone = OracleQuery(
+    "t_bm25_tombstone_topk",
+    (s, d) => {
+      val idx = prepareTombLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.InvertedIndex.bm25TopK(idx, terms, 10)
+    },
+    Some(s"""WITH live AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 1
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM live
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM live
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      SELECT w, df FROM dft ORDER BY df, w LIMIT 3
+    ), sc AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+    )
+    SELECT doc_id,
+      CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
+    FROM sc GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id LIMIT 10"""))
+
   private val bm25Artifact = OracleQuery(
     "t_bm25_artifact_topk",
     (s, d) => {
@@ -2438,5 +2504,6 @@ object TextQueries extends QueryPack {
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
-    bm25TopK, bm25Artifact, bpeTokenizeStats, streamSnapshotChanges)
+    bm25TopK, bm25Artifact, bm25Tombstone, bpeTokenizeStats,
+    streamSnapshotChanges)
 }

@@ -66,6 +66,84 @@ class InvertedIndexSpec extends SparkSpec {
     assert(probe(appended) == probe(rebuilt))
   }
 
+  private def probeRows(i: InvertedIndex.LexIndex, terms: Seq[String]) =
+    InvertedIndex.bm25TopK(i, terms, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("delete: tombstoned probe is bit-identical to a rebuild over survivors") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-del").toString
+    val all = Tables.documents(spark, sf001)
+    InvertedIndex.save(InvertedIndex.build(all), dir)
+    val deadIds = all.filter($"doc_id" % 7 === 3)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    InvertedIndex.delete(spark, dir, deadIds)
+    val adjusted = InvertedIndex.load(spark, dir)
+    val rebuilt = InvertedIndex.build(all.filter($"doc_id" % 7 =!= 3))
+    // stats relation-for-relation
+    assert(adjusted.n == rebuilt.n && adjusted.sdl == rebuilt.sdl)
+    val aDf = adjusted.termDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rDf = rebuilt.termDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(aDf == rDf)
+    val terms = rebuilt.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    assert(probeRows(adjusted, terms) == probeRows(rebuilt, terms))
+    // deleted docs never surface even for their own strongest terms
+    val deadSet = deadIds.toSet
+    val anyTerms = adjusted.termDf.orderBy($"df".desc, $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    assert(probeRows(adjusted, anyTerms).forall(p => !deadSet.contains(p._1)))
+  }
+
+  test("delete: idempotent, unknown ids are no-ops, sole-doc terms vanish") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta beta delta"),
+      (3L, "zeta zeta zeta unique0")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-del2").toString
+    InvertedIndex.save(InvertedIndex.build(docs), dir)
+    InvertedIndex.delete(spark, dir, Seq(3L, 99L)) // 99 never existed
+    InvertedIndex.delete(spark, dir, Seq(3L))      // double-delete
+    val adjusted = InvertedIndex.load(spark, dir)
+    assert(adjusted.n == 2L)
+    // zeta/unique0 existed only in doc 3: df must drop to zero and OUT
+    val terms = adjusted.termDf.collect().map(_.getString(0)).toSet
+    assert(!terms.contains("zeta") && !terms.contains("unique0"))
+    assert(InvertedIndex.bm25TopK(adjusted, Seq("unique0"), 3).collect()
+      .isEmpty)
+  }
+
+  test("compact folds tombstones: bit-equal probes, tombstones gone, append still works") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-compact").toString
+    val all = Tables.documents(spark, sf001)
+    InvertedIndex.save(InvertedIndex.build(all), dir)
+    InvertedIndex.delete(all.filter($"doc_id" % 7 === 3).select($"doc_id"), dir)
+    InvertedIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val compacted = InvertedIndex.load(spark, dir)
+    val rebuilt = InvertedIndex.build(all.filter($"doc_id" % 7 =!= 3))
+    assert(compacted.n == rebuilt.n && compacted.sdl == rebuilt.sdl)
+    val terms = rebuilt.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    assert(probeRows(compacted, terms) == probeRows(rebuilt, terms))
+    // compact on a tombstone-free artifact is a no-op, not an error
+    InvertedIndex.compact(spark, dir)
+    // the compacted artifact keeps the append contract: delete+compact+
+    // append ≡ build over (survivors + batch)
+    val batch = Seq((900001L, "alpha compacted appendix")).toDF("doc_id", "text")
+    InvertedIndex.append(dir, batch)
+    val appended = InvertedIndex.load(spark, dir)
+    val target = InvertedIndex.build(
+      all.filter($"doc_id" % 7 =!= 3).select($"doc_id", $"text")
+        .unionByName(batch))
+    assert(appended.n == target.n && appended.sdl == target.sdl)
+    assert(probeRows(appended, terms) == probeRows(target, terms))
+  }
+
   test("ranking semantics: a term unique to one doc ranks that doc first") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
