@@ -106,6 +106,10 @@ object Bench {
     build("power_eigs", selected.exists(_._1 == "vx_pca_power_quantized")) {
       graft.queries.EngineQueries.preparePowerEigs(spark, sfDir); ()
     }
+    build("power_eigs_lm",
+        selected.exists(_._1 == "vx_reduce2d_extend_quantized")) {
+      graft.queries.EngineQueries.prepareLandmarkEigs(spark, sfDir); ()
+    }
     build("probe_weights",
         selected.exists(_._1 == "vx_linear_probe_quantized")) {
       graft.queries.EngineQueries.prepareProbeWeights(spark, sfDir); ()

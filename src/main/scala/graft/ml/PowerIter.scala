@@ -166,19 +166,44 @@ object PowerIter {
   def projectSquaredWith(lf: DataFrame,
       solve: (Seq[(Int, Int, Double)], Seq[(Int, Double)]),
       idFilter: Column): DataFrame = {
-    val spark = lf.sparkSession
+    val n = lf.select(col("vec_id")).distinct().count()
+    scoreSquared(centered(lf, n).filter(idFilter), solve)
+  }
+
+  /** Out-of-sample squared projections — the exact-twin form of
+    * [[Reduce2d.full]]'s PCA extension: the basis AND the centering
+    * statistics (n, column sums) come from the LANDMARK subset only, and
+    * every selected row — landmark or not — projects through that frozen
+    * model map-only (one broadcast of 2×dim doubles, zero extra
+    * shuffles). `solve` must be the landmark fit
+    * (`leadingTwoLocal(lf.filter(landmarkFilter), …)`); passing a
+    * full-corpus solve silently scores against the wrong model.
+    */
+  def projectSquaredOutOfSample(lf: DataFrame, landmarkFilter: Column,
+      solve: (Seq[(Int, Int, Double)], Seq[(Int, Double)]),
+      idFilter: Column): DataFrame = {
+    val lm = lf.filter(landmarkFilter)
+    val n = lm.select(col("vec_id")).distinct().count()
+    val csum = lm.groupBy(col("pos")).agg(sum(col("q")).as("s"))
+    val y = lf.join(csum, "pos")
+      .select(col("vec_id"), col("pos"),
+        (lit(n) * col("q").cast("long") - col("s")).as("y"))
+      .filter(idFilter)
+    scoreSquared(y, solve)
+  }
+
+  private def scoreSquared(y: DataFrame,
+      solve: (Seq[(Int, Int, Double)], Seq[(Int, Double)])): DataFrame = {
+    val spark = y.sparkSession
     import spark.implicits._
     val (eigs, lams) = (solve._1.toDF("comp", "i", "x"),
       solve._2.toDF("comp", "nn"))
-    val n = lf.select(col("vec_id")).distinct().count()
-    val y = centered(lf, n).filter(idFilter)
-    val sc = y.join(eigs, y("pos") === eigs("i"))
+    y.join(eigs, y("pos") === eigs("i"))
       .groupBy(col("vec_id"), col("comp"))
       .agg(dsum18(col("y").cast("double") * col("x")).as("s"))
       .join(lams, "comp")
       .select(col("vec_id"), col("comp"),
         floor(col("s") * col("s")).cast("long").as("proj2_q"),
         floor(col("nn") * lit(1000000.0)).cast("long").as("lam_q"))
-    sc
   }
 }

@@ -2182,6 +2182,94 @@ object EngineQueries extends QueryPack {
     ORDER BY sc.vec_id, sc.comp"""
     })
 
+  // ---- the REDUCE2D EXTENSION's exact twin (Reduce2d.full's pca path):
+  //      fit the power-iteration basis AND the centering statistics on a
+  //      LANDMARK subset only (vec_id % 4 <> 3 — the bounded-sample fit),
+  //      then project HELD-OUT rows (vec_id % 4 = 3) through the frozen
+  //      model map-only. DuckDB replays the landmark eigen-solve (same
+  //      unrolled MATERIALIZED CTEs as vx_pca_power_quantized) plus the
+  //      out-of-sample projection, making the extension path FULL-oracle;
+  //      the t-SNE landmark variant stays spec-only (Reduce2dSpec) ----
+  def prepareLandmarkEigs(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Int, Int, Double)], Seq[(Int, Double)]) =
+    graft.SessionMemo.getOrElseUpdate(s, s"power_eigs_lm:$d")(
+      graft.ml.PowerIter.leadingTwoLocal(
+        quantizedLf(s, d).select(col("vec_id"), col("pos"), col("q"))
+          .filter(col("vec_id") % 4 =!= 3),
+        dim = 64, iters = 10))(_ => ())
+  private val reduce2dExtendQuantized = OracleQuery(
+    "vx_reduce2d_extend_quantized",
+    (s, d) =>
+      graft.ml.PowerIter.projectSquaredOutOfSample(
+          quantizedLf(s, d).select(col("vec_id"), col("pos"), col("q")),
+          landmarkFilter = col("vec_id") % 4 =!= 3,
+          solve = prepareLandmarkEigs(s, d),
+          idFilter = col("vec_id") % 4 === 3 && col("vec_id") < 100)
+        .orderBy(col("vec_id"), col("comp")),
+    Some {
+      def rounds(tag: String, gram: String): String =
+        (1 to 10).map { k =>
+          val prev = if (k == 1) s"v${tag}_0" else s"v${tag}_${k - 1}"
+          s"""mv${tag}_$k AS MATERIALIZED (
+      SELECT g.i, CAST(SUM(CAST(g.gd * v.x AS DECIMAL(38,18))) AS DOUBLE)
+        AS x
+      FROM $gram g JOIN $prev v ON g.j = v.i GROUP BY g.i
+    ), nr${tag}_$k AS MATERIALIZED (
+      SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)) AS nn
+      FROM mv${tag}_$k
+    ), v${tag}_$k AS MATERIALIZED (
+      SELECT i, x / nn AS x FROM mv${tag}_$k, nr${tag}_$k
+    )"""
+        }.mkString(", ")
+      s"""WITH lf AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)
+          AS q
+      FROM embeddings
+    ), lm AS MATERIALIZED (
+      SELECT * FROM lf WHERE vec_id % 4 <> 3
+    ), nn0 AS (
+      SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM lm
+    ), cs AS (
+      SELECT pos, SUM(q) AS s FROM lm GROUP BY pos
+    ), y AS MATERIALIZED (
+      SELECT lm.vec_id, lm.pos, nn0.n * lm.q - cs.s AS y
+      FROM lm JOIN cs ON cs.pos = lm.pos CROSS JOIN nn0
+    ), g AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j,
+        CAST(SUM(CAST(a.y * b.y AS DECIMAL(38,0))) AS DOUBLE)
+          / 1125899906842624.0 AS gd
+      FROM y a JOIN y b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ), v1_0 AS (
+      SELECT CAST(i AS INT) AS i, 1.0 AS x FROM range(0, 64) t(i)
+    ), ${rounds("1", "g")}, g2 AS MATERIALIZED (
+      SELECT g.i, g.j, g.gd - nr1_10.nn * vi.x * vj.x AS gd
+      FROM g JOIN v1_10 vi ON vi.i = g.i
+      JOIN v1_10 vj ON vj.i = g.j CROSS JOIN nr1_10
+    ), v2_0 AS (
+      SELECT CAST(i AS INT) AS i, 1.0 AS x FROM range(0, 64) t(i)
+    ), ${rounds("2", "g2")}, ev AS (
+      SELECT 1 AS comp, i, x FROM v1_10
+      UNION ALL SELECT 2 AS comp, i, x FROM v2_10
+    ), lam AS (
+      SELECT 1 AS comp, nn FROM nr1_10
+      UNION ALL SELECT 2 AS comp, nn FROM nr2_10
+    ), yx AS MATERIALIZED (
+      SELECT lf.vec_id, lf.pos, nn0.n * lf.q - cs.s AS y
+      FROM lf JOIN cs ON cs.pos = lf.pos CROSS JOIN nn0
+      WHERE lf.vec_id % 4 = 3 AND lf.vec_id < 100
+    ), sc AS (
+      SELECT yx.vec_id, ev.comp,
+        CAST(SUM(CAST(CAST(yx.y AS DOUBLE) * ev.x AS DECIMAL(38,18)))
+          AS DOUBLE) AS s
+      FROM yx JOIN ev ON ev.i = yx.pos GROUP BY 1, 2
+    )
+    SELECT sc.vec_id, sc.comp, CAST(floor(s * s) AS BIGINT) AS proj2_q,
+      CAST(floor(lam.nn * 1000000.0) AS BIGINT) AS lam_q
+    FROM sc JOIN lam ON lam.comp = sc.comp
+    ORDER BY sc.vec_id, sc.comp"""
+    })
+
   // ---- cross-engine-exact LINEAR PROBE (ml/LinearProbe): ridge of the
   //      ±1 label (label < 5) on the quantized embeddings, solved by 8
   //      fixed conjugate-gradient rounds on the exact normal equations —
@@ -2434,7 +2522,8 @@ object EngineQueries extends QueryPack {
     dedupMinhash, dedupSimhash, dedupCanonical, dedupIncremental,
     streamNearDup, streamTopK, streamSample, streamWeightedSample,
     streamChunkDedup, streamCuration, streamSpanDedup, curationFunnel,
-    pca2d, pcaPowerQuantized, linearProbeQuantized, reduce2dFull,
+    pca2d, pcaPowerQuantized, reduce2dExtendQuantized,
+    linearProbeQuantized, reduce2dFull,
     separability, deepfakeLifecycle,
     separabilityGbt)
 }

@@ -57,6 +57,28 @@ class PowerIterSpec extends SparkSpec {
       s"exchange between join and partial agg:\n$plan")
   }
 
+  test("out-of-sample projection: all-rows landmarks reduce to the in-sample form") {
+    val lf = quantized(sf001).select(col("vec_id"), col("pos"), col("q"))
+    val solve = PowerIter.leadingTwoLocal(lf, dim = 64, iters = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // landmarkFilter = everything → identical centering stats, so the
+    // extension path must reproduce projectSquaredWith bit-for-bit
+    assert(rows(PowerIter.projectSquaredOutOfSample(lf, lit(true), solve,
+        col("vec_id") < 20)) ==
+      rows(PowerIter.projectSquaredWith(lf, solve, col("vec_id") < 20)))
+    // held-out rows get coordinates from the landmark-only model without
+    // joining the landmark corpus per row (map-only: just csum + solve)
+    val lmSolve = PowerIter.leadingTwoLocal(
+      lf.filter(col("vec_id") % 4 =!= 3), dim = 64, iters = 10)
+    val ext = PowerIter.projectSquaredOutOfSample(lf,
+      col("vec_id") % 4 =!= 3, lmSolve, col("vec_id") % 4 === 3)
+    assert(ext.select(col("vec_id")).distinct().count() ==
+      lf.filter(col("vec_id") % 4 === 3)
+        .select(col("vec_id")).distinct().count())
+  }
+
   test("iterates are unit vectors and near-orthogonal after deflation") {
     Seq(1, 2).foreach { c =>
       val n2 = comp(c).map(x => x * x).sum
