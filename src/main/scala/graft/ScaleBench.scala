@@ -260,6 +260,15 @@ object ScaleBench {
 
     import graft.operators.{Dedup, EdJoin, SetJoin}
 
+    // per-dir artifacts for the serving-path families, populated by the
+    // builds step below (families are lambdas, so the late binding is
+    // safe — builds always run before the timing loop)
+    val lexIdx = scala.collection.mutable.Map
+      .empty[String, graft.operators.InvertedIndex.LexIndex]
+    var bm25Terms: Seq[String] = Nil
+    val evalRel = scala.collection.mutable.Map
+      .empty[String, (DataFrame, DataFrame)]
+
     // operator-level scope (NOT the slice-capped oracle gates): the gate
     // caps exist so the DuckDB n² replay stays feasible; the scaling
     // question is about the operator's full-corpus plan
@@ -364,6 +373,26 @@ object ScaleBench {
             floor(col("col").cast("double") * lit(10000.0)).cast("long")
               .as("q"))
         graft.ml.LinearProbe.probeReport(lf, 64, 8, 5)
+      },
+      // inverted-index BM25 probe against the persisted artifact (build
+      // timed separately): the query is FIXED — the base corpus's three
+      // most frequent terms, whose posting sizes are replica-invariant on
+      // the letter-rotated big corpus — so this row isolates what the
+      // probe actually pays as the corpus grows: the pruned bucket scan
+      // (query-term buckets hold ~1/64 of a 100x posting relation). If e
+      // climbs toward 1 the partition pruning is not reaching the scan
+      "bm25_probe" -> { dir: String =>
+        graft.operators.InvertedIndex.bm25TopK(lexIdx(dir), bm25Terms, 10)
+      },
+      // retrieval-eval harness over PERSISTED results/truth relations
+      // (built per dir, timed as builds): the metric computation joins
+      // queries x k rows against queries x k rows — its cost must be
+      // corpus-INVARIANT (e ~ 0); corpus size only ever enters through
+      // the artifacts
+      "retrieval_eval" -> { dir: String =>
+        val (res, truth) = evalRel(dir)
+        graft.operators.RetrievalEval.summarize(
+          graft.operators.RetrievalEval.perQuery(res, truth, 5))
       })
     // comma-separated subset for re-measuring single families after a fix
     val wanted = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -385,6 +414,41 @@ object ScaleBench {
       builds("bench_grams") = (
         timeIt { graft.queries.EngineQueries.prepareBenchGrams(spark, base); () },
         timeIt { graft.queries.EngineQueries.prepareBenchGrams(spark, out); () })
+    if (familySelected("bm25_probe")) {
+      def mkIdx(dir: String): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-scale-lexidx").toString
+        graft.operators.InvertedIndex.save(
+          graft.operators.InvertedIndex.build(Tables.documents(spark, dir)),
+          tmp)
+        lexIdx(dir) = graft.operators.InvertedIndex.load(spark, tmp)
+      }
+      builds("lex_index") = (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
+      bm25Terms = lexIdx(base).termDf
+        .orderBy(col("df").desc, col("term")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+    }
+    if (familySelected("retrieval_eval")) {
+      import graft.operators.SimilaritySearch
+      def mkEval(dir: String): Unit = {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val queries = emb.orderBy(xxhash64(col("vec_id"), lit(7L)))
+          .limit(50).persist()
+        queries.count()
+        // results = int8-quantized brute force (a real approximate
+        // system), truth = exact brute force; both corpus-scale scans,
+        // which is WHY they are artifacts here and not the family body
+        val qz = SimilaritySearch.quantizeInt8(emb)
+        val res = SimilaritySearch.int8BruteForceTopK(qz, queries, 5).persist()
+        res.count()
+        val truth = SimilaritySearch.bruteForceTopK(emb, queries, 5).persist()
+        truth.count()
+        evalRel(dir) = (res, truth)
+      }
+      builds("retrieval_artifacts") =
+        (timeIt { mkEval(base) }, timeIt { mkEval(out) })
+    }
 
     def minOf2(mk: => DataFrame): Double =
       Seq.fill(2)(timeIt { mk.count(); () }).min
