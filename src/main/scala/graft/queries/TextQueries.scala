@@ -2490,7 +2490,73 @@ object TextQueries extends QueryPack {
     LEFT JOIN kept kp ON kp.doc_id = r.doc_id
     ORDER BY r.doc_id"""))
 
+  // ---- RAG retrieval chunking (operators/Chunker): fixed-size token
+  //      windows with overlap, stable (doc, idx) identity + content hash.
+  //      Sampled docs (doc_id % 13 = 0) keep the full per-chunk relation
+  //      replayable at every SF; the stats gate runs the operator over
+  //      the WHOLE corpus and publishes the bounded per-source rollup ----
+  private val chunkWindows = OracleQuery(
+    "t_chunk_windows",
+    (s, d) => graft.operators.Chunker.chunk(
+        Tables.documents(s, d).filter(col("doc_id") % 13 === 0),
+        size = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 13 = 0
+    ), c AS (
+      SELECT doc_id, toks,
+        CASE WHEN len(toks) <= 32 THEN 1
+             ELSE 1 + CAST(ceil(CAST(len(toks) - 32 AS DOUBLE) / 24.0)
+               AS INT) END AS nch
+      FROM d
+    ), e AS (
+      SELECT doc_id, toks, unnest(generate_series(0, nch - 1)) AS ci FROM c
+    ), w AS (
+      SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        doc_id || '#' || ci AS chunk_uid,
+        CAST(ci * 24 AS BIGINT) AS token_start,
+        list_slice(toks, ci * 24 + 1, ci * 24 + 32) AS piece
+      FROM e
+    )
+    SELECT doc_id, chunk_idx, chunk_uid, token_start,
+      CAST(len(piece) AS BIGINT) AS n_tokens,
+      array_to_string(piece, ' ') AS chunk_text,
+      md5(array_to_string(piece, ' ')) AS chunk_hash
+    FROM w ORDER BY doc_id, chunk_idx"""))
+
+  private val chunkStats = OracleQuery(
+    "t_chunk_stats",
+    (s, d) => graft.operators.Chunker.chunkStats(
+        Tables.documents(s, d), size = 32, overlap = 8,
+        groupCol = "source")
+      .orderBy(col("source")),
+    Some("""WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, source, toks,
+        CASE WHEN len(toks) <= 32 THEN 1
+             ELSE 1 + CAST(ceil(CAST(len(toks) - 32 AS DOUBLE) / 24.0)
+               AS INT) END AS nch
+      FROM d
+    ), e AS (
+      SELECT doc_id, source, toks,
+        unnest(generate_series(0, nch - 1)) AS ci FROM c
+    ), w AS (
+      SELECT doc_id, source,
+        CAST(len(list_slice(toks, ci * 24 + 1, ci * 24 + 32)) AS BIGINT)
+          AS n_tokens
+      FROM e
+    )
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(floor(CAST(SUM(n_tokens) AS DOUBLE) * 1000000.0 / COUNT(*))
+        AS BIGINT) AS mean_len_ppm
+    FROM w GROUP BY source ORDER BY source"""))
+
   override val all: Seq[OracleQuery] = Seq(
+    chunkWindows, chunkStats,
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
     dupSpanIncremental, streamDecontaminate, repetitionTopgram,
     exactDedup, tokenStats, langSource, stopwordRatio,
