@@ -594,9 +594,41 @@ object EventQueries extends QueryPack {
       CAST(floor(${DSUM("term", 27, 18)} * 1000000.0) AS BIGINT) AS psi_q
     FROM terms GROUP BY day, event_type ORDER BY day, event_type"""))
 
+  // ---- regular-grid gap fill with LOCF (operators/GapFill): the
+  //      feature-engineering step turning the irregular event stream into
+  //      the fixed-step state grid (6h ticks, epoch-aligned, microsecond-
+  //      exact integer boundary arithmetic). The engine runs the
+  //      span-derived grid + union-scan as-of fill (one shuffle); DuckDB
+  //      replays with generate_series + its native ASOF JOIN — an
+  //      independent implementation of the same semantics ----
+  private val gapfillLocf = OracleQuery(
+    "e_gapfill_locf",
+    (s, d) => graft.operators.GapFill.locfGrid(
+        Tables.events(s, d).filter(col("user_id") < 40),
+        keyCol = "user_id", tsCol = "ts", valueCol = "value",
+        stepSeconds = 21600L, tieBreakCol = "event_id")
+      .orderBy(col("user_id"), col("slot_ts")),
+    Some("""WITH obs AS (
+      SELECT user_id, ts, max_by(value, event_id) AS v
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ), sp AS (
+      SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+      FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(
+        (lo + 21599999999) // 21600000000, hi // 21600000000)) AS k
+      FROM sp
+    ), g AS (
+      SELECT user_id, make_timestamp(k * 21600000000) AS slot_ts FROM grid
+    )
+    SELECT g.user_id, g.slot_ts, o.ts AS locf_obs_ts, o.v AS locf_value
+    FROM g ASOF JOIN obs o
+      ON g.user_id = o.user_id AND o.ts <= g.slot_ts
+    ORDER BY g.user_id, g.slot_ts"""))
+
   override val all: Seq[OracleQuery] =
     Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
       conversionFunnel, cohortRetention, sessionWindowNative, statefulSessions,
       sessionPaths, rateAnomaly, timeWeighted, psiWindowed,
-      markovTransitions, pitFeatureJoin)
+      markovTransitions, pitFeatureJoin, gapfillLocf)
 }
