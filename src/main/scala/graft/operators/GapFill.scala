@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
   * slot boundary). The time-series member of the event family beside
   * [[AsofJoin]] (point lookups) and the windowed aggregates (summaries):
   * LOCF answers "what WAS the state at every tick", which neither does.
+  * Distinct from the `w_gap_fill_locf` window idiom (null repair at the
+  * EXISTING event rows — `last(ignoreNulls)` over the row frame): this
+  * operator GENERATES the regular tick rows and resamples onto them.
   *
   * Plan shape — no per-key collect, no range join, no explosion:
   *  1. one aggregate derives each key's observed span (min/max event
