@@ -86,7 +86,8 @@ object Bench {
         e._1 == "t_bpe_merges" || e._1 == "t_bpe_tokenize_stats")) {
       graft.queries.TextQueries.prepareBpeMerges(spark, sfDir); ()
     }
-    build("lex_index", selected.exists(_._1 == "t_bm25_artifact_topk")) {
+    build("lex_index", selected.exists(e =>
+        e._1 == "t_bm25_artifact_topk" || e._1 == "vx_hybrid_rrf_top10")) {
       graft.queries.TextQueries.prepareLexIndex(spark, sfDir); ()
     }
     build("lex_index_tomb", selected.exists(_._1 == "t_bm25_tombstone_topk")) {

@@ -196,6 +196,17 @@ object InvertedIndex {
     * so direct and artifact probes agree bit-for-bit.
     */
   def bm25TopK(idx: LexIndex, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(idx, terms, k1, b)
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+
+  /** The ungated scoring relation behind [[bm25TopK]]: every matching
+    * doc's quantized BM25 score, no ranking cut — the form downstream
+    * rankers compose (the hybrid RRF gate fuses this with a dense leg
+    * through GlobalRank instead of re-deriving tf/df/dl from the corpus).
+    */
+  def bm25Scores(idx: LexIndex, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")
     val spark = idx.postings.sparkSession
@@ -221,8 +232,6 @@ object InvertedIndex {
       .agg(floor(sum(col("s").cast(
           org.apache.spark.sql.types.DecimalType(27, 12)))
         .cast("double") * lit(1000000.0)).cast("long").as("score_q"))
-      .orderBy(col("score_q").desc, col("doc_id"))
-      .limit(k)
   }
 
 }

@@ -626,29 +626,16 @@ object EngineQueries extends QueryPack {
         cosDf, "rd", -col("c"), col("vec_id"))
       val dense = dr.select(col("vec_id").as("doc_id"), col("rd"))
 
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val nn = Tables.documents(s, d).agg(count(lit(1)).as("n"))
-      val ad = dl.agg(sum(col("dl")).as("__sdl")).crossJoin(broadcast(nn))
-        .select((col("__sdl").cast("double") / col("n").cast("double"))
-          .as("avgdl"))
-      val qterms = dfT.orderBy(col("df"), col("w")).limit(3)
-      val sc = tf.join(broadcast(qterms), "w")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(nn)).crossJoin(broadcast(ad))
-        .withColumn("s",
-          log(((col("n") - col("df")).cast("double") + lit(0.5)) /
-              (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
-          ((col("tf").cast("double") * lit(2.2)) /
-           (col("tf").cast("double") + lit(1.2) *
-             (lit(0.25) + lit(0.75) *
-               (col("dl").cast("double") / col("avgdl"))))))
-      val lex = sc.groupBy(col("doc_id"))
-        .agg(floor(graft.queries.Exact.dsum(col("s"), 27, 12)
-          * lit(1000000.0)).cast("long").as("score_q"))
+      // lexical leg served from the PERSISTED index artifact (round 8):
+      // tf/df/dl ARE the artifact's postings/doclens/termdf relations, and
+      // the artifact probe is proven bit-equal to the direct corpus
+      // computation (t_bm25_artifact_topk replays t_bm25_topk's SQL
+      // verbatim), so the fold changes the plan — query-term bucket scan
+      // instead of re-tokenizing the corpus — and not one score bit
+      val idx = graft.queries.TextQueries.prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val lex = graft.operators.InvertedIndex.bm25Scores(idx, terms)
       val (lr, _) = graft.operators.GlobalRank.withGlobalRank(
         lex, "rl", -col("score_q"), col("doc_id"))
       val lexR = lr.select(col("doc_id"), col("rl"))

@@ -282,7 +282,66 @@ object VectorQueries extends QueryPack {
         AS cnorm_ratio
     FROM dots ORDER BY label"""))
 
+  // ---- hard-negative mining (contrastive-training data op): for each
+  //      anchor, the top-5 most-similar vectors with a DIFFERENT label —
+  //      the near-miss negatives an embedding trainer mines (easy random
+  //      negatives teach nothing; same-label neighbors would be false
+  //      negatives, so the label anti-predicate rides the dot join and
+  //      prunes before any aggregation). Same exact integer cosine as
+  //      v_sim_cosine_top5; at scale the brute dot join swaps for the ANN
+  //      shortlist (hammingTopKAuto / ivfProbePqRefinedAuto) with the
+  //      label filter applied to the shortlist — this gate pins the exact
+  //      semantics that shortlist path must reproduce ----
+  private val hardNegatives = OracleQuery(
+    "v_hard_negatives_top5",
+    (s, d) => {
+      val lf = longForm(s, d)
+      val norms = lf.groupBy(col("vec_id"))
+        .agg(sum(col("vq") * col("vq")).cast("double").as("norm2"))
+      val q = lf.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("pos").as("qpos"), col("vq").as("qvq"))
+      val dots = q.join(lf.as("t"), col("qpos") === col("t.pos"))
+        .filter(col("qlabel") =!= col("t.label"))
+        .groupBy(col("query_id"), col("t.vec_id").as("neighbor_id"),
+          col("t.label").as("neg_label"))
+        .agg(sum(col("qvq") * col("vq")).cast("double").as("dot"))
+      val cos = dots
+        .join(norms.as("nq"), col("query_id") === col("nq.vec_id"))
+        .join(norms.as("nt"), col("neighbor_id") === col("nt.vec_id"))
+        .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+          (col("dot") / (sqrt(col("nq.norm2")) * sqrt(col("nt.norm2"))))
+            .as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cos.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          col("neg_label"), col("cosine"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some(s"""WITH lf AS ($LF_SQL), norms AS (
+      SELECT vec_id, CAST(SUM(vq * vq) AS DOUBLE) AS norm2
+      FROM lf GROUP BY vec_id
+    ), dots AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        t.label AS neg_label,
+        CAST(SUM(q.vq * t.vq) AS DOUBLE) AS dot
+      FROM lf q JOIN lf t ON q.pos = t.pos AND q.label <> t.label
+      WHERE q.vec_id < 10 GROUP BY 1, 2, 3
+    ), cos AS (
+      SELECT d.query_id, d.neighbor_id, d.neg_label,
+        d.dot / (sqrt(nq.norm2) * sqrt(nt.norm2)) AS cosine
+      FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
+                  JOIN norms nt ON d.neighbor_id = nt.vec_id
+    )
+    SELECT query_id, rn, neighbor_id, neg_label, cosine FROM (
+      SELECT query_id, neighbor_id, neg_label, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM cos) WHERE rn <= 5 ORDER BY query_id, rn"""))
+
   override val all: Seq[OracleQuery] = Seq(
     centroidPerLabel, l2norm, centroidCosine, centerMinmax,
-    varianceTopk, simTopk, embeddingDrift)
+    varianceTopk, simTopk, embeddingDrift, hardNegatives)
 }
