@@ -1020,6 +1020,62 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Hard-negative mining via the SRP shortlist — the scale path of the
+    * exact `v_hard_negatives_top5` gate: for each query, the k
+    * most-similar corpus vectors whose label DIFFERS (near-miss
+    * contrastive negatives; same-label hits would be false negatives).
+    * The label predicate rides the Hamming scan — BEFORE the shortlist
+    * cut, so no shortlist slot is wasted on same-label neighbors and the
+    * result equals "filter then top-k", never the (wrong) "top-k then
+    * filter". Same cost profile as [[hammingTopK]] plus one broadcast of
+    * the label relation; `refine` follows [[refineScaleParam]]'s policy.
+    * Returns (query_id, rn, neighbor_id, neg_label, cosine).
+    */
+  def hammingHardNegatives(
+      sketched: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      refine: Int = 8, bits: Int = 128, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val words = bits / 64
+    val sigCols = (0 until words).map(i => s"sig$i")
+    require(sigCols.forall(sketched.columns.contains),
+      s"sketched frame missing ${sigCols.mkString(",")} — built with a different width?")
+    val labels = corpus.select(col(idCol), col(labelCol))
+    val qs = srpSketch(queries, bits, seed, idCol, vecCol)
+      .join(labels, Seq(idCol))
+      .select(col(idCol).as("query_id") +: col(labelCol).as("__ql") +:
+        (0 until words).map(i => col(s"sig$i").as(s"qsig$i")): _*)
+    val hammingExpr = (0 until words)
+      .map(i => bit_count(col(s"sig$i").bitwiseXOR(col(s"qsig$i"))))
+      .reduce(_ + _)
+    val ranked = sketched
+      .join(labels, Seq(idCol))
+      .select(col(idCol).as("neighbor_id") +:
+        col(labelCol).as("neg_label") +: sigCols.map(col): _*)
+      .join(broadcast(qs), col("__ql") =!= col("neg_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        hammingExpr.as("hamming"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val shortlist = ranked.withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val tv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__tv"))
+    val exact = shortlist
+      .join(broadcast(qv), "query_id")
+      .join(tv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        VecOps.cosineNative(col("__qv"), col("__tv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        col("neg_label"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** One-shot IVF top-k (build + probe, nothing cached). Prefer
     * `buildIvfIndex` + `ivfProbe` when probing more than once.
     */

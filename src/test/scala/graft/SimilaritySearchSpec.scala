@@ -19,6 +19,45 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: full-width shortlist equals exact filter-then-top-k") {
+    import graft.functions.VecOps
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 8)
+    val sketched = SimilaritySearch.srpSketch(emb, bits = 128)
+    // refine wide enough that the shortlist holds every different-label
+    // candidate: the exact re-rank then IS the exact answer
+    val got = SimilaritySearch.hammingHardNegatives(
+        sketched, emb, queries, k = 5, refine = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // exact expected: cosine over all different-label pairs, rank <= 5
+    val pairs = queries.select(col("vec_id").as("query_id"),
+        col("label").as("ql"), col("embedding").as("qv"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl"), col("embedding").as("nv")))
+      .filter(col("ql") =!= col("nl"))
+      .select(col("query_id"), col("neighbor_id"),
+        VecOps.cosineNative(col("qv"), col("nv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val want = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSeq
+    assert(got.sorted == want.sorted)
+    // narrow shortlist still returns k DIFFERENT-label rows per query —
+    // the label filter rides the scan (filter-then-top-k), so same-label
+    // neighbors can never crowd negatives out of the shortlist
+    val narrow = SimilaritySearch.hammingHardNegatives(
+      sketched, emb, queries, k = 5, refine = 2).collect()
+    assert(narrow.length == 8 * 5)
+    val labelOf = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    narrow.foreach { r =>
+      assert(r.get(3) != labelOf(r.getLong(0)),
+        s"same-label negative for query ${r.getLong(0)}")
+    }
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
