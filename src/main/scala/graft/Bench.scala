@@ -93,6 +93,9 @@ object Bench {
     build("lex_index_tomb", selected.exists(_._1 == "t_bm25_tombstone_topk")) {
       graft.queries.TextQueries.prepareTombLexIndex(spark, sfDir); ()
     }
+    build("jsonl_dump", selected.exists(_._1 == "s_jsonl_contract")) {
+      graft.queries.TextQueries.prepareJsonlDump(spark, sfDir); ()
+    }
     // only the three consumers of the memoized detection pass — the
     // decontaminate/incremental gates build their own (benchmark-bounded /
     // batch-bounded) artifacts and never read prepareDupSpans

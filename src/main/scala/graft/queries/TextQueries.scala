@@ -2555,8 +2555,58 @@ object TextQueries extends QueryPack {
         AS BIGINT) AS mean_len_ppm
     FROM w GROUP BY source ORDER BY source"""))
 
+  // ---- JSONL ingestion contract (sources/JsonlIngest): the raw-dump
+  //      front door. The artifact dumps the sampled corpus as real JSON
+  //      lines (Spark's JSONL writer) plus a planted sidecar of contract
+  //      violations — 3 parse errors (malformed, empty, non-object) and
+  //      2 missing-required lines — then the gate ingests it back under
+  //      the contract and publishes per-source good-row counts + char
+  //      sums (proving the text survived the JSON round-trip exactly)
+  //      and the violation accounting. Oracle replays from the parquet
+  //      sample + the planted constants ----
+  def prepareJsonlDump(s: SparkSession, d: String): String =
+    graft.SessionMemo.getOrElseUpdate(s, s"jsonl_dump:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-jsonl").toString + "/docs"
+      Tables.documents(s, d).filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("source"), col("text"))
+        .write.mode("overwrite").json(dir)
+      val bad = Seq(
+        "{not json", "", "[1,2,3]",
+        """{"source":"sx"}""", """{"doc_id": 7}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-bad.json"),
+        bad.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      dir
+    }(_ => ())
+  private val jsonlContract = OracleQuery(
+    "s_jsonl_contract",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("text", StringType)))
+      val ing = graft.sources.JsonlIngest.readJsonl(
+        s, prepareJsonlDump(s, d), schema, required = Seq("doc_id", "text"))
+      val good = graft.sources.JsonlIngest.goodRows(ing)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(length(col("text"))).cast("long").as("sum_chars"))
+      val bad = graft.sources.JsonlIngest.ingestReport(ing)
+        .filter(col("status") =!= "ok")
+        .select(concat(lit("__"), col("status")).as("source"),
+          col("n_lines").as("n_rows"), lit(0L).as("sum_chars"))
+      good.unionByName(bad).orderBy(col("source"))
+    },
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 13 = 0 GROUP BY source
+    UNION ALL SELECT '__parse_error', 3, 0
+    UNION ALL SELECT '__missing_required', 2, 0
+    ORDER BY source"""))
+
   override val all: Seq[OracleQuery] = Seq(
-    chunkWindows, chunkStats,
+    chunkWindows, chunkStats, jsonlContract,
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
     dupSpanIncremental, streamDecontaminate, repetitionTopgram,
     exactDedup, tokenStats, langSource, stopwordRatio,
