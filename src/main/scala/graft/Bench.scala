@@ -96,6 +96,9 @@ object Bench {
     build("jsonl_dump", selected.exists(_._1 == "s_jsonl_contract")) {
       graft.queries.TextQueries.prepareJsonlDump(spark, sfDir); ()
     }
+    build("embjson_dump", selected.exists(_._1 == "s_embjson_source")) {
+      graft.queries.MultimodalQueries.prepareEmbJsonDump(spark, sfDir); ()
+    }
     // only the three consumers of the memoized detection pass — the
     // decontaminate/incremental gates build their own (benchmark-bounded /
     // batch-bounded) artifacts and never read prepareDupSpans

@@ -324,6 +324,53 @@ object MultimodalQueries extends QueryPack {
     FROM env GROUP BY name ORDER BY name"""
     })
 
+  // ---- the S4 JSON embedding store through the NATIVE DSv2 connector
+  //      (sources/EmbJsonDataSource): the prepare dumps the embeddings
+  //      table into the reference's exact layout — one {key: [floats]}
+  //      object per group file, floats as Float.toString (shortest
+  //      round-trip repr, so JSON text → parseFloat is bit-exact) — and
+  //      the gate reads it back via spark.read.format("embjson"),
+  //      aggregating a quantized content checksum per group that DuckDB
+  //      replays from the parquet twin. Proves the connector end-to-end:
+  //      file planning, streaming parse, and the exact float round-trip ----
+  def prepareEmbJsonDump(s: SparkSession, d: String): String =
+    graft.SessionMemo.getOrElseUpdate(s, s"embjson_dump:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-embjson-dump").toString
+      val rows = graft.Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"), col("embedding"))
+        .collect() // the bounded vector corpus (2k rows at sf0.1)
+        .groupBy(_.getInt(0))
+      rows.foreach { case (label, rs) =>
+        val body = rs.sortBy(_.getLong(1)).map { r =>
+          val vec = r.getSeq[Float](2).map(_.toString).mkString(", ")
+          s""""v${r.getLong(1)}": [$vec]"""
+        }.mkString("{", ", ", "}")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"label$label.json"),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      dir
+    }(_ => ())
+  private val embJsonSource = OracleQuery(
+    "s_embjson_source",
+    (s, d) => s.read.format("embjson").load(prepareEmbJsonDump(s, d))
+      .select(col("group").as("grp"), col("image_key"),
+        explode(col("embedding")).as("v"))
+      .groupBy(col("grp"))
+      .agg(countDistinct(col("image_key")).cast("long").as("n_keys"),
+        sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+          .cast("long").as("sum_q"))
+      .orderBy(col("grp")),
+    Some("""SELECT 'label' || label AS grp,
+      CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_keys,
+      CAST(SUM(vq) AS BIGINT) AS sum_q
+    FROM (SELECT label, vec_id,
+            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS vq
+          FROM embeddings)
+    GROUP BY 1 ORDER BY 1"""))
+
   override val all: Seq[OracleQuery] =
-    Seq(imageNearDups, audioEnergy, audioNearDupPairs)
+    Seq(imageNearDups, audioEnergy, audioNearDupPairs, embJsonSource)
 }
