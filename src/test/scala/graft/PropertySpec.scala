@@ -380,6 +380,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunker geometry holds for arbitrary (n, size, overlap)") {
+    import graft.operators.Chunker
+    val genCase = for {
+      n <- Gen.choose(1, 200)
+      size <- Gen.choose(1, 40)
+      overlap <- Gen.choose(0, math.max(0, size - 1))
+    } yield (n, size, overlap)
+    forSamples(genCase, n = 12) { case (n, size, overlap) =>
+      val stride = size - overlap
+      val toks = (0 until n).map(i => s"t$i")
+      val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val ch = Chunker.chunk(docs, size, overlap)
+        .orderBy("chunk_idx").collect()
+      val expect = if (n <= size) 1
+        else 1 + math.ceil((n - size).toDouble / stride).toInt
+      assert(ch.length == expect, s"n=$n size=$size overlap=$overlap")
+      // window c covers [c*stride, min(c*stride+size, n)); the union of
+      // covered positions is exactly 0..n-1 with no gap
+      val covered = ch.flatMap { r =>
+        val s0 = r.getAs[Long]("token_start").toInt
+        s0 until (s0 + r.getAs[Long]("n_tokens").toInt)
+      }.toSet
+      assert(covered == (0 until n).toSet)
+      // every chunk's text is the exact token slice
+      ch.foreach { r =>
+        val s0 = r.getAs[Long]("token_start").toInt
+        val len = r.getAs[Long]("n_tokens").toInt
+        assert(r.getAs[String]("chunk_text") ==
+          toks.slice(s0, s0 + len).mkString(" "))
+      }
+    }
+  }
+
+  test("gapfill LOCF equals the in-memory reference on arbitrary event sets") {
+    import graft.operators.GapFill
+    val genCase = for {
+      nEv <- Gen.choose(1, 60)
+      nKeys <- Gen.choose(1, 4)
+      stepS <- Gen.oneOf(60L, 300L, 3600L)
+      evs <- Gen.listOfN(nEv, for {
+        k <- Gen.choose(0, nKeys - 1)
+        sec <- Gen.choose(1700000000L, 1700050000L)
+        v <- Gen.choose(-100.0, 100.0)
+      } yield (k.toLong, sec, v))
+    } yield (evs, stepS)
+    forSamples(genCase, n = 10) { case (evs, stepS) =>
+      val withIds = evs.zipWithIndex.map { case ((k, sec, v), i) =>
+        (k, sec, v, i.toLong)
+      }
+      val df = withIds.toDF("user_id", "sec", "value", "event_id")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      val got = GapFill.locfGrid(df, "user_id", "ts", "value", stepS,
+          "event_id")
+        .select(col("user_id"), unix_micros(col("slot_ts")),
+          col("locf_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // in-memory reference: same-instant max-id wins, inclusive ticks
+      val want = withIds.groupBy(_._1).flatMap { case (k, rows) =>
+        val obs = rows.groupBy(_._2).map { case (sec, rs) =>
+          sec -> rs.maxBy(_._4)._3
+        }.toSeq.sortBy(_._1)
+        val lo = obs.head._1; val hi = obs.last._1
+        val k0 = (lo + stepS - 1) / stepS; val k1 = hi / stepS
+        (k0 to k1).map { slot =>
+          val tickSec = slot * stepS
+          val v = obs.takeWhile(_._1 <= tickSec).last._2
+          (k, tickSec * 1000000L, v)
+        }
+      }.toSet
+      assert(got == want)
+    }
+  }
+
   test("tsne output is finite and centered for any small input") {
     forSamples(Gen.choose(5, 15), n = 5) { n =>
       val rng = new scala.util.Random(n)
