@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,6 +39,20 @@ object InvertedIndex {
 
   private def bucketOf(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(Buckets.toLong)).cast("int")
+
+  /** Filesystem resolved FROM the artifact path through the session's
+    * Hadoop configuration — so the tombstone existence check, compact
+    * staging swap, and cleanup all run against the filesystem the artifact
+    * actually lives on (local, HDFS, S3A, …), never a hardcoded
+    * `java.io.File`. A local-only check would silently skip
+    * [[applyTombstones]] for any non-local `dir`, serving deleted
+    * documents — the one wrong-answer-at-scale path this API must not
+    * have.
+    */
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
 
   /** One corpus pass: whitespace terms → (doc, term) counts; doc lengths
     * and term dfs are bounded rollups of the posting relation.
@@ -154,7 +169,8 @@ object InvertedIndex {
       spark.read.parquet(s"$dir/termdf")
         .groupBy(col("term")).agg(sum(col("df")).as("df")),
       meta.getLong(0), meta.getLong(1))
-    if (new java.io.File(s"$dir/tombstones").exists())
+    val (fs, root) = fsFor(spark, dir)
+    if (fs.exists(new Path(root, "tombstones")))
       applyTombstones(spark, base, dir)
     else base
   }
@@ -168,25 +184,24 @@ object InvertedIndex {
     * artifact-directory cut-over; locally a rename.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    if (!new java.io.File(s"$dir/tombstones").exists()) return
+    val (fs, root) = fsFor(spark, dir)
+    if (!fs.exists(new Path(root, "tombstones"))) return
     val adjusted = load(spark, dir)
     val staging = s"$dir-compact-staging"
     save(LexIndex(
       adjusted.postings.select(col("term"), col("doc_id"), col("tf"),
         col("bucket")),
       adjusted.docLens, adjusted.termDf, adjusted.n, adjusted.sdl), staging)
-    def rmTree(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmTree)
-      p.delete(); ()
-    }
+    val stagingRoot = new Path(staging)
     Seq("postings", "doclens", "termdf", "meta").foreach { sub =>
-      rmTree(new java.io.File(s"$dir/$sub"))
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(s"$staging/$sub"),
-        java.nio.file.Paths.get(s"$dir/$sub"))
+      val live = new Path(root, sub)
+      fs.delete(live, true)
+      if (!fs.rename(new Path(stagingRoot, sub), live))
+        throw new java.io.IOException(
+          s"compact: rename $staging/$sub -> $dir/$sub failed")
     }
-    rmTree(new java.io.File(s"$dir/tombstones"))
-    rmTree(new java.io.File(staging))
+    fs.delete(new Path(root, "tombstones"), true)
+    fs.delete(stagingRoot, true)
   }
 
   /** BM25 top-k over the artifact for a bag of query terms. The posting

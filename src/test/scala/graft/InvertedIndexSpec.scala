@@ -144,6 +144,37 @@ class InvertedIndexSpec extends SparkSpec {
     assert(probeRows(appended, terms) == probeRows(target, terms))
   }
 
+  test("lifecycle is filesystem-portable: delete/load/compact through a file: URI") {
+    // A `file:` scheme URI is NOT a valid java.io.File path — the raw-path
+    // existence check the lifecycle used to make would return false here,
+    // silently skipping tombstones and serving deleted documents. Routing
+    // through Path.getFileSystem makes the same code work for local, HDFS,
+    // and S3 artifact dirs; this test pins that the Hadoop-FS path is the
+    // one actually taken.
+    val raw = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-fsuri").toString
+    val dir = "file:" + raw
+    val all = Tables.documents(spark, sf001)
+    InvertedIndex.save(InvertedIndex.build(all), dir)
+    InvertedIndex.delete(all.filter($"doc_id" % 7 === 3).select($"doc_id"), dir)
+    val adjusted = InvertedIndex.load(spark, dir)
+    val rebuilt = InvertedIndex.build(all.filter($"doc_id" % 7 =!= 3))
+    assert(adjusted.n == rebuilt.n && adjusted.sdl == rebuilt.sdl)
+    val terms = rebuilt.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    assert(probeRows(adjusted, terms) == probeRows(rebuilt, terms))
+    // compact through the URI: tombstones folded and removed on the
+    // resolved filesystem (checked via Hadoop FS, not java.io.File)
+    InvertedIndex.compact(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir-compact-staging")))
+    val compacted = InvertedIndex.load(spark, dir)
+    assert(compacted.n == rebuilt.n &&
+      probeRows(compacted, terms) == probeRows(rebuilt, terms))
+  }
+
   test("ranking semantics: a term unique to one doc ranks that doc first") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
