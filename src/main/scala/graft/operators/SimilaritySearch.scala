@@ -755,8 +755,16 @@ object SimilaritySearch {
     * candidate (m code bytes + a norm vs dim floats). `assigned` carries
     * (neighbor_id, cell, codes, rnorm).
     */
+  /** `n` = corpus size at build time — index METADATA, stamped once by
+    * [[buildIvfPqIndex]] and persisted/reloaded with the artifact, so the
+    * scale policies ([[ivfProbePqRefinedAuto]]) resolve their dials from
+    * the index instead of re-counting the corpus on every probe (a probe
+    * against a 100 TB corpus must never pay a corpus-scan action just to
+    * pick a shortlist width). -1 = unknown (hand-assembled index); the
+    * auto probe then falls back to one corpus count.
+    */
   final case class IvfPqIndex(centers: Array[Array[Double]], book: PqCodebook,
-      assigned: DataFrame) {
+      assigned: DataFrame, n: Long = -1L) {
     def unpersist(): Unit = { assigned.unpersist(); () }
   }
 
@@ -772,7 +780,8 @@ object SimilaritySearch {
         .select(col(idCol).as("neighbor_id"), col("codes"), col("rnorm")),
         "neighbor_id")
     IvfPqIndex(float.centers, book,
-      if (persist) assigned.persist() else assigned)
+      if (persist) assigned.persist() else assigned,
+      n = corpus.count())
   }
 
   /** Probe an IVF-PQ index via asymmetric distance computation (ADC):
@@ -860,6 +869,8 @@ object SimilaritySearch {
     } yield (sub, code, ctr.toSeq)
     book.toSeq.toDF("sub", "code", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    Seq(Tuple1(index.n)).toDF("n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load an IVF-PQ index persisted by [[saveIvfPqIndex]]; probe results
@@ -879,8 +890,16 @@ object SimilaritySearch {
     val dsub = bookCenters.head.head.length
     val assigned = spark.read.parquet(s"$dir/assigned")
       .select(col("neighbor_id"), col("codes"), col("rnorm"), col("cell"))
+    // pre-metadata artifacts (no meta/): reconstruct n with one count of
+    // the code relation — paid once at LOAD, never per probe
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val n =
+      if (metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(metaPath))
+        spark.read.parquet(s"$dir/meta").collect()(0).getLong(0)
+      else assigned.count()
     IvfPqIndex(centers, PqCodebook(m, dsub, bookCenters),
-      if (persist) assigned.persist() else assigned)
+      if (persist) assigned.persist() else assigned, n)
   }
 
   /** IVF-PQ probe with a refine stage (the FAISS `IndexRefineFlat` layout,
@@ -960,6 +979,56 @@ object SimilaritySearch {
     }
     df.select(col(idCol), sig(col(vecCol)).as("__s"))
       .select(col(idCol) +: (0 until words).map(i => col("__s")(i).as(s"sig$i")): _*)
+  }
+
+  /** The SRP sketch as a first-class build-once artifact: the packed
+    * signatures PLUS the metadata the probe-time scale policies need —
+    * corpus size `n` (drives [[refineScaleParam]]) and the (bits, seed)
+    * the sketch was built with (so a probe can never pair query signatures
+    * from a different hyperplane family with the corpus sketch). Stamping
+    * n at BUILD time is what lets [[hammingTopKAuto]] resolve its
+    * shortlist width without any corpus action in the probe path — on a
+    * 100 TB corpus a per-probe `count()` is a full scan action per query
+    * batch, paid for a single integer the index already knew.
+    */
+  final case class SrpIndex(sketched: DataFrame, n: Long, bits: Int,
+      seed: Long) {
+    def unpersist(): Unit = { sketched.unpersist(); () }
+  }
+
+  /** [[srpSketch]] plus the metadata stamp, cached for repeated probing.
+    * The one `count()` here is the build-once cost that removes it from
+    * every probe.
+    */
+  def buildSrpIndex(corpus: DataFrame, bits: Int = 128, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      persist: Boolean = true): SrpIndex = {
+    val sk = srpSketch(corpus, bits, seed, idCol, vecCol)
+    SrpIndex(if (persist) sk.persist() else sk, corpus.count(), bits, seed)
+  }
+
+  /** Persist an SRP index under `dir`: `sketch/` = the packed signature
+    * relation, `meta/` = one (n, bits, seed) row. 16 bytes/vector at the
+    * 128-bit default — the leanest persisted ANN artifact in the family.
+    */
+  def saveSrpIndex(index: SrpIndex, dir: String): Unit = {
+    val spark = index.sketched.sparkSession
+    import spark.implicits._
+    index.sketched.write.mode("overwrite").parquet(s"$dir/sketch")
+    Seq((index.n, index.bits, index.seed)).toDF("n", "bits", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load an SRP index persisted by [[saveSrpIndex]]; probes against the
+    * reloaded artifact are bit-identical (the signatures are exact longs
+    * and the metadata pins the hyperplane family).
+    */
+  def loadSrpIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      persist: Boolean = true): SrpIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val sk = spark.read.parquet(s"$dir/sketch")
+    SrpIndex(if (persist) sk.persist() else sk,
+      meta.getLong(0), meta.getInt(1), meta.getLong(2))
   }
 
   /** Brute Hamming top-k over SRP sketches with exact refine: the scan
@@ -1131,30 +1200,50 @@ object SimilaritySearch {
   /** [[hammingTopK]] with the shortlist width derived from the corpus size
     * via [[refineScaleParam]] (base = the 2k-measured dial 8) instead of
     * pinned by the caller — a user who follows the types gets the policy,
-    * not a silently-decaying constant. Costs one `count()`; callers that
-    * already know n should apply [[refineScaleParam]] themselves. Recall
-    * is monotone in refine (a wider shortlist is a superset and exact
-    * re-ranking cannot evict a true top-k neighbor), so auto ≥ fixed-base
-    * recall deterministically — ScaleBenchSpec pins both the policy values
-    * at the measured sizes and the monotonicity end-to-end.
+    * not a silently-decaying constant. Resolves n from the INDEX metadata
+    * (stamped at build), so the probe plan contains no corpus count
+    * action (PlanSpec-pinned: constructing the probe triggers zero Spark
+    * jobs). Recall is monotone in refine (a wider shortlist is a superset
+    * and exact re-ranking cannot evict a true top-k neighbor), so auto ≥
+    * fixed-base recall deterministically — ScaleBenchSpec pins both the
+    * policy values at the measured sizes and the monotonicity end-to-end.
+    */
+  def hammingTopKAuto(
+      index: SrpIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val refine = refineScaleParam(index.n, base = 8)
+    hammingTopK(index.sketched, corpus, queries, k, refine, index.bits,
+      index.seed, idCol, vecCol)
+  }
+
+  def hammingTopKAuto(index: SrpIndex, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame =
+    hammingTopKAuto(index, corpus, queries, k, "vec_id", "embedding")
+
+  /** Bare-sketch variant of [[hammingTopKAuto]] for callers without the
+    * [[SrpIndex]] metadata — pays one corpus `count()` per call to resolve
+    * the dial. Prefer the index form on anything probed more than once.
     */
   def hammingTopKAuto(
       sketched: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 128, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val refine = refineScaleParam(corpus.count(), base = 8)
-    hammingTopK(sketched, corpus, queries, k, refine, bits, seed, idCol, vecCol)
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    hammingTopKAuto(SrpIndex(sketched, corpus.count(), bits, seed),
+      corpus, queries, k, idCol, vecCol)
 
   /** [[ivfProbePqRefined]] with the shortlist width derived from the
     * corpus size via [[refineScaleParam]] (base = the 2k-measured dial 4);
-    * see [[hammingTopKAuto]] for the contract.
+    * see [[hammingTopKAuto]] for the contract. n comes from the index
+    * metadata ([[buildIvfPqIndex]] stamps it, [[saveIvfPqIndex]] persists
+    * it); only a hand-assembled index with n = -1 falls back to one
+    * corpus count.
     */
   def ivfProbePqRefinedAuto(
       index: IvfPqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val refine = refineScaleParam(corpus.count(), base = 4)
+    val n = if (index.n >= 0) index.n else corpus.count()
+    val refine = refineScaleParam(n, base = 4)
     ivfProbePqRefined(index, corpus, queries, k, nprobe, refine, idCol, vecCol)
   }
 

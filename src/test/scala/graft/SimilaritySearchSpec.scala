@@ -338,6 +338,10 @@ class SimilaritySearchSpec extends SparkSpec {
     idx.unpersist()
     val loaded = SimilaritySearch.loadIvfPqIndex(spark, dir)
     assert(loaded.book.m == 8 && loaded.book.dsub == 8)
+    // build stamps the corpus size; the artifact round-trips it — the
+    // auto probe's dial source, so no corpus count at probe time
+    assert(idx.n == emb.count() && loaded.n == idx.n,
+      s"index metadata n lost across save/load: ${idx.n} -> ${loaded.n}")
     val after = SimilaritySearch.ivfProbePq(loaded, queries, k = 5, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     loaded.unpersist()
@@ -422,5 +426,55 @@ class SimilaritySearchSpec extends SparkSpec {
     // output schema carries ALL corpus columns plus the two flags
     val cols = SimilaritySearch.crossDecontaminate(corpus, bench, tau = 0.9).columns.toSeq
     assert(cols == Seq("vec_id", "embedding", "n_hits", "contaminated"))
+  }
+
+  test("SRP index: build stamps metadata; save/load probes bit-identically") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = SimilaritySearch.buildSrpIndex(emb, bits = 128, seed = 7L)
+    assert(idx.n == emb.count() && idx.bits == 128 && idx.seed == 7L)
+    val before = SimilaritySearch.hammingTopKAuto(idx, emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-srp-idx").toString
+    SimilaritySearch.saveSrpIndex(idx, dir)
+    idx.unpersist()
+    val loaded = SimilaritySearch.loadSrpIndex(spark, dir)
+    assert((loaded.n, loaded.bits, loaded.seed) == ((idx.n, 128, 7L)),
+      "SRP metadata lost across save/load")
+    val after = SimilaritySearch.hammingTopKAuto(loaded, emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    loaded.unpersist()
+    assert(before.nonEmpty && before == after,
+      s"SRP probe changed across save/load: ${before.diff(after).take(3)}")
+    // the auto dial equals the explicit policy application
+    val explicit = SimilaritySearch.hammingTopK(loaded.sketched, emb, queries,
+        5, refine = SimilaritySearch.refineScaleParam(loaded.n, 8),
+        bits = 128, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(after == explicit)
+  }
+
+  test("auto probes resolve dials from index metadata: no corpus action at construction") {
+    // a corpus whose EVALUATION fails loudly: any count()/collect() at
+    // probe-construction time trips the nondeterministic filter udf. The
+    // auto probes must build their plans lazily from the stamped n alone —
+    // the contract that keeps a 100 TB probe from paying a corpus scan
+    // just to pick a shortlist width.
+    val boom = udf { (_: Long) =>
+      sys.error("corpus action at probe-construction time"): Boolean
+    }.asNondeterministic()
+    val poisoned = emb.filter(boom(col("vec_id")))
+    val queries = emb.filter(col("vec_id") < 10)
+    val srp = SimilaritySearch.buildSrpIndex(emb)
+    SimilaritySearch.hammingTopKAuto(srp, poisoned, queries, 5) // lazy: ok
+    val pq = SimilaritySearch.buildIvfPqIndex(emb, nlist = 4, m = 8, ksub = 16)
+    assert(pq.n == emb.count())
+    SimilaritySearch.ivfProbePqRefinedAuto(pq, poisoned, queries, 5) // lazy: ok
+    // a hand-assembled PQ index without metadata falls back to counting
+    val bare = pq.copy(n = -1L)
+    val ex = intercept[Exception] {
+      SimilaritySearch.ivfProbePqRefinedAuto(bare, poisoned, queries, 5)
+    }
+    assert(ex.getMessage != null)
+    pq.unpersist(); srp.unpersist()
   }
 }
