@@ -394,16 +394,26 @@ object TextQueries extends QueryPack {
       (0 until k).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ") +
       ") ORDER BY round")
 
-  private def bpeReplaySql(k: Int, tail: String): String = {
+  private def bpeReplaySql(k: Int, tail: String): String =
+    bpeReplaySql(k, tail, keyed = false)
+
+  /** `keyed = true` carries the WORD through every round, so the final
+    * vocabulary state v$k exposes the word -> segmentation mapping a
+    * downstream replay can re-tokenize documents from (the BPE chunker
+    * oracle). The merge rounds themselves are unchanged -- the p/t CTEs
+    * read only (seg, freq) and ignore the extra column.
+    */
+  private def bpeReplaySql(k: Int, tail: String, keyed: Boolean): String = {
     val A = "\u0001"; val B = "\u0002"
     def e(s: String) = "'" + s + "'"
+    val kw = if (keyed) "w, " else ""
     val v0 = s"""v0 AS MATERIALIZED (
-      SELECT array_to_string(list_transform(range(1, len(cs)+1),
+      SELECT ${kw}array_to_string(list_transform(range(1, len(cs)+1),
         i -> ${e(A)} || cs[i] ||
           CASE WHEN i = len(cs) THEN '</w>' ELSE '' END || ${e(B)}), '')
         AS seg, freq
       FROM (
-        SELECT string_split(w, '') AS cs, CAST(COUNT(*) AS BIGINT) AS freq
+        SELECT ${kw}string_split(w, '') AS cs, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE w <> '' GROUP BY w)
     )"""
@@ -423,7 +433,7 @@ object TextQueries extends QueryPack {
       FROM p$r ORDER BY n DESC, l, r LIMIT 1
     )""",
         s"""v${r + 1} AS MATERIALIZED (
-      SELECT replace(seg,
+      SELECT ${kw}replace(seg,
           ${e(A)}||"left"||${e(B)}||${e(A)}||"right"||${e(B)},
           ${e(A)}||"left"||"right"||${e(B)}) AS seg, freq
       FROM v$r CROSS JOIN t$r
@@ -2502,7 +2512,7 @@ object TextQueries extends QueryPack {
         size = 32, overlap = 8)
       .orderBy(col("doc_id"), col("chunk_idx")),
     Some("""WITH d AS (
-      SELECT doc_id, string_split(text, ' ') AS toks
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
       FROM documents WHERE doc_id % 13 = 0
     ), c AS (
       SELECT doc_id, toks,
@@ -2532,7 +2542,8 @@ object TextQueries extends QueryPack {
         groupCol = "source")
       .orderBy(col("source")),
     Some("""WITH d AS (
-      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS toks
+      FROM documents
     ), c AS (
       SELECT doc_id, source, toks,
         CASE WHEN len(toks) <= 32 THEN 1
@@ -2554,6 +2565,66 @@ object TextQueries extends QueryPack {
       CAST(floor(CAST(SUM(n_tokens) AS DOUBLE) * 1000000.0 / COUNT(*))
         AS BIGINT) AS mean_len_ppm
     FROM w GROUP BY source ORDER BY source"""))
+
+  // ---- BPE-budget chunking (Chunker.chunkByBpe ∘ BpeTrain): the chunk
+  //      budget expressed in the tokens the EMBEDDER counts, not
+  //      whitespace words — windows cut in BPE-token space (boundaries
+  //      may fall mid-word, as a token-budget encoder truncates), text
+  //      detokenized from the window's symbols. FULL oracle: the KEYED
+  //      training replay's final vocabulary state (v16 carrying the
+  //      word) re-tokenizes the sampled docs word by word in corpus
+  //      order, then the window geometry + detokenization replay in
+  //      SQL ----
+  private val chunkBpeWindows = OracleQuery(
+    "t_chunk_bpe_windows",
+    (s, d) => {
+      val table = prepareBpeMerges(s, d).map(m => (m._2, m._3))
+      graft.operators.Chunker.chunkByBpe(
+          Tables.documents(s, d).filter(col("doc_id") % 13 === 0),
+          size = 24, overlap = 6, merges = table)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(bpeReplaySql(16, s""", wt AS (
+      SELECT w, regexp_extract_all(seg,
+        '${"\u0001"}' || '([^' || '${"\u0002"}' || ']*)' || '${"\u0002"}', 1)
+        AS wtoks
+      FROM v16
+    ), docs0 AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+      FROM documents WHERE doc_id % 13 = 0
+    ), dw AS (
+      SELECT doc_id, i AS ord, ws[i] AS w
+      FROM docs0, LATERAL unnest(range(1, len(ws)+1)) t(i)
+    ), dt AS (
+      SELECT doc_id, flatten(list(wtoks ORDER BY ord)) AS toks
+      FROM dw JOIN wt ON dw.w = wt.w GROUP BY doc_id
+    ), dt2 AS (
+      SELECT d0.doc_id, coalesce(dt.toks, CAST([] AS VARCHAR[])) AS toks
+      FROM (SELECT DISTINCT doc_id FROM docs0) d0
+      LEFT JOIN dt ON d0.doc_id = dt.doc_id
+    ), c2 AS (
+      SELECT doc_id, toks,
+        CASE WHEN len(toks) <= 24 THEN 1
+             ELSE 1 + CAST(ceil(CAST(len(toks) - 24 AS DOUBLE) / 18.0)
+               AS INT) END AS nch
+      FROM dt2
+    ), e2 AS (
+      SELECT doc_id, toks, unnest(generate_series(0, nch - 1)) AS ci FROM c2
+    ), w2 AS (
+      SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        doc_id || '#' || ci AS chunk_uid,
+        CAST(ci * 18 AS BIGINT) AS token_start,
+        list_slice(toks, ci * 18 + 1, ci * 18 + 24) AS piece
+      FROM e2
+    ), r2 AS (
+      SELECT doc_id, chunk_idx, chunk_uid, token_start,
+        CAST(len(piece) AS BIGINT) AS n_tokens,
+        replace(array_to_string(piece, ''), '</w>', ' ') AS chunk_text
+      FROM w2
+    )
+    SELECT doc_id, chunk_idx, chunk_uid, token_start, n_tokens, chunk_text,
+      md5(chunk_text) AS chunk_hash
+    FROM r2 ORDER BY doc_id, chunk_idx""", keyed = true)))
 
   // ---- JSONL ingestion contract (sources/JsonlIngest): the raw-dump
   //      front door. The artifact dumps the sampled corpus as real JSON
@@ -2606,7 +2677,7 @@ object TextQueries extends QueryPack {
     ORDER BY source"""))
 
   override val all: Seq[OracleQuery] = Seq(
-    chunkWindows, chunkStats, jsonlContract,
+    chunkWindows, chunkStats, chunkBpeWindows, jsonlContract,
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
     dupSpanIncremental, streamDecontaminate, repetitionTopgram,
     exactDedup, tokenStats, langSource, stopwordRatio,

@@ -60,6 +60,70 @@ class ChunkerSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Chunker.chunk(docs, 8, 8) }
   }
 
+  test("null text yields one empty chunk, never a silent drop") {
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ch = Chunker.chunk(docs, 4, 0).collect()
+    assert(ch.length == 2, "null-text doc dropped from the chunk table")
+    val nullChunk = ch.find(_.getLong(0) == 2L).get
+    assert(nullChunk.getAs[String]("chunk_text") == "" &&
+      nullChunk.getAs[Long]("chunk_idx") == 0L)
+    // same contract on the BPE form
+    val merges = Seq(("a", "b</w>"))
+    val bch = Chunker.chunkByBpe(docs, 4, 0, merges).collect()
+    assert(bch.length == 2 &&
+      bch.find(_.getLong(0) == 2L).get.getAs[String]("chunk_text") == "")
+  }
+
+  test("chunkByBpe: budget counted in BPE tokens, geometry matches the tail rule") {
+    // 12 identical 2-token words ([h, i</w>] under an irrelevant merge
+    // table) -> 24 BPE tokens total vs 12 whitespace words: the
+    // whitespace chunker under-fills a token budget systematically
+    val merges = Seq(("z", "z</w>"))
+    val docs = Seq((1L, Seq.fill(12)("hi").mkString(" "))).toDF("doc_id", "text")
+    assert(Chunker.chunk(docs, 10, 2).count() == 2L) // 12 words
+    val ch = Chunker.chunkByBpe(docs, 10, 2, merges)
+      .orderBy("chunk_idx").collect()
+    // 24 tokens, size 10, stride 8: 1 + ceil(14/8) = 3 chunks
+    assert(ch.length == 3)
+    assert(ch.map(_.getAs[Long]("token_start")).toSeq == Seq(0L, 8L, 16L))
+    assert(ch.map(_.getAs[Long]("n_tokens")).toSeq == Seq(10L, 10L, 8L))
+    // 10 tokens = 5 whole words; the word-boundary end keeps its
+    // </w>-derived trailing space (faithful detokenization)
+    assert(ch(0).getAs[String]("chunk_text") == Seq.fill(5)("hi ").mkString)
+    assert(ch(2).getAs[String]("chunk_text") == Seq.fill(4)("hi ").mkString)
+  }
+
+  test("chunkByBpe: overlap-0 chunk texts concatenate to the normalized document") {
+    // faithful detokenization: a chunk ending mid-word carries the
+    // partial word with NO trailing space, one ending on a word boundary
+    // keeps its </w>-derived space — so plain concatenation of the
+    // texts reconstructs the document exactly (terminal space included)
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    for (merges <- Seq(Seq.empty[(String, String)],
+        Seq(("a", "l"), ("e", "t"), ("al", "p")))) {
+      val ch = Chunker.chunkByBpe(docs, 7, 0, merges).orderBy("chunk_idx").collect()
+      val joined = ch.map(_.getAs[String]("chunk_text")).mkString("")
+      assert(joined == "alpha beta gamma delta epsilon zeta ",
+        s"reconstruction broke for merges=$merges: '$joined'")
+      // every window respects the BPE budget
+      assert(ch.map(_.getAs[Long]("n_tokens")).forall(_ <= 7L))
+    }
+  }
+
+  test("chunkByBpe is deterministic and map-only like the whitespace form") {
+    val merges = Seq(("t", "h"), ("th", "e</w>"))
+    val docs = Tables.documents(spark, sf001).filter($"doc_id" < 50)
+    val a = Chunker.chunkByBpe(docs, 16, 4, merges).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Chunker.chunkByBpe(docs.repartition(7), 16, 4, merges).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+    val plan = Chunker.chunkByBpe(docs, 16, 4, merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"BPE chunking must be map-only:\n$plan")
+  }
+
   test("chunk table feeds the downstream consumers: hash dedup and BM25 index") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
