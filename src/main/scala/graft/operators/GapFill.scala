@@ -52,10 +52,18 @@ object GapFill {
     val spans = obs.groupBy(col(keyCol))
       .agg(min(unix_micros(col("__ots"))).as("__lo"),
         max(unix_micros(col("__ots"))).as("__hi"))
+    // FLOOR division, not Spark's truncate-toward-zero DIV: for pre-1970
+    // timestamps (negative epoch micros) truncation rounds the wrong way
+    // and the grid would disagree with floor-semantics engines (DuckDB
+    // `//`) and with itself across the epoch. pmod-adjusting the
+    // numerator makes it an exact multiple, where DIV is sign-safe —
+    // ceil(lo/step) = floorDiv(lo + step - 1, step) holds for any sign.
+    def floorDiv(num: String): String =
+      s"(($num) - pmod($num, ${stepUs}L)) DIV ${stepUs}L"
     val grid = spans
       .select(col(keyCol),
-        expr(s"(__lo + ${stepUs - 1}L) DIV ${stepUs}L").as("__k0"),
-        expr(s"__hi DIV ${stepUs}L").as("__k1"))
+        expr(floorDiv(s"__lo + ${stepUs - 1}L")).as("__k0"),
+        expr(floorDiv("__hi")).as("__k1"))
       // Spark's sequence() flips to step -1 when start > stop — a span
       // straddling no boundary must emit nothing, not count backwards
       .filter(col("__k0") <= col("__k1"))

@@ -626,9 +626,40 @@ object EventQueries extends QueryPack {
       ON g.user_id = o.user_id AND o.ts <= g.slot_ts
     ORDER BY g.user_id, g.slot_ts"""))
 
+  // streaming LOCF grid, batch-mode twin (streaming/StreamingGapFill):
+  // the live-monitoring form of e_gapfill_locf run over the complete
+  // relation — completeInput pins the horizon to each key's last
+  // observation, so the ticks must equal the batch operator (and its
+  // DuckDB ASOF replay) ROW FOR ROW. StreamingGapFillSpec pins the
+  // multi-batch/watermark/late-data semantics on MemoryStream.
+  private val streamGapfill = OracleQuery(
+    "tx_stream_gapfill",
+    (s, d) => graft.streaming.StreamingGapFill.locfTicks(
+        Tables.events(s, d).filter(col("user_id") < 40),
+        stepSeconds = 21600L, completeInput = true)
+      .toDF()
+      .orderBy(col("user_id"), col("slot_ts")),
+    Some("""WITH obs AS (
+      SELECT user_id, ts, max_by(value, event_id) AS v
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ), sp AS (
+      SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+      FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(
+        (lo + 21599999999) // 21600000000, hi // 21600000000)) AS k
+      FROM sp
+    ), g AS (
+      SELECT user_id, make_timestamp(k * 21600000000) AS slot_ts FROM grid
+    )
+    SELECT g.user_id, g.slot_ts, o.ts AS locf_obs_ts, o.v AS locf_value
+    FROM g ASOF JOIN obs o
+      ON g.user_id = o.user_id AND o.ts <= g.slot_ts
+    ORDER BY g.user_id, g.slot_ts"""))
+
   override val all: Seq[OracleQuery] =
     Seq(tumbling, sliding, sessions, latestPerUser, typeStats, asof,
       conversionFunnel, cohortRetention, sessionWindowNative, statefulSessions,
       sessionPaths, rateAnomaly, timeWeighted, psiWindowed,
-      markovTransitions, pitFeatureJoin, gapfillLocf)
+      markovTransitions, pitFeatureJoin, gapfillLocf, streamGapfill)
 }

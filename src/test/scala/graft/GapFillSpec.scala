@@ -54,6 +54,30 @@ class GapFillSpec extends SparkSpec {
     assert(g.filter(col("locf_value").isNull).count() == 0)
   }
 
+  test("pre-1970 timestamps: floor-division slots, not truncate-toward-zero") {
+    // negative epoch micros: span [21:30, 23:10] on 1969-12-31 with a 2h
+    // step has exactly one tick, 22:00 (k = -1). Truncating DIV would
+    // compute k0 = k1 = 0 and emit a bogus 1970-01-01 00:00 slot AFTER
+    // the observed span — the ADVICE-flagged divergence from
+    // floor-semantics engines (DuckDB //)
+    val events = ev(
+      (1L, "1969-12-31 21:30:00", 1.0, 1L),
+      (1L, "1969-12-31 23:10:00", 2.0, 2L))
+    val g = GapFill.locfGrid(events, "user_id", "ts", "value", 7200L,
+      "event_id").orderBy("slot_ts").collect()
+    assert(g.map(_.getAs[java.sql.Timestamp]("slot_ts").toString).toSeq ==
+      Seq("1969-12-31 22:00:00.0"), s"got ${g.toSeq}")
+    assert(g.head.getAs[Double]("locf_value") == 1.0)
+    // a span crossing the epoch grids continuously through it
+    val cross = ev(
+      (2L, "1969-12-31 23:00:00", 1.0, 1L),
+      (2L, "1970-01-01 03:30:00", 2.0, 2L))
+    val gc = GapFill.locfGrid(cross, "user_id", "ts", "value", 7200L,
+      "event_id").orderBy("slot_ts").collect()
+    assert(gc.map(_.getAs[java.sql.Timestamp]("slot_ts").toString).toSeq ==
+      Seq("1970-01-01 00:00:00.0", "1970-01-01 02:00:00.0"))
+  }
+
   test("deterministic under repartitioning; real-table grid is dense per user") {
     val events = Tables.events(spark, sf001).filter($"user_id" < 10)
     def run(df: org.apache.spark.sql.DataFrame) =
