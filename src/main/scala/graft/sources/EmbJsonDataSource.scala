@@ -4,6 +4,7 @@ import java.util
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -34,12 +35,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the parquet bucket scans, reported via `pushedFilters`;
   *  - streams each file through Jackson's incremental parser instead of
   *    holding the whole object in memory (the helper's wholetext row) —
-  *    a multi-GB group file reads at constant memory.
+  *    a multi-GB group file reads at constant memory;
+  *  - resolves every filesystem call through the SESSION Hadoop
+  *    configuration (`spark.hadoop.*` credentials/fs impls apply), on
+  *    the driver for listing and serialized to executors for the reads
+  *    — the same conf plumbing as the built-in file sources, so the
+  *    connector genuinely works against any configured filesystem;
+  *  - accepts multi-path loads (`.load(dir1, dir2)`): the file list is
+  *    the path-sorted union, with duplicate directories rejected.
   *
   * Registered as `embjson` via DataSourceRegister (META-INF/services).
-  * EmbJsonSourceSpec pins row parity with the helper, pruning, and file
-  * pruning; the `s_embjson_source` gate replays the quantized content
-  * checksum from the parquet twin in DuckDB.
+  * EmbJsonSourceSpec pins row parity with the helper, pruning, file
+  * pruning, multi-path, and conf propagation; the `s_embjson_source`
+  * gate replays the quantized content checksum from the parquet twin in
+  * DuckDB.
   */
 class EmbJsonDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "embjson"
@@ -47,7 +56,7 @@ class EmbJsonDataSource extends TableProvider with DataSourceRegister {
     EmbJson.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new EmbJsonTable(properties.get("path"))
+    new EmbJsonTable(EmbJson.resolvePaths(properties))
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -58,33 +67,75 @@ object EmbJson {
     StructField("embedding", ArrayType(FloatType, containsNull = false),
       nullable = false)))
 
-  /** Deterministic listing: all *.json files under `dir`, path-sorted.
-    * Hadoop FS so the connector works against any configured filesystem,
-    * not only local.
+  /** `.load(dir)` arrives as `path`; `.load(d1, d2, …)` as `paths`, a
+    * JSON-encoded string array (Spark's DataFrameReader convention).
+    * Both are honored; neither present is a clear error, not a null NPE.
     */
-  def listFiles(dir: String): Seq[(String, String)] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
-      .map(s => (s.getPath.toString,
-        s.getPath.getName.stripSuffix(".json")))
-      .sortBy(_._1)
+  private[sources] def resolvePaths(
+      properties: util.Map[String, String]): Seq[String] = {
+    val single = Option(properties.get("path")).toSeq
+    val multi = Option(properties.get("paths")).toSeq.flatMap { js =>
+      val p = new com.fasterxml.jackson.core.JsonFactory()
+        .createParser(js)
+      import com.fasterxml.jackson.core.JsonToken
+      require(p.nextToken() == JsonToken.START_ARRAY,
+        s"embjson: malformed paths option: $js")
+      val out = Seq.newBuilder[String]
+      while (p.nextToken() != JsonToken.END_ARRAY) out += p.getText
+      out.result()
+    }
+    val all = single ++ multi
+    require(all.nonEmpty, "embjson requires a path: .load(dir) or .load(dirs*)")
+    require(all.distinct.length == all.length,
+      s"embjson: duplicate load paths would duplicate rows: $all")
+    all
+  }
+
+  /** Deterministic listing: all *.json files under each dir, path-sorted
+    * across the union. Filesystem resolved per path from the GIVEN conf
+    * (the session's), never a bare `new Configuration()` — otherwise
+    * `spark.hadoop.*` settings (credentials, fs impls) are silently
+    * ignored.
+    */
+  def listFiles(dirs: Seq[String], conf: Configuration): Seq[(String, String)] =
+    dirs.flatMap { dir =>
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+        .map(s => (s.getPath.toString,
+          s.getPath.getName.stripSuffix(".json")))
+    }.sortBy(_._1)
+}
+
+/** Hadoop Configuration is not java-serializable; this is the standard
+  * write/readFields envelope (the built-in sources' pattern) carrying
+  * the session conf to executor-side readers.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
-final class EmbJsonTable(path: String) extends Table with SupportsRead {
-  require(path != null, "embjson requires a path: .load(dir)")
-  override def name(): String = s"embjson:$path"
+final class EmbJsonTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"embjson:${paths.mkString(",")}"
   override def schema(): StructType = EmbJson.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EmbJsonScanBuilder(path)
+    new EmbJsonScanBuilder(paths)
 }
 
-final class EmbJsonScanBuilder(path: String) extends ScanBuilder
+final class EmbJsonScanBuilder(paths: Seq[String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = EmbJson.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -113,34 +164,39 @@ final class EmbJsonScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new EmbJsonScan(path, required, groups)
+  override def build(): Scan = new EmbJsonScan(paths, required, groups)
 }
 
-final class EmbJsonScan(path: String, required: StructType,
+final class EmbJsonScan(paths: Seq[String], required: StructType,
     groups: Option[Set[String]]) extends Scan with Batch {
+  // the session conf, captured at PLAN time on the driver and shipped to
+  // every reader — spark.hadoop.* settings reach both listing and reads
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf())
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val g = groups.map(s => s.toSeq.sorted.mkString("groups=[", ",", "]"))
       .getOrElse("groups=*")
-    s"embjson $path $g cols=[${required.fieldNames.mkString(",")}]"
+    s"embjson ${paths.mkString(",")} $g cols=[${required.fieldNames.mkString(",")}]"
   }
   override def planInputPartitions(): Array[InputPartition] =
-    EmbJson.listFiles(path)
+    EmbJson.listFiles(paths, conf.value)
       .filter { case (_, g) => groups.forall(_.contains(g)) }
       .map { case (f, g) => EmbJsonInputPartition(f, g): InputPartition }
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new EmbJsonReaderFactory(required.fieldNames)
+    new EmbJsonReaderFactory(required.fieldNames, conf)
 }
 
 final case class EmbJsonInputPartition(file: String, group: String)
   extends InputPartition
 
-final class EmbJsonReaderFactory(cols: Array[String])
-    extends PartitionReaderFactory {
+final class EmbJsonReaderFactory(cols: Array[String],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EmbJsonReader(partition.asInstanceOf[EmbJsonInputPartition], cols)
+    new EmbJsonReader(partition.asInstanceOf[EmbJsonInputPartition], cols,
+      conf.value)
 }
 
 /** Streams one group file: `{ "key": [floats], … }`. Jackson's pull
@@ -148,12 +204,12 @@ final class EmbJsonReaderFactory(cols: Array[String])
   * the file size — and `skipChildren()` hops the float tokens entirely
   * when the projection dropped the embedding column.
   */
-final class EmbJsonReader(p: EmbJsonInputPartition, cols: Array[String])
-    extends PartitionReader[InternalRow] {
+final class EmbJsonReader(p: EmbJsonInputPartition, cols: Array[String],
+    conf: Configuration) extends PartitionReader[InternalRow] {
   import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
 
   private val needEmbedding = cols.contains("embedding")
-  private val fs = new Path(p.file).getFileSystem(new Configuration())
+  private val fs = new Path(p.file).getFileSystem(conf)
   private val in = fs.open(new Path(p.file))
   private val parser: JsonParser =
     new JsonFactory().createParser(in: java.io.InputStream)

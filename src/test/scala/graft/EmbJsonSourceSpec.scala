@@ -63,7 +63,7 @@ class EmbJsonSourceSpec extends SparkSpec {
     assert(df.count() == 2)
     // the ScanBuilder consumed the filter entirely (exact file mapping):
     // directly exercise the pushdown contract
-    val sb = new graft.sources.EmbJsonScanBuilder(dir)
+    val sb = new graft.sources.EmbJsonScanBuilder(Seq(dir))
     val residual = sb.pushFilters(Array(
       org.apache.spark.sql.sources.EqualTo("group", "modelB"),
       org.apache.spark.sql.sources.GreaterThan("image_key", "a")))
@@ -75,7 +75,7 @@ class EmbJsonSourceSpec extends SparkSpec {
     assert(parts(0).asInstanceOf[graft.sources.EmbJsonInputPartition]
       .group == "modelB")
     // IN-list intersects with equality; contradiction prunes everything
-    val sb2 = new graft.sources.EmbJsonScanBuilder(dir)
+    val sb2 = new graft.sources.EmbJsonScanBuilder(Seq(dir))
     sb2.pushFilters(Array(
       org.apache.spark.sql.sources.EqualTo("group", "modelA"),
       org.apache.spark.sql.sources.In("group", Array("modelB"))))
@@ -87,5 +87,56 @@ class EmbJsonSourceSpec extends SparkSpec {
       .createTempDirectory("graft-embjson-empty").toString
     assert(spark.read.format("embjson").load(empty).count() == 0)
     assert(spark.read.format("embjson").load(s"$empty/nope").count() == 0)
+  }
+
+  test("multi-path load unions the directories; duplicates are rejected") {
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-embjson-second").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d2, "modelC.json"),
+      """{"img9.png": [1.0, 2.0]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val both = spark.read.format("embjson").load(dir, d2)
+    assert(both.count() == 4)
+    assert(both.select(col("group")).distinct().collect()
+      .map(_.getString(0)).toSet == Set("modelA", "modelB", "modelC"))
+    // group pruning still prunes across the union
+    assert(spark.read.format("embjson").load(dir, d2)
+      .filter(col("group") === "modelC").count() == 1)
+    // the same dir twice would silently double every row — refuse
+    val ex = intercept[Exception] {
+      spark.read.format("embjson").load(dir, dir).count()
+    }
+    assert(ex.getMessage.contains("duplicate"), ex.getMessage)
+    // no path at all is a clear contract error, not an NPE
+    val ex2 = intercept[Exception] {
+      spark.read.format("embjson").load().count()
+    }
+    assert(ex2.getMessage.contains("path"), ex2.getMessage)
+  }
+
+  test("session Hadoop configuration reaches listing and executor-side reads") {
+    // a spark.hadoop.*-style setting applied to the session conf must be
+    // visible wherever the connector resolves a filesystem; a bare `new
+    // Configuration()` would drop it (the ADVICE finding). Set a marker
+    // on the session conf and prove the serialized envelope carries it.
+    val key = "graft.test.embjson.marker"
+    spark.sessionState.conf.setConfString(key, "present")
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      assert(conf.get(key) == "present")
+      // the wire format executors receive: round-trip the envelope
+      val env = new graft.sources.SerializableHadoopConf(conf)
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(env); oos.close()
+      val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[graft.sources.SerializableHadoopConf]
+      assert(back.value.get(key) == "present",
+        "session conf lost through the executor serialization envelope")
+      // and the full read path still works with the session conf in play
+      assert(spark.read.format("embjson").load(dir).count() == 3)
+    } finally spark.sessionState.conf.unsetConf(key)
   }
 }
