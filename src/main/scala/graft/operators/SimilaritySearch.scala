@@ -1110,9 +1110,17 @@ object SimilaritySearch {
     require(sigCols.forall(sketched.columns.contains),
       s"sketched frame missing ${sigCols.mkString(",")} — built with a different width?")
     val labels = corpus.select(col(idCol), col(labelCol))
+    // LEFT join + loud failure, not an inner join: a query id absent
+    // from the corpus label relation must surface as an error, never as
+    // a silently missing result group (a miner reading k negatives per
+    // query would otherwise get fewer groups with no signal)
     val qs = srpSketch(queries, bits, seed, idCol, vecCol)
-      .join(labels, Seq(idCol))
-      .select(col(idCol).as("query_id") +: col(labelCol).as("__ql") +:
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol).as("query_id") +:
+        when(col(labelCol).isNull, raise_error(concat(
+            lit("hammingHardNegatives: query id "), col(idCol).cast("string"),
+            lit(s" has no label in the corpus relation"))))
+          .otherwise(col(labelCol)).as("__ql") +:
         (0 until words).map(i => col(s"sig$i").as(s"qsig$i")): _*)
     val hammingExpr = (0 until words)
       .map(i => bit_count(col(s"sig$i").bitwiseXOR(col(s"qsig$i"))))

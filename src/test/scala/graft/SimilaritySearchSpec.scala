@@ -56,6 +56,21 @@ class SimilaritySearchSpec extends SparkSpec {
       assert(r.get(3) != labelOf(r.getLong(0)),
         s"same-label negative for query ${r.getLong(0)}")
     }
+    // an out-of-corpus query id must FAIL LOUDLY, not silently vanish
+    // from the result groups (ADVICE: the inner join dropped it)
+    val spark2 = spark
+    import spark2.implicits._
+    val stray = queries.select(col("vec_id") + 1000000L, col("embedding"))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      SimilaritySearch.hammingHardNegatives(
+        sketched, emb, stray, k = 5, refine = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("no label in the corpus")),
+      s"wrong failure: $ex")
   }
 
   test("LSH top-k achieves reasonable recall vs brute force") {
