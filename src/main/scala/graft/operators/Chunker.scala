@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   * silent drop — a chunk table must account for every corpus document or
   * downstream coverage accounting silently under-counts (the same
   * silent-drop poisoning [[graft.sources.JsonlIngest]]'s contract exists
-  * to prevent).
+  * to prevent). Empty whitespace tokens are DROPPED from the token
+  * array (`array_remove`), so an empty/null document is 0 tokens and
+  * consecutive whitespace collapses — in BOTH granularities identically
+  * ([[chunkByBpe]]'s empty words carry no tokens); token sums in
+  * [[chunkStats]] therefore never count phantom tokens.
   *
   * Chunk identity is the (doc_id, chunk_idx) pair plus an md5 content
   * hash, so chunk tables feed [[Dedup.exact]]-style hash dedup and
@@ -79,7 +83,8 @@ object Chunker {
     checkDials(size, overlap)
     windows(
       docs.select(col(idCol).cast("long").as("doc_id"),
-        split(coalesce(col(textCol), lit("")), " ").as("__toks")),
+        array_remove(split(coalesce(col(textCol), lit("")), " "), "")
+          .as("__toks")),
       size, size - overlap, p => array_join(p, " "))
   }
 

@@ -2512,7 +2512,9 @@ object TextQueries extends QueryPack {
         size = 32, overlap = 8)
       .orderBy(col("doc_id"), col("chunk_idx")),
     Some("""WITH d AS (
-      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      SELECT doc_id,
+        list_filter(string_split(coalesce(text, ''), ' '),
+          x -> x <> '') AS toks
       FROM documents WHERE doc_id % 13 = 0
     ), c AS (
       SELECT doc_id, toks,
@@ -2542,7 +2544,9 @@ object TextQueries extends QueryPack {
         groupCol = "source")
       .orderBy(col("source")),
     Some("""WITH d AS (
-      SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS toks
+      SELECT doc_id, source,
+        list_filter(string_split(coalesce(text, ''), ' '),
+          x -> x <> '') AS toks
       FROM documents
     ), c AS (
       SELECT doc_id, source, toks,

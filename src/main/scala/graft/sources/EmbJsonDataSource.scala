@@ -86,9 +86,21 @@ object EmbJson {
     }
     val all = single ++ multi
     require(all.nonEmpty, "embjson requires a path: .load(dir) or .load(dirs*)")
-    require(all.distinct.length == all.length,
-      s"embjson: duplicate load paths would duplicate rows: $all")
-    all
+    // Dedup on QUALIFIED URIs, not raw strings: `.load(dir, dir + "/")`
+    // or a `file:`-qualified path beside its bare twin names the same
+    // directory and would silently double every row — exactly what this
+    // require exists to refuse. Qualification uses the session conf so
+    // default-FS / working-dir resolution matches what listing will do.
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val qualified = all.map { dir =>
+      val p = new Path(dir)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+    require(qualified.distinct.length == qualified.length,
+      s"embjson: duplicate load paths would duplicate rows: $all " +
+        s"(qualified: $qualified)")
+    qualified
   }
 
   /** Deterministic listing: all *.json files under each dir, path-sorted

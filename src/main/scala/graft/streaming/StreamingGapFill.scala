@@ -22,9 +22,11 @@ final case class GapFillAcc(nextK: Long, emittedAny: Boolean,
 /** Streaming regular-grid LOCF — the live-monitoring twin of
   * [[graft.operators.GapFill.locfGrid]] (the stated motivation for the
   * batch form: fixed-step feature grids on a live stream). A tick at
-  * slot time `T` is emitted exactly when the WATERMARK passes `T`: at
-  * that point no event at or before `T` can still arrive, so the
-  * carried value is final — the streaming analogue of the batch
+  * slot time `T` is emitted exactly when the WATERMARK reaches `T`:
+  * Spark's late filter drops rows stamped AT or before the watermark
+  * (`ts <= wm`, WatermarkSupport.watermarkExpression), so at `wm ≥ T`
+  * no event at or before `T` can still arrive and the carried value is
+  * final (spec-pinned against the engine's actual drop boundary) — the streaming analogue of the batch
   * operator's "grid over the observed span", with the horizon driven by
   * watermark progress instead of max(ts).
   *
@@ -86,8 +88,22 @@ object StreamingGapFill {
         // buffered observation; after, the cursor only moves forward
         var nextK =
           if (prev.emittedAny) prev.nextK else ceilK(buf0.head._1)
+        // A tick at slot T is final when wm == T: Spark's late filter
+        // drops rows with `ts <= watermarkMs * 1000` (WatermarkSupport
+        // .watermarkExpression — AT-or-before, no −1 µs), so once the
+        // watermark reaches T no event with ts ≤ T can be admitted in
+        // any later batch, and same-batch rows for the key reach this
+        // merge before the emission loop below. StreamingGapFillSpec
+        // pins that drop boundary so a Spark change to a strict filter
+        // would fail loudly here rather than emit non-final ticks.
+        // Watermark 0 means "no watermark yet" (Spark initialises it
+        // to 0 before the first update): nothing is final, emit
+        // nothing — otherwise every pre-epoch slot would look final on
+        // the first batch. The completeInput twin keeps the batch
+        // operator's INCLUSIVE horizon (grid through floor(max/step)).
         val boundUs =
           if (completeInput) buf0.last._1
+          else if (state.getCurrentWatermarkMs == 0L) Long.MinValue
           else state.getCurrentWatermarkMs * 1000L
         var buf = buf0
         val out = Vector.newBuilder[GridTick]
@@ -106,7 +122,7 @@ object StreamingGapFill {
         if (!completeInput)
           // wake when the watermark passes the next tick, even if the key
           // goes quiet — a monitor must keep reporting stale state
-          state.setTimeoutTimestamp(math.max(nextK * stepUs / 1000L,
+          state.setTimeoutTimestamp(math.max(Math.floorDiv(nextK * stepUs, 1000L),
             state.getCurrentWatermarkMs + 1))
         out.result().iterator
       }

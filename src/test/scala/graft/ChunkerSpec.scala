@@ -68,11 +68,21 @@ class ChunkerSpec extends SparkSpec {
     val nullChunk = ch.find(_.getLong(0) == 2L).get
     assert(nullChunk.getAs[String]("chunk_text") == "" &&
       nullChunk.getAs[Long]("chunk_idx") == 0L)
+    // no phantom tokens: an empty/null doc is 0 tokens, not 1 — the
+    // whitespace and BPE granularities must AGREE on the same corpus
+    assert(nullChunk.getAs[Long]("n_tokens") == 0L)
     // same contract on the BPE form
     val merges = Seq(("a", "b</w>"))
     val bch = Chunker.chunkByBpe(docs, 4, 0, merges).collect()
     assert(bch.length == 2 &&
       bch.find(_.getLong(0) == 2L).get.getAs[String]("chunk_text") == "")
+    assert(bch.find(_.getLong(0) == 2L).get.getAs[Long]("n_tokens") == 0L)
+    // consecutive whitespace collapses identically in both forms: token
+    // counts agree word-for-word (identity merges: 1 word = 1 token)
+    val messy = Seq((3L, "a  b   c")).toDF("doc_id", "text")
+    val wTok = Chunker.chunk(messy, 4, 0).collect()
+      .map(_.getAs[Long]("n_tokens")).sum
+    assert(wTok == 3L, s"empty split tokens counted: $wTok")
   }
 
   test("chunkByBpe: budget counted in BPE tokens, geometry matches the tail rule") {

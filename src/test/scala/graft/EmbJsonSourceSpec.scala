@@ -108,6 +108,16 @@ class EmbJsonSourceSpec extends SparkSpec {
       spark.read.format("embjson").load(dir, dir).count()
     }
     assert(ex.getMessage.contains("duplicate"), ex.getMessage)
+    // aliases of the same directory (trailing slash, file:-qualified)
+    // must be caught too — dedup is on qualified URIs, not raw strings
+    val exSlash = intercept[Exception] {
+      spark.read.format("embjson").load(dir, dir + "/").count()
+    }
+    assert(exSlash.getMessage.contains("duplicate"), exSlash.getMessage)
+    val exScheme = intercept[Exception] {
+      spark.read.format("embjson").load(dir, "file:" + dir).count()
+    }
+    assert(exScheme.getMessage.contains("duplicate"), exScheme.getMessage)
     // no path at all is a clear contract error, not an NPE
     val ex2 = intercept[Exception] {
       spark.read.format("embjson").load().count()

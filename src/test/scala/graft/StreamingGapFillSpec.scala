@@ -118,6 +118,57 @@ class StreamingGapFillSpec extends SparkSpec {
     assert(k1.forall(t => t._3 == ts(10) && t._4 == 5.0))
   }
 
+  test("tick-at-watermark is final: the engine drops events stamped AT the watermark") {
+    // The emit bound (tick T emits when wm >= T) is safe ONLY because
+    // Spark's late filter drops rows with ts <= wm (WatermarkSupport
+    // .watermarkExpression: LessThanOrEqual against wm*1000, no -1 us).
+    // This test pins that coupling: with wm landing EXACTLY on slot
+    // 11:00, an event stamped exactly 11:00 must be dropped — were it
+    // admitted, its data-triggered invocation would emit tick 11:00
+    // carrying it, and the tick would not have been final. If a Spark
+    // upgrade ever admits ts == wm, this fails and the bound must
+    // become strict (wm*1000 - 1).
+    val out = harness(3600L, "30 minutes") { (stream, query) =>
+      stream.addData((1L, ts(10, 15), 1.0, 1L))
+      query.processAllAvailable() // wm -> 9:45 next batch
+      stream.addData((2L, ts(11, 30), 0.0, 2L)) // key 2 drives the wm
+      query.processAllAvailable() // wm -> 11:00 EXACTLY
+      // probe stamped exactly AT the watermark: must be DROPPED. Were
+      // it admitted, this data-triggered invocation (wm == 11:00 ==
+      // tick 11:00's bound) would emit tick 11:00 carrying 99.0 — a
+      // value the already-final contract says cannot exist.
+      stream.addData((1L, ts(11, 0), 99.0, 3L))
+      query.processAllAvailable()
+      stream.addData((2L, ts(13, 0), 0.0, 4L)) // wm -> 12:30, flush
+      query.processAllAvailable()
+    }
+    val k1 = out.filter(_._1 == 1L)
+    assert(k1 == Seq(
+      (1L, ts(11), ts(10, 15), 1.0),
+      (1L, ts(12), ts(10, 15), 1.0)), s"got $k1")
+  }
+
+  test("batch-twin parity holds for pre-epoch (negative-us) timestamps") {
+    // 1969 data: slot arithmetic must floor (not truncate toward zero)
+    // on both sides — the exact bug class fixed in batch GapFill r9
+    val rows = Seq(
+      (1L, Timestamp.valueOf("1969-12-30 22:10:00"), 1.0, 1L),
+      (1L, Timestamp.valueOf("1969-12-31 03:40:00"), 2.0, 2L),
+      (2L, Timestamp.valueOf("1969-12-31 01:05:00"), 7.0, 3L),
+      (2L, Timestamp.valueOf("1969-12-31 23:59:00"), 8.0, 4L))
+    val df = rows.toDF("user_id", "ts", "value", "event_id")
+    val streamed = StreamingGapFill.locfTicks(df, 7200L,
+        completeInput = true)
+      .toDF().collect().map(_.toString).sorted.toSeq
+    val batch = GapFill.locfGrid(df, "user_id", "ts", "value", 7200L,
+        "event_id")
+      .select(col("user_id"), col("slot_ts"), col("locf_obs_ts"),
+        col("locf_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"\nstream: $streamed\nbatch: $batch")
+  }
+
   test("batch-twin mode reproduces GapFill.locfGrid row-for-row on real data") {
     val events = Tables.events(spark, sf001).filter($"user_id" < 15)
     val streamed = StreamingGapFill.locfTicks(events, 21600L,
