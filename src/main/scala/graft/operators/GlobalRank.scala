@@ -47,6 +47,16 @@ object GlobalRank {
     withGlobalRankImpl(df, rankCol, checkpoint = false, order)
   }
 
+  /** [[withGlobalRank]] over the checkpointed range sort — REQUIRED when
+    * the first order key is non-numeric: the default path's quantile
+    * bucketing casts the key to double, and a string key would cast to
+    * null and funnel every row into bucket 0 (one giant single-task
+    * sort). `repartitionByRange` here orders any sortable type natively.
+    */
+  def withGlobalRankOrdered(df: DataFrame, rankCol: String,
+      order: Column*): (DataFrame, Long) =
+    withGlobalRankImpl(df, rankCol, checkpoint = true, order)
+
   /** `checkpoint = true` materializes the shuffled sort once
     * (localCheckpoint — the BPE/Coreset lineage-truncation tool) so the
     * stats pass AND the ranked output read stored blocks instead of

@@ -249,4 +249,45 @@ object InvertedIndex {
         .cast("double") * lit(1000000.0)).cast("long").as("score_q"))
   }
 
+  /** Batch probe: score MANY queries in one pass — `queries` is a
+    * `(queryIdCol, termCol)` relation (one row per query term) and the
+    * result is `(query_id, doc_id, score_q)`, each score exactly what
+    * [[bm25Scores]] computes for that query's term bag alone (same
+    * bucket pruning, same exact-decimal sum boundary). This is the
+    * serving shape a retrieval PIPELINE composes — a RAG evaluation run
+    * scores hundreds of queries, and folding them into one posting scan
+    * beats a per-query driver loop by the query count.
+    *
+    * Scale: the query relation is the small side by construction
+    * (queries ≪ corpus) and BROADCASTS; the posting scan prunes to the
+    * union of the queries' term buckets, so cost ∝ matched postings,
+    * never the corpus.
+    */
+  def bm25ScoresByQuery(idx: LexIndex, queries: DataFrame,
+      queryIdCol: String = "query_id", termCol: String = "term",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qdf = queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
+      .withColumn("bucket", bucketOf(col("term")))
+    val buckets = qdf.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    require(buckets.nonEmpty, "empty query relation")
+    val q = qdf.drop("bucket").join(idx.termDf, Seq("term"))
+    val sc = idx.postings
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(q), Seq("term"))
+      .join(idx.docLens, Seq("doc_id"))
+      .withColumn("s",
+        log(((lit(idx.n) - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+        ((col("tf").cast("double") * lit(k1 + 1.0)) /
+         (col("tf").cast("double") + lit(k1) *
+           (lit(1.0 - b) + lit(b) *
+             (col("dl").cast("double") / lit(idx.avgdl))))))
+    sc.groupBy(col("query_id"), col("doc_id"))
+      .agg(floor(sum(col("s").cast(
+          org.apache.spark.sql.types.DecimalType(27, 12)))
+        .cast("double") * lit(1000000.0)).cast("long").as("score_q"))
+  }
+
 }

@@ -2579,16 +2579,15 @@ object TextQueries extends QueryPack {
   //      word) re-tokenizes the sampled docs word by word in corpus
   //      order, then the window geometry + detokenization replay in
   //      SQL ----
-  private val chunkBpeWindows = OracleQuery(
-    "t_chunk_bpe_windows",
-    (s, d) => {
-      val table = prepareBpeMerges(s, d).map(m => (m._2, m._3))
-      graft.operators.Chunker.chunkByBpe(
-          Tables.documents(s, d).filter(col("doc_id") % 13 === 0),
-          size = 24, overlap = 6, merges = table)
-        .orderBy(col("doc_id"), col("chunk_idx"))
-    },
-    Some(bpeReplaySql(16, s""", wt AS (
+  /** v16-vocabulary → chunk-relation replay chain shared by the BPE
+    * chunk gate and the composed RAG pipeline gate: re-tokenize the
+    * %13-sampled docs word-by-word from the KEYED training replay's
+    * final state, then re-cut the (size=24, overlap=6) windows — ends
+    * in `r2(doc_id, chunk_idx, chunk_uid, token_start, n_tokens,
+    * chunk_text)`, the exact [[graft.operators.Chunker.chunkByBpe]]
+    * output relation.
+    */
+  private val bpeChunkReplayCtes: String = s""", wt AS (
       SELECT w, regexp_extract_all(seg,
         '${"\u0001"}' || '([^' || '${"\u0002"}' || ']*)' || '${"\u0002"}', 1)
         AS wtoks
@@ -2625,10 +2624,316 @@ object TextQueries extends QueryPack {
         CAST(len(piece) AS BIGINT) AS n_tokens,
         replace(array_to_string(piece, ''), '</w>', ' ') AS chunk_text
       FROM w2
-    )
+    )"""
+
+  private val chunkBpeWindows = OracleQuery(
+    "t_chunk_bpe_windows",
+    (s, d) => {
+      val table = prepareBpeMerges(s, d).map(m => (m._2, m._3))
+      graft.operators.Chunker.chunkByBpe(
+          Tables.documents(s, d).filter(col("doc_id") % 13 === 0),
+          size = 24, overlap = 6, merges = table)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(bpeReplaySql(16, bpeChunkReplayCtes + """
     SELECT doc_id, chunk_idx, chunk_uid, token_start, n_tokens, chunk_text,
       md5(chunk_text) AS chunk_hash
     FROM r2 ORDER BY doc_id, chunk_idx""", keyed = true)))
+
+  // ---- the composed end-to-end RAG pipeline as ONE oracle gate: the
+  //      retrieval sibling of t_training_mix_pipeline/tx_curation_funnel
+  //      (and the reference's own mode of operation — its pipelines chain
+  //      ingest→align→reduce→score→report in one run,
+  //      /root/reference/src/compare_embeddings_vs_features.py:261-333).
+  //      Every stage is the REAL operator: Chunker.chunkByBpe under the
+  //      trained merge table → BowEmbed (the replayable featurizer at the
+  //      Embedder contract boundary) → InvertedIndex build→save→load at
+  //      CHUNK granularity (the persisted artifact, as t_bm25_artifact_topk)
+  //      + brute-force dense cosine → per-query BM25 probe
+  //      (bm25ScoresByQuery) fused by RRF → RetrievalEval against
+  //      same-document sibling-chunk relevance. The gate publishes the
+  //      per-stage counts a pipeline run ships plus the quantized eval
+  //      means; DuckDB replays tokenizer training, chunking, vocabulary,
+  //      embeddings, BM25, fusion, AND metrics end-to-end ----
+  /** Build-once RAG chunk relation: `chunkByBpe` over the %13 sample with
+    * a dense numeric chunk id (`cid = doc_id·10000 + chunk_idx` — chunk
+    * counts are window-geometry-bounded far below 10000). */
+  def prepareRagChunks(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate(s, s"rag_chunks:$d") {
+      val table = prepareBpeMerges(s, d).map(m => (m._2, m._3))
+      val ch = graft.operators.Chunker.chunkByBpe(
+          Tables.documents(s, d).filter(col("doc_id") % 13 === 0),
+          size = 24, overlap = 6, merges = table)
+        .withColumn("cid", col("doc_id") * 10000 + col("chunk_idx"))
+        .persist()
+      ch.count()
+      ch
+    }(_.unpersist())
+
+  /** Build-once frozen vocabulary + dense BoW embeddings of the RAG
+    * chunks (dim 32). */
+  def prepareRagVocab(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate(s, s"rag_vocab:$d") {
+      val v = graft.operators.BowEmbed.vocabRanks(
+        prepareRagChunks(s, d), "chunk_text").persist()
+      v.count()
+      v
+    }(_.unpersist())
+  def prepareRagEmb(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate(s, s"rag_emb:$d") {
+      val e = graft.operators.BowEmbed.embed(prepareRagChunks(s, d),
+        prepareRagVocab(s, d), dim = 32, idCol = "cid",
+        textCol = "chunk_text").persist()
+      e.count()
+      e
+    }(_.unpersist())
+
+  /** Build-once PERSISTED chunk-granularity inverted index (save→load,
+    * the artifact path — persisting must not change a score). */
+  def prepareRagIndex(s: SparkSession,
+      d: String): graft.operators.InvertedIndex.LexIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"rag_index:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ragidx").toString
+      graft.operators.InvertedIndex.save(
+        graft.operators.InvertedIndex.build(prepareRagChunks(s, d),
+          idCol = "cid", textCol = "chunk_text"), dir)
+      graft.operators.InvertedIndex.load(s, dir)
+    }(_ => ())
+
+  private val ragPipeline = OracleQuery(
+    "tx_rag_pipeline",
+    (s, d) => {
+      val k = 10
+      val ch = prepareRagChunks(s, d)
+      val vocab = prepareRagVocab(s, d)
+      val emb = prepareRagEmb(s, d)
+      val idx = prepareRagIndex(s, d)
+      // queries: the FIRST chunk of every 5th sampled doc; relevance =
+      // that doc's remaining chunks (the sibling-retrieval proxy task)
+      val qset = ch.filter(col("doc_id") % 65 === 0 && col("chunk_idx") === 0)
+        .select(col("cid").as("query_id"))
+      val qEmb = emb.join(broadcast(qset), emb("cid") === qset("query_id"))
+        .select(col("cid"), col("embedding"))
+      val dense = graft.operators.SimilaritySearch
+        .bruteForceTopK(emb, qEmb, k, idCol = "cid", vecCol = "embedding")
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rd"))
+      val qterms = ch.join(broadcast(qset), ch("cid") === qset("query_id"))
+        .select(col("query_id"),
+          explode(split(col("chunk_text"), " ")).as("term"))
+        .filter(length(col("term")) > 0).distinct()
+      val lexTop = graft.operators.InvertedIndex
+        .bm25ScoresByQuery(idx, qterms)
+        .filter(col("doc_id") =!= col("query_id")) // self is not a result
+        .withColumn("rl", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score_q").desc, col("doc_id"))))
+        .filter(col("rl") <= k)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rl"))
+      val fused = dense.join(lexTop, Seq("query_id", "neighbor_id"),
+          "full_outer")
+        .withColumn("rrf_q", floor((
+          coalesce(lit(1.0) / (lit(60.0) + col("rd").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rl").cast("double")), lit(0.0)))
+            * lit(1000000000.0)).cast("long"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_q").desc, col("neighbor_id"))))
+        .filter(col("rn") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rn"))
+      val truth = ch.filter(col("doc_id") % 65 === 0 && col("chunk_idx") > 0)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("chunk_idx"))))
+        .select((col("doc_id") * 10000).as("query_id"),
+          col("cid").as("neighbor_id"), col("rn"))
+      val summ = graft.operators.RetrievalEval.summarize(
+        graft.operators.RetrievalEval.perQuery(fused, truth, k))
+      def srow(stage: String, metric: String, v: DataFrame): DataFrame =
+        v.select(lit(stage).as("stage"), lit(metric).as("metric"),
+          col("value"))
+      val spark = s
+      import spark.implicits._
+      val rows = Seq(
+        srow("1_chunk", "n_docs",
+          ch.agg(countDistinct(col("doc_id")).cast("long").as("value"))),
+        srow("1_chunk", "n_chunks",
+          ch.agg(count(lit(1)).cast("long").as("value"))),
+        srow("1_chunk", "sum_tokens",
+          ch.agg(sum(col("n_tokens")).cast("long").as("value"))),
+        srow("2_embed", "n_vectors",
+          emb.agg(count(lit(1)).cast("long").as("value"))),
+        srow("2_embed", "vocab_size",
+          vocab.agg(count(lit(1)).cast("long").as("value"))),
+        srow("3_index", "n_postings",
+          idx.postings.agg(count(lit(1)).cast("long").as("value"))),
+        srow("3_index", "n_terms",
+          idx.termDf.agg(count(lit(1)).cast("long").as("value"))),
+        srow("3_index", "n_chunks_indexed",
+          Seq(idx.n).toDF("value")),
+        srow("3_index", "sum_dl",
+          Seq(idx.sdl).toDF("value")),
+        srow("4_retrieve", "n_queries",
+          qset.agg(count(lit(1)).cast("long").as("value"))),
+        srow("4_retrieve", "n_fused_rows",
+          fused.agg(count(lit(1)).cast("long").as("value"))),
+        srow("5_eval", "n_queries_scored",
+          summ.select(col("n_queries").as("value"))),
+        srow("5_eval", "recall_at_10_q",
+          summ.select(floor(col("mean_recall") * lit(1000000.0))
+            .cast("long").as("value"))),
+        srow("5_eval", "mrr_q",
+          summ.select(floor(col("mrr") * lit(1000000.0))
+            .cast("long").as("value"))),
+        srow("5_eval", "hit_rate_q",
+          summ.select(floor(col("hit_rate") * lit(1000000.0))
+            .cast("long").as("value"))))
+      rows.reduce(_.unionByName(_)).orderBy(col("stage"), col("metric"))
+    },
+    Some(bpeReplaySql(16, bpeChunkReplayCtes + s""", ch AS (
+      SELECT doc_id, chunk_idx, doc_id * 10000 + chunk_idx AS cid,
+        n_tokens, chunk_text
+      FROM r2
+    ), ctoks AS (
+      SELECT cid, unnest(string_split(chunk_text, ' ')) AS w FROM ch
+    ), tf AS (
+      SELECT cid, w, CAST(COUNT(*) AS BIGINT) AS tf FROM ctoks GROUP BY 1, 2
+    ), dl AS (
+      SELECT cid, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ch
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), vr AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS rk
+      FROM (SELECT DISTINCT w FROM ctoks WHERE w <> '')
+    ), bc AS (
+      SELECT t.cid, vr.rk % 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ctoks t JOIN vr ON t.w = vr.w
+      GROUP BY 1, 2
+    ), nrm AS (
+      SELECT cid, CAST(SUM(cnt * cnt) AS DOUBLE) AS n2 FROM bc GROUP BY 1
+    ), qset AS (
+      SELECT cid AS query_id FROM ch WHERE doc_id % 65 = 0 AND chunk_idx = 0
+    ), dotp AS (
+      SELECT qb.cid AS query_id, cb.cid AS neighbor_id,
+        CAST(SUM(qb.cnt * cb.cnt) AS DOUBLE) AS dot
+      FROM bc qb JOIN bc cb ON cb.bucket = qb.bucket AND cb.cid <> qb.cid
+      WHERE qb.cid IN (SELECT query_id FROM qset)
+      GROUP BY 1, 2
+    ), allp AS (
+      SELECT q.query_id, nc.cid AS neighbor_id,
+        COALESCE(d.dot, 0.0) / (sqrt(nq.n2) * sqrt(nc.n2) + 1e-12) AS cos
+      FROM qset q
+      JOIN nrm nq ON nq.cid = q.query_id
+      JOIN nrm nc ON nc.cid <> q.query_id
+      LEFT JOIN dotp d ON d.query_id = q.query_id AND d.neighbor_id = nc.cid
+    ), drk AS (
+      SELECT query_id, neighbor_id, rd FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rd
+        FROM allp) t WHERE rd <= 10
+    ), qterms AS (
+      SELECT DISTINCT q.query_id, t.w
+      FROM qset q JOIN ctoks t ON t.cid = q.query_id
+      WHERE t.w <> ''
+    ), scq AS (
+      SELECT qt.query_id, tf.cid AS doc_id,
+        ln((CAST(nn.n - dft.df AS DOUBLE) + 0.5) /
+           (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM qterms qt
+      JOIN tf ON tf.w = qt.w AND tf.cid <> qt.query_id
+      JOIN dft ON dft.w = qt.w
+      JOIN dl ON dl.cid = tf.cid
+      CROSS JOIN nn CROSS JOIN ad
+    ), lex AS (
+      SELECT query_id, doc_id,
+        CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
+      FROM scq GROUP BY query_id, doc_id
+    ), lrk AS (
+      SELECT query_id, doc_id, rl FROM (
+        SELECT query_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_q DESC, doc_id) AS rl
+        FROM lex) t WHERE rl <= 10
+    ), fq AS (
+      SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+        COALESCE(d.neighbor_id, l.doc_id) AS neighbor_id,
+        CAST(floor((
+          COALESCE(1.0 / (60.0 + CAST(d.rd AS DOUBLE)), 0.0) +
+          COALESCE(1.0 / (60.0 + CAST(l.rl AS DOUBLE)), 0.0))
+          * 1000000000.0) AS BIGINT) AS rrf_q
+      FROM drk d FULL OUTER JOIN lrk l
+        ON l.query_id = d.query_id AND l.doc_id = d.neighbor_id
+    ), fused AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_q DESC, neighbor_id) AS rn
+        FROM fq) t WHERE rn <= 10
+    ), truth AS (
+      SELECT doc_id * 10000 AS query_id, cid AS neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS rn
+      FROM ch WHERE doc_id % 65 = 0 AND chunk_idx > 0
+    ), hits AS (
+      SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        MIN(f.rn) AS fr
+      FROM fused f JOIN (SELECT * FROM truth WHERE rn <= 10) t
+        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      GROUP BY 1
+    ), pq AS (
+      SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_k,
+        CASE WHEN h.fr IS NULL THEN 0.0
+             ELSE 1.0 / CAST(h.fr AS DOUBLE) END AS reciprocal_rank
+      FROM (SELECT DISTINCT query_id FROM truth) q
+      LEFT JOIN hits h ON h.query_id = q.query_id
+    ), summ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_q,
+        CAST(SUM(CAST(recall_at_k AS DECIMAL(27,18))) AS DOUBLE)
+          / COUNT(*) AS mean_recall,
+        CAST(SUM(CAST(reciprocal_rank AS DECIMAL(27,18))) AS DOUBLE)
+          / COUNT(*) AS mrr,
+        CAST(SUM(CAST(CASE WHEN n_hits > 0 THEN 1.0 ELSE 0.0 END
+          AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS hit_rate
+      FROM pq
+    )
+    SELECT stage, metric, value FROM (
+      SELECT '1_chunk' AS stage, 'n_docs' AS metric,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS value FROM ch
+      UNION ALL SELECT '1_chunk', 'n_chunks',
+        CAST(COUNT(*) AS BIGINT) FROM ch
+      UNION ALL SELECT '1_chunk', 'sum_tokens',
+        CAST(SUM(n_tokens) AS BIGINT) FROM ch
+      UNION ALL SELECT '2_embed', 'n_vectors',
+        CAST(COUNT(*) AS BIGINT) FROM nrm
+      UNION ALL SELECT '2_embed', 'vocab_size',
+        CAST(COUNT(*) AS BIGINT) FROM vr
+      UNION ALL SELECT '3_index', 'n_postings',
+        CAST(COUNT(*) AS BIGINT) FROM tf
+      UNION ALL SELECT '3_index', 'n_terms',
+        CAST(COUNT(*) AS BIGINT) FROM dft
+      UNION ALL SELECT '3_index', 'n_chunks_indexed',
+        CAST(n AS BIGINT) FROM nn
+      UNION ALL SELECT '3_index', 'sum_dl',
+        CAST((SELECT SUM(dl) FROM dl) AS BIGINT)
+      UNION ALL SELECT '4_retrieve', 'n_queries',
+        CAST(COUNT(*) AS BIGINT) FROM qset
+      UNION ALL SELECT '4_retrieve', 'n_fused_rows',
+        CAST(COUNT(*) AS BIGINT) FROM fused
+      UNION ALL SELECT '5_eval', 'n_queries_scored', n_q FROM summ
+      UNION ALL SELECT '5_eval', 'recall_at_10_q',
+        CAST(floor(mean_recall * 1000000.0) AS BIGINT) FROM summ
+      UNION ALL SELECT '5_eval', 'mrr_q',
+        CAST(floor(mrr * 1000000.0) AS BIGINT) FROM summ
+      UNION ALL SELECT '5_eval', 'hit_rate_q',
+        CAST(floor(hit_rate * 1000000.0) AS BIGINT) FROM summ
+    ) ORDER BY stage, metric""", keyed = true)))
 
   // ---- JSONL ingestion contract (sources/JsonlIngest): the raw-dump
   //      front door. The artifact dumps the sampled corpus as real JSON
@@ -2681,7 +2986,7 @@ object TextQueries extends QueryPack {
     ORDER BY source"""))
 
   override val all: Seq[OracleQuery] = Seq(
-    chunkWindows, chunkStats, chunkBpeWindows, jsonlContract,
+    chunkWindows, chunkStats, chunkBpeWindows, ragPipeline, jsonlContract,
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
     dupSpanIncremental, streamDecontaminate, repetitionTopgram,
     exactDedup, tokenStats, langSource, stopwordRatio,
