@@ -1161,19 +1161,80 @@ object EngineQueries extends QueryPack {
       sk
     }(_.unpersist())
 
+  /** Build-once DIRECT SrpIndex (in-session, no disk roundtrip) and its
+    * PERSISTED twin (saveSrpIndex → loadSrpIndex through parquet) — the
+    * hamming gate serves from the artifact (what a deployment probes)
+    * and the parity gate proves the roundtrip changed nothing, down to
+    * the metadata-resolved refine dial.
+    */
+  def prepareSrpIndexDirect(s: org.apache.spark.sql.SparkSession,
+      d: String): SimilaritySearch.SrpIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"srp_index_direct:$d")(
+      SimilaritySearch.buildSrpIndex(Tables.embeddings(s, d)))(
+      _.unpersist())
+  def prepareSrpIndexArtifact(s: org.apache.spark.sql.SparkSession,
+      d: String): SimilaritySearch.SrpIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"srp_index_artifact:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-srpidx").toString
+      SimilaritySearch.saveSrpIndex(prepareSrpIndexDirect(s, d), dir)
+      SimilaritySearch.loadSrpIndex(s, dir)
+    }(_.unpersist())
+
   // SRP-Hamming brute scan + exact refine: every corpus row scored by
   // xor+popcount over two packed longs — the scan is whole-stage codegen
   // with NO UDF (PlanSpec-pinned), the leanest full-scan operating point
   // (no bucket-miss cliff). Hyperplane signs are engine floats → rows-only;
-  // SimilaritySearchSpec pins recall ≥ 0.6 refined.
+  // SimilaritySearchSpec pins recall ≥ 0.6 refined. Served from the
+  // PERSISTED saveSrpIndex artifact via the metadata-resolved auto
+  // policy — the deployment path; vx_ann_hamming_artifact_parity proves
+  // it bit-equal to the direct in-session index IN the gate suite.
   private val annHamming = OracleQuery(
     "vx_ann_hamming_top5",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      SimilaritySearch.hammingTopK(prepareSrpSketch(s, d), emb,
-        emb.filter(col("vec_id") < 10), k = 5, refine = 8)
+      SimilaritySearch.hammingTopKAuto(prepareSrpIndexArtifact(s, d), emb,
+        emb.filter(col("vec_id") < 10), k = 5)
     },
     None)
+
+  // Artifact-parity AS a full-oracle gate (the t_bm25_artifact_topk
+  // discipline for the SRP family): probe the direct index and the
+  // parquet-roundtripped artifact with the SAME auto policy and compare
+  // every (query, rank, neighbor, cosine) — the contract is k rows per
+  // query and ZERO mismatches, which DuckDB can state from the corpus
+  // row counts alone. Any divergence (schema drift in save/load, a lost
+  // metadata field changing the auto refine, float damage in parquet)
+  // breaks the hash.
+  private val annHammingArtifactParity = OracleQuery(
+    "vx_ann_hamming_artifact_parity",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val direct = SimilaritySearch
+        .hammingTopKAuto(prepareSrpIndexDirect(s, d), emb, q, k = 5)
+      val art = SimilaritySearch
+        .hammingTopKAuto(prepareSrpIndexArtifact(s, d), emb, q, k = 5)
+      direct.as("a").join(art.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.rn") === col("b.rn"), "full_outer")
+        .agg(count(col("a.query_id")).cast("long").as("n_direct"),
+          count(col("b.query_id")).cast("long").as("n_artifact"),
+          sum(when(col("a.neighbor_id").isNull ||
+              col("b.neighbor_id").isNull ||
+              col("a.neighbor_id") =!= col("b.neighbor_id") ||
+              col("a.cosine") =!= col("b.cosine"), lit(1L))
+            .otherwise(lit(0L))).cast("long").as("n_mismatch"))
+    },
+    Some("""WITH nq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS q FROM embeddings WHERE vec_id < 10
+    ), nc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+    )
+    SELECT q * LEAST(5, n - 1) AS n_direct,
+      q * LEAST(5, n - 1) AS n_artifact,
+      CAST(0 AS BIGINT) AS n_mismatch
+    FROM nq CROSS JOIN nc"""))
 
   // the STREAMING vector near-dup detector in batch mode, driven as a
   // re-ingest scenario: the session's memoized SRP sketch is unioned with
@@ -2501,7 +2562,8 @@ object EngineQueries extends QueryPack {
     annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
     retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
     clusterBalancedSample,
-    annInt8, annIvfInt8, annIvfPq, annHamming, streamVecNearDup,
+    annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,
+    streamVecNearDup,
     streamVecNearDupQ,
     dedupCosinePairs, dedupEmbeddingCanonical, dedupEmbeddingCanonicalQ,
     crossDecontaminateEmb,
