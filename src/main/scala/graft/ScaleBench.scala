@@ -428,6 +428,45 @@ object ScaleBench {
         .orderBy(col("df").desc, col("term")).limit(3)
         .collect().map(_.getString(0)).toSeq
     }
+    // compaction REWRITE (the execution half; compaction_plan measures
+    // planning): fragment the dir's lineitem into row-capped small files,
+    // then time the one-file-per-bin rewrite both ways — the DataFrame-
+    // native bijection-key repartition (codegen end-to-end) vs the
+    // round-7 RDD identity-partitioner detour (per-row GenericRow
+    // deserialization). File count and rewrite volume both scale with
+    // the corpus, so the pair gives the detour's true cost at ×F.
+    // repartitionByRange was DISQUALIFIED without timing: its sampled
+    // boundaries can merge two dense bin ids into one partition, which
+    // breaks the one-file-per-bin contract no speedup buys back.
+    if (familySelected("compaction_rewrite")) {
+      def mkFrag(dir: String): String = {
+        val frag = java.nio.file.Files
+          .createTempDirectory("graft-scale-compact-in").toString
+        Tables.lineitem(spark, dir).write.mode("overwrite")
+          .option("maxRecordsPerFile", 5000).parquet(frag)
+        frag
+      }
+      val fragBase = mkFrag(base)
+      val fragBig = mkFrag(out)
+      def rewrite(frag: String, rdd: Boolean): Unit = {
+        val o = java.nio.file.Files
+          .createTempDirectory("graft-scale-compact-out").toString
+        graft.sources.Compaction.compactParquet(spark, frag, o,
+          targetBytes = 4L * 1024L * 1024L, useRddDetour = rdd)
+        ()
+      }
+      // min-of-2 per cell, interleaved, so JIT warm-up and page-cache
+      // state do not bias the first-measured variant
+      def min2(f: => Unit): Double = Seq.fill(2)(timeIt(f)).min
+      rewrite(fragBase, rdd = false) // warm both paths once
+      rewrite(fragBase, rdd = true)
+      builds("compaction_rewrite_native") =
+        (min2 { rewrite(fragBase, rdd = false) },
+         min2 { rewrite(fragBig, rdd = false) })
+      builds("compaction_rewrite_rdd") =
+        (min2 { rewrite(fragBase, rdd = true) },
+         min2 { rewrite(fragBig, rdd = true) })
+    }
     if (familySelected("retrieval_eval")) {
       import graft.operators.SimilaritySearch
       def mkEval(dir: String): Unit = {
@@ -643,6 +682,109 @@ object ScaleBench {
         }.mkString("{", ",", "}")
       }
 
+    // embjson DSv2 source at the sizes it exists for (round-9 verdict
+    // item 2): the connector's three value claims — constant-memory
+    // streaming parse of a big group file, key-only scans skipping float
+    // parsing, group-filter file pruning — measured against the wholetext
+    // + from_json helper it replaced. The generated store is 4 group
+    // files × (20000·F) keys × dim-64 float arrays (≈ 12 MB/file at the
+    // base, ≈ F× that big — multi-GB per file at F=100). Peak heap is
+    // the max post-GC pool peak during the scan (peaks reset before each
+    // run): the helper must materialize EVERY file as one string row,
+    // the connector streams — the number that decides whether a 2 GB
+    // group file is readable at all. Helper timings fall back to -1 on
+    // OOM/failure; that outcome IS the measurement.
+    val embjsonJson: Option[String] =
+      if (!familySelected("embjson_source")) None
+      else Some {
+        import java.lang.management.ManagementFactory
+        import scala.jdk.CollectionConverters._
+        def genStore(nKeys: Int): (String, Long) = {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-scale-embjson").toString
+          var total = 0L
+          (0 until 4).foreach { g =>
+            val f = new java.io.File(dir, s"model$g.json")
+            val w = new java.io.BufferedWriter(new java.io.FileWriter(f),
+              1 << 20)
+            w.write("{")
+            var k = 0
+            while (k < nKeys) {
+              if (k > 0) w.write(",")
+              w.write(s""""img${g}_$k.png":[""")
+              var i = 0
+              var h = g * 1000003L + k * 31L + 7L
+              while (i < 64) {
+                if (i > 0) w.write(",")
+                h = h * 6364136223846793005L + 1442695040888963407L
+                val v = ((h >>> 33) % 2000000L).toDouble / 1000000.0 - 1.0
+                w.write(String.format(java.util.Locale.ROOT, "%.6f",
+                  Double.box(v)))
+                i += 1
+              }
+              w.write("]")
+              k += 1
+            }
+            w.write("}")
+            w.close()
+            total += f.length()
+          }
+          (dir, total)
+        }
+        def peakReset(): Unit = ManagementFactory.getMemoryPoolMXBeans
+          .asScala.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
+        def peakMb(): Long = ManagementFactory.getMemoryPoolMXBeans
+          .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+          .map(p => try p.getPeakUsage.getUsed catch { case _: Throwable => 0L })
+          .sum / (1024L * 1024L)
+        val sections = Seq("small" -> 20000, "big" -> 20000 * factor)
+          .map { case (tag, nKeys) =>
+            val (dir, bytes) = genStore(nKeys)
+            def fullAgg(df: DataFrame): Unit = {
+              df.agg(count(lit(1)),
+                sum(element_at(col("embedding"), 1))).collect(); ()
+            }
+            def keysAgg(df: DataFrame): Unit = {
+              df.agg(sum(length(col("image_key")))).collect(); ()
+            }
+            def native = spark.read.format("embjson").load(dir)
+            def helper = graft.sources.ImageIngest
+              .readJsonEmbeddings(spark, s"$dir/*.json")
+            peakReset()
+            val tFullN = timeIt { fullAgg(native) }
+            val memN = peakMb()
+            val tKeysN = timeIt {
+              keysAgg(native.select(col("group"), col("image_key")))
+            }
+            val tPruneN = timeIt {
+              keysAgg(native.filter(col("group") === "model0")
+                .select(col("group"), col("image_key")))
+            }
+            peakReset()
+            var memH = -1L
+            val tFullH = try {
+              val t = timeIt { fullAgg(helper) }
+              memH = peakMb(); t
+            } catch { case _: Throwable => -1.0 }
+            val tKeysH = try timeIt {
+              keysAgg(helper.select(col("group"), col("image_key")))
+            } catch { case _: Throwable => -1.0 }
+            println(s"SCALEEMBJSON $tag keys_per_file=$nKeys " +
+              s"bytes=$bytes full_native=${fmt(tFullN)}s " +
+              s"keys_native=${fmt(tKeysN)}s prune_native=${fmt(tPruneN)}s " +
+              s"full_helper=${fmt(tFullH)}s keys_helper=${fmt(tKeysH)}s " +
+              s"peak_heap_native=${memN}MB peak_heap_helper=${memH}MB")
+            s""""$tag":{"keys_per_file":$nKeys,"bytes_total":$bytes,""" +
+              s""""full_native_sec":${fmt(tFullN)},""" +
+              s""""keys_native_sec":${fmt(tKeysN)},""" +
+              s""""prune_native_sec":${fmt(tPruneN)},""" +
+              s""""full_helper_sec":${fmt(tFullH)},""" +
+              s""""keys_helper_sec":${fmt(tKeysH)},""" +
+              s""""peak_heap_native_mb":$memN,"peak_heap_helper_mb":$memH}"""
+          }
+        sections.mkString("{", ",", "}")
+      }
+
     val famJson = results.map { case (n, s, b, e) =>
       s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"exponent":${fmt(e)}}"""
     }.mkString("{", ",", "}")
@@ -651,7 +793,8 @@ object ScaleBench {
       s""""$n":{"small":${fmt(s)},"big":${fmt(b)},"exponent":${fmt(e)}}"""
     }.mkString("{", ",", "}")
     val recallField = recallJson.map(r => s""","recall":$r""").getOrElse("") +
-      plantedJson.map(r => s""","recall_planted":$r""").getOrElse("")
+      plantedJson.map(r => s""","recall_planted":$r""").getOrElse("") +
+      embjsonJson.map(r => s""","embjson":$r""").getOrElse("")
     val json =
       s"""{"metric":"scale_exponent","factor":$factor,"base":"$base","families":$famJson,"builds":$buildJson$recallField}"""
     println(json)

@@ -80,17 +80,50 @@ object Compaction {
         row_number().over(
           Window.partitionBy(col("part")).orderBy(col("path"))).cast("long"))
 
+  /** Driver-side search for one int key per target partition such that
+    * Spark's hash partitioning (`pmod(murmur3(key, seed=42), n)` — the
+    * `HashPartitioning` contract for an INT key) sends key `p` to
+    * partition `p`. With these keys, `repartition(n, col(key))` is an
+    * EXACT bijection bin → partition with no hash collisions — the
+    * DataFrame-native alternative to an RDD identity partitioner, which
+    * keeps the rewrite inside whole-stage codegen + Tungsten rows
+    * instead of deserializing every data row to a GenericRow. Expected
+    * n·Hₙ probes of a 4-byte hash (coupon collector) — pure driver
+    * arithmetic, no Spark job, microseconds for thousands of bins.
+    * CompactionSpec pins the bijection empirically (one file per bin on
+    * a real rewrite), so a change in Spark's partitioning arithmetic
+    * fails loudly rather than silently merging bins.
+    */
+  private[graft] def bijectionKeys(n: Int): Array[Int] = {
+    val keys = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var k = 0
+    var remaining = n
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; keys(p) = k; remaining -= 1 }
+      k += 1
+    }
+    keys
+  }
+
   /** Execute a compaction: rewrite `inDir` to `outDir` with EXACTLY one
     * output file per planned bin. Each (part, bin) pair gets a dense id
     * 0..nBins-1 from the collected plan — bounded metadata, one row per
-    * INPUT FILE, never per data row — and an identity partitioner places
-    * each bin in its own output partition. (A hash `repartition` on a raw
-    * bin key would co-locate ~1/e of bins into doubled files that overshoot
-    * `targetBytes` while leaving other partitions empty.) Returns
-    * (filesBefore, binsPlanned).
+    * INPUT FILE, never per data row. Placement is one-bin-per-partition
+    * either way (a hash `repartition` on a RAW bin key would co-locate
+    * ~1/e of bins into doubled files that overshoot `targetBytes` while
+    * leaving other partitions empty); the default routes each bin
+    * through [[bijectionKeys]] — a plain `repartition(n, key)` whose
+    * hash is a bijection by key construction, keeping the whole rewrite
+    * in codegen (measured 1.7×/2.1× faster than the RDD detour at
+    * ×10/×100 file counts, BASELINE.md round-10) — and
+    * `useRddDetour = true` keeps the round-7 identity-`Partitioner`
+    * plan for comparison. Returns (filesBefore, binsPlanned).
     */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
-      targetBytes: Long): (Long, Long) = {
+      targetBytes: Long, useRddDetour: Boolean = false): (Long, Long) = {
     val listing = parquetFiles(spark, dir = inDir)
     val plan = planCompaction(listing, targetBytes)
       .join(listing.select(col("part"), col("file_id"), col("path")),
@@ -105,26 +138,40 @@ object Compaction {
     val nBins = bid.size
     if (nBins == 0) return (0L, 0L)
     import spark.implicits._
-    val pathBid = pathBin.toSeq
-      .map { case (p, part, bin) => (p, bid((part, bin))) }
-      .toDF("path", "__bid")
-    val data = spark.read.parquet(inDir)
-      .withColumn("path", col("_metadata.file_path"))
-      .join(broadcast(pathBid), Seq("path"))
-      .drop("path")
-    val bidIdx = data.schema.fieldIndex("__bid")
-    val outSchema = org.apache.spark.sql.types.StructType(
-      data.schema.filterNot(_.name == "__bid"))
-    val identityPart = new org.apache.spark.Partitioner {
-      override def numPartitions: Int = nBins
-      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    if (useRddDetour) {
+      val pathBid = pathBin.toSeq
+        .map { case (p, part, bin) => (p, bid((part, bin))) }
+        .toDF("path", "__bid")
+      val data = spark.read.parquet(inDir)
+        .withColumn("path", col("_metadata.file_path"))
+        .join(broadcast(pathBid), Seq("path"))
+        .drop("path")
+      val bidIdx = data.schema.fieldIndex("__bid")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        data.schema.filterNot(_.name == "__bid"))
+      val identityPart = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nBins
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      }
+      val rdd = data.rdd
+        .map(r => (r.getInt(bidIdx),
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(bidIdx, Nil, 1))))
+        .partitionBy(identityPart).values
+      spark.createDataFrame(rdd, outSchema)
+        .write.mode("overwrite").parquet(outDir)
+    } else {
+      val keys = bijectionKeys(nBins)
+      val pathKey = pathBin.toSeq
+        .map { case (p, part, bin) => (p, keys(bid((part, bin)))) }
+        .toDF("path", "__k")
+      spark.read.parquet(inDir)
+        .withColumn("path", col("_metadata.file_path"))
+        .join(broadcast(pathKey), Seq("path"))
+        .drop("path")
+        .repartition(nBins, col("__k"))
+        .drop("__k")
+        .write.mode("overwrite").parquet(outDir)
     }
-    val rdd = data.rdd
-      .map(r => (r.getInt(bidIdx),
-        org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(bidIdx, Nil, 1))))
-      .partitionBy(identityPart).values
-    spark.createDataFrame(rdd, outSchema)
-      .write.mode("overwrite").parquet(outDir)
     (nFiles, nBins.toLong)
   }
 }

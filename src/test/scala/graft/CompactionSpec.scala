@@ -76,8 +76,32 @@ class CompactionSpec extends SparkSpec {
     val filesAfter = new java.io.File(out).listFiles()
       .count(_.getName.endsWith(".parquet"))
     // the plan's promise is EXACT: one output file per planned bin, so the
-    // size ceiling the plan computed actually holds in the rewrite
+    // size ceiling the plan computed actually holds in the rewrite —
+    // this also pins the bijectionKeys construction empirically (a drift
+    // in Spark's hash-partitioning arithmetic would merge bins here)
     assert(filesAfter == nBins.toInt,
       s"wrote $filesAfter files for $nBins planned bins")
+    // the RDD-detour path must produce the same bin layout and rows
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft-compact-out2").toString
+    val (_, nBins2) = Compaction.compactParquet(spark, in, out2,
+      targetBytes = 512L * 1024L, useRddDetour = true)
+    assert(nBins2 == nBins)
+    assert(new java.io.File(out2).listFiles()
+      .count(_.getName.endsWith(".parquet")) == nBins.toInt)
+    val a = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(out2).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "native and RDD rewrites diverged in content")
+  }
+
+  test("bijectionKeys: one key per partition, keys distinct") {
+    for (n <- Seq(1, 2, 7, 64, 1000)) {
+      val keys = Compaction.bijectionKeys(n)
+      assert(keys.distinct.length == n)
+      keys.zipWithIndex.foreach { case (k, p) =>
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+        assert(((h % n) + n) % n == p, s"key $k does not land in $p")
+      }
+    }
   }
 }
