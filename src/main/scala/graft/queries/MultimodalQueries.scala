@@ -100,6 +100,67 @@ object MultimodalQueries extends QueryPack {
     out.toByteArray
   }
 
+  /** (name, µs per frame, frame count): two MJPEG AVIs with different
+    * frame rates and lengths, so the sampling arithmetic (container
+    * duration, tick → source-frame floor division, clamp) is exercised
+    * on non-trivial ratios. Frames alternate between two solid-gray
+    * JPEGs (frame i = color i mod 2), and the SAME byte array is reused
+    * for every frame of a color — the planted structure the gate
+    * recovers from frame-byte identity without crossing the JPEG codec
+    * boundary.
+    */
+  private[graft] val vidFixtures: Seq[(String, Long, Int)] = Seq(
+    ("vid0.avi", 100000L, 12), ("vid1.avi", 250000L, 10))
+
+  /** Solid-gray 16×16 JPEG. */
+  private[graft] def jpegBytes(v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(v, v, v))
+    g.fillRect(0, 0, 16, 16)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal structurally-valid RIFF/AVI: hdrl LIST with the avih
+    * header (µs/frame + total frames), movi LIST with one `00dc` chunk
+    * per frame. Little-endian sizes, word-aligned chunks — exactly the
+    * layout [[graft.sources.Multimodal.parseAvi]] walks.
+    */
+  private[graft] def aviBytes(usPerFrame: Long,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    def tag(s: String): Unit = out.write(
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(usPerFrame.toInt)      // dwMicroSecPerFrame
+      b.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      b.putInt(frames.length)         // dwTotalFrames
+      b.array()
+    }
+    val hdrlBody = 4 + 8 + avih.length        // 'hdrl' + avih chunk
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffBody = 4 + 8 + hdrlBody + 8 + moviBody
+    tag("RIFF"); w32(riffBody); tag("AVI ")
+    tag("LIST"); w32(hdrlBody); tag("hdrl")
+    tag("avih"); w32(avih.length); out.write(avih)
+    tag("LIST"); w32(moviBody); tag("movi")
+    frames.foreach { f =>
+      tag("00dc"); w32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0) // word-align
+    }
+    out.toByteArray
+  }
+
   /** Idempotent fixture layout under the JVM temp dir: same bytes every
     * call, so repeated gate runs scan identical content.
     */
@@ -128,6 +189,13 @@ object MultimodalQueries extends QueryPack {
     and.mkdirs()
     ndClipFixtures.foreach { case (name, mask, amp) =>
       put(new java.io.File(and, name), wavBytes(mask = mask, amp = amp))
+    }
+    val vid = new java.io.File(root, "vid")
+    vid.mkdirs()
+    val colorJpegs = Seq(jpegBytes(40), jpegBytes(200))
+    vidFixtures.foreach { case (name, uspf, nFrames) =>
+      put(new java.io.File(vid, name),
+        aviBytes(uspf, (0 until nFrames).map(i => colorJpegs(i % 2))))
     }
     root.getAbsolutePath
   }
@@ -371,6 +439,66 @@ object MultimodalQueries extends QueryPack {
           FROM embeddings)
     GROUP BY 1 ORDER BY 1"""))
 
+  // REAL video frame sampling (round 10): binaryFile scan → RIFF/AVI
+  // container walk (Multimodal.parseAvi — exact byte slicing, no codec)
+  // → stride ticks → the MJPEG frame on screen at each tick. FULL
+  // oracle by the decode-boundary split: container duration, tick
+  // count, and the tick → source-frame floor/clamp arithmetic replay in
+  // SQL from the fixture constants, and the planted color alternation
+  // (frame i = color i mod 2, one shared byte array per color) lets the
+  // gate publish WHICH frames are byte-identical (color_group = first
+  // tick showing the same bytes) without the oracle ever seeing a JPEG.
+  // The JPEG decodability of the extracted frames is MultimodalSpec's
+  // job (real ImageIO decode of a sampled frame).
+  private val videoFrameSample = OracleQuery(
+    "mm_video_frame_sample",
+    (s, _) => {
+      val root = ensureFixtures()
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avi").load(s"$root/vid")
+        .select(
+          xxhash64(col("path")).as("asset_id"),
+          element_at(split(col("path"), "/"), -1).as("name"),
+          lit("video").as("kind"),
+          struct(lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(null).cast("long").as("duration_ms"),
+            lit(null).cast("int").as("sample_rate"),
+            lit("mjpeg").as("codec")).as("meta"),
+          col("content").as("payload"))
+      val frames = Multimodal.sampleFrames(media, strideMs = 300L,
+        maxFrames = 8)
+      frames
+        .join(media.select(col("asset_id"), col("name")), Seq("asset_id"))
+        .withColumn("color_group",
+          min(col("frame_idx")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("name"), md5(col("frame")))).cast("int"))
+        .select(col("name"), col("frame_idx"), col("ts_ms"),
+          col("color_group"))
+        .orderBy(col("name"), col("frame_idx"))
+    },
+    Some {
+      val vids = vidFixtures.map { case (n, uspf, nf) => s"('$n', $uspf, $nf)" }
+        .mkString(", ")
+      s"""WITH vids(name, uspf, nframes) AS (VALUES $vids
+    ), ticks AS (
+      SELECT name, uspf, nframes,
+        unnest(range(0, LEAST((nframes * uspf // 1000) // 300, 8))) AS k
+      FROM vids
+    ), fr AS (
+      SELECT name, CAST(k AS INT) AS frame_idx,
+        CAST(k * 300 AS BIGINT) AS ts_ms,
+        LEAST(nframes - 1, (k * 300 * 1000) // uspf) % 2 AS color
+      FROM ticks
+    )
+    SELECT name, frame_idx, ts_ms,
+      CAST(MIN(frame_idx) OVER (PARTITION BY name, color) AS INT)
+        AS color_group
+    FROM fr ORDER BY name, frame_idx"""
+    })
+
   override val all: Seq[OracleQuery] =
-    Seq(imageNearDups, audioEnergy, audioNearDupPairs, embJsonSource)
+    Seq(imageNearDups, audioEnergy, audioNearDupPairs, embJsonSource,
+      videoFrameSample)
 }

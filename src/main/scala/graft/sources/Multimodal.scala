@@ -36,10 +36,70 @@ object Multimodal {
     StructField("ts_ms", LongType, nullable = false),
     StructField("frame", BinaryType, nullable = false)))
 
+  /** Minimal RIFF/AVI container walk — REAL frame extraction without any
+    * codec: RIFF is length-prefixed chunk iteration, so the video
+    * stream's frame chunks (`##dc`/`##db`) slice out of the payload as
+    * exact byte ranges, and for MJPEG AVIs each chunk IS a complete JFIF
+    * image `javax.imageio` decodes — the one mainstream video layout a
+    * pure JVM can both demux and decode (the MP4/H.264 boundary stays
+    * documented, as model inference is). Returns (µs per frame from the
+    * `avih` header, frame chunks in file order); None when the payload
+    * is not a structurally valid AVI — callers keep the deterministic
+    * stub (the [[resizeImages]] real-or-stub discipline).
+    */
+  private[graft] def parseAvi(
+      payload: Array[Byte]): Option[(Long, Vector[Array[Byte]])] = {
+    if (payload == null || payload.length < 24) return None
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def le32(off: Int): Long =
+      (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8) |
+        ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var usPerFrame = 0L
+    var ok = true
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (ok && off + 8 <= end) {
+        val id = fourcc(off)
+        val sz = le32(off + 4)
+        if (sz > Int.MaxValue - 8L || off + 8L + sz > end) { ok = false }
+        else {
+          val body = off + 8
+          val n = sz.toInt
+          if (id == "LIST") {
+            if (n >= 4) {
+              val lt = fourcc(body)
+              if (lt == "hdrl" || lt == "movi" || lt == "rec ")
+                walk(body + 4, body + n)
+            }
+          } else if (id == "avih" && n >= 4) {
+            usPerFrame = le32(body)
+          } else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += java.util.Arrays.copyOfRange(payload, body, body + n)
+          }
+          off = body + n + (n & 1) // RIFF chunks are word-aligned
+        }
+      }
+    }
+    val riffEnd = math.min(payload.length.toLong, 8L + le32(4)).toInt
+    walk(12, riffEnd)
+    val fs = frames.result()
+    if (ok && usPerFrame > 0 && fs.nonEmpty) Some((usPerFrame, fs)) else None
+  }
+
   /** Frame sampling: video payload → one row per sampled frame at a fixed
     * stride. Generator shape (1 row in → F rows out) via flatMap inside
-    * mapPartitions; the STUB derives per-frame bytes deterministically from
-    * (payload hash, frame index) — a real impl calls the decoder per batch.
+    * mapPartitions. REAL for RIFF/AVI payloads ([[parseAvi]]): the
+    * asset's duration derives from the container (frames × µs/frame),
+    * tick `k` lands at `ts = k·strideMs`, and the emitted frame is the
+    * container frame on screen at that instant
+    * (`floor(ts / frameDuration)`, clamped) — for MJPEG that row is a
+    * decodable JPEG feeding the real image ops (pHash, resize, decode).
+    * Other payloads keep the deterministic STUB derived from (payload
+    * hash, frame index) — a codec-backed impl would slot in per batch.
     * Null/empty payloads and zero-duration assets yield no frames
     * (corrupt-skip semantics, S3).
     */
@@ -51,13 +111,30 @@ object Multimodal {
       .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"), col("payload"))
       .mapPartitions { it =>
         it.flatMap { r =>
-          val dur = if (r.isNullAt(1)) 0L else r.getLong(1)
           val payload = r.getAs[Array[Byte]]("payload")
-          val n = math.min(if (strideMs <= 0) 0L else dur / strideMs, maxFrames.toLong).toInt
-          val base = payload.foldLeft(-7046029254386353131L)((a, b) => (a ^ b) * 1099511628211L)
-          (0 until n).iterator.map { f =>
-            val bytes = Array.tabulate[Byte](32)(i => ((base ^ (f * 131L)) >> (i % 56) & 0xFF).toByte)
-            Row(r.getLong(0), f, f * strideMs, bytes)
+          parseAvi(payload) match {
+            case Some((usPf, frames)) =>
+              val durMs = frames.length.toLong * usPf / 1000L
+              val n = math.min(
+                if (strideMs <= 0) 0L else durMs / strideMs,
+                maxFrames.toLong).toInt
+              (0 until n).iterator.map { k =>
+                val src = math.min(frames.length - 1L,
+                  k.toLong * strideMs * 1000L / usPf).toInt
+                Row(r.getLong(0), k, k * strideMs, frames(src))
+              }
+            case None =>
+              val dur = if (r.isNullAt(1)) 0L else r.getLong(1)
+              val n = math.min(
+                if (strideMs <= 0) 0L else dur / strideMs,
+                maxFrames.toLong).toInt
+              val base = payload.foldLeft(-7046029254386353131L)(
+                (a, b) => (a ^ b) * 1099511628211L)
+              (0 until n).iterator.map { f =>
+                val bytes = Array.tabulate[Byte](32)(
+                  i => ((base ^ (f * 131L)) >> (i % 56) & 0xFF).toByte)
+                Row(r.getLong(0), f, f * strideMs, bytes)
+              }
           }
         }
       }(enc)

@@ -226,6 +226,42 @@ class MultimodalSpec extends SparkSpec {
       again(1L).map(_.getAs[Array[Byte]]("frame").toSeq).toSeq)
   }
 
+  test("sampleFrames: REAL RIFF/AVI demux — exact frame bytes, container duration, JPEG decodable") {
+    import graft.queries.MultimodalQueries.{aviBytes, jpegBytes}
+    // 10 fps, 12 frames alternating two solid-gray JPEGs -> 1200 ms
+    val jA = jpegBytes(40); val jB = jpegBytes(200)
+    val avi = aviBytes(100000L, (0 until 12).map(i => if (i % 2 == 0) jA else jB))
+    val rows = java.util.Arrays.asList(
+      Row(7L, "video", Row(null, null, null, null, "mjpeg"), avi))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.sampleFrames(media, strideMs = 300L, maxFrames = 8)
+      .collect().sortBy(_.getInt(1))
+    // 1200/300 = 4 ticks; tick k -> source frame 3k -> color (3k)%2
+    assert(out.length == 4)
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 300L, 600L, 900L))
+    val expected = Seq(jA, jB, jA, jB) // frames 0,3,6,9
+    out.zip(expected).foreach { case (r, exp) =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("frame"), exp),
+        s"tick ${r.getInt(1)} carried the wrong container frame")
+    }
+    // the extracted frame really is a JPEG the JDK decodes to its color
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1).getAs[Array[Byte]]("frame")))
+    assert(img != null && img.getWidth == 16)
+    val px = img.getRGB(8, 8) & 0xFF
+    assert(math.abs(px - 200) <= 8, s"decoded gray $px, planted 200")
+    // a structurally broken AVI (truncated chunk size) falls back to the
+    // stub: meta duration drives ticks, frames are the 32-byte hashes
+    val broken = avi.take(40) ++ Array.fill[Byte](8)(0x7F.toByte)
+    val rows2 = java.util.Arrays.asList(
+      Row(8L, "video", Row(null, null, 2000L, null, "mjpeg"), broken))
+    val stubOut = Multimodal.sampleFrames(
+        spark.createDataFrame(rows2, Multimodal.mediaSchema), 1000L, 8)
+      .collect()
+    assert(stubOut.length == 2 &&
+      stubOut.forall(_.getAs[Array[Byte]]("frame").length == 32))
+  }
+
   test("resizeImages: real PNG bilinear resize, pHash survives the rescale") {
     import spark.implicits._
     // smooth grayscale pattern in NORMALIZED coordinates so the same image
