@@ -1153,6 +1153,52 @@ object EngineQueries extends QueryPack {
         m = 8, ksub = 64))(
       _.unpersist())
 
+  /** The PQ index roundtripped through its parquet artifact
+    * (saveIvfPqIndex → loadIvfPqIndex) — centers, codebook, codes, and
+    * the n metadata the auto refine dial resolves from. */
+  def prepareIvfPqIndexArtifact(s: org.apache.spark.sql.SparkSession,
+      d: String): SimilaritySearch.IvfPqIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"ivf_pq_index_artifact:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpqidx").toString
+      SimilaritySearch.saveIvfPqIndex(prepareIvfPqIndex(s, d), dir)
+      SimilaritySearch.loadIvfPqIndex(s, dir)
+    }(_.unpersist())
+
+  // Artifact parity for the family's most complex persisted index
+  // (coarse centers + PQ codebook + 8-byte codes + n metadata): probe
+  // the direct build and the parquet roundtrip with the SAME
+  // metadata-resolved auto policy and publish (count_diff, n_mismatch)
+  // — the contract is identical result lists, stated as constants, so
+  // any drift in the artifact (a float-damaged codebook centroid, a
+  // lost meta field changing the auto dial, a mis-sorted center) breaks
+  // the hash in the gate suite. The SRP twin states k-rows-per-query
+  // too; PQ candidate counts depend on the probed cells' occupancy, so
+  // this gate pins list EQUALITY only.
+  private val annIvfPqArtifactParity = OracleQuery(
+    "vx_ann_ivfpq_artifact_parity",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val direct = SimilaritySearch
+        .ivfProbePqRefinedAuto(prepareIvfPqIndex(s, d), emb, q, k = 5)
+      val art = SimilaritySearch
+        .ivfProbePqRefinedAuto(prepareIvfPqIndexArtifact(s, d), emb, q, k = 5)
+      direct.as("a").join(art.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.rn") === col("b.rn"), "full_outer")
+        .agg(
+          (count(col("a.query_id")) - count(col("b.query_id")))
+            .cast("long").as("count_diff"),
+          sum(when(col("a.neighbor_id").isNull ||
+              col("b.neighbor_id").isNull ||
+              col("a.neighbor_id") =!= col("b.neighbor_id") ||
+              col("a.cosine") =!= col("b.cosine"), lit(1L))
+            .otherwise(lit(0L))).cast("long").as("n_mismatch"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS count_diff,
+      CAST(0 AS BIGINT) AS n_mismatch"""))
+
   def prepareSrpSketch(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.SessionMemo.getOrElseUpdate(s, s"srp_sketch:$d") {
@@ -2563,6 +2609,7 @@ object EngineQueries extends QueryPack {
     retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,
+    annIvfPqArtifactParity,
     streamVecNearDup,
     streamVecNearDupQ,
     dedupCosinePairs, dedupEmbeddingCanonical, dedupEmbeddingCanonicalQ,
