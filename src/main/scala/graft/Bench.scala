@@ -121,6 +121,23 @@ object Bench {
         selected.exists(_._1 == "vx_linear_probe_quantized")) {
       graft.queries.EngineQueries.prepareProbeWeights(spark, sfDir); ()
     }
+    build("rag_artifacts",
+        selected.exists(_._1 == "tx_rag_pipeline")) {
+      graft.queries.TextQueries.prepareRagEmb(spark, sfDir)
+      graft.queries.TextQueries.prepareRagIndex(spark, sfDir); ()
+    }
+    build("srp_index_artifact",
+        selected.exists(_._1.startsWith("vx_ann_hamming"))) {
+      graft.queries.EngineQueries.prepareSrpIndexArtifact(spark, sfDir); ()
+    }
+    build("ivf_pq_index_artifact",
+        selected.exists(_._1 == "vx_ann_ivfpq_artifact_parity")) {
+      graft.queries.EngineQueries.prepareIvfPqIndexArtifact(spark, sfDir); ()
+    }
+    build("quality_weights",
+        selected.exists(_._1 == "t_quality_classifier_select")) {
+      graft.queries.TextQueries.prepareQualityWeights(spark, sfDir); ()
+    }
     // min-of-2 per query: the grading host is co-loaded, and a single-shot
     // timing charged 3-7x of neighbor noise to four innocent queries in
     // round 4 (their code was unchanged and a quiet re-measure matched

@@ -2381,35 +2381,7 @@ object EngineQueries extends QueryPack {
     Some {
       val D18 = "DECIMAL(38,18)"
       def ds(e: String) = s"CAST(SUM(CAST($e AS $D18)) AS DOUBLE)"
-      val rounds = (1 to 8).map { k =>
-        val (pw, pr, pp, prs) =
-          (s"w_${k - 1}", s"r_${k - 1}", s"p_${k - 1}", s"rs_${k - 1}")
-        s"""ap_$k AS MATERIALIZED (
-      SELECT a.i, ${ds("a.ad * p.x")} AS x
-      FROM a JOIN $pp p ON a.j = p.i GROUP BY a.i
-    ), pap_$k AS MATERIALIZED (
-      SELECT ${ds("p.x * ap.x")} AS v
-      FROM $pp p JOIN ap_$k ap ON ap.i = p.i
-    ), al_$k AS MATERIALIZED (
-      SELECT CASE WHEN pap_$k.v = 0 THEN 0.0 ELSE $prs.v / pap_$k.v END
-        AS a
-      FROM $prs, pap_$k
-    ), w_$k AS MATERIALIZED (
-      SELECT w.i, w.x + al_$k.a * p.x AS x
-      FROM $pw w JOIN $pp p ON p.i = w.i CROSS JOIN al_$k
-    ), r_$k AS MATERIALIZED (
-      SELECT r.i, r.x - al_$k.a * ap.x AS x
-      FROM $pr r JOIN ap_$k ap ON ap.i = r.i CROSS JOIN al_$k
-    ), rs_$k AS MATERIALIZED (
-      SELECT ${ds("x * x")} AS v FROM r_$k
-    ), be_$k AS MATERIALIZED (
-      SELECT CASE WHEN $prs.v = 0 THEN 0.0 ELSE rs_$k.v / $prs.v END AS b
-      FROM rs_$k, $prs
-    ), p_$k AS MATERIALIZED (
-      SELECT r.i, r.x + be_$k.b * p.x AS x
-      FROM r_$k r JOIN $pp p ON p.i = r.i CROSS JOIN be_$k
-    )"""
-      }.mkString(", ")
+      val rounds = graft.queries.Exact.CG_ROUNDS_CTES(8)
       s"""WITH lfq AS MATERIALIZED (
       SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)

@@ -99,6 +99,49 @@ object Exact {
       FROM d LEFT JOIN bigr ON d.doc_id = bigr.doc_id
     )"""
 
+  /** The unrolled conjugate-gradient round chain shared by the linear
+    * solvers' oracles (`vx_linear_probe_quantized`,
+    * `t_quality_classifier_select`): expects CTEs `a(i, j, ad)` (the
+    * ridge normal matrix) and `w_0 / r_0 / p_0 / rs_0` (the CG start
+    * state) to be in scope, and emits `ap_k … p_k` for k = 1..rounds —
+    * the SQL mirror of `LinearProbe.fitCg`'s per-round algebra, defined
+    * ONCE so the two replays can never drift. All reductions pass the
+    * DECIMAL(38,18) boundary; rounds MATERIALIZED against DuckDB's
+    * exponential CTE inlining (the round-7 lesson).
+    */
+  def CG_ROUNDS_CTES(rounds: Int): String = {
+    def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
+    (1 to rounds).map { k =>
+      val (pw, pr, pp, prs) =
+        (s"w_${k - 1}", s"r_${k - 1}", s"p_${k - 1}", s"rs_${k - 1}")
+      s"""ap_$k AS MATERIALIZED (
+      SELECT a.i, ${ds("a.ad * p.x")} AS x
+      FROM a JOIN $pp p ON a.j = p.i GROUP BY a.i
+    ), pap_$k AS MATERIALIZED (
+      SELECT ${ds("p.x * ap.x")} AS v
+      FROM $pp p JOIN ap_$k ap ON ap.i = p.i
+    ), al_$k AS MATERIALIZED (
+      SELECT CASE WHEN pap_$k.v = 0 THEN 0.0 ELSE $prs.v / pap_$k.v END
+        AS a
+      FROM $prs, pap_$k
+    ), w_$k AS MATERIALIZED (
+      SELECT w.i, w.x + al_$k.a * p.x AS x
+      FROM $pw w JOIN $pp p ON p.i = w.i CROSS JOIN al_$k
+    ), r_$k AS MATERIALIZED (
+      SELECT r.i, r.x - al_$k.a * ap.x AS x
+      FROM $pr r JOIN ap_$k ap ON ap.i = r.i CROSS JOIN al_$k
+    ), rs_$k AS MATERIALIZED (
+      SELECT ${ds("x * x")} AS v FROM r_$k
+    ), be_$k AS MATERIALIZED (
+      SELECT CASE WHEN $prs.v = 0 THEN 0.0 ELSE rs_$k.v / $prs.v END AS b
+      FROM rs_$k, $prs
+    ), p_$k AS MATERIALIZED (
+      SELECT r.i, r.x + be_$k.b * p.x AS x
+      FROM r_$k r JOIN $pp p ON p.i = r.i CROSS JOIN be_$k
+    )"""
+    }.mkString(", ")
+  }
+
   /** SQL twin of [[graft.operators.Dedup.polyHash31]]: polynomial
     * code-point hash (Java `String.hashCode` recurrence) reduced mod
     * 2^31−1 at every step — h·31 + c < 2^36, so no overflow on either

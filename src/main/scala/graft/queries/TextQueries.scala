@@ -2935,6 +2935,130 @@ object TextQueries extends QueryPack {
         CAST(floor(hit_rate * 1000000.0) AS BIGINT) FROM summ
     ) ORDER BY stage, metric""", keyed = true)))
 
+  // ---- MODEL-BASED quality selection (the DCLM/FineWeb-classifier
+  //      pattern): train a linear quality classifier on heuristic labels
+  //      (the curation rule pack's keep boolean — the "teacher"), then
+  //      rank the corpus by CLASSIFIER SCORE and select the top — soft
+  //      selection that generalizes beyond the rules that labeled it.
+  //      Composes three existing exact pieces: BowEmbed's vocabulary-rank
+  //      features (integer counts ×1000 — sparse long-form, exact),
+  //      LinearProbe.fitCg's 8-round exact-CG ridge solve (the
+  //      vx_linear_probe_quantized machinery on a DIFFERENT feature
+  //      relation), and the DECIMAL-boundary scoring pass. FULL oracle:
+  //      DuckDB replays labels (shared CURATION_RULES_CTES), vocabulary,
+  //      features, gram, all 8 CG rounds (shared CG_ROUNDS_CTES), and
+  //      the top-50 selection. SELECTION-ONLY output (the weighted-
+  //      sampler precedent): the CG solve is cross-engine exact at the
+  //      DECIMAL boundaries but the final score doubles can differ at
+  //      ulp level (a 1e6-quantized score hit one floor boundary in 50
+  //      at sf0.01), while the SELECTION margins are measured enormous —
+  //      minimum adjacent score gap 5.1e-4 vs ≲1e-8 drift — so rank +
+  //      heuristic flag is the robust checkable product, and any weight
+  //      drift large enough to matter breaks the rank hash. Scale shape:
+  //      vocab bounded artifact, gram = 16×16 from one map-side-combined
+  //      pass, CG local, scoring map-only — nothing but scans grows
+  //      with the corpus ----
+  /** Sparse long-form quality features: (vec_id=doc_id, pos=bucket, q) —
+    * BoW bucket counts ×1000 under the frozen doc vocabulary. */
+  def prepareDocVocab(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate(s, s"doc_vocab:$d") {
+      val v = graft.operators.BowEmbed.vocabRanks(
+        Tables.documents(s, d), "text").persist()
+      v.count()
+      v
+    }(_.unpersist())
+  private def qualityLf(s: SparkSession, d: String): DataFrame = {
+    val buckets = prepareDocVocab(s, d)
+      .select(col("term"), pmod(col("rank") - 1, lit(16L)).cast("int").as("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .join(broadcast(buckets), Seq("term"))
+      .groupBy(col("vec_id"), col("pos"))
+      .agg((count(lit(1)) * 1000L).cast("long").as("q"))
+  }
+  private def qualityLabel: org.apache.spark.sql.Column =
+    graft.functions.TextOps.gopherRules(col("text")).getField("keep") &&
+      graft.functions.TextOps.bigramDupFraction(col("text")) <= 0.4
+  def prepareQualityWeights(s: SparkSession, d: String): Seq[(Int, Double)] =
+    graft.SessionMemo.getOrElseUpdate(s, s"quality_w:$d") {
+      val labels = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"),
+          when(qualityLabel, 1.0).otherwise(-1.0).as("y"))
+      graft.ml.LinearProbe.fitCg(
+        qualityLf(s, d).join(labels, Seq("vec_id")),
+        dim = 16, rounds = 8)
+    }(_ => ())
+  private val qualityClassifierSelect = OracleQuery(
+    "t_quality_classifier_select",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val wDf = prepareQualityWeights(s, d).toDF("pos", "wx")
+      val scores = qualityLf(s, d)
+        .join(broadcast(wDf), Seq("pos"))
+        .groupBy(col("vec_id").as("doc_id"))
+        .agg(floor(dsum(col("q").cast("double") * col("wx"), 38, 18)
+          * lit(1000000.0)).cast("long").as("score_q"))
+      scores
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"), qualityLabel.as("keep_heuristic")),
+          Seq("doc_id"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(50)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("keep_heuristic"))
+    },
+    Some {
+      s"""WITH ${CURATION_RULES_CTES("")}, lab AS (
+      SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE -1.0 END AS y,
+        keep AS keep_heuristic
+      FROM r
+    ), toks AS (
+      SELECT doc_id, unnest(words) AS w FROM d
+    ), vr AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS rk
+      FROM (SELECT DISTINCT w FROM toks WHERE w <> '')
+    ), lf AS (
+      SELECT t.doc_id, vr.rk % 16 AS pos,
+        CAST(COUNT(*) * 1000 AS BIGINT) AS q
+      FROM toks t JOIN vr ON vr.w = t.w
+      GROUP BY 1, 2
+    ), lfq AS MATERIALIZED (
+      SELECT lf.doc_id AS vec_id, lf.pos, lf.q, lab.y
+      FROM lf JOIN lab ON lab.doc_id = lf.doc_id
+    ), a AS MATERIALIZED (
+      SELECT i, j, g + CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS ad FROM (
+        SELECT x.pos AS i, z.pos AS j,
+          CAST(SUM(CAST(x.q * z.q AS DECIMAL(38,0))) AS DOUBLE)
+            / 1073741824.0 AS g
+        FROM lfq x JOIN lfq z ON x.vec_id = z.vec_id GROUP BY 1, 2) t
+    ), b AS MATERIALIZED (
+      SELECT pos AS i,
+        CAST(SUM(CAST(q * y AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0
+          AS x
+      FROM lfq GROUP BY pos
+    ), w_0 AS (SELECT i, 0.0 AS x FROM b
+    ), r_0 AS MATERIALIZED (SELECT i, x FROM b
+    ), p_0 AS MATERIALIZED (SELECT i, x FROM b
+    ), rs_0 AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS v FROM b
+    ), ${Exact.CG_ROUNDS_CTES(8)}, sc AS MATERIALIZED (
+      SELECT lfq.vec_id AS doc_id,
+        CAST(floor(CAST(SUM(CAST(CAST(lfq.q AS DOUBLE) * w.x
+          AS DECIMAL(38,18))) AS DOUBLE) * 1000000.0) AS BIGINT) AS score_q
+      FROM lfq JOIN w_8 w ON w.i = lfq.pos GROUP BY 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sc.score_q DESC, sc.doc_id)
+        AS BIGINT) AS rank,
+      sc.doc_id, lab.keep_heuristic
+    FROM sc JOIN lab ON lab.doc_id = sc.doc_id
+    ORDER BY rank LIMIT 50"""
+    })
+
   // ---- JSONL ingestion contract (sources/JsonlIngest): the raw-dump
   //      front door. The artifact dumps the sampled corpus as real JSON
   //      lines (Spark's JSONL writer) plus a planted sidecar of contract
@@ -2986,7 +3110,8 @@ object TextQueries extends QueryPack {
     ORDER BY source"""))
 
   override val all: Seq[OracleQuery] = Seq(
-    chunkWindows, chunkStats, chunkBpeWindows, ragPipeline, jsonlContract,
+    chunkWindows, chunkStats, chunkBpeWindows, ragPipeline,
+    qualityClassifierSelect, jsonlContract,
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
     dupSpanIncremental, streamDecontaminate, repetitionTopgram,
     exactDedup, tokenStats, langSource, stopwordRatio,

@@ -51,6 +51,23 @@ class RagPipelineSpec extends SparkSpec {
     assert(batch == single, "batch probe diverged from per-query probes")
   }
 
+  test("quality classifier: top-50 enriches the heuristic-keep rate over the base") {
+    val sel = TextQueries.queries("t_quality_classifier_select")(spark, sf01)
+      .collect()
+    assert(sel.length == 50)
+    val keepFrac = sel.count(_.getBoolean(2)).toDouble / sel.length
+    val docs = Tables.documents(spark, sf01)
+    val base = docs.filter(
+        graft.functions.TextOps.gopherRules(col("text")).getField("keep") &&
+          graft.functions.TextOps.bigramDupFraction(col("text")) <= 0.4)
+      .count().toDouble / docs.count()
+    // the classifier must ENRICH: selecting by score beats random draw
+    assert(keepFrac > base + 0.05,
+      s"selected keep=$keepFrac vs base=$base — classifier learned nothing")
+    // ranks are 1..50 with no gaps (selection-only contract)
+    assert(sel.map(_.getLong(0)).sorted.toSeq == (1L to 50L))
+  }
+
   test("BowEmbed is deterministic under repartitioning") {
     val texts = Seq((1L, "b a c a"), (2L, "c c d"), (3L, ""), (4L, "a"))
       .toDF("id", "text")
