@@ -39,6 +39,24 @@ object BowEmbed {
     ranked.select(col("term"), col("rank"))
   }
 
+  /** ROW-LOCAL linear score under a frozen per-term weight table: the
+    * left fold `Σ_tokens w(token)` over the text's non-empty whitespace
+    * tokens (unknown tokens contribute 0) as a pure Column expression —
+    * no shuffle, no state, STREAM-safe (the serving form of a trained
+    * linear text classifier: broadcast the bounded weight map, score at
+    * ingest). The fold order is the token order, so the result is
+    * bit-deterministic and exactly replayable by any engine folding the
+    * same literal weights left-to-right (`tx_stream_quality_flags`).
+    */
+  def scoreColumn(weightsByTerm: Map[String, Double],
+      textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = typedlit(weightsByTerm)
+    aggregate(
+      filter(split(textCol, " "), t => length(t) > 0),
+      lit(0.0),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0.0)))
+  }
+
   /** Embed each row's text under the frozen vocabulary: `(idCol,
     * embedding ARRAY<DOUBLE>[dim])` with `embedding[j]` = count of
     * tokens whose `(rank − 1) mod dim = j`. Rows with zero non-empty

@@ -3012,7 +3012,23 @@ object TextQueries extends QueryPack {
             .orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
         .select(col("rank"), col("doc_id"), col("keep_heuristic"))
     },
-    Some {
+    Some(qualityCgSql(s""", sc AS MATERIALIZED (
+      SELECT lfq.vec_id AS doc_id,
+        CAST(floor(CAST(SUM(CAST(CAST(lfq.q AS DOUBLE) * w.x
+          AS DECIMAL(38,18))) AS DOUBLE) * 1000000.0) AS BIGINT) AS score_q
+      FROM lfq JOIN w_8 w ON w.i = lfq.pos GROUP BY 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sc.score_q DESC, sc.doc_id)
+        AS BIGINT) AS rank,
+      sc.doc_id, lab.keep_heuristic
+    FROM sc JOIN lab ON lab.doc_id = sc.doc_id
+    ORDER BY rank LIMIT 50""")))
+
+  /** Shared classifier-training replay: curation labels → vocabulary →
+    * sparse features → ridge gram → 8 CG rounds; `tail` continues from
+    * the solved `w_8` (plus `lab`, `vr`, `lfq`, `d` in scope).
+    */
+  private def qualityCgSql(tail: String): String = {
       s"""WITH ${CURATION_RULES_CTES("")}, lab AS (
       SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE -1.0 END AS y,
         keep AS keep_heuristic
@@ -3046,18 +3062,53 @@ object TextQueries extends QueryPack {
     ), p_0 AS MATERIALIZED (SELECT i, x FROM b
     ), rs_0 AS MATERIALIZED (
       SELECT CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS v FROM b
-    ), ${Exact.CG_ROUNDS_CTES(8)}, sc AS MATERIALIZED (
-      SELECT lfq.vec_id AS doc_id,
-        CAST(floor(CAST(SUM(CAST(CAST(lfq.q AS DOUBLE) * w.x
-          AS DECIMAL(38,18))) AS DOUBLE) * 1000000.0) AS BIGINT) AS score_q
-      FROM lfq JOIN w_8 w ON w.i = lfq.pos GROUP BY 1
+    ), ${Exact.CG_ROUNDS_CTES(8)}$tail"""
+  }
+
+  // ---- the SERVING half of the classifier (streaming twin): frozen
+  //      (vocabulary, weights) artifacts broadcast, each incoming doc
+  //      scored by BowEmbed.scoreColumn's ROW-LOCAL left fold over its
+  //      tokens, flagged by sign — ingest-time model-based filtering,
+  //      the classifier sibling of StreamingCuration's rule filter.
+  //      Entirely stateless (no watermark/state/shuffle), so batch mode
+  //      IS the semantics and the gate is a FULL oracle: DuckDB replays
+  //      the training (shared qualityCgSql chain), builds the same
+  //      term→weight map relationally, and folds the SAME doubles in
+  //      the SAME token order (list_reduce) — the sign readout is the
+  //      vx_linear_probe-proven robust boundary ----
+  def prepareQualityTermWeights(s: SparkSession,
+      d: String): Map[String, Double] =
+    graft.SessionMemo.getOrElseUpdate(s, s"quality_term_w:$d") {
+      val w = prepareQualityWeights(s, d).toMap
+      prepareDocVocab(s, d).collect()
+        .map(r => r.getString(0) ->
+          1000.0 * w.getOrElse(((r.getLong(1) - 1) % 16).toInt, 0.0))
+        .toMap
+    }(_ => ())
+  private val streamQualityFlags = OracleQuery(
+    "tx_stream_quality_flags",
+    (s, d) =>
+      graft.streaming.StreamingQuality.scoreFlags(
+          Tables.documents(s, d), prepareQualityTermWeights(s, d))
+        .groupBy(col("source"), col("pred_keep"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy(col("source"), col("pred_keep")),
+    Some(qualityCgSql(s""", tw AS (
+      SELECT vr.w AS term, 1000.0 * wv.x AS wv
+      FROM vr JOIN w_8 wv ON wv.i = vr.rk % 16
+    ), mm AS (
+      SELECT MAP(list(term ORDER BY term), list(wv ORDER BY term)) AS m
+      FROM tw
+    ), sc2 AS (
+      SELECT d.doc_id, d.source,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_filter(d.words, x -> x <> ''),
+            t -> COALESCE(map_extract(mm.m, t)[1], 0.0))),
+          (a, b) -> a + b) AS s
+      FROM d CROSS JOIN mm
     )
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sc.score_q DESC, sc.doc_id)
-        AS BIGINT) AS rank,
-      sc.doc_id, lab.keep_heuristic
-    FROM sc JOIN lab ON lab.doc_id = sc.doc_id
-    ORDER BY rank LIMIT 50"""
-    })
+    SELECT source, s > 0.0 AS pred_keep, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sc2 GROUP BY 1, 2 ORDER BY 1, 2""")))
 
   // ---- JSONL ingestion contract (sources/JsonlIngest): the raw-dump
   //      front door. The artifact dumps the sampled corpus as real JSON
@@ -3111,7 +3162,7 @@ object TextQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     chunkWindows, chunkStats, chunkBpeWindows, ragPipeline,
-    qualityClassifierSelect, jsonlContract,
+    qualityClassifierSelect, streamQualityFlags, jsonlContract,
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
     dupSpanIncremental, streamDecontaminate, repetitionTopgram,
     exactDedup, tokenStats, langSource, stopwordRatio,

@@ -18,6 +18,36 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("streaming quality flags: stateless scoring equals batch under any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingQuality
+    val w = Map("good" -> 0.5, "fine" -> 0.2, "bad" -> -0.9)
+    val rows = Seq(
+      (1L, "a", "good fine good"), (2L, "a", "bad bad good"),
+      (3L, "b", "fine"), (4L, "b", "unknown words only"),
+      (5L, "a", ""), (6L, "b", "good bad")) // 0.5-0.9: negative
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingQuality.scoreFlags(
+        stream.toDF().toDF("doc_id", "source", "text"), w)
+      .select(col("doc_id"), col("pred_keep"))
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(2).foreach { g =>
+        stream.addData(g: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("quality_stream").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+      val batch = StreamingQuality.scoreFlags(
+          rows.toDF("doc_id", "source", "text"), w)
+        .select(col("doc_id"), col("pred_keep")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+      assert(streamed == batch)
+      assert(streamed == Seq(1L -> true, 2L -> false, 3L -> true,
+        4L -> false, 5L -> false, 6L -> false))
+    } finally q.stop()
+  }
+
   test("tumbling window counts across micro-batches with late-event drop") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
