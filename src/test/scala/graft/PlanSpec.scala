@@ -462,4 +462,44 @@ class PlanSpec extends SparkSpec {
       s"ntile range-partitions on the sampled rank key:\n$p")
     assert(p.contains("broadcasthashjoin"), s"offsets not broadcast-joined:\n$p")
   }
+
+  test("BowEmbed: vocab broadcasts to the token stream, aggregation is partial") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val vocab = graft.operators.BowEmbed.vocabRanks(texts, "text")
+    val p = graft.operators.BowEmbed.embed(texts, vocab, 16, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocab join shuffled the tokens:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation before the (id, bucket) shuffle:\n$p")
+  }
+
+  test("bm25ScoresByQuery: queries broadcast, posting scan prunes to their buckets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idx = graft.queries.TextQueries.prepareLexIndex(spark, sf001)
+    val q = Seq((1L, "the"), (1L, "of"), (2L, "and")).toDF("query_id", "term")
+    val scored = graft.operators.InvertedIndex.bm25ScoresByQuery(idx, q)
+    val f = scored.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(f.contains("BroadcastHashJoin"), s"query relation not broadcast:\n$f")
+    // the persisted postings are bucket-partitioned; the probe's bucket
+    // set must reach the scan as PartitionFilters, not a post-scan filter
+    assert(f.linesIterator.exists(l => l.contains("PartitionFilters") &&
+      l.contains("bucket")), s"bucket pruning not at the scan:\n$f")
+  }
+
+  test("streaming quality scoring is shuffle-free row-local codegen") {
+    val w = graft.queries.TextQueries
+      .prepareQualityTermWeights(spark, sf001)
+    val p = graft.streaming.StreamingQuality.scoreFlags(
+        Tables.documents(spark, sf001), w)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"stateless scorer shuffles:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"), s"scorer left codegen:\n$p")
+  }
 }
