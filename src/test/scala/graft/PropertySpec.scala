@@ -413,6 +413,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("AVI container round-trip: arbitrary frames (odd lengths included) survive") {
+    import graft.queries.MultimodalQueries.aviBytes
+    import graft.sources.Multimodal
+    val genCase = for {
+      n <- Gen.choose(1, 12)
+      uspf <- Gen.oneOf(40000L, 100000L, 333333L)
+      frames <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 97) // odd lengths exercise RIFF word padding
+        b <- Gen.choose(0, 255)
+      } yield Array.tabulate[Byte](len)(i => ((b + i * 7) & 0xFF).toByte))
+    } yield (uspf, frames)
+    forSamples(genCase, n = 12) { case (uspf, frames) =>
+      val parsed = Multimodal.parseAvi(aviBytes(uspf, frames))
+      assert(parsed.isDefined, "writer output did not parse")
+      val (u, fs) = parsed.get
+      assert(u == uspf)
+      assert(fs.length == frames.length)
+      fs.zip(frames).foreach { case (a, e) =>
+        assert(java.util.Arrays.equals(a, e), "frame bytes corrupted")
+      }
+      // truncation anywhere inside the chunk walk must fail loudly to
+      // the stub path, never return partial frames silently... unless
+      // the cut lands exactly on a chunk boundary, which is a shorter
+      // VALID container — so assert only None-or-prefix semantics
+      val whole = aviBytes(uspf, frames)
+      val cut = whole.take(whole.length - 3)
+      Multimodal.parseAvi(cut).foreach { case (_, pf) =>
+        assert(pf.length < frames.length,
+          "truncated container returned all frames")
+      }
+    }
+  }
+
+  test("compaction bijection keys cover every partition exactly once") {
+    forSamples(Gen.choose(1, 3000), n = 10) { n =>
+      val keys = graft.sources.Compaction.bijectionKeys(n)
+      assert(keys.length == n && keys.distinct.length == n)
+      val parts = keys.map { k =>
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+        ((h % n) + n) % n
+      }
+      assert(parts.toSeq == (0 until n), "keys not a bijection onto partitions")
+    }
+  }
+
   test("gapfill LOCF equals the in-memory reference on arbitrary event sets") {
     import graft.operators.GapFill
     val genCase = for {
