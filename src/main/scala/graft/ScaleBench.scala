@@ -268,6 +268,12 @@ object ScaleBench {
     var bm25Terms: Seq[String] = Nil
     val evalRel = scala.collection.mutable.Map
       .empty[String, (DataFrame, DataFrame)]
+    val ragSrpIdx = scala.collection.mutable.Map
+      .empty[String, graft.operators.SimilaritySearch.SrpIndex]
+    def ragQueries(dir: String): DataFrame =
+      graft.queries.TextQueries.prepareRagEmb(spark, dir)
+        .filter(pmod(col("cid"), lit(10000L)) === 0 &&
+          (col("cid") / 10000L) % 65 === 0)
 
     // operator-level scope (NOT the slice-capped oracle gates): the gate
     // caps exist so the DuckDB n² replay stays feasible; the scaling
@@ -384,6 +390,27 @@ object ScaleBench {
       "bm25_probe" -> { dir: String =>
         graft.operators.InvertedIndex.bm25TopK(lexIdx(dir), bm25Terms, 10)
       },
+      // the composed RAG pipeline gate end-to-end (chunk → embed →
+      // index → fused retrieve → eval). Query count AND chunk corpus
+      // both grow ∝ corpus here (queries = chunk 0 of every 5th sampled
+      // doc), so the BRUTE dense leg is O(queries × corpus) — e ≈ 2 by
+      // construction. That is the point of the next two rows: the gate's
+      // dense leg is the exact BASELINE; the scale path swaps in the
+      // SRP-auto probe over the same chunk BoW vectors (identical
+      // call shape, artifact-served), measured side by side.
+      "rag_pipeline" -> { dir: String =>
+        SparkEntry.queries("tx_rag_pipeline")(spark, dir)
+      },
+      "rag_dense_brute" -> { dir: String =>
+        val emb = graft.queries.TextQueries.prepareRagEmb(spark, dir)
+        graft.operators.SimilaritySearch.bruteForceTopK(
+          emb, ragQueries(dir), k = 10, idCol = "cid", vecCol = "embedding")
+      },
+      "rag_dense_ann" -> { dir: String =>
+        val emb = graft.queries.TextQueries.prepareRagEmb(spark, dir)
+        graft.operators.SimilaritySearch.hammingTopKAuto(
+          ragSrpIdx(dir), emb, ragQueries(dir), k = 10, "cid", "embedding")
+      },
       // retrieval-eval harness over PERSISTED results/truth relations
       // (built per dir, timed as builds): the metric computation joins
       // queries x k rows against queries x k rows — its cost must be
@@ -427,6 +454,13 @@ object ScaleBench {
       bm25Terms = lexIdx(base).termDf
         .orderBy(col("df").desc, col("term")).limit(3)
         .collect().map(_.getString(0)).toSeq
+    }
+    if (familySelected("rag_dense_ann")) {
+      def mkIdx(dir: String): Unit =
+        ragSrpIdx(dir) = graft.operators.SimilaritySearch.buildSrpIndex(
+          graft.queries.TextQueries.prepareRagEmb(spark, dir),
+          idCol = "cid", vecCol = "embedding")
+      builds("rag_srp_index") = (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
     }
     // compaction REWRITE (the execution half; compaction_plan measures
     // planning): fragment the dir's lineitem into row-capped small files,
