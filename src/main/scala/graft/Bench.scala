@@ -69,7 +69,10 @@ object Bench {
     build("ivf_pq_index", selected.contains("vx_ann_ivf_pq_top5")) {
       graft.queries.EngineQueries.prepareIvfPqIndex(spark, sfDir); ()
     }
-    build("srp_sketch", selected.contains("vx_ann_hamming_top5")) {
+    // consumers: the streaming vector near-dup re-ingest gate, and (via
+    // prepareSrpIndexDirect's reuse) the hamming artifact-parity pair
+    build("srp_sketch", selected.contains("vx_stream_neardup_hits") ||
+        selected.exists(_._1.startsWith("vx_ann_hamming"))) {
       graft.queries.EngineQueries.prepareSrpSketch(spark, sfDir); ()
     }
     build("semdedup_centers", selected.contains("vx_semdedup_kmeans")) {

@@ -482,12 +482,22 @@ object ScaleBench {
       }
       val fragBase = mkFrag(base)
       val fragBig = mkFrag(out)
+      def rmTree(p: String): Unit = {
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rec)
+          f.delete(); ()
+        }
+        rec(new java.io.File(p))
+      }
       def rewrite(frag: String, rdd: Boolean): Unit = {
         val o = java.nio.file.Files
           .createTempDirectory("graft-scale-compact-out").toString
         graft.sources.Compaction.compactParquet(spark, frag, o,
           targetBytes = 4L * 1024L * 1024L, useRddDetour = rdd)
-        ()
+        // each rewrite writes a full corpus copy; 10 timed calls at ×F
+        // would otherwise leave tens of GB in /tmp and starve later
+        // families (review finding)
+        rmTree(o)
       }
       // min-of-2 per cell, interleaved, so JIT warm-up and page-cache
       // state do not bias the first-measured variant
@@ -500,6 +510,7 @@ object ScaleBench {
       builds("compaction_rewrite_rdd") =
         (min2 { rewrite(fragBase, rdd = true) },
          min2 { rewrite(fragBig, rdd = true) })
+      rmTree(fragBase); rmTree(fragBig)
     }
     if (familySelected("retrieval_eval")) {
       import graft.operators.SimilaritySearch
@@ -796,18 +807,38 @@ object ScaleBench {
             }
             peakReset()
             var memH = -1L
+            // -1 means THE HELPER CANNOT DO THIS — print the actual
+            // failure so a coding error in the helper path can never
+            // masquerade as an infeasibility claim (review finding)
+            def rootOf(e: Throwable): Throwable = {
+              var c = e
+              while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+              c
+            }
             val tFullH = try {
               val t = timeIt { fullAgg(helper) }
               memH = peakMb(); t
-            } catch { case _: Throwable => -1.0 }
+            } catch { case e: Throwable =>
+              println(s"SCALEEMBJSON $tag helper full-scan failed: ${rootOf(e)}")
+              -1.0
+            }
             val tKeysH = try timeIt {
               keysAgg(helper.select(col("group"), col("image_key")))
-            } catch { case _: Throwable => -1.0 }
+            } catch { case e: Throwable =>
+              println(s"SCALEEMBJSON $tag helper key-scan failed: ${rootOf(e)}")
+              -1.0
+            }
             println(s"SCALEEMBJSON $tag keys_per_file=$nKeys " +
               s"bytes=$bytes full_native=${fmt(tFullN)}s " +
               s"keys_native=${fmt(tKeysN)}s prune_native=${fmt(tPruneN)}s " +
               s"full_helper=${fmt(tFullH)}s keys_helper=${fmt(tKeysH)}s " +
               s"peak_heap_native=${memN}MB peak_heap_helper=${memH}MB")
+            // multi-GB stores must not outlive their measurements
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(); ()
+            }
+            rm(new java.io.File(dir))
             s""""$tag":{"keys_per_file":$nKeys,"bytes_total":$bytes,""" +
               s""""full_native_sec":${fmt(tFullN)},""" +
               s""""keys_native_sec":${fmt(tKeysN)},""" +

@@ -43,10 +43,14 @@ object BowEmbed {
     * left fold `Σ_tokens w(token)` over the text's non-empty whitespace
     * tokens (unknown tokens contribute 0) as a pure Column expression —
     * no shuffle, no state, STREAM-safe (the serving form of a trained
-    * linear text classifier: broadcast the bounded weight map, score at
-    * ingest). The fold order is the token order, so the result is
-    * bit-deterministic and exactly replayable by any engine folding the
-    * same literal weights left-to-right (`tx_stream_quality_flags`).
+    * linear text classifier: score at ingest). The fold order is the
+    * token order, so the result is bit-deterministic and exactly
+    * replayable by any engine folding the same weights left-to-right
+    * (`tx_stream_quality_flags`). The map is a PLAN LITERAL probed by
+    * `element_at` — a linear scan per token over Catalyst's map data —
+    * so this form is for VOCABULARY-BOUNDED weight tables (hashed-
+    * bucket models, bounded corpora); open vocabularies should
+    * broadcast-join the weight relation instead (the [[embed]] plan).
     */
   def scoreColumn(weightsByTerm: Map[String, Double],
       textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -1216,8 +1216,13 @@ object EngineQueries extends QueryPack {
   def prepareSrpIndexDirect(s: org.apache.spark.sql.SparkSession,
       d: String): SimilaritySearch.SrpIndex =
     graft.SessionMemo.getOrElseUpdate(s, s"srp_index_direct:$d")(
-      SimilaritySearch.buildSrpIndex(Tables.embeddings(s, d)))(
-      _.unpersist())
+      // reuse the memoized session sketch instead of buildSrpIndex's
+      // fresh one — same (bits, seed) family, so the index is the same
+      // relation without a second sketch computation or a second
+      // persisted copy (the review's duplicate-cache finding)
+      SimilaritySearch.SrpIndex(prepareSrpSketch(s, d),
+        Tables.embeddings(s, d).count(), bits = 128, seed = 42L))(
+      _ => ()) // the underlying sketch is owned (and unpersisted) by prepareSrpSketch
   def prepareSrpIndexArtifact(s: org.apache.spark.sql.SparkSession,
       d: String): SimilaritySearch.SrpIndex =
     graft.SessionMemo.getOrElseUpdate(s, s"srp_index_artifact:$d") {

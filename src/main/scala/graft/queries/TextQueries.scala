@@ -2967,17 +2967,22 @@ object TextQueries extends QueryPack {
       v.count()
       v
     }(_.unpersist())
-  private def qualityLf(s: SparkSession, d: String): DataFrame = {
-    val buckets = prepareDocVocab(s, d)
-      .select(col("term"), pmod(col("rank") - 1, lit(16L)).cast("int").as("pos"))
-    Tables.documents(s, d)
-      .select(col("doc_id").as("vec_id"),
-        explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .join(broadcast(buckets), Seq("term"))
-      .groupBy(col("vec_id"), col("pos"))
-      .agg((count(lit(1)) * 1000L).cast("long").as("q"))
-  }
+  private def qualityLf(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate(s, s"quality_lf:$d") {
+      val buckets = prepareDocVocab(s, d)
+        .select(col("term"),
+          pmod(col("rank") - 1, lit(16L)).cast("int").as("pos"))
+      val lf = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .join(broadcast(buckets), Seq("term"))
+        .groupBy(col("vec_id"), col("pos"))
+        .agg((count(lit(1)) * 1000L).cast("long").as("q"))
+        .persist()
+      lf.count()
+      lf
+    }(_.unpersist())
   private def qualityLabel: org.apache.spark.sql.Column =
     graft.functions.TextOps.gopherRules(col("text")).getField("keep") &&
       graft.functions.TextOps.bigramDupFraction(col("text")) <= 0.4

@@ -11,14 +11,21 @@ import org.apache.spark.sql.functions._
   * — a row-local left fold over the text's tokens. Entirely STATELESS:
   * no watermark, no GroupState, no shuffle; batch mode IS the semantics
   * (the [[StreamingDecontaminate]] recipe), which makes the
-  * `tx_stream_quality_flags` gate a FULL oracle — the weights ship as
-  * shortest-roundtrip literals into the DuckDB replay (the ndcgWeights
-  * identical-literals discipline), so both engines fold the SAME doubles
-  * in the SAME token order and the sign readout is exact with no margin
-  * argument needed.
+  * `tx_stream_quality_flags` gate a FULL oracle — DuckDB replays the
+  * TRAINING (the shared CG chain), derives the same term→weight map
+  * relationally, and folds left-to-right in the same token order, with
+  * the sign readout as the checked boundary (the
+  * vx_linear_probe_quantized convention: CG-solved doubles can differ
+  * at ulp level across engines, and sign is the readout that has held
+  * at both SFs across rounds; a literal-shipped weight table would
+  * remove even that — at the cost of no longer checking the training).
   *
-  * 100 TB shape: the weight map is kilobytes and rides the closure; the
-  * stream maps — cost ∝ tokens scanned, zero state growth.
+  * 100 TB shape: the weight map is VOCABULARY-bounded and rides the
+  * closure — right for bounded vocabularies (this corpus, any hashed-
+  * bucket model); an open web-scale vocabulary should score via a
+  * broadcast-join against the weight relation (the [[graft.operators
+  * .BowEmbed.embed]] plan) rather than a plan literal. The stream side
+  * maps — cost ∝ tokens scanned, zero state growth.
   */
 object StreamingQuality {
 
