@@ -1153,6 +1153,22 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** [[hammingHardNegatives]] against an [[SrpIndex]] with the shortlist
+    * width from [[refineScaleParam]] (base 8, the family dial) resolved
+    * from the INDEX metadata — the auto form [[hammingTopKAuto]] gives
+    * the top-k probe, completing the r9 auto-policy surface: a miner
+    * that follows the types gets the √n shortlist policy and zero
+    * corpus actions at probe construction.
+    */
+  def hammingHardNegativesAuto(
+      index: SrpIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val refine = refineScaleParam(index.n, base = 8)
+    hammingHardNegatives(index.sketched, corpus, queries, k, refine,
+      index.bits, index.seed, idCol, vecCol, labelCol)
+  }
+
   /** One-shot IVF top-k (build + probe, nothing cached). Prefer
     * `buildIvfIndex` + `ivfProbe` when probing more than once.
     */

@@ -481,6 +481,15 @@ class SimilaritySearchSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 10)
     val srp = SimilaritySearch.buildSrpIndex(emb)
     SimilaritySearch.hammingTopKAuto(srp, poisoned, queries, 5) // lazy: ok
+    SimilaritySearch.hammingHardNegativesAuto(srp, poisoned, queries, 5) // lazy: ok
+    // the auto miner equals the explicit-dial miner at the policy width
+    val refine = SimilaritySearch.refineScaleParam(srp.n, base = 8)
+    val a = SimilaritySearch.hammingHardNegativesAuto(srp, emb, queries, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b = SimilaritySearch.hammingHardNegatives(
+        srp.sketched, emb, queries, 5, refine)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
     val pq = SimilaritySearch.buildIvfPqIndex(emb, nlist = 4, m = 8, ksub = 16)
     assert(pq.n == emb.count())
     SimilaritySearch.ivfProbePqRefinedAuto(pq, poisoned, queries, 5) // lazy: ok
