@@ -2739,6 +2739,11 @@ object TextQueries extends QueryPack {
           .orderBy(col("rrf_q").desc, col("neighbor_id"))))
         .filter(col("rn") <= k)
         .select(col("query_id"), col("neighbor_id"), col("rn"))
+      // fused feeds two consumers (the stage-count row and the eval
+      // join) and is recomputed per consumer BY CHOICE: a
+      // localCheckpoint here measured SLOWER (3.84 → 4.24 s settled at
+      // sf0.1 — the queries×k materialization costs more than re-running
+      // the broadcast-heavy legs at gate scale)
       val truth = ch.filter(col("doc_id") % 65 === 0 && col("chunk_idx") > 0)
         .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("chunk_idx"))))
