@@ -38,6 +38,21 @@ object ScaleBench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
+  /** The one recursive temp-tree deleter (the compaction and embjson
+    * families both generate multi-GB scratch dirs that must not outlive
+    * their measurements); null-safe against listFiles returning null on
+    * permission/race errors. */
+  private def deleteRecursively(p: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rec)
+      }
+      f.delete(); ()
+    }
+    rec(new java.io.File(p))
+  }
+
   private val ALPHA = "abcdefghijklmnopqrstuvwxyz"
   // multipliers coprime to 26 — affine ciphers i -> a·i + b are bijections
   private val COPRIMES = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
@@ -456,6 +471,12 @@ object ScaleBench {
         .collect().map(_.getString(0)).toSeq
     }
     if (familySelected("rag_dense_ann")) {
+      // warm the memoized chunk→BPE→vocab→embed pipeline OUTSIDE the
+      // timed cell: the first prepareRagEmb toucher pays the whole
+      // upstream build, and this timing must attribute SRP sketching
+      // alone (the rag_pipeline family owns the composed cost)
+      graft.queries.TextQueries.prepareRagEmb(spark, base).count()
+      graft.queries.TextQueries.prepareRagEmb(spark, out).count()
       def mkIdx(dir: String): Unit =
         ragSrpIdx(dir) = graft.operators.SimilaritySearch.buildSrpIndex(
           graft.queries.TextQueries.prepareRagEmb(spark, dir),
@@ -482,35 +503,37 @@ object ScaleBench {
       }
       val fragBase = mkFrag(base)
       val fragBig = mkFrag(out)
-      def rmTree(p: String): Unit = {
-        def rec(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rec)
-          f.delete(); ()
-        }
-        rec(new java.io.File(p))
-      }
-      def rewrite(frag: String, rdd: Boolean): Unit = {
+      // the timed cell is ONLY compactParquet — temp-dir creation and
+      // the full-corpus-copy deletion happen outside timeIt (the
+      // deletion is identical for both variants and O(corpus), so
+      // timing it would compress the native-vs-RDD ratio toward 1)
+      def rewriteTimed(frag: String, rdd: Boolean): Double = {
         val o = java.nio.file.Files
           .createTempDirectory("graft-scale-compact-out").toString
-        graft.sources.Compaction.compactParquet(spark, frag, o,
-          targetBytes = 4L * 1024L * 1024L, useRddDetour = rdd)
-        // each rewrite writes a full corpus copy; 10 timed calls at ×F
-        // would otherwise leave tens of GB in /tmp and starve later
-        // families (review finding)
-        rmTree(o)
+        val t = timeIt {
+          graft.sources.Compaction.compactParquet(spark, frag, o,
+            targetBytes = 4L * 1024L * 1024L, useRddDetour = rdd)
+        }
+        // each rewrite writes a full corpus copy; 10 calls at ×F would
+        // otherwise leave tens of GB in /tmp and starve later families
+        deleteRecursively(o)
+        t
       }
-      // min-of-2 per cell, interleaved, so JIT warm-up and page-cache
-      // state do not bias the first-measured variant
-      def min2(f: => Unit): Double = Seq.fill(2)(timeIt(f)).min
-      rewrite(fragBase, rdd = false) // warm both paths once
-      rewrite(fragBase, rdd = true)
-      builds("compaction_rewrite_native") =
-        (min2 { rewrite(fragBase, rdd = false) },
-         min2 { rewrite(fragBig, rdd = false) })
-      builds("compaction_rewrite_rdd") =
-        (min2 { rewrite(fragBase, rdd = true) },
-         min2 { rewrite(fragBig, rdd = true) })
-      rmTree(fragBase); rmTree(fragBig)
+      // min-of-2 per cell, GENUINELY interleaved (native, rdd, native,
+      // rdd per size), so JIT warm-up and page-cache state do not bias
+      // the first-measured variant
+      def min2Pair(frag: String): (Double, Double) = {
+        val rounds = Seq.fill(2)(
+          (rewriteTimed(frag, rdd = false), rewriteTimed(frag, rdd = true)))
+        (rounds.map(_._1).min, rounds.map(_._2).min)
+      }
+      rewriteTimed(fragBase, rdd = false) // warm both paths once
+      rewriteTimed(fragBase, rdd = true)
+      val (natBase, rddBase) = min2Pair(fragBase)
+      val (natBig, rddBig) = min2Pair(fragBig)
+      builds("compaction_rewrite_native") = (natBase, natBig)
+      builds("compaction_rewrite_rdd") = (rddBase, rddBig)
+      deleteRecursively(fragBase); deleteRecursively(fragBig)
     }
     if (familySelected("retrieval_eval")) {
       import graft.operators.SimilaritySearch
@@ -834,11 +857,7 @@ object ScaleBench {
               s"full_helper=${fmt(tFullH)}s keys_helper=${fmt(tKeysH)}s " +
               s"peak_heap_native=${memN}MB peak_heap_helper=${memH}MB")
             // multi-GB stores must not outlive their measurements
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(); ()
-            }
-            rm(new java.io.File(dir))
+            deleteRecursively(dir)
             s""""$tag":{"keys_per_file":$nKeys,"bytes_total":$bytes,""" +
               s""""full_native_sec":${fmt(tFullN)},""" +
               s""""keys_native_sec":${fmt(tKeysN)},""" +

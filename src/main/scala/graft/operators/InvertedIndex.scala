@@ -55,13 +55,20 @@ object InvertedIndex {
   }
 
   /** One corpus pass: whitespace terms → (doc, term) counts; doc lengths
-    * and term dfs are bounded rollups of the posting relation.
+    * and term dfs are bounded rollups of the posting relation. Empty
+    * tokens (leading/trailing/doubled separators — e.g. the trailing
+    * space a word-boundary BPE chunk detokenizes to) are dropped BEFORE
+    * counting: a phantom `""` term would otherwise carry df ≈ n and
+    * inflate every dl, biasing BM25 length normalization corpus-wide
+    * (the [[graft.operators.Chunker]] empty-token discipline, applied
+    * at the index boundary).
     */
   def build(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): LexIndex = {
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val postings = tf.withColumn("bucket", bucketOf(col("term")))

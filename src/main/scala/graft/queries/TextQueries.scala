@@ -2797,7 +2797,12 @@ object TextQueries extends QueryPack {
         n_tokens, chunk_text
       FROM r2
     ), ctoks AS (
-      SELECT cid, unnest(string_split(chunk_text, ' ')) AS w FROM ch
+      -- empty tokens dropped to mirror InvertedIndex.build: a word-
+      -- boundary BPE chunk detokenizes with a trailing space, and the
+      -- phantom '' term would otherwise pollute df/dl corpus-wide
+      SELECT cid, w FROM (
+        SELECT cid, unnest(string_split(chunk_text, ' ')) AS w FROM ch)
+      WHERE w <> ''
     ), tf AS (
       SELECT cid, w, CAST(COUNT(*) AS BIGINT) AS tf FROM ctoks GROUP BY 1, 2
     ), dl AS (

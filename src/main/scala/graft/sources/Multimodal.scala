@@ -56,7 +56,12 @@ object Multimodal {
       (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8) |
         ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
     if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    // a partial download cut on a chunk boundary would otherwise walk
+    // cleanly and return a silently-shorter frame list: the declared
+    // RIFF extent must fit in the payload we actually hold
+    if (8L + le32(4) > payload.length) return None
     var usPerFrame = 0L
+    var totalFrames = 0L
     var ok = true
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(start: Int, end: Int): Unit = {
@@ -76,6 +81,7 @@ object Multimodal {
             }
           } else if (id == "avih" && n >= 4) {
             usPerFrame = le32(body)
+            if (n >= 20) totalFrames = le32(body + 16) // dwTotalFrames
           } else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
               (id.endsWith("dc") || id.endsWith("db"))) {
             frames += java.util.Arrays.copyOfRange(payload, body, body + n)
@@ -87,6 +93,10 @@ object Multimodal {
     val riffEnd = math.min(payload.length.toLong, 8L + le32(4)).toInt
     walk(12, riffEnd)
     val fs = frames.result()
+    // an undercounting RIFF size field caps riffEnd mid-stream without
+    // tripping `ok`; the avih frame count detects it — when the header
+    // declares dwTotalFrames (> 0), the demuxed count must match
+    if (ok && totalFrames > 0 && fs.length != totalFrames) return None
     if (ok && usPerFrame > 0 && fs.nonEmpty) Some((usPerFrame, fs)) else None
   }
 

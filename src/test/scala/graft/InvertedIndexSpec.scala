@@ -23,6 +23,16 @@ class InvertedIndexSpec extends SparkSpec {
     assert(built.avgdl == sdl.toDouble / built.n)
   }
 
+  test("build drops empty tokens: trailing/doubled spaces index no phantom term") {
+    val docs = Seq((1L, "alpha beta "), (2L, " alpha  beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs)
+    assert(idx.postings.filter(length($"term") === 0).count() == 0)
+    val dl = idx.docLens.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl == Map(1L -> 2L, 2L -> 2L, 3L -> 1L)) // real tokens only
+    assert(idx.n == 3 && idx.sdl == 5)
+  }
+
   test("save/load probe is bit-identical to the in-memory probe") {
     InvertedIndex.save(built, idxDir)
     val loaded = InvertedIndex.load(spark, idxDir)

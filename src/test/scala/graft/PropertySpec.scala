@@ -433,15 +433,33 @@ class PropertySpec extends SparkSpec {
       fs.zip(frames).foreach { case (a, e) =>
         assert(java.util.Arrays.equals(a, e), "frame bytes corrupted")
       }
-      // truncation anywhere inside the chunk walk must fail loudly to
-      // the stub path, never return partial frames silently... unless
-      // the cut lands exactly on a chunk boundary, which is a shorter
-      // VALID container — so assert only None-or-prefix semantics
+      // truncation ANYWHERE must reject to the stub path — the declared
+      // RIFF extent no longer fits the payload, so even a cut landing
+      // exactly on a chunk boundary (a clean walk) returns None, and an
+      // undercounting RIFF size field (walk ends early, ok stays true)
+      // is caught by the avih dwTotalFrames count
       val whole = aviBytes(uspf, frames)
-      val cut = whole.take(whole.length - 3)
-      Multimodal.parseAvi(cut).foreach { case (_, pf) =>
-        assert(pf.length < frames.length,
-          "truncated container returned all frames")
+      (1 to 3).foreach { back =>
+        val cut = whole.take(whole.length - back)
+        assert(Multimodal.parseAvi(cut).isEmpty,
+          s"payload truncated by $back bytes parsed as complete")
+      }
+      if (frames.length > 1) {
+        // forge RIFF + movi sizes so the container ends CLEANLY after the
+        // first frame chunk (ok stays true, no truncation tripwire) —
+        // only the avih dwTotalFrames disagreement can reject it
+        val firstLen = frames.head.length
+        val hdrl = 4 + 8 + 56
+        val moviShort = 4 + 8 + firstLen + (firstLen & 1)
+        val riffShort = 4 + 8 + hdrl + 8 + moviShort
+        def w32(a: Array[Byte], off: Int, v: Int): Unit = (0 to 3).foreach {
+          i => a(off + i) = ((v >> (8 * i)) & 0xFF).toByte
+        }
+        val forged = whole.clone()
+        w32(forged, 4, riffShort)
+        w32(forged, 92, moviShort) // movi LIST size field
+        assert(Multimodal.parseAvi(forged).isEmpty,
+          "undercounting RIFF size returned a partial frame list")
       }
     }
   }
