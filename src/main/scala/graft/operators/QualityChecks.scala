@@ -87,4 +87,57 @@ object QualityChecks {
       .filter(col("class_size") < k)
       .select(col(idCol), col("class_size").cast("long"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007 "l-Diversity:
+    * Privacy Beyond k-Anonymity"): k-anonymity alone cannot stop an
+    * attribute-disclosure attack — a class of 50 rows that all share one
+    * sensitive value reveals that value for every member. A class is
+    * l-diverse when its sensitive attribute takes at least l DISTINCT
+    * values; this report is the diversity histogram (`diversity,
+    * n_classes, n_rows, at_risk`), payload-free like
+    * [[kAnonymityReport]] — neither quasi-identifiers nor sensitive
+    * values leave the operator.
+    *
+    * Shape: two key-grouped exact aggregations — (quasi, sensitive)
+    * counts collapse duplicates FIRST (the map-side combine bounds the
+    * second shuffle by distinct pairs, not rows), then the per-class
+    * rollup; both linear, no window, no all-pairs anything.
+    */
+  def lDiversityReport(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "no quasi-identifier columns given")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy((quasiIds :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("diversity"),
+        sum(col("__c")).cast("long").as("__class_size"))
+      .groupBy(col("diversity"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("__class_size")).cast("long").as("n_rows"))
+      .withColumn("at_risk", col("diversity") < l)
+  }
+
+  /** The rows an l-diversity release would have to suppress, generalize,
+    * or re-bucket: every member of an equivalence class whose sensitive
+    * attribute shows fewer than l distinct values, keyed by the caller's
+    * row id. Class diversity computes via the same duplicate-collapsing
+    * rollup as [[lDiversityReport]] and joins back on the quasi tuple —
+    * a keyed equi-join (broadcast when the class relation is small),
+    * never a per-row `collect_set` window whose state would grow with
+    * class cardinality.
+    */
+  def lDiversityRiskRows(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, l: Long, idCol: String): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    val classes = df
+      .groupBy((quasiIds :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("diversity"))
+      .filter(col("diversity") < l)
+    df.select(col(idCol) +: quasiIds.map(col): _*)
+      .join(classes, quasiIds)
+      .select(col(idCol), col("diversity"))
+  }
 }

@@ -1426,8 +1426,51 @@ object AdvancedQueries extends QueryPack {
     SELECT c_custkey, CAST(class_size AS BIGINT) AS class_size
     FROM cls WHERE class_size < 5 ORDER BY c_custkey"""))
 
+  // ---- l-diversity audit (QualityChecks.lDiversity*, Machanavajjhala
+  //      et al. 2007): k-anonymity's blind spot is attribute disclosure —
+  //      a large class whose sensitive value is uniform reveals it for
+  //      every member. Quasi = (nation, segment), sensitive = the COARSE
+  //      5000-unit balance tier (the column a release would treat as the
+  //      secret); a class is at risk when its members span < 3 distinct
+  //      tiers. Exact distinct counts → FULL oracle ----
+  private def custSensitive(c: org.apache.spark.sql.DataFrame) =
+    c.withColumn("bal_tier", floor(col("c_acctbal") / 5000.0))
+  private val lDivReport = OracleQuery(
+    "t_l_diversity_report",
+    (s, d) => graft.operators.QualityChecks
+      .lDiversityReport(custSensitive(Tables.customer(s, d)),
+        Seq("c_nationkey", "c_mktsegment"), "bal_tier", l = 3)
+      .orderBy(col("diversity")),
+    Some("""WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(COUNT(DISTINCT floor(c_acctbal / 5000.0)) AS BIGINT)
+          AS diversity,
+        CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT diversity, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      CAST(SUM(class_size) AS BIGINT) AS n_rows,
+      diversity < 3 AS at_risk
+    FROM cls GROUP BY diversity ORDER BY diversity"""))
+  private val lDivRiskRows = OracleQuery(
+    "t_l_diversity_risk_rows",
+    (s, d) => graft.operators.QualityChecks
+      .lDiversityRiskRows(custSensitive(Tables.customer(s, d)),
+        Seq("c_nationkey", "c_mktsegment"), "bal_tier", l = 3,
+        idCol = "c_custkey")
+      .orderBy(col("c_custkey")),
+    Some("""WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(COUNT(DISTINCT floor(c_acctbal / 5000.0)) AS BIGINT)
+          AS diversity
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_custkey, diversity
+    FROM customer c JOIN cls USING (c_nationkey, c_mktsegment)
+    WHERE diversity < 3 ORDER BY c_custkey"""))
+
   override val all: Seq[OracleQuery] = Seq(
-    kAnonReport, kAnonRiskRows,
+    kAnonReport, kAnonRiskRows, lDivReport, lDivRiskRows,
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
     scd2Intervals, bootstrapMeans, dataQualityReport, olsTrend, madOutliers,

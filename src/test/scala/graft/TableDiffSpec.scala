@@ -79,4 +79,29 @@ class TableDiffSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(risky == Map(4L -> 1L, 5L -> 2L, 6L -> 2L))
   }
+
+  test("l-diversity: class diversity = distinct sensitive values, risk rows join back") {
+    // class (a): sensitive {x,y,z} — diverse; class (b): 3 rows but all
+    // sensitive x — k-anonymous at k=3 yet attribute-disclosing;
+    // class (c): {x,y} — 2 distinct
+    val df = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "a", "z"),
+      (4L, "b", "x"), (5L, "b", "x"), (6L, "b", "x"),
+      (7L, "c", "x"), (8L, "c", "y")).toDF("id", "q", "s")
+    val hist = QualityChecks.lDiversityReport(df, Seq("q"), "s", l = 3)
+      .collect().map(r => r.getAs[Long]("diversity") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Boolean]("at_risk")))).toMap
+    assert(hist == Map(1L -> ((1L, 3L, true)), 2L -> ((1L, 2L, true)),
+      3L -> ((1L, 3L, false))))
+    // histogram row counts sum back to the table — every row lands in
+    // exactly one class
+    assert(hist.values.map(_._2).sum == 8L)
+    val risky = QualityChecks.lDiversityRiskRows(df, Seq("q"), "s", 3, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(risky == Map(4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 2L, 8L -> 2L))
+    // the k-anonymity blind spot: class (b) passes k=3 but fails l=3
+    val kSafe = QualityChecks.kAnonymityRiskRows(df, Seq("q"), 3, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kSafe.contains(4L) && risky.contains(4L))
+  }
 }
