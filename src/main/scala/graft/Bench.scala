@@ -96,6 +96,9 @@ object Bench {
     build("lex_index_tomb", selected.exists(_._1 == "t_bm25_tombstone_topk")) {
       graft.queries.TextQueries.prepareTombLexIndex(spark, sfDir); ()
     }
+    build("lex_index_pos", selected.exists(_._1 == "t_phrase_search_topk")) {
+      graft.queries.TextQueries.preparePhraseIndex(spark, sfDir); ()
+    }
     build("jsonl_dump", selected.exists(_._1 == "s_jsonl_contract")) {
       graft.queries.TextQueries.prepareJsonlDump(spark, sfDir); ()
     }

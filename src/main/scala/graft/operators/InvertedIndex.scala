@@ -64,13 +64,26 @@ object InvertedIndex {
     * at the index boundary).
     */
   def build(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): LexIndex = {
-    val tf = docs
-      .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      textCol: String = "text", withPositions: Boolean = false): LexIndex = {
+    val tf =
+      if (!withPositions)
+        docs
+          .select(col(idCol).as("doc_id"),
+            explode(split(col(textCol), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      else
+        // positions index the EMPTY-FILTERED token sequence (filter the
+        // array before posexplode), so a doubled separator cannot break
+        // phrase adjacency; sort_array pins collect_list's arrival order
+        docs
+          .select(col(idCol).as("doc_id"),
+            posexplode(filter(split(col(textCol), " "),
+              t => length(t) > 0)).as(Seq("pos", "term")))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
     val postings = tf.withColumn("bucket", bucketOf(col("term")))
     val docLens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val termDf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -107,7 +120,12 @@ object InvertedIndex {
     */
   def append(dir: String, newDocs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    val delta = build(newDocs, idCol, textCol)
+    val spark0 = newDocs.sparkSession
+    // match the artifact's build mode: appending a positionless delta to
+    // a positional index would splinter the postings parquet schema
+    val positional = spark0.read.parquet(s"$dir/postings")
+      .columns.contains("positions")
+    val delta = build(newDocs, idCol, textCol, withPositions = positional)
     val spark = newDocs.sparkSession
     import spark.implicits._
     delta.postings.write.mode("append").partitionBy("bucket")
@@ -195,9 +213,11 @@ object InvertedIndex {
     if (!fs.exists(new Path(root, "tombstones"))) return
     val adjusted = load(spark, dir)
     val staging = s"$dir-compact-staging"
+    val postingCols = (Seq("term", "doc_id", "tf") ++
+      (if (adjusted.postings.columns.contains("positions"))
+        Seq("positions") else Nil) ++ Seq("bucket")).map(col)
     save(LexIndex(
-      adjusted.postings.select(col("term"), col("doc_id"), col("tf"),
-        col("bucket")),
+      adjusted.postings.select(postingCols: _*),
       adjusted.docLens, adjusted.termDf, adjusted.n, adjusted.sdl), staging)
     val stagingRoot = new Path(staging)
     Seq("postings", "doclens", "termdf", "meta").foreach { sub =>
@@ -295,6 +315,47 @@ object InvertedIndex {
       .agg(floor(sum(col("s").cast(
           org.apache.spark.sql.types.DecimalType(27, 12)))
         .cast("double") * lit(1000000.0)).cast("long").as("score_q"))
+  }
+
+  /** Exact-phrase top-k over a POSITIONAL index (`build(...,
+    * withPositions = true)`): docs containing the contiguous token
+    * sequence `phrase`, ranked by occurrence count (ties by doc_id).
+    * The classic positional-intersection expressed relationally: each
+    * phrase slot i matches posting positions p with anchor = p − i, and
+    * an anchor where ALL slots match is one occurrence — repeated terms
+    * in the phrase are handled for free because slots join
+    * independently. Overlapping occurrences each count ("x x x"
+    * contains "x x" twice).
+    *
+    * Scale: the posting scan prunes to the phrase terms' buckets (the
+    * [[bm25Scores]] pruning), the slot relation is the broadcast side,
+    * and positions explode ONLY for matched terms — cost ∝ the phrase
+    * terms' posting sizes, never the corpus.
+    */
+  def phraseTopK(idx: LexIndex, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(idx.postings.columns.contains("positions"),
+      "phrase search needs a positional index: build(..., withPositions = true)")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qdf = phrase.zipWithIndex.toDF("term", "slot")
+      .withColumn("bucket", bucketOf(col("term")))
+    val buckets = qdf.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    idx.postings
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(qdf.drop("bucket")), Seq("term"))
+      .select(col("doc_id"), col("slot"),
+        explode(col("positions")).as("pos"))
+      .withColumn("anchor", col("pos") - col("slot"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+      .limit(k)
   }
 
 }

@@ -571,6 +571,43 @@ object TextQueries extends QueryPack {
         graft.operators.InvertedIndex.build(Tables.documents(s, d)), dir)
       graft.operators.InvertedIndex.load(s, dir)
     }(_ => ())
+  // ---- exact-phrase search over the PERSISTED positional index
+  //      (InvertedIndex.phraseTopK): postings carry the term's position
+  //      list, and a phrase occurrence is an anchor where every slot
+  //      matches — the Lucene positional-query capability, relationally.
+  //      The phrase "table table" repeats its term (the adversarial slot
+  //      case) and overlapping occurrences count. The oracle is an
+  //      INDEPENDENT formulation (token adjacency self-join, not a slot
+  //      replay); exact integer counts → FULL oracle ----
+  def preparePhraseIndex(s: SparkSession,
+      d: String): graft.operators.InvertedIndex.LexIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"lex_index_pos:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lexidx-pos").toString
+      graft.operators.InvertedIndex.save(
+        graft.operators.InvertedIndex.build(Tables.documents(s, d),
+          withPositions = true), dir)
+      graft.operators.InvertedIndex.load(s, dir)
+    }(_ => ())
+  private val phraseTopK = OracleQuery(
+    "t_phrase_search_topk",
+    (s, d) => graft.operators.InvertedIndex.phraseTopK(
+      preparePhraseIndex(s, d), Seq("table", "table"), 20),
+    Some("""WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM t
+    ), occ AS (
+      SELECT a.doc_id
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.w = 'table' AND b.w = 'table'
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM occ GROUP BY doc_id
+    ORDER BY n_occ DESC, doc_id LIMIT 20"""))
+
   // ---- the tombstone-deletion lifecycle on the persisted index
   //      (takedowns): build over the full corpus, DELETE doc_id%7==3,
   //      COMPACT (folds those tombstones into rewritten postings), then
@@ -3191,6 +3228,6 @@ object TextQueries extends QueryPack {
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
-    bm25TopK, bm25Artifact, bm25Tombstone, bpeTokenizeStats,
+    bm25TopK, bm25Artifact, bm25Tombstone, phraseTopK, bpeTokenizeStats,
     streamSnapshotChanges)
 }

@@ -33,6 +33,48 @@ class InvertedIndexSpec extends SparkSpec {
     assert(idx.n == 3 && idx.sdl == 5)
   }
 
+  test("phraseTopK: anchors, repeated terms, overlaps, and the positional artifact") {
+    val docs = Seq(
+      (1L, "big cat sat"),            // one "big cat"
+      (2L, "big cat big cat big"),    // two "big cat", trailing lone big
+      (3L, "cat big"),                // reversed — no match
+      (4L, "big  cat"),               // doubled space must not break adjacency
+      (5L, "x x x"),                  // overlapping "x x" twice
+      (6L, "big")                     // phrase longer than doc
+    ).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, withPositions = true)
+    def runPhrase(i: InvertedIndex.LexIndex, ph: Seq[String]) =
+      InvertedIndex.phraseTopK(i, ph, 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(runPhrase(idx, Seq("big", "cat")) ==
+      Seq(2L -> 2L, 1L -> 1L, 4L -> 1L))
+    assert(runPhrase(idx, Seq("x", "x")) == Seq(5L -> 2L)) // overlap counts
+    assert(runPhrase(idx, Seq("big", "cat", "big")) == Seq(2L -> 2L))
+    assert(runPhrase(idx, Seq("cat", "sat")) == Seq(1L -> 1L))
+    assert(runPhrase(idx, Seq("absent", "cat")).isEmpty)
+    // a positionless index must refuse, not silently mis-answer
+    val flat = InvertedIndex.build(docs)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseTopK(flat, Seq("big", "cat"), 10)
+    }
+    // positions survive save -> append -> load -> compact
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-pos-spec").toString
+    InvertedIndex.save(idx, dir)
+    InvertedIndex.append(dir,
+      Seq((7L, "big cat big cat big cat")).toDF("doc_id", "text"))
+    val appended = InvertedIndex.load(spark, dir)
+    assert(runPhrase(appended, Seq("big", "cat")) ==
+      Seq(7L -> 3L, 2L -> 2L, 1L -> 1L, 4L -> 1L))
+    InvertedIndex.delete(spark, dir, Seq(2L))
+    InvertedIndex.compact(spark, dir)
+    val compacted = InvertedIndex.load(spark, dir)
+    assert(compacted.postings.columns.contains("positions"),
+      "compact dropped the positions column")
+    assert(runPhrase(compacted, Seq("big", "cat")) ==
+      Seq(7L -> 3L, 1L -> 1L, 4L -> 1L))
+  }
+
   test("save/load probe is bit-identical to the in-memory probe") {
     InvertedIndex.save(built, idxDir)
     val loaded = InvertedIndex.load(spark, idxDir)
@@ -55,6 +97,17 @@ class InvertedIndexSpec extends SparkSpec {
     // post-scan predicate over all 64 buckets
     assert(plan.contains("PartitionFilters") &&
       plan.contains("bucket"), s"no partition pruning:\n$plan")
+    // the phrase probe rides the same pruning (positional artifact)
+    val posDir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-prune-pos").toString
+    InvertedIndex.save(
+      InvertedIndex.build(Tables.documents(spark, sf001),
+        withPositions = true), posDir)
+    val posPlan = InvertedIndex
+      .phraseTopK(InvertedIndex.load(spark, posDir), Seq("spark"), 5)
+      .queryExecution.executedPlan.toString
+    assert(posPlan.contains("PartitionFilters") &&
+      posPlan.contains("bucket"), s"no phrase partition pruning:\n$posPlan")
   }
 
   test("append then load probes bit-identically to a rebuild over the union") {
