@@ -281,6 +281,9 @@ object ScaleBench {
     val lexIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var bm25Terms: Seq[String] = Nil
+    val posIdx = scala.collection.mutable.Map
+      .empty[String, graft.operators.InvertedIndex.LexIndex]
+    var phraseTerms: Seq[String] = Nil
     val evalRel = scala.collection.mutable.Map
       .empty[String, (DataFrame, DataFrame)]
     val ragSrpIdx = scala.collection.mutable.Map
@@ -405,6 +408,15 @@ object ScaleBench {
       "bm25_probe" -> { dir: String =>
         graft.operators.InvertedIndex.bm25TopK(lexIdx(dir), bm25Terms, 10)
       },
+      // phrase probe over the POSITIONAL artifact: same bucket-pruned
+      // scan as bm25_probe plus the positions explode + anchor
+      // intersection for the doubled most-frequent term (the worst
+      // common phrase: maximal posting size AND both slots share it).
+      // The companion lex_index_pos vs lex_index build rows price what
+      // positions add to the artifact build at each size
+      "phrase_probe" -> { dir: String =>
+        graft.operators.InvertedIndex.phraseTopK(posIdx(dir), phraseTerms, 20)
+      },
       // the composed RAG pipeline gate end-to-end (chunk → embed →
       // index → fused retrieve → eval). Query count AND chunk corpus
       // both grow ∝ corpus here (queries = chunk 0 of every 5th sampled
@@ -469,6 +481,22 @@ object ScaleBench {
       bm25Terms = lexIdx(base).termDf
         .orderBy(col("df").desc, col("term")).limit(3)
         .collect().map(_.getString(0)).toSeq
+    }
+    if (familySelected("phrase_probe")) {
+      def mkPosIdx(dir: String): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-scale-lexidx-pos").toString
+        graft.operators.InvertedIndex.save(
+          graft.operators.InvertedIndex.build(Tables.documents(spark, dir),
+            withPositions = true), tmp)
+        posIdx(dir) = graft.operators.InvertedIndex.load(spark, tmp)
+      }
+      builds("lex_index_pos") =
+        (timeIt { mkPosIdx(base) }, timeIt { mkPosIdx(out) })
+      val top = posIdx(base).termDf
+        .orderBy(col("df").desc, col("term")).limit(1)
+        .collect()(0).getString(0)
+      phraseTerms = Seq(top, top)
     }
     if (familySelected("rag_dense_ann")) {
       // warm the memoized chunk→BPE→vocab→embed pipeline OUTSIDE the

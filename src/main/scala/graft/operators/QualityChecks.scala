@@ -140,4 +140,91 @@ object QualityChecks {
       .join(classes, quasiIds)
       .select(col(idCol), col("diversity"))
   }
+
+  /** Per-class ordered earth-mover's distance to the GLOBAL sensitive
+    * distribution, quantized (`floor(emd * 1e6)`) — the t-closeness
+    * measure (Li, Li & Venkatasubramanian 2007): l-diversity still leaks
+    * when a class's sensitive values are diverse but SKEWED far from the
+    * corpus baseline (all low tiers in one nation reveals plenty). For an
+    * ordered attribute, EMD = Σ_{j<m} |cumP_j − cumQ_j| / (m−1) over the
+    * global value domain v_1 < … < v_m.
+    *
+    * Exactness discipline: the cumulative sums run over INTEGER counts
+    * (exact at any window association order) and divide to doubles once
+    * per row, the per-value |cumP − cumQ| terms cross the exact-decimal
+    * sum boundary, and the single ÷(m−1) and quantization happen last —
+    * so the quantized distance is engine-reproducible, never at the
+    * mercy of float summation order. Shape: bounded rollups plus one
+    * classes × values grid (classes ≪ rows, m = distinct sensitive
+    * values — both bounded for banded attributes); per-class windows
+    * over m rows, global side broadcast.
+    *
+    * Returns one row per class: quasi columns + `class_size` + `emd_q`.
+    * [[tClosenessReport]] is the publishable histogram form.
+    */
+  def tClosenessByClass(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiIds.nonEmpty, "no quasi-identifier columns given")
+    val gvals = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__gc"))
+    val m = gvals.count()
+    require(m >= 2,
+      s"sensitive attribute has $m distinct value(s); EMD needs >= 2")
+    val totals = df.agg(count(lit(1)).as("__n"))
+    val classes = df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("__cs"))
+    val cvals = df
+      .groupBy((quasiIds.map(col) :+ col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__cc"))
+    val w = Window.partitionBy(quasiIds.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes.crossJoin(broadcast(gvals))
+      .join(cvals, quasiIds :+ "__v", "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__ccc", sum(coalesce(col("__cc"), lit(0L))).over(w))
+      .withColumn("__cgc", sum(col("__gc")).over(w))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(quasiIds.map(col): _*).orderBy(col("__v"))))
+      .filter(col("__rk") < m) // cum diff at j = m is identically 0
+      .withColumn("__d", abs(
+        col("__ccc").cast("double") / col("__cs").cast("double") -
+        col("__cgc").cast("double") / col("__n").cast("double")))
+      .groupBy(quasiIds.map(col): _*)
+      .agg(first(col("__cs")).cast("long").as("class_size"),
+        floor(sum(col("__d").cast(
+            org.apache.spark.sql.types.DecimalType(27, 12)))
+          .cast("double") / lit((m - 1).toDouble) * lit(1000000.0))
+          .cast("long").as("emd_q"))
+  }
+
+  /** The publishable t-closeness audit: the quantized-distance histogram
+    * (`emd_q, n_classes, n_rows, at_risk`), payload-free like the
+    * k-anonymity and l-diversity reports. A class is at risk when its
+    * distance exceeds t (compared in the quantized domain:
+    * `emd_q > floor(t * 1e6)`).
+    */
+  def tClosenessReport(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"t must be in (0, 1), got $t")
+    tClosenessByClass(df, quasiIds, sensitiveCol)
+      .groupBy(col("emd_q"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("class_size")).cast("long").as("n_rows"))
+      .withColumn("at_risk", col("emd_q") > math.floor(t * 1e6).toLong)
+  }
+
+  /** The rows a t-closeness release would have to generalize or
+    * re-partition: members of classes whose distance exceeds t, keyed by
+    * the caller's row id — the [[lDiversityRiskRows]] join-back shape.
+    */
+  def tClosenessRiskRows(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, t: Double, idCol: String): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"t must be in (0, 1), got $t")
+    val risky = tClosenessByClass(df, quasiIds, sensitiveCol)
+      .filter(col("emd_q") > math.floor(t * 1e6).toLong)
+      .select(quasiIds.map(col) :+ col("emd_q"): _*)
+    df.select(col(idCol) +: quasiIds.map(col): _*)
+      .join(risky, quasiIds)
+      .select(col(idCol), col("emd_q"))
+  }
 }

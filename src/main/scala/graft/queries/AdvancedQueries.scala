@@ -1469,8 +1469,78 @@ object AdvancedQueries extends QueryPack {
     FROM customer c JOIN cls USING (c_nationkey, c_mktsegment)
     WHERE diversity < 3 ORDER BY c_custkey"""))
 
+  // ---- t-closeness audit (QualityChecks.tCloseness*, Li, Li &
+  //      Venkatasubramanian 2007): the leak l-diversity misses — a class
+  //      whose sensitive values are diverse but SKEWED far from the
+  //      corpus baseline. Per class, ordered EMD to the global balance-
+  //      tier distribution, t = 0.05. Cumulative sums stay in exact
+  //      integer counts (window association order cannot drift), each
+  //      |cumP − cumQ| crosses the exact-decimal boundary, ÷(m−1) and
+  //      the 1e6 quantization happen last → FULL oracle ----
+  private val tCloseSql = """WITH c AS (
+      SELECT *, floor(c_acctbal / 5000.0) AS v FROM customer
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c
+    ), g AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS gc FROM c GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM g
+    ), cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cs
+      FROM c GROUP BY 1, 2
+    ), cv AS (
+      SELECT c_nationkey, c_mktsegment, v, CAST(COUNT(*) AS BIGINT) AS cc
+      FROM c GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.cs, g.v, g.gc,
+        COALESCE(cv.cc, 0) AS cc
+      FROM cls CROSS JOIN g
+      LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+        AND cv.c_mktsegment = cls.c_mktsegment AND cv.v = g.v
+    ), cum AS (
+      SELECT *,
+        SUM(cc) OVER (PARTITION BY c_nationkey, c_mktsegment
+          ORDER BY v) AS ccc,
+        SUM(gc) OVER (PARTITION BY c_nationkey, c_mktsegment
+          ORDER BY v) AS cgc,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+          ORDER BY v) AS rk
+      FROM grid
+    ), emd AS (
+      SELECT c_nationkey, c_mktsegment, MAX(cs) AS class_size,
+        CAST(floor(%DSUM% / (m - 1) * 1000000.0) AS BIGINT) AS emd_q
+      FROM cum CROSS JOIN tot CROSS JOIN m
+      WHERE rk < m GROUP BY c_nationkey, c_mktsegment, m
+    )"""
+  private def tCloseOracle(tail: String) = Some(
+    tCloseSql.replace("%DSUM%",
+      DSUM("abs(CAST(ccc AS DOUBLE) / cs - CAST(cgc AS DOUBLE) / n)",
+        27, 12)) + tail)
+  private val tCloseReport = OracleQuery(
+    "t_t_closeness_report",
+    (s, d) => graft.operators.QualityChecks
+      .tClosenessReport(custSensitive(Tables.customer(s, d)),
+        Seq("c_nationkey", "c_mktsegment"), "bal_tier", t = 0.05)
+      .orderBy(col("emd_q")),
+    tCloseOracle("""
+    SELECT emd_q, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      CAST(SUM(class_size) AS BIGINT) AS n_rows, emd_q > 50000 AS at_risk
+    FROM emd GROUP BY emd_q ORDER BY emd_q"""))
+  private val tCloseRiskRows = OracleQuery(
+    "t_t_closeness_risk_rows",
+    (s, d) => graft.operators.QualityChecks
+      .tClosenessRiskRows(custSensitive(Tables.customer(s, d)),
+        Seq("c_nationkey", "c_mktsegment"), "bal_tier", t = 0.05,
+        idCol = "c_custkey")
+      .orderBy(col("c_custkey")),
+    tCloseOracle("""
+    SELECT c_custkey, emd_q
+    FROM customer JOIN emd USING (c_nationkey, c_mktsegment)
+    WHERE emd_q > 50000 ORDER BY c_custkey"""))
+
   override val all: Seq[OracleQuery] = Seq(
     kAnonReport, kAnonRiskRows, lDivReport, lDivRiskRows,
+    tCloseReport, tCloseRiskRows,
     p2Parse, lastWinsMerge, pairSample, alignedCounts, aboveCustomerAvg,
     rangeJoin, exactCorr, percentiles, trailingWindow, firstLast,
     scd2Intervals, bootstrapMeans, dataQualityReport, olsTrend, madOutliers,

@@ -104,4 +104,45 @@ class TableDiffSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!kSafe.contains(4L) && risky.contains(4L))
   }
+
+  test("t-closeness: hand-computed ordered EMD, the diverse-but-skewed class") {
+    // all ratios dyadic so every double is exact. Global over the three
+    // classes: value counts 1->4, 2->6, 3->6, n=16, Q=(.25,.375,.375),
+    // cumQ=(.25,.625).
+    //  (a) {1,1,2,3}: cumP=(.5,.75)  -> diffs .25,.125 -> EMD .375/2=.1875
+    //  (b) {2,2,3,3}: cumP=(0,.5)    -> diffs .25,.125 -> EMD .1875
+    //      — (b) is perfectly 2-diverse yet skewed: the l-diversity miss
+    //  (c) = global shape exactly    -> EMD 0
+    val df = Seq(
+      (1L, "a", 1), (2L, "a", 1), (3L, "a", 2), (4L, "a", 3),
+      (5L, "b", 2), (6L, "b", 2), (7L, "b", 3), (8L, "b", 3),
+      (9L, "c", 1), (10L, "c", 1), (11L, "c", 2), (12L, "c", 2),
+      (13L, "c", 2), (14L, "c", 3), (15L, "c", 3), (16L, "c", 3)
+    ).toDF("id", "q", "s")
+    val byClass = QualityChecks.tClosenessByClass(df, Seq("q"), "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("class_size"), r.getAs[Long]("emd_q")))).toMap
+    assert(byClass == Map("a" -> ((4L, 187500L)), "b" -> ((4L, 187500L)),
+      "c" -> ((8L, 0L))))
+    val hist = QualityChecks.tClosenessReport(df, Seq("q"), "s", t = 0.15)
+      .collect().map(r => r.getAs[Long]("emd_q") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Boolean]("at_risk")))).toMap
+    assert(hist == Map(0L -> ((1L, 8L, false)),
+      187500L -> ((2L, 8L, true))))
+    val risky = QualityChecks
+      .tClosenessRiskRows(df, Seq("q"), "s", 0.15, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(risky == (1L to 8L).map(_ -> 187500L).toMap)
+    // classes (a) and (b) sail through l-diversity at l=2 — only the
+    // distance to the corpus baseline flags them
+    assert(QualityChecks.lDiversityRiskRows(df, Seq("q"), "s", 2, "id")
+      .collect().isEmpty)
+    // degenerate single-valued sensitive attribute refuses loudly
+    intercept[IllegalArgumentException] {
+      QualityChecks.tClosenessByClass(
+        df.withColumn("s", org.apache.spark.sql.functions.lit(7)),
+        Seq("q"), "s").collect()
+    }
+  }
 }
