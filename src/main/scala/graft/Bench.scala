@@ -96,7 +96,8 @@ object Bench {
     build("lex_index_tomb", selected.exists(_._1 == "t_bm25_tombstone_topk")) {
       graft.queries.TextQueries.prepareTombLexIndex(spark, sfDir); ()
     }
-    build("lex_index_pos", selected.exists(_._1 == "t_phrase_search_topk")) {
+    build("lex_index_pos", selected.exists(e =>
+        e._1 == "t_phrase_search_topk" || e._1 == "t_phrase_snippets")) {
       graft.queries.TextQueries.preparePhraseIndex(spark, sfDir); ()
     }
     build("jsonl_dump", selected.exists(_._1 == "s_jsonl_contract")) {

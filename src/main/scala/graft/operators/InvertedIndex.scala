@@ -358,4 +358,54 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** [[phraseTopK]] plus the evidence a retrieval UI serves: for each of
+    * the top-k docs, the FIRST occurrence's context window — `context`
+    * tokens either side of the phrase, sliced from the doc's
+    * empty-filtered token sequence (the positional index's coordinate
+    * system, so a doubled separator cannot shift the window). Output
+    * `(doc_id, n_occ, first_pos, snippet)`.
+    *
+    * Scale: the anchor scan is the pruned [[phraseTopK]] plan; only the
+    * k result docs join back to the corpus for their text (broadcast of
+    * k rows against the docs relation keyed by id), so full documents
+    * never ride the posting shuffle.
+    */
+  def phraseSnippets(idx: LexIndex, docs: DataFrame, phrase: Seq[String],
+      k: Int, context: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(context >= 0, s"context must be >= 0, got $context")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qdf = phrase.zipWithIndex.toDF("term", "slot")
+      .withColumn("bucket", bucketOf(col("term")))
+    val buckets = qdf.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val anchors = idx.postings
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(qdf.drop("bucket")), Seq("term"))
+      .select(col("doc_id"), col("slot"),
+        explode(col("positions")).as("pos"))
+      .withColumn("anchor", col("pos") - col("slot"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === phrase.length)
+    val top = anchors.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        min(col("anchor")).cast("long").as("first_pos"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+      .limit(k)
+    docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), t => length(t) > 0).as("__toks"))
+      .join(broadcast(top), Seq("doc_id"))
+      .withColumn("__from",
+        greatest(col("first_pos") - context, lit(0L)) + 1) // slice is 1-based
+      .withColumn("snippet", array_join(
+        slice(col("__toks"), col("__from").cast("int"),
+          lit(phrase.length + 2 * context)), " "))
+      .select(col("doc_id"), col("n_occ"), col("first_pos"), col("snippet"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+  }
+
 }

@@ -608,6 +608,38 @@ object TextQueries extends QueryPack {
     FROM occ GROUP BY doc_id
     ORDER BY n_occ DESC, doc_id LIMIT 20"""))
 
+  // ---- phrase snippets: the serving evidence beside the hit list —
+  //      each top doc's FIRST occurrence with 3 tokens of context either
+  //      side, sliced in the positional index's coordinate system (the
+  //      empty-filtered token sequence). Exact strings → FULL oracle ----
+  private val phraseSnips = OracleQuery(
+    "t_phrase_snippets",
+    (s, d) => graft.operators.InvertedIndex.phraseSnippets(
+      preparePhraseIndex(s, d), Tables.documents(s, d),
+      Seq("table", "table"), k = 10, context = 3),
+    Some("""WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM t
+    ), occ AS (
+      SELECT a.doc_id, a.pos - 1 AS anchor
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.w = 'table' AND b.w = 'table'
+    ), top AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        CAST(MIN(anchor) AS BIGINT) AS first_pos
+      FROM occ GROUP BY doc_id
+      ORDER BY n_occ DESC, doc_id LIMIT 10
+    )
+    SELECT top.doc_id, top.n_occ, top.first_pos,
+      array_to_string(list_slice(t.ws,
+        greatest(top.first_pos - 3, 0) + 1,
+        greatest(top.first_pos - 3, 0) + 8), ' ') AS snippet
+    FROM top JOIN t ON t.doc_id = top.doc_id
+    ORDER BY top.n_occ DESC, top.doc_id"""))
+
   // ---- the tombstone-deletion lifecycle on the persisted index
   //      (takedowns): build over the full corpus, DELETE doc_id%7==3,
   //      COMPACT (folds those tombstones into rewritten postings), then
@@ -3228,6 +3260,7 @@ object TextQueries extends QueryPack {
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
-    bm25TopK, bm25Artifact, bm25Tombstone, phraseTopK, bpeTokenizeStats,
+    bm25TopK, bm25Artifact, bm25Tombstone, phraseTopK, phraseSnips,
+    bpeTokenizeStats,
     streamSnapshotChanges)
 }

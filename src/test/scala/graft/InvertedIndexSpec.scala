@@ -75,6 +75,29 @@ class InvertedIndexSpec extends SparkSpec {
       Seq(7L -> 3L, 1L -> 1L, 4L -> 1L))
   }
 
+  test("phraseSnippets: first occurrence, clamped window, filtered coordinates") {
+    val docs = Seq(
+      (1L, "a b c big cat d e f big cat"), // first occ at 3; window 0..8
+      (2L, "big cat x"),                   // occ at 0: clamp left
+      (3L, "q r s t u big cat"),           // occ at 5: truncate right
+      (4L, "big  cat tail")                // doubled space: positions filtered
+    ).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, withPositions = true)
+    val out = InvertedIndex
+      .phraseSnippets(idx, docs, Seq("big", "cat"), k = 10, context = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 3L, "a b c big cat d e f")))
+    assert(out(2L) == ((1L, 0L, "big cat x")))
+    assert(out(3L) == ((1L, 5L, "s t u big cat")))
+    assert(out(4L) == ((1L, 0L, "big cat tail")))
+    // ranking: doc 1 (2 occurrences) leads
+    val ranked = InvertedIndex
+      .phraseSnippets(idx, docs, Seq("big", "cat"), k = 2, context = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranked == Seq(1L, 2L))
+  }
+
   test("save/load probe is bit-identical to the in-memory probe") {
     InvertedIndex.save(built, idxDir)
     val loaded = InvertedIndex.load(spark, idxDir)
