@@ -100,6 +100,9 @@ object Bench {
         e._1 == "t_phrase_search_topk" || e._1 == "t_phrase_snippets")) {
       graft.queries.TextQueries.preparePhraseIndex(spark, sfDir); ()
     }
+    build("lex_index_stream", selected.exists(_._1 == "tx_stream_index_bm25")) {
+      graft.queries.TextQueries.prepareStreamLexIndex(spark, sfDir); ()
+    }
     build("jsonl_dump", selected.exists(_._1 == "s_jsonl_contract")) {
       graft.queries.TextQueries.prepareJsonlDump(spark, sfDir); ()
     }

@@ -571,6 +571,36 @@ object TextQueries extends QueryPack {
         graft.operators.InvertedIndex.build(Tables.documents(s, d)), dir)
       graft.operators.InvertedIndex.load(s, dir)
     }(_ => ())
+  // ---- continuous index ingest (StreamingLexIndex): the corpus arrives
+  //      as MICRO-BATCH deltas (3 disjoint slices here — batch mode IS
+  //      foreachBatch's semantics; StreamingLexIndexSpec pins the
+  //      MemoryStream path and replay idempotence), each written under
+  //      its own batch= partition with dynamic overwrite, and the loaded
+  //      index re-aggregates across batches exactly. The oracle is
+  //      t_bm25_topk's SQL VERBATIM: incremental arrival must not move
+  //      a single score vs the from-scratch build ----
+  def prepareStreamLexIndex(s: SparkSession,
+      d: String): graft.operators.InvertedIndex.LexIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"lex_index_stream:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lexidx-stream").toString
+      val docs = Tables.documents(s, d)
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingLexIndex.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === b), b, dir)
+      }
+      graft.streaming.StreamingLexIndex.load(s, dir)
+    }(_ => ())
+  private val bm25StreamIngest = OracleQuery(
+    "tx_stream_index_bm25",
+    (s, d) => {
+      val idx = prepareStreamLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.InvertedIndex.bm25TopK(idx, terms, 10)
+    },
+    bm25TopK.sql)
+
   // ---- exact-phrase search over the PERSISTED positional index
   //      (InvertedIndex.phraseTopK): postings carry the term's position
   //      list, and a phrase occurrence is an anchor where every slot
@@ -3260,7 +3290,7 @@ object TextQueries extends QueryPack {
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
-    bm25TopK, bm25Artifact, bm25Tombstone, phraseTopK, phraseSnips,
-    bpeTokenizeStats,
+    bm25TopK, bm25Artifact, bm25Tombstone, bm25StreamIngest, phraseTopK,
+    phraseSnips, bpeTokenizeStats,
     streamSnapshotChanges)
 }
