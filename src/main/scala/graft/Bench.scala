@@ -97,7 +97,8 @@ object Bench {
       graft.queries.TextQueries.prepareTombLexIndex(spark, sfDir); ()
     }
     build("lex_index_pos", selected.exists(e =>
-        e._1 == "t_phrase_search_topk" || e._1 == "t_phrase_snippets")) {
+        e._1 == "t_phrase_search_topk" || e._1 == "t_phrase_snippets" ||
+        e._1 == "t_proximity_search_topk")) {
       graft.queries.TextQueries.preparePhraseIndex(spark, sfDir); ()
     }
     build("lex_index_stream", selected.exists(_._1 == "tx_stream_index_bm25")) {

@@ -358,6 +358,56 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Proximity top-k over a positional index: docs where ALL `terms`
+    * co-occur within a window of `window` tokens, ranked by the number
+    * of such co-occurrences. The relational min-window formulation: lay
+    * the query terms' positions on one per-doc timeline (ONLY their
+    * postings — pruned scan, positions explode for matched terms alone),
+    * track each term's latest position with a conditional running max,
+    * and every timeline row where all maxes are live and
+    * `pos − min(maxes) < window` closes one co-occurrence window. One
+    * per-doc ordered window pass over the query terms' occurrence
+    * counts — never the corpus, never all position pairs.
+    *
+    * `terms` must be distinct (bag proximity is ill-defined — use
+    * [[phraseTopK]] for repeated-term patterns); `window` ≥ the term
+    * count, else no window can hold them.
+    */
+  def proximityTopK(idx: LexIndex, terms: Seq[String], window: Int,
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "empty term set")
+    require(terms.distinct == terms, s"terms must be distinct: $terms")
+    require(window >= terms.length,
+      s"window $window cannot hold ${terms.length} distinct terms")
+    require(idx.postings.columns.contains("positions"),
+      "proximity search needs a positional index: build(..., withPositions = true)")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qdf = terms.toDF("term").withColumn("bucket", bucketOf(col("term")))
+    val buckets = qdf.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val timeline = idx.postings
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(qdf.drop("bucket")), Seq("term"))
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val lasts = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("pos"))).over(byPos).as(s"__l$i")
+    }
+    val lastCols = terms.indices.map(i => col(s"__l$i"))
+    timeline
+      .select(col("doc_id") +: col("pos") +: lasts: _*)
+      .filter(lastCols.map(_.isNotNull).reduce(_ && _))
+      .filter(col("pos") - least(lastCols: _*) < window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_windows"))
+      .orderBy(col("n_windows").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** [[phraseTopK]] plus the evidence a retrieval UI serves: for each of
     * the top-k docs, the FIRST occurrence's context window — `context`
     * tokens either side of the phrase, sliced from the doc's

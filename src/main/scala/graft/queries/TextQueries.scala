@@ -638,6 +638,41 @@ object TextQueries extends QueryPack {
     FROM occ GROUP BY doc_id
     ORDER BY n_occ DESC, doc_id LIMIT 20"""))
 
+  // ---- proximity search: all query terms within a 5-token window,
+  //      ranked by co-occurrence count — the positional surface's third
+  //      operator (phrase = adjacency, proximity = bounded span). The
+  //      min-window formulation is the DEFINITION, so the oracle replays
+  //      it: per-term conditional running maxes over the terms' merged
+  //      position timeline, a hit wherever the span closes under the
+  //      window. Exact integers → FULL oracle ----
+  private val proximityTopK = OracleQuery(
+    "t_proximity_search_topk",
+    (s, d) => graft.operators.InvertedIndex.proximityTopK(
+      preparePhraseIndex(s, d), Seq("table", "key"), window = 5, k = 20),
+    Some("""WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, pos, w FROM (
+        SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+          unnest(ws) AS w
+        FROM t)
+      WHERE w IN ('table', 'key')
+    ), tl AS (
+      SELECT doc_id, pos,
+        MAX(CASE WHEN w = 'table' THEN pos END) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l0,
+        MAX(CASE WHEN w = 'key' THEN pos END) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l1
+      FROM tok
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM tl
+    WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND pos - least(l0, l1) < 5
+    GROUP BY doc_id ORDER BY n_windows DESC, doc_id LIMIT 20"""))
+
   // ---- phrase snippets: the serving evidence beside the hit list —
   //      each top doc's FIRST occurrence with 3 tokens of context either
   //      side, sliced in the positional index's coordinate system (the
@@ -3291,6 +3326,6 @@ object TextQueries extends QueryPack {
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
     bm25TopK, bm25Artifact, bm25Tombstone, bm25StreamIngest, phraseTopK,
-    phraseSnips, bpeTokenizeStats,
+    phraseSnips, proximityTopK, bpeTokenizeStats,
     streamSnapshotChanges)
 }

@@ -75,6 +75,35 @@ class InvertedIndexSpec extends SparkSpec {
       Seq(7L -> 3L, 1L -> 1L, 4L -> 1L))
   }
 
+  test("proximityTopK: min-window hits, ordering, and the refusal contracts") {
+    val docs = Seq(
+      (1L, "big x x x cat"),      // span 4 < 5: one window
+      (2L, "big x x x x cat"),    // span 5: no window at w=5
+      (3L, "big cat big cat"),    // closes at 1, 2, 3: three windows
+      (4L, "cat y big"),          // order-free: span 2, one window
+      (5L, "big big big")         // cat never arrives: none
+    ).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, withPositions = true)
+    val out = InvertedIndex
+      .proximityTopK(idx, Seq("big", "cat"), window = 5, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(out == Seq(3L -> 3L, 1L -> 1L, 4L -> 1L))
+    // window width exactly the span boundary: "big x x x cat" needs >= 5,
+    // docs 3 (span 1) and 4 (span 2) still qualify at 4
+    assert(InvertedIndex.proximityTopK(idx, Seq("big", "cat"), 4, 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    intercept[IllegalArgumentException] { // bag proximity refused
+      InvertedIndex.proximityTopK(idx, Seq("big", "big"), 5, 10)
+    }
+    intercept[IllegalArgumentException] { // window cannot hold the terms
+      InvertedIndex.proximityTopK(idx, Seq("big", "cat"), 1, 10)
+    }
+    intercept[IllegalArgumentException] { // positional index required
+      InvertedIndex.proximityTopK(InvertedIndex.build(docs),
+        Seq("big", "cat"), 5, 10)
+    }
+  }
+
   test("phraseSnippets: first occurrence, clamped window, filtered coordinates") {
     val docs = Seq(
       (1L, "a b c big cat d e f big cat"), // first occ at 3; window 0..8
