@@ -89,7 +89,7 @@ object EdJoin {
     * TPC-H customer names before this path, ~linear after; BASELINE.md
     * scaling table).
     */
-  private def deletionKeys(s: Column): Column = {
+  private[operators] def deletionKeys(s: Column): Column = {
     val variants = transform(
       sequence(lit(1), length(s)),
       i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))

@@ -358,6 +358,42 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** "Did you mean": for each query string, the top-k vocabulary terms
+    * within edit distance 1, ranked by (distance, document frequency
+    * desc, term) — the query-correction serving piece over the index's
+    * own term dictionary. Candidates come from [[EdJoin.deletionKeys]]
+    * symmetric-delete blocking (lev ≤ 1 ⟺ the 1-deletion neighborhoods
+    * incl. self intersect), verified by real `levenshtein`, so hash
+    * collisions in the blocking cannot surface. Returns
+    * `(query, term, dist, df, rn)`.
+    *
+    * Scale: the dictionary side explodes ∝ vocabulary × term length —
+    * a bounded RELATION pass (termDf, never postings or corpus); the
+    * query side is the broadcast side by construction.
+    */
+  def suggestTerms(idx: LexIndex, queries: Seq[String], k: Int = 3)
+      : DataFrame = {
+    require(queries.nonEmpty, "no query strings given")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queries.distinct.toDF("query")
+      .select(col("query"), explode(EdJoin.deletionKeys(col("query")))
+        .as("__qk"))
+    val dict = idx.termDf
+      .select(col("term"), col("df"), explode(EdJoin.deletionKeys(
+        col("term"))).as("__qk"))
+    dict.join(broadcast(q), Seq("__qk"))
+      .select(col("query"), col("term"), col("df")).distinct()
+      .withColumn("dist", levenshtein(col("query"), col("term")).cast("long"))
+      .filter(col("dist") <= 1)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query"))
+          .orderBy(col("dist"), col("df").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .select(col("query"), col("term"), col("dist"), col("df"), col("rn"))
+      .orderBy(col("query"), col("rn"))
+  }
+
   /** Proximity top-k over a positional index: docs where ALL `terms`
     * co-occur within a window of `window` tokens, ranked by the number
     * of such co-occurrences. The relational min-window formulation: lay

@@ -638,6 +638,47 @@ object TextQueries extends QueryPack {
     FROM occ GROUP BY doc_id
     ORDER BY n_occ DESC, doc_id LIMIT 20"""))
 
+  // ---- spell suggestion over the index vocabulary ("did you mean"):
+  //      queries are deterministic typos (second character dropped) of
+  //      the 5 most frequent terms; candidates via symmetric-delete
+  //      blocking + levenshtein verify. The oracle is the NAIVE cross
+  //      join (query × vocabulary) — an independent formulation proving
+  //      the blocking lossless at gate scale. Exact integers → FULL
+  //      oracle ----
+  private val spellSuggest = OracleQuery(
+    "t_spell_suggest",
+    (s, d) => {
+      val idx = prepareLexIndex(s, d)
+      val top = idx.termDf.orderBy(col("df").desc, col("term")).limit(5)
+        .collect().map(_.getAs[String]("term"))
+      graft.operators.InvertedIndex.suggestTerms(idx,
+        top.map(t => t.take(1) + t.drop(2)).distinct.toSeq, k = 3)
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w FROM toks WHERE w <> '' GROUP BY 1, 2
+    ), dft AS (
+      SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), topq AS (
+      SELECT term FROM dft ORDER BY df DESC, term LIMIT 5
+    ), q AS (
+      SELECT DISTINCT substr(term, 1, 1) || substr(term, 3) AS query
+      FROM topq
+    ), cand AS (
+      SELECT q.query, d.term,
+        CAST(levenshtein(q.query, d.term) AS BIGINT) AS dist, d.df
+      FROM q CROSS JOIN dft d
+      WHERE levenshtein(q.query, d.term) <= 1
+    ), rk AS (
+      SELECT query, term, dist, df,
+        ROW_NUMBER() OVER (PARTITION BY query
+          ORDER BY dist, df DESC, term) AS rn
+      FROM cand
+    )
+    SELECT query, term, dist, df, rn FROM rk
+    WHERE rn <= 3 ORDER BY query, rn"""))
+
   // ---- proximity search: all query terms within a 5-token window,
   //      ranked by co-occurrence count — the positional surface's third
   //      operator (phrase = adjacency, proximity = bounded span). The
@@ -3326,6 +3367,6 @@ object TextQueries extends QueryPack {
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
     bm25TopK, bm25Artifact, bm25Tombstone, bm25StreamIngest, phraseTopK,
-    phraseSnips, proximityTopK, bpeTokenizeStats,
+    phraseSnips, proximityTopK, spellSuggest, bpeTokenizeStats,
     streamSnapshotChanges)
 }

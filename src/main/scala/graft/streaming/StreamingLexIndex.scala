@@ -81,4 +81,17 @@ object StreamingLexIndex {
         .groupBy(col("term")).agg(sum(col("df")).as("df")),
       meta.getLong(0), meta.getLong(1))
   }
+
+  /** The segment-merge rhythm's offline half: fold every ingested batch
+    * partition into the compact [[graft.operators.InvertedIndex]]
+    * layout at `outDir` (one bucket-partitioned posting relation, merged
+    * termdf, one meta row). Probes against the folded artifact are
+    * bit-identical to probes against the live streaming layout — the
+    * relations are the same; only the file geometry changes. Run it
+    * when accumulated `batch=` partition counts start to tax listing
+    * and planning; the stream keeps appending to `dir` meanwhile, and
+    * the cut-over is the versioned-artifact-directory swap.
+    */
+  def compactTo(spark: SparkSession, dir: String, outDir: String): Unit =
+    InvertedIndex.save(load(spark, dir), outDir)
 }

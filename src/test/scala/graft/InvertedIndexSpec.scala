@@ -75,6 +75,41 @@ class InvertedIndexSpec extends SparkSpec {
       Seq(7L -> 3L, 1L -> 1L, 4L -> 1L))
   }
 
+  test("suggestTerms: edit-1 neighbors ranked by (dist, df desc, term)") {
+    // vocabulary with planted neighbors: "cat" (df 3), "cart" (df 1),
+    // "bat" (df 2), "dog" (df 1) — query "cat" matches itself at 0,
+    // then bat/cart at 1 ranked by df; "zat" matches cat then bat
+    val docs = Seq((1L, "cat bat dog"), (2L, "cat bat cart"), (3L, "cat"))
+      .toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs)
+    val out = InvertedIndex.suggestTerms(idx, Seq("cat", "zat", "qqq"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    assert(out == Seq(
+      ("cat", "cat", 0L, 3L, 1), ("cat", "bat", 1L, 2L, 2),
+      ("cat", "cart", 1L, 1L, 3),
+      ("zat", "cat", 1L, 3L, 1), ("zat", "bat", 1L, 2L, 2)))
+    // no edit-1 neighbor -> the query simply yields no rows
+    assert(!out.exists(_._1 == "qqq"))
+    // blocking completeness vs the naive scan on this vocabulary
+    val vocab = idx.termDf.collect().map(_.getString(0))
+    val naive = for {
+      q <- Seq("cat", "zat", "qqq"); t <- vocab
+      if levenshteinDist(q, t) <= 1
+    } yield (q, t)
+    assert(out.map(r => (r._1, r._2)).toSet == naive.toSet)
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("proximityTopK: min-window hits, ordering, and the refusal contracts") {
     val docs = Seq(
       (1L, "big x x x cat"),      // span 4 < 5: one window

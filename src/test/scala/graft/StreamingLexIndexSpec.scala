@@ -49,6 +49,15 @@ class StreamingLexIndexSpec extends SparkSpec {
     val rDf = rebuilt.termDf.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sDf == rDf)
+    // folding the batch partitions into the compact layout changes file
+    // geometry, never a score
+    val folded = java.nio.file.Files
+      .createTempDirectory("graft-streamlex-fold").toString
+    StreamingLexIndex.compactTo(spark, dir, folded)
+    val compactIdx = InvertedIndex.load(spark, folded)
+    assert(compactIdx.n == streamed.n && compactIdx.sdl == streamed.sdl)
+    assert(probe(compactIdx) == probe(streamed))
+    assert(!compactIdx.postings.columns.contains("batch"))
   }
 
   test("replayed batch is idempotent: same batch id overwrites, never double-counts") {
