@@ -284,6 +284,10 @@ object ScaleBench {
     val posIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var phraseTerms: Seq[String] = Nil
+    // index artifacts are probed during the family loop, so their temp
+    // dirs can only be reclaimed at the end — the positional one is
+    // ~token-count storage (2.4x the flat build), too big to leak
+    val scratchDirs = scala.collection.mutable.ListBuffer.empty[String]
     val evalRel = scala.collection.mutable.Map
       .empty[String, (DataFrame, DataFrame)]
     val ragSrpIdx = scala.collection.mutable.Map
@@ -472,6 +476,7 @@ object ScaleBench {
       def mkIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx").toString
+        scratchDirs += tmp
         graft.operators.InvertedIndex.save(
           graft.operators.InvertedIndex.build(Tables.documents(spark, dir)),
           tmp)
@@ -486,6 +491,7 @@ object ScaleBench {
       def mkPosIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx-pos").toString
+        scratchDirs += tmp
         graft.operators.InvertedIndex.save(
           graft.operators.InvertedIndex.build(Tables.documents(spark, dir),
             withPositions = true), tmp)
@@ -912,6 +918,7 @@ object ScaleBench {
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("target/scalebench.json"),
       json.getBytes("UTF-8"))
+    scratchDirs.foreach(deleteRecursively)
     spark.stop()
   }
 }

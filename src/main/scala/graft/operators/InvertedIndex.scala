@@ -120,14 +120,13 @@ object InvertedIndex {
     */
   def append(dir: String, newDocs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    val spark0 = newDocs.sparkSession
-    // match the artifact's build mode: appending a positionless delta to
-    // a positional index would splinter the postings parquet schema
-    val positional = spark0.read.parquet(s"$dir/postings")
-      .columns.contains("positions")
-    val delta = build(newDocs, idCol, textCol, withPositions = positional)
     val spark = newDocs.sparkSession
     import spark.implicits._
+    // match the artifact's build mode: appending a positionless delta to
+    // a positional index would splinter the postings parquet schema
+    val positional = spark.read.parquet(s"$dir/postings")
+      .columns.contains("positions")
+    val delta = build(newDocs, idCol, textCol, withPositions = positional)
     delta.postings.write.mode("append").partitionBy("bucket")
       .parquet(s"$dir/postings")
     delta.docLens.write.mode("append").parquet(s"$dir/doclens")
@@ -332,7 +331,13 @@ object InvertedIndex {
     * and positions explode ONLY for matched terms — cost ∝ the phrase
     * terms' posting sizes, never the corpus.
     */
-  def phraseTopK(idx: LexIndex, phrase: Seq[String], k: Int): DataFrame = {
+  /** The shared anchor relation behind [[phraseTopK]] and
+    * [[phraseSnippets]]: one row per (doc_id, anchor) where EVERY phrase
+    * slot matched — one definition, so the hit list and its snippets can
+    * never disagree. Also the home of the positional-surface refusal
+    * contracts.
+    */
+  private def phraseAnchors(idx: LexIndex, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     require(idx.postings.columns.contains("positions"),
       "phrase search needs a positional index: build(..., withPositions = true)")
@@ -352,11 +357,15 @@ object InvertedIndex {
       .groupBy(col("doc_id"), col("anchor"))
       .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === phrase.length)
+      .select(col("doc_id"), col("anchor"))
+  }
+
+  def phraseTopK(idx: LexIndex, phrase: Seq[String], k: Int): DataFrame =
+    phraseAnchors(idx, phrase)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occ"))
       .orderBy(col("n_occ").desc, col("doc_id"))
       .limit(k)
-  }
 
   /** "Did you mean": for each query string, the top-k vocabulary terms
     * within edit distance 1, ranked by (distance, document frequency
@@ -460,23 +469,7 @@ object InvertedIndex {
       k: Int, context: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(context >= 0, s"context must be >= 0, got $context")
-    val spark = idx.postings.sparkSession
-    import spark.implicits._
-    val qdf = phrase.zipWithIndex.toDF("term", "slot")
-      .withColumn("bucket", bucketOf(col("term")))
-    val buckets = qdf.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val anchors = idx.postings
-      .filter(col("bucket").isin(buckets: _*))
-      .join(broadcast(qdf.drop("bucket")), Seq("term"))
-      .select(col("doc_id"), col("slot"),
-        explode(col("positions")).as("pos"))
-      .withColumn("anchor", col("pos") - col("slot"))
-      .filter(col("anchor") >= 0)
-      .groupBy(col("doc_id"), col("anchor"))
-      .agg(count(lit(1)).as("__hits"))
-      .filter(col("__hits") === phrase.length)
-    val top = anchors.groupBy(col("doc_id"))
+    val top = phraseAnchors(idx, phrase).groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occ"),
         min(col("anchor")).cast("long").as("first_pos"))
       .orderBy(col("n_occ").desc, col("doc_id"))

@@ -107,10 +107,15 @@ object QualityChecks {
       sensitiveCol: String, l: Long): DataFrame = {
     require(quasiIds.nonEmpty, "no quasi-identifier columns given")
     require(l >= 2, s"l must be >= 2, got $l")
+    // NULL is ignorance, not a value: diversity counts distinct NON-NULL
+    // sensitive values (COUNT(DISTINCT) semantics — a class of all-NULL
+    // rows has diversity 0, not a phantom 1), while class sizes still
+    // count every row
     df.groupBy((quasiIds :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("__c"))
       .groupBy(quasiIds.map(col): _*)
-      .agg(count(lit(1)).cast("long").as("diversity"),
+      .agg(count(when(col(sensitiveCol).isNotNull, lit(1)))
+          .cast("long").as("diversity"),
         sum(col("__c")).cast("long").as("__class_size"))
       .groupBy(col("diversity"))
       .agg(count(lit(1)).cast("long").as("n_classes"),
@@ -129,12 +134,14 @@ object QualityChecks {
     */
   def lDiversityRiskRows(df: DataFrame, quasiIds: Seq[String],
       sensitiveCol: String, l: Long, idCol: String): DataFrame = {
+    require(quasiIds.nonEmpty, "no quasi-identifier columns given")
     require(l >= 2, s"l must be >= 2, got $l")
     val classes = df
       .groupBy((quasiIds :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("__c"))
       .groupBy(quasiIds.map(col): _*)
-      .agg(count(lit(1)).cast("long").as("diversity"))
+      .agg(count(when(col(sensitiveCol).isNotNull, lit(1)))
+        .cast("long").as("diversity"))
       .filter(col("diversity") < l)
     df.select(col(idCol) +: quasiIds.map(col): _*)
       .join(classes, quasiIds)
@@ -165,15 +172,20 @@ object QualityChecks {
   def tClosenessByClass(df: DataFrame, quasiIds: Seq[String],
       sensitiveCol: String): DataFrame = {
     require(quasiIds.nonEmpty, "no quasi-identifier columns given")
-    val gvals = df.groupBy(col(sensitiveCol).as("__v"))
+    // distributions compare over OBSERVED values: NULL sensitive rows
+    // drop from both sides (they would break the grid join — NULL never
+    // equi-joins — and sort ambiguously across engines); a class of
+    // all-NULL rows has no distribution to compare and yields no row
+    val obs = df.filter(col(sensitiveCol).isNotNull)
+    val gvals = obs.groupBy(col(sensitiveCol).as("__v"))
       .agg(count(lit(1)).as("__gc"))
     val m = gvals.count()
     require(m >= 2,
       s"sensitive attribute has $m distinct value(s); EMD needs >= 2")
-    val totals = df.agg(count(lit(1)).as("__n"))
-    val classes = df.groupBy(quasiIds.map(col): _*)
+    val totals = obs.agg(count(lit(1)).as("__n"))
+    val classes = obs.groupBy(quasiIds.map(col): _*)
       .agg(count(lit(1)).as("__cs"))
-    val cvals = df
+    val cvals = obs
       .groupBy((quasiIds.map(col) :+ col(sensitiveCol).as("__v")): _*)
       .agg(count(lit(1)).as("__cc"))
     val w = Window.partitionBy(quasiIds.map(col): _*).orderBy(col("__v"))

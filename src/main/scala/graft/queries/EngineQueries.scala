@@ -669,7 +669,11 @@ object EngineQueries extends QueryPack {
         ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rd
       FROM cos
     ), toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      -- empty tokens excluded to match InvertedIndex.build (the Spark
+      -- lexical leg serves from the persisted index)
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
     ), tf AS (
       SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
     ), dl AS (

@@ -498,7 +498,10 @@ object TextQueries extends QueryPack {
   private val bm25TopK = OracleQuery(
     "t_bm25_topk",
     (s, d) => {
-      val tf = words(s, d).groupBy(col("doc_id"), col("w"))
+      // empty tokens excluded to match InvertedIndex.build — the direct
+      // computation and the artifact probe must share one tokenization
+      val tf = words(s, d).filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -524,7 +527,9 @@ object TextQueries extends QueryPack {
         .limit(10)
     },
     Some(s"""WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
     ), tf AS (
       SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
     ), dl AS (
@@ -781,7 +786,9 @@ object TextQueries extends QueryPack {
       SELECT doc_id, text FROM documents
       WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 1
     ), toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM live
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM live)
+      WHERE w <> ''
     ), tf AS (
       SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
     ), dl AS (

@@ -62,6 +62,7 @@ object Multimodal {
     if (8L + le32(4) > payload.length) return None
     var usPerFrame = 0L
     var totalFrames = 0L
+    var primaryFrames = 0L
     var ok = true
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(start: Int, end: Int): Unit = {
@@ -85,6 +86,7 @@ object Multimodal {
           } else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
               (id.endsWith("dc") || id.endsWith("db"))) {
             frames += java.util.Arrays.copyOfRange(payload, body, body + n)
+            if (id.startsWith("00")) primaryFrames += 1
           }
           off = body + n + (n & 1) // RIFF chunks are word-aligned
         }
@@ -95,8 +97,10 @@ object Multimodal {
     val fs = frames.result()
     // an undercounting RIFF size field caps riffEnd mid-stream without
     // tripping `ok`; the avih frame count detects it — when the header
-    // declares dwTotalFrames (> 0), the demuxed count must match
-    if (ok && totalFrames > 0 && fs.length != totalFrames) return None
+    // declares dwTotalFrames (> 0), the PRIMARY stream's demuxed count
+    // must match (dwTotalFrames describes the main video stream; a
+    // secondary stream's chunks must not fail a valid multi-stream file)
+    if (ok && totalFrames > 0 && primaryFrames != totalFrames) return None
     if (ok && usPerFrame > 0 && fs.nonEmpty) Some((usPerFrame, fs)) else None
   }
 

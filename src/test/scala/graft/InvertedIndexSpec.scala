@@ -160,6 +160,14 @@ class InvertedIndexSpec extends SparkSpec {
       .phraseSnippets(idx, docs, Seq("big", "cat"), k = 2, context = 3)
       .collect().map(_.getLong(0)).toSeq
     assert(ranked == Seq(1L, 2L))
+    // the refusal contracts ride the shared anchor path
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseSnippets(InvertedIndex.build(docs), docs,
+        Seq("big", "cat"), 10)
+    }
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseSnippets(idx, docs, Seq.empty, 10)
+    }
   }
 
   test("save/load probe is bit-identical to the in-memory probe") {

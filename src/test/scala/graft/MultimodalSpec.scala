@@ -262,6 +262,23 @@ class MultimodalSpec extends SparkSpec {
       stubOut.forall(_.getAs[Array[Byte]]("frame").length == 32))
   }
 
+  test("parseAvi: dwTotalFrames checks the PRIMARY stream, multi-stream AVIs accepted") {
+    import graft.queries.MultimodalQueries.{aviBytes, jpegBytes}
+    val j = jpegBytes(100)
+    val avi = aviBytes(100000L, Seq(j, j, j))
+    // retag the LAST frame chunk as stream 01 and declare the primary
+    // count (2) in avih dwTotalFrames (offset 32 + 16)
+    val stride = 8 + j.length + (j.length & 1)
+    val multi = avi.clone()
+    multi(100 + 2 * stride + 1) = '1'.toByte // "00dc" -> "01dc"
+    multi(48) = 2.toByte; multi(49) = 0; multi(50) = 0; multi(51) = 0
+    val parsed = Multimodal.parseAvi(multi)
+    assert(parsed.isDefined, "valid multi-stream AVI rejected")
+    assert(parsed.get._2.length == 3) // demux still carries all streams
+    // physical truncation still rejects via the RIFF-extent check
+    assert(Multimodal.parseAvi(multi.take(multi.length - 2)).isEmpty)
+  }
+
   test("resizeImages: real PNG bilinear resize, pHash survives the rescale") {
     import spark.implicits._
     // smooth grayscale pattern in NORMALIZED coordinates so the same image

@@ -105,6 +105,28 @@ class TableDiffSpec extends SparkSpec {
     assert(!kSafe.contains(4L) && risky.contains(4L))
   }
 
+  test("NULL sensitive values: ignorance, not a value, in both audits") {
+    val df = Seq((1L, "d", Option("x")), (2L, "d", None), (3L, "d", None),
+      (4L, "e", Option("x")), (5L, "e", Option("y"))).toDF("id", "q", "s")
+    // COUNT(DISTINCT) semantics: class (d) has ONE distinct value, not a
+    // phantom 2 from the NULL bucket — it must flag at l=2
+    val hist = QualityChecks.lDiversityReport(df, Seq("q"), "s", l = 2)
+      .collect().map(r => r.getAs[Long]("diversity") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Boolean]("at_risk")))).toMap
+    assert(hist == Map(1L -> ((1L, 3L, true)), 2L -> ((1L, 2L, false))))
+    val risky = QualityChecks.lDiversityRiskRows(df, Seq("q"), "s", 2, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(risky == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // t-closeness distributions compare over OBSERVED rows: global
+    // obs = {x:2, y:1}, class (d) obs {x} cs=1 -> |1 - 2/3| = 1/3;
+    // class (e) {x,y} -> |1/2 - 2/3| = 1/6
+    val byClass = QualityChecks.tClosenessByClass(df, Seq("q"), "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("class_size"), r.getAs[Long]("emd_q")))).toMap
+    assert(byClass == Map("d" -> ((1L, 333333L)), "e" -> ((2L, 166666L))))
+  }
+
   test("t-closeness: hand-computed ordered EMD, the diverse-but-skewed class") {
     // all ratios dyadic so every double is exact. Global over the three
     // classes: value counts 1->4, 2->6, 3->6, n=16, Q=(.25,.375,.375),
