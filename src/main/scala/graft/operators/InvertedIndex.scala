@@ -331,6 +331,80 @@ object InvertedIndex {
     * and positions explode ONLY for matched terms — cost ∝ the phrase
     * terms' posting sizes, never the corpus.
     */
+  /** Query-likelihood top-k with Dirichlet smoothing (Zhai & Lafferty
+    * 2001) — the language-modeling ranker beside [[bm25TopK]], over the
+    * SAME artifact: score(d) = Σ_q log((tf + μ·p(t|C)) / (dl + μ)),
+    * p(t|C) = ctf/|C| the collection term frequency ratio. Documents
+    * missing a query term still pay that term's smoothed mass, so the
+    * score needs dl for EVERY candidate doc — the matched-docs relation
+    * joins docLens once, and per-doc missing terms contribute the
+    * closed-form log(μ·p(t|C)/(dl+μ)) without materializing the
+    * doc×term grid: Σ_matched log(tf+μp) − Σ_matched log(μp) +
+    * Σ_all log(μp) − m·log(dl+μ) regrouped as below.
+    *
+    * Exactness discipline: per-(doc,term) float terms cross the
+    * exact-decimal sum boundary, the quantized score (×1e6, floor)
+    * ranks with doc-id tiebreak — the bm25 convention, so a QL probe
+    * against the persisted artifact is engine-reproducible.
+    *
+    * The collection stats (ctf per query term, |C| = sdl) are bounded
+    * lookups on termDf-joined postings; the probe prunes to the query
+    * terms' buckets exactly like BM25. Ranked over the CANDIDATE set
+    * (docs matching ≥ 1 query term) — the standard serving cut; pure QL
+    * would also order no-match docs by length alone, which no top-k
+    * system returns.
+    */
+  def qlTopK(idx: LexIndex, terms: Seq[String], k: Int,
+      mu: Double = 2000.0): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    require(mu > 0.0, s"mu must be > 0, got $mu")
+    require(idx.sdl > 0, "empty collection")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qdf = terms.distinct.toDF("term")
+      .withColumn("bucket", bucketOf(col("term")))
+    val buckets = qdf.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = idx.postings.filter(col("bucket").isin(buckets: _*))
+    // collection term frequency per query term (0 for unknown terms):
+    // bounded — one row per query term
+    val ctf = broadcast(qdf.drop("bucket")
+      .join(pruned.groupBy(col("term"))
+        .agg(sum(col("tf")).as("__ctf")), Seq("term"), "left")
+      .select(col("term"),
+        (coalesce(col("__ctf"), lit(0L)).cast("double") /
+          lit(idx.sdl.toDouble)).as("__pc")))
+    // Σ_q log(μ·p(t|C)) over terms PRESENT in the collection — a scalar;
+    // absent terms contribute -inf in pure QL, conventionally dropped
+    // (they rank no document above another). Summed through the same
+    // DECIMAL(·,12) rounding the distributed sums use, so the scalar is
+    // order-free and an oracle replaying ln→decimal→sum lands on the
+    // identical double
+    val live = ctf.filter(col("__pc") > 0.0).collect()
+    val sumLogMuPc = live
+      .map(r => BigDecimal(math.log(mu * r.getDouble(1)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val mLive = live.length
+    require(mLive > 0, s"no query term occurs in the collection: $terms")
+    // matched (doc, term) rows: the only per-doc work
+    val matched = pruned
+      .join(broadcast(ctf.filter(col("__pc") > 0.0)), Seq("term"))
+      .join(idx.docLens, Seq("doc_id"))
+      .withColumn("__adj",
+        log((col("tf").cast("double") + lit(mu) * col("__pc")) /
+            (lit(mu) * col("__pc"))))
+    matched.groupBy(col("doc_id"))
+      .agg(
+        floor((sum(col("__adj").cast(
+            org.apache.spark.sql.types.DecimalType(27, 12)))
+          .cast("double") + lit(sumLogMuPc) -
+          lit(mLive.toDouble) * log(first(col("dl")).cast("double") + lit(mu)))
+          * lit(1000000.0)).cast("long").as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The shared anchor relation behind [[phraseTopK]] and
     * [[phraseSnippets]]: one row per (doc_id, anchor) where EVERY phrase
     * slot matched — one definition, so the hit list and its snippets can

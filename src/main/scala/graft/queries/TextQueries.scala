@@ -576,6 +576,58 @@ object TextQueries extends QueryPack {
         graft.operators.InvertedIndex.build(Tables.documents(s, d)), dir)
       graft.operators.InvertedIndex.load(s, dir)
     }(_ => ())
+  // ---- query-likelihood ranking (Dirichlet smoothing, Zhai & Lafferty
+  //      2001) over the SAME persisted artifact BM25 serves from — the
+  //      language-modeling ranker beside the probabilistic one. Same
+  //      query terms as the bm25 gates; the collection-stat scalar sums
+  //      through DECIMAL(27,12) on both engines (order-free), per-(doc,
+  //      term) adjustments cross the exact-decimal boundary, quantized
+  //      score ranks with doc-id tiebreak → FULL oracle ----
+  private val qlTopKGate = OracleQuery(
+    "t_ql_topk",
+    (s, d) => {
+      val idx = prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.InvertedIndex.qlTopK(idx, terms, 10)
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), sdl AS (
+      SELECT CAST(SUM(tf) AS BIGINT) AS sdl FROM tf
+    ), q AS (
+      SELECT w FROM dft ORDER BY df, w LIMIT 3
+    ), pc AS (
+      SELECT q.w,
+        CAST(SUM(tf.tf) AS DOUBLE) / CAST(sdl.sdl AS DOUBLE) AS pc
+      FROM q JOIN tf ON tf.w = q.w CROSS JOIN sdl
+      GROUP BY q.w, sdl.sdl
+    ), qsum AS (
+      SELECT CAST(SUM(CAST(ln(2000.0 * pc) AS DECIMAL(27, 12))) AS DOUBLE)
+          AS a,
+        CAST(COUNT(*) AS BIGINT) AS m
+      FROM pc WHERE pc > 0
+    ), adj AS (
+      SELECT tf.doc_id,
+        ln((CAST(tf.tf AS DOUBLE) + 2000.0 * pc.pc) / (2000.0 * pc.pc)) AS s
+      FROM tf JOIN pc ON tf.w = pc.w
+    )
+    SELECT adj.doc_id,
+      CAST(floor((${DSUM("s", 27, 12)} + qsum.a -
+        CAST(qsum.m AS DOUBLE) * ln(CAST(dl.dl AS DOUBLE) + 2000.0))
+        * 1000000.0) AS BIGINT) AS score_q
+    FROM adj JOIN dl ON dl.doc_id = adj.doc_id CROSS JOIN qsum
+    GROUP BY adj.doc_id, qsum.a, qsum.m, dl.dl
+    ORDER BY score_q DESC, adj.doc_id LIMIT 10"""))
+
   // ---- continuous index ingest (StreamingLexIndex): the corpus arrives
   //      as MICRO-BATCH deltas (3 disjoint slices here — batch mode IS
   //      foreachBatch's semantics; StreamingLexIndexSpec pins the
@@ -3373,7 +3425,7 @@ object TextQueries extends QueryPack {
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
-    bm25TopK, bm25Artifact, bm25Tombstone, bm25StreamIngest, phraseTopK,
-    phraseSnips, proximityTopK, spellSuggest, bpeTokenizeStats,
+    bm25TopK, bm25Artifact, bm25Tombstone, bm25StreamIngest, qlTopKGate,
+    phraseTopK, phraseSnips, proximityTopK, spellSuggest, bpeTokenizeStats,
     streamSnapshotChanges)
 }

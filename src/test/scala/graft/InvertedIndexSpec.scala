@@ -75,6 +75,46 @@ class InvertedIndexSpec extends SparkSpec {
       Seq(7L -> 3L, 1L -> 1L, 4L -> 1L))
   }
 
+  test("qlTopK: Dirichlet query likelihood matches a direct replay; artifact parity") {
+    val rows = Seq((1L, "spark table scan"), (2L, "table table join"),
+      (3L, "spark"), (4L, "merge join x"))
+    val docs = rows.toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs)
+    val mu = 10.0
+    val out = InvertedIndex.qlTopK(idx, Seq("table", "spark"), 10, mu)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // direct per-doc score: sum over BOTH query terms of
+    // ln((tf + mu*p(t|C)) / (dl + mu)); candidates = docs matching >= 1
+    val toks = rows.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val sdl = toks.values.map(_.length).sum.toDouble
+    def pc(t: String) = toks.values.map(_.count(_ == t)).sum / sdl
+    def direct(id: Long): Double = Seq("table", "spark").map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      math.log((tf + mu * pc(t)) / (toks(id).length + mu))
+    }.sum
+    val expectedIds = Seq(1L, 2L, 3L)
+      .sortBy(id => (-direct(id), id))
+    assert(out.map(_._1) == expectedIds)
+    out.foreach { case (id, q) =>
+      assert(math.abs(q / 1e6 - direct(id)) < 1e-6,
+        s"doc $id quantized score $q far from direct ${direct(id)}")
+    }
+    // persisting must not change a score (the bm25 artifact contract)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-ql").toString
+    InvertedIndex.save(idx, dir)
+    val loaded = InvertedIndex.load(spark, dir)
+    val again = InvertedIndex.qlTopK(loaded, Seq("table", "spark"), 10, mu)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(again == out)
+    // an absent query term is dropped; ALL absent refuses loudly
+    assert(InvertedIndex.qlTopK(idx, Seq("table", "zzz"), 10, mu)
+      .collect().nonEmpty)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.qlTopK(idx, Seq("zzz", "qqq"), 10, mu)
+    }
+  }
+
   test("suggestTerms: edit-1 neighbors ranked by (dist, df desc, term)") {
     // vocabulary with planted neighbors: "cat" (df 3), "cart" (df 1),
     // "bat" (df 2), "dog" (df 1) — query "cat" matches itself at 0,
