@@ -284,6 +284,7 @@ object ScaleBench {
     val posIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var phraseTerms: Seq[String] = Nil
+    var proximityTerms: Seq[String] = Nil
     // index artifacts are probed during the family loop, so their temp
     // dirs can only be reclaimed at the end — the positional one is
     // ~token-count storage (2.4x the flat build), too big to leak
@@ -421,6 +422,20 @@ object ScaleBench {
       "phrase_probe" -> { dir: String =>
         graft.operators.InvertedIndex.phraseTopK(posIdx(dir), phraseTerms, 20)
       },
+      // proximity probe: same pruned scan as phrase_probe plus the
+      // per-doc min-window pass over the two most frequent terms'
+      // merged occurrence timeline (maximal timeline length = the worst
+      // case for the window stage)
+      "proximity_probe" -> { dir: String =>
+        graft.operators.InvertedIndex.proximityTopK(posIdx(dir),
+          proximityTerms, window = 8, k = 20)
+      },
+      // query-likelihood probe over the flat artifact: bm25_probe's scan
+      // shape plus the collection-stat scalar — the e gap between the
+      // two rows is the QL bookkeeping cost
+      "ql_probe" -> { dir: String =>
+        graft.operators.InvertedIndex.qlTopK(lexIdx(dir), bm25Terms, 10)
+      },
       // the composed RAG pipeline gate end-to-end (chunk → embed →
       // index → fused retrieve → eval). Query count AND chunk corpus
       // both grow ∝ corpus here (queries = chunk 0 of every 5th sampled
@@ -472,7 +487,7 @@ object ScaleBench {
       builds("bench_grams") = (
         timeIt { graft.queries.EngineQueries.prepareBenchGrams(spark, base); () },
         timeIt { graft.queries.EngineQueries.prepareBenchGrams(spark, out); () })
-    if (familySelected("bm25_probe")) {
+    if (familySelected("bm25_probe") || familySelected("ql_probe")) {
       def mkIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx").toString
@@ -487,7 +502,7 @@ object ScaleBench {
         .orderBy(col("df").desc, col("term")).limit(3)
         .collect().map(_.getString(0)).toSeq
     }
-    if (familySelected("phrase_probe")) {
+    if (familySelected("phrase_probe") || familySelected("proximity_probe")) {
       def mkPosIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx-pos").toString
@@ -499,10 +514,11 @@ object ScaleBench {
       }
       builds("lex_index_pos") =
         (timeIt { mkPosIdx(base) }, timeIt { mkPosIdx(out) })
-      val top = posIdx(base).termDf
-        .orderBy(col("df").desc, col("term")).limit(1)
-        .collect()(0).getString(0)
-      phraseTerms = Seq(top, top)
+      val top2 = posIdx(base).termDf
+        .orderBy(col("df").desc, col("term")).limit(2)
+        .collect().map(_.getString(0))
+      phraseTerms = Seq(top2(0), top2(0))
+      proximityTerms = top2.toSeq
     }
     if (familySelected("rag_dense_ann")) {
       // warm the memoized chunk→BPE→vocab→embed pipeline OUTSIDE the

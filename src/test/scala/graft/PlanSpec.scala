@@ -273,6 +273,29 @@ class PlanSpec extends SparkSpec {
       s"anomaly window gathered to one partition:\n$p")
   }
 
+  test("positional serving plans: per-doc windows, broadcast query sides") {
+    // proximity's min-window pass partitions by doc_id — never a global
+    // single-partition window over the timeline
+    val prox = plan("t_proximity_search_topk")
+    assert(!prox.toLowerCase.contains("singlepartition"),
+      s"proximity timeline gathered to one partition:\n$prox")
+    assert(prox.contains("BroadcastHashJoin"),
+      s"proximity query slots not broadcast:\n$prox")
+    // spell suggestion: the bounded query side broadcasts against the
+    // vocabulary explode; no cartesian fallback
+    val sp = plan("t_spell_suggest")
+    assert(sp.contains("BroadcastHashJoin"),
+      s"suggest query side not broadcast:\n$sp")
+    assert(!sp.contains("CartesianProduct") &&
+      !sp.contains("BroadcastNestedLoopJoin"),
+      s"suggest degenerated to a cross join:\n$sp")
+    // QL probe: query-term stats broadcast, corpus-side postings never
+    // gather to one partition before the per-doc aggregation
+    val ql = plan("t_ql_topk")
+    assert(ql.contains("BroadcastHashJoin"),
+      s"QL query stats not broadcast:\n$ql")
+  }
+
   test("set-similarity join: freq table broadcasts, no cartesian anywhere") {
     val p = plan("t_setjoin_jaccard_pairs")
     assert(p.contains("BroadcastHashJoin"), s"freq table not broadcast:\n$p")
