@@ -331,6 +331,59 @@ object InvertedIndex {
     * and positions explode ONLY for matched terms — cost ∝ the phrase
     * terms' posting sizes, never the corpus.
     */
+  /** One-row health report over the artifact — the observability a
+    * 100 TB index needs before anyone probes it: corpus stats (n, sum
+    * dl), vocabulary size, posting volume, and the df distribution's
+    * head/median/max (df skew is what decides whether the bucket
+    * pruning still pays — a vocabulary dominated by one stop-term puts
+    * most of the posting volume in one bucket). All bounded rollups of
+    * the termDf/docLens relations; postings contribute one count.
+    * `avgdl_q` and `p50_df` quantize ×1e6 (exact inputs, one division).
+    */
+  def stats(idx: LexIndex): DataFrame = {
+    val termAgg = idx.termDf.agg(
+      count(lit(1)).cast("long").as("n_terms"),
+      max(col("df")).cast("long").as("max_df"),
+      floor(median(col("df")).cast("double") * lit(1000000.0))
+        .cast("long").as("p50_df"))
+    val postingAgg = idx.postings.agg(
+      count(lit(1)).cast("long").as("n_postings"))
+    termAgg.crossJoin(postingAgg)
+      .withColumn("n_docs", lit(idx.n))
+      .withColumn("sum_dl", lit(idx.sdl))
+      .withColumn("avgdl_q",
+        floor(lit(idx.avgdl) * lit(1000000.0)).cast("long"))
+      .select(col("n_docs"), col("sum_dl"), col("avgdl_q"),
+        col("n_terms"), col("n_postings"), col("max_df"), col("p50_df"))
+  }
+
+  /** Facet counts over a query's candidate set — the search-UI sidebar:
+    * docs matching ANY query term, counted by a metadata facet column.
+    * The candidate ids come from the pruned posting scan (distinct doc
+    * ids of the query terms' postings — cost ∝ posting sizes), then one
+    * broadcast-friendly join to the docs relation for the facet value.
+    * Returns `(facet, n_docs)` sorted by count desc, facet.
+    */
+  def facetCounts(idx: LexIndex, docs: DataFrame, terms: Seq[String],
+      facetCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qdf = terms.distinct.toDF("term")
+      .withColumn("bucket", bucketOf(col("term")))
+    val buckets = qdf.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val candidates = idx.postings
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(qdf.drop("bucket")), Seq("term"))
+      .select(col("doc_id")).distinct()
+    docs.select(col(idCol).as("doc_id"), col(facetCol).as("facet"))
+      .join(candidates, Seq("doc_id"))
+      .groupBy(col("facet"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy(col("n_docs").desc, col("facet"))
+  }
+
   /** Query-likelihood top-k with Dirichlet smoothing (Zhai & Lafferty
     * 2001) — the language-modeling ranker beside [[bm25TopK]], over the
     * SAME artifact: score(d) = Σ_q log((tf + μ·p(t|C)) / (dl + μ)),

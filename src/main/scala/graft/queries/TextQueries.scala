@@ -576,6 +576,62 @@ object TextQueries extends QueryPack {
         graft.operators.InvertedIndex.build(Tables.documents(s, d)), dir)
       graft.operators.InvertedIndex.load(s, dir)
     }(_ => ())
+  // ---- index observability + facet serving: the one-row health report
+  //      (corpus/vocabulary/posting stats, df head/median — the skew
+  //      signal that decides whether bucket pruning still pays) and the
+  //      search-UI facet sidebar (candidate docs of a query counted by
+  //      source). Exact integers + interpolated median (the
+  //      stat_median_p90 parity precedent) → FULL oracle ----
+  private val lexIndexStats = OracleQuery(
+    "t_lex_index_stats",
+    (s, d) => graft.operators.InvertedIndex.stats(prepareLexIndex(s, d)),
+    Some("""WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+      (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS sum_dl,
+      CAST(floor(
+        (SELECT CAST(SUM(tf) AS DOUBLE) FROM tf) /
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) * 1000000.0)
+        AS BIGINT) AS avgdl_q,
+      CAST(COUNT(*) AS BIGINT) AS n_terms,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS n_postings,
+      CAST(MAX(df) AS BIGINT) AS max_df,
+      CAST(floor(CAST(median(df) AS DOUBLE) * 1000000.0) AS BIGINT)
+        AS p50_df
+    FROM dft"""))
+  private val lexFacets = OracleQuery(
+    "t_lex_facet_counts",
+    (s, d) => {
+      val idx = prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.InvertedIndex.facetCounts(idx,
+        Tables.documents(s, d), terms, facetCol = "source")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), q AS (
+      SELECT w FROM dft ORDER BY df, w LIMIT 3
+    ), cand AS (
+      SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.w = q.w
+    )
+    SELECT d.source AS facet, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM cand JOIN documents d ON d.doc_id = cand.doc_id
+    GROUP BY d.source ORDER BY n_docs DESC, facet"""))
+
   // ---- query-likelihood ranking (Dirichlet smoothing, Zhai & Lafferty
   //      2001) over the SAME persisted artifact BM25 serves from — the
   //      language-modeling ranker beside the probabilistic one. Same
@@ -3426,6 +3482,7 @@ object TextQueries extends QueryPack {
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
     bm25TopK, bm25Artifact, bm25Tombstone, bm25StreamIngest, qlTopKGate,
+    lexIndexStats, lexFacets,
     phraseTopK, phraseSnips, proximityTopK, spellSuggest, bpeTokenizeStats,
     streamSnapshotChanges)
 }

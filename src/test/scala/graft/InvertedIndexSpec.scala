@@ -75,6 +75,27 @@ class InvertedIndexSpec extends SparkSpec {
       Seq(7L -> 3L, 1L -> 1L, 4L -> 1L))
   }
 
+  test("stats and facetCounts: health report rollups, candidate-set facets") {
+    val docs = Seq((1L, "a a b", "s1"), (2L, "b c", "s1"), (3L, "c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val idx = InvertedIndex.build(docs)
+    val st = InvertedIndex.stats(idx).collect()(0)
+    // n=3, sum_dl=6, vocab {a,b,c}, postings: (1,a)(1,b)(2,b)(2,c)(3,c)=5
+    // dfs: a=1, b=2, c=2 -> max 2, median 2
+    assert(st.getLong(0) == 3L && st.getLong(1) == 6L)
+    assert(st.getLong(2) == 2000000L) // avgdl 2.0 quantized
+    assert(st.getLong(3) == 3L && st.getLong(4) == 5L)
+    assert(st.getLong(5) == 2L && st.getLong(6) == 2000000L)
+    // facet: query {a, c} -> candidates {1, 2, 3}; by source s1=2, s2=1
+    val f = InvertedIndex.facetCounts(idx, docs, Seq("a", "c"), "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(f == Seq("s1" -> 2L, "s2" -> 1L))
+    // query {a} -> only doc 1
+    val f2 = InvertedIndex.facetCounts(idx, docs, Seq("a"), "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(f2 == Seq("s1" -> 1L))
+  }
+
   test("qlTopK: Dirichlet query likelihood matches a direct replay; artifact parity") {
     val rows = Seq((1L, "spark table scan"), (2L, "table table join"),
       (3L, "spark"), (4L, "merge join x"))
