@@ -90,8 +90,13 @@ object InvertedIndex {
     // two bounded scalars close the build — the artifact's meta row
     val nRow = docs.agg(count(lit(1)).as("n")).collect()(0)
     val n = nRow.getLong(0)
+    // coalesce: n > 0 does NOT imply docLens is non-empty — a corpus of
+    // all-separator texts has docs but no postings, and sum over the
+    // empty relation is NULL
     val sdl =
-      if (n == 0) 0L else docLens.agg(sum(col("dl"))).collect()(0).getLong(0)
+      if (n == 0) 0L
+      else docLens.agg(coalesce(sum(col("dl")), lit(0L)))
+        .collect()(0).getLong(0)
     LexIndex(postings, docLens, termDf, n, sdl)
   }
 
@@ -242,6 +247,21 @@ object InvertedIndex {
       .orderBy(col("score_q").desc, col("doc_id"))
       .limit(k)
 
+  /** The pruned posting scan every probe starts from: the query terms'
+    * hash buckets reach the scan as a partition filter (the build-side
+    * bucketing expression replayed exactly) — ONE definition shared by
+    * all six probe entry points, so a pruning-convention change cannot
+    * desynchronize them.
+    */
+  private def prunedPostings(idx: LexIndex, terms: Seq[String]): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val buckets = terms.distinct.toDF("term")
+      .withColumn("bucket", bucketOf(col("term")))
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+    idx.postings.filter(col("bucket").isin(buckets: _*))
+  }
+
   /** The ungated scoring relation behind [[bm25TopK]]: every matching
     * doc's quantized BM25 score, no ranking cut — the form downstream
     * rankers compose (the hybrid RRF gate fuses this with a dense leg
@@ -252,14 +272,9 @@ object InvertedIndex {
     require(terms.nonEmpty, "empty query")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    // bucket choice replays the build-side bucketing expression exactly
-    val qdf = terms.toDF("term").withColumn("bucket", bucketOf(col("term")))
-    val buckets = qdf.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val q = qdf.drop("bucket")
-      .join(idx.termDf, Seq("term")) // df per query term
-    val sc = idx.postings
-      .filter(col("bucket").isin(buckets: _*))
+    val q = terms.toDF("term")
+      .join(idx.termDf, Seq("term")) // df per query term (bag semantics)
+    val sc = prunedPostings(idx, terms)
       .join(broadcast(q), Seq("term"))
       .join(idx.docLens, Seq("doc_id"))
       .withColumn("s",
@@ -341,11 +356,14 @@ object InvertedIndex {
     * `avgdl_q` and `p50_df` quantize ×1e6 (exact inputs, one division).
     */
   def stats(idx: LexIndex): DataFrame = {
+    // empty/all-separator corpora report ZEROS, not NULLs — the health
+    // report is the surface most likely to be pointed at a broken
+    // artifact, and a monitoring consumer reads these as longs
     val termAgg = idx.termDf.agg(
       count(lit(1)).cast("long").as("n_terms"),
-      max(col("df")).cast("long").as("max_df"),
-      floor(median(col("df")).cast("double") * lit(1000000.0))
-        .cast("long").as("p50_df"))
+      coalesce(max(col("df")), lit(0L)).cast("long").as("max_df"),
+      floor(coalesce(median(col("df")), lit(0.0)).cast("double")
+        * lit(1000000.0)).cast("long").as("p50_df"))
     val postingAgg = idx.postings.agg(
       count(lit(1)).cast("long").as("n_postings"))
     termAgg.crossJoin(postingAgg)
@@ -369,13 +387,8 @@ object InvertedIndex {
     require(terms.nonEmpty, "empty query")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    val qdf = terms.distinct.toDF("term")
-      .withColumn("bucket", bucketOf(col("term")))
-    val buckets = qdf.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val candidates = idx.postings
-      .filter(col("bucket").isin(buckets: _*))
-      .join(broadcast(qdf.drop("bucket")), Seq("term"))
+    val candidates = prunedPostings(idx, terms)
+      .join(broadcast(terms.distinct.toDF("term")), Seq("term"))
       .select(col("doc_id")).distinct()
     docs.select(col(idCol).as("doc_id"), col(facetCol).as("facet"))
       .join(candidates, Seq("doc_id"))
@@ -414,37 +427,44 @@ object InvertedIndex {
     require(idx.sdl > 0, "empty collection")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    val qdf = terms.distinct.toDF("term")
-      .withColumn("bucket", bucketOf(col("term")))
-    val buckets = qdf.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val pruned = idx.postings.filter(col("bucket").isin(buckets: _*))
-    // collection term frequency per query term (0 for unknown terms):
-    // bounded — one row per query term
-    val ctf = broadcast(qdf.drop("bucket")
+    // BAG semantics, like bm25Scores: a repeated query term weighs its
+    // occurrences (qw = multiplicity), so the two rankers agree on what
+    // a query IS
+    val weights = terms.groupBy(identity)
+      .map { case (t, g) => (t, g.size.toLong) }.toSeq
+    val pruned = prunedPostings(idx, terms)
+    // ONE collection-stat pass: ctf per distinct query term, collected
+    // once; the broadcast side below is rebuilt from these driver rows,
+    // never by re-running the aggregation
+    val ctfRows = weights.toDF("term", "__qw")
       .join(pruned.groupBy(col("term"))
         .agg(sum(col("tf")).as("__ctf")), Seq("term"), "left")
-      .select(col("term"),
+      .select(col("term"), col("__qw"),
         (coalesce(col("__ctf"), lit(0L)).cast("double") /
-          lit(idx.sdl.toDouble)).as("__pc")))
-    // Σ_q log(μ·p(t|C)) over terms PRESENT in the collection — a scalar;
-    // absent terms contribute -inf in pure QL, conventionally dropped
-    // (they rank no document above another). Summed through the same
-    // DECIMAL(·,12) rounding the distributed sums use, so the scalar is
-    // order-free and an oracle replaying ln→decimal→sum lands on the
+          lit(idx.sdl.toDouble)).as("__pc"))
+      .collect()
+    // Σ over query OCCURRENCES of log(μ·p(t|C)) for terms PRESENT in the
+    // collection — absent terms contribute -inf in pure QL,
+    // conventionally dropped (they rank no document above another).
+    // Each distinct term's log rounds to DECIMAL(·,12) once and scales
+    // by its multiplicity — exact BigDecimal arithmetic, order-free, and
+    // an oracle replaying ln→decimal→weighted-sum lands on the
     // identical double
-    val live = ctf.filter(col("__pc") > 0.0).collect()
+    val live = ctfRows.filter(_.getDouble(2) > 0.0)
     val sumLogMuPc = live
-      .map(r => BigDecimal(math.log(mu * r.getDouble(1)))
-        .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .map(r => BigDecimal(math.log(mu * r.getDouble(2)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP) * r.getLong(1))
       .sum.toDouble
-    val mLive = live.length
+    val mLive = live.map(_.getLong(1)).sum
     require(mLive > 0, s"no query term occurs in the collection: $terms")
+    val pcDf = live.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.toDF("term", "__qw", "__pc")
     // matched (doc, term) rows: the only per-doc work
     val matched = pruned
-      .join(broadcast(ctf.filter(col("__pc") > 0.0)), Seq("term"))
+      .join(broadcast(pcDf), Seq("term"))
       .join(idx.docLens, Seq("doc_id"))
       .withColumn("__adj",
+        col("__qw").cast("double") *
         log((col("tf").cast("double") + lit(mu) * col("__pc")) /
             (lit(mu) * col("__pc"))))
     matched.groupBy(col("doc_id"))
@@ -471,12 +491,8 @@ object InvertedIndex {
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val qdf = phrase.zipWithIndex.toDF("term", "slot")
-      .withColumn("bucket", bucketOf(col("term")))
-    val buckets = qdf.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    idx.postings
-      .filter(col("bucket").isin(buckets: _*))
-      .join(broadcast(qdf.drop("bucket")), Seq("term"))
+    prunedPostings(idx, phrase)
+      .join(broadcast(qdf), Seq("term"))
       .select(col("doc_id"), col("slot"),
         explode(col("positions")).as("pos"))
       .withColumn("anchor", col("pos") - col("slot"))
@@ -555,12 +571,8 @@ object InvertedIndex {
       "proximity search needs a positional index: build(..., withPositions = true)")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    val qdf = terms.toDF("term").withColumn("bucket", bucketOf(col("term")))
-    val buckets = qdf.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val timeline = idx.postings
-      .filter(col("bucket").isin(buckets: _*))
-      .join(broadcast(qdf.drop("bucket")), Seq("term"))
+    val timeline = prunedPostings(idx, terms)
+      .join(broadcast(terms.toDF("term")), Seq("term"))
       .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -134,6 +134,28 @@ class InvertedIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       InvertedIndex.qlTopK(idx, Seq("zzz", "qqq"), 10, mu)
     }
+    // BAG semantics, like bm25Scores: a repeated term weighs twice
+    val bag = InvertedIndex
+      .qlTopK(idx, Seq("table", "table", "spark"), 10, mu)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def directBag(id: Long): Double = Seq("table", "table", "spark").map {
+      t =>
+        val tf = toks(id).count(_ == t).toDouble
+        math.log((tf + mu * pc(t)) / (toks(id).length + mu))
+    }.sum
+    bag.foreach { case (id, q) =>
+      assert(math.abs(q / 1e6 - directBag(id)) < 1e-6,
+        s"doc $id bag score $q far from direct ${directBag(id)}")
+    }
+  }
+
+  test("stats on an empty-vocabulary corpus reports zeros, never NULLs") {
+    val empty = InvertedIndex.stats(
+      InvertedIndex.build(Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")))
+      .collect()(0)
+    assert(empty.getLong(0) == 2L && empty.getLong(1) == 0L) // docs, sum_dl
+    assert(empty.getLong(3) == 0L && empty.getLong(4) == 0L) // terms, postings
+    assert(empty.getLong(5) == 0L && empty.getLong(6) == 0L) // max/p50 df
   }
 
   test("suggestTerms: edit-1 neighbors ranked by (dist, df desc, term)") {
