@@ -127,6 +127,14 @@ object InvertedIndex {
       textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
     import spark.implicits._
+    // first write into an empty directory BOOTSTRAPS a fresh
+    // (positionless) artifact — append-mode callers need not special-case
+    // their first batch; a positional artifact must be save()'d explicitly
+    val (fs, root) = fsFor(spark, dir)
+    if (!fs.exists(new Path(root, "postings"))) {
+      save(build(newDocs, idCol, textCol), dir)
+      return
+    }
     // match the artifact's build mode: appending a positionless delta to
     // a positional index would splinter the postings parquet schema
     val positional = spark.read.parquet(s"$dir/postings")

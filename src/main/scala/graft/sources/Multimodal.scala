@@ -62,7 +62,6 @@ object Multimodal {
     if (8L + le32(4) > payload.length) return None
     var usPerFrame = 0L
     var totalFrames = 0L
-    var primaryFrames = 0L
     var ok = true
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(start: Int, end: Int): Unit = {
@@ -83,10 +82,14 @@ object Multimodal {
           } else if (id == "avih" && n >= 4) {
             usPerFrame = le32(body)
             if (n >= 20) totalFrames = le32(body + 16) // dwTotalFrames
-          } else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
+          } else if (id.startsWith("00") &&
               (id.endsWith("dc") || id.endsWith("db"))) {
+            // ONLY the primary (00-prefixed) video stream's chunks are
+            // frames: a secondary stream's chunks would inflate the
+            // derived duration (frames × µs/frame) and interleave into
+            // the frame timeline, so sampleFrames would emit the wrong
+            // frame at the wrong tick on a valid multi-stream file
             frames += java.util.Arrays.copyOfRange(payload, body, body + n)
-            if (id.startsWith("00")) primaryFrames += 1
           }
           off = body + n + (n & 1) // RIFF chunks are word-aligned
         }
@@ -98,9 +101,9 @@ object Multimodal {
     // an undercounting RIFF size field caps riffEnd mid-stream without
     // tripping `ok`; the avih frame count detects it — when the header
     // declares dwTotalFrames (> 0), the PRIMARY stream's demuxed count
-    // must match (dwTotalFrames describes the main video stream; a
-    // secondary stream's chunks must not fail a valid multi-stream file)
-    if (ok && totalFrames > 0 && primaryFrames != totalFrames) return None
+    // must match (dwTotalFrames describes the main video stream, which
+    // is exactly and only what `frames` now holds)
+    if (ok && totalFrames > 0 && fs.length != totalFrames) return None
     if (ok && usPerFrame > 0 && fs.nonEmpty) Some((usPerFrame, fs)) else None
   }
 

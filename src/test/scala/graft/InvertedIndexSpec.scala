@@ -307,6 +307,25 @@ class InvertedIndexSpec extends SparkSpec {
     assert(probe(appended) == probe(rebuilt))
   }
 
+  test("append into an empty directory bootstraps a fresh artifact") {
+    // first-write callers need no special case: append without a prior
+    // save() builds-and-saves a positionless artifact instead of
+    // throwing path-not-found on the postings schema sniff
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-boot").toString + "/idx"
+    val all = Tables.documents(spark, sf001)
+    val first = all.filter($"doc_id" % 3 =!= 0)
+    val batch = all.filter($"doc_id" % 3 === 0)
+    InvertedIndex.append(dir, first) // bootstrap
+    InvertedIndex.append(dir, batch) // normal delta append
+    val appended = InvertedIndex.load(spark, dir)
+    val rebuilt = InvertedIndex.build(all)
+    assert(appended.n == rebuilt.n && appended.sdl == rebuilt.sdl)
+    val terms = rebuilt.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    assert(probeRows(appended, terms) == probeRows(rebuilt, terms))
+  }
+
   private def probeRows(i: InvertedIndex.LexIndex, terms: Seq[String]) =
     InvertedIndex.bm25TopK(i, terms, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

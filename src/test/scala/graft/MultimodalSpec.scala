@@ -274,7 +274,12 @@ class MultimodalSpec extends SparkSpec {
     multi(48) = 2.toByte; multi(49) = 0; multi(50) = 0; multi(51) = 0
     val parsed = Multimodal.parseAvi(multi)
     assert(parsed.isDefined, "valid multi-stream AVI rejected")
-    assert(parsed.get._2.length == 3) // demux still carries all streams
+    // ONLY the primary stream's chunks demux into the frame timeline —
+    // a secondary stream's chunk must neither inflate the duration nor
+    // interleave into the emitted frames (the frame list holds exactly
+    // the 2 primary-stream chunks, both byte-equal to the planted JPEG)
+    assert(parsed.get._2.length == 2)
+    assert(parsed.get._2.forall(f => java.util.Arrays.equals(f, j)))
     // physical truncation still rejects via the RIFF-extent check
     assert(Multimodal.parseAvi(multi.take(multi.length - 2)).isEmpty)
   }
