@@ -135,9 +135,13 @@ object Bench {
       graft.queries.EngineQueries.prepareProbeWeights(spark, sfDir); ()
     }
     build("rag_artifacts",
-        selected.exists(_._1 == "tx_rag_pipeline")) {
+        selected.exists(_._1.startsWith("tx_rag_pipeline"))) {
       graft.queries.TextQueries.prepareRagEmb(spark, sfDir)
       graft.queries.TextQueries.prepareRagIndex(spark, sfDir); ()
+    }
+    build("rag_ivf_artifact",
+        selected.exists(_._1 == "tx_rag_pipeline_ivf")) {
+      graft.queries.TextQueries.prepareRagIvf(spark, sfDir); ()
     }
     build("srp_index_artifact",
         selected.exists(_._1.startsWith("vx_ann_hamming"))) {

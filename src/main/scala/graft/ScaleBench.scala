@@ -293,6 +293,9 @@ object ScaleBench {
       .empty[String, (DataFrame, DataFrame)]
     val ragSrpIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.SimilaritySearch.SrpIndex]
+    // (loaded IVF artifact, nprobe under the √n scale policy)
+    val ragIvfIdx = scala.collection.mutable.Map
+      .empty[String, (graft.operators.SimilaritySearch.IvfIndex, Int)]
     def ragQueries(dir: String): DataFrame =
       graft.queries.TextQueries.prepareRagEmb(spark, dir)
         .filter(pmod(col("cid"), lit(10000L)) === 0 &&
@@ -457,6 +460,19 @@ object ScaleBench {
         graft.operators.SimilaritySearch.hammingTopKAuto(
           ragSrpIdx(dir), emb, ragQueries(dir), k = 10, "cid", "embedding")
       },
+      // the IVF-served dense leg of tx_rag_pipeline_ivf under the √n
+      // auto dials (nlist ≈ √n, nprobe = nlist/16): the probe visits a
+      // CONSTANT fraction of the corpus per query while the query count
+      // grows ∝ corpus, so this row is the dense leg's sub-linear scale
+      // path beside the brute baseline's measured e→2 — the one the
+      // composed gate serves from its persisted artifact
+      "rag_dense_ivf" -> { dir: String =>
+        val (idx, nprobe) = ragIvfIdx(dir)
+        graft.operators.SimilaritySearch.ivfProbe(idx,
+          ragQueries(dir).select(col("cid"),
+            col("embedding").cast("array<float>").as("embedding")),
+          k = 10, nprobe, idCol = "cid")
+      },
       // retrieval-eval harness over PERSISTED results/truth relations
       // (built per dir, timed as builds): the metric computation joins
       // queries x k rows against queries x k rows — its cost must be
@@ -532,6 +548,27 @@ object ScaleBench {
           graft.queries.TextQueries.prepareRagEmb(spark, dir),
           idCol = "cid", vecCol = "embedding")
       builds("rag_srp_index") = (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
+    }
+    if (familySelected("rag_dense_ivf")) {
+      graft.queries.TextQueries.prepareRagEmb(spark, base).count()
+      graft.queries.TextQueries.prepareRagEmb(spark, out).count()
+      def mkIvf(dir: String): Unit = {
+        val emb = graft.queries.TextQueries.prepareRagEmb(spark, dir)
+          .select(col("cid"),
+            col("embedding").cast("array<float>").as("embedding"))
+        val n = emb.count()
+        val (nlist, nprobe) =
+          graft.operators.SimilaritySearch.ivfScaleParams(n)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-scale-ragivf").toString
+        scratchDirs += tmp
+        graft.operators.SimilaritySearch.saveIvfIndex(
+          graft.operators.SimilaritySearch.buildIvfIndex(emb, nlist, 42L,
+            "cid", "embedding", persist = false), tmp)
+        ragIvfIdx(dir) =
+          (graft.operators.SimilaritySearch.loadIvfIndex(spark, tmp), nprobe)
+      }
+      builds("rag_ivf_index") = (timeIt { mkIvf(base) }, timeIt { mkIvf(out) })
     }
     // compaction REWRITE (the execution half; compaction_plan measures
     // planning): fragment the dir's lineitem into row-capped small files,

@@ -342,15 +342,7 @@ object SimilaritySearch {
   def ivfProbe(
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centers = index.centers
-    val probe = udf { (v: Seq[Float]) =>
-      centers.indices.map(c2 => (c2, sqDist(v, centers(c2))))
-        .sortBy(_._2).take(nprobe).map(_._1).toArray
-    }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probe(col(vecCol))).as("cell"))
-    val scored = index.assigned.join(q, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = ivfCandidates(index, queries, nprobe, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"),
         VecOps.cosineNative(col("qv"), col("tv")).as("cosine"))
       .distinct()
@@ -360,6 +352,27 @@ object SimilaritySearch {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** The candidate relation behind [[ivfProbe]], exposed so a composed
+    * pipeline can PUBLISH its probe volume (the sub-linearity witness: at
+    * nprobe/nlist cell coverage, candidates ≈ |corpus|·nprobe/nlist per
+    * query — corpus-scan cost would show up as candidates ≈ |corpus|).
+    * One row per (query, candidate) with both vectors attached:
+    * `(query_id, qv, cell, neighbor_id, tv)`.
+    */
+  def ivfCandidates(
+      index: IvfIndex, queries: DataFrame, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centers = index.centers
+    val probe = udf { (v: Seq[Float]) =>
+      centers.indices.map(c2 => (c2, sqDist(v, centers(c2))))
+        .sortBy(_._2).take(nprobe).map(_._1).toArray
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probe(col(vecCol))).as("cell"))
+    index.assigned.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
   }
 
   /** All near-duplicate pairs (id_a < id_b, cosine ≥ threshold) of `corpus`

@@ -2991,6 +2991,77 @@ object TextQueries extends QueryPack {
       graft.operators.InvertedIndex.load(s, dir)
     }(_ => ())
 
+  /** The RAG query set: the FIRST chunk of every 5th sampled doc;
+    * relevance = that doc's remaining chunks (sibling-retrieval proxy).
+    */
+  private def ragQuerySet(s: SparkSession, d: String): DataFrame =
+    prepareRagChunks(s, d)
+      .filter(col("doc_id") % 65 === 0 && col("chunk_idx") === 0)
+      .select(col("cid").as("query_id"))
+
+  /** Shared retrieval tail of the two composed RAG gates (brute dense
+    * leg / IVF-artifact-served dense leg): lexical BM25 probe over the
+    * persisted chunk index, RRF fusion with the provided dense ranks
+    * `(query_id, neighbor_id, rd)`, sibling-chunk truth, RetrievalEval.
+    * ONE definition so the two compositions can only differ in how the
+    * dense candidates are produced — the exact quantity under test.
+    * Returns (fused top-k, eval summary).
+    */
+  private def ragFuseEval(s: SparkSession, d: String, dense: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
+    val ch = prepareRagChunks(s, d)
+    val idx = prepareRagIndex(s, d)
+    val qset = ragQuerySet(s, d)
+    val qterms = ch.join(broadcast(qset), ch("cid") === qset("query_id"))
+      .select(col("query_id"),
+        explode(split(col("chunk_text"), " ")).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+    val lexTop = graft.operators.InvertedIndex
+      .bm25ScoresByQuery(idx, qterms)
+      .filter(col("doc_id") =!= col("query_id")) // self is not a result
+      .withColumn("rl", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("rl") <= k)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rl"))
+    val fused = dense.join(lexTop, Seq("query_id", "neighbor_id"),
+        "full_outer")
+      .withColumn("rrf_q", floor((
+        coalesce(lit(1.0) / (lit(60.0) + col("rd").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("rl").cast("double")), lit(0.0)))
+          * lit(1000000000.0)).cast("long"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_q").desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rn"))
+    // fused feeds two consumers (the stage-count row and the eval
+    // join) and is recomputed per consumer BY CHOICE: a
+    // localCheckpoint here measured SLOWER (3.84 → 4.24 s settled at
+    // sf0.1 — the queries×k materialization costs more than re-running
+    // the broadcast-heavy legs at gate scale)
+    val truth = ch.filter(col("doc_id") % 65 === 0 && col("chunk_idx") > 0)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("chunk_idx"))))
+      .select((col("doc_id") * 10000).as("query_id"),
+        col("cid").as("neighbor_id"), col("rn"))
+    val summ = graft.operators.RetrievalEval.summarize(
+      graft.operators.RetrievalEval.perQuery(fused, truth, k))
+    (fused, summ)
+  }
+
+  private def srow(stage: String, metric: String, v: DataFrame): DataFrame =
+    v.select(lit(stage).as("stage"), lit(metric).as("metric"), col("value"))
+
+  /** The brute dense leg — exact cosine top-k, the eval baseline. */
+  private def ragDenseBrute(s: SparkSession, d: String, k: Int): DataFrame = {
+    val emb = prepareRagEmb(s, d)
+    val qset = ragQuerySet(s, d)
+    val qEmb = emb.join(broadcast(qset), emb("cid") === qset("query_id"))
+      .select(col("cid"), col("embedding"))
+    graft.operators.SimilaritySearch
+      .bruteForceTopK(emb, qEmb, k, idCol = "cid", vecCol = "embedding")
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("rd"))
+  }
+
   private val ragPipeline = OracleQuery(
     "tx_rag_pipeline",
     (s, d) => {
@@ -2999,51 +3070,9 @@ object TextQueries extends QueryPack {
       val vocab = prepareRagVocab(s, d)
       val emb = prepareRagEmb(s, d)
       val idx = prepareRagIndex(s, d)
-      // queries: the FIRST chunk of every 5th sampled doc; relevance =
-      // that doc's remaining chunks (the sibling-retrieval proxy task)
-      val qset = ch.filter(col("doc_id") % 65 === 0 && col("chunk_idx") === 0)
-        .select(col("cid").as("query_id"))
-      val qEmb = emb.join(broadcast(qset), emb("cid") === qset("query_id"))
-        .select(col("cid"), col("embedding"))
-      val dense = graft.operators.SimilaritySearch
-        .bruteForceTopK(emb, qEmb, k, idCol = "cid", vecCol = "embedding")
-        .select(col("query_id"), col("neighbor_id"), col("rn").as("rd"))
-      val qterms = ch.join(broadcast(qset), ch("cid") === qset("query_id"))
-        .select(col("query_id"),
-          explode(split(col("chunk_text"), " ")).as("term"))
-        .filter(length(col("term")) > 0).distinct()
-      val lexTop = graft.operators.InvertedIndex
-        .bm25ScoresByQuery(idx, qterms)
-        .filter(col("doc_id") =!= col("query_id")) // self is not a result
-        .withColumn("rl", row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("score_q").desc, col("doc_id"))))
-        .filter(col("rl") <= k)
-        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rl"))
-      val fused = dense.join(lexTop, Seq("query_id", "neighbor_id"),
-          "full_outer")
-        .withColumn("rrf_q", floor((
-          coalesce(lit(1.0) / (lit(60.0) + col("rd").cast("double")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60.0) + col("rl").cast("double")), lit(0.0)))
-            * lit(1000000000.0)).cast("long"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("rrf_q").desc, col("neighbor_id"))))
-        .filter(col("rn") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("rn"))
-      // fused feeds two consumers (the stage-count row and the eval
-      // join) and is recomputed per consumer BY CHOICE: a
-      // localCheckpoint here measured SLOWER (3.84 → 4.24 s settled at
-      // sf0.1 — the queries×k materialization costs more than re-running
-      // the broadcast-heavy legs at gate scale)
-      val truth = ch.filter(col("doc_id") % 65 === 0 && col("chunk_idx") > 0)
-        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("chunk_idx"))))
-        .select((col("doc_id") * 10000).as("query_id"),
-          col("cid").as("neighbor_id"), col("rn"))
-      val summ = graft.operators.RetrievalEval.summarize(
-        graft.operators.RetrievalEval.perQuery(fused, truth, k))
-      def srow(stage: String, metric: String, v: DataFrame): DataFrame =
-        v.select(lit(stage).as("stage"), lit(metric).as("metric"),
-          col("value"))
+      val qset = ragQuerySet(s, d)
+      val dense = ragDenseBrute(s, d, k)
+      val (fused, summ) = ragFuseEval(s, d, dense, k)
       val spark = s
       import spark.implicits._
       val rows = Seq(
@@ -3233,6 +3262,312 @@ object TextQueries extends QueryPack {
         CAST(floor(mrr * 1000000.0) AS BIGINT) FROM summ
       UNION ALL SELECT '5_eval', 'hit_rate_q',
         CAST(floor(hit_rate * 1000000.0) AS BIGINT) FROM summ
+    ) ORDER BY stage, metric""", keyed = true)))
+
+  /** Build-once PERSISTED IVF artifact over the RAG chunk embeddings —
+    * the production dense-serving path inside the composition: frozen
+    * coarse quantizer = the 8 lowest-cid embedded chunks (the
+    * `vx_ann_ivf_probe_top5` recipe — deterministic integer-exact
+    * assignment, so DuckDB replays it), inverted file written
+    * partitionBy(cell) via `saveIvfIndex` and SERVED through
+    * `loadIvfIndex` — the probe reads the artifact, not the session
+    * relation. Embeddings cast to float32 (exact for BoW counts) to
+    * match the ANN family's vector type.
+    */
+  def prepareRagIvf(s: SparkSession,
+      d: String): graft.operators.SimilaritySearch.IvfIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"rag_ivf:$d") {
+      val embF = prepareRagEmb(s, d).select(col("cid"),
+        col("embedding").cast("array<float>").as("embedding"))
+      val centers = embF.orderBy(col("cid")).limit(8).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ragivf").toString
+      graft.operators.SimilaritySearch.saveIvfIndex(
+        graft.operators.SimilaritySearch.IvfIndex(centers,
+          graft.operators.SimilaritySearch.assignToCells(
+            embF, centers, "cid", "embedding")), dir)
+      val idx = graft.operators.SimilaritySearch.loadIvfIndex(s, dir)
+      idx.assigned.count() // materialize once — probes time the probe
+      idx
+    }(_.unpersist())
+
+  // ---- the INDEX-SERVED RAG composition: tx_rag_pipeline with its dense
+  //      leg probing the persisted IVF artifact (3 of 8 cells per query)
+  //      instead of brute-scanning the corpus — the composition a
+  //      production retrieval system actually runs, and the scale fix for
+  //      the brute leg's measured O(queries × corpus) growth. FULL
+  //      oracle: the frozen-quantizer assignment, probe-cell selection,
+  //      candidate generation, cosine re-rank, fusion, AND eval replay in
+  //      DuckDB (integer-exact BoW coordinates end-to-end), plus the
+  //      BRUTE leg's eval beside it so the recall the approximation gives
+  //      up is a PUBLISHED, hash-gated number, not a hope. The
+  //      n_dense_candidates row is the sub-linearity witness: candidates
+  //      ≈ |corpus|·nprobe/nlist per query; a corpus scan would show up
+  //      as candidates ≈ |corpus| and break the hash ----
+  private val ragPipelineIvf = OracleQuery(
+    "tx_rag_pipeline_ivf",
+    (s, d) => {
+      val k = 10
+      val emb = prepareRagEmb(s, d)
+      val ivf = prepareRagIvf(s, d)
+      val qset = ragQuerySet(s, d)
+      val qEmb = emb.join(broadcast(qset), emb("cid") === qset("query_id"))
+        .select(col("cid"),
+          col("embedding").cast("array<float>").as("embedding"))
+      val cand = graft.operators.SimilaritySearch
+        .ivfCandidates(ivf, qEmb, nprobe = 3, idCol = "cid")
+      val dense = graft.operators.SimilaritySearch
+        .ivfProbe(ivf, qEmb, k, nprobe = 3, idCol = "cid")
+        .select(col("query_id"), col("neighbor_id"), col("rn").as("rd"))
+      val (fusedIvf, summIvf) = ragFuseEval(s, d, dense, k)
+      val (_, summBrute) = ragFuseEval(s, d, ragDenseBrute(s, d, k), k)
+      val spark = s
+      import spark.implicits._
+      val rows = Seq(
+        srow("3_dense_index", "n_cells",
+          Seq(ivf.centers.length.toLong).toDF("value")),
+        srow("3_dense_index", "n_assigned",
+          ivf.assigned.agg(count(lit(1)).cast("long").as("value"))),
+        srow("4_retrieve", "n_queries",
+          qset.agg(count(lit(1)).cast("long").as("value"))),
+        srow("4_retrieve", "n_dense_candidates",
+          cand.agg(count(lit(1)).cast("long").as("value"))),
+        srow("4_retrieve", "n_fused_rows",
+          fusedIvf.agg(count(lit(1)).cast("long").as("value"))),
+        srow("5_eval", "n_queries_scored",
+          summIvf.select(col("n_queries").as("value"))),
+        srow("5_eval", "recall_at_10_q",
+          summIvf.select(floor(col("mean_recall") * lit(1000000.0))
+            .cast("long").as("value"))),
+        srow("5_eval", "mrr_q",
+          summIvf.select(floor(col("mrr") * lit(1000000.0))
+            .cast("long").as("value"))),
+        srow("5_eval", "hit_rate_q",
+          summIvf.select(floor(col("hit_rate") * lit(1000000.0))
+            .cast("long").as("value"))),
+        srow("5_eval", "recall_brute_q",
+          summBrute.select(floor(col("mean_recall") * lit(1000000.0))
+            .cast("long").as("value"))),
+        srow("5_eval", "recall_delta_q",
+          summIvf.select(floor(col("mean_recall") * lit(1000000.0))
+              .cast("long").as("a"))
+            .crossJoin(summBrute.select(
+              floor(col("mean_recall") * lit(1000000.0))
+                .cast("long").as("b")))
+            .select((col("a") - col("b")).as("value"))))
+      rows.reduce(_.unionByName(_)).orderBy(col("stage"), col("metric"))
+    },
+    Some(bpeReplaySql(16, bpeChunkReplayCtes + s""", ch AS (
+      SELECT doc_id, chunk_idx, doc_id * 10000 + chunk_idx AS cid,
+        n_tokens, chunk_text
+      FROM r2
+    ), ctoks AS (
+      SELECT cid, w FROM (
+        SELECT cid, unnest(string_split(chunk_text, ' ')) AS w FROM ch)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT cid, w, CAST(COUNT(*) AS BIGINT) AS tf FROM ctoks GROUP BY 1, 2
+    ), dl AS (
+      SELECT cid, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ch
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), vr AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS rk
+      FROM (SELECT DISTINCT w FROM ctoks WHERE w <> '')
+    ), bc AS (
+      SELECT t.cid, vr.rk % 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ctoks t JOIN vr ON t.w = vr.w
+      GROUP BY 1, 2
+    ), nrm AS (
+      SELECT cid, CAST(SUM(cnt * cnt) AS DOUBLE) AS n2 FROM bc GROUP BY 1
+    ), qset AS (
+      SELECT cid AS query_id FROM ch WHERE doc_id % 65 = 0 AND chunk_idx = 0
+    ), dotp AS (
+      SELECT qb.cid AS query_id, cb.cid AS neighbor_id,
+        CAST(SUM(qb.cnt * cb.cnt) AS DOUBLE) AS dot
+      FROM bc qb JOIN bc cb ON cb.bucket = qb.bucket AND cb.cid <> qb.cid
+      WHERE qb.cid IN (SELECT query_id FROM qset)
+      GROUP BY 1, 2
+    ), ctrs AS (
+      -- frozen coarse quantizer: cell c = the c-th lowest embedded cid
+      SELECT cid, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cell
+      FROM (SELECT cid FROM nrm ORDER BY cid LIMIT 8)
+    ), cdot AS (
+      -- dot(vector, center) over shared buckets; L2² = n2f + n2c − 2·dot
+      -- (exact: every term is an integer < 2^53 carried in DOUBLE)
+      SELECT a.cid AS fcid, c.cell, nf.n2 + nc0.n2
+          - 2.0 * CAST(COALESCE(SUM(a.cnt * b.cnt), 0) AS DOUBLE) AS dist
+      FROM (SELECT DISTINCT cid FROM nrm) v(cid)
+      JOIN nrm nf ON nf.cid = v.cid
+      CROSS JOIN ctrs c
+      JOIN nrm nc0 ON nc0.cid = c.cid
+      JOIN bc a ON a.cid = v.cid
+      LEFT JOIN bc b ON b.cid = c.cid AND b.bucket = a.bucket
+      GROUP BY 1, 2, nf.n2, nc0.n2
+    ), asgc AS (
+      SELECT fcid AS cid, cell FROM (
+        SELECT fcid, cell,
+          ROW_NUMBER() OVER (PARTITION BY fcid ORDER BY dist, cell) AS rn
+        FROM cdot) t WHERE rn = 1
+    ), probec AS (
+      SELECT fcid AS query_id, cell FROM (
+        SELECT fcid, cell,
+          ROW_NUMBER() OVER (PARTITION BY fcid ORDER BY dist, cell) AS rn
+        FROM cdot WHERE fcid IN (SELECT query_id FROM qset)) t
+      WHERE rn <= 3
+    ), densecand AS (
+      SELECT p.query_id, a.cid AS neighbor_id
+      FROM probec p JOIN asgc a ON a.cell = p.cell AND a.cid <> p.query_id
+    ), dscore AS (
+      SELECT dc.query_id, dc.neighbor_id,
+        COALESCE(d.dot, 0.0) / (sqrt(nq.n2) * sqrt(nc.n2) + 1e-12) AS cos
+      FROM densecand dc
+      JOIN nrm nq ON nq.cid = dc.query_id
+      JOIN nrm nc ON nc.cid = dc.neighbor_id
+      LEFT JOIN dotp d ON d.query_id = dc.query_id
+        AND d.neighbor_id = dc.neighbor_id
+    ), drk AS (
+      SELECT query_id, neighbor_id, rd FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rd
+        FROM dscore) t WHERE rd <= 10
+    ), allp AS (
+      SELECT q.query_id, nc.cid AS neighbor_id,
+        COALESCE(d.dot, 0.0) / (sqrt(nq.n2) * sqrt(nc.n2) + 1e-12) AS cos
+      FROM qset q
+      JOIN nrm nq ON nq.cid = q.query_id
+      JOIN nrm nc ON nc.cid <> q.query_id
+      LEFT JOIN dotp d ON d.query_id = q.query_id AND d.neighbor_id = nc.cid
+    ), drkb AS (
+      SELECT query_id, neighbor_id, rd FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rd
+        FROM allp) t WHERE rd <= 10
+    ), qterms AS (
+      SELECT DISTINCT q.query_id, t.w
+      FROM qset q JOIN ctoks t ON t.cid = q.query_id
+      WHERE t.w <> ''
+    ), scq AS (
+      SELECT qt.query_id, tf.cid AS doc_id,
+        ln((CAST(nn.n - dft.df AS DOUBLE) + 0.5) /
+           (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM qterms qt
+      JOIN tf ON tf.w = qt.w AND tf.cid <> qt.query_id
+      JOIN dft ON dft.w = qt.w
+      JOIN dl ON dl.cid = tf.cid
+      CROSS JOIN nn CROSS JOIN ad
+    ), lex AS (
+      SELECT query_id, doc_id,
+        CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
+      FROM scq GROUP BY query_id, doc_id
+    ), lrk AS (
+      SELECT query_id, doc_id, rl FROM (
+        SELECT query_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_q DESC, doc_id) AS rl
+        FROM lex) t WHERE rl <= 10
+    ), truth AS (
+      SELECT doc_id * 10000 AS query_id, cid AS neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS rn
+      FROM ch WHERE doc_id % 65 = 0 AND chunk_idx > 0
+    ), fqi AS (
+      SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+        COALESCE(d.neighbor_id, l.doc_id) AS neighbor_id,
+        CAST(floor((
+          COALESCE(1.0 / (60.0 + CAST(d.rd AS DOUBLE)), 0.0) +
+          COALESCE(1.0 / (60.0 + CAST(l.rl AS DOUBLE)), 0.0))
+          * 1000000000.0) AS BIGINT) AS rrf_q
+      FROM drk d FULL OUTER JOIN lrk l
+        ON l.query_id = d.query_id AND l.doc_id = d.neighbor_id
+    ), fusedi AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_q DESC, neighbor_id) AS rn
+        FROM fqi) t WHERE rn <= 10
+    ), hitsi AS (
+      SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        MIN(f.rn) AS fr
+      FROM fusedi f JOIN (SELECT * FROM truth WHERE rn <= 10) t
+        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      GROUP BY 1
+    ), pqi AS (
+      SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_k,
+        CASE WHEN h.fr IS NULL THEN 0.0
+             ELSE 1.0 / CAST(h.fr AS DOUBLE) END AS reciprocal_rank
+      FROM (SELECT DISTINCT query_id FROM truth) q
+      LEFT JOIN hitsi h ON h.query_id = q.query_id
+    ), summi AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_q,
+        CAST(SUM(CAST(recall_at_k AS DECIMAL(27,18))) AS DOUBLE)
+          / COUNT(*) AS mean_recall,
+        CAST(SUM(CAST(reciprocal_rank AS DECIMAL(27,18))) AS DOUBLE)
+          / COUNT(*) AS mrr,
+        CAST(SUM(CAST(CASE WHEN n_hits > 0 THEN 1.0 ELSE 0.0 END
+          AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS hit_rate
+      FROM pqi
+    ), fqb AS (
+      SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+        COALESCE(d.neighbor_id, l.doc_id) AS neighbor_id,
+        CAST(floor((
+          COALESCE(1.0 / (60.0 + CAST(d.rd AS DOUBLE)), 0.0) +
+          COALESCE(1.0 / (60.0 + CAST(l.rl AS DOUBLE)), 0.0))
+          * 1000000000.0) AS BIGINT) AS rrf_q
+      FROM drkb d FULL OUTER JOIN lrk l
+        ON l.query_id = d.query_id AND l.doc_id = d.neighbor_id
+    ), fusedb AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_q DESC, neighbor_id) AS rn
+        FROM fqb) t WHERE rn <= 10
+    ), hitsb AS (
+      SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM fusedb f JOIN (SELECT * FROM truth WHERE rn <= 10) t
+        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      GROUP BY 1
+    ), summb AS (
+      SELECT CAST(SUM(CAST(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0
+          AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS mean_recall
+      FROM (SELECT DISTINCT query_id FROM truth) q
+      LEFT JOIN hitsb h ON h.query_id = q.query_id
+    )
+    SELECT stage, metric, value FROM (
+      SELECT '3_dense_index' AS stage, 'n_cells' AS metric,
+        CAST(COUNT(*) AS BIGINT) AS value FROM ctrs
+      UNION ALL SELECT '3_dense_index', 'n_assigned',
+        CAST(COUNT(*) AS BIGINT) FROM asgc
+      UNION ALL SELECT '4_retrieve', 'n_queries',
+        CAST(COUNT(*) AS BIGINT) FROM qset
+      UNION ALL SELECT '4_retrieve', 'n_dense_candidates',
+        CAST(COUNT(*) AS BIGINT) FROM densecand
+      UNION ALL SELECT '4_retrieve', 'n_fused_rows',
+        CAST(COUNT(*) AS BIGINT) FROM fusedi
+      UNION ALL SELECT '5_eval', 'n_queries_scored', n_q FROM summi
+      UNION ALL SELECT '5_eval', 'recall_at_10_q',
+        CAST(floor(mean_recall * 1000000.0) AS BIGINT) FROM summi
+      UNION ALL SELECT '5_eval', 'mrr_q',
+        CAST(floor(mrr * 1000000.0) AS BIGINT) FROM summi
+      UNION ALL SELECT '5_eval', 'hit_rate_q',
+        CAST(floor(hit_rate * 1000000.0) AS BIGINT) FROM summi
+      UNION ALL SELECT '5_eval', 'recall_brute_q',
+        CAST(floor(mean_recall * 1000000.0) AS BIGINT) FROM summb
+      UNION ALL SELECT '5_eval', 'recall_delta_q',
+        (SELECT CAST(floor(mean_recall * 1000000.0) AS BIGINT) FROM summi)
+        - (SELECT CAST(floor(mean_recall * 1000000.0) AS BIGINT) FROM summb)
     ) ORDER BY stage, metric""", keyed = true)))
 
   // ---- MODEL-BASED quality selection (the DCLM/FineWeb-classifier
@@ -3466,7 +3801,7 @@ object TextQueries extends QueryPack {
     ORDER BY source"""))
 
   override val all: Seq[OracleQuery] = Seq(
-    chunkWindows, chunkStats, chunkBpeWindows, ragPipeline,
+    chunkWindows, chunkStats, chunkBpeWindows, ragPipeline, ragPipelineIvf,
     qualityClassifierSelect, streamQualityFlags, jsonlContract,
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
     dupSpanIncremental, streamDecontaminate, repetitionTopgram,
