@@ -86,7 +86,15 @@ object InvertedIndex {
             sort_array(collect_list(col("pos"))).as("positions"))
     val postings = tf.withColumn("bucket", bucketOf(col("term")))
     val docLens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val termDf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // max_tf is the term's score-bound input (the block-max statistic,
+    // Ding & Suel 2011 reduced to one block per term): BM25's tf leg
+    // saturates at tf → ∞, so idf·(k1+1)·max_tf/(max_tf + k1(1−b)) is a
+    // per-term UPPER bound on any doc's term score — what lets
+    // [[bm25TopKPruned]] skip candidates that cannot enter the top-k.
+    // Exact integer: merges by MAX across appended deltas, and stays a
+    // valid (if looser) bound after tombstoning without a rescan.
+    val termDf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"),
+      max(col("tf")).as("max_tf"))
     // two bounded scalars close the build — the artifact's meta row
     val nRow = docs.agg(count(lit(1)).as("n")).collect()(0)
     val n = nRow.getLong(0)
@@ -182,9 +190,13 @@ object InvertedIndex {
       .select(col("doc_id")).distinct()
     val dfDelta = idx.postings.join(broadcast(tomb), Seq("doc_id"))
       .groupBy(col("term")).agg(count(lit(1)).as("__ddf"))
+    // max_tf carries through unchanged: the max over survivors is ≤ the
+    // stored max, so the pruning bound stays VALID (upper bounds may
+    // loosen, never tighten wrongly); compact re-derives the exact max
     val termDf = idx.termDf.join(broadcast(dfDelta), Seq("term"), "left")
       .select(col("term"),
-        (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"))
+        (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"),
+        col("max_tf"))
       .filter(col("df") > 0)
     val dead = idx.docLens.join(broadcast(tomb), Seq("doc_id"))
       .agg(count(lit(1)).as("dn"),
