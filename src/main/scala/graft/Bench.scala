@@ -5,6 +5,24 @@ object Bench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
+  /** Time one evaluation of a query result. A THROWING query records its
+    * time-to-exception as a NEGATIVE duration — the builds convention
+    * ([[build]] below) — instead of masquerading as a fast success: round
+    * 11's broken lifecycle gate sat invisibly inside the total because the
+    * exception was swallowed here.
+    */
+  def timeQuery(df: => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    val ok = try { df.count(); true } catch { case _: Throwable => false }
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (ok) secs else -secs
+  }
+
+  /** min-of-N over [[timeQuery]] samples; any failed sample marks the
+    * query failed (negative result, magnitude = fastest failure). */
+  def settled(times: Seq[Double]): Double =
+    if (times.exists(_ < 0)) -times.map(math.abs).min else times.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -163,29 +181,28 @@ object Bench {
     // either sample; the raw pair is preserved in target/bench.json for
     // the audit trail.
     val rawTimes = selected.map { case (name, fn) =>
-      val times = Seq.fill(2) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
+      val times = Seq.fill(2)(timeQuery(fn(spark, sfDir)))
       // per-query line as each finishes: survives any stdout tail capture
       // for the queries near the end, and greppable in full logs
-      println(s"BENCHQ $name ${fmt(times.min)} raw=${times.map(fmt).mkString(",")}")
+      println(s"BENCHQ $name ${fmt(settled(times))} raw=${times.map(fmt).mkString(",")}")
       name -> times
     }
-    val results = rawTimes.map { case (name, times) => name -> times.min }
+    val results = rawTimes.map { case (name, times) => name -> settled(times) }
+    val nFailed = results.values.count(_ < 0)
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would emit invalid JSON
     def qjson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries (negative) stay visible per-query but are excluded
+    // from the headline total, exactly like failed builds
+    val total = results.values.filter(_ > 0).sum
     val buildsJson = qjson(builds)
     val rawJson = rawTimes
       .map { case (k, ts) => "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":${qjson(results)},"raw":$rawJson,"builds":$buildsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","n_failed":$nFailed,"queries":${qjson(results)},"raw":$rawJson,"builds":$buildsJson,"sf":"$sfDir"}"""
     // the full record goes to a file; stdout additionally carries it in
     // chunk lines, because the driver artifact keeps only a ~2 KB stdout
     // tail — one 4 KB JSON line arrived truncated and unparseable in
@@ -221,7 +238,7 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2)
     val headline = slowest.take(10)
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(headline)},"elided_faster_queries":${results.size - headline.size},"builds":$buildsJson,"full":"target/bench.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":${qjson(headline)},"elided_faster_queries":${results.size - headline.size},"builds":$buildsJson,"full":"target/bench.json","sf":"$sfDir"}"""
     println(json)
     spark.stop()
   }

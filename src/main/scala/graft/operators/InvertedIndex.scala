@@ -216,7 +216,8 @@ object InvertedIndex {
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclens"),
       spark.read.parquet(s"$dir/termdf")
-        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+        .groupBy(col("term")).agg(sum(col("df")).as("df"),
+          max(col("max_tf")).as("max_tf")),
       meta.getLong(0), meta.getLong(1))
     val (fs, root) = fsFor(spark, dir)
     if (fs.exists(new Path(root, "tombstones")))
@@ -240,9 +241,15 @@ object InvertedIndex {
     val postingCols = (Seq("term", "doc_id", "tf") ++
       (if (adjusted.postings.columns.contains("positions"))
         Seq("positions") else Nil) ++ Seq("bucket")).map(col)
+    // re-derive termDf from the SURVIVING postings: compact already pays
+    // the posting rewrite, so the loose tombstone-carried max_tf bound
+    // tightens back to the exact max here (df is identical either way)
+    val exactTermDf = adjusted.postings
+      .groupBy(col("term")).agg(count(lit(1)).as("df"),
+        max(col("tf")).as("max_tf"))
     save(LexIndex(
       adjusted.postings.select(postingCols: _*),
-      adjusted.docLens, adjusted.termDf, adjusted.n, adjusted.sdl), staging)
+      adjusted.docLens, exactTermDf, adjusted.n, adjusted.sdl), staging)
     val stagingRoot = new Path(staging)
     Seq("postings", "doclens", "termdf", "meta").foreach { sub =>
       val live = new Path(root, sub)
