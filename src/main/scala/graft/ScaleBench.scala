@@ -285,6 +285,9 @@ object ScaleBench {
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var phraseTerms: Seq[String] = Nil
     var proximityTerms: Seq[String] = Nil
+    val wandIdx = scala.collection.mutable.Map
+      .empty[String, graft.operators.InvertedIndex.LexIndex]
+    var wandTerms: Seq[String] = Nil
     // index artifacts are probed during the family loop, so their temp
     // dirs can only be reclaimed at the end — the positional one is
     // ~token-count storage (2.4x the flat build), too big to leak
@@ -416,6 +419,21 @@ object ScaleBench {
       "bm25_probe" -> { dir: String =>
         graft.operators.InvertedIndex.bm25TopK(lexIdx(dir), bm25Terms, 10)
       },
+      // WAND-pruned vs unpruned BM25 on the stop+rare query over the
+      // stop-token-injected artifact (one posting ∝ corpus by
+      // construction): the unpruned probe must shuffle and decimal-sum
+      // the ENTIRE stop posting into per-doc scores; the pruned probe
+      // scores only the rare terms' candidates, touching the stop
+      // posting as a broadcast-filtered semi-join (columnar scan, no
+      // shuffle). The pair's exponent gap is the claim: pruned cost
+      // follows the rare terms' postings, not the stop-term's
+      "wand_probe" -> { dir: String =>
+        graft.operators.InvertedIndex.bm25TopKPruned(
+          wandIdx(dir), wandTerms, 10)
+      },
+      "wand_probe_unpruned" -> { dir: String =>
+        graft.operators.InvertedIndex.bm25TopK(wandIdx(dir), wandTerms, 10)
+      },
       // phrase probe over the POSITIONAL artifact: same bucket-pruned
       // scan as bm25_probe plus the positions explode + anchor
       // intersection for the doubled most-frequent term (the worst
@@ -516,6 +534,32 @@ object ScaleBench {
       builds("lex_index") = (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
       bm25Terms = lexIdx(base).termDf
         .orderBy(col("df").desc, col("term")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+    }
+    if (familySelected("wand_probe") || familySelected("wand_probe_unpruned")) {
+      // the replica substitution deliberately decorrelates every real
+      // term (posting sizes replica-invariant), so the degeneracy WAND
+      // exists for — ONE term whose posting grows ∝ corpus — is injected:
+      // a stop token appended to every document. The pruned and unpruned
+      // probes then share the same artifact and the same stop+rare query
+      def mkWandIdx(dir: String): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-scale-lexidx-wand").toString
+        scratchDirs += tmp
+        graft.operators.InvertedIndex.save(
+          graft.operators.InvertedIndex.build(
+            Tables.documents(spark, dir)
+              .withColumn("text", concat(col("text"), lit(" zzstop")))),
+          tmp)
+        wandIdx(dir) = graft.operators.InvertedIndex.load(spark, tmp)
+      }
+      builds("lex_index_wand") =
+        (timeIt { mkWandIdx(base) }, timeIt { mkWandIdx(out) })
+      // FIXED query across sizes (the bm25_probe convention): the injected
+      // corpus-wide stop term + the base corpus's two rarest terms
+      wandTerms = "zzstop" +: wandIdx(base).termDf
+        .filter(col("term") =!= "zzstop")
+        .orderBy(col("df"), col("term")).limit(2)
         .collect().map(_.getString(0)).toSeq
     }
     if (familySelected("phrase_probe") || familySelected("proximity_probe")) {

@@ -31,7 +31,10 @@ object InvertedIndex {
       docLens: DataFrame,  // doc_id, dl
       termDf: DataFrame,   // term, df
       n: Long,
-      sdl: Long) {
+      sdl: Long,
+      // persisted spell-suggestion dictionary (term, __qk, bucket) when
+      // loaded from an artifact that has one; None = derive per probe
+      suggestKeys: Option[DataFrame] = None) {
     /** Mean document length, derived from the exact integer sums so an
       * appended artifact reproduces it bit-for-bit. */
     def avgdl: Double = if (n == 0) 0.0 else sdl.toDouble / n.toDouble
@@ -108,15 +111,31 @@ object InvertedIndex {
     LexIndex(postings, docLens, termDf, n, sdl)
   }
 
+  /** The spell-suggestion dictionary relation for a vocabulary: one row
+    * per (term, 1-deletion-neighborhood key), bucketed by key hash — the
+    * [[suggestTerms]] probe prunes to the query keys' buckets exactly
+    * like BM25 prunes postings. Derived once per save/append/compact (a
+    * vocabulary-bounded explode), never per probe — the
+    * build-once/probe-many discipline applied to query correction.
+    */
+  private def suggestRelation(termDf: DataFrame): DataFrame =
+    termDf.select(col("term"),
+        explode(EdJoin.deletionKeys(col("term"))).as("__qk"))
+      .withColumn("bucket",
+        pmod(col("__qk"), lit(Buckets.toLong)).cast("int"))
+
   /** Persist: postings partitioned by term hash bucket (the pruning key),
     * doc lengths and term dfs as plain parquet, stats as a one-row meta
-    * table.
+    * table, and the spell-suggestion deletion-key dictionary partitioned
+    * by key bucket.
     */
   def save(idx: LexIndex, dir: String): Unit = {
     idx.postings.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     idx.docLens.write.mode("overwrite").parquet(s"$dir/doclens")
     idx.termDf.write.mode("overwrite").parquet(s"$dir/termdf")
+    suggestRelation(idx.termDf).write.mode("overwrite")
+      .partitionBy("bucket").parquet(s"$dir/suggest")
     val spark = idx.postings.sparkSession
     import spark.implicits._
     Seq((idx.n, idx.sdl)).toDF("n", "sdl")
@@ -152,6 +171,11 @@ object InvertedIndex {
       .parquet(s"$dir/postings")
     delta.docLens.write.mode("append").parquet(s"$dir/doclens")
     delta.termDf.write.mode("append").parquet(s"$dir/termdf")
+    // delta vocabulary's deletion keys append too; duplicate (term, key)
+    // rows across deltas collapse at probe time through the termDf join
+    if (fs.exists(new Path(root, "suggest")))
+      suggestRelation(delta.termDf).write.mode("append")
+        .partitionBy("bucket").parquet(s"$dir/suggest")
     Seq((delta.n, delta.sdl)).toDF("n", "sdl")
       .write.mode("append").parquet(s"$dir/meta")
   }
@@ -205,21 +229,28 @@ object InvertedIndex {
       idx.postings.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
       idx.docLens.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
       termDf,
-      idx.n - dead.getLong(0), idx.sdl - dead.getLong(1))
+      idx.n - dead.getLong(0), idx.sdl - dead.getLong(1),
+      // the dictionary carries through as-is: terms whose df reached 0
+      // drop out at probe time through the adjusted-termDf join
+      idx.suggestKeys)
   }
 
   def load(spark: SparkSession, dir: String): LexIndex = {
     // meta and termDf re-aggregate so appended deltas merge exactly
     val meta = spark.read.parquet(s"$dir/meta")
       .agg(sum(col("n")), sum(col("sdl"))).collect()(0)
+    val (fs, root) = fsFor(spark, dir)
+    val suggest =
+      if (fs.exists(new Path(root, "suggest")))
+        Some(spark.read.parquet(s"$dir/suggest"))
+      else None // legacy artifact: probes fall back to per-call derivation
     val base = LexIndex(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclens"),
       spark.read.parquet(s"$dir/termdf")
         .groupBy(col("term")).agg(sum(col("df")).as("df"),
           max(col("max_tf")).as("max_tf")),
-      meta.getLong(0), meta.getLong(1))
-    val (fs, root) = fsFor(spark, dir)
+      meta.getLong(0), meta.getLong(1), suggest)
     if (fs.exists(new Path(root, "tombstones")))
       applyTombstones(spark, base, dir)
     else base
@@ -251,7 +282,9 @@ object InvertedIndex {
       adjusted.postings.select(postingCols: _*),
       adjusted.docLens, exactTermDf, adjusted.n, adjusted.sdl), staging)
     val stagingRoot = new Path(staging)
-    Seq("postings", "doclens", "termdf", "meta").foreach { sub =>
+    // "suggest" last: save() derives it from the exact surviving termDf,
+    // so the rewritten dictionary sheds dead terms' keys with the rewrite
+    Seq("postings", "doclens", "termdf", "suggest", "meta").foreach { sub =>
       val live = new Path(root, sub)
       fs.delete(live, true)
       if (!fs.rename(new Path(stagingRoot, sub), live))
@@ -295,13 +328,28 @@ object InvertedIndex {
     * through GlobalRank instead of re-deriving tf/df/dl from the corpus).
     */
   def bm25Scores(idx: LexIndex, terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoresOver(idx, terms, k1, b, None)
+
+  /** [[bm25Scores]] with an optional candidate-document restriction: when
+    * `candidates` is given, the posting rows filter on the broadcast
+    * candidate set BEFORE any scoring work, so shuffle and aggregation
+    * volume is ∝ |candidates| × query terms, never the query terms'
+    * posting sizes — the restriction [[bm25TopKPruned]]'s essential-term
+    * phase relies on. `None` compiles to the EXACT plan bm25Scores always
+    * had (no extra join node), so the unpruned gates' plans are untouched.
+    */
+  private def bm25ScoresOver(idx: LexIndex, terms: Seq[String],
+      k1: Double, b: Double, candidates: Option[DataFrame]): DataFrame = {
     require(terms.nonEmpty, "empty query")
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val q = terms.toDF("term")
       .join(idx.termDf, Seq("term")) // df per query term (bag semantics)
-    val sc = prunedPostings(idx, terms)
+    val pruned = prunedPostings(idx, terms)
+    val base = candidates.fold(pruned)(c =>
+      pruned.join(broadcast(c), Seq("doc_id"), "left_semi"))
+    val sc = base
       .join(broadcast(q), Seq("term"))
       .join(idx.docLens, Seq("doc_id"))
       .withColumn("s",
@@ -315,6 +363,89 @@ object InvertedIndex {
       .agg(floor(sum(col("s").cast(
           org.apache.spark.sql.types.DecimalType(27, 12)))
         .cast("double") * lit(1000000.0)).cast("long").as("score_q"))
+  }
+
+  /** BM25 top-k with WAND-style dynamic pruning over the persisted
+    * per-term `max_tf` bound (Ding & Suel 2011's block-max idea reduced
+    * to one block per term; the term-at-a-time MaxScore organization of
+    * Turtle & Flood 1995 fits Spark's relational execution better than
+    * document-at-a-time pointer movement). LOSSLESS by construction:
+    * bit-identical to [[bm25TopK]] for every query.
+    *
+    * How: each query term's score is bounded above by
+    * ub(t) = idf(t) · (k1+1)·max_tf / (max_tf + k1(1−b)) — the tf leg at
+    * its recorded maximum and the length normalization at its floor.
+    * Terms rank by ub descending; for a growing essential prefix E, the
+    * candidate set is docs matching ANY term of E (a pruned posting scan
+    * of ONLY those terms), scored FULLY over the whole query (posting
+    * rows semi-joined to the broadcast candidates, so the non-essential
+    * terms' postings never enter the scoring shuffle). If the quantized
+    * k-th candidate score exceeds the quantized sum of the non-essential
+    * ubs, no unseen document can reach the top-k — the standard MaxScore
+    * cut — and the k collected rows ARE the answer. Otherwise the prefix
+    * grows; at E = all terms the scan equals the unpruned probe.
+    *
+    * Why it matters at scale: a natural-language query carries high-df
+    * terms ("the") whose ub is tiny precisely BECAUSE df is huge. They
+    * sort last, stay non-essential, and their corpus-sized posting lists
+    * are touched only as a broadcast-filtered semi-join over the rare
+    * terms' candidates — cost bounded by the rare terms' posting sizes,
+    * not the stop-term's. The quantized-threshold compare uses ceil on
+    * the bound side, one 1e-6 quantum of slack that dominates double
+    * rounding (~1e-15) by nine orders of magnitude.
+    *
+    * The driver-side iteration is bounded by the DISTINCT query-term
+    * count (each round is one limit-k action); the stats lookup is one
+    * bounded termDf probe. Returns the collected top-k as a local
+    * relation with [[bm25Scores]]'s exact schema — the probe already
+    * evaluated it, so callers don't recompute.
+    */
+  def bm25TopKPruned(idx: LexIndex, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    require(k > 0, s"k must be > 0, got $k")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    // bounded stats lookup: (df, max_tf) per DISTINCT query term present
+    // in the index; bag multiplicity weights the bound like it weights
+    // the score
+    val mult = terms.groupBy(identity).map { case (t, g) => (t, g.size) }
+    val stats = terms.distinct.toDF("term")
+      .join(idx.termDf, Seq("term"))
+      .select(col("term"), col("df"), col("max_tf"))
+      .collect()
+      .map { r =>
+        val (term, df, maxTf) =
+          (r.getString(0), r.getLong(1), r.getLong(2).toDouble)
+        val idf = math.log(
+          ((idx.n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+        val ub = mult(term) *
+          (idf * (maxTf * (k1 + 1.0)) / (maxTf + k1 * (1.0 - b)))
+        (term, ub)
+      }
+      .sortBy { case (term, ub) => (-ub, term) }
+    if (stats.isEmpty) return bm25TopK(idx, terms, k) // no term indexed
+    val m = stats.length
+    var p = 1
+    while (p < m) {
+      val essential = stats.take(p).map(_._1).toSeq
+      val suffixUb = stats.drop(p).map(_._2).sum
+      // outside docs match only non-essential terms: quantized score ≤
+      // ceil(suffixUb·1e6); strict > means they rank below the k-th
+      val suffixBoundQ = math.ceil(suffixUb * 1e6).toLong
+      val candidates = prunedPostings(idx, essential)
+        .filter(col("term").isin(essential: _*))
+        .select(col("doc_id")).distinct()
+      val scored = bm25ScoresOver(idx, terms, k1, b, Some(candidates))
+      val top = scored.orderBy(col("score_q").desc, col("doc_id"))
+        .limit(k).collect()
+      if (top.length == k && top.last.getLong(1) > suffixBoundQ)
+        return spark.createDataFrame(
+          java.util.Arrays.asList(top: _*), scored.schema)
+      p += 1
+    }
+    // essential = every term: the scan IS the unpruned probe
+    bm25TopK(idx, terms, k)
   }
 
   /** Batch probe: score MANY queries in one pass — `queries` is a
@@ -558,9 +689,24 @@ object InvertedIndex {
     val q = queries.distinct.toDF("query")
       .select(col("query"), explode(EdJoin.deletionKeys(col("query")))
         .as("__qk"))
-    val dict = idx.termDf
-      .select(col("term"), col("df"), explode(EdJoin.deletionKeys(
-        col("term"))).as("__qk"))
+    // an artifact-loaded index serves the PERSISTED dictionary: the probe
+    // prunes to the query keys' buckets (the bm25 pruning shape) and pays
+    // zero vocabulary explode; the termDf join restores the MERGED df
+    // (append deltas) and drops fully-tombstoned terms. A build-only
+    // index derives the dictionary per call — correct, just unamortized.
+    val dict = idx.suggestKeys match {
+      case Some(sk) =>
+        val buckets = q.select(
+            pmod(col("__qk"), lit(Buckets.toLong)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        sk.filter(col("bucket").isin(buckets: _*))
+          .select(col("term"), col("__qk"))
+          .join(idx.termDf.select(col("term"), col("df")), Seq("term"))
+      case None =>
+        idx.termDf
+          .select(col("term"), col("df"), explode(EdJoin.deletionKeys(
+            col("term"))).as("__qk"))
+    }
     dict.join(broadcast(q), Seq("__qk"))
       .select(col("query"), col("term"), col("df")).distinct()
       .withColumn("dist", levenshtein(col("query"), col("term")).cast("long"))

@@ -937,6 +937,63 @@ object TextQueries extends QueryPack {
     },
     bm25TopK.sql)
 
+  // ---- WAND/MaxScore pruned BM25 (round 12): the SAME artifact served
+  //      through `bm25TopKPruned`, on the query shape pruning exists
+  //      for — the corpus's MOST FREQUENT term (the stop-term whose
+  //      posting list is the corpus-proportional degeneracy the r10/r11
+  //      verdicts flagged) plus the two rarest. Pruning is lossless by
+  //      construction, so the oracle replays the UNPRUNED scoring
+  //      verbatim: the per-term max_tf upper bound only ever excludes
+  //      documents that cannot enter the top-k. The rare terms form the
+  //      essential prefix; the stop-term's postings enter scoring only
+  //      as a broadcast-filtered semi-join over the rare terms'
+  //      candidates ----
+  private val bm25WandTopK = OracleQuery(
+    "t_bm25_wand_topk",
+    (s, d) => {
+      val idx = prepareLexIndex(s, d)
+      val stop = idx.termDf.orderBy(col("df").desc, col("term")).limit(1)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val rare = idx.termDf.orderBy(col("df"), col("term")).limit(2)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.InvertedIndex.bm25TopKPruned(idx, stop ++ rare, 10)
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      (SELECT w, df FROM dft ORDER BY df DESC, w LIMIT 1)
+      UNION ALL
+      (SELECT w, df FROM dft ORDER BY df, w LIMIT 2)
+    ), sc AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+    )
+    SELECT doc_id,
+      CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
+    FROM sc GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id LIMIT 10"""))
+
   // ---- the BPE train→apply closure: tokenize the corpus with the 16
   //      learned merges (train on the word-frequency vocabulary, apply
   //      as a broadcast merge table — one corpus pass each way) and
@@ -3816,7 +3873,8 @@ object TextQueries extends QueryPack {
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
-    bm25TopK, bm25Artifact, bm25Tombstone, bm25StreamIngest, qlTopKGate,
+    bm25TopK, bm25Artifact, bm25WandTopK, bm25Tombstone, bm25StreamIngest,
+    qlTopKGate,
     lexIndexStats, lexFacets,
     phraseTopK, phraseSnips, proximityTopK, spellSuggest, bpeTokenizeStats,
     streamSnapshotChanges)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.InvertedIndex
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -25,9 +26,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * 100 TB shape: per-batch work is the bounded delta build (one grouped
   * pass over the batch); the artifact grows by delta partitions with no
   * read-modify-write of history, and the serving probe still prunes on
-  * the bucket partition level under `batch=`. Fold accumulated batches
-  * into the compact [[graft.operators.InvertedIndex]] layout offline
-  * when partition counts warrant it — the segment-merge rhythm.
+  * the bucket partition level under `batch=`. Segment-merge keeps the
+  * partition count bounded: [[maybeMerge]] (wired into [[sink]] via
+  * `mergeEvery`) folds committed segments into one manifest-committed
+  * merged segment in-place, and [[compactTo]] folds everything into the
+  * compact [[graft.operators.InvertedIndex]] layout offline.
   */
 object StreamingLexIndex {
 
@@ -51,35 +54,191 @@ object StreamingLexIndex {
     write(delta.docLens, "doclens", Nil)
     write(delta.termDf, "termdf", Nil)
     write(Seq((delta.n, delta.sdl)).toDF("n", "sdl"), "meta", Nil)
+    // once a merge manifest governs the directory, every new segment must
+    // register in it or the manifest-filtered load would never see it;
+    // set semantics keep a replayed batch a no-op here too
+    val (fs, root) = fsFor(spark, dir)
+    if (fs.exists(new Path(root, "_segments"))) {
+      val live = liveSegments(spark, dir)
+      if (!live.contains(batchId)) writeManifest(fs, root, live :+ batchId)
+    }
   }
 
   /** The streaming writer: attach a checkpoint and `.start()` (or
     * `.trigger(AvailableNow)` for catch-up runs). foreachBatch because
     * the delta build is batch-relational work (grouped rollups + a
     * partitioned write), not row-at-a-time state.
+    *
+    * `mergeEvery` > 0 turns on auto segment-merge: after each batch,
+    * once the live segment count reaches the threshold, every COMMITTED
+    * segment (id < the current batch — the current batch may still be
+    * replayed and must stay its own overwrite-identity) folds into one
+    * merged segment via [[maybeMerge]]. Probes are bit-identical across
+    * the merge; only file geometry changes.
     */
   def sink(docs: DataFrame, dir: String, checkpoint: String,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      mergeEvery: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, id: Long) =>
-        applyBatch(b, id, dir, idCol, textCol))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id, dir, idCol, textCol)
+        if (mergeEvery > 0) { maybeMerge(b.sparkSession, dir, mergeEvery, id); () }
+      }
 
-  /** Assemble the live index across every ingested batch. The `batch`
-    * partition column is dropped from the relations (it is the write's
-    * identity, not index data); termdf and meta re-aggregate exactly as
+  private val Relations = Seq("postings", "doclens", "termdf", "meta")
+
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Live segment ids: the `_segments` manifest when present (the
+    * merge-commit mechanism), else every `batch=` partition on disk —
+    * the legacy layout, where all partitions are live by construction.
+    */
+  private[graft] def liveSegments(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, root) = fsFor(spark, dir)
+    val manifest = new Path(root, "_segments")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    } else listSegments(fs, root)
+  }
+
+  private def listSegments(fs: FileSystem, root: Path): Seq[Long] = {
+    val p = new Path(root, "postings")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+  }
+
+  /** Atomic manifest cut-over: temp file + rename — the same commit
+    * primitive as [[graft.operators.InvertedIndex.compact]]'s staging
+    * swap (atomic on HDFS/local; an object store needs its conditional
+    * put instead).
+    */
+  private def writeManifest(fs: FileSystem, root: Path, ids: Seq[Long]): Unit = {
+    val tmp = new Path(root, s"_segments.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val live = new Path(root, "_segments")
+    fs.delete(live, false)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"manifest rename failed under $root")
+  }
+
+  /** Auto segment-merge (the LSM rhythm, manifest-committed): when the
+    * live segment count reaches `threshold`, fold every committed
+    * segment — id < `currentBatch`; the current batch is excluded
+    * because foreachBatch is at-least-once and a replay must keep its
+    * own partition-overwrite identity — into ONE merged segment with the
+    * reserved NEGATIVE id −(maxFoldedRealId+1), unique and monotone
+    * across merges. Commit order makes every crash point safe:
+    * (1) stage the consolidated relations and rename them in as the
+    * merged segment's partitions — invisible until (2), because the
+    * manifest still lists only the sources; (2) atomically swap the
+    * manifest to {merged id, unfolded ids} — the commit point;
+    * (3) best-effort delete of the folded partitions (a crash here
+    * leaves orphans the manifest-filtered [[load]] never reads; the
+    * next merge's stale-target cleanup removes them). A replayed batch
+    * after a completed merge re-runs this and finds the fold set below
+    * threshold — a no-op, so merge composes with exactly-once.
+    *
+    * Single-writer by contract (a Structured Streaming sink is), so the
+    * manifest read-modify-write needs no lock. Returns true if a merge
+    * committed.
+    */
+  def maybeMerge(spark: SparkSession, dir: String, threshold: Int,
+      currentBatch: Long): Boolean = {
+    require(threshold >= 2, s"merge threshold must be >= 2, got $threshold")
+    val (fs, root) = fsFor(spark, dir)
+    val live = liveSegments(spark, dir)
+    if (live.size < threshold) return false
+    val fold = live.filter(_ < currentBatch)
+    val keep = live.filterNot(fold.contains)
+    val maxReal = fold.filter(_ >= 0)
+    if (maxReal.isEmpty || fold.size < 2) return false
+    val mid = -(maxReal.max + 1)
+    // bootstrap the manifest BEFORE staging on a legacy dir: without one,
+    // "all partitions live" would make the half-renamed merged segment
+    // visible (double-count) if a crash lands between stage and commit
+    if (!fs.exists(new Path(root, "_segments")))
+      writeManifest(fs, root, live)
+    // consolidated relations over ONLY the fold set
+    val folded = loadSegments(spark, dir, fold)
+    import spark.implicits._
+    val staging = new Path(root, s"_merge-staging")
+    fs.delete(staging, true)
+    def stage(df: DataFrame, sub: String, parts: Seq[String]): Unit = {
+      val w = df.write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+        .parquet(new Path(staging, sub).toString)
+    }
+    stage(folded.postings, "postings", Seq("bucket"))
+    stage(folded.docLens, "doclens", Nil)
+    stage(folded.termDf, "termdf", Nil)
+    stage(Seq((folded.n, folded.sdl)).toDF("n", "sdl"), "meta", Nil)
+    // rename the staged relations in as the merged segment's partitions
+    Relations.foreach { sub =>
+      val target = new Path(root, s"$sub/batch=$mid")
+      fs.delete(target, true) // stale target from a crashed earlier attempt
+      if (!fs.rename(new Path(staging, sub), target))
+        throw new java.io.IOException(s"merge rename failed: $sub -> $target")
+    }
+    fs.delete(staging, true)
+    writeManifest(fs, root, mid +: keep) // the commit point
+    fold.foreach { id =>
+      Relations.foreach { sub =>
+        fs.delete(new Path(root, s"$sub/batch=$id"), true)
+      }
+    }
+    true
+  }
+
+  private def loadSegments(spark: SparkSession, dir: String,
+      ids: Seq[Long]): InvertedIndex.LexIndex = {
+    def rel(sub: String): DataFrame = {
+      val df = spark.read.parquet(s"$dir/$sub")
+      (if (ids == null) df else df.filter(col("batch").isin(ids: _*)))
+        .drop("batch")
+    }
+    val meta = rel("meta").agg(
+      coalesce(sum(col("n")), lit(0L)),
+      coalesce(sum(col("sdl")), lit(0L))).collect()(0)
+    InvertedIndex.LexIndex(
+      rel("postings"),
+      rel("doclens"),
+      // max_tf merges by MAX across batch deltas — the same exact merge
+      // as InvertedIndex.load; dropping it here would strand the
+      // streaming-built index without its pruning bound (the r11 load
+      // regression's shape)
+      rel("termdf")
+        .groupBy(col("term")).agg(sum(col("df")).as("df"),
+          max(col("max_tf")).as("max_tf")),
+      meta.getLong(0), meta.getLong(1))
+  }
+
+  /** Assemble the live index. The `batch` partition column is dropped
+    * from the relations (it is the write's identity, not index data);
+    * termdf and meta re-aggregate exactly as
     * [[graft.operators.InvertedIndex.load]] does for appended deltas.
+    * When a `_segments` manifest exists (auto-merge has run), only the
+    * manifested live segments are read — dead partitions a crashed
+    * cleanup left behind stay invisible; without a manifest every
+    * partition is live (the legacy layout).
     */
   def load(spark: SparkSession, dir: String): InvertedIndex.LexIndex = {
-    val meta = spark.read.parquet(s"$dir/meta")
-      .agg(sum(col("n")), sum(col("sdl"))).collect()(0)
-    InvertedIndex.LexIndex(
-      spark.read.parquet(s"$dir/postings").drop("batch"),
-      spark.read.parquet(s"$dir/doclens").drop("batch"),
-      spark.read.parquet(s"$dir/termdf").drop("batch")
-        .groupBy(col("term")).agg(sum(col("df")).as("df")),
-      meta.getLong(0), meta.getLong(1))
+    val (fs, root) = fsFor(spark, dir)
+    val ids =
+      if (fs.exists(new Path(root, "_segments"))) liveSegments(spark, dir)
+      else null
+    loadSegments(spark, dir, ids)
   }
 
   /** The segment-merge rhythm's offline half: fold every ingested batch

@@ -447,4 +447,126 @@ class InvertedIndexSpec extends SparkSpec {
     val all = InvertedIndex.bm25TopK(idx, Seq("alpha"), 3).collect()
     assert(all.map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  private def runBoth(idx: InvertedIndex.LexIndex, terms: Seq[String],
+      k: Int): (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    (rows(InvertedIndex.bm25TopK(idx, terms, k)),
+      rows(InvertedIndex.bm25TopKPruned(idx, terms, k)))
+  }
+
+  test("suggestTerms serves from the persisted dictionary across the lifecycle") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-suggest").toString
+    val docs = Seq(
+      (1L, "spark scan table"),
+      (2L, "spork merge"),
+      (3L, "spark merge join")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    InvertedIndex.save(InvertedIndex.build(docs), dir)
+    val loaded = InvertedIndex.load(spark, dir)
+    assert(loaded.suggestKeys.isDefined, "save must persist the dictionary")
+    val served = InvertedIndex.suggestTerms(loaded, Seq("spark"), 3)
+    // artifact-served ≡ the per-call derivation (build-only index)
+    assert(rows(served) ==
+      rows(InvertedIndex.suggestTerms(InvertedIndex.build(docs),
+        Seq("spark"), 3)))
+    // the probe plan reads the persisted relation, no vocabulary explode
+    assert(served.queryExecution.executedPlan.toString.contains("suggest"),
+      "artifact probe must scan the persisted dictionary")
+    assert(rows(served).map(_._2).contains("spork")) // lev 1 neighbor
+    // append: the delta vocabulary becomes suggestable from the artifact
+    InvertedIndex.append(dir, Seq((4L, "spars rows")).toDF("doc_id", "text"))
+    val appended = InvertedIndex.load(spark, dir)
+    assert(rows(InvertedIndex.suggestTerms(appended, Seq("spark"), 3))
+      .map(_._2).contains("spars"))
+    // delete the sole holder of "spork": the suggestion disappears even
+    // though its dictionary keys are still on disk (termDf join drops it)
+    InvertedIndex.delete(spark, dir, Seq(2L))
+    val tombed = InvertedIndex.load(spark, dir)
+    // materialize BEFORE compact rewrites the files this plan reads
+    val tombedRows = rows(InvertedIndex.suggestTerms(tombed, Seq("spark"), 3))
+    assert(!tombedRows.map(_._2).contains("spork"))
+    // compact rewrites the dictionary from the surviving vocabulary
+    InvertedIndex.compact(spark, dir)
+    val compacted = InvertedIndex.load(spark, dir)
+    assert(rows(InvertedIndex.suggestTerms(compacted, Seq("spark"), 3)) ==
+      tombedRows)
+    assert(spark.read.parquet(s"$dir/suggest")
+      .filter($"term" === "spork").count() == 0,
+      "compact must shed dead terms' dictionary keys")
+  }
+
+  test("bm25TopKPruned: lossless across query shapes on the real corpus") {
+    val idx = built
+    val byDf = idx.termDf.orderBy($"df", $"term").collect()
+      .map(_.getString(0))
+    val rare2 = byDf.take(2).toSeq
+    val stop1 = byDf.last
+    // the pruning-relevant shape: stop-term + rare terms
+    val (a1, b1) = runBoth(idx, stop1 +: rare2, 10)
+    assert(a1 == b1, s"stop+rare: $a1 vs $b1")
+    // all-stop query (no useful prefix — must still be exact)
+    val stops = byDf.takeRight(3).toSeq
+    val (a2, b2) = runBoth(idx, stops, 10)
+    assert(a2 == b2, s"all-stop: $a2 vs $b2")
+    // single term; repeated (bag) term; k exceeding the match count
+    val (a3, b3) = runBoth(idx, Seq(rare2.head), 10)
+    assert(a3 == b3)
+    val (a4, b4) = runBoth(idx, Seq(stop1, stop1, rare2.head), 10)
+    assert(a4 == b4, s"bag: $a4 vs $b4")
+    val (a5, b5) = runBoth(idx, rare2, 10000)
+    assert(a5 == b5)
+    // a term the index has never seen alongside real ones
+    val (a6, b6) = runBoth(idx, Seq("nosuchterm_xyzzy", rare2.head), 5)
+    assert(a6 == b6)
+  }
+
+  test("bm25TopKPruned: iterating prefix (near-equal bounds) stays exact") {
+    // two equally-rare terms + one stop-term: the first prefix's
+    // threshold cannot dominate the twin term's bound, so the loop must
+    // GROW the prefix and still land on the unpruned answer
+    val docs = Seq(
+      (1L, "twin1 filler filler"),
+      (2L, "twin2 filler filler"),
+      (3L, "twin1 twin2 filler"),
+      (4L, "filler filler filler filler"),
+      (5L, "filler twin1"),
+      (6L, "filler twin2")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs)
+    val (a, b) = runBoth(idx, Seq("twin1", "twin2", "filler"), 4)
+    assert(a == b, s"$a vs $b")
+    val (a2, b2) = runBoth(idx, Seq("twin1", "twin2"), 2)
+    assert(a2 == b2)
+  }
+
+  test("bm25TopKPruned: valid over a tombstoned artifact (loose max_tf)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-wand").toString
+    // the doc holding the global max tf for "hot" gets deleted: the
+    // stored bound goes loose (max over survivors < stored max) — the
+    // pruning must stay LOSSLESS, merely less tight
+    val docs = Seq(
+      (1L, "hot hot hot hot hot rare1"),
+      (2L, "hot cold cold"),
+      (3L, "cold rare1 rare2"),
+      (4L, "hot cold rare2"),
+      (5L, "cold cold cold")).toDF("doc_id", "text")
+    InvertedIndex.save(InvertedIndex.build(docs), dir)
+    InvertedIndex.delete(spark, dir, Seq(1L))
+    val idx = InvertedIndex.load(spark, dir)
+    val (a, b) = runBoth(idx, Seq("hot", "rare1", "rare2"), 3)
+    assert(a == b, s"$a vs $b")
+    // and after compact the bound re-tightens to the exact survivor max
+    InvertedIndex.compact(spark, dir)
+    val cidx = InvertedIndex.load(spark, dir)
+    val maxTf = cidx.termDf.filter($"term" === "hot")
+      .collect()(0).getAs[Long]("max_tf")
+    assert(maxTf == 1L, s"compact must re-derive the exact max, got $maxTf")
+    val (a2, b2) = runBoth(cidx, Seq("hot", "rare1", "rare2"), 3)
+    assert(a2 == b2)
+  }
 }

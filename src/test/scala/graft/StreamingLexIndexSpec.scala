@@ -79,6 +79,68 @@ class StreamingLexIndexSpec extends SparkSpec {
     assert(probe(after) == beforeProbe)
   }
 
+  test("auto segment-merge mid-stream: bit-identical probes, collapsed segments") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-streamlex-merge").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-streamlex-merge-ckpt").toString
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    // 6 docs in 6 single-doc batches, threshold 3: merges MUST fire
+    // mid-stream (batches 0..1 fold when batch 2 lands, etc.)
+    val query = StreamingLexIndex.sink(docs, dir, ckpt, mergeEvery = 3).start()
+    try {
+      corpus.foreach { d => stream.addData(d); query.processAllAvailable() }
+    } finally query.stop()
+    val merged = StreamingLexIndex.load(spark, dir)
+    val rebuilt = InvertedIndex.build(corpus.toDF("doc_id", "text"))
+    assert(merged.n == rebuilt.n && merged.sdl == rebuilt.sdl)
+    assert(probe(merged) == probe(rebuilt))
+    val mDf = merged.termDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("max_tf")))
+      .toSet
+    val rDf = rebuilt.termDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("max_tf")))
+      .toSet
+    assert(mDf == rDf, "df/max_tf must merge exactly across segments")
+    // the manifest governs and the live segment count is bounded by the
+    // threshold + the unfolded tail
+    val live = StreamingLexIndex.liveSegments(spark, dir)
+    assert(live.size < 6, s"no merge happened: $live")
+    assert(live.exists(_ < 0), s"no merged segment in $live")
+    // WAND probe works on the stream-loaded index (max_tf carried)
+    val terms = merged.termDf.orderBy($"df", $"term").limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val pruned = InvertedIndex.bm25TopKPruned(merged, terms, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = InvertedIndex.bm25TopK(merged, terms, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pruned == direct)
+  }
+
+  test("merge is replay-safe: re-delivered current batch + re-merge change nothing") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-streamlex-merge-replay").toString
+    corpus.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      StreamingLexIndex.applyBatch(g.toDF("doc_id", "text"), i.toLong, dir)
+      StreamingLexIndex.maybeMerge(spark, dir, 3, i.toLong)
+    }
+    val before = StreamingLexIndex.load(spark, dir)
+    val (beforeProbe, beforeN) = (probe(before), before.postings.count())
+    val liveBefore = StreamingLexIndex.liveSegments(spark, dir)
+    // the LAST batch is the only one Structured Streaming can re-deliver;
+    // replay re-applies it AND re-runs the merge decision
+    StreamingLexIndex.applyBatch(
+      corpus.grouped(2).toSeq.last.toDF("doc_id", "text"), 2L, dir)
+    StreamingLexIndex.maybeMerge(spark, dir, 3, 2L)
+    val after = StreamingLexIndex.load(spark, dir)
+    assert(after.n == before.n && after.sdl == before.sdl)
+    assert(after.postings.count() == beforeN)
+    assert(probe(after) == beforeProbe)
+    assert(StreamingLexIndex.liveSegments(spark, dir) == liveBefore)
+  }
+
   test("empty batches are no-ops; probe plan prunes bucket partitions under batch=") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-streamlex-prune").toString
