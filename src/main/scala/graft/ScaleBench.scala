@@ -288,6 +288,9 @@ object ScaleBench {
     val wandIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var wandTerms: Seq[String] = Nil
+    val tombIdx = scala.collection.mutable.Map
+      .empty[String, graft.operators.InvertedIndex.LexIndex]
+    var tombTerms: Seq[String] = Nil
     // index artifacts are probed during the family loop, so their temp
     // dirs can only be reclaimed at the end — the positional one is
     // ~token-count storage (2.4x the flat build), too big to leak
@@ -431,6 +434,12 @@ object ScaleBench {
         graft.operators.InvertedIndex.bm25TopKPruned(
           wandIdx(dir), wandTerms, 10)
       },
+      // tombstoned probe: bm25_probe's scan shape plus the live-tombstone
+      // anti-joins above the bucket filter — the e gap vs bm25_probe is
+      // what a deferred takedown costs at serving time
+      "bm25_tomb_probe" -> { dir: String =>
+        graft.operators.InvertedIndex.bm25TopK(tombIdx(dir), tombTerms, 10)
+      },
       "wand_probe_unpruned" -> { dir: String =>
         graft.operators.InvertedIndex.bm25TopK(wandIdx(dir), wandTerms, 10)
       },
@@ -533,6 +542,38 @@ object ScaleBench {
       }
       builds("lex_index") = (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
       bm25Terms = lexIdx(base).termDf
+        .orderBy(col("df").desc, col("term")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+    }
+    if (familySelected("bm25_tomb_probe")) {
+      // the delete/compact lifecycle at index scale (r11 verdict item 9,
+      // doubly warranted after the lifecycle regression): per dir —
+      // build+save, tombstone doc_id%7==3, COMPACT (timed as its own
+      // build row: the posting rewrite is the lifecycle's scale cost),
+      // tombstone doc_id%5==1 and leave it LIVE so the probe pays the
+      // anti-join path over the grown posting relation
+      def mkTombIdx(dir: String): String = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-scale-lexidx-tomb").toString
+        scratchDirs += tmp
+        val docs = Tables.documents(spark, dir)
+        graft.operators.InvertedIndex.save(
+          graft.operators.InvertedIndex.build(docs), tmp)
+        graft.operators.InvertedIndex.delete(
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), tmp)
+        tmp
+      }
+      val (tmpBase, tmpBig) = (mkTombIdx(base), mkTombIdx(out))
+      builds("lex_compact") = (
+        timeIt { graft.operators.InvertedIndex.compact(spark, tmpBase) },
+        timeIt { graft.operators.InvertedIndex.compact(spark, tmpBig) })
+      Seq(base -> tmpBase, out -> tmpBig).foreach { case (dir, tmp) =>
+        graft.operators.InvertedIndex.delete(
+          Tables.documents(spark, dir)
+            .filter(col("doc_id") % 5 === 1).select(col("doc_id")), tmp)
+        tombIdx(dir) = graft.operators.InvertedIndex.load(spark, tmp)
+      }
+      tombTerms = tombIdx(base).termDf
         .orderBy(col("df").desc, col("term")).limit(3)
         .collect().map(_.getString(0)).toSeq
     }

@@ -307,6 +307,119 @@ object EngineQueries extends QueryPack {
     JOIN gram dy ON dy.l1 = g.l2 AND dy.l2 = g.l2
     ORDER BY g.l1, g.l2"""))
 
+  // A9 under a FULL oracle (the vx_cka_matrix_quantized recipe applied to
+  // the tensor kernels): the REAL TensorOps.camWeightedSum — Grad-CAM's
+  // weighted channel sum + ReLU — driven over integer-quantized inputs. A
+  // synthetic [C=2,H=3,W=4] feature map and a 2-weight vector come from the
+  // first 26 embedding dims, floor-quantized ×64 (|v| < 1 ⇒ |q| ≤ 64);
+  // every product ≤ 4096 and the 2-term channel fold ≤ 8192 — exact in
+  // double, and the fold is row-local sequential anyway, so Spark's
+  // aggregate() and DuckDB's two-term sum are bit-identical. The CAM values
+  // are integer-valued doubles; casting to BIGINT is the lossless hash
+  // surface. Converts A9 from spec-only to hash-verified (r11 verdict
+  // item 8 / carried r10 item 5).
+  private val camWeightedQuantized = OracleQuery(
+    "vx_cam_weighted_quantized",
+    (s, d) => {
+      val t = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(slice(col("embedding"), 1, 24),
+            v => floor(v.cast("double") * lit(64.0))).as("fmap"),
+          transform(slice(col("embedding"), 25, 2),
+            v => floor(v.cast("double") * lit(64.0))).as("wts"))
+      t.select(col("vec_id"), posexplode(
+          graft.operators.TensorOps.camWeightedSum(
+            col("fmap"), col("wts"), lit(2), lit(3), lit(4)))
+          .as(Seq("p", "cam")))
+        .select(col("vec_id"), col("p").cast("long").as("p"),
+          col("cam").cast("long").as("cam_q"))
+        .orderBy(col("vec_id"), col("p"))
+    },
+    Some("""WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+        floor(CAST(unnest(embedding) AS DOUBLE) * 64.0) AS q
+      FROM embeddings
+    ), v0 AS (
+      SELECT vec_id, idx - 1 AS p, q FROM ex WHERE idx BETWEEN 1 AND 12
+    ), v1 AS (
+      SELECT vec_id, idx - 13 AS p, q FROM ex WHERE idx BETWEEN 13 AND 24
+    ), w0 AS (SELECT vec_id, q FROM ex WHERE idx = 25),
+    w1 AS (SELECT vec_id, q FROM ex WHERE idx = 26)
+    SELECT v0.vec_id, CAST(v0.p AS BIGINT) AS p,
+      CAST(greatest(0.0, w0.q * v0.q + w1.q * v1.q) AS BIGINT) AS cam_q
+    FROM v0
+    JOIN v1 ON v1.vec_id = v0.vec_id AND v1.p = v0.p
+    JOIN w0 ON w0.vec_id = v0.vec_id
+    JOIN w1 ON w1.vec_id = v0.vec_id
+    ORDER BY v0.vec_id, p"""))
+
+  // A10 under a FULL oracle: the REAL TensorOps.attentionRollout — (A+I)
+  // row-normalize per layer, left-multiplied chain, CLS row — over a
+  // synthetic attention tensor built so EVERY (A+I) row sums to exactly 8
+  // (three integer scores summing to 7, diagonal +1). Normalized entries
+  // are then exact DYADIC rationals (k/8), their pairwise products k/64 are
+  // exact, and the 3-term matmul sums are exact in double REGARDLESS of
+  // accumulation order — so the operator's plain floating sum is
+  // bit-reproducible in SQL with no decimal boundary, and weight×64 casts
+  // to BIGINT losslessly. 10 images × 2 layers × 3×3 tokens, scores a
+  // deterministic function of (image, layer, i, j) both engines replay.
+  private val attentionRolloutQuantized = OracleQuery(
+    "vx_attention_rollout_quantized",
+    (s, d) => {
+      val attn = Tables.embeddings(s, d)
+        .select((col("vec_id") % 10).as("image_key")).distinct()
+        .select(col("image_key"),
+          explode(sequence(lit(0), lit(1))).as("layer"))
+        .select(col("image_key"), col("layer"),
+          explode(sequence(lit(0), lit(2))).as("i"))
+        .select(col("image_key"), col("layer"), col("i"),
+          explode(sequence(lit(0), lit(2))).as("j"))
+        .withColumn("a0", (col("image_key") + col("layer") + col("i")) % 3 + 1)
+        .withColumn("a1",
+          (col("image_key") * 2 + col("layer") + col("i") * 5) % 3 + 1)
+        .withColumn("a",
+          when(col("j") === 0, col("a0"))
+            .when(col("j") === 1, col("a1"))
+            .otherwise(lit(7) - col("a0") - col("a1"))
+            .cast("double"))
+        .select(col("image_key"), col("layer"), col("i"), col("j"), col("a"))
+      graft.operators.TensorOps.attentionRollout(attn, 2)
+        .select(col("image_key"), col("j").cast("long").as("j"),
+          floor(col("weight") * lit(64.0)).cast("long").as("weight_q"))
+        .orderBy(col("image_key"), col("j"))
+    },
+    Some("""WITH im AS (
+      SELECT DISTINCT vec_id % 10 AS ik FROM embeddings
+    ), g AS (
+      SELECT ik, layer, i, j FROM im
+      CROSS JOIN (SELECT unnest(range(0, 2)) AS layer)
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+    ), raw AS (
+      SELECT ik, layer, i, j,
+        CASE j WHEN 0 THEN (ik + layer + i) % 3 + 1
+               WHEN 1 THEN (ik * 2 + layer + i * 5) % 3 + 1
+               ELSE 7 - ((ik + layer + i) % 3 + 1)
+                      - ((ik * 2 + layer + i * 5) % 3 + 1)
+        END AS av
+      FROM g
+    ), normed AS (
+      SELECT ik, layer, i, j,
+        (CAST(av AS DOUBLE) +
+          CASE WHEN i = j THEN 1.0 ELSE 0.0 END) / 8.0 AS a
+      FROM raw
+    ), roll AS (
+      SELECT n.ik, n.i, r.j, SUM(n.a * r.a) AS a
+      FROM (SELECT * FROM normed WHERE layer = 1) n
+      JOIN (SELECT * FROM normed WHERE layer = 0) r
+        ON n.ik = r.ik AND n.j = r.i
+      GROUP BY 1, 2, 3
+    )
+    SELECT ik AS image_key, CAST(j AS BIGINT) AS j,
+      CAST(floor(a * 64.0) AS BIGINT) AS weight_q
+    FROM roll WHERE i = 0
+    ORDER BY image_key, j"""))
+
   // Oracle-hard ANN: the REAL bruteForceTopK operator (broadcast query side,
   // native codegen cosine, WindowGroupLimit rank filter) driven over
   // quantized inputs. |q| ≤ 5.8e5 ⇒ every dot/norm partial sum ≤ 2.2e13
@@ -2583,6 +2696,7 @@ object EngineQueries extends QueryPack {
   override val all: Seq[OracleQuery] = Seq(
     fastCentroidCosine, embeddingOutliers, ckaPerLabel, ckaGroupMatrix,
     ckaMatrixQuantized, ckaHalfQuantized,
+    camWeightedQuantized, attentionRolloutQuantized,
     hllDistinct, hllSketchUnion, approxPercentiles,
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,

@@ -37,15 +37,18 @@ object Multimodal {
     StructField("frame", BinaryType, nullable = false)))
 
   /** Minimal RIFF/AVI container walk — REAL frame extraction without any
-    * codec: RIFF is length-prefixed chunk iteration, so the video
-    * stream's frame chunks (`##dc`/`##db`) slice out of the payload as
-    * exact byte ranges, and for MJPEG AVIs each chunk IS a complete JFIF
-    * image `javax.imageio` decodes — the one mainstream video layout a
-    * pure JVM can both demux and decode (the MP4/H.264 boundary stays
-    * documented, as model inference is). Returns (µs per frame from the
-    * `avih` header, frame chunks in file order); None when the payload
-    * is not a structurally valid AVI — callers keep the deterministic
-    * stub (the [[resizeImages]] real-or-stub discipline).
+    * codec: RIFF is length-prefixed chunk iteration, so the PRIMARY video
+    * stream's frame chunks (`NNdc`/`NNdb`, NN = the first `strl` whose
+    * `strh` declares fccType `vids` — stream numbers follow hdrl
+    * declaration order, so an audio-first file has video chunks `01dc`)
+    * slice out of the payload as exact byte ranges, and for MJPEG AVIs
+    * each chunk IS a complete JFIF image `javax.imageio` decodes — the
+    * one mainstream video layout a pure JVM can both demux and decode
+    * (the MP4/H.264 boundary stays documented, as model inference is).
+    * Returns (µs per frame from the `avih` header, the primary video
+    * stream's frame chunks in file order); None when the payload is not
+    * a structurally valid AVI — callers keep the deterministic stub (the
+    * [[resizeImages]] real-or-stub discipline).
     */
   private[graft] def parseAvi(
       payload: Array[Byte]): Option[(Long, Vector[Array[Byte]])] = {
@@ -63,6 +66,14 @@ object Multimodal {
     var usPerFrame = 0L
     var totalFrames = 0L
     var ok = true
+    // stream numbers follow strh declaration order in hdrl; the first
+    // `vids` stream is the primary video stream whose chunk-id prefix we
+    // demux. hdrl precedes movi in a valid RIFF, so the prefix is settled
+    // before any frame chunk is seen; headerless minimal AVIs keep the
+    // "00" default
+    var streamCount = 0
+    var vPrefix = "00"
+    var vidsSeen = false
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(start: Int, end: Int): Unit = {
       var off = start
@@ -76,19 +87,25 @@ object Multimodal {
           if (id == "LIST") {
             if (n >= 4) {
               val lt = fourcc(body)
-              if (lt == "hdrl" || lt == "movi" || lt == "rec ")
+              if (lt == "hdrl" || lt == "movi" || lt == "rec " || lt == "strl")
                 walk(body + 4, body + n)
             }
           } else if (id == "avih" && n >= 4) {
             usPerFrame = le32(body)
             if (n >= 20) totalFrames = le32(body + 16) // dwTotalFrames
-          } else if (id.startsWith("00") &&
+          } else if (id == "strh" && n >= 4) {
+            if (!vidsSeen && fourcc(body) == "vids") {
+              vPrefix = f"$streamCount%02d"
+              vidsSeen = true
+            }
+            streamCount += 1
+          } else if (id.startsWith(vPrefix) &&
               (id.endsWith("dc") || id.endsWith("db"))) {
-            // ONLY the primary (00-prefixed) video stream's chunks are
-            // frames: a secondary stream's chunks would inflate the
-            // derived duration (frames × µs/frame) and interleave into
-            // the frame timeline, so sampleFrames would emit the wrong
-            // frame at the wrong tick on a valid multi-stream file
+            // ONLY the primary video stream's chunks are frames: another
+            // stream's chunks would inflate the derived duration
+            // (frames × µs/frame) and interleave into the frame timeline,
+            // so sampleFrames would emit the wrong frame at the wrong
+            // tick on a valid multi-stream file
             frames += java.util.Arrays.copyOfRange(payload, body, body + n)
           }
           off = body + n + (n & 1) // RIFF chunks are word-aligned

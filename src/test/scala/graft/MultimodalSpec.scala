@@ -284,6 +284,51 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseAvi(multi.take(multi.length - 2)).isEmpty)
   }
 
+  test("parseAvi: audio-declared-first AVI demuxes the vids stream (01dc)") {
+    import graft.queries.MultimodalQueries.jpegBytes
+    // stream numbers follow hdrl strl declaration order: an AVI that
+    // declares its audio stream FIRST carries video chunks as 01dc —
+    // the walker must find the first `vids` strh, not assume prefix 00
+    val j = jpegBytes(90)
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    def tag(s: String): Unit = out.write(
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(100000); b.putInt(0).putInt(0).putInt(0)
+      b.putInt(2) // dwTotalFrames: the VIDEO stream's count
+      b.array()
+    }
+    val audio = Array.fill[Byte](6)(0x11)
+    val strlBody = 4 + 8 + 4          // 'strl' + strh chunk (fccType only)
+    val hdrlBody = 4 + 8 + avih.length + 2 * (8 + strlBody)
+    val moviBody = 4 + (8 + audio.length) +
+      2 * (8 + j.length + (j.length & 1))
+    tag("RIFF"); w32(4 + 8 + hdrlBody + 8 + moviBody); tag("AVI ")
+    tag("LIST"); w32(hdrlBody); tag("hdrl")
+    tag("avih"); w32(avih.length); out.write(avih)
+    tag("LIST"); w32(strlBody); tag("strl"); tag("strh"); w32(4); tag("auds")
+    tag("LIST"); w32(strlBody); tag("strl"); tag("strh"); w32(4); tag("vids")
+    tag("LIST"); w32(moviBody); tag("movi")
+    tag("00wb"); w32(audio.length); out.write(audio)
+    Seq(j, j).foreach { f =>
+      tag("01dc"); w32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0)
+    }
+    val parsed = Multimodal.parseAvi(out.toByteArray)
+    assert(parsed.isDefined, "audio-first AVI rejected")
+    val (uspf, frames) = parsed.get
+    assert(uspf == 100000L)
+    assert(frames.length == 2, s"expected the 2 vids chunks, got ${frames.length}")
+    assert(frames.forall(f => java.util.Arrays.equals(f, j)),
+      "audio chunk leaked into the frame timeline")
+  }
+
   test("resizeImages: real PNG bilinear resize, pHash survives the rescale") {
     import spark.implicits._
     // smooth grayscale pattern in NORMALIZED coordinates so the same image
