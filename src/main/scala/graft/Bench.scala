@@ -19,9 +19,11 @@ object Bench {
   }
 
   /** min-of-N over [[timeQuery]] samples; any failed sample marks the
-    * query failed (negative result, magnitude = fastest failure). */
+    * query failed (negative result, magnitude = the fastest FAILURE's
+    * time-to-exception — a successful sample's duration must not
+    * masquerade as a failure time in the audit trail). */
   def settled(times: Seq[Double]): Double =
-    if (times.exists(_ < 0)) -times.map(math.abs).min else times.min
+    if (times.exists(_ < 0)) times.filter(_ < 0).max else times.min
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

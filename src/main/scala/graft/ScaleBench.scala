@@ -488,11 +488,12 @@ object ScaleBench {
           ragSrpIdx(dir), emb, ragQueries(dir), k = 10, "cid", "embedding")
       },
       // the IVF-served dense leg of tx_rag_pipeline_ivf under the √n
-      // auto dials (nlist ≈ √n, nprobe = nlist/16): the probe visits a
-      // CONSTANT fraction of the corpus per query while the query count
-      // grows ∝ corpus, so this row is the dense leg's sub-linear scale
-      // path beside the brute baseline's measured e→2 — the one the
-      // composed gate serves from its persisted artifact
+      // auto dials (nlist ≈ √n, nprobe = nlist/16 — a constant probed
+      // FRACTION, so per-query cost ∝ n/16 while the query count grows
+      // ∝ corpus: the TOTAL tends to e→2 by the benchmark's own shape
+      // and the serving claim is the PER-QUERY exponent, measured 0.09
+      // at ×100 — and the brute baseline OOMs outright at ×100 where
+      // this row completes; numbers in BASELINE.md rounds 11–12)
       "rag_dense_ivf" -> { dir: String =>
         val (idx, nprobe) = ragIvfIdx(dir)
         graft.operators.SimilaritySearch.ivfProbe(idx,

@@ -26,6 +26,12 @@ object InvertedIndex {
     * prunes to the query terms' buckets. */
   val Buckets = 64
 
+  /** Candidate-count bound (sum of the essential terms' dfs) above which
+    * [[bm25TopKPruned]] stops broadcast-hinting the candidate semi-join:
+    * ~2M doc ids ≈ 16 MB broadcast — past that, a forced broadcast is a
+    * driver/executor OOM waiting for a frequent essential term. */
+  val BroadcastCandidateCap = 2L << 20
+
   final case class LexIndex(
       postings: DataFrame, // term, doc_id, tf, bucket
       docLens: DataFrame,  // doc_id, dl
@@ -52,7 +58,7 @@ object InvertedIndex {
     * documents — the one wrong-answer-at-scale path this API must not
     * have.
     */
-  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+  private[graft] def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
@@ -244,12 +250,25 @@ object InvertedIndex {
       if (fs.exists(new Path(root, "suggest")))
         Some(spark.read.parquet(s"$dir/suggest"))
       else None // legacy artifact: probes fall back to per-call derivation
+    // mergeSchema: an artifact persisted before the max_tf statistic can
+    // carry 2-column termdf files beside 3-column appended deltas; the
+    // merged read nulls the missing column and the Long.MaxValue
+    // fallback keeps every probe CORRECT (any finite max_tf is a valid
+    // upper bound, so is the type's max — pruning merely loosens to
+    // idf·(k1+1) until a compact() re-derives the exact statistic)
+    val rawTermDf = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/termdf")
+    val termDf =
+      (if (rawTermDf.columns.contains("max_tf"))
+        rawTermDf.withColumn("max_tf",
+          coalesce(col("max_tf"), lit(Long.MaxValue)))
+      else rawTermDf.withColumn("max_tf", lit(Long.MaxValue)))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"),
+          max(col("max_tf")).as("max_tf"))
     val base = LexIndex(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclens"),
-      spark.read.parquet(s"$dir/termdf")
-        .groupBy(col("term")).agg(sum(col("df")).as("df"),
-          max(col("max_tf")).as("max_tf")),
+      termDf,
       meta.getLong(0), meta.getLong(1), suggest)
     if (fs.exists(new Path(root, "tombstones")))
       applyTombstones(spark, base, dir)
@@ -347,8 +366,10 @@ object InvertedIndex {
     val q = terms.toDF("term")
       .join(idx.termDf, Seq("term")) // df per query term (bag semantics)
     val pruned = prunedPostings(idx, terms)
+    // the caller decides whether the candidate side is broadcast-hinted
+    // (bm25TopKPruned bounds it by the essential terms' df sum first)
     val base = candidates.fold(pruned)(c =>
-      pruned.join(broadcast(c), Seq("doc_id"), "left_semi"))
+      pruned.join(c, Seq("doc_id"), "left_semi"))
     val sc = base
       .join(broadcast(q), Seq("term"))
       .join(idx.docLens, Seq("doc_id"))
@@ -421,21 +442,29 @@ object InvertedIndex {
           ((idx.n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
         val ub = mult(term) *
           (idf * (maxTf * (k1 + 1.0)) / (maxTf + k1 * (1.0 - b)))
-        (term, ub)
+        (term, df, ub)
       }
-      .sortBy { case (term, ub) => (-ub, term) }
+      .sortBy { case (term, _, ub) => (-ub, term) }
     if (stats.isEmpty) return bm25TopK(idx, terms, k) // no term indexed
     val m = stats.length
     var p = 1
     while (p < m) {
       val essential = stats.take(p).map(_._1).toSeq
-      val suffixUb = stats.drop(p).map(_._2).sum
+      val suffixUb = stats.drop(p).map(_._3).sum
       // outside docs match only non-essential terms: quantized score ≤
       // ceil(suffixUb·1e6); strict > means they rank below the k-th
       val suffixBoundQ = math.ceil(suffixUb * 1e6).toLong
-      val candidates = prunedPostings(idx, essential)
+      val raw = prunedPostings(idx, essential)
         .filter(col("term").isin(essential: _*))
         .select(col("doc_id")).distinct()
+      // the essential terms' df sum bounds the candidate count exactly,
+      // with zero extra jobs (already collected) — broadcast only when
+      // that bound fits; past it (an all-stop-term query grown to a
+      // frequent prefix) the semi-join falls back to the planner's
+      // shuffle strategy instead of a corpus-sized driver broadcast
+      val candBound = stats.take(p).map(_._2).sum
+      val candidates =
+        if (candBound <= BroadcastCandidateCap) broadcast(raw) else raw
       val scored = bm25ScoresOver(idx, terms, k1, b, Some(candidates))
       val top = scored.orderBy(col("score_q").desc, col("doc_id"))
         .limit(k).collect()

@@ -79,20 +79,26 @@ object StreamingLexIndex {
   def sink(docs: DataFrame, dir: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",
       mergeEvery: Int = 0)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    // reject a bad dial HERE, where it is passed — not on the first
+    // micro-batch inside foreachBatch, after data already landed
+    require(mergeEvery == 0 || mergeEvery >= 2,
+      s"mergeEvery must be 0 (off) or >= 2, got $mergeEvery")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatch(b, id, dir, idCol, textCol)
         if (mergeEvery > 0) { maybeMerge(b.sparkSession, dir, mergeEvery, id); () }
       }
+  }
 
   private val Relations = Seq("postings", "doclens", "termdf", "meta")
 
-  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
-    val p = new Path(dir)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
+  // shared with the batch artifact: one definition of "resolve the
+  // filesystem FROM the artifact path" (InvertedIndex.fsFor carries the
+  // load-bearing rationale)
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) =
+    InvertedIndex.fsFor(spark, dir)
 
   /** Live segment ids: the `_segments` manifest when present (the
     * merge-commit mechanism), else every `batch=` partition on disk —
@@ -106,21 +112,27 @@ object StreamingLexIndex {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       txt.split("\n").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
-    } else listSegments(fs, root)
+    } else listSegments(fs, root, "meta")
   }
 
-  private def listSegments(fs: FileSystem, root: Path): Seq[Long] = {
-    val p = new Path(root, "postings")
+  // META is the listing source: every applied batch writes a meta row,
+  // while a non-empty batch of all-separator texts writes NO postings
+  // partition — listing postings would silently drop that batch's (n,
+  // sdl) contribution at first-merge manifest bootstrap
+  private def listSegments(fs: FileSystem, root: Path,
+      sub: String): Seq[Long] = {
+    val p = new Path(root, sub)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong)
   }
 
-  /** Atomic manifest cut-over: temp file + rename — the same commit
-    * primitive as [[graft.operators.InvertedIndex.compact]]'s staging
-    * swap (atomic on HDFS/local; an object store needs its conditional
-    * put instead).
+  /** Atomic manifest cut-over: temp file + FileContext rename with
+    * OVERWRITE — a single atomic replace on HDFS/local (an object store
+    * needs its conditional put instead). A plain delete-then-rename
+    * would open a no-manifest window in which the all-partitions-live
+    * fallback double-counts a half-merged directory.
     */
   private def writeManifest(fs: FileSystem, root: Path, ids: Seq[Long]): Unit = {
     val tmp = new Path(root, s"_segments.tmp")
@@ -128,9 +140,8 @@ object StreamingLexIndex {
     try out.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     val live = new Path(root, "_segments")
-    fs.delete(live, false)
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"manifest rename failed under $root")
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
+      .rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Auto segment-merge (the LSM rhythm, manifest-committed): when the
@@ -146,9 +157,10 @@ object StreamingLexIndex {
     * manifest to {merged id, unfolded ids} — the commit point;
     * (3) best-effort delete of the folded partitions (a crash here
     * leaves orphans the manifest-filtered [[load]] never reads; the
-    * next merge's stale-target cleanup removes them). A replayed batch
-    * after a completed merge re-runs this and finds the fold set below
-    * threshold — a no-op, so merge composes with exactly-once.
+    * orphan sweep at the top of EVERY maybeMerge call removes them on
+    * the next batch). A replayed batch after a completed merge re-runs
+    * this and finds the fold set below threshold — a no-op, so merge
+    * composes with exactly-once.
     *
     * Single-writer by contract (a Structured Streaming sink is), so the
     * manifest read-modify-write needs no lock. Returns true if a merge
@@ -159,6 +171,17 @@ object StreamingLexIndex {
     require(threshold >= 2, s"merge threshold must be >= 2, got $threshold")
     val (fs, root) = fsFor(spark, dir)
     val live = liveSegments(spark, dir)
+    // orphan sweep: partitions a crashed post-commit cleanup left behind
+    // are invisible to manifest-filtered loads but would leak disk
+    // forever on the long-running path this sink exists for
+    if (fs.exists(new Path(root, "_segments"))) {
+      val liveSet = live.toSet
+      Relations.foreach { sub =>
+        listSegments(fs, root, sub).filterNot(liveSet.contains).foreach {
+          id => fs.delete(new Path(root, s"$sub/batch=$id"), true)
+        }
+      }
+    }
     if (live.size < threshold) return false
     val fold = live.filter(_ < currentBatch)
     val keep = live.filterNot(fold.contains)
@@ -204,23 +227,34 @@ object StreamingLexIndex {
   private def loadSegments(spark: SparkSession, dir: String,
       ids: Seq[Long]): InvertedIndex.LexIndex = {
     def rel(sub: String): DataFrame = {
-      val df = spark.read.parquet(s"$dir/$sub")
+      // mergeSchema only where the schema ever evolved (termdf gained
+      // max_tf); the posting/doclens footers are uniform and many
+      val reader =
+        if (sub == "termdf") spark.read.option("mergeSchema", "true")
+        else spark.read
+      val df = reader.parquet(s"$dir/$sub")
       (if (ids == null) df else df.filter(col("batch").isin(ids: _*)))
         .drop("batch")
     }
     val meta = rel("meta").agg(
       coalesce(sum(col("n")), lit(0L)),
       coalesce(sum(col("sdl")), lit(0L))).collect()(0)
+    // max_tf merges by MAX across batch deltas — the same exact merge
+    // as InvertedIndex.load, with the same legacy fallback: pre-max_tf
+    // batch deltas read null under mergeSchema and the Long.MaxValue
+    // bound stays valid (loose) until a compactTo re-derivation
+    val rawTermDf = rel("termdf")
+    val termDf =
+      (if (rawTermDf.columns.contains("max_tf"))
+        rawTermDf.withColumn("max_tf",
+          coalesce(col("max_tf"), lit(Long.MaxValue)))
+      else rawTermDf.withColumn("max_tf", lit(Long.MaxValue)))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"),
+          max(col("max_tf")).as("max_tf"))
     InvertedIndex.LexIndex(
       rel("postings"),
       rel("doclens"),
-      // max_tf merges by MAX across batch deltas — the same exact merge
-      // as InvertedIndex.load; dropping it here would strand the
-      // streaming-built index without its pruning bound (the r11 load
-      // regression's shape)
-      rel("termdf")
-        .groupBy(col("term")).agg(sum(col("df")).as("df"),
-          max(col("max_tf")).as("max_tf")),
+      termDf,
       meta.getLong(0), meta.getLong(1))
   }
 

@@ -23,6 +23,9 @@ class HarnessFailureSpec extends SparkSpec {
     assert(Bench.settled(Seq(1.5, -0.3)) == -0.3)
     assert(Bench.settled(Seq(-2.0, -0.5)) == -0.5)
     assert(Bench.settled(Seq(1.5, 0.8)) == 0.8)
+    // the magnitude is the fastest FAILURE's time-to-exception: a
+    // succeeding retry's duration must not masquerade as a failure time
+    assert(Bench.settled(Seq(-2.0, 0.5)) == -2.0)
   }
 
   test("Verify.writeResult dumps an explicit __verify_error row and the " +

@@ -543,6 +543,43 @@ class InvertedIndexSpec extends SparkSpec {
     assert(a2 == b2)
   }
 
+  test("legacy artifact without max_tf loads; pruning stays lossless on the loose bound") {
+    // simulate an artifact persisted before the max_tf statistic: strip
+    // the column from termdf on disk; load must fall back to the
+    // Long.MaxValue bound (valid, loose) instead of throwing — the r11
+    // regression shape, but for OLD artifacts instead of new code
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-legacy").toString
+    val docs = Seq(
+      (1L, "hot hot cold rare1"),
+      (2L, "hot cold cold"),
+      (3L, "cold rare1 rare2")).toDF("doc_id", "text")
+    InvertedIndex.save(InvertedIndex.build(docs), dir)
+    val stripped = spark.read.parquet(s"$dir/termdf").drop("max_tf")
+      .collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("df",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(stripped: _*), schema)
+      .write.mode("overwrite").parquet(s"$dir/termdf")
+    val legacy = InvertedIndex.load(spark, dir)
+    assert(legacy.termDf.filter($"max_tf" =!= Long.MaxValue).count() == 0)
+    val (a, b) = runBoth(legacy, Seq("hot", "rare1"), 3)
+    assert(a == b, s"$a vs $b")
+    // tombstoning a legacy artifact works too (the r11 crash path)
+    InvertedIndex.delete(spark, dir, Seq(2L))
+    val tombed = InvertedIndex.load(spark, dir)
+    val (a2, b2) = runBoth(tombed, Seq("hot", "rare1"), 3)
+    assert(a2 == b2)
+    // compact re-derives the EXACT statistic from surviving postings
+    InvertedIndex.compact(spark, dir)
+    val compacted = InvertedIndex.load(spark, dir)
+    assert(compacted.termDf.filter($"max_tf" === Long.MaxValue).count() == 0)
+  }
+
   test("bm25TopKPruned: valid over a tombstoned artifact (loose max_tf)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-lexidx-wand").toString
