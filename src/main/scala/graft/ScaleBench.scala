@@ -281,6 +281,7 @@ object ScaleBench {
     val lexIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var bm25Terms: Seq[String] = Nil
+    var suggestQueries: Seq[String] = Nil
     val posIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var phraseTerms: Seq[String] = Nil
@@ -466,6 +467,20 @@ object ScaleBench {
       "ql_probe" -> { dir: String =>
         graft.operators.InvertedIndex.qlTopK(lexIdx(dir), bm25Terms, 10)
       },
+      // spell suggestion: artifact-served (bucket-pruned persisted
+      // dictionary, r12) vs per-call vocabulary explode (the same index
+      // with the dictionary handle dropped). The derived row pays a
+      // vocabulary × term-length explode per probe; its exponent should
+      // track vocabulary growth while the served row tracks only the
+      // query keys' bucket volume
+      "suggest_probe" -> { dir: String =>
+        graft.operators.InvertedIndex.suggestTerms(
+          lexIdx(dir), suggestQueries, 3)
+      },
+      "suggest_probe_derived" -> { dir: String =>
+        graft.operators.InvertedIndex.suggestTerms(
+          lexIdx(dir).copy(suggestKeys = None), suggestQueries, 3)
+      },
       // the composed RAG pipeline gate end-to-end (chunk → embed →
       // index → fused retrieve → eval). Query count AND chunk corpus
       // both grow ∝ corpus here (queries = chunk 0 of every 5th sampled
@@ -531,7 +546,9 @@ object ScaleBench {
       builds("bench_grams") = (
         timeIt { graft.queries.EngineQueries.prepareBenchGrams(spark, base); () },
         timeIt { graft.queries.EngineQueries.prepareBenchGrams(spark, out); () })
-    if (familySelected("bm25_probe") || familySelected("ql_probe")) {
+    if (familySelected("bm25_probe") || familySelected("ql_probe") ||
+        familySelected("suggest_probe") ||
+        familySelected("suggest_probe_derived")) {
       def mkIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx").toString
@@ -545,6 +562,12 @@ object ScaleBench {
       bm25Terms = lexIdx(base).termDf
         .orderBy(col("df").desc, col("term")).limit(3)
         .collect().map(_.getString(0)).toSeq
+      // the t_spell_suggest gate's query shape: frequent terms with one
+      // character deleted — fixed from the base vocabulary
+      suggestQueries = lexIdx(base).termDf
+        .orderBy(col("df").desc, col("term")).limit(5)
+        .collect().map(_.getString(0))
+        .map(t => t.take(1) + t.drop(2)).distinct.toSeq
     }
     if (familySelected("bm25_tomb_probe")) {
       // the delete/compact lifecycle at index scale (r11 verdict item 9,

@@ -112,6 +112,12 @@ object MultimodalQueries extends QueryPack {
   private[graft] val vidFixtures: Seq[(String, Long, Int)] = Seq(
     ("vid0.avi", 100000L, 12), ("vid1.avi", 250000L, 10))
 
+  /** MP4 twins of [[vidFixtures]] (same alternating-JPEG construction,
+    * own rates; vid3 declares its audio trak FIRST so the gate also
+    * proves the first-vide-trak selection). */
+  private[graft] val vidMp4Fixtures: Seq[(String, Long, Int)] = Seq(
+    ("vid2.mp4", 200000L, 9), ("vid3.mp4", 125000L, 14))
+
   /** Solid-gray 16×16 JPEG. */
   private[graft] def jpegBytes(v: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
@@ -161,6 +167,59 @@ object MultimodalQueries extends QueryPack {
     out.toByteArray
   }
 
+  /** Minimal ISO-BMFF/MP4 fixture: ftyp + mdat (samples concatenated) +
+    * moov with one `vide` trak whose sample table lays each sample in
+    * its own chunk (stsc single run, stco per-sample offsets). The mdhd
+    * timescale is 1e6, so the stts delta IS µs/frame exactly. Motion-
+    * JPEG samples make every demuxed frame ImageIO-decodable — the
+    * [[graft.sources.Multimodal.parseMp4]] serving shape.
+    */
+  private[graft] def mp4Bytes(usPerFrame: Long,
+      frames: Seq[Array[Byte]],
+      leadingAudioTrak: Boolean = false): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def tag(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def box(tpe: String, body: Array[Byte]*): Array[Byte] = {
+      val b = body.flatten.toArray
+      be32(8L + b.length) ++ tag(tpe) ++ b
+    }
+    val ftyp = box("ftyp", tag("isom"), be32(0), tag("isom"))
+    val mdatBody = frames.flatten.toArray
+    val mdat = box("mdat", mdatBody)
+    // sample offsets are absolute payload offsets: ftyp + mdat header
+    val dataStart = ftyp.length + 8
+    val offsets = frames.scanLeft(dataStart.toLong)(_ + _.length).init
+    val vf = be32(0) // version 0 + zero flags
+    def trak(handler: String): Array[Byte] = {
+      // v0 layout: creation + modification + timescale(1e6) + duration +
+      // language ('und') + pre_defined — the spec's full 24-byte body
+      val mdhd = box("mdhd", vf, be32(0), be32(0),
+        be32(1000000L), be32(frames.length * usPerFrame),
+        Array(0x55.toByte, 0xC4.toByte, 0.toByte, 0.toByte))
+      val hdlr = box("hdlr", vf, be32(0), tag(handler),
+        be32(0), be32(0), be32(0), Array(0.toByte))
+      val stts = box("stts", vf, be32(1),
+        be32(frames.length), be32(usPerFrame))
+      val stsd = box("stsd", vf, be32(1),
+        box("jpeg", Array.fill[Byte](8)(0)))
+      val stsc = box("stsc", vf, be32(1), be32(1), be32(1), be32(1))
+      val stsz = box("stsz", vf, be32(0), be32(frames.length),
+        frames.indices.flatMap(i => be32(frames(i).length)).toArray)
+      val stco = box("stco", vf, be32(frames.length),
+        offsets.flatMap(be32).toArray)
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = box("minf", stbl)
+      box("trak", box("mdia", mdhd, hdlr, minf))
+    }
+    val traks =
+      if (leadingAudioTrak) trak("soun") ++ trak("vide") else trak("vide")
+    val moov = box("moov", traks)
+    ftyp ++ mdat ++ moov
+  }
+
   /** Idempotent fixture layout under the JVM temp dir: same bytes every
     * call, so repeated gate runs scan identical content.
     */
@@ -196,6 +255,11 @@ object MultimodalQueries extends QueryPack {
     vidFixtures.foreach { case (name, uspf, nFrames) =>
       put(new java.io.File(vid, name),
         aviBytes(uspf, (0 until nFrames).map(i => colorJpegs(i % 2))))
+    }
+    vidMp4Fixtures.foreach { case (name, uspf, nFrames) =>
+      put(new java.io.File(vid, name),
+        mp4Bytes(uspf, (0 until nFrames).map(i => colorJpegs(i % 2)),
+          leadingAudioTrak = name == "vid3.mp4"))
     }
     root.getAbsolutePath
   }
@@ -478,10 +542,16 @@ object MultimodalQueries extends QueryPack {
           col("color_group"))
         .orderBy(col("name"), col("frame_idx"))
     },
-    Some {
-      val vids = vidFixtures.map { case (n, uspf, nf) => s"('$n', $uspf, $nf)" }
-        .mkString(", ")
-      s"""WITH vids(name, uspf, nframes) AS (VALUES $vids
+    Some(videoOracleSql(vidFixtures)))
+
+  /** Shared oracle for the frame-sampling gates: the decode-boundary
+    * split — tick arithmetic + planted alternating-color identity replay
+    * in SQL, parameterized by the fixture (name, µs/frame, frame count)
+    * triples; no JPEG ever crosses the oracle. */
+  private def videoOracleSql(fixtures: Seq[(String, Long, Int)]): String = {
+    val vids = fixtures.map { case (n, uspf, nf) => s"('$n', $uspf, $nf)" }
+      .mkString(", ")
+    s"""WITH vids(name, uspf, nframes) AS (VALUES $vids
     ), ticks AS (
       SELECT name, uspf, nframes,
         unnest(range(0, LEAST((nframes * uspf // 1000) // 300, 8))) AS k
@@ -496,9 +566,45 @@ object MultimodalQueries extends QueryPack {
       CAST(MIN(frame_idx) OVER (PARTITION BY name, color) AS INT)
         AS color_group
     FROM fr ORDER BY name, frame_idx"""
-    })
+  }
+
+  // ---- the MP4 twin (round 12): the SAME serving pipeline over
+  //      ISO-BMFF payloads — binaryFile scan → parseMp4 sample-table
+  //      demux → stride ticks → byte-identity color groups. vid3
+  //      declares its audio trak first, so a hash match also proves the
+  //      first-vide-trak selection (the AVI round's multi-stream lesson
+  //      applied to MP4 from day one) ----
+  private val videoMp4Sample = OracleQuery(
+    "mm_video_mp4_sample",
+    (s, _) => {
+      val root = ensureFixtures()
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4").load(s"$root/vid")
+        .select(
+          xxhash64(col("path")).as("asset_id"),
+          element_at(split(col("path"), "/"), -1).as("name"),
+          lit("video").as("kind"),
+          struct(lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(null).cast("long").as("duration_ms"),
+            lit(null).cast("int").as("sample_rate"),
+            lit("mjpeg").as("codec")).as("meta"),
+          col("content").as("payload"))
+      val frames = Multimodal.sampleFrames(media, strideMs = 300L,
+        maxFrames = 8)
+      frames
+        .join(media.select(col("asset_id"), col("name")), Seq("asset_id"))
+        .withColumn("color_group",
+          min(col("frame_idx")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("name"), md5(col("frame")))).cast("int"))
+        .select(col("name"), col("frame_idx"), col("ts_ms"),
+          col("color_group"))
+        .orderBy(col("name"), col("frame_idx"))
+    },
+    Some(videoOracleSql(vidMp4Fixtures)))
 
   override val all: Seq[OracleQuery] =
     Seq(imageNearDups, audioEnergy, audioNearDupPairs, embJsonSource,
-      videoFrameSample)
+      videoFrameSample, videoMp4Sample)
 }

@@ -124,9 +124,153 @@ object Multimodal {
     if (ok && usPerFrame > 0 && fs.nonEmpty) Some((usPerFrame, fs)) else None
   }
 
+  /** Minimal ISO-BMFF (MP4, ISO/IEC 14496-12) demux — the MP4 sibling of
+    * [[parseAvi]], same contract: REAL sample extraction without any
+    * codec. Big-endian length-prefixed box walk to the FIRST `vide`
+    * trak; the sample table (`stts` nominal delta + `mdhd` timescale →
+    * µs/frame; `stsz` sizes threaded through the `stsc` sample-to-chunk
+    * runs at the `stco`/`co64` chunk offsets) yields every video
+    * sample's exact byte range in the payload. For motion-JPEG MP4s
+    * each sample is a complete JFIF image `javax.imageio` decodes; any
+    * other codec (H.264 et al.) demuxes as exact bytes with real timing
+    * and the DECODE stays the documented JDK boundary — the container
+    * walk is no longer the gap. Returns None when the payload is not a
+    * structurally valid MP4 (every box, chunk offset, and sample range
+    * must land inside the payload) — callers keep the deterministic
+    * stub.
+    */
+  private[graft] def parseMp4(
+      payload: Array[Byte]): Option[(Long, Vector[Array[Byte]])] = {
+    if (payload == null || payload.length < 16) return None
+    def be32(o: Int): Long =
+      ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
+        ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def fourcc(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (fourcc(4) != "ftyp") return None
+    final case class Box(tpe: String, body: Int, end: Int)
+    // boxes tile their container exactly; any misaligned or payload-
+    // escaping size rejects the whole parse (the parseAvi truncation
+    // discipline — a cut container must fail loudly, not shrink)
+    def children(start: Int, end: Int): Option[Vector[Box]] = {
+      val out = Vector.newBuilder[Box]
+      var off = start
+      while (off + 8 <= end) {
+        val sz = be32(off)
+        val tpe = fourcc(off + 4)
+        val (body, boxEnd) =
+          if (sz == 1L) {
+            if (off + 16 > end) return None
+            val ls = be64(off + 8)
+            if (ls < 16 || ls > end - off) return None
+            (off + 16, off + ls.toInt)
+          } else if (sz == 0L) (off + 8, end) // open box: to container end
+          else {
+            if (sz < 8 || sz > end - off) return None
+            (off + 8, off + sz.toInt)
+          }
+        out += Box(tpe, body, boxEnd)
+        off = boxEnd
+      }
+      if (off != end) None else Some(out.result())
+    }
+    def child(bs: Vector[Box], tpe: String): Option[Box] =
+      bs.find(_.tpe == tpe)
+    val top = children(0, payload.length).getOrElse(return None)
+    val moov = child(top, "moov").getOrElse(return None)
+    val moovKids = children(moov.body, moov.end).getOrElse(return None)
+    moovKids.filter(_.tpe == "trak").foreach { trak =>
+      val result = for {
+        trakKids <- children(trak.body, trak.end)
+        mdia <- child(trakKids, "mdia")
+        mdiaKids <- children(mdia.body, mdia.end)
+        hdlr <- child(mdiaKids, "hdlr")
+        // handler_type sits after version/flags(4) + pre_defined(4)
+        if hdlr.end - hdlr.body >= 12 && fourcc(hdlr.body + 8) == "vide"
+        mdhd <- child(mdiaKids, "mdhd")
+        if mdhd.end - mdhd.body >= 24 // v0 minimum; v1 checked below
+        mdhdV1 = payload(mdhd.body) == 1 // version byte
+        if !mdhdV1 || mdhd.end - mdhd.body >= 32
+        timescale = if (mdhdV1) be32(mdhd.body + 20) // v1: 8+8-byte times
+          else be32(mdhd.body + 12)                  // v0: 4+4-byte times
+        if timescale > 0
+        minf <- child(mdiaKids, "minf")
+        minfKids <- children(minf.body, minf.end)
+        stbl <- child(minfKids, "stbl")
+        stblKids <- children(stbl.body, stbl.end)
+        stts <- child(stblKids, "stts")
+        if stts.end - stts.body >= 16 && be32(stts.body + 4) >= 1
+        // the first run's delta is the nominal rate (constant-rate
+        // files have one run; a trailing odd-duration sample adds a
+        // second we deliberately ignore, like avih's single rate)
+        usPerFrame = be32(stts.body + 12) * 1000000L / timescale
+        if usPerFrame > 0
+        stsz <- child(stblKids, "stsz")
+        if stsz.end - stsz.body >= 12
+        stsc <- child(stblKids, "stsc")
+        if stsc.end - stsc.body >= 8
+        stcoBox <- child(stblKids, "stco").map((_, false))
+          .orElse(child(stblKids, "co64").map((_, true)))
+        if stcoBox._1.end - stcoBox._1.body >= 8
+      } yield {
+        val (stco, wide) = stcoBox
+        val uniform = be32(stsz.body + 4)
+        val nSamples = be32(stsz.body + 8).toInt
+        val nChunks = be32(stco.body + 4).toInt
+        val nRuns = be32(stsc.body + 4).toInt
+        def sampleSize(i: Int): Long =
+          if (uniform > 0) uniform else be32(stsz.body + 12 + 4 * i)
+        def chunkOffset(c: Int): Long =
+          if (wide) be64(stco.body + 8 + 8 * c) else be32(stco.body + 8 + 4 * c)
+        def runFirstChunk(r: Int): Long = be32(stsc.body + 8 + 12 * r)
+        def runPerChunk(r: Int): Long = be32(stsc.body + 8 + 12 * r + 4)
+        // structural bounds before any table walks
+        if (nSamples <= 0 || nChunks <= 0 || nRuns <= 0 ||
+            (uniform == 0 && stsz.end - stsz.body < 12 + 4L * nSamples) ||
+            stco.end - stco.body < 8 + (if (wide) 8L else 4L) * nChunks ||
+            stsc.end - stsc.body < 8 + 12L * nRuns) None
+        else {
+          val frames = Vector.newBuilder[Array[Byte]]
+          var sample = 0
+          var run = 0
+          var chunk = 0
+          var valid = true
+          while (valid && chunk < nChunks && sample < nSamples) {
+            while (run + 1 < nRuns && runFirstChunk(run + 1) <= chunk + 1)
+              run += 1
+            var off = chunkOffset(chunk)
+            var inChunk = 0L
+            while (valid && inChunk < runPerChunk(run) && sample < nSamples) {
+              val sz = sampleSize(sample)
+              if (off < 0 || sz <= 0 || sz > Int.MaxValue ||
+                  off + sz > payload.length) valid = false
+              else {
+                frames += java.util.Arrays.copyOfRange(
+                  payload, off.toInt, (off + sz).toInt)
+                off += sz; sample += 1; inChunk += 1
+              }
+            }
+            chunk += 1
+          }
+          // every declared sample must land: an undercounting chunk
+          // table is the stco analog of the avih frame-count check
+          if (valid && sample == nSamples) Some((usPerFrame, frames.result()))
+          else None
+        }
+      }
+      result.flatten match {
+        case Some(hit) => return Some(hit)
+        case None => () // not a (valid) video trak — try the next
+      }
+    }
+    None
+  }
+
   /** Frame sampling: video payload → one row per sampled frame at a fixed
     * stride. Generator shape (1 row in → F rows out) via flatMap inside
-    * mapPartitions. REAL for RIFF/AVI payloads ([[parseAvi]]): the
+    * mapPartitions. REAL for RIFF/AVI ([[parseAvi]]) and ISO-BMFF/MP4
+    * ([[parseMp4]]) payloads: the
     * asset's duration derives from the container (frames × µs/frame),
     * tick `k` lands at `ts = k·strideMs`, and the emitted frame is the
     * container frame on screen at that instant
@@ -146,7 +290,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          parseAvi(payload) match {
+          // container demux is real for RIFF/AVI and ISO-BMFF/MP4; any
+          // other payload keeps the deterministic stub
+          parseAvi(payload).orElse(parseMp4(payload)) match {
             case Some((usPf, frames)) =>
               val durMs = frames.length.toLong * usPf / 1000L
               val n = math.min(

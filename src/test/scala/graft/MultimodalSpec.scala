@@ -284,6 +284,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseAvi(multi.take(multi.length - 2)).isEmpty)
   }
 
+  test("parseMp4: ISO-BMFF sample-table demux — exact bytes, audio-first trak, truncation") {
+    import graft.queries.MultimodalQueries.{mp4Bytes, jpegBytes}
+    val jA = jpegBytes(40); val jB = jpegBytes(200)
+    val frames = (0 until 6).map(i => if (i % 2 == 0) jA else jB)
+    val mp4 = mp4Bytes(100000L, frames)
+    val parsed = Multimodal.parseMp4(mp4)
+    assert(parsed.isDefined, "valid MP4 rejected")
+    assert(parsed.get._1 == 100000L)
+    assert(parsed.get._2.length == 6)
+    parsed.get._2.zip(frames).foreach { case (got, exp) =>
+      assert(java.util.Arrays.equals(got, exp), "sample bytes differ")
+    }
+    // the demuxed sample really is a JPEG the JDK decodes to its color
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(parsed.get._2(1)))
+    assert(img != null && img.getWidth == 16)
+    assert(math.abs((img.getRGB(8, 8) & 0xFF) - 200) <= 8)
+    // a leading audio trak must not shadow the vide trak (the AVI
+    // multi-stream lesson, applied to MP4 from day one)
+    val af = mp4Bytes(200000L, frames, leadingAudioTrak = true)
+    val p2 = Multimodal.parseMp4(af)
+    assert(p2.isDefined && p2.get._1 == 200000L && p2.get._2.length == 6)
+    assert(java.util.Arrays.equals(p2.get._2(0), jA))
+    // physical truncation rejects: the cut box's extent escapes the
+    // payload and the walk fails loudly instead of shrinking
+    assert(Multimodal.parseMp4(mp4.take(mp4.length - 3)).isEmpty)
+    // the two container walkers do not cross-accept
+    assert(Multimodal.parseAvi(mp4).isEmpty)
+    // sampleFrames serves MP4 end-to-end: 600 ms at 200 ms -> 3 ticks
+    val rows = java.util.Arrays.asList(
+      Row(9L, "video", Row(null, null, null, null, "mjpeg"), mp4))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.sampleFrames(media, strideMs = 200L, maxFrames = 8)
+      .collect().sortBy(_.getInt(1))
+    assert(out.length == 3)
+    assert(java.util.Arrays.equals(
+      out(0).getAs[Array[Byte]]("frame"), jA)) // tick 0 -> frame 0
+  }
+
   test("parseAvi: audio-declared-first AVI demuxes the vids stream (01dc)") {
     import graft.queries.MultimodalQueries.jpegBytes
     // stream numbers follow hdrl strl declaration order: an AVI that
