@@ -111,7 +111,7 @@ object Bench {
     }
     build("lex_index", selected.exists(e =>
         e._1 == "t_bm25_artifact_topk" || e._1 == "vx_hybrid_rrf_top10" ||
-        e._1 == "t_bm25_wand_topk" ||
+        e._1 == "t_bm25_wand_topk" || e._1 == "t_bm25_filtered_topk" ||
         e._1 == "t_spell_suggest" || e._1 == "t_ql_topk" ||
         e._1 == "t_lex_index_stats" || e._1 == "t_lex_facet_counts")) {
       graft.queries.TextQueries.prepareLexIndex(spark, sfDir); ()
@@ -124,7 +124,8 @@ object Bench {
         e._1 == "t_proximity_search_topk")) {
       graft.queries.TextQueries.preparePhraseIndex(spark, sfDir); ()
     }
-    build("lex_index_stream", selected.exists(_._1 == "tx_stream_index_bm25")) {
+    build("lex_index_stream", selected.exists(e =>
+        e._1 == "tx_stream_index_bm25" || e._1 == "tx_stream_index_wand")) {
       graft.queries.TextQueries.prepareStreamLexIndex(spark, sfDir); ()
     }
     build("jsonl_dump", selected.exists(_._1 == "s_jsonl_contract")) {

@@ -386,6 +386,26 @@ object InvertedIndex {
         .cast("double") * lit(1000000.0)).cast("long").as("score_q"))
   }
 
+  /** BM25 top-k restricted to an allowed document set — metadata-FILTERED
+    * retrieval (source/tenant/ACL filters), the serving verb every search
+    * system pairs with the unfiltered probe. Scores use the CORPUS-wide
+    * statistics (df, n, avgdl): the filter narrows who may be returned,
+    * not what relevance means — the standard filtered-search contract.
+    *
+    * Scale: the allowed relation semi-joins the bucket-pruned posting
+    * scan BEFORE any scoring work, so shuffle/aggregation volume is
+    * ∝ |allowed ∩ matched postings|; the caller broadcast-hints a
+    * known-small filter (an ACL list) and leaves a large one (a tenant
+    * holding half the corpus) to the planner's shuffle strategy.
+    */
+  def bm25TopKAmong(idx: LexIndex, terms: Seq[String], k: Int,
+      allowed: DataFrame, idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoresOver(idx, terms, k1, b,
+      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+
   /** BM25 top-k with WAND-style dynamic pruning over the persisted
     * per-term `max_tf` bound (Ding & Suel 2011's block-max idea reduced
     * to one block per term; the term-at-a-time MaxScore organization of

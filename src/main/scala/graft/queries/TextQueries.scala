@@ -701,6 +701,10 @@ object TextQueries extends QueryPack {
       (0L to 2L).foreach { b =>
         graft.streaming.StreamingLexIndex.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(3L)) === b), b, dir)
+        // auto segment-merge in the gate path (r12): batches 0–1 fold
+        // into a manifest-committed merged segment when batch 2 lands,
+        // so the oracle hash ALSO proves merge bit-identity
+        graft.streaming.StreamingLexIndex.maybeMerge(s, dir, 2, b)
       }
       graft.streaming.StreamingLexIndex.load(s, dir)
     }(_ => ())
@@ -713,6 +717,76 @@ object TextQueries extends QueryPack {
       graft.operators.InvertedIndex.bm25TopK(idx, terms, 10)
     },
     bm25TopK.sql)
+
+  // ---- WAND over the STREAM-BUILT (and mid-stream segment-merged)
+  //      index: the pruned probe needs the max_tf bound to survive the
+  //      batch-delta merge AND the manifest-committed segment fold —
+  //      this gate is the end-to-end proof, with t_bm25_wand_topk's SQL
+  //      verbatim (the streamed corpus is the full corpus, and pruning
+  //      is lossless by construction) ----
+  private val streamIngestWand = OracleQuery(
+    "tx_stream_index_wand",
+    (s, d) => {
+      val idx = prepareStreamLexIndex(s, d)
+      val stop = idx.termDf.orderBy(col("df").desc, col("term")).limit(1)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val rare = idx.termDf.orderBy(col("df"), col("term")).limit(2)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.InvertedIndex.bm25TopKPruned(idx, stop ++ rare, 10)
+    },
+    Some(wandOracleSql))
+
+  // ---- metadata-FILTERED retrieval (the source/tenant/ACL serving
+  //      verb): top-10 among ONE source's documents for a frequent-term
+  //      query, scored with CORPUS-wide statistics — the filter narrows
+  //      who may be returned, never what relevance means. The allowed
+  //      set semi-joins the pruned posting scan before scoring ----
+  private val bm25FilteredTopK = OracleQuery(
+    "t_bm25_filtered_topk",
+    (s, d) => {
+      val idx = prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df").desc, col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val allowed = Tables.documents(s, d)
+        .filter(col("source") === "src0").select(col("doc_id"))
+      graft.operators.InvertedIndex.bm25TopKAmong(idx, terms, 10, allowed)
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      SELECT w, df FROM dft ORDER BY df DESC, w LIMIT 3
+    ), allowed AS (
+      SELECT doc_id FROM documents WHERE source = 'src0'
+    ), sc AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN allowed ON tf.doc_id = allowed.doc_id
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+    )
+    SELECT doc_id,
+      CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
+    FROM sc GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id LIMIT 10"""))
 
   // ---- exact-phrase search over the PERSISTED positional index
   //      (InvertedIndex.phraseTopK): postings carry the term's position
@@ -958,7 +1032,11 @@ object TextQueries extends QueryPack {
         .collect().map(_.getAs[String]("term")).toSeq
       graft.operators.InvertedIndex.bm25TopKPruned(idx, stop ++ rare, 10)
     },
-    Some(s"""WITH toks AS (
+    Some(wandOracleSql))
+
+  // a def, not a val: tx_stream_index_wand (declared earlier in this
+  // object) shares it, and val-initialization order would NPE
+  private def wandOracleSql: String = s"""WITH toks AS (
       SELECT doc_id, w FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> ''
@@ -992,7 +1070,7 @@ object TextQueries extends QueryPack {
     SELECT doc_id,
       CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
     FROM sc GROUP BY doc_id
-    ORDER BY score_q DESC, doc_id LIMIT 10"""))
+    ORDER BY score_q DESC, doc_id LIMIT 10"""
 
   // ---- the BPE train→apply closure: tokenize the corpus with the 16
   //      learned merges (train on the word-frequency vocabulary, apply
@@ -3873,7 +3951,8 @@ object TextQueries extends QueryPack {
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
-    bm25TopK, bm25Artifact, bm25WandTopK, bm25Tombstone, bm25StreamIngest,
+    bm25TopK, bm25Artifact, bm25WandTopK, bm25FilteredTopK, bm25Tombstone,
+    bm25StreamIngest, streamIngestWand,
     qlTopKGate,
     lexIndexStats, lexFacets,
     phraseTopK, phraseSnips, proximityTopK, spellSuggest, bpeTokenizeStats,
