@@ -112,6 +112,7 @@ object Bench {
     build("lex_index", selected.exists(e =>
         e._1 == "t_bm25_artifact_topk" || e._1 == "vx_hybrid_rrf_top10" ||
         e._1 == "t_bm25_wand_topk" || e._1 == "t_bm25_filtered_topk" ||
+        e._1 == "t_bm25_batch_wand_topk" ||
         e._1 == "t_spell_suggest" || e._1 == "t_ql_topk" ||
         e._1 == "t_lex_index_stats" || e._1 == "t_lex_facet_counts")) {
       graft.queries.TextQueries.prepareLexIndex(spark, sfDir); ()

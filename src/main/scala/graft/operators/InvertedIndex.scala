@@ -513,7 +513,19 @@ object InvertedIndex {
     */
   def bm25ScoresByQuery(idx: LexIndex, queries: DataFrame,
       queryIdCol: String = "query_id", termCol: String = "term",
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoresByQueryOver(idx, queries, queryIdCol, termCol, k1, b, None)
+
+  /** [[bm25ScoresByQuery]] with an optional (query_id, doc_id)
+    * candidate-PAIR restriction — the batch analog of [[bm25ScoresOver]]'s
+    * candidate set: the semi-join lands between the posting⋈query join
+    * and the scoring shuffle, so a high-df term's postings are read but
+    * never shuffled beyond the candidate pairs. `None` compiles to the
+    * exact plan bm25ScoresByQuery always had.
+    */
+  private def bm25ScoresByQueryOver(idx: LexIndex, queries: DataFrame,
+      queryIdCol: String, termCol: String,
+      k1: Double, b: Double, candidates: Option[DataFrame]): DataFrame = {
     val qdf = queries
       .select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
       .withColumn("bucket", bucketOf(col("term")))
@@ -521,9 +533,11 @@ object InvertedIndex {
       .collect().map(_.getInt(0)).toSeq
     require(buckets.nonEmpty, "empty query relation")
     val q = qdf.drop("bucket").join(idx.termDf, Seq("term"))
-    val sc = idx.postings
+    val joined = idx.postings
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(q), Seq("term"))
+    val sc = candidates.fold(joined)(c =>
+        joined.join(c, Seq("query_id", "doc_id"), "left_semi"))
       .join(idx.docLens, Seq("doc_id"))
       .withColumn("s",
         log(((lit(idx.n) - col("df")).cast("double") + lit(0.5)) /
@@ -536,6 +550,95 @@ object InvertedIndex {
       .agg(floor(sum(col("s").cast(
           org.apache.spark.sql.types.DecimalType(27, 12)))
         .cast("double") * lit(1000000.0)).cast("long").as("score_q"))
+  }
+
+  /** Batch WAND: [[bm25ScoresByQuery]]'s many-queries-one-scan serving
+    * shape with [[bm25TopKPruned]]'s MaxScore cut, fully RELATIONAL — no
+    * per-query driver loop, so a RAG evaluation's hundreds of queries
+    * prune in two posting passes worst case. Lossless: per query, the
+    * result is bit-identical to ranking [[bm25ScoresByQuery]].
+    *
+    * One static round instead of the single-query probe's growing
+    * prefix: each query's ESSENTIAL term is its top-ub term (window
+    * rank 1); candidates are the (query, doc) pairs from the essential
+    * postings alone; candidates score FULLY (pair-restricted scoring,
+    * the stop-terms' postings never shuffle); a query's cut is VALID
+    * when it filled k candidates and its quantized k-th score exceeds
+    * ceil(Σ non-essential ub ×1e6). Queries failing the check — the
+    * all-stop shape, or fewer matches than k — fall back to full
+    * scoring, restricted to just those query ids, and the union is the
+    * answer. Returns (query_id, doc_id, score_q), ≤ k rows per query.
+    */
+  def bm25TopKPrunedByQuery(idx: LexIndex, queries: DataFrame, k: Int,
+      queryIdCol: String = "query_id", termCol: String = "term",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val spark = idx.postings.sparkSession
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
+    // per-(query, distinct term) bound, bag multiplicity as weight;
+    // unindexed terms drop (they score nothing on either path)
+    val qstats = qterms
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("__w"))
+      .join(idx.termDf, Seq("term"))
+      .withColumn("__ub", col("__w").cast("double") *
+        log(((lit(idx.n) - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+        (col("max_tf").cast("double") * lit(k1 + 1.0)) /
+        (col("max_tf").cast("double") + lit(k1 * (1.0 - b))))
+    val byUb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__ub").desc, col("term"))
+    val ranked = qstats.withColumn("__r", row_number().over(byUb))
+    val suffix = ranked.groupBy(col("query_id"))
+      .agg(sum(when(col("__r") > 1, col("__ub")).otherwise(lit(0.0)))
+        .as("__suffix_ub"))
+    val essential = ranked.filter(col("__r") === 1)
+      .select(col("query_id"), col("term"), col("df"))
+    // candidate pairs from the essential terms' postings only; the
+    // essential df sum bounds the pair count (the single-query broadcast
+    // guard, batch form) with one bounded aggregate
+    val essTerms = essential.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (essTerms.isEmpty) // no query term is indexed: empty result
+      return bm25ScoresByQuery(idx, qterms, k1 = k1, b = b).limit(0)
+    val candBound = essential.agg(
+      coalesce(sum(col("df")), lit(0L))).collect()(0).getLong(0)
+    val rawCand = prunedPostings(idx, essTerms)
+      .join(broadcast(essential.select(col("query_id"), col("term"))),
+        Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val cand =
+      if (candBound <= BroadcastCandidateCap) broadcast(rawCand) else rawCand
+    val scored = bm25ScoresByQueryOver(idx, qterms, "query_id", "term",
+      k1, b, Some(cand))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    val top = scored.withColumn("__rn", row_number().over(byScore))
+      .filter(col("__rn") <= k)
+    val verdict = top.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__nk"), min(col("score_q")).as("__theta"))
+      .join(suffix, Seq("query_id"))
+      .withColumn("__ok", col("__nk") === k &&
+        col("__theta") > ceil(col("__suffix_ub") * lit(1000000.0))
+          .cast("long"))
+    val okIds = verdict.filter(col("__ok")).select(col("query_id"))
+    // fallback: queries whose cut did not certify re-score FULLY — the
+    // exact path, restricted to just those ids (queries present in the
+    // input but absent from `verdict` matched nothing; both paths
+    // return zero rows for them)
+    val badIds = verdict.filter(!col("__ok")).select(col("query_id"))
+      .collect().map(_.get(0)) // bounded by query count; usually empty
+    val prunedPart = top.join(broadcast(okIds), Seq("query_id"), "left_semi")
+    val fallbackPart =
+      if (badIds.isEmpty) prunedPart.limit(0)
+      else bm25ScoresByQuery(idx,
+          qterms.filter(col("query_id").isin(badIds: _*)), k1 = k1, b = b)
+        .withColumn("__rn", row_number().over(byScore))
+        .filter(col("__rn") <= k)
+    prunedPart.unionByName(fallbackPart)
+      .select(col("query_id"), col("doc_id"), col("score_q"))
   }
 
   /** Exact-phrase top-k over a POSITIONAL index (`build(...,

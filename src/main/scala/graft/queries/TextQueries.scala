@@ -736,6 +736,74 @@ object TextQueries extends QueryPack {
     },
     Some(wandOracleSql))
 
+  // ---- BATCH WAND (round 12): bm25TopKPrunedByQuery — many queries,
+  //      one pruned pass, per-query MaxScore certification with exact
+  //      fallback. Three stop+rare queries (the pruning-relevant shape
+  //      ×3); the oracle replays FULL per-query scoring, so the hash
+  //      proves the batch cut lossless for every query at once ----
+  private val bm25BatchWand = OracleQuery(
+    "t_bm25_batch_wand_topk",
+    (s, d) => {
+      import s.implicits._
+      val idx = prepareLexIndex(s, d)
+      val stop = idx.termDf.orderBy(col("df").desc, col("term")).limit(1)
+        .collect().map(_.getAs[String]("term")).head
+      val rare = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val queries = rare.zipWithIndex.flatMap { case (t, i) =>
+        Seq((i + 1L, stop), (i + 1L, t)) }.toDF("query_id", "term")
+      graft.operators.InvertedIndex.bm25TopKPrunedByQuery(idx, queries, 10)
+        .orderBy(col("query_id"), col("score_q").desc, col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), rareq AS (
+      SELECT w, df, CAST(ROW_NUMBER() OVER (ORDER BY df, w) AS BIGINT)
+        AS query_id
+      FROM (SELECT w, df FROM dft ORDER BY df, w LIMIT 3)
+    ), stopt AS (
+      SELECT w, df FROM dft ORDER BY df DESC, w LIMIT 1
+    ), q AS (
+      SELECT query_id, w, df FROM rareq
+      UNION ALL
+      SELECT r.query_id, s.w, s.df FROM rareq r CROSS JOIN stopt s
+    ), sc AS (
+      SELECT q.query_id, tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+    ), g AS (
+      SELECT query_id, doc_id,
+        CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
+      FROM sc GROUP BY query_id, doc_id
+    ), rk AS (
+      SELECT query_id, doc_id, score_q,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score_q DESC, doc_id) AS rn
+      FROM g
+    )
+    SELECT query_id, doc_id, score_q FROM rk WHERE rn <= 10
+    ORDER BY query_id, score_q DESC, doc_id"""))
+
   // ---- metadata-FILTERED retrieval (the source/tenant/ACL serving
   //      verb): top-10 among ONE source's documents for a frequent-term
   //      query, scored with CORPUS-wide statistics — the filter narrows
@@ -3951,8 +4019,8 @@ object TextQueries extends QueryPack {
     lmQuality, qualityNtile, spanDedup, epochUpsample, crossSourceOverlap,
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
-    bm25TopK, bm25Artifact, bm25WandTopK, bm25FilteredTopK, bm25Tombstone,
-    bm25StreamIngest, streamIngestWand,
+    bm25TopK, bm25Artifact, bm25WandTopK, bm25BatchWand, bm25FilteredTopK,
+    bm25Tombstone, bm25StreamIngest, streamIngestWand,
     qlTopKGate,
     lexIndexStats, lexFacets,
     phraseTopK, phraseSnips, proximityTopK, spellSuggest, bpeTokenizeStats,

@@ -580,6 +580,33 @@ class InvertedIndexSpec extends SparkSpec {
     assert(compacted.termDf.filter($"max_tf" === Long.MaxValue).count() == 0)
   }
 
+  test("bm25TopKPrunedByQuery: batch cut equals per-query ranking everywhere") {
+    val idx = built
+    val byDf = idx.termDf.orderBy($"df", $"term").collect()
+      .map(_.getString(0))
+    val (rare, stops) = (byDf.take(3).toSeq, byDf.takeRight(2).toSeq)
+    // q1/q2: stop+rare (should certify); q3: all-stop (must fall back);
+    // q4: single rare term; q5: only an unindexed term (zero rows)
+    val queries = Seq(
+      (1L, stops.head), (1L, rare(0)),
+      (2L, stops.head), (2L, rare(1)),
+      (3L, stops(0)), (3L, stops(1)),
+      (4L, rare(2)),
+      (5L, "nosuchterm_xyzzy")).toDF("query_id", "term")
+    val batch = InvertedIndex.bm25TopKPrunedByQuery(idx, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy(t => (-t._2, t._1)).toSeq).toMap
+    def single(terms: Seq[String]) =
+      InvertedIndex.bm25TopK(idx, terms, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch(1L) == single(Seq(stops.head, rare(0))))
+    assert(batch(2L) == single(Seq(stops.head, rare(1))))
+    assert(batch(3L) == single(Seq(stops(0), stops(1))))
+    assert(batch(4L) == single(Seq(rare(2))))
+    assert(!batch.contains(5L), "unindexed-only query must return no rows")
+  }
+
   test("bm25TopKPruned: valid over a tombstoned artifact (loose max_tf)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-lexidx-wand").toString
