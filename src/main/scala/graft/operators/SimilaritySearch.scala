@@ -339,6 +339,47 @@ object SimilaritySearch {
     * standard sub-linear ANN layout. Returns (query_id, rn, neighbor_id,
     * cosine).
     */
+  /** Metadata-FILTERED exact top-k: the brute probe over ONLY the allowed
+    * documents — PRE-filter semantics (rank among allowed), never a
+    * post-filter of an unrestricted top-k, which silently returns fewer
+    * than k and misses allowed neighbors ranked past the global cut. The
+    * allowed relation semi-joins the corpus side before the scan, so the
+    * scored volume is ∝ |allowed| × queries.
+    */
+  def bruteForceTopKAmong(
+      corpus: DataFrame, queries: DataFrame, k: Int, allowed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(
+      corpus.join(allowed.select(col(idCol)), Seq(idCol), "left_semi"),
+      queries, k, idCol, vecCol)
+
+  /** [[ivfProbe]] restricted to an allowed set — the ANN side of the
+    * filtered-retrieval pair (the sparse side is
+    * [[InvertedIndex.bm25TopKAmong]]). The filter lands on the CANDIDATE
+    * relation (after cell probing, before the rank cut): pre-filter
+    * semantics over the probed cells, so the k results are the best
+    * allowed candidates the probe saw. Selective filters deserve a
+    * larger nprobe — the probed cells must hold ≥ k allowed vectors for
+    * full recall, the standard filtered-ANN dial.
+    */
+  def ivfProbeAmong(
+      index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      allowed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = ivfCandidates(index, queries, nprobe, idCol, vecCol)
+      .join(allowed.select(col(idCol).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      .select(col("query_id"), col("neighbor_id"),
+        VecOps.cosineNative(col("qv"), col("tv")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   def ivfProbe(
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

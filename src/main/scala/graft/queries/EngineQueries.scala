@@ -458,6 +458,46 @@ object EngineQueries extends QueryPack {
     SELECT query_id, rn, neighbor_id, cosine FROM scored
     WHERE rn <= 5 ORDER BY query_id, rn"""))
 
+  // Filtered ANN under a FULL oracle (round 12 — the dense side of the
+  // filtered-retrieval pair; the sparse side is t_bm25_filtered_topk):
+  // the REAL bruteForceTopKAmong with PRE-filter semantics (rank among
+  // allowed, never post-filter a global top-k) over the quantized-exact
+  // inputs of vx_ann_brute_quantized; allowed = vec_id % 3 == 0, queries
+  // unrestricted — the ACL shape where the asker is outside the set.
+  private val annBruteFilteredQuantized = OracleQuery(
+    "vx_ann_brute_filtered_quantized",
+    (s, d) => {
+      val embQ = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * lit(1e6)).cast("double")).as("embedding"))
+      SimilaritySearch.bruteForceTopKAmong(
+        embQ, embQ.filter(col("vec_id") < 10), k = 5,
+        allowed = embQ.filter(col("vec_id") % 3 === 0))
+    },
+    Some("""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings
+    ), p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(SUM(q.vq * c.vq) AS DOUBLE) AS dot,
+        CAST(SUM(q.vq * q.vq) AS DOUBLE) AS nq,
+        CAST(SUM(c.vq * c.vq) AS DOUBLE) AS nc
+      FROM lf q JOIN lf c ON q.pos = c.pos
+        AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+        AND c.vec_id % 3 = 0
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+        dot / (sqrt(nq) * sqrt(nc) + 1e-12) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY dot / (sqrt(nq) * sqrt(nc) + 1e-12) DESC, neighbor_id) AS rn
+      FROM p
+    )
+    SELECT query_id, rn, neighbor_id, cosine FROM scored
+    WHERE rn <= 5 ORDER BY query_id, rn"""))
+
   // HLL distinct (engine-added; SURVEY.md §2.4 note): sketch-based distinct
   // counts for the 100 TB path where exact distinct would shuffle every key.
   // Spec-checked against exact counts within HLL error; no cross-engine
@@ -2700,7 +2740,8 @@ object EngineQueries extends QueryPack {
     hllDistinct, hllSketchUnion, approxPercentiles,
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,
-    annBrute, annBruteQuantized, annLsh, annIvf, annIvfProbe,
+    annBrute, annBruteQuantized, annBruteFilteredQuantized,
+    annLsh, annIvf, annIvfProbe,
     retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,

@@ -19,6 +19,36 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: pre-filter semantics, all-cells probe equals filtered brute") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val brute = SimilaritySearch.bruteForceTopKAmong(
+      emb, queries, k = 5, allowed)
+    val bruteRows = rows(brute)
+    // every returned neighbor is allowed, k rows per query
+    assert(bruteRows.forall(_._3 % 3 == 0))
+    assert(bruteRows.length == 5 * 5)
+    // PRE-filter, not post-filter: an allowed neighbor ranked past the
+    // GLOBAL top-k must still appear — the filtered result is NOT just
+    // the unfiltered top-k intersected with allowed
+    val global = rows(SimilaritySearch.bruteForceTopK(emb, queries, 5))
+    assert(bruteRows.toSet != global.filter(_._3 % 3 == 0).toSet ||
+      global.forall(_._3 % 3 == 0))
+    // probing EVERY cell makes the filtered IVF probe exact: ≡ brute
+    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 8, seed = 42L)
+    val ivf = SimilaritySearch.ivfProbeAmong(
+      idx, queries, k = 5, nprobe = 8, allowed)
+    assert(rows(ivf) == bruteRows)
+    // allowed = everyone reduces to the unfiltered probe
+    val all = SimilaritySearch.ivfProbeAmong(
+      idx, queries, k = 5, nprobe = 8, emb.select(col("vec_id")))
+    assert(rows(all) ==
+      rows(SimilaritySearch.ivfProbe(idx, queries, k = 5, nprobe = 8)))
+  }
+
   test("hard negatives: full-width shortlist equals exact filter-then-top-k") {
     import graft.functions.VecOps
     val n = emb.count().toInt
