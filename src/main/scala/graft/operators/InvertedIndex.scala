@@ -615,30 +615,41 @@ object InvertedIndex {
     val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("doc_id"))
+    // ONE evaluation of the candidate-scoring pass: the per-query top-k
+    // is ≤ k × |queries| rows and the suffix bounds are one row per
+    // query — both COLLECT, the verdict is decided locally, and the
+    // certified rows return as a local relation (the single-query
+    // probe's convention). Leaving top/verdict as lazy subtrees would
+    // re-run the whole posting scan two more times on the caller's
+    // action — the "two posting passes worst case" claim would be false.
     val top = scored.withColumn("__rn", row_number().over(byScore))
       .filter(col("__rn") <= k)
-    val verdict = top.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("__nk"), min(col("score_q")).as("__theta"))
-      .join(suffix, Seq("query_id"))
-      .withColumn("__ok", col("__nk") === k &&
-        col("__theta") > ceil(col("__suffix_ub") * lit(1000000.0))
-          .cast("long"))
-    val okIds = verdict.filter(col("__ok")).select(col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("score_q"))
+    val resultSchema = top.schema
+    val topRows = top.collect()
+    val suffixBound = suffix.collect()
+      .map(r => r.get(0) -> math.ceil(r.getDouble(1) * 1e6).toLong).toMap
+    val byQuery = topRows.groupBy(_.get(0))
+    val okIds = byQuery.collect { case (qid, rows)
+      if rows.length == k &&
+        rows.map(_.getLong(2)).min > suffixBound(qid) => qid
+    }.toSet
+    val prunedRows = topRows.filter(r => okIds.contains(r.get(0)))
+    val prunedPart = spark.createDataFrame(
+      java.util.Arrays.asList(prunedRows: _*), resultSchema)
     // fallback: queries whose cut did not certify re-score FULLY — the
     // exact path, restricted to just those ids (queries present in the
-    // input but absent from `verdict` matched nothing; both paths
-    // return zero rows for them)
-    val badIds = verdict.filter(!col("__ok")).select(col("query_id"))
-      .collect().map(_.get(0)) // bounded by query count; usually empty
-    val prunedPart = top.join(broadcast(okIds), Seq("query_id"), "left_semi")
+    // input but absent from the candidate top-k matched nothing; both
+    // paths return zero rows for them)
+    val badIds = byQuery.keys.filterNot(okIds.contains).toSeq
     val fallbackPart =
       if (badIds.isEmpty) prunedPart.limit(0)
       else bm25ScoresByQuery(idx,
           qterms.filter(col("query_id").isin(badIds: _*)), k1 = k1, b = b)
         .withColumn("__rn", row_number().over(byScore))
         .filter(col("__rn") <= k)
+        .select(col("query_id"), col("doc_id"), col("score_q"))
     prunedPart.unionByName(fallbackPart)
-      .select(col("query_id"), col("doc_id"), col("score_q"))
   }
 
   /** Exact-phrase top-k over a POSITIONAL index (`build(...,

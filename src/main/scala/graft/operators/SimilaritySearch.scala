@@ -333,12 +333,6 @@ object SimilaritySearch {
       skew >= reclusterSkewThreshold)
   }
 
-  /** Probe a prebuilt IVF index: each query visits its `nprobe` nearest
-    * cells and exact-re-ranks only those cells' vectors via a cell-id
-    * equi-join — |corpus|·nprobe/nlist expected candidates per query, the
-    * standard sub-linear ANN layout. Returns (query_id, rn, neighbor_id,
-    * cosine).
-    */
   /** Metadata-FILTERED exact top-k: the brute probe over ONLY the allowed
     * documents — PRE-filter semantics (rank among allowed), never a
     * post-filter of an unrestricted top-k, which silently returns fewer
@@ -365,25 +359,30 @@ object SimilaritySearch {
   def ivfProbeAmong(
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
       allowed: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = ivfCandidates(index, queries, nprobe, idCol, vecCol)
-      .join(allowed.select(col(idCol).as("neighbor_id")),
-        Seq("neighbor_id"), "left_semi")
-      .select(col("query_id"), col("neighbor_id"),
-        VecOps.cosineNative(col("qv"), col("tv")).as("cosine"))
-      .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rn"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfProbeOver(index, queries, k, nprobe, Some(allowed), idCol, vecCol)
 
+  /** Probe a prebuilt IVF index: each query visits its `nprobe` nearest
+    * cells and exact-re-ranks only those cells' vectors via a cell-id
+    * equi-join — |corpus|·nprobe/nlist expected candidates per query, the
+    * standard sub-linear ANN layout. Returns (query_id, rn, neighbor_id,
+    * cosine).
+    */
   def ivfProbe(
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = ivfCandidates(index, queries, nprobe, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfProbeOver(index, queries, k, nprobe, None, idCol, vecCol)
+
+  // one ranking definition for the filtered and unfiltered probes (the
+  // bm25ScoresOver pattern): None compiles to the exact plan ivfProbe
+  // always had, so the two entry points cannot desynchronize
+  private def ivfProbeOver(
+      index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      allowed: Option[DataFrame], idCol: String, vecCol: String): DataFrame = {
+    val cand = ivfCandidates(index, queries, nprobe, idCol, vecCol)
+    val scored = allowed.fold(cand)(a =>
+        cand.join(a.select(col(idCol).as("neighbor_id")),
+          Seq("neighbor_id"), "left_semi"))
       .select(col("query_id"), col("neighbor_id"),
         VecOps.cosineNative(col("qv"), col("tv")).as("cosine"))
       .distinct()

@@ -243,8 +243,11 @@ object Multimodal {
             var inChunk = 0L
             while (valid && inChunk < runPerChunk(run) && sample < nSamples) {
               val sz = sampleSize(sample)
+              // subtraction form: `off + sz` overflows Long for a crafted
+              // co64 offset near Long.MaxValue, flipping the bound check
+              // and turning the return-None contract into an array crash
               if (off < 0 || sz <= 0 || sz > Int.MaxValue ||
-                  off + sz > payload.length) valid = false
+                  off > payload.length.toLong - sz) valid = false
               else {
                 frames += java.util.Arrays.copyOfRange(
                   payload, off.toInt, (off + sz).toInt)
@@ -294,7 +297,14 @@ object Multimodal {
           // other payload keeps the deterministic stub
           parseAvi(payload).orElse(parseMp4(payload)) match {
             case Some((usPf, frames)) =>
-              val durMs = frames.length.toLong * usPf / 1000L
+              // parseMp4 admits usPerFrame up to ~4.3e15 (32-bit stts
+              // delta over timescale 1), so the product can overflow for
+              // large sample counts; saturate instead of going negative
+              // (a negative duration silently emitted ZERO frames)
+              val nf = frames.length.toLong
+              val durMs =
+                if (nf > 0 && usPf > Long.MaxValue / nf) Long.MaxValue / 1000L
+                else nf * usPf / 1000L
               val n = math.min(
                 if (strideMs <= 0) 0L else durMs / strideMs,
                 maxFrames.toLong).toInt
