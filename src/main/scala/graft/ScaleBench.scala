@@ -289,6 +289,7 @@ object ScaleBench {
     val wandIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var wandTerms: Seq[String] = Nil
+    var wandBatchQueries: Seq[(Long, String)] = Nil
     val tombIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var tombTerms: Seq[String] = Nil
@@ -443,6 +444,26 @@ object ScaleBench {
       },
       "wand_probe_unpruned" -> { dir: String =>
         graft.operators.InvertedIndex.bm25TopK(wandIdx(dir), wandTerms, 10)
+      },
+      // BATCH serving form over the same stop-injected index: 8 stop+rare
+      // queries in one relational pass, pruned vs unpruned — the batch
+      // cut amortizes the orchestration cost the single-query probe pays
+      // per call, while the unpruned batch shuffles the stop posting
+      // once per covering query
+      "batch_wand_probe" -> { dir: String =>
+        import spark.implicits._
+        graft.operators.InvertedIndex.bm25TopKPrunedByQuery(
+          wandIdx(dir), wandBatchQueries.toDF("query_id", "term"), 10)
+      },
+      "batch_wand_unpruned" -> { dir: String =>
+        import spark.implicits._
+        val scored = graft.operators.InvertedIndex.bm25ScoresByQuery(
+          wandIdx(dir), wandBatchQueries.toDF("query_id", "term"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score_q").desc, col("doc_id"))
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 10)
       },
       // phrase probe over the POSITIONAL artifact: same bucket-pruned
       // scan as bm25_probe plus the positions explode + anchor
@@ -601,7 +622,9 @@ object ScaleBench {
         .orderBy(col("df").desc, col("term")).limit(3)
         .collect().map(_.getString(0)).toSeq
     }
-    if (familySelected("wand_probe") || familySelected("wand_probe_unpruned")) {
+    if (familySelected("wand_probe") || familySelected("wand_probe_unpruned") ||
+        familySelected("batch_wand_probe") ||
+        familySelected("batch_wand_unpruned")) {
       // the replica substitution deliberately decorrelates every real
       // term (posting sizes replica-invariant), so the degeneracy WAND
       // exists for — ONE term whose posting grows ∝ corpus — is injected:
@@ -626,6 +649,13 @@ object ScaleBench {
         .filter(col("term") =!= "zzstop")
         .orderBy(col("df"), col("term")).limit(2)
         .collect().map(_.getString(0)).toSeq
+      // 8 stop+rare queries for the BATCH families, same fixed-query rule
+      wandBatchQueries = wandIdx(base).termDf
+        .filter(col("term") =!= "zzstop")
+        .orderBy(col("df"), col("term")).limit(8)
+        .collect().map(_.getString(0)).zipWithIndex
+        .flatMap { case (t, i) => Seq((i + 1L, "zzstop"), (i + 1L, t)) }
+        .toSeq
     }
     if (familySelected("phrase_probe") || familySelected("proximity_probe")) {
       def mkPosIdx(dir: String): Unit = {
