@@ -49,6 +49,25 @@ class SimilaritySearchSpec extends SparkSpec {
       rows(SimilaritySearch.ivfProbe(idx, queries, k = 5, nprobe = 8)))
   }
 
+  test("filtered ANN recall recovers monotonically with nprobe (the dial)") {
+    // the ivfProbeAmong scaladoc's claim made measurable: under a
+    // selective filter the probed cells must hold enough allowed
+    // vectors, so recall grows with nprobe and reaches exact at
+    // nprobe = nlist
+    val queries = emb.filter(col("vec_id") < 8)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 16, seed = 7L)
+    val truth = SimilaritySearch.bruteForceTopKAmong(
+      emb, queries, k = 5, allowed).persist()
+    def recall(np: Int): Double = ScaleBench.recallAtK(truth,
+      SimilaritySearch.ivfProbeAmong(idx, queries, k = 5, np, allowed))
+    val (r1, r4, r16) = (recall(1), recall(4), recall(16))
+    assert(r16 == 1.0, s"all-cells filtered probe must be exact, got $r16")
+    assert(r4 >= r1 - 1e-9 && r16 >= r4 - 1e-9,
+      s"recall not monotone in nprobe: $r1, $r4, $r16")
+    truth.unpersist()
+  }
+
   test("hard negatives: full-width shortlist equals exact filter-then-top-k") {
     import graft.functions.VecOps
     val n = emb.count().toInt
