@@ -643,19 +643,24 @@ object ScaleBench {
       }
       builds("lex_index_wand") =
         (timeIt { mkWandIdx(base) }, timeIt { mkWandIdx(out) })
-      // FIXED query across sizes (the bm25_probe convention): the injected
-      // corpus-wide stop term + the base corpus's two rarest terms
-      wandTerms = "zzstop" +: wandIdx(base).termDf
-        .filter(col("term") =!= "zzstop")
-        .orderBy(col("df"), col("term")).limit(2)
-        .collect().map(_.getString(0)).toSeq
+      // FIXED queries across sizes (the bm25_probe convention): the
+      // injected corpus-wide stop term + the base corpus's rarest terms;
+      // each list computed only for its own selected families (the
+      // sort+collect is a Spark job a subset run shouldn't pay twice)
+      if (familySelected("wand_probe") || familySelected("wand_probe_unpruned"))
+        wandTerms = "zzstop" +: wandIdx(base).termDf
+          .filter(col("term") =!= "zzstop")
+          .orderBy(col("df"), col("term")).limit(2)
+          .collect().map(_.getString(0)).toSeq
       // 8 stop+rare queries for the BATCH families, same fixed-query rule
-      wandBatchQueries = wandIdx(base).termDf
-        .filter(col("term") =!= "zzstop")
-        .orderBy(col("df"), col("term")).limit(8)
-        .collect().map(_.getString(0)).zipWithIndex
-        .flatMap { case (t, i) => Seq((i + 1L, "zzstop"), (i + 1L, t)) }
-        .toSeq
+      if (familySelected("batch_wand_probe") ||
+          familySelected("batch_wand_unpruned"))
+        wandBatchQueries = wandIdx(base).termDf
+          .filter(col("term") =!= "zzstop")
+          .orderBy(col("df"), col("term")).limit(8)
+          .collect().map(_.getString(0)).zipWithIndex
+          .flatMap { case (t, i) => Seq((i + 1L, "zzstop"), (i + 1L, t)) }
+          .toSeq
     }
     if (familySelected("phrase_probe") || familySelected("proximity_probe")) {
       def mkPosIdx(dir: String): Unit = {

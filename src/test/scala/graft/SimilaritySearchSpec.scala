@@ -38,7 +38,8 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(bruteRows.toSet != global.filter(_._3 % 3 == 0).toSet ||
       global.forall(_._3 % 3 == 0))
     // probing EVERY cell makes the filtered IVF probe exact: ≡ brute
-    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 8, seed = 42L)
+    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 8, seed = 42L,
+      persist = false)
     val ivf = SimilaritySearch.ivfProbeAmong(
       idx, queries, k = 5, nprobe = 8, allowed)
     assert(rows(ivf) == bruteRows)
@@ -56,7 +57,8 @@ class SimilaritySearchSpec extends SparkSpec {
     // nprobe = nlist
     val queries = emb.filter(col("vec_id") < 8)
     val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
-    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 16, seed = 7L)
+    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 16, seed = 7L,
+      persist = false) // one-shot: keep the shared session cache clean
     val truth = SimilaritySearch.bruteForceTopKAmong(
       emb, queries, k = 5, allowed).persist()
     def recall(np: Int): Double = ScaleBench.recallAtK(truth,
