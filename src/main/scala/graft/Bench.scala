@@ -89,6 +89,10 @@ object Bench {
     build("ivf_pq_index", selected.contains("vx_ann_ivf_pq_top5")) {
       graft.queries.EngineQueries.prepareIvfPqIndex(spark, sfDir); ()
     }
+    build("ivf_int8_exact_index",
+        selected.contains("vx_ann_int8_filtered_quantized")) {
+      graft.queries.EngineQueries.prepareIvfInt8ExactIndex(spark, sfDir); ()
+    }
     // consumers: the streaming vector near-dup re-ingest gate, and (via
     // prepareSrpIndexDirect's reuse) the hamming artifact-parity pair
     build("srp_sketch", selected.contains("vx_stream_neardup_hits") ||

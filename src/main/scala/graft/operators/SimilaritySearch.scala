@@ -674,7 +674,33 @@ object SimilaritySearch {
     */
   def ivfProbeInt8(
       index: IvfInt8Index, queries: DataFrame, k: Int, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfProbeInt8Over(index, queries, k, nprobe, None, idCol, vecCol)
+
+  /** [[ivfProbeInt8]] restricted to an allowed set — filtered retrieval
+    * on the MEMORY-FLOOR serving tier (the configuration a multi-tenant
+    * deployment actually runs: the resident artifact is the 4×-compressed
+    * inverted file, and tenant/ACL scoping must not force a fallback to
+    * the float index or a post-filter under-return). Same pre-filter
+    * placement as [[ivfProbeAmong]]: the allowed-set semi-join lands on
+    * the candidate relation after cell probing and BEFORE scoring and the
+    * rank cut, so the k results are the best allowed candidates the probe
+    * saw and disallowed candidates never pay the scoring kernel.
+    * Selective filters deserve a larger nprobe (the standard filtered-ANN
+    * dial — the probed cells must hold ≥ k allowed vectors).
+    */
+  def ivfProbeInt8Among(
+      index: IvfInt8Index, queries: DataFrame, k: Int, nprobe: Int,
+      allowed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfProbeInt8Over(index, queries, k, nprobe, Some(allowed), idCol, vecCol)
+
+  // one ranking definition for the filtered and unfiltered int8 probes
+  // (the ivfProbeOver pattern): None compiles to the exact plan
+  // ivfProbeInt8 always had, so the two entry points cannot desynchronize
+  private def ivfProbeInt8Over(
+      index: IvfInt8Index, queries: DataFrame, k: Int, nprobe: Int,
+      allowed: Option[DataFrame], idCol: String, vecCol: String): DataFrame = {
     val centers = index.centers
     val probe = udf { (v: Seq[Float]) =>
       centers.indices.map(c2 => (c2, sqDist(v, centers(c2))))
@@ -686,8 +712,12 @@ object SimilaritySearch {
         expression(qnorm), expression(fq)))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("fq"),
       explode(probe(col(vecCol))).as("cell"))
-    val scored = index.assigned.join(q, Seq("cell"))
+    val cand0 = index.assigned.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+    val cand = allowed.fold(cand0)(a =>
+      cand0.join(a.select(col(idCol).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi"))
+    val scored = cand
       .select(col("query_id"), col("neighbor_id"),
         score(col("qv"), col("scale"), col("qnorm"), col("fq")).as("cosine"))
       .distinct()
@@ -846,7 +876,28 @@ object SimilaritySearch {
     */
   def ivfProbePq(
       index: IvfPqIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfProbePqOver(index, queries, k, nprobe, None, idCol, vecCol)
+
+  /** [[ivfProbePq]] restricted to an allowed set — the ADC leg of the
+    * compressed filtered tier. The semi-join lands on the candidate
+    * relation BEFORE the ADC lookup and rank cut (pre-filter semantics:
+    * every shortlist slot holds an allowed candidate — a post-filter
+    * would waste slots on disallowed docs and under-return), which is
+    * exactly what lets [[ivfProbePqRefinedAmong]] re-rank a fully-allowed
+    * shortlist with no second filter.
+    */
+  def ivfProbePqAmong(
+      index: IvfPqIndex, queries: DataFrame, k: Int, nprobe: Int,
+      allowed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfProbePqOver(index, queries, k, nprobe, Some(allowed), idCol, vecCol)
+
+  // one ADC ranking definition for the filtered and unfiltered PQ probes;
+  // None compiles to the exact plan ivfProbePq always had
+  private def ivfProbePqOver(
+      index: IvfPqIndex, queries: DataFrame, k: Int, nprobe: Int,
+      allowed: Option[DataFrame], idCol: String, vecCol: String): DataFrame = {
     val centers = index.centers
     val book = index.book
     val m = book.m; val dsub = book.dsub; val bc = book.centers
@@ -890,8 +941,12 @@ object SimilaritySearch {
         explode(probe(col(vecCol))).as("cell"))
       .select(col("query_id"), col("__l._1").as("lut"),
         col("__l._2").as("qnorm"), col("cell"))
-    val scored = index.assigned.join(q, Seq("cell"))
+    val cand0 = index.assigned.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+    val cand = allowed.fold(cand0)(a =>
+      cand0.join(a.select(col(idCol).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi"))
+    val scored = cand
       .select(col("query_id"), col("neighbor_id"),
         adc(col("codes"), col("rnorm"), col("lut"), col("qnorm")).as("cosine"))
       .distinct()
@@ -978,8 +1033,35 @@ object SimilaritySearch {
       index: IvfPqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int = 4, refine: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val shortlist = ivfProbePq(index, queries, k * refine, nprobe, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id"))
+    pqRefineRerank(
+      ivfProbePqOver(index, queries, k * refine, nprobe, None, idCol, vecCol),
+      corpus, queries, k, idCol, vecCol)
+  }
+
+  /** [[ivfProbePqRefined]] restricted to an allowed set — the production
+    * compressed-tier filtered probe: the ADC shortlist is built PRE-
+    * filtered ([[ivfProbePqAmong]], so every one of the k·refine slots
+    * holds an allowed candidate), then only that shortlist joins the
+    * float corpus for exact re-ranking. The refine join's point-lookup
+    * cost profile is unchanged; the filter never touches the float
+    * vectors at all.
+    */
+  def ivfProbePqRefinedAmong(
+      index: IvfPqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, refine: Int, allowed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqRefineRerank(
+      ivfProbePqOver(index, queries, k * refine, nprobe, Some(allowed),
+        idCol, vecCol),
+      corpus, queries, k, idCol, vecCol)
+
+  // the shared exact re-rank tail of the refined probes: k·refine
+  // shortlist rows per query join back to the float corpus (point-lookup
+  // shape), exact cosine, rank cut — one definition so the filtered and
+  // unfiltered forms cannot diverge
+  private def pqRefineRerank(adcShortlist: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, idCol: String, vecCol: String): DataFrame = {
+    val shortlist = adcShortlist.select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val tv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__tv"))
     val exact = shortlist
@@ -1107,7 +1189,33 @@ object SimilaritySearch {
   def hammingTopK(
       sketched: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
       refine: Int = 8, bits: Int = 128, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    hammingTopKOver(sketched, corpus, queries, k, refine, bits, seed, None,
+      idCol, vecCol)
+
+  /** [[hammingTopK]] restricted to an allowed set — filtered retrieval on
+    * the leanest resident tier (16 bytes/vector). The allowed-set
+    * semi-join RIDES THE HAMMING SCAN, before the k·refine shortlist cut
+    * (the [[hammingHardNegatives]] filter placement: its label predicate
+    * proved the discipline) — so no shortlist slot is wasted on a
+    * disallowed candidate and the result equals "filter then top-k",
+    * never the under-returning "top-k then filter". The exact re-rank
+    * then touches only allowed float vectors.
+    */
+  def hammingTopKAmong(
+      sketched: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      allowed: DataFrame,
+      refine: Int = 8, bits: Int = 128, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    hammingTopKOver(sketched, corpus, queries, k, refine, bits, seed,
+      Some(allowed), idCol, vecCol)
+
+  // one scan+shortlist+re-rank definition for the filtered and unfiltered
+  // Hamming probes; None compiles to the exact plan hammingTopK always had
+  private def hammingTopKOver(
+      sketched: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      refine: Int, bits: Int, seed: Long, allowed: Option[DataFrame],
+      idCol: String, vecCol: String): DataFrame = {
     val words = bits / 64
     val sigCols = (0 until words).map(i => s"sig$i")
     require(sigCols.forall(sketched.columns.contains),
@@ -1118,7 +1226,9 @@ object SimilaritySearch {
     val hammingExpr = (0 until words)
       .map(i => bit_count(col(s"sig$i").bitwiseXOR(col(s"qsig$i"))))
       .reduce(_ + _)
-    val ranked = sketched
+    val scanSide = allowed.fold(sketched)(a =>
+      sketched.join(a.select(col(idCol)), Seq(idCol), "left_semi"))
+    val ranked = scanSide
       .select(col(idCol).as("neighbor_id") +: sigCols.map(col): _*)
       .join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), hammingExpr.as("hamming"))

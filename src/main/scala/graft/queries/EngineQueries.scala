@@ -498,6 +498,101 @@ object EngineQueries extends QueryPack {
     SELECT query_id, rn, neighbor_id, cosine FROM scored
     WHERE rn <= 5 ORDER BY query_id, rn"""))
 
+  // ---- filtered retrieval on the COMPRESSED serving tier under a FULL
+  //      oracle (round 13 — verdict item 1): the REAL ivfProbeInt8Among
+  //      (allowed-set semi-join on the candidate relation BEFORE scoring
+  //      and the rank cut, scored through the native Int8Cosine codegen
+  //      kernel) driven in the int8 quantizer's EXACT REGIME. The
+  //      construction: every component is an integer in [-127, 127] and
+  //      element 0 is pinned to 127, so quantizeInt8's per-vector scale is
+  //      maxAbs/127 = EXACTLY 1.0 — the int8 codes equal the input
+  //      integers, qnorm is the square root of an exact integer, and the
+  //      scoring kernel's dot/norm sums are exact in double regardless of
+  //      accumulation order. The coarse quantizer is frozen to the 8
+  //      lowest-id vectors (the vx_ann_ivf_probe_top5 recipe), so DuckDB
+  //      replays quantization, cell assignment, 4-cell probing, the ACL
+  //      filter (vec_id % 3 = 0), int8 scoring, and the rank cut
+  //      end-to-end. The float-scale production quantizer stays exercised
+  //      by vx_ann_ivf_int8_top5 (rows-only) and the SimilaritySearchSpec
+  //      ≡-filtered-brute equivalence.
+  private def int8ExactEmb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), (v, i) =>
+        when(i === 0, lit(127.0))
+          .otherwise(pmod(floor(v.cast("double") * lit(1e6)), lit(255.0))
+            - lit(127.0))
+          .cast("float")).as("embedding"))
+  def prepareIvfInt8ExactIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): SimilaritySearch.IvfInt8Index =
+    graft.SessionMemo.getOrElseUpdate(s, s"ivf_int8_exact_index:$d") {
+      val e = int8ExactEmb(s, d)
+      val centers = e.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val assigned = SimilaritySearch
+        .assignToCells(e, centers, "vec_id", "embedding")
+        .select(col("neighbor_id"), col("cell"))
+        .join(SimilaritySearch.quantizeInt8(e)
+          .select(col("vec_id").as("neighbor_id"), col("scale"),
+            col("qnorm"), col("qv")), "neighbor_id")
+        .persist()
+      assigned.count() // build once — the gate times the probe
+      SimilaritySearch.IvfInt8Index(centers, assigned)
+    }(_.unpersist())
+  private val annInt8FilteredQuantized = OracleQuery(
+    "vx_ann_int8_filtered_quantized",
+    (s, d) => {
+      val e = int8ExactEmb(s, d)
+      SimilaritySearch.ivfProbeInt8Among(prepareIvfInt8ExactIndex(s, d),
+          e.filter(col("vec_id") < 10), k = 5, nprobe = 4,
+          allowed = e.filter(col("vec_id") % 3 === 0))
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          floor(col("cosine") * lit(1000000.0)).cast("long").as("cosine_q"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some("""WITH i8 AS (
+      SELECT vec_id, pos,
+        CASE WHEN pos = 0 THEN 127
+             ELSE ((CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)
+                    % 255) + 255) % 255 - 127
+        END AS iv
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+              unnest(embedding) AS v FROM embeddings)
+    ), cd AS (
+      SELECT f.vec_id, c.vec_id AS cid,
+        SUM((f.iv - c.iv) * (f.iv - c.iv)) AS dist
+      FROM i8 f JOIN i8 c ON f.pos = c.pos AND c.vec_id < 8
+      GROUP BY 1, 2
+    ), asg AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM cd) t WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM cd WHERE vec_id < 10) t WHERE rn <= 4
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+        CAST(SUM(fq.iv * fn.iv) AS DOUBLE) /
+          (sqrt(CAST(SUM(fn.iv * fn.iv) AS DOUBLE))
+           * sqrt(CAST(SUM(fq.iv * fq.iv) AS DOUBLE)) + 1e-12) AS cos
+      FROM probe p
+      JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        AND a.vec_id % 3 = 0
+      JOIN i8 fq ON fq.vec_id = p.query_id
+      JOIN i8 fn ON fn.vec_id = a.vec_id AND fn.pos = fq.pos
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id,
+      CAST(floor(cos * 1000000.0) AS BIGINT) AS cosine_q
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rn"""))
+
   // HLL distinct (engine-added; SURVEY.md §2.4 note): sketch-based distinct
   // counts for the 100 TB path where exact distinct would shuffle every key.
   // Spec-checked against exact counts within HLL error; no cross-engine
@@ -2745,7 +2840,7 @@ object EngineQueries extends QueryPack {
     retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,
-    annIvfPqArtifactParity,
+    annIvfPqArtifactParity, annInt8FilteredQuantized,
     streamVecNearDup,
     streamVecNearDupQ,
     dedupCosinePairs, dedupEmbeddingCanonical, dedupEmbeddingCanonicalQ,

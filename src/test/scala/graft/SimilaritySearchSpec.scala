@@ -50,6 +50,63 @@ class SimilaritySearchSpec extends SparkSpec {
       rows(SimilaritySearch.ivfProbe(idx, queries, k = 5, nprobe = 8)))
   }
 
+  test("filtered COMPRESSED ANN: full-width probes equal filtered brute per family") {
+    // the serving configuration a multi-tenant deployment actually runs:
+    // ACL scoping on the memory-floor indexes. Same contract as the float
+    // pair — pre-filter semantics, and at full width (all cells probed /
+    // shortlist covering every allowed candidate) each family is EXACT:
+    // ≡ the brute probe over the allowed-filtered corpus.
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 5)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+
+    // IVF-SQ8: all-cells filtered probe ≡ int8 brute over the allowed
+    // corpus (identical scoring kernel, so cosines are bit-equal too)
+    val idx8 = SimilaritySearch.buildIvfInt8Index(emb, nlist = 8)
+    val got8 = rows(SimilaritySearch.ivfProbeInt8Among(
+      idx8, queries, k = 5, nprobe = 8, allowed))
+    val want8 = rows(SimilaritySearch.int8BruteForceTopK(
+      SimilaritySearch.quantizeInt8(emb)
+        .join(allowed, Seq("vec_id"), "left_semi"), queries, k = 5))
+    assert(got8.nonEmpty && got8 == want8)
+    assert(got8.forall(_._3 % 3 == 0))
+    // allowed = everyone reduces to the unfiltered probe
+    assert(rows(SimilaritySearch.ivfProbeInt8Among(
+        idx8, queries, k = 5, nprobe = 8, emb.select(col("vec_id")))) ==
+      rows(SimilaritySearch.ivfProbeInt8(idx8, queries, k = 5, nprobe = 8)))
+    idx8.unpersist()
+
+    // IVF-PQ + refine: all cells + a shortlist wide enough for every
+    // allowed candidate makes the exact re-rank the exact answer
+    // ≡ bruteForceTopKAmong (same cosineNative re-rank)
+    val idxPq = SimilaritySearch.buildIvfPqIndex(emb, nlist = 4, m = 8,
+      ksub = 16)
+    val wantBrute = rows(SimilaritySearch.bruteForceTopKAmong(
+      emb, queries, k = 5, allowed))
+    val gotPq = rows(SimilaritySearch.ivfProbePqRefinedAmong(
+      idxPq, emb, queries, k = 5, nprobe = 4, refine = n, allowed))
+    assert(gotPq == wantBrute)
+    // a NARROW filtered shortlist still returns k allowed rows per query
+    // (pre-filter: disallowed candidates never occupy shortlist slots)
+    val narrowPq = rows(SimilaritySearch.ivfProbePqRefinedAmong(
+      idxPq, emb, queries, k = 5, nprobe = 4, refine = 2, allowed))
+    assert(narrowPq.length == 5 * 5 && narrowPq.forall(_._3 % 3 == 0))
+    idxPq.unpersist()
+
+    // SRP-Hamming: the allowed semi-join rides the scan; a full-width
+    // shortlist makes the refined result exact ≡ filtered brute
+    val sk = SimilaritySearch.srpSketch(emb, bits = 128)
+    val gotHam = rows(SimilaritySearch.hammingTopKAmong(
+      sk, emb, queries, k = 5, allowed, refine = n))
+    assert(gotHam == wantBrute)
+    val narrowHam = rows(SimilaritySearch.hammingTopKAmong(
+      sk, emb, queries, k = 5, allowed, refine = 2))
+    assert(narrowHam.length == 5 * 5 && narrowHam.forall(_._3 % 3 == 0))
+  }
+
   test("filtered ANN recall recovers monotonically with nprobe (the dial)") {
     // the ivfProbeAmong scaladoc's claim made measurable: under a
     // selective filter the probed cells must hold enough allowed
