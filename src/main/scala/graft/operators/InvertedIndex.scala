@@ -416,15 +416,15 @@ object InvertedIndex {
     * How: each query term's score is bounded above by
     * ub(t) = idf(t) · (k1+1)·max_tf / (max_tf + k1(1−b)) — the tf leg at
     * its recorded maximum and the length normalization at its floor.
-    * Terms rank by ub descending; for a growing essential prefix E, the
-    * candidate set is docs matching ANY term of E (a pruned posting scan
-    * of ONLY those terms), scored FULLY over the whole query (posting
-    * rows semi-joined to the broadcast candidates, so the non-essential
-    * terms' postings never enter the scoring shuffle). If the quantized
-    * k-th candidate score exceeds the quantized sum of the non-essential
-    * ubs, no unseen document can reach the top-k — the standard MaxScore
-    * cut — and the k collected rows ARE the answer. Otherwise the prefix
-    * grows; at E = all terms the scan equals the unpruned probe.
+    * The essential term is the top-ub term; the candidate set is docs
+    * matching it (a pruned posting scan of ONLY that term), scored FULLY
+    * over the whole query (posting rows semi-joined to the broadcast
+    * candidates, so the non-essential terms' postings never enter the
+    * scoring shuffle). If the quantized k-th candidate score exceeds the
+    * quantized sum of the non-essential ubs, no unseen document can
+    * reach the top-k — the standard MaxScore cut — and those k rows ARE
+    * the answer; otherwise the query re-scores fully (the certified
+    * fallback).
     *
     * Why it matters at scale: a natural-language query carries high-df
     * terms ("the") whose ub is tiny precisely BECAUSE df is huge. They
@@ -435,66 +435,27 @@ object InvertedIndex {
     * the bound side, one 1e-6 quantum of slack that dominates double
     * rounding (~1e-15) by nine orders of magnitude.
     *
-    * The driver-side iteration is bounded by the DISTINCT query-term
-    * count (each round is one limit-k action); the stats lookup is one
-    * bounded termDf probe. Returns the collected top-k as a local
-    * relation with [[bm25Scores]]'s exact schema — the probe already
-    * evaluated it, so callers don't recompute.
+    * One definition, two shapes: a single query IS a 1-row query
+    * relation, so this delegates to [[bm25TopKPrunedByQuery]]'s one-round
+    * essential-term cut + certified fallback (r12 shipped both
+    * organizations separately; the growing-prefix loop this replaced ran
+    * one limit-k action per prefix and re-scored the candidate pass each
+    * round — the batch form's two-posting-passes-worst-case bound is
+    * strictly tighter, and one pruning implementation is one losslessness
+    * proof to keep correct). Returns the top-k with [[bm25Scores]]'s
+    * exact schema, certified rows already evaluated.
     */
   def bm25TopKPruned(idx: LexIndex, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    require(k > 0, s"k must be > 0, got $k")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    // bounded stats lookup: (df, max_tf) per DISTINCT query term present
-    // in the index; bag multiplicity weights the bound like it weights
-    // the score
-    val mult = terms.groupBy(identity).map { case (t, g) => (t, g.size) }
-    val stats = terms.distinct.toDF("term")
-      .join(idx.termDf, Seq("term"))
-      .select(col("term"), col("df"), col("max_tf"))
-      .collect()
-      .map { r =>
-        val (term, df, maxTf) =
-          (r.getString(0), r.getLong(1), r.getLong(2).toDouble)
-        val idf = math.log(
-          ((idx.n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
-        val ub = mult(term) *
-          (idf * (maxTf * (k1 + 1.0)) / (maxTf + k1 * (1.0 - b)))
-        (term, df, ub)
-      }
-      .sortBy { case (term, _, ub) => (-ub, term) }
-    if (stats.isEmpty) return bm25TopK(idx, terms, k) // no term indexed
-    val m = stats.length
-    var p = 1
-    while (p < m) {
-      val essential = stats.take(p).map(_._1).toSeq
-      val suffixUb = stats.drop(p).map(_._3).sum
-      // outside docs match only non-essential terms: quantized score ≤
-      // ceil(suffixUb·1e6); strict > means they rank below the k-th
-      val suffixBoundQ = math.ceil(suffixUb * 1e6).toLong
-      val raw = prunedPostings(idx, essential)
-        .filter(col("term").isin(essential: _*))
-        .select(col("doc_id")).distinct()
-      // the essential terms' df sum bounds the candidate count exactly,
-      // with zero extra jobs (already collected) — broadcast only when
-      // that bound fits; past it (an all-stop-term query grown to a
-      // frequent prefix) the semi-join falls back to the planner's
-      // shuffle strategy instead of a corpus-sized driver broadcast
-      val candBound = stats.take(p).map(_._2).sum
-      val candidates =
-        if (candBound <= BroadcastCandidateCap) broadcast(raw) else raw
-      val scored = bm25ScoresOver(idx, terms, k1, b, Some(candidates))
-      val top = scored.orderBy(col("score_q").desc, col("doc_id"))
-        .limit(k).collect()
-      if (top.length == k && top.last.getLong(1) > suffixBoundQ)
-        return spark.createDataFrame(
-          java.util.Arrays.asList(top: _*), scored.schema)
-      p += 1
-    }
-    // essential = every term: the scan IS the unpruned probe
-    bm25TopK(idx, terms, k)
+    // one row per term OCCURRENCE: the batch form derives bag
+    // multiplicity from the relation exactly as bm25Scores does
+    bm25TopKPrunedByQuery(idx, terms.map((0L, _)).toDF("query_id", "term"),
+        k, k1 = k1, b = b)
+      .select(col("doc_id"), col("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
   }
 
   /** Batch probe: score MANY queries in one pass — `queries` is a
@@ -638,10 +599,20 @@ object InvertedIndex {
     val prunedPart = spark.createDataFrame(
       java.util.Arrays.asList(prunedRows: _*), resultSchema)
     // fallback: queries whose cut did not certify re-score FULLY — the
-    // exact path, restricted to just those ids (queries present in the
-    // input but absent from the candidate top-k matched nothing; both
-    // paths return zero rows for them)
-    val badIds = byQuery.keys.filterNot(okIds.contains).toSeq
+    // exact path, restricted to just those ids. The universe is EVERY
+    // query with ≥ 1 indexed term (suffixBound's keys), NOT the queries
+    // that produced candidates: a termDf row advertising a term with no
+    // surviving postings (a stale statistic some future index variant
+    // could produce — applyTombstones' df > 0 filter is what rules it
+    // out today) would otherwise leave its query with zero candidates
+    // and silently DROP it, even though its other terms score documents
+    // under full scoring. Keying off suffixBound makes the losslessness
+    // invariant structural instead of conventional: a no-candidate query
+    // re-scores fully, never vanishes (InvertedIndexSpec's stale-termDf
+    // adversarial spec pins this). In the valid regime (df > 0 ⇒
+    // postings nonempty) every suffixBound key already appears in the
+    // candidate top-k, so this is plan-identical to keying off byQuery.
+    val badIds = suffixBound.keys.filterNot(okIds.contains).toSeq
     val fallbackPart =
       if (badIds.isEmpty) prunedPart.limit(0)
       else bm25ScoresByQuery(idx,

@@ -525,10 +525,11 @@ class InvertedIndexSpec extends SparkSpec {
     assert(a6 == b6)
   }
 
-  test("bm25TopKPruned: iterating prefix (near-equal bounds) stays exact") {
-    // two equally-rare terms + one stop-term: the first prefix's
-    // threshold cannot dominate the twin term's bound, so the loop must
-    // GROW the prefix and still land on the unpruned answer
+  test("bm25TopKPruned: near-equal bounds (uncertifiable cut) stays exact") {
+    // two equally-rare terms + one stop-term: the essential term's
+    // threshold cannot dominate the twin term's bound, so the cut fails
+    // to certify and the certified fallback must land on the unpruned
+    // answer
     val docs = Seq(
       (1L, "twin1 filler filler"),
       (2L, "twin2 filler filler"),
@@ -605,6 +606,47 @@ class InvertedIndexSpec extends SparkSpec {
     assert(batch(3L) == single(Seq(stops(0), stops(1))))
     assert(batch(4L) == single(Seq(rare(2))))
     assert(!batch.contains(5L), "unindexed-only query must return no rows")
+  }
+
+  test("batch WAND never drops a query whose advertised term has no postings") {
+    // the losslessness invariant at InvertedIndex.bm25TopKPrunedByQuery's
+    // okIds/badIds split, made structural: "termDf df > 0 ⇒ postings
+    // nonempty" holds for every index this API builds (applyTombstones
+    // filters df > 0), but a future index variant with a STALE termDf row
+    // could advertise a term whose postings vanished. If that term ranks
+    // essential (rare ⇒ top ub), its query produces ZERO candidates — and
+    // must fall back to full scoring over its other terms, never silently
+    // vanish from the result.
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry")).toDF("doc_id", "text")
+    val real = InvertedIndex.build(docs)
+    // poison: keep a "ghost" row in termDf (df=1, rare ⇒ highest ub)
+    // whose postings are GONE
+    val ghostTermDf = real.termDf.unionByName(
+      Seq(("ghost", 1L, 5L)).toDF("term", "df", "max_tf"))
+    val stale = real.copy(termDf = ghostTermDf)
+    val queries = Seq(
+      (1L, "ghost"), (1L, "banana"),
+      (2L, "apple")).toDF("query_id", "term")
+    val got = InvertedIndex.bm25TopKPrunedByQuery(stale, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy(t => (-t._2, t._1)).toSeq).toMap
+    // query 1 must SURVIVE via the fallback: full scoring over the stale
+    // index ("ghost" matches no postings; "banana" scores docs 1, 2)
+    val want1 = InvertedIndex
+      .bm25Scores(stale, Seq("ghost", "banana"))
+      .orderBy($"score_q".desc, $"doc_id").limit(3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.contains(1L), "query with a stale essential term was dropped")
+    assert(got(1L) == want1, s"${got.get(1L)} vs $want1")
+    assert(got(2L).map(_._1).toSet == Set(1L, 3L))
+    // the single-query probe shares the batch organization — same guard
+    val single = InvertedIndex.bm25TopKPruned(stale, Seq("ghost", "banana"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(single == want1)
   }
 
   test("bm25TopKPruned: valid over a tombstoned artifact (loose max_tf)") {
