@@ -118,14 +118,20 @@ object InvertedIndex {
   }
 
   /** The spell-suggestion dictionary relation for a vocabulary: one row
-    * per (term, 1-deletion-neighborhood key), bucketed by key hash — the
-    * [[suggestTerms]] probe prunes to the query keys' buckets exactly
-    * like BM25 prunes postings. Derived once per save/append/compact (a
-    * vocabulary-bounded explode), never per probe — the
-    * build-once/probe-many discipline applied to query correction.
+    * per (term, 1-deletion-neighborhood key) WITH the term's df folded in,
+    * bucketed by key hash — the [[suggestTerms]] probe prunes to the
+    * query keys' buckets exactly like BM25 prunes postings. Derived once
+    * per save/append/compact (a vocabulary-bounded explode), never per
+    * probe — the build-once/probe-many discipline applied to query
+    * correction. Carrying df in the dictionary rows (r13) is what lets
+    * the served probe rank WITHOUT joining the vocabulary-wide termDf
+    * relation — the join was the served path's fixed overhead that made
+    * it 2× slower than per-call derivation at every r12-measured size;
+    * append deltas carry partial dfs that the probe re-sums per
+    * (term, key), exactly like [[load]] re-sums termdf deltas.
     */
-  private def suggestRelation(termDf: DataFrame): DataFrame =
-    termDf.select(col("term"),
+  private[graft] def suggestRelation(termDf: DataFrame): DataFrame =
+    termDf.select(col("term"), col("df"),
         explode(EdJoin.deletionKeys(col("term"))).as("__qk"))
       .withColumn("bucket",
         pmod(col("__qk"), lit(Buckets.toLong)).cast("int"))
@@ -178,10 +184,18 @@ object InvertedIndex {
     delta.docLens.write.mode("append").parquet(s"$dir/doclens")
     delta.termDf.write.mode("append").parquet(s"$dir/termdf")
     // delta vocabulary's deletion keys append too; duplicate (term, key)
-    // rows across deltas collapse at probe time through the termDf join
-    if (fs.exists(new Path(root, "suggest")))
-      suggestRelation(delta.termDf).write.mode("append")
+    // rows across deltas carry partial dfs the probe re-sums. Match the
+    // existing dictionary's schema (the positional-postings discipline):
+    // a pre-df artifact keeps its df-less layout — mixing the two would
+    // leave nulls under mergeSchema and the probe's df sum would
+    // silently undercount the legacy rows' share
+    if (fs.exists(new Path(root, "suggest"))) {
+      val rel = suggestRelation(delta.termDf)
+      val legacy = !spark.read.parquet(s"$dir/suggest")
+        .columns.contains("df")
+      (if (legacy) rel.drop("df") else rel).write.mode("append")
         .partitionBy("bucket").parquet(s"$dir/suggest")
+    }
     Seq((delta.n, delta.sdl)).toDF("n", "sdl")
       .write.mode("append").parquet(s"$dir/meta")
   }
@@ -236,9 +250,11 @@ object InvertedIndex {
       idx.docLens.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
       termDf,
       idx.n - dead.getLong(0), idx.sdl - dead.getLong(1),
-      // the dictionary carries through as-is: terms whose df reached 0
-      // drop out at probe time through the adjusted-termDf join
-      idx.suggestKeys)
+      // the dictionary's KEYS carry through, but its persisted dfs are
+      // stale under live tombstones — project them away so the probe
+      // routes to the adjusted-termDf join (correct df, dead terms drop);
+      // compact() re-derives the dictionary with fresh dfs
+      idx.suggestKeys.map(_.select(col("term"), col("__qk"), col("bucket"))))
   }
 
   def load(spark: SparkSession, dir: String): LexIndex = {
@@ -825,17 +841,27 @@ object InvertedIndex {
         .as("__qk"))
     // an artifact-loaded index serves the PERSISTED dictionary: the probe
     // prunes to the query keys' buckets (the bm25 pruning shape) and pays
-    // zero vocabulary explode; the termDf join restores the MERGED df
-    // (append deltas) and drops fully-tombstoned terms. A build-only
-    // index derives the dictionary per call — correct, just unamortized.
+    // zero vocabulary explode. A dictionary carrying df (r13 layout)
+    // ranks with NO termDf join at all — partial dfs from append deltas
+    // re-sum per (term, key) over the pruned buckets only, the same
+    // exact merge load() applies to termdf (every key of a term carries
+    // the same delta df, so all keys sum to the same merged value). A
+    // pre-df dictionary (legacy artifact) or a tombstone-adjusted index
+    // (applyTombstones projects the stale dfs away) restores df through
+    // the termDf join. A build-only index derives the dictionary per
+    // call — correct, just unamortized.
     val dict = idx.suggestKeys match {
       case Some(sk) =>
         val buckets = q.select(
             pmod(col("__qk"), lit(Buckets.toLong)).cast("int").as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        sk.filter(col("bucket").isin(buckets: _*))
-          .select(col("term"), col("__qk"))
-          .join(idx.termDf.select(col("term"), col("df")), Seq("term"))
+        val pruned = sk.filter(col("bucket").isin(buckets: _*))
+        if (sk.columns.contains("df"))
+          pruned.groupBy(col("term"), col("__qk"))
+            .agg(sum(col("df")).as("df"))
+        else
+          pruned.select(col("term"), col("__qk"))
+            .join(idx.termDf.select(col("term"), col("df")), Seq("term"))
       case None =>
         idx.termDf
           .select(col("term"), col("df"), explode(EdJoin.deletionKeys(

@@ -53,6 +53,14 @@ object StreamingLexIndex {
     write(delta.postings, "postings", Seq("bucket"))
     write(delta.docLens, "doclens", Nil)
     write(delta.termDf, "termdf", Nil)
+    // the batch vocabulary's spell-suggestion deletion keys land as a
+    // delta too (r13): per-batch partial dfs, re-summed at probe time —
+    // the same merge contract as termdf — so a STREAMED artifact serves
+    // suggestTerms from persisted keys instead of paying the per-call
+    // vocabulary explode forever (the one build-once/probe-many asymmetry
+    // the streaming index still had vs the batch artifact)
+    write(InvertedIndex.suggestRelation(delta.termDf), "suggest",
+      Seq("bucket"))
     write(Seq((delta.n, delta.sdl)).toDF("n", "sdl"), "meta", Nil)
     // once a merge manifest governs the directory, every new segment must
     // register in it or the manifest-filtered load would never see it;
@@ -93,6 +101,11 @@ object StreamingLexIndex {
   }
 
   private val Relations = Seq("postings", "doclens", "termdf", "meta")
+  // suggest joins the merge/sweep lifecycle but is OPTIONAL on read:
+  // legacy segments (pre-r13) never wrote it, and load() only serves the
+  // persisted dictionary when every live segment with a vocabulary has
+  // its suggest partition
+  private val MergeRelations = Relations :+ "suggest"
 
   // shared with the batch artifact: one definition of "resolve the
   // filesystem FROM the artifact path" (InvertedIndex.fsFor carries the
@@ -176,7 +189,7 @@ object StreamingLexIndex {
     // forever on the long-running path this sink exists for
     if (fs.exists(new Path(root, "_segments"))) {
       val liveSet = live.toSet
-      Relations.foreach { sub =>
+      MergeRelations.foreach { sub =>
         listSegments(fs, root, sub).filterNot(liveSet.contains).foreach {
           id => fs.delete(new Path(root, s"$sub/batch=$id"), true)
         }
@@ -206,9 +219,16 @@ object StreamingLexIndex {
     stage(folded.postings, "postings", Seq("bucket"))
     stage(folded.docLens, "doclens", Nil)
     stage(folded.termDf, "termdf", Nil)
+    // the merged dictionary derives from the FOLDED termDf (merged dfs),
+    // not a union of the per-batch deltas — exact by the same argument as
+    // compact()'s re-derivation, and it upgrades legacy fold sets that
+    // never wrote suggest deltas
+    stage(InvertedIndex.suggestRelation(folded.termDf), "suggest",
+      Seq("bucket"))
     stage(Seq((folded.n, folded.sdl)).toDF("n", "sdl"), "meta", Nil)
     // rename the staged relations in as the merged segment's partitions
-    Relations.foreach { sub =>
+    MergeRelations.foreach { sub =>
+      fs.mkdirs(new Path(root, sub)) // legacy dir may lack suggest/
       val target = new Path(root, s"$sub/batch=$mid")
       fs.delete(target, true) // stale target from a crashed earlier attempt
       if (!fs.rename(new Path(staging, sub), target))
@@ -217,7 +237,7 @@ object StreamingLexIndex {
     fs.delete(staging, true)
     writeManifest(fs, root, mid +: keep) // the commit point
     fold.foreach { id =>
-      Relations.foreach { sub =>
+      MergeRelations.foreach { sub =>
         fs.delete(new Path(root, s"$sub/batch=$id"), true)
       }
     }
@@ -251,11 +271,29 @@ object StreamingLexIndex {
       else rawTermDf.withColumn("max_tf", lit(Long.MaxValue)))
         .groupBy(col("term")).agg(sum(col("df")).as("df"),
           max(col("max_tf")).as("max_tf"))
+    // the persisted spell dictionary serves ONLY when it covers the whole
+    // live vocabulary: every live segment must have its suggest partition
+    // or no postings at all (no postings ⇒ nothing to suggest). A legacy
+    // segment (pre-r13, postings but no suggest delta) fails the check
+    // and the probe falls back to per-call derivation — correct, just
+    // unamortized — until a merge fold re-derives the dictionary over it.
+    // The check is pure directory metadata, bounded by the segment count.
+    val (fs, root) = fsFor(spark, dir)
+    val liveIds = if (ids != null) ids else listSegments(fs, root, "meta")
+    val covered = fs.exists(new Path(root, "suggest")) &&
+      liveIds.forall(id =>
+        fs.exists(new Path(root, s"suggest/batch=$id")) ||
+        !fs.exists(new Path(root, s"postings/batch=$id")))
+    val suggest =
+      if (covered)
+        Some(spark.read.parquet(s"$dir/suggest")
+          .filter(col("batch").isin(liveIds: _*)).drop("batch"))
+      else None
     InvertedIndex.LexIndex(
       rel("postings"),
       rel("doclens"),
       termDf,
-      meta.getLong(0), meta.getLong(1))
+      meta.getLong(0), meta.getLong(1), suggest)
   }
 
   /** Assemble the live index. The `batch` partition column is dropped

@@ -475,8 +475,12 @@ class InvertedIndexSpec extends SparkSpec {
       rows(InvertedIndex.suggestTerms(InvertedIndex.build(docs),
         Seq("spark"), 3)))
     // the probe plan reads the persisted relation, no vocabulary explode
-    assert(served.queryExecution.executedPlan.toString.contains("suggest"),
+    // and (r13) no vocabulary-wide termDf join: df rides the dictionary
+    val servedPlan = served.queryExecution.executedPlan.toString
+    assert(servedPlan.contains("suggest"),
       "artifact probe must scan the persisted dictionary")
+    assert(!servedPlan.contains("termdf"),
+      "df path must not join the vocabulary relation")
     assert(rows(served).map(_._2).contains("spork")) // lev 1 neighbor
     // append: the delta vocabulary becomes suggestable from the artifact
     InvertedIndex.append(dir, Seq((4L, "spars rows")).toDF("doc_id", "text"))

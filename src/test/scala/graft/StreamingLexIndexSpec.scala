@@ -119,6 +119,51 @@ class StreamingLexIndexSpec extends SparkSpec {
     assert(pruned == direct)
   }
 
+  test("streamed artifact serves the spell dictionary; merge folds it; legacy falls back") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-streamlex-suggest").toString
+    corpus.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      StreamingLexIndex.applyBatch(g.toDF("doc_id", "text"), i.toLong, dir)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    // parity oracle: the same probe against the build-only index (per-call
+    // vocabulary derivation over the full corpus)
+    val want = rows(InvertedIndex.suggestTerms(
+      InvertedIndex.build(corpus.toDF("doc_id", "text")), Seq("spark"), 3))
+    val streamed = StreamingLexIndex.load(spark, dir)
+    assert(streamed.suggestKeys.isDefined,
+      "streamed artifact must carry the persisted dictionary")
+    val served = InvertedIndex.suggestTerms(streamed, Seq("spark"), 3)
+    assert(rows(served) == want)
+    assert(want.nonEmpty && want.map(_._2).contains("spark"))
+    // the served plan reads the persisted relation with NO termDf join:
+    // per-batch partial dfs re-sum over the pruned buckets alone
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("suggest"), "probe must scan the persisted dictionary")
+    assert(!plan.contains("termdf"), "df path must not join the vocabulary relation")
+    // a legacy segment (no suggest delta) breaks coverage: fall back to
+    // derivation, same rows
+    val seg1 = new java.io.File(s"$dir/suggest/batch=1")
+    assert(seg1.isDirectory)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(seg1)
+    val legacy = StreamingLexIndex.load(spark, dir)
+    assert(legacy.suggestKeys.isEmpty,
+      "incomplete dictionary coverage must fall back, not under-suggest")
+    assert(rows(InvertedIndex.suggestTerms(legacy, Seq("spark"), 3)) == want)
+    // the merge fold re-derives the dictionary from the folded termDf —
+    // coverage is restored and the served probe returns
+    assert(StreamingLexIndex.maybeMerge(spark, dir, 2, 3L))
+    val merged = StreamingLexIndex.load(spark, dir)
+    assert(merged.suggestKeys.isDefined, "merge must fold the dictionary")
+    assert(rows(InvertedIndex.suggestTerms(merged, Seq("spark"), 3)) == want)
+  }
+
   test("merge is replay-safe: re-delivered current batch + re-merge change nothing") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-streamlex-merge-replay").toString
