@@ -304,6 +304,11 @@ object ScaleBench {
     // (loaded IVF artifact, nprobe under the √n scale policy)
     val ragIvfIdx = scala.collection.mutable.Map
       .empty[String, (graft.operators.SimilaritySearch.IvfIndex, Int)]
+    // the filtered-retrieval pair's dense index (embeddings corpus, √n
+    // policy) and the RAG composed-pipeline query-term relation
+    val embIvfIdx = scala.collection.mutable.Map
+      .empty[String, (graft.operators.SimilaritySearch.IvfIndex, Int)]
+    val ragQtermsRel = scala.collection.mutable.Map.empty[String, DataFrame]
     def ragQueries(dir: String): DataFrame =
       graft.queries.TextQueries.prepareRagEmb(spark, dir)
         .filter(pmod(col("cid"), lit(10000L)) === 0 &&
@@ -502,6 +507,48 @@ object ScaleBench {
         graft.operators.InvertedIndex.suggestTerms(
           lexIdx(dir).copy(suggestKeys = None), suggestQueries, 3)
       },
+      // filtered retrieval at scale (r13, verdict item 2): the sparse
+      // side's claim is "shuffle ∝ allowed ∩ matched postings" — the
+      // allowed semi-join lands before scoring, so the SELECTIVE row
+      // (≈0.8% of docs) should undercut the unfiltered bm25_probe and
+      // the PERMISSIVE row (50%) should track it. Fixed query (the
+      // bm25_probe terms); the filter relation grows ∝ corpus at a
+      // constant selectivity, the production tenant/ACL shape
+      "bm25_filtered_selective" -> { dir: String =>
+        graft.operators.InvertedIndex.bm25TopKAmong(
+          lexIdx(dir), bm25Terms, 10,
+          Tables.documents(spark, dir)
+            .filter(pmod(col("doc_id"), lit(128L)) === 0)
+            .select(col("doc_id")))
+      },
+      "bm25_filtered_permissive" -> { dir: String =>
+        graft.operators.InvertedIndex.bm25TopKAmong(
+          lexIdx(dir), bm25Terms, 10,
+          Tables.documents(spark, dir)
+            .filter(pmod(col("doc_id"), lit(2L)) === 0)
+            .select(col("doc_id")))
+      },
+      // the dense side of the pair: ivfProbeAmong over the √n-policy
+      // index, fixed 10-query probe. The candidate semi-join bounds the
+      // scored volume by the probed cells' allowed membership; the
+      // recall half of the claim (selective filters deserve a larger
+      // nprobe) is measured by the ann_recall_filtered section below
+      "ivf_filtered_selective" -> { dir: String =>
+        val (idx, nprobe) = embIvfIdx(dir)
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.SimilaritySearch.ivfProbeAmong(
+          idx, emb.filter(col("vec_id") < 10), k = 10, nprobe,
+          emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
+            .select(col("vec_id")))
+      },
+      "ivf_filtered_permissive" -> { dir: String =>
+        val (idx, nprobe) = embIvfIdx(dir)
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.SimilaritySearch.ivfProbeAmong(
+          idx, emb.filter(col("vec_id") < 10), k = 10, nprobe,
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+            .select(col("vec_id")))
+      },
       // the composed RAG pipeline gate end-to-end (chunk → embed →
       // index → fused retrieve → eval). Query count AND chunk corpus
       // both grow ∝ corpus here (queries = chunk 0 of every 5th sampled
@@ -537,6 +584,29 @@ object ScaleBench {
             col("embedding").cast("array<float>").as("embedding")),
           k = 10, nprobe, idCol = "cid")
       },
+      // the composed RAG pipeline's LEXICAL leg, pruned vs unpruned
+      // (r13, verdict item 4): the exact serving swap ragFuseEval made —
+      // bm25TopKPrunedByQuery(k+1) vs ranking the full batch scoring
+      // relation — measured in isolation over the session-memoized chunk
+      // index and the gate's own query relation. Queries grow ∝ corpus
+      // (the rag_dense convention), so the exponent PAIR is the claim:
+      // the pruned row's gap below the unpruned row is what the RAG
+      // evaluation saves by never shuffling the high-df terms' postings
+      "rag_lexical" -> { dir: String =>
+        graft.operators.InvertedIndex.bm25TopKPrunedByQuery(
+          graft.queries.TextQueries.prepareRagIndex(spark, dir),
+          ragQtermsRel(dir), 11)
+      },
+      "rag_lexical_unpruned" -> { dir: String =>
+        val scored = graft.operators.InvertedIndex.bm25ScoresByQuery(
+          graft.queries.TextQueries.prepareRagIndex(spark, dir),
+          ragQtermsRel(dir))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score_q").desc, col("doc_id"))
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 11)
+      },
       // retrieval-eval harness over PERSISTED results/truth relations
       // (built per dir, timed as builds): the metric computation joins
       // queries x k rows against queries x k rows — its cost must be
@@ -569,7 +639,9 @@ object ScaleBench {
         timeIt { graft.queries.EngineQueries.prepareBenchGrams(spark, out); () })
     if (familySelected("bm25_probe") || familySelected("ql_probe") ||
         familySelected("suggest_probe") ||
-        familySelected("suggest_probe_derived")) {
+        familySelected("suggest_probe_derived") ||
+        familySelected("bm25_filtered_selective") ||
+        familySelected("bm25_filtered_permissive")) {
       def mkIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx").toString
@@ -692,6 +764,77 @@ object ScaleBench {
           graft.queries.TextQueries.prepareRagEmb(spark, dir),
           idCol = "cid", vecCol = "embedding")
       builds("rag_srp_index") = (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
+    }
+    if (familySelected("ivf_filtered_selective") ||
+        familySelected("ivf_filtered_permissive") ||
+        familySelected("ann_recall_filtered")) {
+      def mkIdx(dir: String): Unit = {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val (nlist, nprobe) =
+          graft.operators.SimilaritySearch.ivfScaleParams(emb.count())
+        val idx = graft.operators.SimilaritySearch
+          .buildIvfIndex(emb, nlist = nlist)
+        idx.assigned.count()
+        embIvfIdx(dir) = (idx, nprobe)
+      }
+      builds("emb_ivf_index") = (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
+    }
+    if (familySelected("rag_lexical") ||
+        familySelected("rag_lexical_unpruned")) {
+      // warm the memoized chunk→index pipeline and persist the gate's
+      // query-term relation OUTSIDE the timed cells (the rag_dense_ann
+      // discipline): the pair must time the probe organizations alone
+      def warm(dir: String): Unit = {
+        graft.queries.TextQueries.prepareRagIndex(spark, dir)
+        val ch = graft.queries.TextQueries.prepareRagChunks(spark, dir)
+        val qset = ch
+          .filter(col("doc_id") % 65 === 0 && col("chunk_idx") === 0)
+          .select(col("cid").as("query_id"))
+        val qt = ch.join(broadcast(qset), ch("cid") === qset("query_id"))
+          .select(col("query_id"),
+            explode(split(col("chunk_text"), " ")).as("term"))
+          .filter(length(col("term")) > 0).distinct().persist()
+        qt.count()
+        ragQtermsRel(dir) = qt
+      }
+      builds("rag_lex_artifacts") = (timeIt { warm(base) }, timeIt { warm(out) })
+    }
+    if (familySelected("segment_merge")) {
+      // the streaming index's segment-merge fold (r13, verdict item 8):
+      // per dir, ingest the corpus as 16 applyBatch segments, probe the
+      // segmented layout (min-of-2, load + bm25TopK — the per-segment
+      // listing/footer overhead is exactly what the fold removes), time
+      // ONE maybeMerge folding all 16, probe again. The fold row's
+      // exponent is rewrite volume (expected ≈ linear); the pre/post
+      // probe gap at each size is the fold's payoff
+      import graft.streaming.StreamingLexIndex
+      def mkSeg(dir: String): String = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-scale-seglex").toString
+        scratchDirs += tmp
+        val docs = Tables.documents(spark, dir)
+        (0 until 16).foreach { i =>
+          StreamingLexIndex.applyBatch(
+            docs.filter(pmod(col("doc_id"), lit(16L)) === i), i.toLong, tmp)
+        }
+        tmp
+      }
+      val (segBase, segBig) = (mkSeg(base), mkSeg(out))
+      val segTerms = StreamingLexIndex.load(spark, segBase).termDf
+        .orderBy(col("df").desc, col("term")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      def probeTime(tmp: String): Double =
+        Seq.fill(2)(timeIt {
+          graft.operators.InvertedIndex.bm25TopK(
+            StreamingLexIndex.load(spark, tmp), segTerms, 10).count(); ()
+        }).min
+      builds("stream_probe_premerge") = (probeTime(segBase), probeTime(segBig))
+      builds("segment_merge_fold") = (
+        timeIt { StreamingLexIndex.maybeMerge(spark, segBase, 2, 16L); () },
+        timeIt { StreamingLexIndex.maybeMerge(spark, segBig, 2, 16L); () })
+      builds("stream_probe_postmerge") =
+        (probeTime(segBase), probeTime(segBig))
     }
     if (familySelected("rag_dense_ivf")) {
       graft.queries.TextQueries.prepareRagEmb(spark, base).count()
@@ -981,6 +1124,65 @@ object ScaleBench {
         }.mkString("{", ",", "}")
       }
 
+    // filtered-ANN recall at scale (r13, verdict item 2's dial half):
+    // ivfProbeAmong's scaladoc claims "selective filters deserve a larger
+    // nprobe — the probed cells must hold ≥ k allowed vectors". This
+    // section measures that dial at both sizes: recall@5 vs the exact
+    // filtered brute truth, under the selective (≈0.8%) and permissive
+    // (50%) filters, at nprobe = policy, 2×policy, 4×policy (capped at
+    // nlist). The expected shape — selective recall trails permissive at
+    // the policy dial and recovers as nprobe widens — is the standard
+    // filtered-ANN tradeoff, now with measured numbers instead of a
+    // scaladoc sentence.
+    val filteredJson: Option[String] =
+      if (!familySelected("ann_recall_filtered")) None
+      else Some {
+        import graft.operators.SimilaritySearch
+        val K = 5
+        val NQ = 50
+        Seq("small" -> base, "big" -> out).map { case (tag, dir) =>
+          val emb = Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding")).persist()
+          val n = emb.count()
+          val (idx, nprobePolicy) = embIvfIdx(dir)
+          val nlist = idx.centers.length
+          val queries = emb.orderBy(xxhash64(col("vec_id"), lit(7L)))
+            .limit(NQ).persist()
+          queries.count()
+          val filters = Seq(
+            "selective" -> emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
+              .select(col("vec_id")),
+            "permissive" -> emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+              .select(col("vec_id")))
+          val parts = filters.map { case (fname, allowed) =>
+            val truth = SimilaritySearch
+              .bruteForceTopKAmong(emb, queries, K, allowed).persist()
+            val tTruth = timeIt { truth.count(); () }
+            val dials = Seq(nprobePolicy, 2 * nprobePolicy,
+                4 * nprobePolicy).map(math.min(_, nlist)).distinct
+            val dialParts = dials.map { np =>
+              var probe: DataFrame = null
+              val t = timeIt {
+                probe = SimilaritySearch
+                  .ivfProbeAmong(idx, queries, K, np, allowed).persist()
+                probe.count(); ()
+              }
+              val r = recallAtK(truth, probe)
+              probe.unpersist()
+              println(s"SCALEFILTER $tag $fname n=$n nlist=$nlist " +
+                s"nprobe=$np recall=${fmt(r)} probe=${fmt(t)}s " +
+                s"truth=${fmt(tTruth)}s")
+              s""""nprobe_$np":{"recall":${fmt(r)},"probe_sec":${fmt(t)}}"""
+            }
+            truth.unpersist()
+            s""""$fname":{"truth_sec":${fmt(tTruth)},${dialParts.mkString(",")}}"""
+          }
+          queries.unpersist(); emb.unpersist()
+          s""""$tag":{"n":$n,"nlist":$nlist,"nprobe_policy":$nprobePolicy,""" +
+            parts.mkString("", ",", "}")
+        }.mkString("{", ",", "}")
+      }
+
     // embjson DSv2 source at the sizes it exists for (round-9 verdict
     // item 2): the connector's three value claims — constant-memory
     // streaming parse of a big group file, key-only scans skipping float
@@ -1109,6 +1311,7 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val recallField = recallJson.map(r => s""","recall":$r""").getOrElse("") +
       plantedJson.map(r => s""","recall_planted":$r""").getOrElse("") +
+      filteredJson.map(r => s""","recall_filtered":$r""").getOrElse("") +
       embjsonJson.map(r => s""","embjson":$r""").getOrElse("")
     val json =
       s"""{"metric":"scale_exponent","factor":$factor,"base":"$base","families":$famJson,"builds":$buildJson$recallField}"""

@@ -529,22 +529,62 @@ object InvertedIndex {
         .cast("double") * lit(1000000.0)).cast("long").as("score_q"))
   }
 
-  /** Batch WAND: [[bm25ScoresByQuery]]'s many-queries-one-scan serving
-    * shape with [[bm25TopKPruned]]'s MaxScore cut, fully RELATIONAL — no
-    * per-query driver loop, so a RAG evaluation's hundreds of queries
-    * prune in two posting passes worst case. Lossless: per query, the
-    * result is bit-identical to ranking [[bm25ScoresByQuery]].
+  /** Cost-model dials for [[bm25TopKPrunedByQuery]]'s per-query planner.
     *
-    * One static round instead of the single-query probe's growing
-    * prefix: each query's ESSENTIAL term is its top-ub term (window
-    * rank 1); candidates are the (query, doc) pairs from the essential
-    * postings alone; candidates score FULLY (pair-restricted scoring,
-    * the stop-terms' postings never shuffle); a query's cut is VALID
-    * when it filled k candidates and its quantized k-th score exceeds
-    * ceil(Σ non-essential ub ×1e6). Queries failing the check — the
-    * all-stop shape, or fewer matches than k — fall back to full
-    * scoring, restricted to just those query ids, and the union is the
-    * answer. Returns (query_id, doc_id, score_q), ≤ k rows per query.
+    * `PrunePrefixDfBudget`: the essential prefix grows (in ub order)
+    * while its cumulative posting volume stays within this share of the
+    * query's TOTAL posting volume — past half, the candidate pass reads
+    * most of what the exact pass would, so a failed cut costs more than
+    * pruning can save.
+    *
+    * `PruneFlatSuffixCutoff`: if the best in-budget prefix still leaves
+    * this share of the query's total score bound in the suffix, the ub
+    * mass is flat (the BPE-chunk/long-query shape: many terms, none
+    * dominant) and certification is hopeless — route the query straight
+    * to exact scoring, ONE posting pass, no wasted candidate round.
+    * Certification needs the k-th candidate's ACHIEVED score to beat
+    * the whole suffix bound, and achieved scores run well under their
+    * ub (tf below max_tf, dl above minimum), so a suffix share past a
+    * quarter almost never certifies — measured on the RAG chunk
+    * workload, cutoff 0.5 still let marginal queries through to a
+    * doomed candidate round. Routing is a pure cost decision: both
+    * paths are exact, so no dial value can change a result
+    * (spec-pinned), only what it costs.
+    */
+  val PrunePrefixDfBudget = 0.5
+  val PruneFlatSuffixCutoff = 0.25
+
+  /** Batch WAND: [[bm25ScoresByQuery]]'s many-queries-one-scan serving
+    * shape with a MaxScore cut, fully RELATIONAL — no per-query driver
+    * loop, so a RAG evaluation's hundreds of queries prune in two
+    * posting passes worst case. Lossless: per query, the result is
+    * bit-identical to ranking [[bm25ScoresByQuery]].
+    *
+    * The plan is built DRIVER-SIDE from one bounded stats collect (the
+    * query relation is the small side by contract): per query, terms
+    * sort by ub descending and the ESSENTIAL PREFIX grows while its
+    * cumulative df stays within [[PrunePrefixDfBudget]] of the query's
+    * total posting volume — so a stop+rare+rare query takes BOTH rare
+    * terms essential in the same single round (the r12 one-essential-
+    * term form could never certify that shape and silently degraded to
+    * full scoring plus a wasted candidate pass; the r12 single-query
+    * probe recovered it only by iterating one Spark action per prefix).
+    * Queries whose best in-budget prefix still leaves a
+    * [[PruneFlatSuffixCutoff]]-share suffix bound route straight to
+    * exact scoring — flat-ub shapes (long BPE-chunk queries) measured
+    * 6× SLOWER under unconditional pruning at sf0.1×10, because the
+    * cut never certifies and every query paid both passes.
+    *
+    * Execution: one candidate pass over the pruned queries' essential
+    * postings (broadcast-guarded by the exact df bound the planner
+    * already holds), one FULL scoring of those queries restricted to
+    * the candidate pairs (non-essential postings never shuffle), then
+    * the certified cut: a query's rows stand when it filled k
+    * candidates and its quantized k-th score exceeds
+    * ceil(Σ non-essential ub × 1e6). Everything else — routed-direct,
+    * uncertified, fewer-than-k matches, stale-candidate — re-scores
+    * exactly, restricted to those ids. Returns
+    * (query_id, doc_id, score_q), ≤ k rows per query.
     */
   def bm25TopKPrunedByQuery(idx: LexIndex, queries: DataFrame, k: Int,
       queryIdCol: String = "query_id", termCol: String = "term",
@@ -554,8 +594,10 @@ object InvertedIndex {
     val qterms = queries
       .select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
     // per-(query, distinct term) bound, bag multiplicity as weight;
-    // unindexed terms drop (they score nothing on either path)
-    val qstats = qterms
+    // unindexed terms drop (they score nothing on either path). ONE
+    // bounded collect (∝ the query relation) replaces the r12 form's
+    // three driver actions (suffix bounds, essential terms, df bound)
+    val statRows = qterms
       .groupBy(col("query_id"), col("term"))
       .agg(count(lit(1)).as("__w"))
       .join(idx.termDf, Seq("term"))
@@ -564,78 +606,117 @@ object InvertedIndex {
             (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
         (col("max_tf").cast("double") * lit(k1 + 1.0)) /
         (col("max_tf").cast("double") + lit(k1 * (1.0 - b))))
-    val byUb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("__ub").desc, col("term"))
-    val ranked = qstats.withColumn("__r", row_number().over(byUb))
-    val suffix = ranked.groupBy(col("query_id"))
-      .agg(sum(when(col("__r") > 1, col("__ub")).otherwise(lit(0.0)))
-        .as("__suffix_ub"))
-    val essential = ranked.filter(col("__r") === 1)
-      .select(col("query_id"), col("term"), col("df"))
-    // candidate pairs from the essential terms' postings only; the
-    // essential df sum bounds the pair count (the single-query broadcast
-    // guard, batch form) with one bounded aggregate
-    val essTerms = essential.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (essTerms.isEmpty) // no query term is indexed: empty result
-      return bm25ScoresByQuery(idx, qterms, k1 = k1, b = b).limit(0)
-    val candBound = essential.agg(
-      coalesce(sum(col("df")), lit(0L))).collect()(0).getLong(0)
-    val rawCand = prunedPostings(idx, essTerms)
-      .join(broadcast(essential.select(col("query_id"), col("term"))),
-        Seq("term"))
-      .select(col("query_id"), col("doc_id")).distinct()
-    val cand =
-      if (candBound <= BroadcastCandidateCap) broadcast(rawCand) else rawCand
-    val scored = bm25ScoresByQueryOver(idx, qterms, "query_id", "term",
-      k1, b, Some(cand))
+      .select(col("query_id"), col("term"), col("df"), col("__ub"))
+      .collect()
     val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("doc_id"))
+    // `everyQuery` = the id set covers every indexed query: skip the
+    // isin filter entirely (unindexed-term rows drop in scoring anyway),
+    // so the all-routed-direct shape costs exactly one exact pass with
+    // no per-row literal-list predicate
+    def fullTopK(ids: Seq[Any], everyQuery: Boolean): DataFrame =
+      bm25ScoresByQuery(idx,
+          if (everyQuery) qterms
+          else qterms.filter(col("query_id").isin(ids: _*)),
+          k1 = k1, b = b)
+        .withColumn("__rn", row_number().over(byScore))
+        .filter(col("__rn") <= k)
+        .select(col("query_id"), col("doc_id"), col("score_q"))
+    if (statRows.isEmpty) // no query term is indexed: empty result
+      return bm25ScoresByQuery(idx, qterms, k1 = k1, b = b).limit(0)
+    // the per-query plan: essential prefix + its exact candidate bound +
+    // the quantized suffix threshold; None = routed to exact scoring
+    final case class QPlan(essential: Seq[String], suffixBoundQ: Long,
+        candBound: Long)
+    val plans: Map[Any, Option[QPlan]] =
+      statRows.groupBy(_.get(0)).map { case (qid, rows) =>
+        val terms = rows.map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+          .sortBy { case (t, _, ub) => (-ub, t) }
+        val m = terms.length
+        val totalDf = terms.map(_._2).sum.toDouble
+        val totalUb = terms.map(_._3).sum
+        val plan =
+          if (m < 2) None // a 1-term query's candidate pass IS the scan
+          else {
+            var p = 0; var cDf = 0L; var cUb = 0.0
+            while (p < m - 1 &&
+                cDf + terms(p)._2 <= PrunePrefixDfBudget * totalDf) {
+              cDf += terms(p)._2; cUb += terms(p)._3; p += 1
+            }
+            val suffixUb = totalUb - cUb
+            if (p == 0 || suffixUb >= PruneFlatSuffixCutoff * totalUb) None
+            else Some(QPlan(terms.take(p).map(_._1).toSeq,
+              math.ceil(suffixUb * 1e6).toLong, cDf))
+          }
+        qid -> plan
+      }
+    val prunedPlans = plans.collect { case (qid, Some(pl)) => qid -> pl }
+    if (prunedPlans.isEmpty) // every query routed direct: one exact pass
+      return fullTopK(plans.keys.toSeq, everyQuery = true)
+    // candidate pairs from the pruned queries' essential postings only;
+    // the planner's df sums bound the pair count exactly, with zero
+    // extra jobs — broadcast only when that bound fits (past it, an
+    // all-frequent essential set falls back to the planner's shuffle
+    // strategy instead of a corpus-sized driver broadcast)
+    val qidField = qterms.schema("query_id")
+    val essSchema = org.apache.spark.sql.types.StructType(Seq(
+      qidField.copy(name = "query_id"),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType)))
+    val essRows: Seq[org.apache.spark.sql.Row] = prunedPlans.toSeq.flatMap {
+      case (qid, pl) => pl.essential.map(t =>
+        org.apache.spark.sql.Row(qid, t))
+    }
+    val essential = spark.createDataFrame(
+      java.util.Arrays.asList(essRows: _*), essSchema)
+    val essTerms = prunedPlans.valuesIterator.flatMap(_.essential)
+      .toSeq.distinct
+    val candBound = prunedPlans.valuesIterator.map(_.candBound).sum
+    val rawCand = prunedPostings(idx, essTerms)
+      .join(broadcast(essential), Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val cand =
+      if (candBound <= BroadcastCandidateCap) broadcast(rawCand) else rawCand
+    val prunedIds = prunedPlans.keys.toSeq
+    val scored = bm25ScoresByQueryOver(idx,
+      qterms.filter(col("query_id").isin(prunedIds: _*)),
+      "query_id", "term", k1, b, Some(cand))
     // ONE evaluation of the candidate-scoring pass: the per-query top-k
-    // is ≤ k × |queries| rows and the suffix bounds are one row per
-    // query — both COLLECT, the verdict is decided locally, and the
-    // certified rows return as a local relation (the single-query
+    // is ≤ k × |queries| rows — COLLECT, decide the verdict locally,
+    // return the certified rows as a local relation (the single-query
     // probe's convention). Leaving top/verdict as lazy subtrees would
-    // re-run the whole posting scan two more times on the caller's
-    // action — the "two posting passes worst case" claim would be false.
+    // re-run the whole posting scan on every caller action — the "two
+    // posting passes worst case" claim would be false.
     val top = scored.withColumn("__rn", row_number().over(byScore))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("doc_id"), col("score_q"))
     val resultSchema = top.schema
     val topRows = top.collect()
-    val suffixBound = suffix.collect()
-      .map(r => r.get(0) -> math.ceil(r.getDouble(1) * 1e6).toLong).toMap
     val byQuery = topRows.groupBy(_.get(0))
     val okIds = byQuery.collect { case (qid, rows)
       if rows.length == k &&
-        rows.map(_.getLong(2)).min > suffixBound(qid) => qid
+        rows.map(_.getLong(2)).min > prunedPlans(qid).suffixBoundQ => qid
     }.toSet
     val prunedRows = topRows.filter(r => okIds.contains(r.get(0)))
     val prunedPart = spark.createDataFrame(
       java.util.Arrays.asList(prunedRows: _*), resultSchema)
-    // fallback: queries whose cut did not certify re-score FULLY — the
-    // exact path, restricted to just those ids. The universe is EVERY
-    // query with ≥ 1 indexed term (suffixBound's keys), NOT the queries
-    // that produced candidates: a termDf row advertising a term with no
+    // fallback: everything not certified re-scores FULLY — the exact
+    // path, restricted to just those ids. The universe is EVERY query
+    // with ≥ 1 indexed term (the planner's keys), NOT the queries that
+    // produced candidates: a termDf row advertising a term with no
     // surviving postings (a stale statistic some future index variant
     // could produce — applyTombstones' df > 0 filter is what rules it
     // out today) would otherwise leave its query with zero candidates
     // and silently DROP it, even though its other terms score documents
-    // under full scoring. Keying off suffixBound makes the losslessness
+    // under full scoring. Keying off the planner makes the losslessness
     // invariant structural instead of conventional: a no-candidate query
     // re-scores fully, never vanishes (InvertedIndexSpec's stale-termDf
-    // adversarial spec pins this). In the valid regime (df > 0 ⇒
-    // postings nonempty) every suffixBound key already appears in the
-    // candidate top-k, so this is plan-identical to keying off byQuery.
-    val badIds = suffixBound.keys.filterNot(okIds.contains).toSeq
+    // adversarial spec pins this).
+    val badIds = plans.keys.filterNot(okIds.contains).toSeq
     val fallbackPart =
       if (badIds.isEmpty) prunedPart.limit(0)
-      else bm25ScoresByQuery(idx,
-          qterms.filter(col("query_id").isin(badIds: _*)), k1 = k1, b = b)
-        .withColumn("__rn", row_number().over(byScore))
-        .filter(col("__rn") <= k)
-        .select(col("query_id"), col("doc_id"), col("score_q"))
+      else fullTopK(badIds, everyQuery = badIds.length == plans.size)
     prunedPart.unionByName(fallbackPart)
   }
 
