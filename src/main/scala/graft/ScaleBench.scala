@@ -787,14 +787,10 @@ object ScaleBench {
       // discipline): the pair must time the probe organizations alone
       def warm(dir: String): Unit = {
         graft.queries.TextQueries.prepareRagIndex(spark, dir)
-        val ch = graft.queries.TextQueries.prepareRagChunks(spark, dir)
-        val qset = ch
-          .filter(col("doc_id") % 65 === 0 && col("chunk_idx") === 0)
-          .select(col("cid").as("query_id"))
-        val qt = ch.join(broadcast(qset), ch("cid") === qset("query_id"))
-          .select(col("query_id"),
-            explode(split(col("chunk_text"), " ")).as("term"))
-          .filter(length(col("term")) > 0).distinct().persist()
+        // the gate's OWN query relation (one shared definition — the
+        // bench must measure exactly what ragFuseEval serves)
+        val qt = graft.queries.TextQueries.ragQueryTerms(spark, dir)
+          .persist()
         qt.count()
         ragQtermsRel(dir) = qt
       }

@@ -89,11 +89,38 @@ object EdJoin {
     * TPC-H customer names before this path, ~linear after; BASELINE.md
     * scaling table).
     */
-  private[operators] def deletionKeys(s: Column): Column = {
+  private[graft] def deletionKeys(s: Column): Column = {
     val variants = transform(
       sequence(lit(1), length(s)),
       i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
     transform(array_union(array(s), variants), v => xxhash64(v))
+  }
+
+  /** Driver-side twin of [[deletionKeys]]: the SAME variants (string +
+    * each single-CODE-POINT deletion, deduplicated like `array_union`)
+    * hashed with the SAME `xxhash64` (Spark's XxHash64 over the UTF-8
+    * bytes, seed 42) — so a probe can derive its query keys and their
+    * buckets locally, with ZERO Spark jobs, and they land in exactly the
+    * partitions the Column form wrote (EdJoinSpec pins the parity,
+    * including non-ASCII and supplementary code points: Spark's substr
+    * counts code points, so the mirror must too — a UTF-16 code-unit
+    * deletion would split an emoji and hash differently).
+    */
+  private[graft] def deletionKeyHashes(s: String): Seq[Long] = {
+    val cps = s.codePoints.toArray
+    val variants = s +: cps.indices.map { i =>
+      val sb = new java.lang.StringBuilder(s.length)
+      var j = 0
+      while (j < cps.length) {
+        if (j != i) sb.appendCodePoint(cps(j))
+        j += 1
+      }
+      sb.toString
+    }
+    variants.distinct.map(v =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType, 42L))
   }
 
   /** All (id_a < id_b) pairs with `levenshtein <= tau`, exactly.

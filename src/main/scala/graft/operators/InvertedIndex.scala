@@ -917,9 +917,14 @@ object InvertedIndex {
     require(queries.nonEmpty, "no query strings given")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    val q = queries.distinct.toDF("query")
-      .select(col("query"), explode(EdJoin.deletionKeys(col("query")))
-        .as("__qk"))
+    // query keys AND their buckets derive DRIVER-SIDE
+    // (EdJoin.deletionKeyHashes — the exact-parity twin of the Column
+    // form, spec-pinned): the probe's query relation is a pure local
+    // table and bucket pruning costs zero Spark jobs — the r12 probe
+    // paid one collect job just to learn which partitions to read
+    val qRows = queries.distinct
+      .flatMap(qs => EdJoin.deletionKeyHashes(qs).map(h => (qs, h)))
+    val q = qRows.toDF("query", "__qk")
     // an artifact-loaded index serves the PERSISTED dictionary: the probe
     // prunes to the query keys' buckets (the bm25 pruning shape) and pays
     // zero vocabulary explode. A dictionary carrying df (r13 layout)
@@ -933,9 +938,9 @@ object InvertedIndex {
     // call — correct, just unamortized.
     val dict = idx.suggestKeys match {
       case Some(sk) =>
-        val buckets = q.select(
-            pmod(col("__qk"), lit(Buckets.toLong)).cast("int").as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        val buckets = qRows
+          .map(t => (((t._2 % Buckets) + Buckets) % Buckets).toInt)
+          .distinct
         val pruned = sk.filter(col("bucket").isin(buckets: _*))
         if (sk.columns.contains("df"))
           pruned.groupBy(col("term"), col("__qk"))

@@ -3202,6 +3202,20 @@ object TextQueries extends QueryPack {
       .filter(col("doc_id") % 65 === 0 && col("chunk_idx") === 0)
       .select(col("cid").as("query_id"))
 
+  /** The query-term relation the RAG gates probe with — ONE definition
+    * shared by [[ragFuseEval]] and ScaleBench's `rag_lexical` pair, so
+    * the bench can never silently measure a different relation than the
+    * serving path it isolates (r13 review finding).
+    */
+  private[graft] def ragQueryTerms(s: SparkSession, d: String): DataFrame = {
+    val ch = prepareRagChunks(s, d)
+    val qset = ragQuerySet(s, d)
+    ch.join(broadcast(qset), ch("cid") === qset("query_id"))
+      .select(col("query_id"),
+        explode(split(col("chunk_text"), " ")).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+  }
+
   /** Shared retrieval tail of the two composed RAG gates (brute dense
     * leg / IVF-artifact-served dense leg): lexical BM25 probe over the
     * persisted chunk index, RRF fusion with the provided dense ranks
@@ -3214,11 +3228,7 @@ object TextQueries extends QueryPack {
       k: Int): (DataFrame, DataFrame) = {
     val ch = prepareRagChunks(s, d)
     val idx = prepareRagIndex(s, d)
-    val qset = ragQuerySet(s, d)
-    val qterms = ch.join(broadcast(qset), ch("cid") === qset("query_id"))
-      .select(col("query_id"),
-        explode(split(col("chunk_text"), " ")).as("term"))
-      .filter(length(col("term")) > 0).distinct()
+    val qterms = ragQueryTerms(s, d)
     // lexical leg through BATCH WAND (r13, verdict item 4): the RAG
     // evaluation is exactly the many-queries workload whose unpruned
     // batch shape measured exponent 0.42 at x100 — the pruned cut is

@@ -90,6 +90,24 @@ class EdJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("must be numeric"))
   }
 
+  test("driver-side deletion-key hashes match the Column form exactly") {
+    // the parity contract behind InvertedIndex.suggestTerms' zero-job
+    // bucket pruning: keys computed on the driver MUST land in the
+    // partitions the Column expression wrote. Covers ASCII, accented
+    // BMP, CJK, and a supplementary code point (emoji) — Spark's substr
+    // counts code points, so a UTF-16 code-unit mirror would split the
+    // surrogate pair and hash a different variant set.
+    val samples = Seq("spark", "a", "", "café", "日本語",
+      "ab😀cd", "xx")
+    val viaColumn = samples.toDF("s")
+      .select(col("s"), EdJoin.deletionKeys(col("s")).as("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    samples.foreach { s =>
+      assert(EdJoin.deletionKeyHashes(s) == viaColumn(s),
+        s"driver/Column key mismatch for '$s'")
+    }
+  }
+
   test("plan never builds a cartesian product") {
     val names = Tables.customer(spark, sf01)
       .filter($"c_custkey" < 300)

@@ -626,29 +626,36 @@ class InvertedIndexSpec extends SparkSpec {
       (2L, "banana cherry"),
       (3L, "apple cherry cherry")).toDF("doc_id", "text")
     val real = InvertedIndex.build(docs)
-    // poison: keep a "ghost" row in termDf (df=1, rare ⇒ highest ub)
-    // whose postings are GONE
+    // poison: keep a "ghost" row in termDf (df=1, huge max_tf) whose
+    // postings are GONE. The query carries ghost TWICE (bag weight 2) so
+    // its ub dominates: suffix share ≈ 0.17 < PruneFlatSuffixCutoff and
+    // cumulative df 1 ≤ half the total — the planner MUST route it
+    // pruned with essential = {ghost}, whose candidate set is empty.
+    // (A routed-direct ghost would never reach the guard under test.)
     val ghostTermDf = real.termDf.unionByName(
-      Seq(("ghost", 1L, 5L)).toDF("term", "df", "max_tf"))
+      Seq(("ghost", 1L, 100L)).toDF("term", "df", "max_tf"))
     val stale = real.copy(termDf = ghostTermDf)
     val queries = Seq(
-      (1L, "ghost"), (1L, "banana"),
+      (1L, "ghost"), (1L, "ghost"), (1L, "banana"),
       (2L, "apple")).toDF("query_id", "term")
     val got = InvertedIndex.bm25TopKPrunedByQuery(stale, queries, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
         .sortBy(t => (-t._2, t._1)).toSeq).toMap
     // query 1 must SURVIVE via the fallback: full scoring over the stale
-    // index ("ghost" matches no postings; "banana" scores docs 1, 2)
+    // index ("ghost" matches no postings; "banana" scores docs 1, 2).
+    // Under the regressed candidate-keyed universe (byQuery) the empty
+    // candidate set would drop query 1 entirely — this assert is the pin.
     val want1 = InvertedIndex
-      .bm25Scores(stale, Seq("ghost", "banana"))
+      .bm25Scores(stale, Seq("ghost", "ghost", "banana"))
       .orderBy($"score_q".desc, $"doc_id").limit(3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got.contains(1L), "query with a stale essential term was dropped")
     assert(got(1L) == want1, s"${got.get(1L)} vs $want1")
     assert(got(2L).map(_._1).toSet == Set(1L, 3L))
     // the single-query probe shares the batch organization — same guard
-    val single = InvertedIndex.bm25TopKPruned(stale, Seq("ghost", "banana"), 3)
+    val single = InvertedIndex.bm25TopKPruned(
+        stale, Seq("ghost", "ghost", "banana"), 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(single == want1)
   }
