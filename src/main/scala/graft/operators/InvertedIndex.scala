@@ -26,6 +26,20 @@ object InvertedIndex {
     * prunes to the query terms' buckets. */
   val Buckets = 64
 
+  /** Bucket count for the spell-suggestion dictionary — deliberately
+    * FINER than the posting grid (r13): a BM25 probe carries a handful
+    * of terms (few buckets of 64 suffice), but a suggest probe fans each
+    * query into its ~|query|+1 deletion keys, so 5 queries already hit
+    * ~45 distinct buckets — at 64 buckets the "pruned" scan read ~60% of
+    * a dictionary 9× the termdf's row count, which is why the served
+    * path lost to per-call derivation at every r12-measured size. At
+    * 1024 buckets the same probe reads ~4% of the dictionary. The probe
+    * resolves the modulus from the ARTIFACT (df-carrying r13 layout =
+    * this grid; legacy df-less = the posting grid), so old artifacts
+    * keep pruning correctly.
+    */
+  val SuggestBuckets = 1024
+
   /** Candidate-count bound (sum of the essential terms' dfs) above which
     * [[bm25TopKPruned]] stops broadcast-hinting the candidate semi-join:
     * ~2M doc ids ≈ 16 MB broadcast — past that, a forced broadcast is a
@@ -38,9 +52,15 @@ object InvertedIndex {
       termDf: DataFrame,   // term, df
       n: Long,
       sdl: Long,
-      // persisted spell-suggestion dictionary (term, __qk, bucket) when
-      // loaded from an artifact that has one; None = derive per probe
-      suggestKeys: Option[DataFrame] = None) {
+      // persisted spell-suggestion dictionary (term, [df,] __qk, bucket)
+      // when loaded from an artifact that has one; None = derive per
+      // probe. suggestBucketCount records the modulus the dictionary's
+      // bucket column was written under (legacy artifacts used the
+      // posting grid; r13 dictionaries use the finer SuggestBuckets) —
+      // the probe MUST prune with the artifact's own modulus or it reads
+      // the wrong partitions and silently misses suggestions
+      suggestKeys: Option[DataFrame] = None,
+      suggestBucketCount: Int = SuggestBuckets) {
     /** Mean document length, derived from the exact integer sums so an
       * appended artifact reproduces it bit-for-bit. */
     def avgdl: Double = if (n == 0) 0.0 else sdl.toDouble / n.toDouble
@@ -134,7 +154,7 @@ object InvertedIndex {
     termDf.select(col("term"), col("df"),
         explode(EdJoin.deletionKeys(col("term"))).as("__qk"))
       .withColumn("bucket",
-        pmod(col("__qk"), lit(Buckets.toLong)).cast("int"))
+        pmod(col("__qk"), lit(SuggestBuckets.toLong)).cast("int"))
 
   /** Persist: postings partitioned by term hash bucket (the pruning key),
     * doc lengths and term dfs as plain parquet, stats as a one-row meta
@@ -185,15 +205,19 @@ object InvertedIndex {
     delta.termDf.write.mode("append").parquet(s"$dir/termdf")
     // delta vocabulary's deletion keys append too; duplicate (term, key)
     // rows across deltas carry partial dfs the probe re-sums. Match the
-    // existing dictionary's schema (the positional-postings discipline):
-    // a pre-df artifact keeps its df-less layout — mixing the two would
-    // leave nulls under mergeSchema and the probe's df sum would
-    // silently undercount the legacy rows' share
+    // existing dictionary's LAYOUT (the positional-postings discipline):
+    // a pre-df artifact keeps its df-less schema AND its coarse posting-
+    // grid bucket modulus — mixing layouts would leave null dfs under
+    // mergeSchema (silent df undercount) or scatter the same key across
+    // two bucket grids (missed suggestions under either pruning)
     if (fs.exists(new Path(root, "suggest"))) {
       val rel = suggestRelation(delta.termDf)
       val legacy = !spark.read.parquet(s"$dir/suggest")
         .columns.contains("df")
-      (if (legacy) rel.drop("df") else rel).write.mode("append")
+      (if (legacy)
+        rel.drop("df").withColumn("bucket",
+          pmod(col("__qk"), lit(Buckets.toLong)).cast("int"))
+      else rel).write.mode("append")
         .partitionBy("bucket").parquet(s"$dir/suggest")
     }
     Seq((delta.n, delta.sdl)).toDF("n", "sdl")
@@ -253,8 +277,10 @@ object InvertedIndex {
       // the dictionary's KEYS carry through, but its persisted dfs are
       // stale under live tombstones — project them away so the probe
       // routes to the adjusted-termDf join (correct df, dead terms drop);
-      // compact() re-derives the dictionary with fresh dfs
-      idx.suggestKeys.map(_.select(col("term"), col("__qk"), col("bucket"))))
+      // compact() re-derives the dictionary with fresh dfs. The bucket
+      // modulus is the ARTIFACT's, unchanged by the projection
+      idx.suggestKeys.map(_.select(col("term"), col("__qk"), col("bucket"))),
+      idx.suggestBucketCount)
   }
 
   def load(spark: SparkSession, dir: String): LexIndex = {
@@ -266,6 +292,13 @@ object InvertedIndex {
       if (fs.exists(new Path(root, "suggest")))
         Some(spark.read.parquet(s"$dir/suggest"))
       else None // legacy artifact: probes fall back to per-call derivation
+    // the df column doubles as the layout marker: df-carrying (r13)
+    // dictionaries were written under the fine SuggestBuckets grid,
+    // df-less ones under the posting grid — both changed in the same
+    // layout revision, and append preserves whichever the artifact has
+    val suggestBuckets =
+      if (suggest.exists(_.columns.contains("df"))) SuggestBuckets
+      else Buckets
     // mergeSchema: an artifact persisted before the max_tf statistic can
     // carry 2-column termdf files beside 3-column appended deltas; the
     // merged read nulls the missing column and the Long.MaxValue
@@ -285,7 +318,7 @@ object InvertedIndex {
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclens"),
       termDf,
-      meta.getLong(0), meta.getLong(1), suggest)
+      meta.getLong(0), meta.getLong(1), suggest, suggestBuckets)
     if (fs.exists(new Path(root, "tombstones")))
       applyTombstones(spark, base, dir)
     else base
@@ -938,8 +971,9 @@ object InvertedIndex {
     // call — correct, just unamortized.
     val dict = idx.suggestKeys match {
       case Some(sk) =>
+        val m = idx.suggestBucketCount.toLong
         val buckets = qRows
-          .map(t => (((t._2 % Buckets) + Buckets) % Buckets).toInt)
+          .map(t => (((t._2 % m) + m) % m).toInt)
           .distinct
         val pruned = sk.filter(col("bucket").isin(buckets: _*))
         if (sk.columns.contains("df"))

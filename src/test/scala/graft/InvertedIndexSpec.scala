@@ -504,6 +504,55 @@ class InvertedIndexSpec extends SparkSpec {
       "compact must shed dead terms' dictionary keys")
   }
 
+  test("legacy df-less dictionary: coarse-grid pruning, layout-preserving append") {
+    // simulate an r12 artifact: df-less dictionary rows under the
+    // POSTING bucket grid. The probe must resolve the artifact's own
+    // modulus (pruning under the fine grid would read the wrong
+    // partitions and silently miss suggestions) and route df through
+    // the termDf join; append must keep the legacy layout instead of
+    // scattering keys across two grids.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-suggest-legacy").toString
+    val docs = Seq(
+      (1L, "spark scan table"),
+      (2L, "spork merge"),
+      (3L, "spark merge join")).toDF("doc_id", "text")
+    InvertedIndex.save(InvertedIndex.build(docs), dir)
+    val legacyRows = spark.read.parquet(s"$dir/suggest")
+      .select($"term", $"__qk",
+        pmod($"__qk", lit(InvertedIndex.Buckets.toLong)).cast("int")
+          .as("bucket"))
+      .collect()
+    val legacySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__qk",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+    spark.createDataFrame(java.util.Arrays.asList(legacyRows: _*),
+        legacySchema)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/suggest")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    val want = rows(InvertedIndex.suggestTerms(InvertedIndex.build(docs),
+      Seq("spark"), 3))
+    val legacy = InvertedIndex.load(spark, dir)
+    assert(legacy.suggestBucketCount == InvertedIndex.Buckets,
+      "df-less dictionary must resolve the coarse posting grid")
+    assert(rows(InvertedIndex.suggestTerms(legacy, Seq("spark"), 3)) == want)
+    // append keeps the legacy layout: no df column, coarse buckets only
+    InvertedIndex.append(dir, Seq((4L, "spars rows")).toDF("doc_id", "text"))
+    val appended = spark.read.parquet(s"$dir/suggest")
+    assert(!appended.columns.contains("df"))
+    assert(appended.agg(max($"bucket")).head().getInt(0)
+      < InvertedIndex.Buckets)
+    assert(rows(InvertedIndex.suggestTerms(InvertedIndex.load(spark, dir),
+      Seq("spark"), 3)).map(_._2).contains("spars"))
+  }
+
   test("bm25TopKPruned: lossless across query shapes on the real corpus") {
     val idx = built
     val byDf = idx.termDf.orderBy($"df", $"term").collect()
