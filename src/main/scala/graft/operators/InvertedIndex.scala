@@ -284,11 +284,13 @@ object InvertedIndex {
   }
 
   def load(spark: SparkSession, dir: String): LexIndex = {
-    // meta and termDf re-aggregate so appended deltas merge exactly
+    // meta and termDf re-aggregate so appended deltas merge exactly; the
+    // meta ROW COUNT is the delta count (save writes one, each append
+    // one more) — it decides whether the dictionary needs a df re-merge
     val meta = spark.read.parquet(s"$dir/meta")
-      .agg(sum(col("n")), sum(col("sdl"))).collect()(0)
+      .agg(sum(col("n")), sum(col("sdl")), count(lit(1))).collect()(0)
     val (fs, root) = fsFor(spark, dir)
-    val suggest =
+    val rawSuggest =
       if (fs.exists(new Path(root, "suggest")))
         Some(spark.read.parquet(s"$dir/suggest"))
       else None // legacy artifact: probes fall back to per-call derivation
@@ -297,8 +299,19 @@ object InvertedIndex {
     // df-less ones under the posting grid — both changed in the same
     // layout revision, and append preserves whichever the artifact has
     val suggestBuckets =
-      if (suggest.exists(_.columns.contains("df"))) SuggestBuckets
+      if (rawSuggest.exists(_.columns.contains("df"))) SuggestBuckets
       else Buckets
+    // pre-merge append deltas' partial dfs HERE, not per probe: a
+    // single-delta artifact (the common save-once shape; compact rewrites
+    // back to it) serves its dictionary as a plain unique-keyed scan with
+    // no aggregation shuffle anywhere in the probe. Multi-delta
+    // dictionaries group on (term, __qk, bucket) so the probe's bucket
+    // filter still pushes through the aggregation to the scan.
+    val suggest = rawSuggest.map { sk =>
+      if (!sk.columns.contains("df") || meta.getLong(2) == 1L) sk
+      else sk.groupBy(col("term"), col("__qk"), col("bucket"))
+        .agg(sum(col("df")).as("df"))
+    }
     // mergeSchema: an artifact persisted before the max_tf statistic can
     // carry 2-column termdf files beside 3-column appended deltas; the
     // merged read nulls the missing column and the Long.MaxValue
@@ -961,14 +974,13 @@ object InvertedIndex {
     // an artifact-loaded index serves the PERSISTED dictionary: the probe
     // prunes to the query keys' buckets (the bm25 pruning shape) and pays
     // zero vocabulary explode. A dictionary carrying df (r13 layout)
-    // ranks with NO termDf join at all — partial dfs from append deltas
-    // re-sum per (term, key) over the pruned buckets only, the same
-    // exact merge load() applies to termdf (every key of a term carries
-    // the same delta df, so all keys sum to the same merged value). A
-    // pre-df dictionary (legacy artifact) or a tombstone-adjusted index
-    // (applyTombstones projects the stale dfs away) restores df through
-    // the termDf join. A build-only index derives the dictionary per
-    // call — correct, just unamortized.
+    // ranks with NO termDf join and NO aggregation — load() already
+    // merged append deltas' partial dfs (or proved the artifact
+    // single-delta), so rows are unique per (term, key) and the fast
+    // path is a bare pruned scan. A pre-df dictionary (legacy artifact)
+    // or a tombstone-adjusted index (applyTombstones projects the stale
+    // dfs away) restores df through the termDf join. A build-only index
+    // derives the dictionary per call — correct, just unamortized.
     val dict = idx.suggestKeys match {
       case Some(sk) =>
         val m = idx.suggestBucketCount.toLong
@@ -977,8 +989,7 @@ object InvertedIndex {
           .distinct
         val pruned = sk.filter(col("bucket").isin(buckets: _*))
         if (sk.columns.contains("df"))
-          pruned.groupBy(col("term"), col("__qk"))
-            .agg(sum(col("df")).as("df"))
+          pruned.select(col("term"), col("__qk"), col("df"))
         else
           pruned.select(col("term"), col("__qk"))
             .join(idx.termDf.select(col("term"), col("df")), Seq("term"))

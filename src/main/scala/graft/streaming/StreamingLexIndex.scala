@@ -285,10 +285,16 @@ object StreamingLexIndex {
         fs.exists(new Path(root, s"suggest/batch=$id")) ||
         !fs.exists(new Path(root, s"postings/batch=$id")))
     val suggest =
-      if (covered)
-        Some(spark.read.parquet(s"$dir/suggest")
-          .filter(col("batch").isin(liveIds: _*)).drop("batch"))
-      else None
+      if (covered) {
+        val sk = spark.read.parquet(s"$dir/suggest")
+          .filter(col("batch").isin(liveIds: _*)).drop("batch")
+        // pre-merge per-batch partial dfs exactly like InvertedIndex.load
+        // merges append deltas; a single live segment (post-merge steady
+        // state) serves a bare unique-keyed scan
+        if (liveIds.size <= 1) Some(sk)
+        else Some(sk.groupBy(col("term"), col("__qk"), col("bucket"))
+          .agg(sum(col("df")).as("df")))
+      } else None
     InvertedIndex.LexIndex(
       rel("postings"),
       rel("doclens"),
