@@ -38,6 +38,20 @@ object ScaleBench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
+  /** The unpruned-baseline batch ranking — ONE definition for every
+    * pruned-vs-unpruned pair (batch_wand, rag_lexical), so the two
+    * exponent baselines can never measure diverging ranking rules.
+    */
+  private def unprunedBatchTopK(idx: graft.operators.InvertedIndex.LexIndex,
+      queries: DataFrame, k: Int): DataFrame = {
+    val scored = graft.operators.InvertedIndex.bm25ScoresByQuery(idx, queries)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+  }
+
   /** The one recursive temp-tree deleter (the compaction and embjson
     * families both generate multi-GB scratch dirs that must not outlive
     * their measurements); null-safe against listFiles returning null on
@@ -462,13 +476,8 @@ object ScaleBench {
       },
       "batch_wand_unpruned" -> { dir: String =>
         import spark.implicits._
-        val scored = graft.operators.InvertedIndex.bm25ScoresByQuery(
-          wandIdx(dir), wandBatchQueries.toDF("query_id", "term"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("score_q").desc, col("doc_id"))
-        scored.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= 10)
+        unprunedBatchTopK(wandIdx(dir),
+          wandBatchQueries.toDF("query_id", "term"), 10)
       },
       // phrase probe over the POSITIONAL artifact: same bucket-pruned
       // scan as bm25_probe plus the positions explode + anchor
@@ -598,14 +607,9 @@ object ScaleBench {
           ragQtermsRel(dir), 11)
       },
       "rag_lexical_unpruned" -> { dir: String =>
-        val scored = graft.operators.InvertedIndex.bm25ScoresByQuery(
+        unprunedBatchTopK(
           graft.queries.TextQueries.prepareRagIndex(spark, dir),
-          ragQtermsRel(dir))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("score_q").desc, col("doc_id"))
-        scored.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= 11)
+          ragQtermsRel(dir), 11)
       },
       // retrieval-eval harness over PERSISTED results/truth relations
       // (built per dir, timed as builds): the metric computation joins

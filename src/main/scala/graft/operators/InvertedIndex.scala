@@ -478,15 +478,19 @@ object InvertedIndex {
     * How: each query term's score is bounded above by
     * ub(t) = idf(t) · (k1+1)·max_tf / (max_tf + k1(1−b)) — the tf leg at
     * its recorded maximum and the length normalization at its floor.
-    * The essential term is the top-ub term; the candidate set is docs
-    * matching it (a pruned posting scan of ONLY that term), scored FULLY
-    * over the whole query (posting rows semi-joined to the broadcast
-    * candidates, so the non-essential terms' postings never enter the
-    * scoring shuffle). If the quantized k-th candidate score exceeds the
-    * quantized sum of the non-essential ubs, no unseen document can
-    * reach the top-k — the standard MaxScore cut — and those k rows ARE
-    * the answer; otherwise the query re-scores fully (the certified
-    * fallback).
+    * Terms rank by ub descending and the planner grows an essential
+    * PREFIX within a posting-volume budget (the
+    * [[bm25TopKPrunedByQuery]] planner — a stop+rare+rare query takes
+    * both rares essential); the candidate set is docs matching ANY
+    * essential term (a pruned posting scan of only those terms), scored
+    * FULLY over the whole query (posting rows semi-joined to the
+    * broadcast candidates, so the non-essential terms' postings never
+    * enter the scoring shuffle). If the quantized k-th candidate score
+    * exceeds the quantized sum of the non-essential ubs, no unseen
+    * document can reach the top-k — the standard MaxScore cut — and
+    * those k rows ARE the answer; otherwise (or when the ub mass is too
+    * flat for any in-budget prefix to plausibly certify) the query
+    * scores exactly, one pass.
     *
     * Why it matters at scale: a natural-language query carries high-df
     * terms ("the") whose ub is tiny precisely BECAUSE df is huge. They
@@ -498,8 +502,8 @@ object InvertedIndex {
     * rounding (~1e-15) by nine orders of magnitude.
     *
     * One definition, two shapes: a single query IS a 1-row query
-    * relation, so this delegates to [[bm25TopKPrunedByQuery]]'s one-round
-    * essential-term cut + certified fallback (r12 shipped both
+    * relation, so this delegates to [[bm25TopKPrunedByQuery]]'s
+    * one-round planner + certified fallback (r12 shipped both
     * organizations separately; the growing-prefix loop this replaced ran
     * one limit-k action per prefix and re-scored the candidate pass each
     * round — the batch form's two-posting-passes-worst-case bound is
