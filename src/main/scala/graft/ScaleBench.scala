@@ -323,6 +323,12 @@ object ScaleBench {
     val embIvfIdx = scala.collection.mutable.Map
       .empty[String, (graft.operators.SimilaritySearch.IvfIndex, Int)]
     val ragQtermsRel = scala.collection.mutable.Map.empty[String, DataFrame]
+    // the COMPRESSED filtered tier's indexes (r13 operators — measured
+    // the round they shipped, per the repo's own discipline)
+    val embInt8Idx = scala.collection.mutable.Map
+      .empty[String, (graft.operators.SimilaritySearch.IvfInt8Index, Int)]
+    val embSrpIdx = scala.collection.mutable.Map
+      .empty[String, graft.operators.SimilaritySearch.SrpIndex]
     def ragQueries(dir: String): DataFrame =
       graft.queries.TextQueries.prepareRagEmb(spark, dir)
         .filter(pmod(col("cid"), lit(10000L)) === 0 &&
@@ -558,6 +564,51 @@ object ScaleBench {
           emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
             .select(col("vec_id")))
       },
+      // the COMPRESSED filtered tier (r13): the same ACL shapes over the
+      // memory-floor indexes — IVF-SQ8 (int8 codegen kernel on the
+      // candidate relation after the allowed semi-join) and SRP-Hamming
+      // (the filter rides the xor+popcount scan, refine under the √n
+      // auto policy). These are the serving configurations a
+      // multi-tenant deployment actually runs; their exponents belong
+      // beside the float pair's
+      "int8_filtered_selective" -> { dir: String =>
+        val (idx, nprobe) = embInt8Idx(dir)
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.SimilaritySearch.ivfProbeInt8Among(
+          idx, emb.filter(col("vec_id") < 10), k = 10, nprobe,
+          emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
+            .select(col("vec_id")))
+      },
+      "int8_filtered_permissive" -> { dir: String =>
+        val (idx, nprobe) = embInt8Idx(dir)
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.SimilaritySearch.ivfProbeInt8Among(
+          idx, emb.filter(col("vec_id") < 10), k = 10, nprobe,
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+            .select(col("vec_id")))
+      },
+      "hamming_filtered_selective" -> { dir: String =>
+        val sidx = embSrpIdx(dir)
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.SimilaritySearch.hammingTopKAmong(
+          sidx.sketched, emb, emb.filter(col("vec_id") < 10), k = 10,
+          emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
+            .select(col("vec_id")),
+          refine = graft.operators.SimilaritySearch
+            .refineScaleParam(sidx.n, base = 8),
+          bits = sidx.bits, seed = sidx.seed)
+      },
+      "hamming_filtered_permissive" -> { dir: String =>
+        val sidx = embSrpIdx(dir)
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.SimilaritySearch.hammingTopKAmong(
+          sidx.sketched, emb, emb.filter(col("vec_id") < 10), k = 10,
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+            .select(col("vec_id")),
+          refine = graft.operators.SimilaritySearch
+            .refineScaleParam(sidx.n, base = 8),
+          bits = sidx.bits, seed = sidx.seed)
+      },
       // the composed RAG pipeline gate end-to-end (chunk → embed →
       // index → fused retrieve → eval). Query count AND chunk corpus
       // both grow ∝ corpus here (queries = chunk 0 of every 5th sampled
@@ -783,6 +834,30 @@ object ScaleBench {
         embIvfIdx(dir) = (idx, nprobe)
       }
       builds("emb_ivf_index") = (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
+    }
+    if (familySelected("int8_filtered_selective") ||
+        familySelected("int8_filtered_permissive")) {
+      def mkIdx(dir: String): Unit = {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val (nlist, nprobe) =
+          graft.operators.SimilaritySearch.ivfScaleParams(emb.count())
+        val idx = graft.operators.SimilaritySearch
+          .buildIvfInt8Index(emb, nlist = nlist)
+        idx.assigned.count()
+        embInt8Idx(dir) = (idx, nprobe)
+      }
+      builds("emb_ivf_int8_index") =
+        (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
+    }
+    if (familySelected("hamming_filtered_selective") ||
+        familySelected("hamming_filtered_permissive")) {
+      def mkIdx(dir: String): Unit =
+        embSrpIdx(dir) = graft.operators.SimilaritySearch.buildSrpIndex(
+          Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding")))
+      builds("emb_srp_index") =
+        (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
     }
     if (familySelected("rag_lexical") ||
         familySelected("rag_lexical_unpruned")) {
