@@ -588,26 +588,18 @@ object ScaleBench {
             .select(col("vec_id")))
       },
       "hamming_filtered_selective" -> { dir: String =>
-        val sidx = embSrpIdx(dir)
         val emb = Tables.embeddings(spark, dir)
-        graft.operators.SimilaritySearch.hammingTopKAmong(
-          sidx.sketched, emb, emb.filter(col("vec_id") < 10), k = 10,
+        graft.operators.SimilaritySearch.hammingTopKAmongAuto(
+          embSrpIdx(dir), emb, emb.filter(col("vec_id") < 10), k = 10,
           emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
-            .select(col("vec_id")),
-          refine = graft.operators.SimilaritySearch
-            .refineScaleParam(sidx.n, base = 8),
-          bits = sidx.bits, seed = sidx.seed)
+            .select(col("vec_id")))
       },
       "hamming_filtered_permissive" -> { dir: String =>
-        val sidx = embSrpIdx(dir)
         val emb = Tables.embeddings(spark, dir)
-        graft.operators.SimilaritySearch.hammingTopKAmong(
-          sidx.sketched, emb, emb.filter(col("vec_id") < 10), k = 10,
+        graft.operators.SimilaritySearch.hammingTopKAmongAuto(
+          embSrpIdx(dir), emb, emb.filter(col("vec_id") < 10), k = 10,
           emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
-            .select(col("vec_id")),
-          refine = graft.operators.SimilaritySearch
-            .refineScaleParam(sidx.n, base = 8),
-          bits = sidx.bits, seed = sidx.seed)
+            .select(col("vec_id")))
       },
       // the composed RAG pipeline gate end-to-end (chunk → embed →
       // index → fused retrieve → eval). Query count AND chunk corpus
@@ -852,10 +844,16 @@ object ScaleBench {
     }
     if (familySelected("hamming_filtered_selective") ||
         familySelected("hamming_filtered_permissive")) {
-      def mkIdx(dir: String): Unit =
+      def mkIdx(dir: String): Unit = {
         embSrpIdx(dir) = graft.operators.SimilaritySearch.buildSrpIndex(
           Tables.embeddings(spark, dir)
             .select(col("vec_id"), col("embedding")))
+        // materialize the persisted sketch INSIDE the timed build (the
+        // int8 sibling's idx.assigned.count() discipline): buildSrpIndex
+        // persists lazily, and an unmaterialized sketch would bill its
+        // construction to the first probe sample
+        embSrpIdx(dir).sketched.count(); ()
+      }
       builds("emb_srp_index") =
         (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
     }

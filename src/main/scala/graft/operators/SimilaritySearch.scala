@@ -1407,6 +1407,19 @@ object SimilaritySearch {
       k: Int): DataFrame =
     hammingTopKAuto(index, corpus, queries, k, "vec_id", "embedding")
 
+  /** [[hammingTopKAmong]] with the shortlist width from the index
+    * metadata — the filtered sibling of [[hammingTopKAuto]], so the SRP
+    * family's base dial lives in ONE place and a filtered probe can
+    * never silently measure a different policy than the unfiltered one.
+    */
+  def hammingTopKAmongAuto(
+      index: SrpIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+      allowed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    hammingTopKAmong(index.sketched, corpus, queries, k, allowed,
+      refineScaleParam(index.n, base = 8), index.bits, index.seed,
+      idCol, vecCol)
+
   /** Bare-sketch variant of [[hammingTopKAuto]] for callers without the
     * [[SrpIndex]] metadata — pays one corpus `count()` per call to resolve
     * the dial. Prefer the index form on anything probed more than once.
