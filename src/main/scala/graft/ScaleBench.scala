@@ -485,6 +485,20 @@ object ScaleBench {
         unprunedBatchTopK(wandIdx(dir),
           wandBatchQueries.toDF("query_id", "term"), 10)
       },
+      // the two serving features composed (r14): the same 8-query batch
+      // under a half-corpus ACL filter — the multi-tenant RAG shape. The
+      // allowed semi-join lands on the essential posting scan before
+      // candidate generation, so the row should track batch_wand_probe
+      // (the filter only SHRINKS the scored volume); an exponent above
+      // the unfiltered row means the filter broke the pruned plan
+      "batch_wand_filtered" -> { dir: String =>
+        import spark.implicits._
+        graft.operators.InvertedIndex.bm25TopKPrunedByQueryAmong(
+          wandIdx(dir), wandBatchQueries.toDF("query_id", "term"), 10,
+          Tables.documents(spark, dir)
+            .filter(pmod(col("doc_id"), lit(2L)) === 0)
+            .select(col("doc_id")))
+      },
       // phrase probe over the POSITIONAL artifact: same bucket-pruned
       // scan as bm25_probe plus the positions explode + anchor
       // intersection for the doubled most-frequent term (the worst
@@ -743,7 +757,8 @@ object ScaleBench {
     }
     if (familySelected("wand_probe") || familySelected("wand_probe_unpruned") ||
         familySelected("batch_wand_probe") ||
-        familySelected("batch_wand_unpruned")) {
+        familySelected("batch_wand_unpruned") ||
+        familySelected("batch_wand_filtered")) {
       // the replica substitution deliberately decorrelates every real
       // term (posting sizes replica-invariant), so the degeneracy WAND
       // exists for — ONE term whose posting grows ∝ corpus — is injected:
@@ -773,7 +788,8 @@ object ScaleBench {
           .collect().map(_.getString(0)).toSeq
       // 8 stop+rare queries for the BATCH families, same fixed-query rule
       if (familySelected("batch_wand_probe") ||
-          familySelected("batch_wand_unpruned"))
+          familySelected("batch_wand_unpruned") ||
+          familySelected("batch_wand_filtered"))
         wandBatchQueries = wandIdx(base).termDf
           .filter(col("term") =!= "zzstop")
           .orderBy(col("df"), col("term")).limit(8)

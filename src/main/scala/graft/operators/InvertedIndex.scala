@@ -548,11 +548,16 @@ object InvertedIndex {
     * candidate set: the semi-join lands between the posting⋈query join
     * and the scoring shuffle, so a high-df term's postings are read but
     * never shuffled beyond the candidate pairs. `None` compiles to the
-    * exact plan bm25ScoresByQuery always had.
+    * exact plan bm25ScoresByQuery always had. `allowed` is the
+    * doc-SET restriction of [[bm25TopKAmong]] in the batch shape: it
+    * semi-joins the bucket-pruned posting scan BEFORE the query join,
+    * so disallowed docs never enter any scoring work (pre-filter
+    * semantics — scores still use corpus-wide df/n/avgdl).
     */
   private def bm25ScoresByQueryOver(idx: LexIndex, queries: DataFrame,
       queryIdCol: String, termCol: String,
-      k1: Double, b: Double, candidates: Option[DataFrame]): DataFrame = {
+      k1: Double, b: Double, candidates: Option[DataFrame],
+      allowed: Option[DataFrame] = None): DataFrame = {
     val qdf = queries
       .select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
       .withColumn("bucket", bucketOf(col("term")))
@@ -560,8 +565,9 @@ object InvertedIndex {
       .collect().map(_.getInt(0)).toSeq
     require(buckets.nonEmpty, "empty query relation")
     val q = qdf.drop("bucket").join(idx.termDf, Seq("term"))
-    val joined = idx.postings
-      .filter(col("bucket").isin(buckets: _*))
+    val pruned = idx.postings.filter(col("bucket").isin(buckets: _*))
+    val joined = allowed.fold(pruned)(a =>
+        pruned.join(a, Seq("doc_id"), "left_semi"))
       .join(broadcast(q), Seq("term"))
     val sc = candidates.fold(joined)(c =>
         joined.join(c, Seq("query_id", "doc_id"), "left_semi"))
@@ -638,7 +644,48 @@ object InvertedIndex {
     */
   def bm25TopKPrunedByQuery(idx: LexIndex, queries: DataFrame, k: Int,
       queryIdCol: String = "query_id", termCol: String = "term",
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKPrunedByQueryImpl(idx, queries, k, queryIdCol, termCol,
+      k1, b, None)
+
+  /** Filtered batch WAND: [[bm25TopKPrunedByQuery]]'s many-queries-one-
+    * scan organization under [[bm25TopKAmong]]'s allowed-document
+    * restriction — the multi-tenant RAG serving shape (many queries ×
+    * an ACL/tenant filter). Per query, the result is bit-identical to
+    * ranking [[bm25TopKAmong]] for that query's term bag (spec-pinned).
+    *
+    * Why the planner carries over unchanged: the per-term ub is an
+    * upper bound on ANY document's term score, allowed or not, so the
+    * MaxScore cut only LOOSENS under a filter — a certified query's
+    * unseen allowed docs are bounded by the same suffix sum. The filter
+    * lands as a semi-join on the bucket-pruned posting scan BEFORE
+    * candidate generation and before every scoring pass (the
+    * bm25TopKAmong placement — pre-filter semantics, never a post-filter
+    * under-return), so the candidate pass is ∝ |allowed ∩ essential
+    * postings| and certification compares against the filtered exact
+    * path by construction: a query certifies only when it filled k
+    * ALLOWED candidates whose k-th score beats the suffix bound.
+    * Filtered queries with < k allowed matches simply fall back to the
+    * exact filtered pass — correct, one extra bounded pass.
+    */
+  def bm25TopKPrunedByQueryAmong(idx: LexIndex, queries: DataFrame, k: Int,
+      allowed: DataFrame, idCol: String = "doc_id",
+      queryIdCol: String = "query_id", termCol: String = "term",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKPrunedByQueryImpl(idx, queries, k, queryIdCol, termCol, k1, b,
+      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+
+  /** Routed-id count past which the planner's per-query routing filters
+    * ([[bm25TopKPrunedByQueryImpl]]'s pruned/fallback id sets) switch
+    * from an `isin` literal list to a broadcast semi-join against a
+    * local id relation: an O(Q)-literal expression tree hits Catalyst
+    * analysis cost past ~10⁴ ids long before execution cost — the
+    * semi-join is the same semantics at constant plan size. */
+  val RouteIdLiteralCap = 1024
+
+  private def bm25TopKPrunedByQueryImpl(idx: LexIndex, queries: DataFrame,
+      k: Int, queryIdCol: String, termCol: String,
+      k1: Double, b: Double, allowed: Option[DataFrame]): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     val spark = idx.postings.sparkSession
     val qterms = queries
@@ -661,15 +708,31 @@ object InvertedIndex {
     val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("doc_id"))
+    val qidField = qterms.schema("query_id")
+    // routing filter: an isin literal list while the id count is small
+    // (the common shape — a handful of uncertified queries), a broadcast
+    // semi-join against a LOCAL id relation past RouteIdLiteralCap — a
+    // RAG evaluation's query count grows with the corpus, and a 10⁴-
+    // literal expression tree pays Catalyst analysis cost per plan node
+    def restrictToIds(ids: Seq[Any]): DataFrame =
+      if (ids.length <= RouteIdLiteralCap)
+        qterms.filter(col("query_id").isin(ids: _*))
+      else {
+        val idSchema = org.apache.spark.sql.types.StructType(
+          Seq(qidField.copy(name = "query_id")))
+        val idRel = spark.createDataFrame(
+          java.util.Arrays.asList(
+            ids.map(org.apache.spark.sql.Row(_)): _*), idSchema)
+        qterms.join(broadcast(idRel), Seq("query_id"), "left_semi")
+      }
     // `everyQuery` = the id set covers every indexed query: skip the
-    // isin filter entirely (unindexed-term rows drop in scoring anyway),
-    // so the all-routed-direct shape costs exactly one exact pass with
-    // no per-row literal-list predicate
+    // routing filter entirely (unindexed-term rows drop in scoring
+    // anyway), so the all-routed-direct shape costs exactly one exact
+    // pass with no per-row routing predicate
     def fullTopK(ids: Seq[Any], everyQuery: Boolean): DataFrame =
-      bm25ScoresByQuery(idx,
-          if (everyQuery) qterms
-          else qterms.filter(col("query_id").isin(ids: _*)),
-          k1 = k1, b = b)
+      bm25ScoresByQueryOver(idx,
+          if (everyQuery) qterms else restrictToIds(ids),
+          "query_id", "term", k1, b, None, allowed)
         .withColumn("__rn", row_number().over(byScore))
         .filter(col("__rn") <= k)
         .select(col("query_id"), col("doc_id"), col("score_q"))
@@ -708,8 +771,8 @@ object InvertedIndex {
     // the planner's df sums bound the pair count exactly, with zero
     // extra jobs — broadcast only when that bound fits (past it, an
     // all-frequent essential set falls back to the planner's shuffle
-    // strategy instead of a corpus-sized driver broadcast)
-    val qidField = qterms.schema("query_id")
+    // strategy instead of a corpus-sized driver broadcast). Under a
+    // filter the bound only tightens (allowed ∩ postings ⊆ postings).
     val essSchema = org.apache.spark.sql.types.StructType(Seq(
       qidField.copy(name = "query_id"),
       org.apache.spark.sql.types.StructField("term",
@@ -723,15 +786,22 @@ object InvertedIndex {
     val essTerms = prunedPlans.valuesIterator.flatMap(_.essential)
       .toSeq.distinct
     val candBound = prunedPlans.valuesIterator.map(_.candBound).sum
-    val rawCand = prunedPostings(idx, essTerms)
+    // the allowed semi-join lands on the essential posting scan — only
+    // allowed docs can become candidates, so certification (k ALLOWED
+    // candidates, k-th beats the suffix bound) proves no unseen allowed
+    // doc can enter: an allowed doc outside the candidates matches no
+    // essential term and is bounded by the same suffix sum
+    val essPostings = prunedPostings(idx, essTerms)
+    val rawCand = allowed.fold(essPostings)(a =>
+        essPostings.join(a, Seq("doc_id"), "left_semi"))
       .join(broadcast(essential), Seq("term"))
       .select(col("query_id"), col("doc_id")).distinct()
     val cand =
       if (candBound <= BroadcastCandidateCap) broadcast(rawCand) else rawCand
     val prunedIds = prunedPlans.keys.toSeq
     val scored = bm25ScoresByQueryOver(idx,
-      qterms.filter(col("query_id").isin(prunedIds: _*)),
-      "query_id", "term", k1, b, Some(cand))
+      restrictToIds(prunedIds),
+      "query_id", "term", k1, b, Some(cand), allowed)
     // ONE evaluation of the candidate-scoring pass: the per-query top-k
     // is ≤ k × |queries| rows — COLLECT, decide the verdict locally,
     // return the certified rows as a local relation (the single-query

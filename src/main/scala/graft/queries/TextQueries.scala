@@ -856,6 +856,82 @@ object TextQueries extends QueryPack {
     FROM sc GROUP BY doc_id
     ORDER BY score_q DESC, doc_id LIMIT 10"""))
 
+  // ---- FILTERED BATCH WAND (round 14): the two serving features
+  //      composed — many queries, one pruned pass, under an ACL/source
+  //      filter (the multi-tenant RAG evaluation shape). Same three
+  //      stop+rare queries as t_bm25_batch_wand_topk, restricted to one
+  //      source's documents; scores stay CORPUS-wide. The oracle replays
+  //      FULL filtered per-query scoring, so the hash proves the
+  //      MaxScore cut lossless under the filter for every query ----
+  private val bm25BatchWandFiltered = OracleQuery(
+    "t_bm25_batch_wand_filtered",
+    (s, d) => {
+      import s.implicits._
+      val idx = prepareLexIndex(s, d)
+      val stop = idx.termDf.orderBy(col("df").desc, col("term")).limit(1)
+        .collect().map(_.getAs[String]("term")).head
+      val rare = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val queries = rare.zipWithIndex.flatMap { case (t, i) =>
+        Seq((i + 1L, stop), (i + 1L, t)) }.toDF("query_id", "term")
+      val allowed = Tables.documents(s, d)
+        .filter(col("source") === "src0").select(col("doc_id"))
+      graft.operators.InvertedIndex
+        .bm25TopKPrunedByQueryAmong(idx, queries, 10, allowed)
+        .orderBy(col("query_id"), col("score_q").desc, col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), rareq AS (
+      SELECT w, df, CAST(ROW_NUMBER() OVER (ORDER BY df, w) AS BIGINT)
+        AS query_id
+      FROM (SELECT w, df FROM dft ORDER BY df, w LIMIT 3)
+    ), stopt AS (
+      SELECT w, df FROM dft ORDER BY df DESC, w LIMIT 1
+    ), q AS (
+      SELECT query_id, w, df FROM rareq
+      UNION ALL
+      SELECT r.query_id, s.w, s.df FROM rareq r CROSS JOIN stopt s
+    ), allowed AS (
+      SELECT doc_id FROM documents WHERE source = 'src0'
+    ), sc AS (
+      SELECT q.query_id, tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN allowed ON tf.doc_id = allowed.doc_id
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+    ), g AS (
+      SELECT query_id, doc_id,
+        CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
+      FROM sc GROUP BY query_id, doc_id
+    ), rk AS (
+      SELECT query_id, doc_id, score_q,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score_q DESC, doc_id) AS rn
+      FROM g
+    )
+    SELECT query_id, doc_id, score_q FROM rk WHERE rn <= 10
+    ORDER BY query_id, score_q DESC, doc_id"""))
+
   // ---- exact-phrase search over the PERSISTED positional index
   //      (InvertedIndex.phraseTopK): postings carry the term's position
   //      list, and a phrase occurrence is an anchor where every slot
@@ -4037,6 +4113,7 @@ object TextQueries extends QueryPack {
     mixEpochBudget, leakageFolds, nfcNormalizeQ, nfcDedup, cmsWordFreq,
     pmiCollocations, psiDrift, bpeMerges, stratifiedSample, snapshotDiff,
     bm25TopK, bm25Artifact, bm25WandTopK, bm25BatchWand, bm25FilteredTopK,
+    bm25BatchWandFiltered,
     bm25Tombstone, bm25StreamIngest, streamIngestWand,
     qlTopKGate,
     lexIndexStats, lexFacets,

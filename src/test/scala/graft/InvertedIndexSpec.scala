@@ -735,4 +735,80 @@ class InvertedIndexSpec extends SparkSpec {
     val (a2, b2) = runBoth(cidx, Seq("hot", "rare1", "rare2"), 3)
     assert(a2 == b2)
   }
+
+  test("bm25TopKPrunedByQueryAmong: filtered batch equals per-query bm25TopKAmong") {
+    val idx = built
+    val docs = Tables.documents(spark, sf001)
+    // the filter is selective AND skew-free: half the corpus by id parity
+    val allowed = docs.filter(pmod($"doc_id", lit(2L)) === 0)
+      .select($"doc_id")
+    val byDf = idx.termDf.orderBy($"df", $"term").collect()
+      .map(_.getString(0))
+    val (rare, stops) = (byDf.take(3).toSeq, byDf.takeRight(2).toSeq)
+    // the bm25TopKPrunedByQuery spec's query shapes, under the filter:
+    // q1/q2 stop+rare (certification candidates), q3 all-stop (routes
+    // direct), q4 single rare (may have < k allowed matches -> fallback),
+    // q5 unindexed-only (no rows)
+    val queries = Seq(
+      (1L, stops.head), (1L, rare(0)),
+      (2L, stops.head), (2L, rare(1)),
+      (3L, stops(0)), (3L, stops(1)),
+      (4L, rare(2)),
+      (5L, "nosuchterm_xyzzy")).toDF("query_id", "term")
+    val batch = InvertedIndex
+      .bm25TopKPrunedByQueryAmong(idx, queries, 5, allowed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy(t => (-t._2, t._1)).toSeq).toMap
+    def single(terms: Seq[String]) =
+      InvertedIndex.bm25TopKAmong(idx, terms, 5, allowed)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch(1L) == single(Seq(stops.head, rare(0))))
+    assert(batch(2L) == single(Seq(stops.head, rare(1))))
+    assert(batch(3L) == single(Seq(stops(0), stops(1))))
+    assert(batch.getOrElse(4L, Seq.empty) == single(Seq(rare(2))))
+    assert(!batch.contains(5L), "unindexed-only query must return no rows")
+    // every returned doc respects the filter — pre-filter semantics,
+    // never a post-filter under-return
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    batch.values.flatten.foreach { case (id, _) =>
+      assert(allowedIds.contains(id), s"disallowed doc $id returned")
+    }
+  }
+
+  test("batch WAND large-Q routing: past RouteIdLiteralCap the semi-join path ranks identically") {
+    // a RAG-scale mixed plan: > RouteIdLiteralCap queries so BOTH the
+    // pruned-ids scoring restriction and the fallback restriction take
+    // the broadcast-semi-join branch instead of an isin literal list.
+    // Shapes mix routed-direct (flat two-stop), certifiable (stop+rare),
+    // and single-term queries; ranking must equal the one-pass exact
+    // batch ranking for every query (lossless regardless of routing).
+    val docs = (1L to 60L).map { i =>
+      val rare = s"rare$i"
+      val mid = s"mid${i % 7}"
+      (i, s"common common $mid $rare" + (if (i % 3 == 0) " common" else ""))
+    }.toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs)
+    val nQ = InvertedIndex.RouteIdLiteralCap + 200
+    val qrows = (1 to nQ).flatMap { q =>
+      q % 3 match {
+        case 0 => Seq((q.toLong, "common"), (q.toLong, s"mid${q % 7}"))
+        case 1 => Seq((q.toLong, "common"), (q.toLong, s"rare${q % 60 + 1}"))
+        case _ => Seq((q.toLong, s"rare${q % 60 + 1}"))
+      }
+    }
+    val queries = qrows.toDF("query_id", "term")
+    val k = 3
+    val got = InvertedIndex.bm25TopKPrunedByQuery(idx, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact reference: ONE unpruned batch pass + per-query window cut
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score_q".desc, $"doc_id")
+    val want = InvertedIndex.bm25ScoresByQuery(idx, queries)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      .select($"query_id", $"doc_id", $"score_q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"large-Q routing changed ranking: ${got.diff(want).take(5)} vs ${want.diff(got).take(5)}")
+  }
 }
