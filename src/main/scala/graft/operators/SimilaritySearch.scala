@@ -380,12 +380,19 @@ object SimilaritySearch {
       index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
       allowed: Option[DataFrame], idCol: String, vecCol: String): DataFrame = {
     val cand = ivfCandidates(index, queries, nprobe, idCol, vecCol)
+    // no dedup needed between candidates and the rank cut: a corpus
+    // vector is assigned to exactly ONE cell and the probe emits
+    // distinct cells per query, so (query, neighbor) pairs cannot
+    // duplicate — a defensive distinct here was the largest avoidable
+    // shuffle in the serving path (a full exchange of candidate×score
+    // volume stacked on the window's own query_id exchange; r13 verdict).
+    // A future multi-assignment index must dedup on bare ids BEFORE the
+    // scoring kernel instead.
     val scored = allowed.fold(cand)(a =>
         cand.join(a.select(col(idCol).as("neighbor_id")),
           Seq("neighbor_id"), "left_semi"))
       .select(col("query_id"), col("neighbor_id"),
         VecOps.cosineNative(col("qv"), col("tv")).as("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -717,10 +724,11 @@ object SimilaritySearch {
     val cand = allowed.fold(cand0)(a =>
       cand0.join(a.select(col(idCol).as("neighbor_id")),
         Seq("neighbor_id"), "left_semi"))
+    // single-assignment cells + distinct probed cells ⇒ no (query,
+    // neighbor) duplicates; see ivfProbeOver — same dropped distinct
     val scored = cand
       .select(col("query_id"), col("neighbor_id"),
         score(col("qv"), col("scale"), col("qnorm"), col("fq")).as("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -946,10 +954,11 @@ object SimilaritySearch {
     val cand = allowed.fold(cand0)(a =>
       cand0.join(a.select(col(idCol).as("neighbor_id")),
         Seq("neighbor_id"), "left_semi"))
+    // single-assignment cells + distinct probed cells ⇒ no (query,
+    // neighbor) duplicates; see ivfProbeOver — same dropped distinct
     val scored = cand
       .select(col("query_id"), col("neighbor_id"),
         adc(col("codes"), col("rnorm"), col("lut"), col("qnorm")).as("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))

@@ -104,6 +104,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "top-k not group-limited")
   }
 
+  test("IVF probe has ONE hash exchange between candidates and the rank cut") {
+    // r14: the defensive .distinct() on the scored relation is gone — a
+    // corpus vector lives in exactly one cell and the probe emits
+    // distinct cells, so (query, neighbor) pairs cannot duplicate. The
+    // only hash exchange left is the rank window's query_id partitioning
+    // (plus the final output range sort); a second hash exchange means
+    // the dead dedup shuffle crept back in
+    val df = SparkEntry.queries("vx_ann_ivf_probe_top5")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"expected exactly the rank window's exchange, got $hashShuffles:\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-k not group-limited")
+  }
+
   test("IVF-PQ probe broadcasts the query side; the code corpus never pre-shuffles") {
     val df = SparkEntry.queries("vx_ann_ivf_pq_top5")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
@@ -113,9 +128,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"query side not broadcast:\n$p")
     // allowed shuffles: ADC rank window, refine rank window, final sort —
-    // plus the candidate-distinct; the corpus side itself must not add one
+    // the candidate-distinct is gone (r14) and the corpus side itself
+    // must not add one
     val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
-    assert(shuffles <= 4, s"PQ probe shuffles too much ($shuffles):\n$p")
+    assert(shuffles <= 3, s"PQ probe shuffles too much ($shuffles):\n$p")
     assert(p.contains("WindowGroupLimit"), "top-k not group-limited")
   }
 
