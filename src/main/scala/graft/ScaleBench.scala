@@ -1031,6 +1031,16 @@ object ScaleBench {
       (name, small, big, e)
     }
 
+    // the probe families are done: release their persisted artifacts
+    // (the filteredJson section's persist/unpersist discipline) so
+    // earlier families' caches don't stay resident through the recall
+    // sections of a ×100 run. embIvfIdx is NOT released here — the
+    // ann_recall_filtered section below probes it; it unpersists there.
+    ragQtermsRel.values.foreach(_.unpersist())
+    ragSrpIdx.values.foreach(_.sketched.unpersist())
+    embInt8Idx.values.foreach(_._1.assigned.unpersist())
+    embSrpIdx.values.foreach(_.sketched.unpersist())
+
     // ANN recall at scale (round-6 verdict item 3): the recall bounds are
     // spec-pinned only at the 2k-vector testdata; cell counts and probe
     // ratios that hold recall at 2k may not at 200k. Measure recall@5
@@ -1271,6 +1281,9 @@ object ScaleBench {
             parts.mkString("", ",", "}")
         }.mkString("{", ",", "}")
       }
+    // last consumer of the shared IVF artifact is done (see the release
+    // block after the results loop)
+    embIvfIdx.values.foreach(_._1.assigned.unpersist())
 
     // embjson DSv2 source at the sizes it exists for (round-9 verdict
     // item 2): the connector's three value claims — constant-memory

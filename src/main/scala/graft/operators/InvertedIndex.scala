@@ -166,10 +166,23 @@ object InvertedIndex {
       .parquet(s"$dir/postings")
     idx.docLens.write.mode("overwrite").parquet(s"$dir/doclens")
     idx.termDf.write.mode("overwrite").parquet(s"$dir/termdf")
-    suggestRelation(idx.termDf).write.mode("overwrite")
+    // repartition ON the bucket column: the fine suggest grid × the
+    // writer's task count would otherwise scatter ~tasks files into each
+    // of up to 1024 bucket dirs; one vocabulary-bounded shuffle buys one
+    // file per bucket (r14 — small-file discipline for every suggest
+    // write site, see StreamingLexIndex.applyBatch)
+    suggestRelation(idx.termDf).repartition(col("bucket"))
+      .write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$dir/suggest")
     val spark = idx.postings.sparkSession
     import spark.implicits._
+    // INVARIANT (load() relies on it): meta rows stay in LOCKSTEP with
+    // suggest deltas — save writes one meta row and one full dictionary,
+    // append adds one of each (when the artifact has a dictionary at
+    // all), compact rewrites back to one-of-each. load() keys "single
+    // delta ⇒ serve the dictionary raw, skip the df re-merge" on the
+    // meta ROW COUNT; a writer that appends meta without its suggest
+    // delta (or vice versa) would silently serve unmerged partial dfs.
     Seq((idx.n, idx.sdl)).toDF("n", "sdl")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -210,6 +223,10 @@ object InvertedIndex {
     // grid bucket modulus — mixing layouts would leave null dfs under
     // mergeSchema (silent df undercount) or scatter the same key across
     // two bucket grids (missed suggestions under either pruning)
+    // one suggest delta PER meta row appended — the save()-documented
+    // meta-rows == suggest-deltas lockstep load() keys its raw-serve
+    // fast path on (a df-less legacy dictionary is exempt: load serves
+    // it through the termDf join regardless of delta count)
     if (fs.exists(new Path(root, "suggest"))) {
       val rel = suggestRelation(delta.termDf)
       val legacy = !spark.read.parquet(s"$dir/suggest")
@@ -217,7 +234,7 @@ object InvertedIndex {
       (if (legacy)
         rel.drop("df").withColumn("bucket",
           pmod(col("__qk"), lit(Buckets.toLong)).cast("int"))
-      else rel).write.mode("append")
+      else rel).repartition(col("bucket")).write.mode("append")
         .partitionBy("bucket").parquet(s"$dir/suggest")
     }
     Seq((delta.n, delta.sdl)).toDF("n", "sdl")
@@ -286,7 +303,11 @@ object InvertedIndex {
   def load(spark: SparkSession, dir: String): LexIndex = {
     // meta and termDf re-aggregate so appended deltas merge exactly; the
     // meta ROW COUNT is the delta count (save writes one, each append
-    // one more) — it decides whether the dictionary needs a df re-merge
+    // one more) — it decides whether the dictionary needs a df re-merge.
+    // That is a cross-relation invariant, not a local fact: save(),
+    // append(), and compact() keep meta rows in LOCKSTEP with suggest
+    // deltas (documented at each write site) — a future writer breaking
+    // the lockstep would make this fast path serve unmerged partial dfs
     val meta = spark.read.parquet(s"$dir/meta")
       .agg(sum(col("n")), sum(col("sdl")), count(lit(1))).collect()(0)
     val (fs, root) = fsFor(spark, dir)

@@ -58,9 +58,16 @@ object StreamingLexIndex {
     // the same merge contract as termdf — so a STREAMED artifact serves
     // suggestTerms from persisted keys instead of paying the per-call
     // vocabulary explode forever (the one build-once/probe-many asymmetry
-    // the streaming index still had vs the batch artifact)
-    write(InvertedIndex.suggestRelation(delta.termDf), "suggest",
-      Seq("bucket"))
+    // the streaming index still had vs the batch artifact). The delta
+    // repartitions ON the bucket column first (r14): the fine 1024-bucket
+    // suggest grid × the build's task count would otherwise scatter each
+    // micro-batch into ~task_count files per bucket dir — 16× the posting
+    // grid's dir count, times the write parallelism, every batch, on the
+    // long-running path where small-file pressure compounds until a merge
+    // folds it. One shuffle of a batch-vocabulary-bounded relation buys
+    // exactly one file per touched bucket.
+    write(InvertedIndex.suggestRelation(delta.termDf)
+      .repartition(col("bucket")), "suggest", Seq("bucket"))
     write(Seq((delta.n, delta.sdl)).toDF("n", "sdl"), "meta", Nil)
     // once a merge manifest governs the directory, every new segment must
     // register in it or the manifest-filtered load would never see it;
@@ -223,8 +230,8 @@ object StreamingLexIndex {
     // not a union of the per-batch deltas — exact by the same argument as
     // compact()'s re-derivation, and it upgrades legacy fold sets that
     // never wrote suggest deltas
-    stage(InvertedIndex.suggestRelation(folded.termDf), "suggest",
-      Seq("bucket"))
+    stage(InvertedIndex.suggestRelation(folded.termDf)
+      .repartition(col("bucket")), "suggest", Seq("bucket"))
     stage(Seq((folded.n, folded.sdl)).toDF("n", "sdl"), "meta", Nil)
     // rename the staged relations in as the merged segment's partitions
     MergeRelations.foreach { sub =>
