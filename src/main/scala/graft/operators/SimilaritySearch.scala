@@ -285,8 +285,11 @@ object SimilaritySearch {
     val centers = spark.read.parquet(s"$dir/centers").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    val assigned = spark.read.parquet(s"$dir/assigned")
-      .select(col("neighbor_id"), col("tv"), col("cell"))
+    // tombstones (deleteFromAnnIndex) apply exactly at load: the anti-
+    // join removes dead vectors before any probe sees the inverted file
+    val assigned = applyAnnTombstones(spark, dir,
+      spark.read.parquet(s"$dir/assigned")
+        .select(col("neighbor_id"), col("tv"), col("cell")), "neighbor_id")
     IvfIndex(centers, if (persist) assigned.persist() else assigned)
   }
 
@@ -331,6 +334,115 @@ object SimilaritySearch {
     val skew = if (mean == 0.0) 1.0 else maxSz / mean
     IvfSkewReport(nlist, counts.length, total, maxSz, mean, skew,
       skew >= reclusterSkewThreshold)
+  }
+
+  // ---- delete lifecycle for the persisted ANN artifacts (r14) ----
+  //
+  // The vector-store half of the takedown story the lexical index
+  // already has (InvertedIndex.delete/compact): a GDPR/DMCA removal
+  // against a persisted embedding index must not force a full rebuild.
+  // One tombstone relation per artifact directory, applied EXACTLY at
+  // load (an anti-join above the inverted-file scan, so cell partition
+  // pruning still reaches it), folded into rewritten files by
+  // [[compactAnnIndex]]. All four artifact families (IVF float / SQ8 /
+  // PQ / SRP) share the same relation and the same compact, because a
+  // deletion's identity is the vector id in every layout.
+
+  /** Tombstone a batch of vector ids on a persisted ANN artifact
+    * ([[saveIvfIndex]] / [[saveIvfInt8Index]] / [[saveIvfPqIndex]] /
+    * [[saveSrpIndex]] directories all accept it). Idempotent (ids
+    * distinct at load) and safe for ids the index never held; write cost
+    * is O(batch), the file rewrite is deferred to [[compactAnnIndex]].
+    * Probes after a load see the deletion exactly: dead rows leave the
+    * inverted file (or sketch scan) before any scoring, so they can
+    * neither rank nor displace a shortlist slot.
+    */
+  def deleteFromAnnIndex(ids: DataFrame, dir: String,
+      idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** [[deleteFromAnnIndex]] for a driver-side id list. */
+  def deleteFromAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromAnnIndex(ids.toDF("vec_id"), dir)
+  }
+
+  /** The artifact's distinct tombstone set, when it has one. */
+  private def annTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val (fs, root) = InvertedIndex.fsFor(spark, dir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "tombstones")))
+      Some(spark.read.parquet(s"$dir/tombstones")
+        .select(col("vec_id")).distinct())
+    else None
+  }
+
+  /** Anti-join the tombstones (if any) out of an artifact relation. The
+    * tombstone side broadcasts (bounded by deletions, ≪ corpus) and the
+    * join sits ABOVE the scan, so the probe's cell filter still prunes
+    * partitions underneath it.
+    */
+  private def applyAnnTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rel: DataFrame, relIdCol: String): DataFrame =
+    annTombstones(spark, dir).fold(rel)(t =>
+      rel.join(broadcast(t.select(col("vec_id").as(relIdCol))),
+        Seq(relIdCol), "left_anti"))
+
+  /** Fold accumulated tombstones into a persisted ANN artifact: rewrite
+    * the data relation (`assigned/` for the IVF family, `sketch/` for
+    * SRP) without the dead vectors, refresh the `meta/` row-count where
+    * the layout carries one (PQ's n, SRP's (n, bits, seed)), and drop
+    * the tombstone relation — the [[InvertedIndex.compact]] shape. After
+    * compact, loads pay no per-load anti-join and probes are bit-
+    * identical to a same-centers assignment of the surviving corpus.
+    * Stages into a sibling directory and renames — the versioned
+    * artifact-directory cut-over at cluster scale.
+    */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = InvertedIndex.fsFor(spark, dir)
+    if (!fs.exists(new Path(root, "tombstones"))) return
+    val staging = s"$dir-compact-staging"
+    val stagingRoot = new Path(staging)
+    fs.delete(stagingRoot, true)
+    import spark.implicits._
+    val rewritten: Seq[String] =
+      if (fs.exists(new Path(root, "assigned"))) {
+        // IVF family (float / SQ8 / PQ): cell-partitioned inverted file
+        val survivors = applyAnnTombstones(spark, dir,
+          spark.read.parquet(s"$dir/assigned"), "neighbor_id")
+        survivors.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$staging/assigned")
+        if (fs.exists(new Path(root, "meta"))) { // PQ carries n
+          val n = spark.read.parquet(s"$staging/assigned").count()
+          Seq(Tuple1(n)).toDF("n")
+            .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+          Seq("assigned", "meta")
+        } else Seq("assigned")
+      } else {
+        // SRP: flat sketch relation + (n, bits, seed) metadata
+        val sk = spark.read.parquet(s"$dir/sketch")
+        val relId = sk.columns.filterNot(_.matches("sig\\d+")).head
+        applyAnnTombstones(spark, dir, sk, relId)
+          .write.mode("overwrite").parquet(s"$staging/sketch")
+        val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+        val n = spark.read.parquet(s"$staging/sketch").count()
+        Seq((n, meta.getInt(1), meta.getLong(2))).toDF("n", "bits", "seed")
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+        Seq("sketch", "meta")
+      }
+    rewritten.foreach { sub =>
+      val live = new Path(root, sub)
+      fs.delete(live, true)
+      if (!fs.rename(new Path(stagingRoot, sub), live))
+        throw new java.io.IOException(
+          s"compactAnnIndex: rename $staging/$sub -> $dir/$sub failed")
+    }
+    fs.delete(new Path(root, "tombstones"), true)
+    fs.delete(stagingRoot, true)
   }
 
   /** Metadata-FILTERED exact top-k: the brute probe over ONLY the allowed
@@ -669,9 +781,10 @@ object SimilaritySearch {
     val centers = spark.read.parquet(s"$dir/centers").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    val assigned = spark.read.parquet(s"$dir/assigned")
-      .select(col("neighbor_id"), col("cell"), col("scale"), col("qnorm"),
-        col("qv"))
+    val assigned = applyAnnTombstones(spark, dir,
+      spark.read.parquet(s"$dir/assigned")
+        .select(col("neighbor_id"), col("cell"), col("scale"), col("qnorm"),
+          col("qv")), "neighbor_id")
     IvfInt8Index(centers, if (persist) assigned.persist() else assigned)
   }
 
@@ -1005,13 +1118,18 @@ object SimilaritySearch {
       bookRows.filter(_._1 == sub).sortBy(_._2).map(_._3)
     }
     val dsub = bookCenters.head.head.length
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    val rawAssigned = spark.read.parquet(s"$dir/assigned")
       .select(col("neighbor_id"), col("codes"), col("rnorm"), col("cell"))
+    val tombstoned = annTombstones(spark, dir).isDefined
+    val assigned = applyAnnTombstones(spark, dir, rawAssigned, "neighbor_id")
     // pre-metadata artifacts (no meta/): reconstruct n with one count of
-    // the code relation — paid once at LOAD, never per probe
+    // the code relation — paid once at LOAD, never per probe. A
+    // tombstoned artifact counts SURVIVORS the same way: n feeds the
+    // auto refine dial and must describe what the probe can actually see
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val n =
-      if (metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (tombstoned) assigned.count()
+      else if (metaPath.getFileSystem(spark.sessionState.newHadoopConf())
           .exists(metaPath))
         spark.read.parquet(s"$dir/meta").collect()(0).getLong(0)
       else assigned.count()
@@ -1170,9 +1288,17 @@ object SimilaritySearch {
   def loadSrpIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       persist: Boolean = true): SrpIndex = {
     val meta = spark.read.parquet(s"$dir/meta").collect()(0)
-    val sk = spark.read.parquet(s"$dir/sketch")
+    val raw = spark.read.parquet(s"$dir/sketch")
+    // the sketch's id column is whatever the build used: the only
+    // non-signature column (idCol + sig0..sigN is the srpSketch schema)
+    val relId = raw.columns.filterNot(_.matches("sig\\d+")).head
+    val tombstoned = annTombstones(spark, dir).isDefined
+    val sk = applyAnnTombstones(spark, dir, raw, relId)
+    // under live tombstones n counts SURVIVORS (one bounded load-time
+    // job): n is the scale dial input and must describe the served scan
     SrpIndex(if (persist) sk.persist() else sk,
-      meta.getLong(0), meta.getInt(1), meta.getLong(2))
+      if (tombstoned) sk.count() else meta.getLong(0),
+      meta.getInt(1), meta.getLong(2))
   }
 
   /** Brute Hamming top-k over SRP sketches with exact refine: the scan

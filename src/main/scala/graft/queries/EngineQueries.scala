@@ -1427,6 +1427,61 @@ object EngineQueries extends QueryPack {
   // the hash in the gate suite. The SRP twin states k-rows-per-query
   // too; PQ candidate counts depend on the probed cells' occupancy, so
   // this gate pins list EQUALITY only.
+  // Delete-lifecycle parity (r14): tombstone two vectors plus one unknown
+  // id on a persisted IVF artifact, probe the tombstoned load AND the
+  // compacted rewrite, and compare both against a fresh same-centers
+  // assignment of the surviving corpus — the GDPR/DMCA takedown contract
+  // (deleteFromAnnIndex/compactAnnIndex) stated as constants: any
+  // under-deletion (dead id served), over-deletion, or compact drift
+  // breaks the hash. The artifact builds once per session (SessionMemo).
+  private def prepareDeletedIvfDirs(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, SimilaritySearch.IvfIndex) =
+    graft.SessionMemo.getOrElseUpdate(s, s"ivf_deleted_dir:$d") {
+      val emb = Tables.embeddings(s, d)
+      val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 8,
+        persist = false)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-del-gate").toString
+      SimilaritySearch.saveIvfIndex(idx, dir)
+      SimilaritySearch.deleteFromAnnIndex(s, dir, Seq(11L, 13L, 999999999L))
+      (dir, idx)
+    }(_ => ())
+  private val annDeleteParity = OracleQuery(
+    "vx_ann_delete_parity",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val (dir, idx) = prepareDeletedIvfDirs(s, d)
+      val survivors = emb.filter(!col("vec_id").isin(11L, 13L, 999999999L))
+      // each probe is a bounded k×|Q| relation: COLLECT before the next
+      // lifecycle step (compact deletes the tombstone files a lazy plan
+      // would still be reading) and certify driver-side — the bounded-
+      // relation convention bm25TopKPrunedByQuery set
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+      val want = rows(SimilaritySearch.ivfProbe(
+        SimilaritySearch.IvfIndex(idx.centers, SimilaritySearch
+          .assignToCells(survivors, idx.centers, "vec_id", "embedding")),
+        q, k = 5, nprobe = 3))
+      val tombstoned = rows(SimilaritySearch.ivfProbe(
+        SimilaritySearch.loadIvfIndex(s, dir, persist = false),
+        q, k = 5, nprobe = 3))
+      SimilaritySearch.compactAnnIndex(s, dir)
+      val compacted = rows(SimilaritySearch.ivfProbe(
+        SimilaritySearch.loadIvfIndex(s, dir, persist = false),
+        q, k = 5, nprobe = 3))
+      def mismatches(a: Seq[(Long, Int, Long, Double)],
+          b: Seq[(Long, Int, Long, Double)]): Long =
+        (a.size - a.intersect(b).size).toLong + (b.size - a.intersect(b).size)
+      import s.implicits._
+      Seq((mismatches(want, tombstoned), mismatches(want, compacted)))
+        .toDF("n_mismatch_tombstoned", "n_mismatch_compacted")
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS n_mismatch_tombstoned,
+      CAST(0 AS BIGINT) AS n_mismatch_compacted"""))
+
   private val annIvfPqArtifactParity = OracleQuery(
     "vx_ann_ivfpq_artifact_parity",
     (s, d) => {
@@ -2840,7 +2895,7 @@ object EngineQueries extends QueryPack {
     retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,
-    annIvfPqArtifactParity, annInt8FilteredQuantized,
+    annIvfPqArtifactParity, annDeleteParity, annInt8FilteredQuantized,
     streamVecNearDup,
     streamVecNearDupQ,
     dedupCosinePairs, dedupEmbeddingCanonical, dedupEmbeddingCanonicalQ,

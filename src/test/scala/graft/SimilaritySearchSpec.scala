@@ -609,4 +609,120 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(ex.getMessage != null)
     pq.unpersist(); srp.unpersist()
   }
+
+  test("ANN delete lifecycle: tombstoned loads equal survivor indexes; compact folds exactly") {
+    // the vector-store takedown story (r14): delete ids on every persisted
+    // artifact family, load-after-delete must probe exactly like an index
+    // over the SURVIVING corpus under the same frozen quantizers —
+    // including an unknown id (no-op) and a repeated id (idempotent) —
+    // and compact must fold the tombstones into rewritten files without
+    // changing a single probe row
+    val queries = emb.filter(col("vec_id") < 10)
+    // dead set: two ids the index holds, one repeat, one it never held
+    val dead = Seq(42L, 77L, 999999L)
+    val survivors = emb.filter(!col("vec_id").isin(dead: _*))
+
+    def probeRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+    def checkFamily(tag: String, dir: String,
+        probeLoaded: () => org.apache.spark.sql.DataFrame,
+        want: Seq[(Long, Int, Long)],
+        survivorCount: Long, dataSub: String): Unit = {
+      SimilaritySearch.deleteFromAnnIndex(spark, dir, dead)
+      SimilaritySearch.deleteFromAnnIndex(spark, dir, Seq(42L)) // idempotent
+      val got = probeRows(probeLoaded())
+      assert(got.nonEmpty && got == want,
+        s"$tag: tombstoned load diverged from survivor index: " +
+          s"${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+      assert(!got.exists(r => dead.contains(r._3)),
+        s"$tag: deleted id served")
+      SimilaritySearch.compactAnnIndex(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists(),
+        s"$tag: compact left the tombstone relation")
+      val gotC = probeRows(probeLoaded())
+      assert(gotC == want, s"$tag: compact changed probe rows")
+      assert(spark.read.parquet(s"$dir/$dataSub").count() == survivorCount,
+        s"$tag: compact did not rewrite to the survivor rows")
+      // compact with no tombstones is a no-op
+      SimilaritySearch.compactAnnIndex(spark, dir)
+      assert(probeRows(probeLoaded()) == want)
+    }
+
+    val nSurv = survivors.count()
+
+    // IVF float — independent reference: survivors assigned FRESH under
+    // the same frozen centers (the append spec's rebuild convention)
+    val ivf = SimilaritySearch.buildIvfIndex(emb, nlist = 4)
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-del-ivf").toString
+    SimilaritySearch.saveIvfIndex(ivf, ivfDir)
+    val ivfWant = probeRows(SimilaritySearch.ivfProbe(
+      SimilaritySearch.IvfIndex(ivf.centers, SimilaritySearch
+        .assignToCells(survivors, ivf.centers, "vec_id", "embedding")),
+      queries, 5, nprobe = 2))
+    checkFamily("ivf", ivfDir,
+      () => SimilaritySearch.ivfProbe(
+        SimilaritySearch.loadIvfIndex(spark, ivfDir, persist = false),
+        queries, 5, nprobe = 2),
+      ivfWant, nSurv, "assigned")
+    ivf.unpersist()
+
+    // IVF-SQ8 — reference: the built inverted file filtered to survivors
+    // (per-row quantization is row-local, so filter == re-encode)
+    val int8 = SimilaritySearch.buildIvfInt8Index(emb, nlist = 4)
+    val int8Dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-del-int8").toString
+    SimilaritySearch.saveIvfInt8Index(int8, int8Dir)
+    val int8Want = probeRows(SimilaritySearch.ivfProbeInt8(
+      SimilaritySearch.IvfInt8Index(int8.centers,
+        int8.assigned.filter(!col("neighbor_id").isin(dead: _*))),
+      queries, 5, nprobe = 2))
+    checkFamily("int8", int8Dir,
+      () => SimilaritySearch.ivfProbeInt8(
+        SimilaritySearch.loadIvfInt8Index(spark, int8Dir, persist = false),
+        queries, 5, nprobe = 2),
+      int8Want, nSurv, "assigned")
+    int8.unpersist()
+
+    // IVF-PQ — n must describe the SURVIVING corpus (it drives the auto
+    // refine dial); probe through the metadata-resolved auto entry point
+    val pq = SimilaritySearch.buildIvfPqIndex(emb, nlist = 4, m = 8, ksub = 16)
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-del-pq").toString
+    SimilaritySearch.saveIvfPqIndex(pq, pqDir)
+    val pqWant = probeRows(SimilaritySearch.ivfProbePqRefinedAuto(
+      pq.copy(assigned =
+        pq.assigned.filter(!col("neighbor_id").isin(dead: _*)), n = nSurv),
+      survivors, queries, 5))
+    checkFamily("pq", pqDir,
+      () => {
+        val l = SimilaritySearch.loadIvfPqIndex(spark, pqDir, persist = false)
+        assert(l.n == nSurv, s"pq: n=${l.n}, want survivors $nSurv")
+        // the re-rank corpus a deployment serves is also takedown-filtered
+        SimilaritySearch.ivfProbePqRefinedAuto(l, survivors, queries, 5)
+      },
+      pqWant, nSurv, "assigned")
+    pq.unpersist()
+
+    // SRP — independent reference: a fresh sketch of the survivors (the
+    // signature UDF is row-local); n must shrink to the served scan
+    val srp = SimilaritySearch.buildSrpIndex(emb, bits = 128, seed = 7L)
+    val srpDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-del-srp").toString
+    SimilaritySearch.saveSrpIndex(srp, srpDir)
+    val srpWant = probeRows(SimilaritySearch.hammingTopK(
+      SimilaritySearch.srpSketch(survivors, bits = 128, seed = 7L),
+      survivors, queries, 5,
+      refine = SimilaritySearch.refineScaleParam(nSurv, 8),
+      bits = 128, seed = 7L))
+    checkFamily("srp", srpDir,
+      () => {
+        val l = SimilaritySearch.loadSrpIndex(spark, srpDir, persist = false)
+        assert(l.n == nSurv, s"srp: n=${l.n}, want survivors $nSurv")
+        SimilaritySearch.hammingTopKAuto(l, survivors, queries, 5)
+      },
+      srpWant, nSurv, "sketch")
+    srp.unpersist()
+  }
 }
