@@ -1249,16 +1249,21 @@ object ScaleBench {
             .limit(NQ).persist()
           queries.count()
           val filters = Seq(
-            "selective" -> emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
-              .select(col("vec_id")),
-            "permissive" -> emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
-              .select(col("vec_id")))
-          val parts = filters.map { case (fname, allowed) =>
+            ("selective", 1.0 / 128, emb
+              .filter(pmod(col("vec_id"), lit(128L)) === 0)
+              .select(col("vec_id"))),
+            ("permissive", 0.5, emb
+              .filter(pmod(col("vec_id"), lit(2L)) === 0)
+              .select(col("vec_id"))))
+          val parts = filters.map { case (fname, sel, allowed) =>
             val truth = SimilaritySearch
               .bruteForceTopKAmong(emb, queries, K, allowed).persist()
             val tTruth = timeIt { truth.count(); () }
-            val dials = Seq(nprobePolicy, 2 * nprobePolicy,
-                4 * nprobePolicy).map(math.min(_, nlist)).distinct
+            // the r14 auto dial joins the measured grid: its recall row
+            // must sit at/above every fixed dial it subsumes
+            val npAuto = SimilaritySearch.filteredNprobeParam(nlist, sel)
+            val dials = (Seq(nprobePolicy, 2 * nprobePolicy,
+                4 * nprobePolicy).map(math.min(_, nlist)) :+ npAuto).distinct
             val dialParts = dials.map { np =>
               var probe: DataFrame = null
               val t = timeIt {
@@ -1274,7 +1279,8 @@ object ScaleBench {
               s""""nprobe_$np":{"recall":${fmt(r)},"probe_sec":${fmt(t)}}"""
             }
             truth.unpersist()
-            s""""$fname":{"truth_sec":${fmt(tTruth)},${dialParts.mkString(",")}}"""
+            s""""$fname":{"truth_sec":${fmt(tTruth)},"nprobe_auto":$npAuto,""" +
+              dialParts.mkString("", ",", "}")
           }
           queries.unpersist(); emb.unpersist()
           s""""$tag":{"n":$n,"nlist":$nlist,"nprobe_policy":$nprobePolicy,""" +

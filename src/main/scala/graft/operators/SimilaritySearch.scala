@@ -1495,6 +1495,72 @@ object SimilaritySearch {
     (nlist, nprobe)
   }
 
+  /** Filtered-probe nprobe policy (r14 — the measured BASELINE.md
+    * nprobe-vs-selectivity table promoted to API): widen nprobe INVERSELY
+    * with the filter's selectivity, capped at nlist. Why this exact
+    * shape: the unfiltered policy probes fraction f = nprobe/nlist of
+    * the corpus, giving ~f·n candidates per query; under a filter of
+    * selectivity s the probed cells hold only ~f·s·n ALLOWED candidates
+    * — the recall loss the r13 table measured (selective 0.26 vs
+    * permissive 0.46 at the policy dial, ×100). nprobe/s restores the
+    * allowed-candidate volume to ~f·n, so the auto dial's scored volume
+    * NEVER exceeds what the unfiltered policy already pays: at the
+    * nlist cap (s < f — very selective filters) the probe scans every
+    * cell but scores only |allowed| = s·n < f·n rows. Monotone ≥ the
+    * fixed policy (a wider probe's cells are a superset, and exact
+    * re-ranking cannot evict a true neighbor), so auto ≥ fixed recall
+    * deterministically.
+    */
+  def filteredNprobeParam(nlist: Int, selectivity: Double): Int = {
+    require(selectivity > 0.0 && selectivity <= 1.0,
+      s"selectivity must be in (0, 1], got $selectivity")
+    val policy = math.max(4, math.ceil(nlist / 16.0).toInt)
+    math.min(nlist,
+      math.max(policy, math.ceil(policy / selectivity).toInt))
+  }
+
+  /** [[ivfProbeAmong]] with nprobe resolved from the filter's
+    * selectivity via [[filteredNprobeParam]] — a user who follows the
+    * types gets the measured dial ("selective filters deserve a larger
+    * nprobe"), not a silently-under-recalling constant. Pass
+    * `selectivity` when the caller knows it (an ACL holding 0.8% of the
+    * corpus — the production case, zero extra jobs); `None` derives it
+    * with two bounded counts at probe-CONSTRUCTION time (never per
+    * query), the one-off cost [[loadIvfPqIndex]]'s n fallback set the
+    * precedent for.
+    */
+  def ivfProbeAmongAuto(
+      index: IvfIndex, queries: DataFrame, k: Int, allowed: DataFrame,
+      selectivity: Option[Double] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val np = filteredNprobeParam(index.centers.length,
+      resolveSelectivity(selectivity, allowed, index.assigned))
+    ivfProbeAmong(index, queries, k, np, allowed, idCol, vecCol)
+  }
+
+  /** The int8 twin of [[ivfProbeAmongAuto]] — the memory-floor serving
+    * tier gets the same selectivity-aware dial.
+    */
+  def ivfProbeInt8AmongAuto(
+      index: IvfInt8Index, queries: DataFrame, k: Int, allowed: DataFrame,
+      selectivity: Option[Double] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val np = filteredNprobeParam(index.centers.length,
+      resolveSelectivity(selectivity, allowed, index.assigned))
+    ivfProbeInt8Among(index, queries, k, np, allowed, idCol, vecCol)
+  }
+
+  private def resolveSelectivity(selectivity: Option[Double],
+      allowed: DataFrame, assigned: DataFrame): Double =
+    selectivity.getOrElse {
+      val n = assigned.count()
+      require(n > 0, "cannot derive selectivity over an empty index")
+      // clamp into (0, 1]: an allowed relation carrying ids the index
+      // never held (or an empty one) must not produce a 0 or > 1 ratio
+      math.min(1.0, math.max(1.0 / n.toDouble,
+        allowed.count().toDouble / n.toDouble))
+    }
+
   /** Shortlist-width scale policy for the re-rank families ([[hammingTopK]],
     * [[ivfProbePqRefined]]): refine grows ∝ √(n/2000) from the family's
     * measured-good base dial at the 2k testdata. Mechanism (BASELINE.md

@@ -127,6 +127,62 @@ class SimilaritySearchSpec extends SparkSpec {
     truth.unpersist()
   }
 
+  test("filteredNprobeParam: pinned policy values; auto probes beat fixed at selective filters") {
+    import SimilaritySearch.filteredNprobeParam
+    // policy values at the BASELINE.md-measured sizes: ×100 has nlist =
+    // 447, policy nprobe = 28; the selective filter (1/128) caps at
+    // nlist (probing every cell scores only the 0.8% allowed rows);
+    // the permissive filter (1/2) doubles the dial
+    assert(filteredNprobeParam(447, 1.0 / 128) == 447)
+    assert(filteredNprobeParam(447, 0.5) == 56)
+    // sf0.1 (n = 20k): nlist = 141, policy 9 → selective caps, permissive 18
+    assert(filteredNprobeParam(141, 1.0 / 128) == 141)
+    assert(filteredNprobeParam(141, 0.5) == 18)
+    // no filter (s = 1) IS the unfiltered policy; tiny nlist floors at 4
+    assert(filteredNprobeParam(447, 1.0) == 28)
+    assert(filteredNprobeParam(16, 1.0) == 4)
+    intercept[IllegalArgumentException] { filteredNprobeParam(16, 0.0) }
+
+    // end-to-end: under a selective filter the auto dial reaches exact
+    // recall (cap = all cells ⇒ ≡ filtered brute) while the fixed policy
+    // dial under-recalls — auto ≥ fixed deterministically (superset cells)
+    val queries = emb.filter(col("vec_id") < 8)
+    val allowed = emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
+      .select(col("vec_id"))
+    val n = emb.count()
+    val (nlist, npPolicy) = SimilaritySearch.ivfScaleParams(n)
+    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = nlist,
+      persist = false)
+    val truth = SimilaritySearch.bruteForceTopKAmong(
+      emb, queries, k = 5, allowed).persist()
+    val rFixed = ScaleBench.recallAtK(truth, SimilaritySearch
+      .ivfProbeAmong(idx, queries, k = 5, npPolicy, allowed))
+    // derived selectivity (None): two bounded counts, then the cap dial
+    val auto = SimilaritySearch
+      .ivfProbeAmongAuto(idx, queries, k = 5, allowed)
+    val rAuto = ScaleBench.recallAtK(truth, auto)
+    assert(rAuto >= rFixed - 1e-9, s"auto $rAuto < fixed $rFixed")
+    assert(rAuto == 1.0,
+      s"selective auto dial caps at nlist => exact, got $rAuto")
+    // caller-supplied selectivity takes the same path with zero counts
+    val autoS = SimilaritySearch.ivfProbeAmongAuto(
+      idx, queries, k = 5, allowed, selectivity = Some(1.0 / 128))
+    assert(auto.collect().toSeq == autoS.collect().toSeq)
+
+    // int8 twin: auto == the explicit probe at the policy-resolved dial
+    val idx8 = SimilaritySearch.buildIvfInt8Index(emb, nlist = nlist)
+    val got8 = SimilaritySearch.ivfProbeInt8AmongAuto(
+        idx8, queries, k = 5, allowed, selectivity = Some(1.0 / 128))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want8 = SimilaritySearch.ivfProbeInt8Among(
+        idx8, queries, k = 5,
+        filteredNprobeParam(nlist, 1.0 / 128), allowed)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got8.nonEmpty && got8 == want8)
+    idx8.unpersist()
+    truth.unpersist()
+  }
+
   test("hard negatives: full-width shortlist equals exact filter-then-top-k") {
     import graft.functions.VecOps
     val n = emb.count().toInt
