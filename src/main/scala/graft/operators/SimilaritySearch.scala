@@ -370,7 +370,7 @@ object SimilaritySearch {
   }
 
   /** The artifact's distinct tombstone set, when it has one. */
-  private def annTombstones(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def annTombstones(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[DataFrame] = {
     val (fs, root) = InvertedIndex.fsFor(spark, dir)
     if (fs.exists(new org.apache.hadoop.fs.Path(root, "tombstones")))
@@ -384,7 +384,7 @@ object SimilaritySearch {
     * join sits ABOVE the scan, so the probe's cell filter still prunes
     * partitions underneath it.
     */
-  private def applyAnnTombstones(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def applyAnnTombstones(spark: org.apache.spark.sql.SparkSession,
       dir: String, rel: DataFrame, relIdCol: String): DataFrame =
     annTombstones(spark, dir).fold(rel)(t =>
       rel.join(broadcast(t.select(col("vec_id").as(relIdCol))),

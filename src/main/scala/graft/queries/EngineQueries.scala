@@ -1222,6 +1222,48 @@ object EngineQueries extends QueryPack {
       CAST(floor(cos * 1000000.0) AS BIGINT) AS cosine_q
     FROM ranked WHERE rn <= 5 ORDER BY query_id, rn"""))
 
+  // ---- STREAMED dense-index ingest (r14 — the StreamingLexIndex
+  //      symmetry): the quantized corpus lands as THREE applyBatch cell
+  //      deltas under the frozen 8-lowest-id quantizer, with a manifest-
+  //      committed segment merge mid-stream; the probe serves the
+  //      streamed artifact. FULL oracle: the frozen quantizer makes
+  //      assignment/probe/re-rank integer-exact, and streaming ingest is
+  //      append-equals-rebuild exact (frozen centers, disjoint ids), so
+  //      DuckDB's replay of the BATCH serving path (IVF_PROBE_CTES,
+  //      verbatim) must hash-match the stream-built index — proving
+  //      ingest, merge fold, AND load in one gate ----
+  def prepareStreamVecIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): SimilaritySearch.IvfIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"stream_vec_index:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-svec-gate").toString
+      val embQ = quantizedEmb(s, d)
+      val centers = embQ.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      graft.streaming.StreamingVecIndex.freezeCenters(s, dir, centers)
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingVecIndex.applyBatch(
+          embQ.filter(pmod(col("vec_id"), lit(3L)) === b), b, dir)
+        graft.streaming.StreamingVecIndex.maybeMerge(s, dir, 2, b)
+      }
+      val idx = graft.streaming.StreamingVecIndex.load(s, dir)
+      idx.assigned.count() // materialize once — probes time the join
+      idx
+    }(_.unpersist())
+  private val annStreamIngest = OracleQuery(
+    "vx_stream_ann_probe_top5",
+    (s, d) =>
+      SimilaritySearch.ivfProbe(prepareStreamVecIndex(s, d),
+          quantizedEmb(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 4)
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          floor(col("cosine") * lit(1000000.0)).cast("long").as("cosine_q"))
+        .orderBy(col("query_id"), col("rn")),
+    Some(s"""WITH $IVF_PROBE_CTES
+    SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id,
+      CAST(floor(cos * 1000000.0) AS BIGINT) AS cosine_q
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rn"""))
+
   // ---- retrieval-eval harness (operators/RetrievalEval): the REAL IVF
   //      probe result list scored per-query against exact brute-force
   //      ground truth over the SAME frozen-quantizer corpus — recall@5,
@@ -2891,7 +2933,7 @@ object EngineQueries extends QueryPack {
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,
     annBrute, annBruteQuantized, annBruteFilteredQuantized,
-    annLsh, annIvf, annIvfProbe,
+    annLsh, annIvf, annIvfProbe, annStreamIngest,
     retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,

@@ -1,0 +1,219 @@
+package graft.streaming
+
+import graft.operators.{InvertedIndex, SimilaritySearch}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Continuous ingest into a persisted IVF index — the dense twin of
+  * [[StreamingLexIndex]], completing the streaming symmetry the lexical
+  * artifact already had: each micro-batch of (id, embedding) vectors is
+  * assigned under the artifact's FROZEN coarse quantizer (the
+  * `appendToIvfIndex` discipline — published IVF practice retrains
+  * offline, never per batch) and lands as `batch=<id>/cell=<c>` delta
+  * partitions of the inverted file. [[load]] reads the live segments and
+  * probes are bit-identical to a same-centers assignment of everything
+  * ingested so far: same frozen centers → same cells → same candidate
+  * sets → same exact re-rank (spec-pinned).
+  *
+  * Exactly-once by IDEMPOTENCE (the [[StreamingLexIndex.applyBatch]]
+  * mechanism): the batch-id partition is the write's identity and the
+  * write uses dynamic partition overwrite, so an at-least-once replay
+  * replaces its own partitions instead of double-inserting vectors.
+  * Assignment is deterministic (frozen centers, pure per-row math), so a
+  * replayed batch rewrites byte-identical content.
+  *
+  * 100 TB shape: per-batch work is one map-only assignment pass; the
+  * artifact grows by delta partitions with no read-modify-write of
+  * history, and the probe's cell equi-join still prunes on the `cell`
+  * partition level under `batch=`. [[maybeMerge]] (wired into [[sink]]
+  * via `mergeEvery`) keeps the segment count bounded with the same
+  * manifest-committed fold as the lexical index; [[compactTo]] folds
+  * everything into the compact [[SimilaritySearch.saveIvfIndex]] layout
+  * offline. [[SimilaritySearch.deleteFromAnnIndex]] tombstones apply at
+  * [[load]] exactly like the batch artifact's.
+  */
+object StreamingVecIndex {
+
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) =
+    InvertedIndex.fsFor(spark, dir)
+
+  /** Freeze the coarse quantizer for a streaming ingest directory —
+    * the bootstrap step (run once, before the stream starts): persists
+    * `centers/` in the [[SimilaritySearch.saveIvfIndex]] layout. Train
+    * the centers however fits the deployment (an offline
+    * `buildIvfIndex` over a history sample is the usual source) —
+    * streaming ingest NEVER retrains; that is what makes a replayed
+    * batch idempotent and append ≡ rebuild exact.
+    */
+  def freezeCenters(spark: SparkSession, dir: String,
+      centers: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+  }
+
+  private def loadCenters(spark: SparkSession,
+      dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centers").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
+  /** Apply ONE micro-batch delta: assign under the frozen centers, write
+    * as this batch's partitions. Public so the idempotence contract is
+    * directly testable — calling this twice with the same `batchId`
+    * leaves the artifact byte-identical.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val (fs, root) = fsFor(spark, dir)
+    require(fs.exists(new Path(root, "centers")),
+      s"no frozen quantizer at $dir/centers — run freezeCenters first " +
+        "(streaming ingest never trains; a per-batch retrain would break " +
+        "replay idempotence and append-equals-rebuild exactness)")
+    SimilaritySearch
+      .assignToCells(batch, loadCenters(spark, dir), idCol, vecCol)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell")
+      .parquet(s"$dir/assigned")
+    // once a merge manifest governs the directory, every new segment
+    // must register or the manifest-filtered load would never see it;
+    // set semantics keep a replayed batch a no-op here too
+    if (fs.exists(new Path(root, "_segments"))) {
+      val live = liveSegments(spark, dir)
+      if (!live.contains(batchId)) writeManifest(fs, root, live :+ batchId)
+    }
+  }
+
+  /** The streaming writer: attach a checkpoint and `.start()` (or
+    * `.trigger(AvailableNow)` for catch-up). foreachBatch because the
+    * delta is batch-relational (one assignment pass + a partitioned
+    * write). `mergeEvery` ≥ 2 turns on auto segment-merge.
+    */
+  def sink(vecs: DataFrame, dir: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      mergeEvery: Int = 0)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(mergeEvery == 0 || mergeEvery >= 2,
+      s"mergeEvery must be 0 (off) or >= 2, got $mergeEvery")
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id, dir, idCol, vecCol)
+        if (mergeEvery > 0) { maybeMerge(b.sparkSession, dir, mergeEvery, id); () }
+      }
+  }
+
+  /** Live segment ids: the `_segments` manifest when present, else every
+    * `batch=` partition on disk (the pre-merge layout, all live).
+    */
+  private[graft] def liveSegments(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, root) = fsFor(spark, dir)
+    val manifest = new Path(root, "_segments")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    } else listSegments(fs, root)
+  }
+
+  private def listSegments(fs: FileSystem, root: Path): Seq[Long] = {
+    val p = new Path(root, "assigned")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+  }
+
+  // atomic manifest cut-over — the StreamingLexIndex.writeManifest
+  // mechanism (temp file + FileContext OVERWRITE rename), single relation
+  private def writeManifest(fs: FileSystem, root: Path, ids: Seq[Long]): Unit = {
+    val tmp = new Path(root, "_segments.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
+      .rename(tmp, new Path(root, "_segments"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Auto segment-merge, manifest-committed — [[StreamingLexIndex
+    * .maybeMerge]]'s commit order over the single `assigned` relation:
+    * orphan sweep, stage the consolidated fold, rename in as the merged
+    * segment (reserved negative id, invisible until commit), atomic
+    * manifest swap (the commit point), best-effort source cleanup.
+    * Assignment rows pass through VERBATIM (no re-aggregation — a vector
+    * is one row in exactly one batch), so probes are bit-identical
+    * across the merge; only file geometry changes.
+    */
+  def maybeMerge(spark: SparkSession, dir: String, threshold: Int,
+      currentBatch: Long): Boolean = {
+    require(threshold >= 2, s"merge threshold must be >= 2, got $threshold")
+    val (fs, root) = fsFor(spark, dir)
+    val live = liveSegments(spark, dir)
+    if (fs.exists(new Path(root, "_segments"))) {
+      val liveSet = live.toSet
+      listSegments(fs, root).filterNot(liveSet.contains).foreach { id =>
+        fs.delete(new Path(root, s"assigned/batch=$id"), true)
+      }
+    }
+    if (live.size < threshold) return false
+    val fold = live.filter(_ < currentBatch)
+    val keep = live.filterNot(fold.contains)
+    val maxReal = fold.filter(_ >= 0)
+    if (maxReal.isEmpty || fold.size < 2) return false
+    val mid = -(maxReal.max + 1)
+    if (!fs.exists(new Path(root, "_segments")))
+      writeManifest(fs, root, live)
+    val staging = new Path(root, "_merge-staging")
+    fs.delete(staging, true)
+    spark.read.parquet(s"$dir/assigned")
+      .filter(col("batch").isin(fold: _*)).drop("batch")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new Path(staging, "assigned").toString)
+    val target = new Path(root, s"assigned/batch=$mid")
+    fs.delete(target, true) // stale target from a crashed earlier attempt
+    if (!fs.rename(new Path(staging, "assigned"), target))
+      throw new java.io.IOException(s"merge rename failed: $target")
+    fs.delete(staging, true)
+    writeManifest(fs, root, mid +: keep) // the commit point
+    fold.foreach { id =>
+      fs.delete(new Path(root, s"assigned/batch=$id"), true)
+    }
+    true
+  }
+
+  /** Assemble the live index: the frozen centers plus the live segments'
+    * assignment rows (`batch` dropped — it is the write's identity, not
+    * index data), with any [[SimilaritySearch.deleteFromAnnIndex]]
+    * tombstones applied exactly (the batch artifact's load contract).
+    */
+  def load(spark: SparkSession, dir: String,
+      persist: Boolean = true): SimilaritySearch.IvfIndex = {
+    val (fs, root) = fsFor(spark, dir)
+    val raw = spark.read.parquet(s"$dir/assigned")
+    val scoped =
+      if (fs.exists(new Path(root, "_segments")))
+        raw.filter(col("batch").isin(liveSegments(spark, dir): _*))
+      else raw
+    val assigned = SimilaritySearch.applyAnnTombstones(spark, dir,
+      scoped.drop("batch")
+        .select(col("neighbor_id"), col("tv"), col("cell")), "neighbor_id")
+    SimilaritySearch.IvfIndex(loadCenters(spark, dir),
+      if (persist) assigned.persist() else assigned)
+  }
+
+  /** Fold the streamed layout into the compact batch artifact at
+    * `outDir` — probes identical, only file geometry changes; the
+    * offline half of the segment-merge rhythm.
+    */
+  def compactTo(spark: SparkSession, dir: String, outDir: String): Unit =
+    SimilaritySearch.saveIvfIndex(load(spark, dir, persist = false), outDir)
+}

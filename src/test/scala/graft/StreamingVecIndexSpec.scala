@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.SimilaritySearch
+import graft.streaming.StreamingVecIndex
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming dense-index ingest vs a same-centers rebuild: micro-batch
+  * cell deltas under the frozen quantizer assemble to the exact inverted
+  * file, replayed batches are idempotent, the manifest-committed segment
+  * merge changes file geometry but never a probe row, and the batch
+  * artifact's delete lifecycle applies at load.
+  */
+class StreamingVecIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+    .select(col("vec_id"), col("embedding"))
+  private lazy val queries = emb.filter(col("vec_id") < 8)
+
+  // frozen quantizer shared by every test: trained once on the full
+  // corpus (the offline-history bootstrap a deployment would run)
+  private lazy val centers =
+    SimilaritySearch.buildIvfIndex(emb, nlist = 8, persist = false).centers
+
+  private def probe(idx: SimilaritySearch.IvfIndex): Seq[(Long, Int, Long)] =
+    SimilaritySearch.ivfProbe(idx, queries, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+  private def sameCentersRebuild(corpus: org.apache.spark.sql.DataFrame) =
+    SimilaritySearch.IvfIndex(centers,
+      SimilaritySearch.assignToCells(corpus, centers, "vec_id", "embedding"))
+
+  private def freshDirs(tag: String): (String, String) = (
+    java.nio.file.Files.createTempDirectory(s"graft-svec-$tag").toString,
+    java.nio.file.Files.createTempDirectory(s"graft-svec-$tag-ck").toString)
+
+  test("MemoryStream ingest probes identically to a same-centers rebuild; compactTo folds") {
+    implicit val sqlCtx = spark.sqlContext
+    val (dir, ckpt) = freshDirs("mem")
+    StreamingVecIndex.freezeCenters(spark, dir, centers)
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val vecs = stream.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val query = StreamingVecIndex.sink(vecs, dir, ckpt).start()
+    try {
+      rows.grouped(700).foreach { g =>
+        stream.addData(g: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = StreamingVecIndex.load(spark, dir, persist = false)
+    val want = probe(sameCentersRebuild(emb))
+    assert(probe(streamed).nonEmpty && probe(streamed) == want,
+      "streamed index diverged from same-centers rebuild")
+    assert(streamed.assigned.count() == emb.count())
+    // compactTo: the batch artifact layout, probe rows unchanged
+    val folded = java.nio.file.Files
+      .createTempDirectory("graft-svec-fold").toString
+    StreamingVecIndex.compactTo(spark, dir, folded)
+    val compactIdx = SimilaritySearch.loadIvfIndex(spark, folded,
+      persist = false)
+    assert(probe(compactIdx) == want)
+    assert(!compactIdx.assigned.columns.contains("batch"))
+  }
+
+  test("replayed batch is idempotent; unfrozen directory refuses ingest") {
+    val (dir, _) = freshDirs("replay")
+    // no frozen quantizer: applyBatch must refuse loudly, not train
+    intercept[IllegalArgumentException] {
+      StreamingVecIndex.applyBatch(emb.limit(5), 0L, dir)
+    }
+    StreamingVecIndex.freezeCenters(spark, dir, centers)
+    val slices = Seq(
+      emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      StreamingVecIndex.applyBatch(s, i.toLong, dir)
+    }
+    val before = probe(StreamingVecIndex.load(spark, dir, persist = false))
+    val beforeCount = StreamingVecIndex.load(spark, dir, persist = false)
+      .assigned.count()
+    // a recovery replay re-delivers batch 1 verbatim: overwrite, not add
+    StreamingVecIndex.applyBatch(slices(1), 1L, dir)
+    val after = StreamingVecIndex.load(spark, dir, persist = false)
+    assert(after.assigned.count() == beforeCount)
+    assert(probe(after) == before)
+  }
+
+  test("segment merge is manifest-committed and bit-identical; delete lifecycle applies") {
+    val (dir, _) = freshDirs("merge")
+    StreamingVecIndex.freezeCenters(spark, dir, centers)
+    (0 to 3).foreach { b =>
+      StreamingVecIndex.applyBatch(
+        emb.filter(pmod(col("vec_id"), lit(4L)) === b), b.toLong, dir)
+      StreamingVecIndex.maybeMerge(spark, dir, threshold = 2, b.toLong)
+    }
+    val merged = StreamingVecIndex.load(spark, dir, persist = false)
+    val want = probe(sameCentersRebuild(emb))
+    assert(probe(merged) == want, "merge changed probe rows")
+    // the fold really collapsed segments (negative merged ids present)
+    val live = StreamingVecIndex.liveSegments(spark, dir)
+    assert(live.exists(_ < 0) && live.size < 4,
+      s"expected a folded segment set, got $live")
+    // a replayed merge round after completion is a no-op
+    StreamingVecIndex.maybeMerge(spark, dir, threshold = 2, 3L)
+    assert(probe(StreamingVecIndex.load(spark, dir, persist = false)) == want)
+    // the batch artifact's takedown story works on the streamed layout
+    val dead = Seq(3L, 5L, 999999L)
+    SimilaritySearch.deleteFromAnnIndex(spark, dir, dead)
+    val tombstoned = StreamingVecIndex.load(spark, dir, persist = false)
+    val survivors = emb.filter(!col("vec_id").isin(dead: _*))
+    assert(probe(tombstoned) == probe(sameCentersRebuild(survivors)),
+      "tombstoned streamed load diverged from survivor rebuild")
+  }
+}
