@@ -63,12 +63,19 @@ object ImageIngest {
   /** S3: decode with corrupt-skip. PNG/JPEG/BMP/GIF decode is REAL via
     * `javax.imageio` (pure JVM, ships in the JDK — no native media libs
     * needed): payloads a registered reader parses come back as row-major
-    * RGB bytes with their true dimensions. Payloads with a valid image
-    * magic that no JDK reader handles (webp; the synthetic magic-byte
-    * fixtures) fall back to the deterministic 8×8 stub so the plumbing
-    * contract — binary in, nullable struct out, downstream `filter($"ok")`
-    * — behaves identically either way. Anything else is the reference's
-    * `__SKIP__::` corrupt path (src/extract_embedding.py:43-45) as ok=false.
+    * RGB bytes with their true dimensions. A well-formed WebP container
+    * (the reference's extension list includes `.webp`,
+    * src/extract_embedding.py:14) decodes METADATA-ONLY (r14): real
+    * width/height parsed from the VP8L/VP8/VP8X headers, pixels NULL —
+    * the dims drive most curation decisions (size filters, aspect
+    * ratios, dedup keys) while the pixel payload stays at the documented
+    * JDK-codec boundary. Payloads with a valid image magic but no
+    * parseable header (the synthetic magic-byte fixtures) fall back to
+    * the deterministic 8×8 stub so the plumbing contract — binary in,
+    * nullable struct out, downstream `filter($"ok")` — behaves
+    * identically either way. Anything else is the reference's
+    * `__SKIP__::` corrupt path (src/extract_embedding.py:43-45) as
+    * ok=false.
     */
   def decodeImages(images: DataFrame): DataFrame = {
     val decode = udf { (path: String, content: Array[Byte]) =>
@@ -77,11 +84,19 @@ object ImageIngest {
         None: Option[Array[Byte]])
       else decodeReal(content) match {
         case Some((w, h, px)) => (true, Some(w), Some(h), Some(3), Some(px))
-        case None =>
-          // STUB pixels: 8x8 RGB derived deterministically from a content hash.
-          val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-          val px = Array.tabulate[Byte](8 * 8 * 3)(i => ((h >> (i % 56)) & 0xFF).toByte)
-          (true, Some(8), Some(8), Some(3), Some(px))
+        case None => webpDims(content) match {
+          case Some((w, h)) =>
+            // metadata-only decode: real dims, pixels at the codec
+            // boundary (NULL, never fake bytes a consumer could mistake
+            // for content — stub pixels are reserved for payloads whose
+            // headers don't even parse)
+            (true, Some(w), Some(h), Some(3), None: Option[Array[Byte]])
+          case None =>
+            // STUB pixels: 8x8 RGB derived deterministically from a content hash.
+            val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+            val px = Array.tabulate[Byte](8 * 8 * 3)(i => ((h >> (i % 56)) & 0xFF).toByte)
+            (true, Some(8), Some(8), Some(3), Some(px))
+        }
       }
     }
     images.withColumn("__d", decode(col("path"), col("content")))
@@ -124,6 +139,60 @@ object ImageIngest {
         Some((w, h, px))
       }
     } catch { case _: Throwable => None }
+
+  /** Real dimensions from a WebP container's headers — all three flavors:
+    * VP8L (lossless: 0x2F signature + 14-bit w−1 / 14-bit h−1, LSB-first),
+    * `VP8 ` (lossy keyframe: 0x9D 0x01 0x2A start code + 14-bit LE dims),
+    * VP8X (extended: 24-bit LE canvas dims — the fallback when the inner
+    * frame chunk is absent/truncated). RIFF chunks pad to even sizes.
+    *
+    * Why dims-only (the documented decode-boundary attempt, r14 verdict
+    * item 7): a full VP8L pixel decode hinges on the lossless spec's
+    * 120-entry plane-code distance constant, and lossy VP8 on RFC 6386's
+    * arithmetic-coder probability tables — neither is reconstructible in
+    * this sandbox (no network, no libwebp/Pillow, no lossless sample on
+    * the host to validate against), and an unverifiable constant at the
+    * heart of a codec means silently-wrong pixels, worse than a declared
+    * stub. The header layouts above ARE verifiable (the host's one real
+    * WebP sample cross-checks VP8X canvas == VP8 frame dims == 16×16,
+    * spec-replicated byte-for-byte), so the metadata moves inside the
+    * boundary and the pixel payload stays out.
+    */
+  private[graft] def webpDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def tag(i: Int): String =
+      if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+    def u24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+    def u32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+    if (b.length < 20 || tag(0) != "RIFF" || tag(8) != "WEBP") return None
+    var i = 12L
+    var canvas: Option[(Int, Int)] = None
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val t = tag(at)
+      val sz = u32(at + 4)
+      val body = at + 8
+      t match {
+        case "VP8L" if body + 4 < b.length && u8(body) == 0x2F =>
+          val bits = u8(body + 1) | (u8(body + 2) << 8) |
+            (u8(body + 3) << 16) | (u8(body + 4) << 24)
+          return Some(((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1))
+        case "VP8 " if body + 9 < b.length && u8(body + 3) == 0x9D &&
+            u8(body + 4) == 0x01 && u8(body + 5) == 0x2A =>
+          val w = (u8(body + 6) | (u8(body + 7) << 8)) & 0x3FFF
+          val h = (u8(body + 8) | (u8(body + 9) << 8)) & 0x3FFF
+          if (w > 0 && h > 0) return Some((w, h))
+        case "VP8X" if sz >= 10 && body + 9 < b.length =>
+          canvas = Some((u24(body + 4) + 1, u24(body + 7) + 1))
+        case _ => ()
+      }
+      i = body.toLong + sz + (sz & 1L) // even-size padding; Long: no
+                                       // overflow from an adversarial size
+    }
+    canvas
+  }
 
   private def looksLikeImage(b: Array[Byte]): Boolean = {
     val jpg = b.length > 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8

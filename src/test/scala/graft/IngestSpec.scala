@@ -24,6 +24,73 @@ class IngestSpec extends SparkSpec {
     assert(okRow.getAs[Int]("width") == 8 && okRow.getAs[Array[Byte]]("pixels").length == 8 * 8 * 3)
   }
 
+  test("WebP metadata-only decode: real dims from VP8L/VP8/VP8X headers, pixels at the boundary") {
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val sz = body.length
+      tag.getBytes("US-ASCII") ++
+        Array[Byte](sz.toByte, (sz >> 8).toByte, (sz >> 16).toByte, (sz >> 24).toByte) ++
+        body ++ (if (sz % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    }
+    def webp(chunks: Array[Byte]*): Array[Byte] = {
+      val payload = "WEBP".getBytes("US-ASCII") ++ chunks.flatten
+      val sz = payload.length
+      "RIFF".getBytes("US-ASCII") ++
+        Array[Byte](sz.toByte, (sz >> 8).toByte, (sz >> 16).toByte, (sz >> 24).toByte) ++
+        payload
+    }
+    // VP8L (lossless): 0x2F signature, then w-1 (14 bits) | h-1 << 14,
+    // LSB-first — spec-replicated byte-for-byte
+    def vp8l(w: Int, h: Int): Array[Byte] = {
+      val bits = (w - 1) | ((h - 1) << 14)
+      chunk("VP8L", Array[Byte](0x2F, bits.toByte, (bits >> 8).toByte,
+        (bits >> 16).toByte, (bits >> 24).toByte, 0, 0))
+    }
+    // VP8 (lossy keyframe): 3-byte frame tag, 9D 01 2A start code, LE dims
+    def vp8(w: Int, h: Int): Array[Byte] =
+      chunk("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+        w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte, 0))
+    def vp8x(w: Int, h: Int): Array[Byte] =
+      chunk("VP8X", Array[Byte](0, 0, 0, 0,
+        (w - 1).toByte, ((w - 1) >> 8).toByte, ((w - 1) >> 16).toByte,
+        (h - 1).toByte, ((h - 1) >> 8).toByte, ((h - 1) >> 16).toByte))
+
+    assert(ImageIngest.webpDims(webp(vp8l(40, 24))) == Some((40, 24)))
+    assert(ImageIngest.webpDims(webp(vp8(320, 200))) == Some((320, 200)))
+    // extended container: the inner frame chunk wins; canvas is the
+    // fallback when only VP8X parses (odd-size ALPH exercises padding)
+    val alph = chunk("ALPH", Array[Byte](1, 2, 3))
+    assert(ImageIngest.webpDims(
+      webp(vp8x(99, 77), alph, vp8(320, 200))) == Some((320, 200)))
+    assert(ImageIngest.webpDims(webp(vp8x(99, 77), alph)) == Some((99, 77)))
+    // bare magic (no parseable chunk) and truncation stay out
+    assert(ImageIngest.webpDims(webp()) == None)
+    assert(ImageIngest.webpDims(
+      webp(vp8l(40, 24)).take(16)) == None)
+
+    // the host's one REAL third-party WebP (Python's test corpus, a
+    // 16x16 lossy VP8X+ALPH+VP8 file) cross-checks the parser against
+    // an encoder this repo didn't write
+    val real = new java.io.File(
+      "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.webp")
+    if (real.exists()) {
+      val bytes = java.nio.file.Files.readAllBytes(real.toPath)
+      assert(ImageIngest.webpDims(bytes) == Some((16, 16)))
+    }
+
+    // through decodeImages: parseable WebP = ok, real dims, NULL pixels
+    // (metadata-only — never fake bytes); bare magic keeps the 8x8 stub
+    val rows = ImageIngest.decodeImages(Seq(
+        ("a/x.webp", webp(vp8l(40, 24))),
+        ("a/y.webp", webp())).toDF("path", "content"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val meta = rows("a/x.webp")
+    assert(meta.getBoolean(1) && meta.getInt(2) == 40 && meta.getInt(3) == 24)
+    assert(meta.isNullAt(5), "metadata-only decode must not fabricate pixels")
+    val stub = rows("a/y.webp")
+    assert(stub.getBoolean(1) && stub.getInt(2) == 8 &&
+      stub.getAs[Array[Byte]]("pixels").length == 8 * 8 * 3)
+  }
+
   test("decodeImages decodes a real PNG to actual pixels via javax.imageio") {
     // a real 40x24 PNG with a known deterministic pattern, encoded in-test
     val (w, h) = (40, 24)
