@@ -247,6 +247,16 @@ object SimilaritySearch {
     * Probing the appended index is EXACTLY probing a fresh same-centers
     * assignment of the union corpus (spec-pinned): same centers → same
     * cells → same candidate sets → same exact re-rank distances.
+    *
+    * CALLER CONTRACT — ids are DISJOINT across appends (the
+    * [[InvertedIndex.append]] contract, stated here too): re-appending a
+    * live id leaves two identical inverted-file rows, and since r14 the
+    * probe's rank cut no longer carries a defensive distinct (the dead
+    * shuffle the r13 verdict flagged), so the duplicate would occupy two
+    * top-k slots. Re-adding a TOMBSTONED id is also not a supported flow:
+    * [[deleteFromAnnIndex]]'s anti-join matches the id, so it would kill
+    * the new row along with the old — run [[compactAnnIndex]] first,
+    * then append the replacement.
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVecs: DataFrame, idCol: String = "vec_id",
@@ -1491,9 +1501,17 @@ object SimilaritySearch {
     */
   def ivfScaleParams(n: Long): (Int, Int) = {
     val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
-    val nprobe = math.max(4, math.ceil(nlist / 16.0).toInt)
-    (nlist, nprobe)
+    (nlist, policyNprobe(nlist))
   }
+
+  /** The one definition of the unfiltered nprobe policy (constant probed
+    * fraction ≥ 1/16, floor 4) — shared by [[ivfScaleParams]] and
+    * [[filteredNprobeParam]] so the documented identity "auto at
+    * selectivity 1 IS the unfiltered policy" cannot drift when the
+    * fraction is retuned.
+    */
+  def policyNprobe(nlist: Int): Int =
+    math.max(4, math.ceil(nlist / 16.0).toInt)
 
   /** Filtered-probe nprobe policy (r14 — the measured BASELINE.md
     * nprobe-vs-selectivity table promoted to API): widen nprobe INVERSELY
@@ -1514,7 +1532,7 @@ object SimilaritySearch {
   def filteredNprobeParam(nlist: Int, selectivity: Double): Int = {
     require(selectivity > 0.0 && selectivity <= 1.0,
       s"selectivity must be in (0, 1], got $selectivity")
-    val policy = math.max(4, math.ceil(nlist / 16.0).toInt)
+    val policy = policyNprobe(nlist)
     math.min(nlist,
       math.max(policy, math.ceil(policy / selectivity).toInt))
   }
@@ -1534,7 +1552,7 @@ object SimilaritySearch {
       selectivity: Option[Double] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val np = filteredNprobeParam(index.centers.length,
-      resolveSelectivity(selectivity, allowed, index.assigned))
+      resolveSelectivity(selectivity, allowed, index.assigned, idCol))
     ivfProbeAmong(index, queries, k, np, allowed, idCol, vecCol)
   }
 
@@ -1546,19 +1564,28 @@ object SimilaritySearch {
       selectivity: Option[Double] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val np = filteredNprobeParam(index.centers.length,
-      resolveSelectivity(selectivity, allowed, index.assigned))
+      resolveSelectivity(selectivity, allowed, index.assigned, idCol))
     ivfProbeInt8Among(index, queries, k, np, allowed, idCol, vecCol)
   }
 
   private def resolveSelectivity(selectivity: Option[Double],
-      allowed: DataFrame, assigned: DataFrame): Double =
+      allowed: DataFrame, assigned: DataFrame,
+      allowedIdCol: String): Double =
     selectivity.getOrElse {
       val n = assigned.count()
       require(n > 0, "cannot derive selectivity over an empty index")
-      // clamp into (0, 1]: an allowed relation carrying ids the index
-      // never held (or an empty one) must not produce a 0 or > 1 ratio
-      math.min(1.0, math.max(1.0 / n.toDouble,
-        allowed.count().toDouble / n.toDouble))
+      // what matters is the allowed share OF THE INDEX, so count the
+      // intersection — a catalog-wide ACL enumerating ids this shard
+      // never held (or carrying duplicates) would otherwise read as
+      // selectivity ≈ 1 and silently collapse the auto dial back to the
+      // under-recalling fixed policy it exists to replace. Floor at 1/n:
+      // an empty intersection still needs a valid dial (the probe will
+      // simply return nothing).
+      val inIndex = assigned
+        .join(allowed.select(col(allowedIdCol).as("neighbor_id")).distinct(),
+          Seq("neighbor_id"), "left_semi")
+        .count()
+      math.min(1.0, math.max(1.0 / n.toDouble, inIndex.toDouble / n.toDouble))
     }
 
   /** Shortlist-width scale policy for the re-rank families ([[hammingTopK]],

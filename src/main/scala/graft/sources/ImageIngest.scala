@@ -174,17 +174,22 @@ object ImageIngest {
       val t = tag(at)
       val sz = u32(at + 4)
       val body = at + 8
+      // header reads are bounded by BOTH the buffer and the chunk's own
+      // declared size: a size-lying chunk (sz = 1 with more bytes after
+      // it) must not decode the NEXT chunk's tag bytes as dimensions —
+      // fabricated metadata is worse than the stub these files fall to
+      def has(n: Int): Boolean = sz >= n && body + n <= b.length
       t match {
-        case "VP8L" if body + 4 < b.length && u8(body) == 0x2F =>
+        case "VP8L" if has(5) && u8(body) == 0x2F =>
           val bits = u8(body + 1) | (u8(body + 2) << 8) |
             (u8(body + 3) << 16) | (u8(body + 4) << 24)
           return Some(((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1))
-        case "VP8 " if body + 9 < b.length && u8(body + 3) == 0x9D &&
+        case "VP8 " if has(10) && u8(body + 3) == 0x9D &&
             u8(body + 4) == 0x01 && u8(body + 5) == 0x2A =>
           val w = (u8(body + 6) | (u8(body + 7) << 8)) & 0x3FFF
           val h = (u8(body + 8) | (u8(body + 9) << 8)) & 0x3FFF
           if (w > 0 && h > 0) return Some((w, h))
-        case "VP8X" if sz >= 10 && body + 9 < b.length =>
+        case "VP8X" if has(10) =>
           canvas = Some((u24(body + 4) + 1, u24(body + 7) + 1))
         case _ => ()
       }

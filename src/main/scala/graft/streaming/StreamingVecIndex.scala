@@ -65,6 +65,15 @@ object StreamingVecIndex {
     * as this batch's partitions. Public so the idempotence contract is
     * directly testable — calling this twice with the same `batchId`
     * leaves the artifact byte-identical.
+    *
+    * CALLER CONTRACT — vector ids are DISJOINT across batches (the
+    * [[graft.operators.SimilaritySearch.appendToIvfIndex]] contract):
+    * the partition-overwrite idempotence covers a SAME-batch-id replay
+    * exactly; an upstream that re-delivers a record into a NEW batch id
+    * duplicates its inverted-file row, and the probe's rank cut carries
+    * no defensive distinct (r14). Deduplicate upstream (the streaming
+    * dedup operators exist for exactly this) or route re-ingest through
+    * delete + compact + append.
     */
   def applyBatch(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {

@@ -66,6 +66,12 @@ class IngestSpec extends SparkSpec {
     assert(ImageIngest.webpDims(webp()) == None)
     assert(ImageIngest.webpDims(
       webp(vp8l(40, 24)).take(16)) == None)
+    // a size-LYING chunk (declares 1 byte, more bytes follow) must not
+    // decode the next chunk's tag as dimensions — header reads are
+    // bounded by the declared chunk size, not just the buffer
+    val lying = chunk("VP8L", Array[Byte](0x2F)) // sz=1: signature only
+    assert(ImageIngest.webpDims(webp(lying, vp8x(99, 77))) == Some((99, 77)),
+      "size-lying VP8L fabricated dims instead of falling through")
 
     // the host's one REAL third-party WebP (Python's test corpus, a
     // 16x16 lossy VP8X+ALPH+VP8 file) cross-checks the parser against

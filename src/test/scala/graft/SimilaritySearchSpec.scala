@@ -168,6 +168,19 @@ class SimilaritySearchSpec extends SparkSpec {
     val autoS = SimilaritySearch.ivfProbeAmongAuto(
       idx, queries, k = 5, allowed, selectivity = Some(1.0 / 128))
     assert(auto.collect().toSeq == autoS.collect().toSeq)
+    // an ACL broader than the index (catalog-wide ids this shard never
+    // held, plus duplicates) must read as ITS INTERSECTION's selectivity
+    // — a raw count ratio would clamp to 1 and collapse the dial back to
+    // the fixed policy (the r14 review finding)
+    val bloated = allowed
+      .unionAll(emb.select((col("vec_id") + 10000000L).as("vec_id")))
+      .unionAll(allowed) // duplicates must not inflate the ratio either
+    val autoBloated = SimilaritySearch.ivfProbeAmongAuto(
+      idx, queries, k = 5, bloated)
+    // out-of-index ids can't match anything, so the result set equals the
+    // selective probe's — and the derived dial must equal the capped one
+    assert(autoBloated.collect().toSeq == autoS.collect().toSeq,
+      "broad ACL collapsed the auto dial to the fixed policy")
 
     // int8 twin: auto == the explicit probe at the policy-resolved dial
     val idx8 = SimilaritySearch.buildIvfInt8Index(emb, nlist = nlist)
