@@ -415,6 +415,19 @@ object SimilaritySearch {
     import org.apache.hadoop.fs.Path
     val (fs, root) = InvertedIndex.fsFor(spark, dir)
     if (!fs.exists(new Path(root, "tombstones"))) return
+    // a STREAMED layout (StreamingVecIndex: batch= segment partitions +
+    // an optional _segments manifest) must not be compacted in place —
+    // this rewrite would drop the batch level, orphan the manifest, and
+    // break segment listing/replay identity. Refuse loudly; the streamed
+    // artifact's fold is StreamingVecIndex.compactTo (out-of-place).
+    val assignedPath = new Path(root, "assigned")
+    val streamed = fs.exists(new Path(root, "_segments")) ||
+      (fs.exists(assignedPath) && fs.listStatus(assignedPath)
+        .exists(_.getPath.getName.startsWith("batch=")))
+    require(!streamed,
+      s"$dir is a streamed StreamingVecIndex layout — use " +
+        "StreamingVecIndex.compactTo(dir, outDir) (tombstones apply " +
+        "there at load and fold into the compacted copy)")
     val staging = s"$dir-compact-staging"
     val stagingRoot = new Path(staging)
     fs.delete(stagingRoot, true)

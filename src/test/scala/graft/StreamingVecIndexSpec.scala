@@ -114,5 +114,17 @@ class StreamingVecIndexSpec extends SparkSpec {
     val survivors = emb.filter(!col("vec_id").isin(dead: _*))
     assert(probe(tombstoned) == probe(sameCentersRebuild(survivors)),
       "tombstoned streamed load diverged from survivor rebuild")
+    // the batch artifact's in-place compact must REFUSE the streamed
+    // layout (it would drop the batch= level and orphan the manifest);
+    // the streamed fold is compactTo, which applies the tombstones
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.compactAnnIndex(spark, dir)
+    }
+    val folded = java.nio.file.Files
+      .createTempDirectory("graft-svec-tombfold").toString
+    StreamingVecIndex.compactTo(spark, dir, folded)
+    assert(probe(SimilaritySearch.loadIvfIndex(spark, folded,
+        persist = false)) == probe(sameCentersRebuild(survivors)),
+      "compactTo did not fold the tombstones into the copy")
   }
 }
