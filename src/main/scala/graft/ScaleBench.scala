@@ -320,6 +320,10 @@ object ScaleBench {
       .empty[String, (graft.operators.SimilaritySearch.IvfIndex, Int)]
     // the filtered-retrieval pair's dense index (embeddings corpus, √n
     // policy) and the RAG composed-pipeline query-term relation
+    // persisted-artifact DIRS for the delete-lifecycle probe pair
+    // (clean vs tombstoned loads happen inside the timed lambdas)
+    val embIvfArtifact = scala.collection.mutable.Map.empty[String, (String, Int)]
+    val embIvfTombArtifact = scala.collection.mutable.Map.empty[String, (String, Int)]
     val embIvfIdx = scala.collection.mutable.Map
       .empty[String, (graft.operators.SimilaritySearch.IvfIndex, Int)]
     val ragQtermsRel = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -577,6 +581,29 @@ object ScaleBench {
           idx, emb.filter(col("vec_id") < 10), k = 10, nprobe,
           emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
             .select(col("vec_id")))
+      },
+      // tombstoned ANN probe (r14 delete lifecycle): the same persisted
+      // IVF artifact served clean vs under live tombstones (~0.8% of
+      // ids deleted, never compacted) — the pair's gap is what a
+      // DEFERRED takedown costs at serving time (the bm25_tomb_probe
+      // story on the dense side). Both rows load per probe with
+      // persist=false so the tombstone anti-join is actually in the
+      // measured plan, not hidden behind a cache
+      "ivf_artifact_probe" -> { dir: String =>
+        val (cleanDir, nprobe) = embIvfArtifact(dir)
+        graft.operators.SimilaritySearch.ivfProbe(
+          graft.operators.SimilaritySearch.loadIvfIndex(spark, cleanDir,
+            persist = false),
+          Tables.embeddings(spark, dir).filter(col("vec_id") < 10),
+          k = 10, nprobe)
+      },
+      "ivf_tomb_probe" -> { dir: String =>
+        val (tombDir, nprobe) = embIvfTombArtifact(dir)
+        graft.operators.SimilaritySearch.ivfProbe(
+          graft.operators.SimilaritySearch.loadIvfIndex(spark, tombDir,
+            persist = false),
+          Tables.embeddings(spark, dir).filter(col("vec_id") < 10),
+          k = 10, nprobe)
       },
       // the COMPRESSED filtered tier (r13): the same ACL shapes over the
       // memory-floor indexes — IVF-SQ8 (int8 codegen kernel on the
@@ -924,6 +951,93 @@ object ScaleBench {
         timeIt { StreamingLexIndex.maybeMerge(spark, segBig, 2, 16L); () })
       builds("stream_probe_postmerge") =
         (probeTime(segBase), probeTime(segBig))
+    }
+    if (familySelected("ivf_artifact_probe") ||
+        familySelected("ivf_tomb_probe")) {
+      // one saved artifact per dir, cloned once more with ~0.8% of ids
+      // tombstoned (deleteFromAnnIndex, never compacted) — the pair
+      // isolates the live anti-join's serving cost at each size
+      def mkArtifacts(dir: String): Unit = {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val (nlist, nprobe) =
+          graft.operators.SimilaritySearch.ivfScaleParams(emb.count())
+        val idx = graft.operators.SimilaritySearch
+          .buildIvfIndex(emb, nlist = nlist, persist = false)
+        def saveTo(): String = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-scale-ivfart").toString
+          scratchDirs += tmp
+          graft.operators.SimilaritySearch.saveIvfIndex(idx, tmp)
+          tmp
+        }
+        val clean = saveTo()
+        val tomb = saveTo()
+        graft.operators.SimilaritySearch.deleteFromAnnIndex(
+          emb.filter(pmod(col("vec_id"), lit(128L)) === 1)
+            .select(col("vec_id")), tomb)
+        embIvfArtifact(dir) = (clean, nprobe)
+        embIvfTombArtifact(dir) = (tomb, nprobe)
+      }
+      builds("emb_ivf_artifact_pair") =
+        (timeIt { mkArtifacts(base) }, timeIt { mkArtifacts(out) })
+    }
+    if (familySelected("vec_stream_ingest") ||
+        familySelected("vec_stream_probe_premerge") ||
+        familySelected("vec_stream_merge_fold") ||
+        familySelected("vec_stream_probe_postmerge")) {
+      // the dense index's streaming ingest (r14 StreamingVecIndex) under
+      // the lex segment_merge harness: freeze the quantizer OUTSIDE the
+      // timed cell (training is the offline bootstrap, not ingest), time
+      // 8 applyBatch cell-delta segments, probe the segmented layout,
+      // time ONE maybeMerge fold, probe again — the pre/post probe gap
+      // is the per-segment listing/footer overhead the fold removes,
+      // and the ingest row's exponent is the map-only assignment claim
+      import graft.streaming.StreamingVecIndex
+      val vecSegDirs = scala.collection.mutable.Map.empty[String, String]
+      def mkFrozen(dir: String): String = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-scale-vecstream").toString
+        scratchDirs += tmp
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val (nlist, _) =
+          graft.operators.SimilaritySearch.ivfScaleParams(emb.count())
+        StreamingVecIndex.freezeCenters(spark, tmp,
+          graft.operators.SimilaritySearch
+            .buildIvfIndex(emb, nlist = nlist, persist = false).centers)
+        vecSegDirs(dir) = tmp
+        tmp
+      }
+      mkFrozen(base); mkFrozen(out)
+      def ingest(dir: String): Unit = {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        (0 until 8).foreach { i =>
+          StreamingVecIndex.applyBatch(
+            emb.filter(pmod(col("vec_id"), lit(8L)) === i),
+            i.toLong, vecSegDirs(dir))
+        }
+      }
+      builds("vec_stream_ingest") =
+        (timeIt { ingest(base) }, timeIt { ingest(out) })
+      def vecProbeTime(dir: String): Double = {
+        val (_, nprobe) = graft.operators.SimilaritySearch
+          .ivfScaleParams(Tables.embeddings(spark, dir).count())
+        Seq.fill(2)(timeIt {
+          graft.operators.SimilaritySearch.ivfProbe(
+            StreamingVecIndex.load(spark, vecSegDirs(dir), persist = false),
+            Tables.embeddings(spark, dir).filter(col("vec_id") < 10),
+            k = 10, nprobe).count(); ()
+        }).min
+      }
+      builds("vec_stream_probe_premerge") =
+        (vecProbeTime(base), vecProbeTime(out))
+      builds("vec_stream_merge_fold") = (
+        timeIt { StreamingVecIndex.maybeMerge(spark, vecSegDirs(base), 2, 8L); () },
+        timeIt { StreamingVecIndex.maybeMerge(spark, vecSegDirs(out), 2, 8L); () })
+      builds("vec_stream_probe_postmerge") =
+        (vecProbeTime(base), vecProbeTime(out))
     }
     if (familySelected("rag_dense_ivf")) {
       graft.queries.TextQueries.prepareRagEmb(spark, base).count()
