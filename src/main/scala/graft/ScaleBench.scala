@@ -962,17 +962,29 @@ object ScaleBench {
           .select(col("vec_id"), col("embedding"))
         val (nlist, nprobe) =
           graft.operators.SimilaritySearch.ivfScaleParams(emb.count())
+        // ONE assignment pass (persist through the single save), then a
+        // filesystem COPY for the tombstoned clone — a second save from
+        // a non-persisted index would re-run the full-corpus assignment
         val idx = graft.operators.SimilaritySearch
-          .buildIvfIndex(emb, nlist = nlist, persist = false)
-        def saveTo(): String = {
+          .buildIvfIndex(emb, nlist = nlist, persist = true)
+        def freshDir(): String = {
           val tmp = java.nio.file.Files
             .createTempDirectory("graft-scale-ivfart").toString
           scratchDirs += tmp
-          graft.operators.SimilaritySearch.saveIvfIndex(idx, tmp)
           tmp
         }
-        val clean = saveTo()
-        val tomb = saveTo()
+        val clean = freshDir()
+        graft.operators.SimilaritySearch.saveIvfIndex(idx, clean)
+        idx.unpersist()
+        val tomb = freshDir()
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(clean).getFileSystem(conf)
+        // dst must NOT pre-exist or FileUtil.copy nests src INSIDE it
+        fs.delete(new org.apache.hadoop.fs.Path(tomb), true)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(clean),
+          fs, new org.apache.hadoop.fs.Path(tomb),
+          false, true, conf)
         graft.operators.SimilaritySearch.deleteFromAnnIndex(
           emb.filter(pmod(col("vec_id"), lit(128L)) === 1)
             .select(col("vec_id")), tomb)

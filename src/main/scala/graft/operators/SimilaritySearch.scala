@@ -414,12 +414,16 @@ object SimilaritySearch {
       dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = InvertedIndex.fsFor(spark, dir)
-    if (!fs.exists(new Path(root, "tombstones"))) return
     // a STREAMED layout (StreamingVecIndex: batch= segment partitions +
     // an optional _segments manifest) must not be compacted in place —
     // this rewrite would drop the batch level, orphan the manifest, and
     // break segment listing/replay identity. Refuse loudly; the streamed
     // artifact's fold is StreamingVecIndex.compactTo (out-of-place).
+    // The check sits ABOVE the tombstone early-return so the refusal is
+    // unconditional — an operator validating an in-place compaction job
+    // against a freshly streamed (not-yet-deleted-from) directory must
+    // fail in the rehearsal, not in production when the first takedown
+    // lands.
     val assignedPath = new Path(root, "assigned")
     val streamed = fs.exists(new Path(root, "_segments")) ||
       (fs.exists(assignedPath) && fs.listStatus(assignedPath)
@@ -428,6 +432,7 @@ object SimilaritySearch {
       s"$dir is a streamed StreamingVecIndex layout — use " +
         "StreamingVecIndex.compactTo(dir, outDir) (tombstones apply " +
         "there at load and fold into the compacted copy)")
+    if (!fs.exists(new Path(root, "tombstones"))) return
     val staging = s"$dir-compact-staging"
     val stagingRoot = new Path(staging)
     fs.delete(stagingRoot, true)

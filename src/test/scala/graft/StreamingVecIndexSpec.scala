@@ -79,6 +79,12 @@ class StreamingVecIndexSpec extends SparkSpec {
     slices.zipWithIndex.foreach { case (s, i) =>
       StreamingVecIndex.applyBatch(s, i.toLong, dir)
     }
+    // compactAnnIndex must refuse a NEVER-MERGED streamed dir too (no
+    // _segments manifest yet, no tombstones — the batch=-partition sniff
+    // is the only guard on this shape, and the refusal is unconditional)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.compactAnnIndex(spark, dir)
+    }
     val before = probe(StreamingVecIndex.load(spark, dir, persist = false))
     val beforeCount = StreamingVecIndex.load(spark, dir, persist = false)
       .assigned.count()
