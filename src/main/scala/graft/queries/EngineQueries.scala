@@ -498,6 +498,53 @@ object EngineQueries extends QueryPack {
     SELECT query_id, rn, neighbor_id, cosine FROM scored
     WHERE rn <= 5 ORDER BY query_id, rn"""))
 
+  // ---- the selectivity-aware AUTO dial under a FULL oracle (round 14):
+  //      the REAL ivfProbeAmongAuto over the frozen-quantizer exact index
+  //      (prepareIvfIndex, floor(v·1e4) embeddings), selectivity DERIVED
+  //      from the two bounded construction-time counts. The %3 filter's
+  //      share (~1/3) drives ceil(policy 4 / s) = 12, capped at nlist = 8
+  //      — ALL cells probed, so the auto dial's result must equal the
+  //      filtered brute ranking over the allowed set exactly. The hash
+  //      proves the whole chain: intersection-based selectivity
+  //      resolution → filteredNprobeParam's cap → pre-filter candidate
+  //      semantics → exact re-rank. (The recall-vs-fixed half of the
+  //      contract is spec-pinned and ×10/×100-measured in BASELINE.md.)
+  private val annAutoFilteredQuantized = OracleQuery(
+    "vx_ann_auto_filtered_quantized",
+    (s, d) => {
+      val embQ = quantizedEmb(s, d)
+      SimilaritySearch.ivfProbeAmongAuto(
+          prepareIvfIndex(s, d), embQ.filter(col("vec_id") < 10), k = 5,
+          allowed = embQ.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id")))
+        .select(col("query_id"), col("rn"), col("neighbor_id"),
+          floor(col("cosine") * lit(1000000.0)).cast("long").as("cosine_q"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some("""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS vq
+      FROM embeddings
+    ), p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(SUM(q.vq * c.vq) AS DOUBLE) AS dot,
+        CAST(SUM(q.vq * q.vq) AS DOUBLE) AS nq,
+        CAST(SUM(c.vq * c.vq) AS DOUBLE) AS nc
+      FROM lf q JOIN lf c ON q.pos = c.pos
+        AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+        AND c.vec_id % 3 = 0
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+        dot / (sqrt(nq) * sqrt(nc) + 1e-12) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY dot / (sqrt(nq) * sqrt(nc) + 1e-12) DESC, neighbor_id) AS rn
+      FROM p
+    )
+    SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id,
+      CAST(floor(cosine * 1000000.0) AS BIGINT) AS cosine_q
+    FROM scored WHERE rn <= 5 ORDER BY query_id, rn"""))
+
   // ---- filtered retrieval on the COMPRESSED serving tier under a FULL
   //      oracle (round 13 — verdict item 1): the REAL ivfProbeInt8Among
   //      (allowed-set semi-join on the candidate relation BEFORE scoring
@@ -2933,6 +2980,7 @@ object EngineQueries extends QueryPack {
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,
     annBrute, annBruteQuantized, annBruteFilteredQuantized,
+    annAutoFilteredQuantized,
     annLsh, annIvf, annIvfProbe, annStreamIngest,
     retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
     clusterBalancedSample,
