@@ -269,7 +269,7 @@ object InvertedIndex {
     * corpus) and sit ABOVE the bucket filter in the probe plan, so
     * partition pruning still reaches the posting scan.
     */
-  private def applyTombstones(spark: SparkSession, idx: LexIndex,
+  private[graft] def applyTombstones(spark: SparkSession, idx: LexIndex,
       dir: String): LexIndex = {
     val tomb = spark.read.parquet(s"$dir/tombstones")
       .select(col("doc_id")).distinct()
@@ -951,7 +951,25 @@ object InvertedIndex {
     * system returns.
     */
   def qlTopK(idx: LexIndex, terms: Seq[String], k: Int,
-      mu: Double = 2000.0): DataFrame = {
+      mu: Double = 2000.0): DataFrame =
+    qlTopKOver(idx, terms, k, mu, None)
+
+  /** [[qlTopK]] restricted to an allowed document set — the filtered
+    * serving verb on the language-modeling ranker (the
+    * [[bm25TopKAmong]] contract): the collection statistics (ctf, |C|)
+    * stay CORPUS-wide — the filter narrows who may be returned, never
+    * what relevance means — and the allowed relation semi-joins the
+    * pruned posting scan before any per-doc scoring work, so scored
+    * volume is ∝ |allowed ∩ matched postings|.
+    */
+  def qlTopKAmong(idx: LexIndex, terms: Seq[String], k: Int,
+      allowed: DataFrame, idCol: String = "doc_id",
+      mu: Double = 2000.0): DataFrame =
+    qlTopKOver(idx, terms, k, mu,
+      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+
+  private def qlTopKOver(idx: LexIndex, terms: Seq[String], k: Int,
+      mu: Double, allowed: Option[DataFrame]): DataFrame = {
     require(terms.nonEmpty, "empty query")
     require(mu > 0.0, s"mu must be > 0, got $mu")
     require(idx.sdl > 0, "empty collection")
@@ -989,8 +1007,11 @@ object InvertedIndex {
     require(mLive > 0, s"no query term occurs in the collection: $terms")
     val pcDf = live.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .toSeq.toDF("term", "__qw", "__pc")
-    // matched (doc, term) rows: the only per-doc work
-    val matched = pruned
+    // matched (doc, term) rows: the only per-doc work. The allowed
+    // restriction lands HERE — after the corpus-wide collection-stat
+    // pass above (ctf must not see the filter), before scoring
+    val matched = allowed.fold(pruned)(a =>
+        pruned.join(a, Seq("doc_id"), "left_semi"))
       .join(broadcast(pcDf), Seq("term"))
       .join(idx.docLens, Seq("doc_id"))
       .withColumn("__adj",
@@ -1014,14 +1035,18 @@ object InvertedIndex {
     * never disagree. Also the home of the positional-surface refusal
     * contracts.
     */
-  private def phraseAnchors(idx: LexIndex, phrase: Seq[String]): DataFrame = {
+  private def phraseAnchors(idx: LexIndex, phrase: Seq[String],
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     require(idx.postings.columns.contains("positions"),
       "phrase search needs a positional index: build(..., withPositions = true)")
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val qdf = phrase.zipWithIndex.toDF("term", "slot")
-    prunedPostings(idx, phrase)
+    val pruned = prunedPostings(idx, phrase)
+    // the allowed restriction lands on the pruned scan BEFORE positions
+    // explode — disallowed docs never inflate the anchor shuffle
+    allowed.fold(pruned)(a => pruned.join(a, Seq("doc_id"), "left_semi"))
       .join(broadcast(qdf), Seq("term"))
       .select(col("doc_id"), col("slot"),
         explode(col("positions")).as("pos"))
@@ -1035,6 +1060,20 @@ object InvertedIndex {
 
   def phraseTopK(idx: LexIndex, phrase: Seq[String], k: Int): DataFrame =
     phraseAnchors(idx, phrase)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+      .limit(k)
+
+  /** [[phraseTopK]] restricted to an allowed document set — pre-filter
+    * semantics (rank among allowed; occurrence counts are per-doc facts
+    * a filter cannot change): the semi-join rides the pruned posting
+    * scan before the positions explode and the anchor intersection.
+    */
+  def phraseTopKAmong(idx: LexIndex, phrase: Seq[String], k: Int,
+      allowed: DataFrame, idCol: String = "doc_id"): DataFrame =
+    phraseAnchors(idx, phrase,
+        Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occ"))
       .orderBy(col("n_occ").desc, col("doc_id"))
@@ -1121,7 +1160,20 @@ object InvertedIndex {
     * count, else no window can hold them.
     */
   def proximityTopK(idx: LexIndex, terms: Seq[String], window: Int,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    proximityTopKOver(idx, terms, window, k, None)
+
+  /** [[proximityTopK]] restricted to an allowed document set — the
+    * [[phraseTopKAmong]] placement: the semi-join rides the pruned scan
+    * before the positions explode and the per-doc window pass.
+    */
+  def proximityTopKAmong(idx: LexIndex, terms: Seq[String], window: Int,
+      k: Int, allowed: DataFrame, idCol: String = "doc_id"): DataFrame =
+    proximityTopKOver(idx, terms, window, k,
+      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+
+  private def proximityTopKOver(idx: LexIndex, terms: Seq[String],
+      window: Int, k: Int, allowed: Option[DataFrame]): DataFrame = {
     require(terms.nonEmpty, "empty term set")
     require(terms.distinct == terms, s"terms must be distinct: $terms")
     require(window >= terms.length,
@@ -1130,7 +1182,9 @@ object InvertedIndex {
       "proximity search needs a positional index: build(..., withPositions = true)")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    val timeline = prunedPostings(idx, terms)
+    val pruned = prunedPostings(idx, terms)
+    val timeline = allowed.fold(pruned)(a =>
+        pruned.join(a, Seq("doc_id"), "left_semi"))
       .join(broadcast(terms.toDF("term")), Seq("term"))
       .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
     val byPos = org.apache.spark.sql.expressions.Window

@@ -684,6 +684,61 @@ object TextQueries extends QueryPack {
     GROUP BY adj.doc_id, qsum.a, qsum.m, dl.dl
     ORDER BY score_q DESC, adj.doc_id LIMIT 10"""))
 
+  // ---- FILTERED query-likelihood (r14 — the bm25TopKAmong contract on
+  //      the LM ranker): top-10 among one source's documents; collection
+  //      stats (ctf, |C|) stay CORPUS-wide — the oracle restricts ONLY
+  //      the per-doc adj relation, exactly where the operator's
+  //      semi-join lands ----
+  private val qlFilteredTopK = OracleQuery(
+    "t_ql_filtered_topk",
+    (s, d) => {
+      val idx = prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val allowed = Tables.documents(s, d)
+        .filter(col("source") === "src0").select(col("doc_id"))
+      graft.operators.InvertedIndex.qlTopKAmong(idx, terms, 10, allowed)
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), sdl AS (
+      SELECT CAST(SUM(tf) AS BIGINT) AS sdl FROM tf
+    ), q AS (
+      SELECT w FROM dft ORDER BY df, w LIMIT 3
+    ), pc AS (
+      SELECT q.w,
+        CAST(SUM(tf.tf) AS DOUBLE) / CAST(sdl.sdl AS DOUBLE) AS pc
+      FROM q JOIN tf ON tf.w = q.w CROSS JOIN sdl
+      GROUP BY q.w, sdl.sdl
+    ), qsum AS (
+      SELECT CAST(SUM(CAST(ln(2000.0 * pc) AS DECIMAL(27, 12))) AS DOUBLE)
+          AS a,
+        CAST(COUNT(*) AS BIGINT) AS m
+      FROM pc WHERE pc > 0
+    ), allowed AS (
+      SELECT doc_id FROM documents WHERE source = 'src0'
+    ), adj AS (
+      SELECT tf.doc_id,
+        ln((CAST(tf.tf AS DOUBLE) + 2000.0 * pc.pc) / (2000.0 * pc.pc)) AS s
+      FROM tf JOIN pc ON tf.w = pc.w
+      JOIN allowed ON tf.doc_id = allowed.doc_id
+    )
+    SELECT adj.doc_id,
+      CAST(floor((${DSUM("s", 27, 12)} + qsum.a -
+        CAST(qsum.m AS DOUBLE) * ln(CAST(dl.dl AS DOUBLE) + 2000.0))
+        * 1000000.0) AS BIGINT) AS score_q
+    FROM adj JOIN dl ON dl.doc_id = adj.doc_id CROSS JOIN qsum
+    GROUP BY adj.doc_id, qsum.a, qsum.m, dl.dl
+    ORDER BY score_q DESC, adj.doc_id LIMIT 10"""))
+
   // ---- continuous index ingest (StreamingLexIndex): the corpus arrives
   //      as MICRO-BATCH deltas (3 disjoint slices here — batch mode IS
   //      foreachBatch's semantics; StreamingLexIndexSpec pins the
@@ -717,6 +772,73 @@ object TextQueries extends QueryPack {
       graft.operators.InvertedIndex.bm25TopK(idx, terms, 10)
     },
     bm25TopK.sql)
+
+  // ---- takedown on the LIVE streamed index (r14): tombstones written
+  //      by InvertedIndex.delete apply at StreamingLexIndex.load exactly
+  //      — relation-for-relation equal to a rebuild over the surviving
+  //      corpus, without waiting for a compactTo fold, and they survive
+  //      the mid-stream segment merge (the tombstone relation is not a
+  //      segment). Oracle = the t_bm25_topk SQL over ONLY the survivors
+  //      (doc_id % 101 <> 0): terms re-picked from the ADJUSTED dfs ----
+  private def prepareStreamLexTombIndex(s: SparkSession,
+      d: String): graft.operators.InvertedIndex.LexIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"lex_index_stream_tomb:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lexidx-stream-tomb").toString
+      val docs = Tables.documents(s, d)
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingLexIndex.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === b), b, dir)
+        graft.streaming.StreamingLexIndex.maybeMerge(s, dir, 2, b)
+      }
+      graft.operators.InvertedIndex.delete(
+        docs.filter(pmod(col("doc_id"), lit(101L)) === 0)
+          .select(col("doc_id")), dir)
+      graft.streaming.StreamingLexIndex.load(s, dir)
+    }(_ => ())
+  private val streamIngestTombstone = OracleQuery(
+    "tx_stream_index_tombstone",
+    (s, d) => {
+      val idx = prepareStreamLexTombIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.InvertedIndex.bm25TopK(idx, terms, 10)
+    },
+    Some(s"""WITH live AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 101 <> 0
+    ), toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM live)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM live
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      SELECT w, df FROM dft ORDER BY df, w LIMIT 3
+    ), sc AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+    )
+    SELECT doc_id,
+      CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
+    FROM sc GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id LIMIT 10"""))
 
   // ---- WAND over the STREAM-BUILT (and mid-stream segment-merged)
   //      index: the pruned probe needs the max_tf bound to survive the
@@ -950,6 +1072,32 @@ object TextQueries extends QueryPack {
           withPositions = true), dir)
       graft.operators.InvertedIndex.load(s, dir)
     }(_ => ())
+  // ---- FILTERED phrase search (r14): occurrence counts are per-doc
+  //      facts a filter cannot change, so the oracle is the adjacency
+  //      self-join restricted to the allowed half — pre-filter
+  //      semantics (the allowed semi-join rides the pruned posting scan
+  //      before the positions explode) ----
+  private val phraseFilteredTopK = OracleQuery(
+    "t_phrase_filtered_topk",
+    (s, d) => graft.operators.InvertedIndex.phraseTopKAmong(
+      preparePhraseIndex(s, d), Seq("table", "table"), 20,
+      Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select(col("doc_id"))),
+    Some("""WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents WHERE doc_id % 2 = 0
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM t
+    ), occ AS (
+      SELECT a.doc_id
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.w = 'table' AND b.w = 'table'
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM occ GROUP BY doc_id
+    ORDER BY n_occ DESC, doc_id LIMIT 20"""))
+
   private val phraseTopK = OracleQuery(
     "t_phrase_search_topk",
     (s, d) => graft.operators.InvertedIndex.phraseTopK(
@@ -4115,7 +4263,8 @@ object TextQueries extends QueryPack {
     bm25TopK, bm25Artifact, bm25WandTopK, bm25BatchWand, bm25FilteredTopK,
     bm25BatchWandFiltered,
     bm25Tombstone, bm25StreamIngest, streamIngestWand,
-    qlTopKGate,
+    streamIngestTombstone,
+    qlTopKGate, qlFilteredTopK, phraseFilteredTopK,
     lexIndexStats, lexFacets,
     phraseTopK, phraseSnips, proximityTopK, spellSuggest, bpeTokenizeStats,
     streamSnapshotChanges)

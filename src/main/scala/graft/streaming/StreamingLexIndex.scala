@@ -323,7 +323,20 @@ object StreamingLexIndex {
     val ids =
       if (fs.exists(new Path(root, "_segments"))) liveSegments(spark, dir)
       else null
-    loadSegments(spark, dir, ids)
+    val base = loadSegments(spark, dir, ids)
+    // the takedown story holds on the LIVE streamed layout too (r14 —
+    // the batch artifact and StreamingVecIndex already had it):
+    // InvertedIndex.delete(ids, dir) tombstones apply exactly at load,
+    // relation-for-relation equal to a rebuild over the surviving
+    // corpus, without waiting for a compactTo fold. maybeMerge leaves
+    // the tombstone relation untouched (it is not a segment), so
+    // deletions survive segment folds; compactTo writes a CLEAN compact
+    // artifact (load already applied the tombstones) — re-delete against
+    // the new directory is not needed because the dead docs are gone
+    // from the folded relations themselves.
+    if (fs.exists(new Path(root, "tombstones")))
+      InvertedIndex.applyTombstones(spark, base, dir)
+    else base
   }
 
   /** The segment-merge rhythm's offline half: fold every ingested batch

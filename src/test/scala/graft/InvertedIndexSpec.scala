@@ -736,6 +736,61 @@ class InvertedIndexSpec extends SparkSpec {
     assert(a2 == b2)
   }
 
+  test("filtered rankers: QL/phrase/proximity Among rank among allowed with corpus-wide stats") {
+    // per-doc facts (occurrence counts, QL scores under corpus-wide
+    // collection stats) are filter-invariant, so filtered top-k must
+    // equal filter-then-rank of the unfiltered relation — and an
+    // allowed doc ranked PAST the global top-k must still surface
+    // (pre-filter, never post-filter)
+    val docs = Seq(
+      (1L, "big cat big cat big cat x"), // 3 occ — global #1, disallowed
+      (2L, "big cat big cat y"),         // 2 occ — global #2, allowed
+      (3L, "big cat z big z cat"),       // 1 occ + proximity material
+      (4L, "big z z z cat"),             // 0 occ, proximity far
+      (5L, "cat big")                    // reversed
+    ).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, withPositions = true)
+    val allowed = docs.filter($"doc_id" % 2 === 0).select($"doc_id") // {2,4}
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // phrase: k=1 globally is doc 1 (disallowed); filtered must return
+    // doc 2, not an empty post-filter of {doc 1}
+    assert(pairs(InvertedIndex.phraseTopKAmong(
+      idx, Seq("big", "cat"), 1, allowed)) == Seq(2L -> 2L))
+    val phraseAll = pairs(InvertedIndex.phraseTopK(idx, Seq("big", "cat"), 10))
+    val phraseFiltered = pairs(InvertedIndex.phraseTopKAmong(
+      idx, Seq("big", "cat"), 10, allowed))
+    assert(phraseFiltered == phraseAll.filter(p => p._1 % 2 == 0),
+      s"$phraseFiltered vs filter-then-rank of $phraseAll")
+
+    // proximity: window 3 over {big, cat} — doc 4's pair is 4 apart
+    // (no window), docs 1/2/3/5 have close pairs; allowed {2,4} keeps 2
+    val proxAll = pairs(InvertedIndex.proximityTopK(
+      idx, Seq("big", "cat"), window = 3, k = 10))
+    val proxFiltered = pairs(InvertedIndex.proximityTopKAmong(
+      idx, Seq("big", "cat"), window = 3, k = 10, allowed))
+    assert(proxFiltered == proxAll.filter(p => p._1 % 2 == 0) &&
+      proxFiltered.nonEmpty)
+
+    // QL: the filter must change WHO returns, never a returned doc's
+    // SCORE (collection stats stay corpus-wide)
+    val qlAll = pairs(InvertedIndex.qlTopK(idx, Seq("big", "cat"), 10, mu = 10.0))
+    val qlFiltered = pairs(InvertedIndex.qlTopKAmong(
+      idx, Seq("big", "cat"), 10, allowed, mu = 10.0))
+    assert(qlFiltered == qlAll.filter(p => p._1 % 2 == 0) &&
+      qlFiltered.nonEmpty,
+      s"$qlFiltered vs filter-then-rank of $qlAll")
+    // allowed = everyone reduces every Among form to the unfiltered probe
+    val all = docs.select($"doc_id")
+    assert(pairs(InvertedIndex.qlTopKAmong(
+      idx, Seq("big", "cat"), 10, all, mu = 10.0)) == qlAll)
+    assert(pairs(InvertedIndex.phraseTopKAmong(
+      idx, Seq("big", "cat"), 10, all)) == phraseAll)
+    assert(pairs(InvertedIndex.proximityTopKAmong(
+      idx, Seq("big", "cat"), window = 3, k = 10, all)) == proxAll)
+  }
+
   test("bm25TopKPrunedByQueryAmong: filtered batch equals per-query bm25TopKAmong") {
     val idx = built
     val docs = Tables.documents(spark, sf001)

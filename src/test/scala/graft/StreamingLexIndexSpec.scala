@@ -199,4 +199,48 @@ class StreamingLexIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"no partition pruning under batch= layout:\n$plan")
   }
+
+  test("takedown on the LIVE streamed index: tombstones apply at load, survive merge, fold at compactTo") {
+    // the batch artifact and StreamingVecIndex already had the delete
+    // story; r14 closes the streamed LEXICAL gap — a takedown must not
+    // wait for a compactTo fold
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-streamlex-tomb").toString
+    corpus.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      StreamingLexIndex.applyBatch(g.toDF("doc_id", "text"), i.toLong, dir)
+    }
+    val dead = Seq(2L, 5L, 999L) // two live docs + one unknown id
+    InvertedIndex.delete(spark, dir, dead)
+    InvertedIndex.delete(spark, dir, Seq(2L)) // idempotent re-delete
+    val survivors = corpus.filterNot(d => dead.contains(d._1))
+    val rebuilt = InvertedIndex.build(survivors.toDF("doc_id", "text"))
+    val tombed = StreamingLexIndex.load(spark, dir)
+    assert(tombed.n == rebuilt.n && tombed.sdl == rebuilt.sdl,
+      s"stats not adjusted: n=${tombed.n}/${rebuilt.n} sdl=${tombed.sdl}/${rebuilt.sdl}")
+    assert(probe(tombed) == probe(rebuilt),
+      "tombstoned streamed probe diverged from survivor rebuild")
+    // df adjusted exactly (dead docs' contributions subtracted)
+    val tDf = tombed.termDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rDf = rebuilt.termDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tDf == rDf)
+    // a segment merge must not lose the deletions (the tombstone
+    // relation is not a segment; the fold preserves all rows and load
+    // re-applies)
+    StreamingLexIndex.maybeMerge(spark, dir, 2, 3L)
+    val afterMerge = StreamingLexIndex.load(spark, dir)
+    assert(probe(afterMerge) == probe(rebuilt),
+      "segment merge lost the tombstones")
+    assert(afterMerge.n == rebuilt.n)
+    // compactTo folds the deletions into the clean compact artifact
+    val folded = java.nio.file.Files
+      .createTempDirectory("graft-streamlex-tombfold").toString
+    StreamingLexIndex.compactTo(spark, dir, folded)
+    val compactIdx = InvertedIndex.load(spark, folded)
+    assert(compactIdx.n == rebuilt.n && probe(compactIdx) == probe(rebuilt))
+    assert(compactIdx.postings
+      .filter(col("doc_id").isin(dead: _*)).count() == 0,
+      "compactTo kept dead docs' postings")
+  }
 }
