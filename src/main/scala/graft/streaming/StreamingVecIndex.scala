@@ -100,6 +100,41 @@ object StreamingVecIndex {
     }
   }
 
+  /** [[applyBatch]] for the MEMORY-FLOOR tier: the batch quantizes to
+    * the IVF-SQ8 inverted-file schema (per-row symmetric int8 — bytes,
+    * scale, norm; 4× less resident than floats) and assigns under the
+    * same frozen centers, so a deployment can STREAM into the
+    * compressed serving artifact directly. Per-row quantization is
+    * row-local, so the append ≡ rebuild exactness argument is unchanged
+    * (same centers → same cells; same rows → same codes). The segment
+    * machinery ([[maybeMerge]], manifest, orphan sweep) is
+    * schema-agnostic and shared verbatim — rows pass through merges
+    * untouched. Same disjoint-ids caller contract as [[applyBatch]].
+    */
+  def applyBatchInt8(batch: DataFrame, batchId: Long, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val (fs, root) = fsFor(spark, dir)
+    require(fs.exists(new Path(root, "centers")),
+      s"no frozen quantizer at $dir/centers — run freezeCenters first")
+    SimilaritySearch
+      .assignToCells(batch, loadCenters(spark, dir), idCol, vecCol)
+      .select(col("neighbor_id"), col("cell"))
+      .join(SimilaritySearch.quantizeInt8(batch, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("scale"),
+          col("qnorm"), col("qv")), "neighbor_id")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell")
+      .parquet(s"$dir/assigned")
+    if (fs.exists(new Path(root, "_segments"))) {
+      val live = liveSegments(spark, dir)
+      if (!live.contains(batchId)) writeManifest(fs, root, live :+ batchId)
+    }
+  }
+
   /** The streaming writer: attach a checkpoint and `.start()` (or
     * `.trigger(AvailableNow)` for catch-up). foreachBatch because the
     * delta is batch-relational (one assignment pass + a partitioned
@@ -219,10 +254,35 @@ object StreamingVecIndex {
       if (persist) assigned.persist() else assigned)
   }
 
+  /** [[load]] for an [[applyBatchInt8]]-ingested directory: the same
+    * live-segment scoping and tombstone application, assembled as the
+    * IVF-SQ8 serving index.
+    */
+  def loadInt8(spark: SparkSession, dir: String,
+      persist: Boolean = true): SimilaritySearch.IvfInt8Index = {
+    val (fs, root) = fsFor(spark, dir)
+    val raw = spark.read.parquet(s"$dir/assigned")
+    val scoped =
+      if (fs.exists(new Path(root, "_segments")))
+        raw.filter(col("batch").isin(liveSegments(spark, dir): _*))
+      else raw
+    val assigned = SimilaritySearch.applyAnnTombstones(spark, dir,
+      scoped.drop("batch")
+        .select(col("neighbor_id"), col("cell"), col("scale"),
+          col("qnorm"), col("qv")), "neighbor_id")
+    SimilaritySearch.IvfInt8Index(loadCenters(spark, dir),
+      if (persist) assigned.persist() else assigned)
+  }
+
   /** Fold the streamed layout into the compact batch artifact at
     * `outDir` — probes identical, only file geometry changes; the
     * offline half of the segment-merge rhythm.
     */
   def compactTo(spark: SparkSession, dir: String, outDir: String): Unit =
     SimilaritySearch.saveIvfIndex(load(spark, dir, persist = false), outDir)
+
+  /** [[compactTo]] for an int8-ingested directory. */
+  def compactToInt8(spark: SparkSession, dir: String, outDir: String): Unit =
+    SimilaritySearch.saveIvfInt8Index(loadInt8(spark, dir, persist = false),
+      outDir)
 }

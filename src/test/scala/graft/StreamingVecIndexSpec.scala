@@ -133,4 +133,44 @@ class StreamingVecIndexSpec extends SparkSpec {
         persist = false)) == probe(sameCentersRebuild(survivors)),
       "compactTo did not fold the tombstones into the copy")
   }
+
+  test("int8 streamed ingest: compressed-tier probes equal a same-centers build; merge + takedown hold") {
+    val (dir, _) = freshDirs("int8")
+    StreamingVecIndex.freezeCenters(spark, dir, centers)
+    (0 to 3).foreach { b =>
+      StreamingVecIndex.applyBatchInt8(
+        emb.filter(pmod(col("vec_id"), lit(4L)) === b), b.toLong, dir)
+      StreamingVecIndex.maybeMerge(spark, dir, threshold = 2, b.toLong)
+    }
+    def probe8(idx: SimilaritySearch.IvfInt8Index) =
+      SimilaritySearch.ivfProbeInt8(idx, queries, k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // reference: the SAME frozen centers + row-local quantization over
+    // the full corpus (buildIvfInt8Index retrains — assemble directly)
+    def int8Rebuild(corpus: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.IvfInt8Index(centers,
+        SimilaritySearch.assignToCells(corpus, centers, "vec_id", "embedding")
+          .select(col("neighbor_id"), col("cell"))
+          .join(SimilaritySearch.quantizeInt8(corpus)
+            .select(col("vec_id").as("neighbor_id"), col("scale"),
+              col("qnorm"), col("qv")), "neighbor_id"))
+    val streamed = StreamingVecIndex.loadInt8(spark, dir, persist = false)
+    val want = probe8(int8Rebuild(emb))
+    assert(probe8(streamed).nonEmpty && probe8(streamed) == want,
+      "int8 streamed index diverged from same-centers quantized rebuild")
+    // the segment machinery really ran (merged negative id present)
+    assert(StreamingVecIndex.liveSegments(spark, dir).exists(_ < 0))
+    // takedown applies on the compressed streamed layout too
+    val dead = Seq(7L, 11L)
+    SimilaritySearch.deleteFromAnnIndex(spark, dir, dead)
+    val survivors = emb.filter(!col("vec_id").isin(dead: _*))
+    assert(probe8(StreamingVecIndex.loadInt8(spark, dir, persist = false)) ==
+      probe8(int8Rebuild(survivors)))
+    // compactToInt8 folds into the batch IVF-SQ8 artifact, probe-equal
+    val folded = java.nio.file.Files
+      .createTempDirectory("graft-svec-int8fold").toString
+    StreamingVecIndex.compactToInt8(spark, dir, folded)
+    assert(probe8(SimilaritySearch.loadIvfInt8Index(spark, folded,
+      persist = false)) == probe8(int8Rebuild(survivors)))
+  }
 }
