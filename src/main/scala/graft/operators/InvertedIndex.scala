@@ -1059,11 +1059,7 @@ object InvertedIndex {
   }
 
   def phraseTopK(idx: LexIndex, phrase: Seq[String], k: Int): DataFrame =
-    phraseAnchors(idx, phrase)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_occ"))
-      .orderBy(col("n_occ").desc, col("doc_id"))
-      .limit(k)
+    phraseTopKRanked(phraseAnchors(idx, phrase), k)
 
   /** [[phraseTopK]] restricted to an allowed document set — pre-filter
     * semantics (rank among allowed; occurrence counts are per-doc facts
@@ -1072,8 +1068,14 @@ object InvertedIndex {
     */
   def phraseTopKAmong(idx: LexIndex, phrase: Seq[String], k: Int,
       allowed: DataFrame, idCol: String = "doc_id"): DataFrame =
-    phraseAnchors(idx, phrase,
-        Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+    phraseTopKRanked(phraseAnchors(idx, phrase,
+      Some(allowed.select(col(idCol).cast("long").as("doc_id")))), k)
+
+  // one ranking cut for the filtered and unfiltered phrase probes — the
+  // qlTopKOver/proximityTopKOver discipline, so a tiebreak change
+  // cannot desynchronize the two entry points
+  private def phraseTopKRanked(anchors: DataFrame, k: Int): DataFrame =
+    anchors
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occ"))
       .orderBy(col("n_occ").desc, col("doc_id"))

@@ -217,13 +217,11 @@ object SimilaritySearch {
     IvfIndex(centers, if (persist) assigned.persist() else assigned)
   }
 
-  /** Map-only nearest-center assignment under a FROZEN quantizer — the
-    * shared step of the initial build and every incremental append.
+  /** The nearest-center assignment UDF under a frozen quantizer — one
+    * definition shared by [[assignToCells]] and the fused int8 pass.
     */
-  private[graft] def assignToCells(vecs: DataFrame,
-      centers: Array[Array[Double]],
-      idCol: String, vecCol: String): DataFrame = {
-    val assign = udf { (v: Seq[Float]) =>
+  private def assignUdf(centers: Array[Array[Double]]) =
+    udf { (v: Seq[Float]) =>
       var best = 0; var bestD = Double.MaxValue
       var c2 = 0
       while (c2 < centers.length) {
@@ -233,9 +231,15 @@ object SimilaritySearch {
       }
       best
     }
+
+  /** Map-only nearest-center assignment under a FROZEN quantizer — the
+    * shared step of the initial build and every incremental append.
+    */
+  private[graft] def assignToCells(vecs: DataFrame,
+      centers: Array[Array[Double]],
+      idCol: String, vecCol: String): DataFrame =
     vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("tv"),
-      assign(col(vecCol)).as("cell"))
-  }
+      assignUdf(centers)(col(vecCol)).as("cell"))
 
   /** Incremental index maintenance: assign `newVecs` under the persisted
     * index's EXISTING centers and append them to its inverted file —
@@ -707,27 +711,29 @@ object SimilaritySearch {
     * qv BINARY(dim)): qnorm is ‖scale·q‖ precomputed at quantization time so
     * scoring never rereads the bytes twice.
     */
-  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val q = udf { (v: Seq[Float]) =>
-      var maxAbs = 0.0f
-      v.foreach(x => if (math.abs(x) > maxAbs) maxAbs = math.abs(x))
-      val scale = if (maxAbs == 0f) 1.0f else maxAbs / 127.0f
-      val bytes = new Array[Byte](v.length)
-      var n2 = 0.0
-      var i = 0
-      while (i < v.length) {
-        val qi = math.max(-127, math.min(127, math.round(v(i) / scale)))
-        bytes(i) = qi.toByte
-        n2 += (qi.toDouble * scale) * (qi.toDouble * scale)
-        i += 1
-      }
-      (scale, math.sqrt(n2), bytes)
+  /** The row-local int8 quantization UDF — one definition shared by
+    * [[quantizeInt8]] and the fused int8 pass. */
+  private val quantizeInt8Udf = udf { (v: Seq[Float]) =>
+    var maxAbs = 0.0f
+    v.foreach(x => if (math.abs(x) > maxAbs) maxAbs = math.abs(x))
+    val scale = if (maxAbs == 0f) 1.0f else maxAbs / 127.0f
+    val bytes = new Array[Byte](v.length)
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) {
+      val qi = math.max(-127, math.min(127, math.round(v(i) / scale)))
+      bytes(i) = qi.toByte
+      n2 += (qi.toDouble * scale) * (qi.toDouble * scale)
+      i += 1
     }
-    corpus.select(col(idCol), q(col(vecCol)).as("__q"))
+    (scale, math.sqrt(n2), bytes)
+  }
+
+  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), quantizeInt8Udf(col(vecCol)).as("__q"))
       .select(col(idCol), col("__q._1").as("scale"),
         col("__q._2").as("qnorm"), col("__q._3").as("qv"))
-  }
 
   /** Asymmetric (float query × int8 corpus) exact-over-quantized cosine
     * top-k: the int8 twin of [[bruteForceTopK]] — same broadcast-queries /
@@ -775,13 +781,26 @@ object SimilaritySearch {
       trainSample: Int = 50000, persist: Boolean = true): IvfInt8Index = {
     val float = buildIvfIndex(corpus, nlist, seed, idCol, vecCol, trainSample,
       persist = false)
-    val q = quantizeInt8(corpus, idCol, vecCol)
-    val assigned = float.assigned.select(col("neighbor_id"), col("cell"))
-      .join(q.select(col(idCol).as("neighbor_id"), col("scale"),
-        col("qnorm"), col("qv")), "neighbor_id")
+    val assigned = assignAndQuantizeInt8(corpus, float.centers, idCol, vecCol)
     IvfInt8Index(float.centers,
       if (persist) assigned.persist() else assigned)
   }
+
+  /** ONE pass computing the IVF-SQ8 inverted-file row — nearest-center
+    * assignment AND row-local int8 quantization in a single select over
+    * the corpus (both are per-row functions; a join of two separate
+    * projections would scan the source twice and shuffle for nothing).
+    * Shared by [[buildIvfInt8Index]] and the streaming ingest
+    * ([[graft.streaming.StreamingVecIndex.applyBatchInt8]]).
+    */
+  private[graft] def assignAndQuantizeInt8(vecs: DataFrame,
+      centers: Array[Array[Double]],
+      idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("neighbor_id"),
+        assignUdf(centers)(col(vecCol)).as("cell"),
+        quantizeInt8Udf(col(vecCol)).as("__q"))
+      .select(col("neighbor_id"), col("cell"), col("__q._1").as("scale"),
+        col("__q._2").as("qnorm"), col("__q._3").as("qv"))
 
   /** Persist an IVF-SQ8 index — completes the persistence symmetry with
     * [[saveIvfIndex]]/[[saveIvfPqIndex]]: `assigned/` holds the QUANTIZED

@@ -76,7 +76,16 @@ object StreamingVecIndex {
     * delete + compact + append.
     */
   def applyBatch(batch: DataFrame, batchId: Long, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeDelta(batch, batchId, dir,
+      centers => SimilaritySearch.assignToCells(batch, centers, idCol, vecCol))
+
+  // the shared per-batch delta mechanics (guards, dynamic partition
+  // overwrite, manifest registration) — ONE definition for the float and
+  // int8 tiers, so a fix to the write options or the manifest race
+  // cannot desynchronize them; only the row projection differs
+  private def writeDelta(batch: DataFrame, batchId: Long, dir: String,
+      rows: Array[Array[Double]] => DataFrame): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val (fs, root) = fsFor(spark, dir)
@@ -84,8 +93,7 @@ object StreamingVecIndex {
       s"no frozen quantizer at $dir/centers — run freezeCenters first " +
         "(streaming ingest never trains; a per-batch retrain would break " +
         "replay idempotence and append-equals-rebuild exactness)")
-    SimilaritySearch
-      .assignToCells(batch, loadCenters(spark, dir), idCol, vecCol)
+    rows(loadCenters(spark, dir))
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -112,28 +120,10 @@ object StreamingVecIndex {
     * untouched. Same disjoint-ids caller contract as [[applyBatch]].
     */
   def applyBatchInt8(batch: DataFrame, batchId: Long, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    val (fs, root) = fsFor(spark, dir)
-    require(fs.exists(new Path(root, "centers")),
-      s"no frozen quantizer at $dir/centers — run freezeCenters first")
-    SimilaritySearch
-      .assignToCells(batch, loadCenters(spark, dir), idCol, vecCol)
-      .select(col("neighbor_id"), col("cell"))
-      .join(SimilaritySearch.quantizeInt8(batch, idCol, vecCol)
-        .select(col(idCol).as("neighbor_id"), col("scale"),
-          col("qnorm"), col("qv")), "neighbor_id")
-      .withColumn("batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "cell")
-      .parquet(s"$dir/assigned")
-    if (fs.exists(new Path(root, "_segments"))) {
-      val live = liveSegments(spark, dir)
-      if (!live.contains(batchId)) writeManifest(fs, root, live :+ batchId)
-    }
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeDelta(batch, batchId, dir,
+      centers => SimilaritySearch // ONE pass: assign + quantize fused
+        .assignAndQuantizeInt8(batch, centers, idCol, vecCol))
 
   /** The streaming writer: attach a checkpoint and `.start()` (or
     * `.trigger(AvailableNow)` for catch-up). foreachBatch because the
@@ -240,7 +230,15 @@ object StreamingVecIndex {
     * tombstones applied exactly (the batch artifact's load contract).
     */
   def load(spark: SparkSession, dir: String,
-      persist: Boolean = true): SimilaritySearch.IvfIndex = {
+      persist: Boolean = true): SimilaritySearch.IvfIndex =
+    SimilaritySearch.IvfIndex(loadCenters(spark, dir),
+      liveAssigned(spark, dir, Seq("neighbor_id", "tv", "cell"), persist))
+
+  // the shared live-index assembly (manifest scoping, batch-identity
+  // drop, tombstone application, persist) — one definition for the float
+  // and int8 tiers; only the projected column set differs
+  private def liveAssigned(spark: SparkSession, dir: String,
+      cols: Seq[String], persist: Boolean): DataFrame = {
     val (fs, root) = fsFor(spark, dir)
     val raw = spark.read.parquet(s"$dir/assigned")
     val scoped =
@@ -248,10 +246,8 @@ object StreamingVecIndex {
         raw.filter(col("batch").isin(liveSegments(spark, dir): _*))
       else raw
     val assigned = SimilaritySearch.applyAnnTombstones(spark, dir,
-      scoped.drop("batch")
-        .select(col("neighbor_id"), col("tv"), col("cell")), "neighbor_id")
-    SimilaritySearch.IvfIndex(loadCenters(spark, dir),
-      if (persist) assigned.persist() else assigned)
+      scoped.drop("batch").select(cols.map(col): _*), "neighbor_id")
+    if (persist) assigned.persist() else assigned
   }
 
   /** [[load]] for an [[applyBatchInt8]]-ingested directory: the same
@@ -259,20 +255,10 @@ object StreamingVecIndex {
     * IVF-SQ8 serving index.
     */
   def loadInt8(spark: SparkSession, dir: String,
-      persist: Boolean = true): SimilaritySearch.IvfInt8Index = {
-    val (fs, root) = fsFor(spark, dir)
-    val raw = spark.read.parquet(s"$dir/assigned")
-    val scoped =
-      if (fs.exists(new Path(root, "_segments")))
-        raw.filter(col("batch").isin(liveSegments(spark, dir): _*))
-      else raw
-    val assigned = SimilaritySearch.applyAnnTombstones(spark, dir,
-      scoped.drop("batch")
-        .select(col("neighbor_id"), col("cell"), col("scale"),
-          col("qnorm"), col("qv")), "neighbor_id")
+      persist: Boolean = true): SimilaritySearch.IvfInt8Index =
     SimilaritySearch.IvfInt8Index(loadCenters(spark, dir),
-      if (persist) assigned.persist() else assigned)
-  }
+      liveAssigned(spark, dir,
+        Seq("neighbor_id", "cell", "scale", "qnorm", "qv"), persist))
 
   /** Fold the streamed layout into the compact batch artifact at
     * `outDir` — probes identical, only file geometry changes; the
