@@ -133,6 +133,18 @@ object Bench {
         e._1 == "tx_stream_index_bm25" || e._1 == "tx_stream_index_wand")) {
       graft.queries.TextQueries.prepareStreamLexIndex(spark, sfDir); ()
     }
+    build("lex_index_stream_tomb",
+        selected.exists(_._1 == "tx_stream_index_tombstone")) {
+      graft.queries.TextQueries.prepareStreamLexTombIndex(spark, sfDir); ()
+    }
+    build("vec_index_stream",
+        selected.exists(_._1 == "vx_stream_ann_probe_top5")) {
+      graft.queries.EngineQueries.prepareStreamVecIndex(spark, sfDir); ()
+    }
+    build("ivf_deleted_artifact",
+        selected.exists(_._1 == "vx_ann_delete_parity")) {
+      graft.queries.EngineQueries.prepareDeletedIvfDirs(spark, sfDir); ()
+    }
     build("jsonl_dump", selected.exists(_._1 == "s_jsonl_contract")) {
       graft.queries.TextQueries.prepareJsonlDump(spark, sfDir); ()
     }

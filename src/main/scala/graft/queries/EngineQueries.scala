@@ -1523,7 +1523,7 @@ object EngineQueries extends QueryPack {
   // (deleteFromAnnIndex/compactAnnIndex) stated as constants: any
   // under-deletion (dead id served), over-deletion, or compact drift
   // breaks the hash. The artifact builds once per session (SessionMemo).
-  private def prepareDeletedIvfDirs(s: org.apache.spark.sql.SparkSession,
+  def prepareDeletedIvfDirs(s: org.apache.spark.sql.SparkSession,
       d: String): (String, SimilaritySearch.IvfIndex) =
     graft.SessionMemo.getOrElseUpdate(s, s"ivf_deleted_dir:$d") {
       val emb = Tables.embeddings(s, d)
