@@ -385,13 +385,23 @@ object InvertedIndex {
       adjusted.docLens, exactTermDf, adjusted.n, adjusted.sdl), staging)
     val stagingRoot = new Path(staging)
     // "suggest" last: save() derives it from the exact surviving termDf,
-    // so the rewritten dictionary sheds dead terms' keys with the rewrite
+    // so the rewritten dictionary sheds dead terms' keys with the rewrite.
+    // Rename the live relation ASIDE before renaming staging in (r15 —
+    // the compactAnnIndex discipline): a crash between the two leaves
+    // the old relation at <sub>-compact-old beside the complete staged
+    // copy, so recovery is one rename back, never a data re-derivation.
     Seq("postings", "doclens", "termdf", "suggest", "meta").foreach { sub =>
       val live = new Path(root, sub)
-      fs.delete(live, true)
+      val old = new Path(root, s"$sub-compact-old")
+      fs.delete(old, true)
+      if (fs.exists(live) && !fs.rename(live, old))
+        throw new java.io.IOException(
+          s"compact: rename $dir/$sub -> $dir/$sub-compact-old failed")
       if (!fs.rename(new Path(stagingRoot, sub), live))
         throw new java.io.IOException(
-          s"compact: rename $staging/$sub -> $dir/$sub failed")
+          s"compact: rename $staging/$sub -> $dir/$sub failed — the " +
+            s"pre-compact relation is preserved at $dir/$sub-compact-old")
+      fs.delete(old, true)
     }
     fs.delete(new Path(root, "tombstones"), true)
     fs.delete(stagingRoot, true)

@@ -268,8 +268,47 @@ object SimilaritySearch {
     val centers = spark.read.parquet(s"$dir/centers").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
+    if (validateAppends(spark))
+      assertDisjointAppend(
+        spark.read.parquet(s"$dir/assigned").select(col("neighbor_id")),
+        newVecs.select(col(idCol).as("neighbor_id")),
+        s"appendToIvfIndex($dir)")
     assignToCells(newVecs, centers, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
+  /** Session conf key for the OPT-IN disjoint-append invariant check
+    * (default off). The append contract — ids disjoint across appends —
+    * is load-bearing since the probe's defensive distinct was removed
+    * (r14): a violated contract puts the same vector in two top-k slots
+    * instead of being silently deduped. With
+    * `spark.graft.ann.validateAppends=true`, every append/ingest site
+    * pays one bounded semi-join over the incoming ids and FAILS LOUDLY
+    * on a duplicate, so a contract violation surfaces in rehearsal
+    * instead of corrupting rankings in production. Off by default: the
+    * check scans the artifact's id column per append, which a
+    * steady-state high-frequency ingest should not pay.
+    */
+  val ValidateAppendsConf = "spark.graft.ann.validateAppends"
+
+  private[graft] def validateAppends(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption(ValidateAppendsConf).exists(_.toBoolean)
+
+  /** The guard's one semi-join: incoming ids already present in the
+    * artifact are a contract violation — report a bounded sample. */
+  private[graft] def assertDisjointAppend(existingIds: DataFrame,
+      incomingIds: DataFrame, site: String): Unit = {
+    val dups = incomingIds
+      .join(existingIds, Seq("neighbor_id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    if (dups.nonEmpty)
+      throw new IllegalStateException(
+        s"$site: disjoint-ids append contract violated — incoming batch " +
+          s"re-appends live id(s) ${dups.mkString(", ")} (first 5 shown). " +
+          "A duplicated vector would occupy two top-k slots (the probe " +
+          "carries no defensive distinct). Deduplicate upstream, or route " +
+          "re-ingest through delete + compact + append.")
   }
 
   /** Persist a built IVF index as parquet artifacts under `dir` — the
@@ -370,11 +409,69 @@ object SimilaritySearch {
     * Probes after a load see the deletion exactly: dead rows leave the
     * inverted file (or sketch scan) before any scoring, so they can
     * neither rank nor displace a shortlist slot.
+    *
+    * The tombstone relation carries the ARTIFACT's id type, resolved
+    * from the artifact itself (the inverted file's neighbor_id, or the
+    * SRP sketch's named id column): the relation is applied as an
+    * anti-join against that column, and an unconditional cast to long
+    * (the pre-r15 form) would turn a takedown against a string-keyed
+    * SRP artifact into all-null tombstones that delete NOTHING. An id
+    * the artifact's type cannot represent now fails loudly at write
+    * time instead.
     */
   def deleteFromAnnIndex(ids: DataFrame, dir: String,
-      idCol: String = "vec_id"): Unit =
-    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      idCol: String = "vec_id"): Unit = {
+    val spark = ids.sparkSession
+    val (fs, root) = InvertedIndex.fsFor(spark, dir)
+    val idType =
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, "assigned")))
+        spark.read.parquet(s"$dir/assigned").schema("neighbor_id").dataType
+      else {
+        val sk = spark.read.parquet(s"$dir/sketch")
+        sk.schema(srpIdColumn(spark, dir, sk)).dataType
+      }
+    // try_cast, not cast: the probe must stay in control of the error —
+    // under ANSI mode a plain cast throws Spark's generic message, and
+    // under non-ANSI it silently nulls (the exact no-op this guard kills)
+    ids.select(
+        when(col(idCol).isNotNull && col(idCol).try_cast(idType).isNull,
+          raise_error(concat(lit("deleteFromAnnIndex: id '"),
+            col(idCol).cast("string"),
+            lit(s"' does not cast to the artifact's id type $idType — " +
+              "a lossy cast would tombstone nothing"))))
+          .otherwise(col(idCol).try_cast(idType)).as("vec_id"))
+      .distinct()
       .write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  /** The persisted SRP artifact's id column: the `id_col` metadata when
+    * the artifact carries it (r15 [[saveSrpIndex]] layout — the
+    * modulus-on-the-artifact lesson from the suggest grid), else the
+    * single non-signature column of the sketch schema, REQUIRED to be
+    * unambiguous: a legacy artifact whose sketch grew extra columns has
+    * no trustworthy id detection, and guessing the first one would make
+    * [[compactAnnIndex]] anti-join on the wrong column — deleting
+    * nothing, or everything.
+    */
+  private[graft] def srpIdColumn(spark: org.apache.spark.sql.SparkSession,
+      dir: String, sketch: DataFrame): String = {
+    val meta = spark.read.parquet(s"$dir/meta")
+    if (meta.columns.contains("id_col")) {
+      val named = meta.select(col("id_col")).collect()(0).getString(0)
+      require(sketch.columns.contains(named),
+        s"SRP artifact $dir names id column '$named' in meta/ but the " +
+          s"sketch schema is ${sketch.columns.mkString("(", ", ", ")")}")
+      named
+    } else {
+      val nonSig = sketch.columns.filterNot(_.matches("sig\\d+"))
+      require(nonSig.length == 1,
+        s"cannot infer the id column of legacy SRP artifact $dir: " +
+          s"${nonSig.length} non-signature columns " +
+          s"${nonSig.mkString("(", ", ", ")")} — re-save with " +
+          "saveSrpIndex to stamp id_col metadata")
+      nonSig.head
+    }
+  }
 
   /** [[deleteFromAnnIndex]] for a driver-side id list. */
   def deleteFromAnnIndex(spark: org.apache.spark.sql.SparkSession,
@@ -455,23 +552,40 @@ object SimilaritySearch {
           Seq("assigned", "meta")
         } else Seq("assigned")
       } else {
-        // SRP: flat sketch relation + (n, bits, seed) metadata
+        // SRP: flat sketch relation + (n, bits, seed[, id_col]) metadata.
+        // The id column comes from the artifact's OWN metadata (or the
+        // unambiguous-schema inference for legacy artifacts — loud, never
+        // a first-column guess), and the rewrite always stamps id_col so
+        // a compacted legacy artifact is upgraded to the named layout.
         val sk = spark.read.parquet(s"$dir/sketch")
-        val relId = sk.columns.filterNot(_.matches("sig\\d+")).head
+        val relId = srpIdColumn(spark, dir, sk)
         applyAnnTombstones(spark, dir, sk, relId)
           .write.mode("overwrite").parquet(s"$staging/sketch")
         val meta = spark.read.parquet(s"$dir/meta").collect()(0)
         val n = spark.read.parquet(s"$staging/sketch").count()
-        Seq((n, meta.getInt(1), meta.getLong(2))).toDF("n", "bits", "seed")
+        Seq((n, meta.getAs[Int]("bits"), meta.getAs[Long]("seed"), relId))
+          .toDF("n", "bits", "seed", "id_col")
           .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
         Seq("sketch", "meta")
       }
+    // cut-over renames the live relation ASIDE before renaming staging
+    // in (r15 — the delete-then-rename form left the artifact with NO
+    // live relation if a crash landed between the two): any crash point
+    // now leaves either the old relation live, or the old relation at
+    // <sub>-compact-old beside the complete staged copy — recovery is
+    // renaming one directory back, never re-deriving data
     rewritten.foreach { sub =>
       val live = new Path(root, sub)
-      fs.delete(live, true)
+      val old = new Path(root, s"$sub-compact-old")
+      fs.delete(old, true)
+      if (fs.exists(live) && !fs.rename(live, old))
+        throw new java.io.IOException(
+          s"compactAnnIndex: rename $dir/$sub -> $dir/$sub-compact-old failed")
       if (!fs.rename(new Path(stagingRoot, sub), live))
         throw new java.io.IOException(
-          s"compactAnnIndex: rename $staging/$sub -> $dir/$sub failed")
+          s"compactAnnIndex: rename $staging/$sub -> $dir/$sub failed — " +
+            s"the pre-compact relation is preserved at $dir/$sub-compact-old")
+      fs.delete(old, true)
     }
     fs.delete(new Path(root, "tombstones"), true)
     fs.delete(stagingRoot, true)
@@ -1301,7 +1415,7 @@ object SimilaritySearch {
     * batch, paid for a single integer the index already knew.
     */
   final case class SrpIndex(sketched: DataFrame, n: Long, bits: Int,
-      seed: Long) {
+      seed: Long, idCol: String = "vec_id") {
     def unpersist(): Unit = { sketched.unpersist(); () }
   }
 
@@ -1313,18 +1427,26 @@ object SimilaritySearch {
       idCol: String = "vec_id", vecCol: String = "embedding",
       persist: Boolean = true): SrpIndex = {
     val sk = srpSketch(corpus, bits, seed, idCol, vecCol)
-    SrpIndex(if (persist) sk.persist() else sk, corpus.count(), bits, seed)
+    SrpIndex(if (persist) sk.persist() else sk, corpus.count(), bits, seed,
+      idCol)
   }
 
   /** Persist an SRP index under `dir`: `sketch/` = the packed signature
-    * relation, `meta/` = one (n, bits, seed) row. 16 bytes/vector at the
-    * 128-bit default — the leanest persisted ANN artifact in the family.
+    * relation, `meta/` = one (n, bits, seed, id_col) row. 16 bytes/vector
+    * at the 128-bit default — the leanest persisted ANN artifact in the
+    * family. `id_col` names the sketch's id column ON the artifact (r15):
+    * SRP supports an arbitrary build-time idCol, and the delete lifecycle
+    * ([[deleteFromAnnIndex]]'s type resolution, [[compactAnnIndex]]'s
+    * survivor rewrite) must anti-join on the RIGHT column even after the
+    * sketch schema evolves — a first-non-signature-column guess would
+    * silently delete nothing, or everything.
     */
   def saveSrpIndex(index: SrpIndex, dir: String): Unit = {
     val spark = index.sketched.sparkSession
     import spark.implicits._
     index.sketched.write.mode("overwrite").parquet(s"$dir/sketch")
-    Seq((index.n, index.bits, index.seed)).toDF("n", "bits", "seed")
+    Seq((index.n, index.bits, index.seed, index.idCol))
+      .toDF("n", "bits", "seed", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -1336,16 +1458,16 @@ object SimilaritySearch {
       persist: Boolean = true): SrpIndex = {
     val meta = spark.read.parquet(s"$dir/meta").collect()(0)
     val raw = spark.read.parquet(s"$dir/sketch")
-    // the sketch's id column is whatever the build used: the only
-    // non-signature column (idCol + sig0..sigN is the srpSketch schema)
-    val relId = raw.columns.filterNot(_.matches("sig\\d+")).head
+    // the id column comes from the artifact's metadata (legacy df-less
+    // artifacts: the unambiguous-schema inference, loud on ambiguity)
+    val relId = srpIdColumn(spark, dir, raw)
     val tombstoned = annTombstones(spark, dir).isDefined
     val sk = applyAnnTombstones(spark, dir, raw, relId)
     // under live tombstones n counts SURVIVORS (one bounded load-time
     // job): n is the scale dial input and must describe the served scan
     SrpIndex(if (persist) sk.persist() else sk,
-      if (tombstoned) sk.count() else meta.getLong(0),
-      meta.getInt(1), meta.getLong(2))
+      if (tombstoned) sk.count() else meta.getAs[Long]("n"),
+      meta.getAs[Int]("bits"), meta.getAs[Long]("seed"), relId)
   }
 
   /** Brute Hamming top-k over SRP sketches with exact refine: the scan

@@ -349,6 +349,20 @@ object StreamingLexIndex {
     * and planning; the stream keeps appending to `dir` meanwhile, and
     * the cut-over is the versioned-artifact-directory swap.
     */
-  def compactTo(spark: SparkSession, dir: String, outDir: String): Unit =
-    InvertedIndex.save(load(spark, dir), outDir)
+  def compactTo(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val idx = load(spark, dir)
+    val (fs, root) = fsFor(spark, dir)
+    // under live tombstones, load() carries each term's STORED max_tf
+    // through (a valid but loose bound — the max over survivors can only
+    // be ≤ it). The fold already pays a full posting rewrite, so tighten
+    // the WAND bound back to the exact statistic here, exactly as
+    // InvertedIndex.compact re-derives it — a folded artifact must not
+    // carry a permanently looser pruning bound than a rebuilt one.
+    val folded =
+      if (fs.exists(new Path(root, "tombstones")))
+        idx.copy(termDf = idx.postings.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf")))
+      else idx
+    InvertedIndex.save(folded, outDir)
+  }
 }

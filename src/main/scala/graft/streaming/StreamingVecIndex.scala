@@ -77,7 +77,7 @@ object StreamingVecIndex {
     */
   def applyBatch(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    writeDelta(batch, batchId, dir,
+    writeDelta(batch, batchId, dir, idCol,
       centers => SimilaritySearch.assignToCells(batch, centers, idCol, vecCol))
 
   // the shared per-batch delta mechanics (guards, dynamic partition
@@ -85,7 +85,7 @@ object StreamingVecIndex {
   // int8 tiers, so a fix to the write options or the manifest race
   // cannot desynchronize them; only the row projection differs
   private def writeDelta(batch: DataFrame, batchId: Long, dir: String,
-      rows: Array[Array[Double]] => DataFrame): Unit = {
+      idCol: String, rows: Array[Array[Double]] => DataFrame): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val (fs, root) = fsFor(spark, dir)
@@ -93,6 +93,25 @@ object StreamingVecIndex {
       s"no frozen quantizer at $dir/centers — run freezeCenters first " +
         "(streaming ingest never trains; a per-batch retrain would break " +
         "replay idempotence and append-equals-rebuild exactness)")
+    // opt-in disjoint-ids guard (SimilaritySearch.ValidateAppendsConf):
+    // the existing side excludes THIS batch's own partitions — a
+    // same-batch-id replay re-delivers the same ids by design (that is
+    // the partition-overwrite idempotence) and must not trip the check —
+    // and scopes to live segments so a crashed merge's orphans cannot
+    // raise false violations
+    if (SimilaritySearch.validateAppends(spark) &&
+        fs.exists(new Path(root, "assigned"))) {
+      val raw = spark.read.parquet(s"$dir/assigned")
+      val prior =
+        if (fs.exists(new Path(root, "_segments")))
+          raw.filter(col("batch")
+            .isin(liveSegments(spark, dir).filterNot(_ == batchId): _*))
+        else raw.filter(col("batch") =!= batchId)
+      SimilaritySearch.assertDisjointAppend(
+        prior.select(col("neighbor_id")),
+        batch.select(col(idCol).as("neighbor_id")),
+        s"StreamingVecIndex.applyBatch(batch=$batchId, $dir)")
+    }
     rows(loadCenters(spark, dir))
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
@@ -121,7 +140,7 @@ object StreamingVecIndex {
     */
   def applyBatchInt8(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    writeDelta(batch, batchId, dir,
+    writeDelta(batch, batchId, dir, idCol,
       centers => SimilaritySearch // ONE pass: assign + quantize fused
         .assignAndQuantizeInt8(batch, centers, idCol, vecCol))
 

@@ -793,5 +793,111 @@ class SimilaritySearchSpec extends SparkSpec {
       },
       srpWant, nSurv, "sketch")
     srp.unpersist()
+    // rename-aside cut-over leaves no debris: the pre-compact relation
+    // is deleted once the staged copy is live (r15)
+    Seq(ivfDir -> "assigned", int8Dir -> "assigned", pqDir -> "assigned",
+      srpDir -> "sketch").foreach { case (dir, sub) =>
+      assert(!new java.io.File(s"$dir/$sub-compact-old").exists(),
+        s"$dir: compact left the $sub-compact-old rename-aside directory")
+    }
+  }
+
+  test("SRP artifact names its id column: delete/compact follow it through schema evolution") {
+    import spark.implicits._
+    // non-default id name AND a string id type — the artifact the
+    // pre-r15 lifecycle silently mishandled twice over (first-non-sig
+    // column guess + unconditional cast-to-long tombstones)
+    val corpus = emb.select(
+      concat(lit("img"), col("vec_id")).as("img_id"), col("embedding"))
+    val idx = SimilaritySearch.buildSrpIndex(corpus, bits = 128, seed = 7L,
+      idCol = "img_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-srp-idcol").toString
+    SimilaritySearch.saveSrpIndex(idx, dir)
+    assert(spark.read.parquet(s"$dir/meta")
+      .select(col("id_col")).collect()(0).getString(0) == "img_id")
+    // schema evolution: a metadata column lands FIRST in the sketch —
+    // the first-non-sig guess would now anti-join on 'origin' and
+    // delete nothing (or everything); the named id column must hold
+    val evolved = spark.read.parquet(s"$dir/sketch")
+    val cols = lit("cam0").as("origin") +: evolved.columns.map(col).toSeq
+    val tmp = s"$dir/sketch-evolved"
+    evolved.select(cols: _*).write.parquet(tmp)
+    val (fs, root) = graft.operators.InvertedIndex.fsFor(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "sketch"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(root, "sketch"))
+    val total = idx.n
+    val dead = Seq("img3", "img7", "img999999")
+    SimilaritySearch.deleteFromAnnIndex(dead.toDF("img_id"), dir,
+      idCol = "img_id")
+    // tombstones carry the ARTIFACT's string type (a long cast would
+    // have nulled every id and deleted nothing)
+    assert(spark.read.parquet(s"$dir/tombstones")
+      .schema("vec_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val loaded = SimilaritySearch.loadSrpIndex(spark, dir, persist = false)
+    assert(loaded.idCol == "img_id" && loaded.n == total - 2,
+      s"takedown no-opped: n=${loaded.n}, want ${total - 2}")
+    SimilaritySearch.compactAnnIndex(spark, dir)
+    val sk = spark.read.parquet(s"$dir/sketch")
+    assert(sk.count() == total - 2, "compact deleted the wrong rows")
+    assert(sk.columns.contains("origin"), "compact dropped the metadata column")
+    assert(sk.filter(col("img_id").isin("img3", "img7")).count() == 0)
+    // legacy artifact whose schema went ambiguous: loud failure, never a
+    // first-column guess
+    spark.read.parquet(s"$dir/meta").drop("id_col")
+      .write.mode("overwrite").parquet(s"$dir/meta-legacy")
+    fs.delete(new org.apache.hadoop.fs.Path(root, "meta"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(root, "meta-legacy"),
+      new org.apache.hadoop.fs.Path(root, "meta"))
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.loadSrpIndex(spark, dir, persist = false)
+    }
+    assert(e.getMessage.contains("cannot infer the id column"))
+    idx.unpersist()
+  }
+
+  test("deleteFromAnnIndex rejects ids the artifact's id type cannot represent") {
+    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 4, persist = false)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-del-type").toString
+    SimilaritySearch.saveIvfIndex(idx, dir)
+    import spark.implicits._
+    val e = intercept[Exception] {
+      SimilaritySearch.deleteFromAnnIndex(
+        Seq("not-a-long").toDF("vec_id"), dir)
+    }
+    // raise_error may surface wrapped (task failure → job failure)
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+      .mkString(" | ")
+    assert(msgs.contains("does not cast"),
+      s"expected a loud lossy-cast failure, got: $msgs")
+    // castable string ids are fine (they land as the artifact's longs)
+    SimilaritySearch.deleteFromAnnIndex(Seq("11").toDF("vec_id"), dir)
+    assert(SimilaritySearch.loadIvfIndex(spark, dir, persist = false)
+      .assigned.filter(col("neighbor_id") === 11L).count() == 0)
+  }
+
+  test("opt-in disjoint-append guard fails loudly on a re-appended live id") {
+    val idx = SimilaritySearch.buildIvfIndex(emb, nlist = 4, persist = false)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-append-guard").toString
+    SimilaritySearch.saveIvfIndex(idx, dir)
+    val dup = emb.filter(col("vec_id") === 42L)
+    val fresh = emb.limit(1).withColumn("vec_id", lit(5000001L))
+    // default off: the contract is the caller's (no per-append scan)
+    SimilaritySearch.appendToIvfIndex(spark, dir, fresh)
+    try {
+      spark.conf.set(SimilaritySearch.ValidateAppendsConf, "true")
+      val e = intercept[IllegalStateException] {
+        SimilaritySearch.appendToIvfIndex(spark, dir, dup)
+      }
+      assert(e.getMessage.contains("42"))
+      // a genuinely disjoint append still passes under the guard
+      SimilaritySearch.appendToIvfIndex(spark, dir,
+        emb.limit(1).withColumn("vec_id", lit(5000002L)))
+    } finally spark.conf.unset(SimilaritySearch.ValidateAppendsConf)
   }
 }

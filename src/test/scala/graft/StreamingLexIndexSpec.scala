@@ -16,7 +16,11 @@ class StreamingLexIndexSpec extends SparkSpec {
   private val corpus = Seq(
     (1L, "spark table scan"), (2L, "table merge join"),
     (3L, "spark join hash"), (4L, "scan scan scan"),
-    (5L, "merge table spark"), (6L, "hash probe build"))
+    (5L, "merge table spark"), (6L, "hash probe build"),
+    // doc 7 holds "probe"'s max tf while doc 6 keeps the term alive —
+    // deleting 7 is the case where the tombstone-carried max_tf bound
+    // goes LOOSE and compactTo must re-derive the exact statistic
+    (7L, "probe probe probe table"))
 
   private def probe(idx: InvertedIndex.LexIndex): Seq[(Long, Long)] = {
     val terms = idx.termDf.orderBy($"df", $"term").limit(3)
@@ -176,9 +180,11 @@ class StreamingLexIndexSpec extends SparkSpec {
     val liveBefore = StreamingLexIndex.liveSegments(spark, dir)
     // the LAST batch is the only one Structured Streaming can re-deliver;
     // replay re-applies it AND re-runs the merge decision
-    StreamingLexIndex.applyBatch(
-      corpus.grouped(2).toSeq.last.toDF("doc_id", "text"), 2L, dir)
-    StreamingLexIndex.maybeMerge(spark, dir, 3, 2L)
+    val groups = corpus.grouped(2).toSeq
+    val lastId = groups.length - 1L
+    StreamingLexIndex.applyBatch(groups.last.toDF("doc_id", "text"),
+      lastId, dir)
+    StreamingLexIndex.maybeMerge(spark, dir, 3, lastId)
     val after = StreamingLexIndex.load(spark, dir)
     assert(after.n == before.n && after.sdl == before.sdl)
     assert(after.postings.count() == beforeN)
@@ -209,7 +215,8 @@ class StreamingLexIndexSpec extends SparkSpec {
     corpus.grouped(2).zipWithIndex.foreach { case (g, i) =>
       StreamingLexIndex.applyBatch(g.toDF("doc_id", "text"), i.toLong, dir)
     }
-    val dead = Seq(2L, 5L, 999L) // two live docs + one unknown id
+    val dead = Seq(2L, 5L, 7L, 999L) // three live docs (7 holds a term's
+    // max tf with a survivor keeping the term alive) + one unknown id
     InvertedIndex.delete(spark, dir, dead)
     InvertedIndex.delete(spark, dir, Seq(2L)) // idempotent re-delete
     val survivors = corpus.filterNot(d => dead.contains(d._1))
@@ -242,5 +249,13 @@ class StreamingLexIndexSpec extends SparkSpec {
     assert(compactIdx.postings
       .filter(col("doc_id").isin(dead: _*)).count() == 0,
       "compactTo kept dead docs' postings")
+    // r15: compactTo re-derives the EXACT max_tf over surviving postings
+    // (the InvertedIndex.compact discipline) — the pre-fix fold persisted
+    // the tombstone-carried stale max permanently. "probe"'s max was 3
+    // (dead doc 7); the surviving max is doc 6's tf = 1.
+    def stats(idx: InvertedIndex.LexIndex) = idx.termDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats(compactIdx) == stats(rebuilt),
+      "compactTo termDf (df, max_tf) diverged from the exact rebuild")
   }
 }

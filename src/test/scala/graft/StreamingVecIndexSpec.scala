@@ -93,6 +93,18 @@ class StreamingVecIndexSpec extends SparkSpec {
     val after = StreamingVecIndex.load(spark, dir, persist = false)
     assert(after.assigned.count() == beforeCount)
     assert(probe(after) == before)
+    // opt-in disjoint-ids guard (r15): a SAME-batch-id replay is exempt
+    // (it IS the partition-overwrite idempotence), while an upstream
+    // re-delivering a live id into a NEW batch id fails loudly instead
+    // of occupying two top-k slots
+    try {
+      spark.conf.set(SimilaritySearch.ValidateAppendsConf, "true")
+      StreamingVecIndex.applyBatch(slices(1), 1L, dir) // replay: exempt
+      val e = intercept[IllegalStateException] {
+        StreamingVecIndex.applyBatch(slices(1).limit(1), 99L, dir)
+      }
+      assert(e.getMessage.contains("disjoint-ids"))
+    } finally spark.conf.unset(SimilaritySearch.ValidateAppendsConf)
   }
 
   test("segment merge is manifest-committed and bit-identical; delete lifecycle applies") {
