@@ -176,13 +176,17 @@ object InvertedIndex {
       .partitionBy("bucket").parquet(s"$dir/suggest")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    // INVARIANT (load() relies on it): meta rows stay in LOCKSTEP with
-    // suggest deltas — save writes one meta row and one full dictionary,
-    // append adds one of each (when the artifact has a dictionary at
-    // all), compact rewrites back to one-of-each. load() keys "single
-    // delta ⇒ serve the dictionary raw, skip the df re-merge" on the
-    // meta ROW COUNT; a writer that appends meta without its suggest
-    // delta (or vice versa) would silently serve unmerged partial dfs.
+    // INVARIANT, now VERIFIED at load (r15): meta rows stay in LOCKSTEP
+    // with suggest deltas — save writes one meta row and one full
+    // dictionary, append adds one of each (when the artifact has a
+    // dictionary at all), compact rewrites back to one-of-each. The
+    // `suggestmeta` LEDGER records one row per suggest delta so load()
+    // can CHECK the lockstep instead of trusting it: on a mismatch (a
+    // future writer appending meta without its suggest delta, or vice
+    // versa) the dictionary's persisted dfs are untrustworthy and the
+    // probe falls back to the always-correct termDf-join route.
+    Seq(Tuple1(1)).toDF("delta")
+      .write.mode("overwrite").parquet(s"$dir/suggestmeta")
     Seq((idx.n, idx.sdl)).toDF("n", "sdl")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -226,7 +230,8 @@ object InvertedIndex {
     // one suggest delta PER meta row appended — the save()-documented
     // meta-rows == suggest-deltas lockstep load() keys its raw-serve
     // fast path on (a df-less legacy dictionary is exempt: load serves
-    // it through the termDf join regardless of delta count)
+    // it through the termDf join regardless of delta count). The ledger
+    // row registers this delta so load() can verify the lockstep.
     if (fs.exists(new Path(root, "suggest"))) {
       val rel = suggestRelation(delta.termDf)
       val legacy = !spark.read.parquet(s"$dir/suggest")
@@ -236,6 +241,9 @@ object InvertedIndex {
           pmod(col("__qk"), lit(Buckets.toLong)).cast("int"))
       else rel).repartition(col("bucket")).write.mode("append")
         .partitionBy("bucket").parquet(s"$dir/suggest")
+      if (!legacy)
+        Seq(Tuple1(1)).toDF("delta")
+          .write.mode("append").parquet(s"$dir/suggestmeta")
     }
     Seq((delta.n, delta.sdl)).toDF("n", "sdl")
       .write.mode("append").parquet(s"$dir/meta")
@@ -306,8 +314,8 @@ object InvertedIndex {
     // one more) — it decides whether the dictionary needs a df re-merge.
     // That is a cross-relation invariant, not a local fact: save(),
     // append(), and compact() keep meta rows in LOCKSTEP with suggest
-    // deltas (documented at each write site) — a future writer breaking
-    // the lockstep would make this fast path serve unmerged partial dfs
+    // deltas, and since r15 the suggestmeta ledger lets the dictionary
+    // block below VERIFY it instead of trusting the write sites
     val meta = spark.read.parquet(s"$dir/meta")
       .agg(sum(col("n")), sum(col("sdl")), count(lit(1))).collect()(0)
     val (fs, root) = fsFor(spark, dir)
@@ -328,10 +336,37 @@ object InvertedIndex {
     // no aggregation shuffle anywhere in the probe. Multi-delta
     // dictionaries group on (term, __qk, bucket) so the probe's bucket
     // filter still pushes through the aggregation to the scan.
+    //
+    // The meta-rows == suggest-deltas lockstep is VERIFIED here (r15 —
+    // the r14 comment-only invariant made a load-time check): the
+    // `suggestmeta` ledger carries one row per suggest delta, and a
+    // count disagreeing with the meta row count means some writer broke
+    // the save/append/compact lockstep — the dictionary's persisted dfs
+    // are then untrustworthy in BOTH directions (a meta-only append
+    // leaves them stale; a suggest-only append leaves partials the
+    // meta-keyed merge decision would mis-serve), so the df column is
+    // projected away and the probe routes through the termDf join,
+    // which re-derives every df from the termdf deltas (always correct;
+    // the artifact heals at the next compact()). The ledger read is one
+    // tiny bounded count. Legacy artifacts without a ledger keep the
+    // r13 meta-count heuristic.
     val suggest = rawSuggest.map { sk =>
-      if (!sk.columns.contains("df") || meta.getLong(2) == 1L) sk
-      else sk.groupBy(col("term"), col("__qk"), col("bucket"))
-        .agg(sum(col("df")).as("df"))
+      if (!sk.columns.contains("df")) sk
+      else {
+        val metaCount = meta.getLong(2)
+        val ledger =
+          if (fs.exists(new Path(root, "suggestmeta")))
+            Some(spark.read.parquet(s"$dir/suggestmeta").count())
+          else None
+        ledger match {
+          case Some(lc) if lc != metaCount =>
+            sk.select(col("term"), col("__qk"), col("bucket"))
+          case Some(1L) => sk
+          case None if metaCount == 1L => sk
+          case _ => sk.groupBy(col("term"), col("__qk"), col("bucket"))
+            .agg(sum(col("df")).as("df"))
+        }
+      }
     }
     // mergeSchema: an artifact persisted before the max_tf statistic can
     // carry 2-column termdf files beside 3-column appended deltas; the

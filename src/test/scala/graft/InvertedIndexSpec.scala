@@ -504,6 +504,47 @@ class InvertedIndexSpec extends SparkSpec {
       "compact must shed dead terms' dictionary keys")
   }
 
+  test("de-synced meta/suggest lockstep detected at load: probe falls back to the termDf route") {
+    // the r14 verdict's comment-only invariant, now a verified check:
+    // save/append keep one suggestmeta ledger row per suggest delta, and
+    // load() compares it against the meta row count instead of trusting
+    // the write sites
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-desync").toString
+    val docs = Seq(
+      (1L, "spark scan table"),
+      (2L, "spork merge"),
+      (3L, "spark merge join")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    InvertedIndex.save(InvertedIndex.build(docs), dir)
+    InvertedIndex.append(dir, Seq((4L, "spars rows")).toDF("doc_id", "text"))
+    // lockstep INTACT (ledger == meta == 2): the dictionary serves with
+    // merged dfs, still no vocabulary-wide termdf join in the plan
+    val intact = InvertedIndex.suggestTerms(
+      InvertedIndex.load(spark, dir), Seq("spark"), 3)
+    val intactRows = rows(intact)
+    assert(!intact.queryExecution.executedPlan.toString.contains("termdf"),
+      "verified-lockstep dictionary must not route df through termdf")
+    // a FUTURE writer breaks the lockstep: a meta row lands with no
+    // suggest delta (simulated as a raw parquet append). Pre-r15 this
+    // flipped the merge decision silently; now load detects the mismatch.
+    Seq((0L, 0L)).toDF("n", "sdl").write.mode("append").parquet(s"$dir/meta")
+    val desynced = InvertedIndex.load(spark, dir)
+    val served = InvertedIndex.suggestTerms(desynced, Seq("spark"), 3)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("suggest"),
+      "fallback still prunes the persisted key dictionary")
+    assert(plan.contains("termdf"),
+      "de-synced dictionary must re-derive df through the termDf join")
+    // dfs and ranking equal the per-call derivation (the always-correct
+    // route) — and the intact serve agreed with it too
+    val derived = rows(InvertedIndex.suggestTerms(
+      desynced.copy(suggestKeys = None), Seq("spark"), 3))
+    assert(rows(served) == derived && intactRows == derived)
+  }
+
   test("legacy df-less dictionary: coarse-grid pruning, layout-preserving append") {
     // simulate an r12 artifact: df-less dictionary rows under the
     // POSTING bucket grid. The probe must resolve the artifact's own
