@@ -333,6 +333,8 @@ object ScaleBench {
       .empty[String, (graft.operators.SimilaritySearch.IvfInt8Index, Int)]
     val embSrpIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.SimilaritySearch.SrpIndex]
+    val embPqIdx = scala.collection.mutable.Map
+      .empty[String, graft.operators.SimilaritySearch.IvfPqIndex]
     def ragQueries(dir: String): DataFrame =
       graft.queries.TextQueries.prepareRagEmb(spark, dir)
         .filter(pmod(col("cid"), lit(10000L)) === 0 &&
@@ -628,6 +630,25 @@ object ScaleBench {
           emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
             .select(col("vec_id")))
       },
+      // the 32×-compressed tier under the SAME ACL shapes, through the
+      // r15 metadata-resolved auto composition (selectivity-capped
+      // nprobe + √n refine): the configuration a 100 TB corpus actually
+      // serves filtered queries from — its exponents belong beside the
+      // float/int8/SRP rows
+      "pq_filtered_selective" -> { dir: String =>
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.SimilaritySearch.ivfProbePqRefinedAmongAuto(
+          embPqIdx(dir), emb, emb.filter(col("vec_id") < 10), k = 10,
+          emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
+            .select(col("vec_id")), selectivity = Some(1.0 / 128))
+      },
+      "pq_filtered_permissive" -> { dir: String =>
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.SimilaritySearch.ivfProbePqRefinedAmongAuto(
+          embPqIdx(dir), emb, emb.filter(col("vec_id") < 10), k = 10,
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+            .select(col("vec_id")), selectivity = Some(0.5))
+      },
       "hamming_filtered_selective" -> { dir: String =>
         val emb = Tables.embeddings(spark, dir)
         graft.operators.SimilaritySearch.hammingTopKAmongAuto(
@@ -883,6 +904,22 @@ object ScaleBench {
         embInt8Idx(dir) = (idx, nprobe)
       }
       builds("emb_ivf_int8_index") =
+        (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
+    }
+    if (familySelected("pq_filtered_selective") ||
+        familySelected("pq_filtered_permissive") ||
+        familySelected("ann_recall_filtered")) {
+      def mkIdx(dir: String): Unit = {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val (nlist, _) =
+          graft.operators.SimilaritySearch.ivfScaleParams(emb.count())
+        val idx = graft.operators.SimilaritySearch
+          .buildIvfPqIndex(emb, nlist = nlist, m = 8, ksub = 64)
+        idx.assigned.count()
+        embPqIdx(dir) = idx
+      }
+      builds("emb_ivf_pq_index") =
         (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
     }
     if (familySelected("hamming_filtered_selective") ||
@@ -1404,18 +1441,37 @@ object ScaleBench {
                 s"truth=${fmt(tTruth)}s")
               s""""nprobe_$np":{"recall":${fmt(r)},"probe_sec":${fmt(t)}}"""
             }
+            // the PQ tier's recall row beside the float grid (r15): the
+            // refined auto composition (selectivity-capped nprobe + √n
+            // refine) against the SAME filtered-brute truth — the
+            // compressed tier's filtered dial measured, not asserted
+            val pqIdx = embPqIdx(dir)
+            var pqProbe: DataFrame = null
+            val tPq = timeIt {
+              pqProbe = SimilaritySearch.ivfProbePqRefinedAmongAuto(
+                pqIdx, emb, queries, K, allowed,
+                selectivity = Some(sel)).persist()
+              pqProbe.count(); ()
+            }
+            val rPq = recallAtK(truth, pqProbe)
+            pqProbe.unpersist()
+            println(s"SCALEFILTER $tag $fname n=$n pq_auto " +
+              s"recall=${fmt(rPq)} probe=${fmt(tPq)}s")
             truth.unpersist()
             s""""$fname":{"truth_sec":${fmt(tTruth)},"nprobe_auto":$npAuto,""" +
-              dialParts.mkString("", ",", "}")
+              (dialParts :+
+                s""""pq_auto":{"recall":${fmt(rPq)},"probe_sec":${fmt(tPq)}}""")
+                .mkString("", ",", "}")
           }
           queries.unpersist(); emb.unpersist()
           s""""$tag":{"n":$n,"nlist":$nlist,"nprobe_policy":$nprobePolicy,""" +
             parts.mkString("", ",", "}")
         }.mkString("{", ",", "}")
       }
-    // last consumer of the shared IVF artifact is done (see the release
+    // last consumer of the shared IVF artifacts is done (see the release
     // block after the results loop)
     embIvfIdx.values.foreach(_._1.assigned.unpersist())
+    embPqIdx.values.foreach(_.unpersist())
 
     // embjson DSv2 source at the sizes it exists for (round-9 verdict
     // item 2): the connector's three value claims — constant-memory

@@ -1727,6 +1727,49 @@ object SimilaritySearch {
     ivfProbeInt8Among(index, queries, k, np, allowed, idCol, vecCol)
   }
 
+  /** The PQ twin of [[ivfProbeAmongAuto]] (r15 — the 32×-compressed tier
+    * joins the auto-dial family; [[filteredNprobeParam]]'s conservation
+    * argument is layout-independent: nprobe/s restores allowed-candidate
+    * volume whether candidates are floats, int8 codes, or PQ codes, and
+    * the scored volume never exceeds the unfiltered policy's).
+    */
+  def ivfProbePqAmongAuto(
+      index: IvfPqIndex, queries: DataFrame, k: Int, allowed: DataFrame,
+      selectivity: Option[Double] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val np = filteredNprobeParam(index.centers.length,
+      resolveSelectivity(selectivity, allowed, index.assigned, idCol))
+    ivfProbePqAmong(index, queries, k, np, allowed, idCol, vecCol)
+  }
+
+  /** [[ivfProbePqRefinedAmong]] with BOTH dials resolved from metadata —
+    * the production compressed-tier filtered probe a caller gets by
+    * following the types: nprobe widens with the filter's selectivity
+    * ([[filteredNprobeParam]], derived from the index when not given)
+    * and the refine shortlist width follows [[refineScaleParam]] (base
+    * 4, the PQ family dial) from the index's stamped n. The dials
+    * COMPOSE: the widened probe restores allowed-candidate volume into
+    * the ADC scan, then the √n shortlist rides it into the exact
+    * re-rank. Recall is monotone in refine (a wider shortlist is a
+    * superset and the exact re-rank cannot evict a true neighbor);
+    * widening nprobe restores candidate VOLUME — unlike the float tier,
+    * the shortlist cut is on the ADC estimate, so the nprobe axis is
+    * the conservation guarantee (never score less allowed volume than
+    * the unfiltered policy), not a per-query monotonicity proof. At the
+    * nlist cap with a shortlist covering the allowed set, the probe is
+    * EXACTLY the filtered brute ranking (spec-pinned).
+    */
+  def ivfProbePqRefinedAmongAuto(
+      index: IvfPqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+      allowed: DataFrame, selectivity: Option[Double] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val np = filteredNprobeParam(index.centers.length,
+      resolveSelectivity(selectivity, allowed, index.assigned, idCol))
+    val n = if (index.n >= 0) index.n else corpus.count()
+    ivfProbePqRefinedAmong(index, corpus, queries, k, np,
+      refineScaleParam(n, base = 4), allowed, idCol, vecCol)
+  }
+
   private def resolveSelectivity(selectivity: Option[Double],
       allowed: DataFrame, assigned: DataFrame,
       allowedIdCol: String): Double =

@@ -196,6 +196,53 @@ class SimilaritySearchSpec extends SparkSpec {
     truth.unpersist()
   }
 
+  test("PQ auto dials: policy-resolved nprobe + √n refine; full width equals filtered brute") {
+    import SimilaritySearch.filteredNprobeParam
+    val queries = emb.filter(col("vec_id") < 5)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val idx = SimilaritySearch.buildIvfPqIndex(emb, nlist = 8, m = 8,
+      ksub = 16)
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    def full(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // derived selectivity ≈ 1/3 → ceil(policy 4 / s) caps at nlist = 8:
+    // the ADC auto probe must equal the explicit all-cells probe
+    assert(filteredNprobeParam(8, 167.0 / 500.0) == 8)
+    val gotAdc = ids(SimilaritySearch
+      .ivfProbePqAmongAuto(idx, queries, 5, allowed))
+    assert(gotAdc.nonEmpty && gotAdc == ids(SimilaritySearch
+      .ivfProbePqAmong(idx, queries, 5, nprobe = 8, allowed)))
+    // refined auto == the explicit composition (nprobe from the dial,
+    // refine from the index's stamped n)
+    val refine = SimilaritySearch.refineScaleParam(idx.n, base = 4)
+    val gotRef = full(SimilaritySearch
+      .ivfProbePqRefinedAmongAuto(idx, emb, queries, 5, allowed))
+    assert(gotRef == full(SimilaritySearch.ivfProbePqRefinedAmong(
+      idx, emb, queries, 5, nprobe = 8, refine, allowed)))
+    // FULL WIDTH: all cells probed + a shortlist covering every allowed
+    // candidate ⇒ the exact re-rank IS the filtered brute ranking,
+    // cosines included (pre-filter semantics proven end-to-end on the
+    // compressed tier)
+    val brute = full(SimilaritySearch
+      .bruteForceTopKAmong(emb, queries, 5, allowed))
+    assert(full(SimilaritySearch.ivfProbePqRefinedAmong(
+      idx, emb, queries, 5, nprobe = 8, refine = 200, allowed)) == brute)
+    // the auto composition's recall sits at/above the fixed policy's
+    // (measured on this corpus; the volume-conservation dial at work)
+    def recall(df: org.apache.spark.sql.DataFrame) = {
+      val b = brute.map(t => (t._1, t._3)).toSet
+      ids(df).count(t => b.contains((t._1, t._3))).toDouble / brute.size
+    }
+    val rFixed = recall(SimilaritySearch.ivfProbePqRefinedAmong(
+      idx, emb, queries, 5, SimilaritySearch.policyNprobe(8), 4, allowed))
+    val rAuto = recall(SimilaritySearch
+      .ivfProbePqRefinedAmongAuto(idx, emb, queries, 5, allowed))
+    assert(rAuto >= rFixed - 1e-9, s"auto $rAuto < fixed $rFixed")
+    idx.unpersist()
+  }
+
   test("hard negatives: full-width shortlist equals exact filter-then-top-k") {
     import graft.functions.VecOps
     val n = emb.count().toInt
