@@ -1087,10 +1087,16 @@ object SimilaritySearch {
     * never touches the original floats.
     */
   def encodePq(book: PqCodebook, corpus: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), encodePqUdf(book)(col(vecCol)).as("__e"))
+      .select(col(idCol), col("__e._1").as("codes"), col("__e._2").as("rnorm"))
+
+  /** The row-local PQ encode UDF — one definition shared by [[encodePq]]
+    * and the fused [[assignAndEncodePq]] pass. */
+  private def encodePqUdf(book: PqCodebook) = {
     val centers = book.centers
     val m = book.m; val dsub = book.dsub
-    val enc = udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Float]) =>
       val codes = new Array[Byte](m)
       var n2 = 0.0
       var sub = 0
@@ -1111,8 +1117,6 @@ object SimilaritySearch {
       }
       (codes, math.sqrt(n2))
     }
-    corpus.select(col(idCol), enc(col(vecCol)).as("__e"))
-      .select(col(idCol), col("__e._1").as("codes"), col("__e._2").as("rnorm"))
   }
 
   /** IVF + product quantizer (the classic IVF-PQ layout): sub-linear
@@ -1140,13 +1144,57 @@ object SimilaritySearch {
     val float = buildIvfIndex(corpus, nlist, seed, idCol, vecCol, trainSample,
       persist = false)
     val book = trainPqCodebook(corpus, m, ksub, seed, idCol, vecCol)
-    val assigned = float.assigned.select(col("neighbor_id"), col("cell"))
-      .join(encodePq(book, corpus, idCol, vecCol)
-        .select(col(idCol).as("neighbor_id"), col("codes"), col("rnorm")),
-        "neighbor_id")
+    // ONE fused pass (r15): assignment and PQ encoding are both per-row
+    // functions of the same vector — the earlier assign⋈encode join
+    // scanned the corpus twice and shuffled both projections for nothing
+    val assigned = assignAndEncodePq(corpus, float.centers, book,
+      idCol, vecCol)
     IvfPqIndex(float.centers, book,
       if (persist) assigned.persist() else assigned,
       n = corpus.count())
+  }
+
+  /** ONE pass computing the IVF-PQ inverted-file row — nearest-center
+    * assignment AND PQ encoding in a single select over the corpus (the
+    * [[assignAndQuantizeInt8]] discipline). Shared by [[buildIvfPqIndex]]
+    * and the streaming ingest
+    * ([[graft.streaming.StreamingVecIndex.applyBatchPq]]).
+    */
+  private[graft] def assignAndEncodePq(vecs: DataFrame,
+      centers: Array[Array[Double]], book: PqCodebook,
+      idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("neighbor_id"),
+        assignUdf(centers)(col(vecCol)).as("cell"),
+        encodePqUdf(book)(col(vecCol)).as("__e"))
+      .select(col("neighbor_id"), col("cell"), col("__e._1").as("codes"),
+        col("__e._2").as("rnorm"))
+
+  /** The PQ codebook relation writers/readers — ONE (sub, code, center)
+    * layout shared by the batch artifact ([[saveIvfPqIndex]] /
+    * [[loadIvfPqIndex]]) and the streamed one
+    * ([[graft.streaming.StreamingVecIndex]]'s frozen codebook), so the
+    * two lifecycles cannot drift.
+    */
+  private[graft] def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+      book: PqCodebook, dir: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (codes, sub) <- book.centers.zipWithIndex
+      (ctr, code) <- codes.zipWithIndex
+    } yield (sub, code, ctr.toSeq)
+    rows.toSeq.toDF("sub", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  private[graft] def readCodebook(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqCodebook = {
+    val rows = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val centers = Array.tabulate(m) { sub =>
+      rows.filter(_._1 == sub).sortBy(_._2).map(_._3)
+    }
+    PqCodebook(m, centers.head.head.length, centers)
   }
 
   /** Probe an IVF-PQ index via asymmetric distance computation (ADC):
@@ -1254,12 +1302,7 @@ object SimilaritySearch {
     index.centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
-    val book = for {
-      (codes, sub) <- index.book.centers.zipWithIndex
-      (ctr, code) <- codes.zipWithIndex
-    } yield (sub, code, ctr.toSeq)
-    book.toSeq.toDF("sub", "code", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    writeCodebook(spark, index.book, dir)
     Seq(Tuple1(index.n)).toDF("n")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -1272,13 +1315,7 @@ object SimilaritySearch {
     val centers = spark.read.parquet(s"$dir/centers").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    val bookRows = spark.read.parquet(s"$dir/codebook").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val m = bookRows.map(_._1).max + 1
-    val bookCenters = Array.tabulate(m) { sub =>
-      bookRows.filter(_._1 == sub).sortBy(_._2).map(_._3)
-    }
-    val dsub = bookCenters.head.head.length
+    val book = readCodebook(spark, dir)
     val rawAssigned = spark.read.parquet(s"$dir/assigned")
       .select(col("neighbor_id"), col("codes"), col("rnorm"), col("cell"))
     val tombstoned = annTombstones(spark, dir).isDefined
@@ -1294,7 +1331,7 @@ object SimilaritySearch {
           .exists(metaPath))
         spark.read.parquet(s"$dir/meta").collect()(0).getLong(0)
       else assigned.count()
-    IvfPqIndex(centers, PqCodebook(m, dsub, bookCenters),
+    IvfPqIndex(centers, book,
       if (persist) assigned.persist() else assigned, n)
   }
 

@@ -1311,6 +1311,61 @@ object EngineQueries extends QueryPack {
       CAST(floor(cos * 1000000.0) AS BIGINT) AS cosine_q
     FROM ranked WHERE rn <= 5 ORDER BY query_id, rn"""))
 
+  // ---- STREAMED PQ ingest parity (r15 — the int8 extension proved the
+  //      segment machinery schema-agnostic; this gate proves the ENCODE
+  //      step streams too): the corpus lands as three applyBatchPq
+  //      deltas under quantizers FROZEN from the session's batch-built
+  //      PQ index (coarse centers + PQ codebook), with a manifest-
+  //      committed merge mid-stream; both indexes are probed with the
+  //      same metadata-resolved auto policy and the contract is
+  //      IDENTICAL result lists, stated as constants (the
+  //      annIvfPqArtifactParity discipline). Frozen quantizers +
+  //      row-local encode + disjoint batch ids ⇒ streamed ≡ rebuilt —
+  //      any drift (a re-trained codebook, a lost segment, a wrong n
+  //      changing the refine dial, codes damaged in the merge fold)
+  //      breaks the hash. ----
+  def prepareStreamPqIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): SimilaritySearch.IvfPqIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"stream_pq_index:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-svec-pq-gate").toString
+      val built = prepareIvfPqIndex(s, d)
+      graft.streaming.StreamingVecIndex.freezePq(s, dir, built.centers,
+        built.book)
+      val emb = Tables.embeddings(s, d)
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingVecIndex.applyBatchPq(
+          emb.filter(pmod(col("vec_id"), lit(3L)) === b), b, dir)
+        graft.streaming.StreamingVecIndex.maybeMerge(s, dir, 2, b)
+      }
+      val idx = graft.streaming.StreamingVecIndex.loadPq(s, dir)
+      idx.assigned.count() // materialize once — probes time the join
+      idx
+    }(_.unpersist())
+  private val annStreamPqParity = OracleQuery(
+    "vx_stream_ann_pq_parity",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val direct = SimilaritySearch
+        .ivfProbePqRefinedAuto(prepareIvfPqIndex(s, d), emb, q, k = 5)
+      val streamed = SimilaritySearch
+        .ivfProbePqRefinedAuto(prepareStreamPqIndex(s, d), emb, q, k = 5)
+      direct.as("a").join(streamed.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.rn") === col("b.rn"), "full_outer")
+        .agg(
+          (count(col("a.query_id")) - count(col("b.query_id")))
+            .cast("long").as("count_diff"),
+          sum(when(col("a.neighbor_id").isNull ||
+              col("b.neighbor_id").isNull ||
+              col("a.neighbor_id") =!= col("b.neighbor_id") ||
+              col("a.cosine") =!= col("b.cosine"), lit(1L))
+            .otherwise(lit(0L))).cast("long").as("n_mismatch"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS count_diff,
+      CAST(0 AS BIGINT) AS n_mismatch"""))
+
   // ---- retrieval-eval harness (operators/RetrievalEval): the REAL IVF
   //      probe result list scored per-query against exact brute-force
   //      ground truth over the SAME frozen-quantizer corpus — recall@5,
@@ -2981,7 +3036,7 @@ object EngineQueries extends QueryPack {
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,
     annBrute, annBruteQuantized, annBruteFilteredQuantized,
     annAutoFilteredQuantized,
-    annLsh, annIvf, annIvfProbe, annStreamIngest,
+    annLsh, annIvf, annIvfProbe, annStreamIngest, annStreamPqParity,
     retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,

@@ -144,6 +144,46 @@ object StreamingVecIndex {
       centers => SimilaritySearch // ONE pass: assign + quantize fused
         .assignAndQuantizeInt8(batch, centers, idCol, vecCol))
 
+  /** Freeze the PQ tier's SECOND quantizer beside the coarse centers —
+    * the bootstrap for [[applyBatchPq]] (run once, before the stream):
+    * persists `centers/` and `codebook/` in the
+    * [[SimilaritySearch.saveIvfPqIndex]] layout. Train both offline
+    * (usually one [[SimilaritySearch.buildIvfPqIndex]] over a history
+    * sample); streaming ingest never retrains EITHER quantizer — frozen
+    * centers make cells replay-stable, a frozen codebook makes codes
+    * replay-stable, and together they are the append ≡ rebuild argument
+    * on the compressed tier.
+    */
+  def freezePq(spark: SparkSession, dir: String,
+      centers: Array[Array[Double]],
+      book: SimilaritySearch.PqCodebook): Unit = {
+    freezeCenters(spark, dir, centers)
+    SimilaritySearch.writeCodebook(spark, book, dir)
+  }
+
+  /** [[applyBatch]] for the 32×-compressed tier: the batch assigns under
+    * the frozen centers AND encodes against the frozen codebook in one
+    * fused pass ([[SimilaritySearch.assignAndEncodePq]]), landing in the
+    * IVF-PQ inverted-file schema (neighbor_id, cell, codes, rnorm).
+    * Encoding is row-local under a frozen codebook, so the idempotence
+    * and append-equals-rebuild arguments carry over verbatim; the
+    * segment machinery (merge, manifest, orphan sweep, tombstones) is
+    * schema-agnostic and shared. Same disjoint-ids caller contract.
+    */
+  def applyBatchPq(batch: DataFrame, batchId: Long, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val (fs, root) = fsFor(spark, dir)
+    require(fs.exists(new Path(root, "codebook")),
+      s"no frozen PQ codebook at $dir/codebook — run freezePq first " +
+        "(streaming ingest never trains; a per-batch codebook would " +
+        "break replay idempotence and make codes batch-dependent)")
+    val book = SimilaritySearch.readCodebook(spark, dir)
+    writeDelta(batch, batchId, dir, idCol,
+      centers => SimilaritySearch
+        .assignAndEncodePq(batch, centers, book, idCol, vecCol))
+  }
+
   /** The streaming writer: attach a checkpoint and `.start()` (or
     * `.trigger(AvailableNow)` for catch-up). foreachBatch because the
     * delta is batch-relational (one assignment pass + a partitioned
@@ -289,5 +329,30 @@ object StreamingVecIndex {
   /** [[compactTo]] for an int8-ingested directory. */
   def compactToInt8(spark: SparkSession, dir: String, outDir: String): Unit =
     SimilaritySearch.saveIvfInt8Index(loadInt8(spark, dir, persist = false),
+      outDir)
+
+  /** [[load]] for an [[applyBatchPq]]-ingested directory: the same
+    * live-segment scoping and tombstone application, assembled as the
+    * IVF-PQ serving index with the frozen codebook. `n` — the auto
+    * refine dial's input — counts the LIVE relation (one bounded
+    * load-time job, the [[SimilaritySearch.loadIvfPqIndex]] survivors
+    * discipline): a streamed artifact has no single build-time n, and
+    * the dial must describe what the probe can actually see.
+    */
+  def loadPq(spark: SparkSession, dir: String,
+      persist: Boolean = true): SimilaritySearch.IvfPqIndex = {
+    val assigned = liveAssigned(spark, dir,
+      Seq("neighbor_id", "codes", "rnorm", "cell"), persist)
+    SimilaritySearch.IvfPqIndex(loadCenters(spark, dir),
+      SimilaritySearch.readCodebook(spark, dir), assigned,
+      n = assigned.count())
+  }
+
+  /** [[compactTo]] for a PQ-ingested directory — folds into the batch
+    * [[SimilaritySearch.saveIvfPqIndex]] layout (codes, codebook, and
+    * the survivor-counted n metadata travel with it).
+    */
+  def compactToPq(spark: SparkSession, dir: String, outDir: String): Unit =
+    SimilaritySearch.saveIvfPqIndex(loadPq(spark, dir, persist = false),
       outDir)
 }

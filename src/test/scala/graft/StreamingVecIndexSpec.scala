@@ -185,4 +185,62 @@ class StreamingVecIndexSpec extends SparkSpec {
     assert(probe8(SimilaritySearch.loadIvfInt8Index(spark, folded,
       persist = false)) == probe8(int8Rebuild(survivors)))
   }
+
+  test("PQ streamed ingest: codes equal a same-codebook build; merge, replay, takedown, fold hold") {
+    val (dir, _) = freshDirs("pq")
+    // no frozen codebook: the PQ tier refuses loudly, never trains
+    intercept[IllegalArgumentException] {
+      StreamingVecIndex.applyBatchPq(emb.limit(5), 0L, dir)
+    }
+    // BOTH quantizers frozen from one offline build (the bootstrap)
+    val built = SimilaritySearch.buildIvfPqIndex(emb, nlist = 8, m = 8,
+      ksub = 16, persist = false)
+    StreamingVecIndex.freezePq(spark, dir, built.centers, built.book)
+    (0 to 3).foreach { b =>
+      StreamingVecIndex.applyBatchPq(
+        emb.filter(pmod(col("vec_id"), lit(4L)) === b), b.toLong, dir)
+      StreamingVecIndex.maybeMerge(spark, dir, threshold = 2, b.toLong)
+    }
+    def probePq(idx: SimilaritySearch.IvfPqIndex,
+        corpus: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.ivfProbePqRefined(idx, corpus, queries, k = 5,
+          nprobe = 3, refine = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // reference: the same frozen centers + codebook over the full corpus
+    def pqRebuild(corpus: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.IvfPqIndex(built.centers, built.book,
+        SimilaritySearch.assignAndEncodePq(corpus, built.centers,
+          built.book, "vec_id", "embedding"), n = corpus.count())
+    val streamed = StreamingVecIndex.loadPq(spark, dir, persist = false)
+    assert(streamed.n == emb.count(), "loadPq n must count the live rows")
+    val want = probePq(pqRebuild(emb), emb)
+    assert(want.nonEmpty && probePq(streamed, emb) == want,
+      "PQ streamed index diverged from same-codebook rebuild")
+    assert(StreamingVecIndex.liveSegments(spark, dir).exists(_ < 0),
+      "expected a committed merge fold")
+    // replay idempotence holds on the encoded tier (frozen codebook ⇒
+    // byte-identical codes on re-delivery)
+    StreamingVecIndex.applyBatchPq(
+      emb.filter(pmod(col("vec_id"), lit(4L)) === 3), 3L, dir)
+    assert(StreamingVecIndex.loadPq(spark, dir, persist = false)
+      .assigned.count() == emb.count())
+    // takedown on the compressed streamed layout; n tracks survivors
+    val dead = Seq(7L, 11L)
+    SimilaritySearch.deleteFromAnnIndex(spark, dir, dead)
+    val survivors = emb.filter(!col("vec_id").isin(dead: _*))
+    val tombstoned = StreamingVecIndex.loadPq(spark, dir, persist = false)
+    assert(tombstoned.n == emb.count() - 2)
+    assert(probePq(tombstoned, survivors) ==
+      probePq(pqRebuild(survivors), survivors))
+    // compactToPq folds into the batch IVF-PQ artifact: probe-equal,
+    // survivor-counted n metadata travels
+    val folded = java.nio.file.Files
+      .createTempDirectory("graft-svec-pqfold").toString
+    StreamingVecIndex.compactToPq(spark, dir, folded)
+    val loadedFold = SimilaritySearch.loadIvfPqIndex(spark, folded,
+      persist = false)
+    assert(loadedFold.n == emb.count() - 2)
+    assert(probePq(loadedFold, survivors) ==
+      probePq(pqRebuild(survivors), survivors))
+  }
 }
