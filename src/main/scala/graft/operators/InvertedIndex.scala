@@ -1013,6 +1013,140 @@ object InvertedIndex {
     qlTopKOver(idx, terms, k, mu,
       Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
 
+  /** Batch QL: rank MANY queries in one posting pass — the
+    * [[bm25ScoresByQuery]] many-queries-one-scan organization on the
+    * Dirichlet ranker (r15; before this, a RAG evaluation ranking by QL
+    * paid one Spark job per query through [[qlTopK]]'s Seq[String]
+    * shape). `queries` is a (queryIdCol, termCol) relation, one row per
+    * query-term OCCURRENCE (bag semantics, like the BM25 batch form);
+    * the result is (query_id, doc_id, score_q), ≤ k rows per query,
+    * each query's rows EXACTLY what [[qlTopK]] returns for its term bag
+    * alone (same exact-decimal boundary, same BigDecimal collection
+    * constant, same tiebreak — spec- and gate-pinned).
+    *
+    * Scale: the query relation is the small side by contract — its
+    * per-(query, term) statistics come from ONE bounded collect (the
+    * batch-WAND planner's discipline) and broadcast back; the posting
+    * scan prunes to the union of the queries' term buckets, so cost ∝
+    * matched postings, never corpus × queries. Collection stats (ctf,
+    * |C|) are corpus-wide per the QL contract. Queries with NO term in
+    * the collection return no rows (the single-query form refuses
+    * loudly; a batch must not die for one bad query).
+    */
+  def qlTopKByQuery(idx: LexIndex, queries: DataFrame, k: Int,
+      queryIdCol: String = "query_id", termCol: String = "term",
+      mu: Double = 2000.0): DataFrame =
+    qlTopKByQueryOver(idx, queries, k, queryIdCol, termCol, mu, None)
+
+  /** [[qlTopKByQuery]] restricted to an allowed document set — the
+    * multi-tenant batch shape on the LM ranker ([[qlTopKAmong]]'s
+    * placement: collection stats stay corpus-wide, the semi-join lands
+    * on the pruned posting scan before any per-doc scoring).
+    */
+  def qlTopKByQueryAmong(idx: LexIndex, queries: DataFrame, k: Int,
+      allowed: DataFrame, idCol: String = "doc_id",
+      queryIdCol: String = "query_id", termCol: String = "term",
+      mu: Double = 2000.0): DataFrame =
+    qlTopKByQueryOver(idx, queries, k, queryIdCol, termCol, mu,
+      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+
+  private def qlTopKByQueryOver(idx: LexIndex, queries: DataFrame, k: Int,
+      queryIdCol: String, termCol: String, mu: Double,
+      allowed: Option[DataFrame]): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(mu > 0.0, s"mu must be > 0, got $mu")
+    require(idx.sdl > 0, "empty collection")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
+    val qidField = qterms.schema("query_id")
+    val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+      qidField.copy(name = "query_id"),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score_q",
+        org.apache.spark.sql.types.LongType)))
+    // ONE bounded collect (∝ the query relation): per-(query, distinct
+    // term) bag weights joined with the pruned scan's collection stats
+    val wdf = qterms.groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("__qw"))
+    val termList = wdf.select(col("term")).distinct().as[String]
+      .collect().toSeq
+    require(termList.nonEmpty, "empty query relation")
+    val pruned = prunedPostings(idx, termList)
+    val ctf = termList.toDF("term")
+      .join(pruned.groupBy(col("term")).agg(sum(col("tf")).as("__ctf")),
+        Seq("term"), "left")
+    val statRows = wdf.join(ctf, Seq("term"))
+      .select(col("query_id"), col("term"), col("__qw"),
+        (coalesce(col("__ctf"), lit(0L)).cast("double") /
+          lit(idx.sdl.toDouble)).as("__pc"))
+      .collect()
+    // per-query constants, derived DRIVER-SIDE with qlTopKOver's exact
+    // BigDecimal discipline so the batch scores are bit-equal per query
+    val live = statRows.filter(_.getDouble(3) > 0.0)
+    if (live.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        resultSchema)
+    val constRows: Seq[org.apache.spark.sql.Row] =
+      live.groupBy(_.get(0)).map { case (qid, rows) =>
+        val a = rows.map(r =>
+          BigDecimal(math.log(mu * r.getDouble(3)))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP) * r.getLong(2))
+          .sum.toDouble
+        org.apache.spark.sql.Row(qid, a, rows.map(_.getLong(2)).sum)
+      }.toSeq
+    val constSchema = org.apache.spark.sql.types.StructType(Seq(
+      qidField.copy(name = "query_id"),
+      org.apache.spark.sql.types.StructField("__a",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("__m",
+        org.apache.spark.sql.types.LongType)))
+    val consts = spark.createDataFrame(
+      java.util.Arrays.asList(constRows: _*), constSchema)
+    val pcSchema = org.apache.spark.sql.types.StructType(Seq(
+      qidField.copy(name = "query_id"),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__qw",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__pc",
+        org.apache.spark.sql.types.DoubleType)))
+    val pcDf = spark.createDataFrame(
+      java.util.Arrays.asList(live.map(r => org.apache.spark.sql.Row(
+        r.get(0), r.getString(1), r.getLong(2), r.getDouble(3))): _*),
+      pcSchema)
+    // matched (doc, query, term) rows: the only per-doc work; the
+    // allowed restriction lands on the pruned scan, after the
+    // corpus-wide collection stats above, before scoring
+    val matched = allowed.fold(pruned)(a =>
+        pruned.join(a, Seq("doc_id"), "left_semi"))
+      .join(broadcast(pcDf), Seq("term"))
+      .join(idx.docLens, Seq("doc_id"))
+      .withColumn("__adj",
+        col("__qw").cast("double") *
+        log((col("tf").cast("double") + lit(mu) * col("__pc")) /
+            (lit(mu) * col("__pc"))))
+    val scored = matched.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__adj").cast(
+          org.apache.spark.sql.types.DecimalType(27, 12)))
+        .cast("double").as("__s"), first(col("dl")).as("__dl"))
+      .join(broadcast(consts), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        floor((col("__s") + col("__a") -
+          col("__m").cast("double") *
+            log(col("__dl").cast("double") + lit(mu)))
+          * lit(1000000.0)).cast("long").as("score_q"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    scored.withColumn("__rn", row_number().over(byScore))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_q"))
+  }
+
   private def qlTopKOver(idx: LexIndex, terms: Seq[String], k: Int,
       mu: Double, allowed: Option[DataFrame]): DataFrame = {
     require(terms.nonEmpty, "empty query")

@@ -739,6 +739,72 @@ object TextQueries extends QueryPack {
     GROUP BY adj.doc_id, qsum.a, qsum.m, dl.dl
     ORDER BY score_q DESC, adj.doc_id LIMIT 10"""))
 
+  // ---- BATCH QL serving (r15): many queries ranked by Dirichlet QL in
+  //      ONE posting pass — before qlTopKByQuery, a RAG evaluation
+  //      ranking by QL paid one Spark job per query. Two adversarially
+  //      different query shapes share the scan (the 3 rarest terms and
+  //      the 3 most frequent); the oracle replays the single-query
+  //      Dirichlet scoring INDEPENDENTLY per query and unions — so the
+  //      hash proves per-query equality with t_ql_topk's algebra, the
+  //      batch organization changing no score bit ----
+  private def qlBatchOracleSql: String = {
+    def perQuery(i: Int, order: String) = s"""q$i AS (
+      SELECT w FROM dft ORDER BY $order LIMIT 3
+    ), pc$i AS (
+      SELECT q$i.w, CAST(SUM(tf.tf) AS DOUBLE) / CAST(sdl.sdl AS DOUBLE) AS pc
+      FROM q$i JOIN tf ON tf.w = q$i.w CROSS JOIN sdl
+      GROUP BY q$i.w, sdl.sdl
+    ), qsum$i AS (
+      SELECT CAST(SUM(CAST(ln(2000.0 * pc) AS DECIMAL(27, 12))) AS DOUBLE)
+          AS a,
+        CAST(COUNT(*) AS BIGINT) AS m
+      FROM pc$i WHERE pc > 0
+    ), adj$i AS (
+      SELECT tf.doc_id,
+        ln((CAST(tf.tf AS DOUBLE) + 2000.0 * pc.pc) / (2000.0 * pc.pc)) AS s
+      FROM tf JOIN pc$i pc ON tf.w = pc.w
+    ), r$i AS (
+      SELECT CAST($i AS BIGINT) AS query_id, adj$i.doc_id,
+        CAST(floor((${DSUM("s", 27, 12)} + qsum$i.a -
+          CAST(qsum$i.m AS DOUBLE) * ln(CAST(dl.dl AS DOUBLE) + 2000.0))
+          * 1000000.0) AS BIGINT) AS score_q
+      FROM adj$i JOIN dl ON dl.doc_id = adj$i.doc_id CROSS JOIN qsum$i
+      GROUP BY adj$i.doc_id, qsum$i.a, qsum$i.m, dl.dl
+      ORDER BY score_q DESC, adj$i.doc_id LIMIT 10
+    )"""
+    s"""WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), sdl AS (
+      SELECT CAST(SUM(tf) AS BIGINT) AS sdl FROM tf
+    ), ${perQuery(0, "df, w")}, ${perQuery(1, "df DESC, w")}
+    SELECT query_id, doc_id, score_q
+    FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+    ORDER BY query_id, score_q DESC, doc_id"""
+  }
+  private val qlBatchTopK = OracleQuery(
+    "t_ql_batch_topk",
+    (s, d) => {
+      import s.implicits._
+      val idx = prepareLexIndex(s, d)
+      val rare = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val freq = idx.termDf.orderBy(col("df").desc, col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val queries = (rare.map((0L, _)) ++ freq.map((1L, _)))
+        .toDF("query_id", "term")
+      graft.operators.InvertedIndex.qlTopKByQuery(idx, queries, 10)
+        .orderBy(col("query_id"), col("score_q").desc, col("doc_id"))
+    },
+    Some(qlBatchOracleSql))
+
   // ---- continuous index ingest (StreamingLexIndex): the corpus arrives
   //      as MICRO-BATCH deltas (3 disjoint slices here — batch mode IS
   //      foreachBatch's semantics; StreamingLexIndexSpec pins the
@@ -4268,7 +4334,7 @@ object TextQueries extends QueryPack {
     bm25BatchWandFiltered,
     bm25Tombstone, bm25StreamIngest, streamIngestWand,
     streamIngestTombstone,
-    qlTopKGate, qlFilteredTopK, phraseFilteredTopK,
+    qlTopKGate, qlFilteredTopK, qlBatchTopK, phraseFilteredTopK,
     lexIndexStats, lexFacets,
     phraseTopK, phraseSnips, proximityTopK, spellSuggest, bpeTokenizeStats,
     streamSnapshotChanges)

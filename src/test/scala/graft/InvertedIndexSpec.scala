@@ -504,6 +504,42 @@ class InvertedIndexSpec extends SparkSpec {
       "compact must shed dead terms' dictionary keys")
   }
 
+  test("qlTopKByQuery: batch ranking equals per-query qlTopK; Among twin; dead queries drop") {
+    val docs = Seq(
+      (1L, "spark table scan"), (2L, "table merge join"),
+      (3L, "spark join hash"), (4L, "scan scan scan table"),
+      (5L, "merge table spark"), (6L, "hash probe build"))
+      .toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs)
+    val q0 = Seq("table", "scan") // two live terms
+    val q1 = Seq("spark", "spark", "hash") // repeated term: bag weight 2
+    val queries = (q0.map((0L, _)) ++ q1.map((1L, _)) ++
+      Seq((2L, "zzz_unindexed"))).toDF("query_id", "term")
+    def sorted(rows: Seq[(Long, Long, Long)]) =
+      rows.sortBy(t => (t._1, -t._3, t._2))
+    def batchRows(df: org.apache.spark.sql.DataFrame) = sorted(df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    def perQuery(f: Seq[String] => org.apache.spark.sql.DataFrame) =
+      sorted(Seq(0L -> q0, 1L -> q1).flatMap { case (qid, ts) =>
+        f(ts).collect().map(r => (qid, r.getLong(0), r.getLong(1))).toSeq
+      })
+    val got = batchRows(InvertedIndex.qlTopKByQuery(idx, queries, 3))
+    assert(got.nonEmpty &&
+      got == perQuery(ts => InvertedIndex.qlTopK(idx, ts, 3)),
+      "batch QL diverged from per-query qlTopK")
+    // the all-unindexed query returns no rows instead of killing the
+    // batch (qlTopK's loud refusal is the right contract for ONE query,
+    // not for one bad query in a thousand)
+    assert(!got.exists(_._1 == 2L))
+    // the filtered twin equals per-query qlTopKAmong
+    val allowed = docs.filter($"doc_id" % 2 === 1).select($"doc_id")
+    val gotA = batchRows(
+      InvertedIndex.qlTopKByQueryAmong(idx, queries, 3, allowed))
+    assert(gotA.nonEmpty &&
+      gotA == perQuery(ts => InvertedIndex.qlTopKAmong(idx, ts, 3, allowed)),
+      "filtered batch QL diverged from per-query qlTopKAmong")
+  }
+
   test("de-synced meta/suggest lockstep detected at load: probe falls back to the termDf route") {
     // the r14 verdict's comment-only invariant, now a verified check:
     // save/append keep one suggestmeta ledger row per suggest delta, and
