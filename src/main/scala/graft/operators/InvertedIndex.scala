@@ -958,11 +958,35 @@ object InvertedIndex {
     * Returns `(facet, n_docs)` sorted by count desc, facet.
     */
   def facetCounts(idx: LexIndex, docs: DataFrame, terms: Seq[String],
-      facetCol: String, idCol: String = "doc_id"): DataFrame = {
+      facetCol: String, idCol: String = "doc_id"): DataFrame =
+    facetCountsOver(idx, docs, terms, facetCol, idCol, None)
+
+  /** [[facetCounts]] restricted to an allowed document set — the
+    * multi-tenant sidebar (r15): facet counts over the TENANT's
+    * candidates only. Without this, a filtered search UI pairs
+    * tenant-correct rankings ([[bm25TopKAmong]]) with corpus-global
+    * facet counts — a quiet leak: the sidebar's numbers reveal how many
+    * documents OTHER tenants hold per facet. The allowed semi-join
+    * rides the same pruned posting scan as the rankers, before the
+    * candidate distinct, so disallowed docs never reach the count.
+    */
+  def facetCountsAmong(idx: LexIndex, docs: DataFrame, terms: Seq[String],
+      facetCol: String, allowed: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    facetCountsOver(idx, docs, terms, facetCol, idCol,
+      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+
+  // one candidate+count definition for the filtered and unfiltered
+  // facets; None compiles to the exact plan facetCounts always had
+  private def facetCountsOver(idx: LexIndex, docs: DataFrame,
+      terms: Seq[String], facetCol: String, idCol: String,
+      allowed: Option[DataFrame]): DataFrame = {
     require(terms.nonEmpty, "empty query")
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    val candidates = prunedPostings(idx, terms)
+    val pruned = prunedPostings(idx, terms)
+    val candidates = allowed.fold(pruned)(a =>
+        pruned.join(a, Seq("doc_id"), "left_semi"))
       .join(broadcast(terms.distinct.toDF("term")), Seq("term"))
       .select(col("doc_id")).distinct()
     docs.select(col(idCol).as("doc_id"), col(facetCol).as("facet"))
@@ -1400,9 +1424,31 @@ object InvertedIndex {
     */
   def phraseSnippets(idx: LexIndex, docs: DataFrame, phrase: Seq[String],
       k: Int, context: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    phraseSnippetsOver(idx, docs, phrase, k, context, idCol, textCol, None)
+
+  /** [[phraseSnippets]] restricted to an allowed document set — the
+    * evidence panel beside [[phraseTopKAmong]]'s hit list (r15): without
+    * it, a filtered search UI would slice snippet candidates from docs
+    * the tenant cannot see. Pre-filter semantics: the allowed semi-join
+    * rides the pruned posting scan inside [[phraseAnchors]], before the
+    * positions explode — so the k snippet docs are the best ALLOWED
+    * hits, and disallowed docs never inflate the anchor shuffle or the
+    * text join.
+    */
+  def phraseSnippetsAmong(idx: LexIndex, docs: DataFrame,
+      phrase: Seq[String], k: Int, allowed: DataFrame, context: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    phraseSnippetsOver(idx, docs, phrase, k, context, idCol, textCol,
+      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+
+  // one anchor-rank + text-slice definition for the filtered and
+  // unfiltered snippet probes; None compiles to phraseSnippets' plan
+  private def phraseSnippetsOver(idx: LexIndex, docs: DataFrame,
+      phrase: Seq[String], k: Int, context: Int, idCol: String,
+      textCol: String, allowed: Option[DataFrame]): DataFrame = {
     require(context >= 0, s"context must be >= 0, got $context")
-    val top = phraseAnchors(idx, phrase).groupBy(col("doc_id"))
+    val top = phraseAnchors(idx, phrase, allowed).groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occ"),
         min(col("anchor")).cast("long").as("first_pos"))
       .orderBy(col("n_occ").desc, col("doc_id"))

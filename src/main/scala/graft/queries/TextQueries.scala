@@ -632,6 +632,42 @@ object TextQueries extends QueryPack {
     FROM cand JOIN documents d ON d.doc_id = cand.doc_id
     GROUP BY d.source ORDER BY n_docs DESC, facet"""))
 
+  // ---- FILTERED facet serving (r15 — the last corpus-global leak in a
+  //      multi-tenant UI: every ranker had its Among twin, but the
+  //      sidebar still counted candidates the tenant cannot see, and a
+  //      count is a disclosure). The allowed semi-join rides the same
+  //      pruned posting scan as the rankers; the oracle restricts the
+  //      candidate CTE to the allowed half ----
+  private val lexFacetsFiltered = OracleQuery(
+    "t_lex_facet_counts_filtered",
+    (s, d) => {
+      val idx = prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.InvertedIndex.facetCountsAmong(idx,
+        Tables.documents(s, d), terms, facetCol = "source",
+        allowed = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(2L)) === 0)
+          .select(col("doc_id")))
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), q AS (
+      SELECT w FROM dft ORDER BY df, w LIMIT 3
+    ), cand AS (
+      SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.w = q.w
+      WHERE tf.doc_id % 2 = 0
+    )
+    SELECT d.source AS facet, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM cand JOIN documents d ON d.doc_id = cand.doc_id
+    GROUP BY d.source ORDER BY n_docs DESC, facet"""))
+
   // ---- query-likelihood ranking (Dirichlet smoothing, Zhai & Lafferty
   //      2001) over the SAME persisted artifact BM25 serves from — the
   //      language-modeling ranker beside the probabilistic one. Same
@@ -1275,6 +1311,43 @@ object TextQueries extends QueryPack {
     Some("""WITH t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
       FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM t
+    ), occ AS (
+      SELECT a.doc_id, a.pos - 1 AS anchor
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.w = 'table' AND b.w = 'table'
+    ), top AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        CAST(MIN(anchor) AS BIGINT) AS first_pos
+      FROM occ GROUP BY doc_id
+      ORDER BY n_occ DESC, doc_id LIMIT 10
+    )
+    SELECT top.doc_id, top.n_occ, top.first_pos,
+      array_to_string(list_slice(t.ws,
+        greatest(top.first_pos - 3, 0) + 1,
+        greatest(top.first_pos - 3, 0) + 8), ' ') AS snippet
+    FROM top JOIN t ON t.doc_id = top.doc_id
+    ORDER BY top.n_occ DESC, top.doc_id"""))
+
+  // ---- FILTERED snippets (r15 — the evidence panel beside
+  //      phraseTopKAmong's hit list): the allowed semi-join rides the
+  //      pruned scan BEFORE the positions explode, so the k snippet
+  //      docs are the best ALLOWED hits and text is never sliced from a
+  //      doc the tenant cannot see. Oracle: the t_phrase_snippets
+  //      adjacency replay restricted to the allowed half ----
+  private val phraseSnipsFiltered = OracleQuery(
+    "t_phrase_snippets_filtered",
+    (s, d) => graft.operators.InvertedIndex.phraseSnippetsAmong(
+      preparePhraseIndex(s, d), Tables.documents(s, d),
+      Seq("table", "table"), k = 10,
+      allowed = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(2L)) === 0).select(col("doc_id")),
+      context = 3),
+    Some("""WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents WHERE doc_id % 2 = 0
     ), tok AS (
       SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
       FROM t
@@ -4335,7 +4408,8 @@ object TextQueries extends QueryPack {
     bm25Tombstone, bm25StreamIngest, streamIngestWand,
     streamIngestTombstone,
     qlTopKGate, qlFilteredTopK, qlBatchTopK, phraseFilteredTopK,
-    lexIndexStats, lexFacets,
-    phraseTopK, phraseSnips, proximityTopK, spellSuggest, bpeTokenizeStats,
+    lexIndexStats, lexFacets, lexFacetsFiltered,
+    phraseTopK, phraseSnips, phraseSnipsFiltered, proximityTopK,
+    spellSuggest, bpeTokenizeStats,
     streamSnapshotChanges)
 }

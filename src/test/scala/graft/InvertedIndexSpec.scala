@@ -94,6 +94,16 @@ class InvertedIndexSpec extends SparkSpec {
     val f2 = InvertedIndex.facetCounts(idx, docs, Seq("a"), "source")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(f2 == Seq("s1" -> 1L))
+    // filtered facets (r15): allowed = all reduces to the unfiltered
+    // counts bit-for-bit; a real filter counts ONLY allowed candidates
+    // (the tenant's sidebar must not disclose other tenants' volumes)
+    def fc(allowed: org.apache.spark.sql.DataFrame) =
+      InvertedIndex.facetCountsAmong(idx, docs, Seq("a", "c"), "source",
+        allowed).collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(fc(docs.select($"doc_id")) == f)
+    // allowed {2, 3}: candidates {2, 3} -> s1=1, s2=1
+    assert(fc(docs.filter($"doc_id" >= 2).select($"doc_id")) ==
+      Seq("s1" -> 1L, "s2" -> 1L))
   }
 
   test("qlTopK: Dirichlet query likelihood matches a direct replay; artifact parity") {
@@ -251,6 +261,23 @@ class InvertedIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       InvertedIndex.phraseSnippets(idx, docs, Seq.empty, 10)
     }
+    // filtered snippets (r15): allowed = all reduces to the unfiltered
+    // serve bit-for-bit; a real filter equals snippets over an index
+    // built on the allowed corpus alone (occurrence counts and slices
+    // are per-doc facts — pre-filter semantics, never a post-cut)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(rows(InvertedIndex.phraseSnippetsAmong(idx, docs,
+        Seq("big", "cat"), 10, docs.select($"doc_id"), context = 3)) ==
+      rows(InvertedIndex.phraseSnippets(idx, docs, Seq("big", "cat"), 10,
+        context = 3)))
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    assert(rows(InvertedIndex.phraseSnippetsAmong(idx, docs,
+        Seq("big", "cat"), 10, odd.select($"doc_id"), context = 3)) ==
+      rows(InvertedIndex.phraseSnippets(
+        InvertedIndex.build(odd, withPositions = true), odd,
+        Seq("big", "cat"), 10, context = 3)))
   }
 
   test("save/load probe is bit-identical to the in-memory probe") {
