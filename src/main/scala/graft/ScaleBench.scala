@@ -649,6 +649,29 @@ object ScaleBench {
           emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
             .select(col("vec_id")), selectivity = Some(0.5))
       },
+      // the r15 hybrid ensemble under the same ACL shapes: BOTH legs
+      // pre-filtered (bm25TopKAmong over the persisted lexical artifact
+      // + ivfProbeAmongAuto under the selectivity dial), RRF-fused —
+      // the serving verb that previously had to be hand-wired per
+      // caller; its exponents sit beside the individual legs'
+      "hybrid_filtered_selective" -> { dir: String =>
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.HybridRetrieval.rrfTopKAmong(
+          lexIdx(dir), bm25Terms, embIvfIdx(dir)._1,
+          emb.filter(col("vec_id") === 0), k = 10,
+          emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
+            .select(col("vec_id")),
+          legK = 100, selectivity = Some(1.0 / 128))
+      },
+      "hybrid_filtered_permissive" -> { dir: String =>
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.HybridRetrieval.rrfTopKAmong(
+          lexIdx(dir), bm25Terms, embIvfIdx(dir)._1,
+          emb.filter(col("vec_id") === 0), k = 10,
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+            .select(col("vec_id")),
+          legK = 100, selectivity = Some(0.5))
+      },
       "hamming_filtered_selective" -> { dir: String =>
         val emb = Tables.embeddings(spark, dir)
         graft.operators.SimilaritySearch.hammingTopKAmongAuto(
@@ -750,7 +773,9 @@ object ScaleBench {
         familySelected("suggest_probe") ||
         familySelected("suggest_probe_derived") ||
         familySelected("bm25_filtered_selective") ||
-        familySelected("bm25_filtered_permissive")) {
+        familySelected("bm25_filtered_permissive") ||
+        familySelected("hybrid_filtered_selective") ||
+        familySelected("hybrid_filtered_permissive")) {
       def mkIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx").toString
@@ -878,6 +903,8 @@ object ScaleBench {
     }
     if (familySelected("ivf_filtered_selective") ||
         familySelected("ivf_filtered_permissive") ||
+        familySelected("hybrid_filtered_selective") ||
+        familySelected("hybrid_filtered_permissive") ||
         familySelected("ann_recall_filtered")) {
       def mkIdx(dir: String): Unit = {
         val emb = Tables.embeddings(spark, dir)

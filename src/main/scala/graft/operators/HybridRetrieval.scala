@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hybrid (dense + sparse) retrieval via reciprocal-rank fusion — the
+  * ensemble production search actually serves, promoted from inline gate
+  * code to an operator with a filtered twin (r15; reference analog: the
+  * two-space comparison of
+  * `/root/reference/src/compare_embeddings_vs_features.py:202-221` is
+  * exactly a two-leg fusion of embedding-space and feature-space
+  * rankings).
+  *
+  * RRF (Cormack, Clarke & Buettcher 2009): fused(d) = Σ_legs 1/(k0 +
+  * rank_leg(d)), k0 = 60 the paper's convention. Rank fusion beats score
+  * fusion across heterogeneous legs because ranks need no cross-leg
+  * score calibration — a BM25 log-sum and a cosine live on incomparable
+  * scales, their ranks do not.
+  *
+  * Scale shape: each leg is already a bounded top-`legK` relation (the
+  * serving verbs' k×|Q| convention), so fusion is arithmetic over
+  * O(legs·legK) rows — one hash aggregation, no corpus contact. Leg
+  * ranks come from the two-pass [[GlobalRank]] (no single-partition
+  * window) when ranking an unbounded scored relation, or ride along
+  * free when the leg verb already emits them (the IVF probes' `rn`).
+  *
+  * The fused sum is made ORDER-FREE by folding terms in leg order (an
+  * array_sort + aggregate over the collected (leg, term) pairs), so the
+  * fused double is deterministic and engine-reproducible for any leg
+  * count — two-leg fusion is bit-equal to the `t0 + t1` a hand-wired
+  * pipeline computes.
+  */
+object HybridRetrieval {
+
+  /** Rank a scored leg globally: (idCol, scoreCol) → (idCol, rankCol)
+    * with rank = row_number by (score desc, id) — the two-pass
+    * [[GlobalRank]], never a single-partition window. Use this to turn
+    * an unbounded scoring relation ([[InvertedIndex.bm25Scores]]) into a
+    * fusion leg; top-k verbs that already emit ranks skip it.
+    */
+  def rankLeg(scored: DataFrame, idCol: String, scoreCol: String,
+      rankCol: String = "rank"): DataFrame =
+    GlobalRank.withGlobalRank(scored, rankCol,
+      -col(scoreCol), col(idCol))._1
+      .select(col(idCol), col(rankCol))
+
+  /** RRF-fuse ranked legs. Each leg is a (idCol, rankCol) relation
+    * (rank ≥ 1); the fused universe is the UNION of leg members — a doc
+    * absent from a leg contributes nothing for it, the published RRF
+    * convention for fusing top-k lists. `anchor = Some(i)` restricts
+    * the universe to leg i's members instead: the corpus-covering-leg
+    * convention for legs that score EVERYTHING (the original
+    * vx_hybrid_rrf_top10 shape, where the dense leg ranks every vector
+    * and the sparse leg only annotates it). Returns (idCol, rrf).
+    */
+  def rrfFuseRanked(legs: Seq[DataFrame], k0: Double = 60.0,
+      idCol: String = "doc_id", rankCol: String = "rank",
+      anchor: Option[Int] = None): DataFrame = {
+    require(legs.nonEmpty, "no legs to fuse")
+    require(k0 > 0.0, s"k0 must be > 0, got $k0")
+    anchor.foreach(a => require(a >= 0 && a < legs.size,
+      s"anchor $a out of range for ${legs.size} legs"))
+    val tagged = legs.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol),
+        lit(i).as("__leg"),
+        (lit(1.0) / (lit(k0) + col(rankCol).cast("double"))).as("__t"))
+    }.reduce(_ unionByName _)
+    // order-free fused sum: fold the (leg, term) pairs in leg order —
+    // collect_list arrival order is nondeterministic, array_sort pins it
+    val fused = tagged.groupBy(col(idCol))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("__leg"), col("__t")))),
+          lit(0.0), (acc: Column, x: Column) => acc + x.getField("__t"))
+          .as("rrf"),
+        max(when(col("__leg") === lit(anchor.getOrElse(-1)), 1)
+          .otherwise(0)).as("__in_anchor"))
+    anchor.fold(fused.drop("__in_anchor"))(_ =>
+      fused.filter(col("__in_anchor") === 1).drop("__in_anchor"))
+  }
+
+  /** The full hybrid serving verb: BM25 sparse leg from the persisted
+    * lexical index fused with an IVF dense leg, both top-`legK`, RRF
+    * over the union, top-k by (rrf desc, id). `queryVec` is a ONE-row
+    * (idCol, vecCol) relation — the dense query paired with the lexical
+    * term bag; `nprobe` None resolves the unfiltered policy dial from
+    * the index ([[SimilaritySearch.policyNprobe]]), so the filtered
+    * twin's allowed=all reduction is exact. Returns (doc_id, rrf).
+    */
+  def rrfTopK(
+      lexIdx: InvertedIndex.LexIndex, terms: Seq[String],
+      denseIdx: SimilaritySearch.IvfIndex, queryVec: DataFrame,
+      k: Int, legK: Int = 100, nprobe: Option[Int] = None,
+      k0: Double = 60.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val np = nprobe.getOrElse(
+      SimilaritySearch.policyNprobe(denseIdx.centers.length))
+    fuseLegs(
+      InvertedIndex.bm25TopK(lexIdx, terms, legK),
+      SimilaritySearch.ivfProbe(denseIdx, queryVec, legK, np, idCol, vecCol),
+      k, k0)
+  }
+
+  /** [[rrfTopK]] restricted to an allowed document set — the
+    * multi-tenant ensemble, with PRE-filter semantics through BOTH legs
+    * (the one serving shape that still had to be hand-wired per caller):
+    * the sparse leg is [[InvertedIndex.bm25TopKAmong]] (corpus-wide
+    * collection statistics, allowed semi-join on the pruned posting
+    * scan) and the dense leg is [[SimilaritySearch.ivfProbeAmongAuto]]
+    * (the selectivity-capped nprobe dial, allowed semi-join on the
+    * candidate relation before scoring) — so every fused rank is a rank
+    * AMONG ALLOWED documents, never a post-filtered global rank that
+    * under-returns. With allowed = everything the result is bit-equal
+    * to [[rrfTopK]] (selectivity 1 resolves the same policy dial;
+    * spec-pinned).
+    */
+  def rrfTopKAmong(
+      lexIdx: InvertedIndex.LexIndex, terms: Seq[String],
+      denseIdx: SimilaritySearch.IvfIndex, queryVec: DataFrame,
+      k: Int, allowed: DataFrame, legK: Int = 100,
+      selectivity: Option[Double] = None, k0: Double = 60.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    fuseLegs(
+      InvertedIndex.bm25TopKAmong(lexIdx, terms, legK, allowed,
+        idCol = idCol),
+      SimilaritySearch.ivfProbeAmongAuto(denseIdx, queryVec, legK, allowed,
+        selectivity, idCol, vecCol),
+      k, k0)
+
+  // the shared fusion tail: rank the bounded BM25 top-legK relation
+  // (row_number by its own (score desc, id) order — GlobalRank over
+  // ≤ legK rows), take the dense probe's rn as its rank, union-fuse,
+  // cut top-k by (rrf desc, id). One definition so the filtered and
+  // unfiltered verbs cannot drift.
+  private def fuseLegs(lexTopK: DataFrame, denseTopK: DataFrame,
+      k: Int, k0: Double): DataFrame = {
+    val lexRanked = rankLeg(lexTopK, "doc_id", "score_q")
+    val denseRanked = denseTopK
+      .select(col("neighbor_id").as("doc_id"), col("rn").as("rank"))
+    rrfFuseRanked(Seq(denseRanked, lexRanked), k0)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -917,9 +917,6 @@ object EngineQueries extends QueryPack {
       val cosDf = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
         .select(col("vec_id"),
           graft.functions.VecOps.cosineNative(col("q"), col("qq")).as("c"))
-      val (dr, _) = graft.operators.GlobalRank.withGlobalRank(
-        cosDf, "rd", -col("c"), col("vec_id"))
-      val dense = dr.select(col("vec_id").as("doc_id"), col("rd"))
 
       // lexical leg served from the PERSISTED index artifact (round 8):
       // tf/df/dl ARE the artifact's postings/doclens/termdf relations, and
@@ -931,15 +928,19 @@ object EngineQueries extends QueryPack {
       val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
         .collect().map(_.getAs[String]("term")).toSeq
       val lex = graft.operators.InvertedIndex.bm25Scores(idx, terms)
-      val (lr, _) = graft.operators.GlobalRank.withGlobalRank(
-        lex, "rl", -col("score_q"), col("doc_id"))
-      val lexR = lr.select(col("doc_id"), col("rl"))
 
-      dense.join(lexR, Seq("doc_id"), "left")
-        .withColumn("rrf",
-          lit(1.0) / (lit(60.0) + col("rd").cast("double")) +
-            coalesce(lit(1.0) / (lit(60.0) + col("rl").cast("double")),
-              lit(0.0)))
+      // fusion through the r15 OPERATOR (HybridRetrieval), hash
+      // unchanged: rankLeg is the same two-pass GlobalRank call, the
+      // anchored fuse keeps the dense leg's universe (it scores every
+      // vector), and the ordered leg-fold reproduces the hand-wired
+      // td + tl double exactly (0.0 + t ≡ t in IEEE)
+      val dense = graft.operators.HybridRetrieval
+        .rankLeg(cosDf, "vec_id", "c")
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      val lexR = graft.operators.HybridRetrieval
+        .rankLeg(lex, "doc_id", "score_q")
+      graft.operators.HybridRetrieval
+        .rrfFuseRanked(Seq(dense, lexR), anchor = Some(0))
         .select(col("doc_id"),
           floor(col("rrf") * lit(1000000000.0)).cast("long").as("rrf_q"))
         .orderBy(col("rrf_q").desc, col("doc_id"))
@@ -1009,6 +1010,107 @@ object EngineQueries extends QueryPack {
     )
     SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
     FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10"""))
+
+  // ---- FILTERED hybrid retrieval under a FULL oracle (r15 — verdict
+  //      item 1: every individual serving verb had its ACL-filtered
+  //      twin, but the dense+sparse ensemble still had to be hand-wired
+  //      per caller). The REAL HybridRetrieval.rrfTopKAmong: sparse leg
+  //      = bm25TopKAmong over the persisted artifact (corpus-wide
+  //      stats, allowed semi-join on the pruned scan), dense leg =
+  //      ivfProbeAmongAuto over the frozen-quantizer exact-regime index
+  //      (derived selectivity ≈ 1/3 → the dial caps at nlist = 8, ALL
+  //      cells probed ⇒ the dense leg IS the filtered brute ranking —
+  //      the vx_ann_auto_filtered_quantized trick), legs cut at legK =
+  //      50, union-fused in leg order, top-10 by the raw fused double
+  //      (bit-identical cross-engine: integer ranks through IEEE ops).
+  //      DuckDB replays BOTH legs, the rank cuts, the fusion arithmetic,
+  //      and the final cut end-to-end. ----
+  private val hybridRrfFiltered = OracleQuery(
+    "vx_hybrid_rrf_filtered_quantized",
+    (s, d) => {
+      val embQ = quantizedEmb(s, d)
+      val idx = graft.queries.TextQueries.prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.HybridRetrieval.rrfTopKAmong(
+          idx, terms, prepareIvfIndex(s, d),
+          embQ.filter(col("vec_id") === 0), k = 10,
+          allowed = embQ.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id")),
+          legK = 50)
+        .select(col("doc_id"),
+          floor(col("rrf") * lit(1000000000.0)).cast("long").as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+    },
+    Some(s"""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)
+          AS vq
+      FROM embeddings
+    ), p AS (
+      SELECT c.vec_id AS doc_id,
+        CAST(SUM(q.vq * c.vq) AS DOUBLE) AS dot,
+        CAST(SUM(q.vq * q.vq) AS DOUBLE) AS nq,
+        CAST(SUM(c.vq * c.vq) AS DOUBLE) AS nc
+      FROM lf q JOIN lf c ON q.pos = c.pos
+        AND q.vec_id = 0 AND c.vec_id <> 0 AND c.vec_id % 3 = 0
+      GROUP BY 1
+    ), dr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY dot / (sqrt(nq) * sqrt(nc) + 1e-12) DESC, doc_id) AS rd
+      FROM p
+    ), dcut AS (
+      SELECT doc_id, 1.0 / (60.0 + CAST(rd AS DOUBLE)) AS td
+      FROM dr WHERE rd <= 50
+    ), toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      SELECT w, df FROM dft ORDER BY df, w LIMIT 3
+    ), scx AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+      WHERE tf.doc_id % 3 = 0
+    ), lex AS (
+      SELECT doc_id,
+        CAST(floor(${graft.queries.Exact.DSUM("s", 27, 12)} * 1000000.0)
+          AS BIGINT) AS score_q
+      FROM scx GROUP BY doc_id
+    ), lr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rl
+      FROM lex
+    ), lcut AS (
+      SELECT doc_id, 1.0 / (60.0 + CAST(rl AS DOUBLE)) AS tl
+      FROM lr WHERE rl <= 50
+    ), f AS (
+      SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id,
+        COALESCE(d.td, 0.0) + COALESCE(l.tl, 0.0) AS rrf
+      FROM dcut d FULL OUTER JOIN lcut l ON d.doc_id = l.doc_id
+    ), cut AS (
+      SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
+    FROM cut ORDER BY rrf_q DESC, doc_id"""))
 
   /** Unrolled SQL replay of k greedy farthest-point rounds over the
     * quantized slice: per round, distances to the newest center, a
@@ -3033,7 +3135,8 @@ object EngineQueries extends QueryPack {
     camWeightedQuantized, attentionRolloutQuantized,
     hllDistinct, hllSketchUnion, approxPercentiles,
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
-    nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift, hybridRrf,
+    nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift,
+    hybridRrf, hybridRrfFiltered,
     annBrute, annBruteQuantized, annBruteFilteredQuantized,
     annAutoFilteredQuantized,
     annLsh, annIvf, annIvfProbe, annStreamIngest, annStreamPqParity,
