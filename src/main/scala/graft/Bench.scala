@@ -73,7 +73,8 @@ object Bench {
     build("dpp_table", selected.contains("jx_dpp_partition_pruned")) {
       graft.queries.ScaleJoinQueries.prepareDppTable(spark, sfDir); ()
     }
-    build("ivf_index", selected.contains("vx_ann_ivf_probe_top5")) {
+    build("ivf_index", selected.contains("vx_ann_ivf_probe_top5") ||
+        selected.contains("vx_hybrid_rrf_filtered_quantized")) {
       graft.queries.EngineQueries.prepareIvfIndex(spark, sfDir); ()
     }
     build("minhash_sigs", selected.exists(e =>
@@ -86,7 +87,8 @@ object Bench {
     build("ivf_int8_index", selected.contains("vx_ann_ivf_int8_top5")) {
       graft.queries.EngineQueries.prepareIvfInt8Index(spark, sfDir); ()
     }
-    build("ivf_pq_index", selected.contains("vx_ann_ivf_pq_top5")) {
+    build("ivf_pq_index", selected.contains("vx_ann_ivf_pq_top5") ||
+        selected.contains("vx_stream_ann_pq_parity")) {
       graft.queries.EngineQueries.prepareIvfPqIndex(spark, sfDir); ()
     }
     build("ivf_int8_exact_index",
@@ -115,10 +117,13 @@ object Bench {
     }
     build("lex_index", selected.exists(e =>
         e._1 == "t_bm25_artifact_topk" || e._1 == "vx_hybrid_rrf_top10" ||
+        e._1 == "vx_hybrid_rrf_filtered_quantized" ||
         e._1 == "t_bm25_wand_topk" || e._1 == "t_bm25_filtered_topk" ||
         e._1 == "t_bm25_batch_wand_topk" ||
         e._1 == "t_spell_suggest" || e._1 == "t_ql_topk" ||
-        e._1 == "t_lex_index_stats" || e._1 == "t_lex_facet_counts")) {
+        e._1 == "t_ql_batch_topk" ||
+        e._1 == "t_lex_index_stats" || e._1 == "t_lex_facet_counts" ||
+        e._1 == "t_lex_facet_counts_filtered")) {
       graft.queries.TextQueries.prepareLexIndex(spark, sfDir); ()
     }
     build("lex_index_tomb", selected.exists(_._1 == "t_bm25_tombstone_topk")) {
@@ -126,6 +131,7 @@ object Bench {
     }
     build("lex_index_pos", selected.exists(e =>
         e._1 == "t_phrase_search_topk" || e._1 == "t_phrase_snippets" ||
+        e._1 == "t_phrase_snippets_filtered" ||
         e._1 == "t_proximity_search_topk")) {
       graft.queries.TextQueries.preparePhraseIndex(spark, sfDir); ()
     }
@@ -140,6 +146,10 @@ object Bench {
     build("vec_index_stream",
         selected.exists(_._1 == "vx_stream_ann_probe_top5")) {
       graft.queries.EngineQueries.prepareStreamVecIndex(spark, sfDir); ()
+    }
+    build("pq_index_stream",
+        selected.exists(_._1 == "vx_stream_ann_pq_parity")) {
+      graft.queries.EngineQueries.prepareStreamPqIndex(spark, sfDir); ()
     }
     build("ivf_deleted_artifact",
         selected.exists(_._1 == "vx_ann_delete_parity")) {

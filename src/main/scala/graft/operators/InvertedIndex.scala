@@ -236,14 +236,23 @@ object InvertedIndex {
       val rel = suggestRelation(delta.termDf)
       val legacy = !spark.read.parquet(s"$dir/suggest")
         .columns.contains("df")
+      // the ledger row registers ONLY when the artifact already has a
+      // ledger (an r13/r14 df-carrying artifact without one keeps the
+      // meta-count heuristic until compact() rewrites it — appending a
+      // first ledger row would UNDERCOUNT the pre-ledger deltas and
+      // trip the check on a consistent artifact), and it lands BEFORE
+      // the suggest delta: a crash between the two then reads as
+      // ledger > meta (safe fallback), never as a raw-served
+      // multi-delta dictionary
+      val ledger = new Path(root, "suggestmeta")
+      if (!legacy && fs.exists(ledger))
+        Seq(Tuple1(1)).toDF("delta")
+          .write.mode("append").parquet(s"$dir/suggestmeta")
       (if (legacy)
         rel.drop("df").withColumn("bucket",
           pmod(col("__qk"), lit(Buckets.toLong)).cast("int"))
       else rel).repartition(col("bucket")).write.mode("append")
         .partitionBy("bucket").parquet(s"$dir/suggest")
-      if (!legacy)
-        Seq(Tuple1(1)).toDF("delta")
-          .write.mode("append").parquet(s"$dir/suggestmeta")
     }
     Seq((delta.n, delta.sdl)).toDF("n", "sdl")
       .write.mode("append").parquet(s"$dir/meta")

@@ -1032,11 +1032,17 @@ object EngineQueries extends QueryPack {
       val idx = graft.queries.TextQueries.prepareLexIndex(s, d)
       val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
         .collect().map(_.getAs[String]("term")).toSeq
+      // the ACL lives on the shared DOCUMENT domain (at sf0.1 documents
+      // ids run past the embeddings' — the cross-SF gate caught an
+      // embQ-domain allowed set silently narrowing the lexical leg):
+      // out-of-index ids cost the dense leg nothing because the dial
+      // resolves selectivity from the INTERSECTION with the index
       graft.operators.HybridRetrieval.rrfTopKAmong(
           idx, terms, prepareIvfIndex(s, d),
           embQ.filter(col("vec_id") === 0), k = 10,
-          allowed = embQ.filter(col("vec_id") % 3 === 0)
-            .select(col("vec_id")),
+          allowed = Tables.documents(s, d)
+            .filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("vec_id")),
           legK = 50)
         .select(col("doc_id"),
           floor(col("rrf") * lit(1000000000.0)).cast("long").as("rrf_q"))

@@ -172,6 +172,7 @@ object StreamingVecIndex {
     */
   def applyBatchPq(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    if (batch.isEmpty) return // the other tiers' empty-batch no-op
     val spark = batch.sparkSession
     val (fs, root) = fsFor(spark, dir)
     require(fs.exists(new Path(root, "codebook")),
