@@ -267,9 +267,26 @@ object InvertedIndex {
     * Write cost is O(batch); the posting rewrite is deferred to
     * [[compact]].
     */
-  def delete(ids: DataFrame, dir: String, idCol: String = "doc_id"): Unit =
-    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+  def delete(ids: DataFrame, dir: String, idCol: String = "doc_id"): Unit = {
+    // the tombstone relation carries the ARTIFACT's doc-id type (r15 —
+    // the deleteFromAnnIndex lesson applied to the lexical twin): build()
+    // preserves the corpus id type, so an unconditional cast to long
+    // would turn a takedown against a string-keyed index into all-null
+    // tombstones that delete NOTHING. Resolve the type from the artifact
+    // (doclens is the smallest relation carrying it, present in both the
+    // batch and streamed layouts) and fail loudly on a lossy cast.
+    val spark = ids.sparkSession
+    val idType = spark.read.parquet(s"$dir/doclens")
+      .schema("doc_id").dataType
+    ids.select(
+        when(col(idCol).isNotNull && col(idCol).try_cast(idType).isNull,
+          raise_error(concat(lit("delete: id '"), col(idCol).cast("string"),
+            lit(s"' does not cast to the artifact's doc-id type $idType — " +
+              "a lossy cast would tombstone nothing"))))
+          .otherwise(col(idCol).try_cast(idType)).as("doc_id"))
+      .distinct()
       .write.mode("append").parquet(s"$dir/tombstones")
+  }
 
   /** [[delete]] for a driver-side id list. */
   def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {

@@ -531,6 +531,36 @@ class InvertedIndexSpec extends SparkSpec {
       "compact must shed dead terms' dictionary keys")
   }
 
+  test("delete keeps the artifact's doc-id type; lossy casts fail loudly") {
+    // the deleteFromAnnIndex lesson (r15) applied to the lexical twin:
+    // a string-keyed index tombstoned through the old cast-to-long
+    // produced all-null tombstones and deleted NOTHING
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-deltype").toString
+    val docs = Seq(("d1", "alpha beta"), ("d2", "beta gamma"),
+      ("d3", "alpha")).toDF("doc_id", "text")
+    InvertedIndex.save(InvertedIndex.build(docs), dir)
+    InvertedIndex.delete(Seq("d2").toDF("doc_id"), dir)
+    assert(spark.read.parquet(s"$dir/tombstones")
+      .schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val idx = InvertedIndex.load(spark, dir)
+    assert(idx.n == 2, s"takedown no-opped: n=${idx.n}")
+    assert(idx.postings.filter($"doc_id" === "d2").count() == 0)
+    // a long-keyed artifact refuses an id its type cannot represent
+    val dirL = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-deltype-l").toString
+    InvertedIndex.save(InvertedIndex.build(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text")), dirL)
+    val e = intercept[Exception] {
+      InvertedIndex.delete(Seq("not-a-long").toDF("doc_id"), dirL)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+      .mkString(" | ")
+    assert(msgs.contains("does not cast"), s"got: $msgs")
+  }
+
   test("qlTopKByQuery: batch ranking equals per-query qlTopK; Among twin; dead queries drop") {
     val docs = Seq(
       (1L, "spark table scan"), (2L, "table merge join"),
