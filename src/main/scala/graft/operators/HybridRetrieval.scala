@@ -141,4 +141,93 @@ object HybridRetrieval {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BATCH hybrid serving: MANY (dense vector, term bag) queries fused
+    * in one pass per leg — the RAG-evaluation shape (hundreds of
+    * queries; a per-query driver loop would pay one posting scan and
+    * one cell probe EACH). `queryVecs` is a (queryIdCol, vecCol)
+    * relation and `qterms` a (queryIdCol, termCol) relation (one row
+    * per term occurrence, bag semantics). The lexical leg is the
+    * batch-WAND planner ([[InvertedIndex.bm25TopKPrunedByQuery]] at
+    * legK — lossless, so ranks equal the exact per-query top-legK);
+    * the dense leg is ONE multi-query [[SimilaritySearch.ivfProbe]].
+    * Per query, the result rows are EXACTLY [[rrfTopK]]'s for that
+    * query's (terms, vector) pair (parity gate + spec). A query whose
+    * terms are all unindexed degrades to its dense leg alone — the
+    * right serving semantics, and the batch must not die for it.
+    * Returns (query_id, doc_id, rrf), ≤ k rows per query.
+    */
+  def rrfTopKByQuery(
+      lexIdx: InvertedIndex.LexIndex, qterms: DataFrame,
+      denseIdx: SimilaritySearch.IvfIndex, queryVecs: DataFrame,
+      k: Int, legK: Int = 100, nprobe: Option[Int] = None,
+      k0: Double = 60.0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame = {
+    val np = nprobe.getOrElse(
+      SimilaritySearch.policyNprobe(denseIdx.centers.length))
+    fuseLegsByQuery(
+      InvertedIndex.bm25TopKPrunedByQuery(lexIdx, qterms, legK,
+        queryIdCol, termCol),
+      SimilaritySearch.ivfProbe(denseIdx,
+        queryVecs.select(col(queryIdCol).as(idCol), col(vecCol)),
+        legK, np, idCol, vecCol),
+      k, k0)
+  }
+
+  /** [[rrfTopKByQuery]] restricted to an allowed document set — the
+    * multi-tenant batch ensemble: the lexical leg is the filtered
+    * batch-WAND planner ([[InvertedIndex.bm25TopKPrunedByQueryAmong]])
+    * and the dense leg [[SimilaritySearch.ivfProbeAmongAuto]] under the
+    * selectivity dial (resolved ONCE — the filter is per-tenant, not
+    * per-query). Per query ≡ [[rrfTopKAmong]] for that query's pair.
+    */
+  def rrfTopKByQueryAmong(
+      lexIdx: InvertedIndex.LexIndex, qterms: DataFrame,
+      denseIdx: SimilaritySearch.IvfIndex, queryVecs: DataFrame,
+      k: Int, allowed: DataFrame, legK: Int = 100,
+      selectivity: Option[Double] = None, k0: Double = 60.0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame =
+    fuseLegsByQuery(
+      InvertedIndex.bm25TopKPrunedByQueryAmong(lexIdx, qterms, legK,
+        allowed, idCol = idCol, queryIdCol = queryIdCol, termCol = termCol),
+      SimilaritySearch.ivfProbeAmongAuto(denseIdx,
+        queryVecs.select(col(queryIdCol).as(idCol), col(vecCol)),
+        legK, allowed, selectivity, idCol, vecCol),
+      k, k0)
+
+  // the batch fusion tail: per-query leg ranks (the lexical rank is a
+  // query-partitioned row_number over the ≤ legK·|Q| top rows — never a
+  // global window; the dense probe's rn rides along), the same ordered
+  // leg-fold, a per-query top-k cut. Per query this computes exactly
+  // what fuseLegs computes for that query alone.
+  private def fuseLegsByQuery(lexTopK: DataFrame, denseTopK: DataFrame,
+      k: Int, k0: Double): DataFrame = {
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    val lexRanked = lexTopK
+      .withColumn("rank", row_number().over(byScore))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val denseRanked = denseTopK.select(col("query_id"),
+      col("neighbor_id").as("doc_id"), col("rn").as("rank"))
+    val tagged = Seq(denseRanked, lexRanked).zipWithIndex.map {
+      case (df, i) =>
+        df.select(col("query_id"), col("doc_id"),
+          lit(i).as("__leg"),
+          (lit(1.0) / (lit(k0) + col("rank").cast("double"))).as("__t"))
+    }.reduce(_ unionByName _)
+    val fused = tagged.groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__leg"), col("__t")))),
+        lit(0.0), (acc: Column, x: Column) => acc + x.getField("__t"))
+        .as("rrf"))
+    val cut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("__rn", row_number().over(cut))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf"))
+  }
 }

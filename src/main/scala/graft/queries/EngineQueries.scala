@@ -1118,6 +1118,53 @@ object EngineQueries extends QueryPack {
     SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
     FROM cut ORDER BY rrf_q DESC, doc_id"""))
 
+  // ---- BATCH hybrid parity (r15): two (vector, term-bag) queries with
+  //      adversarially different term shapes (3 rarest / 3 most
+  //      frequent) served through rrfTopKByQueryAmong — ONE batch-WAND
+  //      posting pass + ONE multi-query dense probe — must equal the
+  //      single-query rrfTopKAmong per query id, fused doubles
+  //      included: the batch organization may change the plan, never a
+  //      bit of the result (the t_ql_batch_topk discipline stated as a
+  //      constants contract; the single-query verb itself carries the
+  //      full DuckDB replay above). ----
+  private val hybridRrfBatchParity = OracleQuery(
+    "vx_hybrid_rrf_batch_parity",
+    (s, d) => {
+      import s.implicits._
+      val embQ = quantizedEmb(s, d)
+      val idx = graft.queries.TextQueries.prepareLexIndex(s, d)
+      val rare = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val freq = idx.termDf.orderBy(col("df").desc, col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      val allowed = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("vec_id"))
+      val qterms = (rare.map((0L, _)) ++ freq.map((1L, _)))
+        .toDF("query_id", "term")
+      val qvecs = embQ.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val dense = prepareIvfIndex(s, d)
+      val batch = graft.operators.HybridRetrieval.rrfTopKByQueryAmong(
+        idx, qterms, dense, qvecs, k = 10, allowed, legK = 50)
+      val single = Seq(0L -> rare, 1L -> freq).map { case (qid, terms) =>
+        graft.operators.HybridRetrieval.rrfTopKAmong(idx, terms, dense,
+            embQ.filter(col("vec_id") === qid), k = 10, allowed, legK = 50)
+          .select(lit(qid).as("query_id"), col("doc_id"), col("rrf"))
+      }.reduce(_ unionByName _)
+      batch.as("a").join(single.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .agg(
+          (count(col("a.doc_id")) - count(col("b.doc_id")))
+            .cast("long").as("count_diff"),
+          sum(when(col("a.rrf").isNull || col("b.rrf").isNull ||
+              col("a.rrf") =!= col("b.rrf"), lit(1L))
+            .otherwise(lit(0L))).cast("long").as("n_mismatch"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS count_diff,
+      CAST(0 AS BIGINT) AS n_mismatch"""))
+
   /** Unrolled SQL replay of k greedy farthest-point rounds over the
     * quantized slice: per round, distances to the newest center, a
     * running LEAST, and the deterministic argmax. Every distance is a
@@ -3142,7 +3189,7 @@ object EngineQueries extends QueryPack {
     hllDistinct, hllSketchUnion, approxPercentiles,
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift,
-    hybridRrf, hybridRrfFiltered,
+    hybridRrf, hybridRrfFiltered, hybridRrfBatchParity,
     annBrute, annBruteQuantized, annBruteFilteredQuantized,
     annAutoFilteredQuantized,
     annLsh, annIvf, annIvfProbe, annStreamIngest, annStreamPqParity,

@@ -73,4 +73,56 @@ class HybridRetrievalSpec extends SparkSpec {
     assert(filtered.nonEmpty && filtered.forall(_._1 % 3 == 0))
     denseIdx.unpersist()
   }
+
+  test("rrfTopKByQuery(Among): batch fusion equals the single-query verb per query id") {
+    val lexIdx = InvertedIndex.build(docs)
+    val denseIdx = SimilaritySearch.buildIvfIndex(emb, nlist = 8)
+    val rare = lexIdx.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val freq = lexIdx.termDf.orderBy($"df".desc, $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    // query 2's terms are all unindexed: the hybrid degrades to its
+    // dense leg alone (no rows dropped, no batch failure)
+    val qterms = (rare.map((0L, _)) ++ freq.map((1L, _)) ++
+      Seq((2L, "zzz_unindexed"))).toDF("query_id", "term")
+    val qvecs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def sorted(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(t => (t._1, -t._3, t._2))
+    def single(qid: Long, terms: Seq[String],
+        allowed: Option[org.apache.spark.sql.DataFrame]) = {
+      val qv = emb.filter($"vec_id" === qid)
+      val df = allowed.fold(
+        HybridRetrieval.rrfTopK(lexIdx, terms, denseIdx, qv, k = 5,
+          legK = 20))(a =>
+        HybridRetrieval.rrfTopKAmong(lexIdx, terms, denseIdx, qv, k = 5,
+          a, legK = 20))
+      df.collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+    }
+    // unfiltered: queries 0/1 equal their single-query serve; query 2
+    // equals a pure dense-leg fusion (leg ranks = rn, lex absent)
+    val batch = sorted(HybridRetrieval.rrfTopKByQuery(
+      lexIdx, qterms, denseIdx, qvecs, k = 5, legK = 20))
+    val dense2 = SimilaritySearch
+      .ivfProbe(denseIdx, emb.filter($"vec_id" === 2), 20,
+        SimilaritySearch.policyNprobe(8))
+      .collect().map(r => (2L, r.getLong(2), 0.0 + 1.0 / (60.0 + r.getInt(1))))
+      .toSeq.sortBy(t => (-t._3, t._2)).take(5)
+    val wantU = (single(0L, rare, None) ++ single(1L, freq, None) ++ dense2)
+      .sortBy(t => (t._1, -t._3, t._2))
+    assert(batch.nonEmpty && batch == wantU,
+      "batch hybrid diverged from per-query fusion")
+    // filtered: same per-query equality through both filtered legs
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id")
+    val batchF = sorted(HybridRetrieval.rrfTopKByQueryAmong(
+      lexIdx, qterms, denseIdx, qvecs, k = 5, allowed, legK = 20))
+    val wantF01 = single(0L, rare, Some(allowed)) ++
+      single(1L, freq, Some(allowed))
+    assert(batchF.filter(_._1 < 2L) ==
+      wantF01.sortBy(t => (t._1, -t._3, t._2)),
+      "filtered batch hybrid diverged from per-query rrfTopKAmong")
+    assert(batchF.filter(_._1 == 2L).forall(_._2 % 3 == 0))
+    denseIdx.unpersist()
+  }
 }
