@@ -551,12 +551,20 @@ object InvertedIndex {
     * ∝ |allowed ∩ matched postings|; the caller broadcast-hints a
     * known-small filter (an ACL list) and leaves a large one (a tenant
     * holding half the corpus) to the planner's shuffle strategy.
+    *
+    * The allowed ids keep their NATIVE type across the whole Among
+    * family (r15 — the delete-type lesson): build() preserves the
+    * corpus id type, and the former unconditional cast-to-long turned
+    * every filtered verb on a string-keyed index into a silent
+    * zero-result filter (all-null ids match nothing). Numeric width
+    * mismatches (int allowed vs long postings) coerce in the join as
+    * before.
     */
   def bm25TopKAmong(idx: LexIndex, terms: Seq[String], k: Int,
       allowed: DataFrame, idCol: String = "doc_id",
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25ScoresOver(idx, terms, k1, b,
-      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+      Some(allowed.select(col(idCol).as("doc_id"))))
       .orderBy(col("score_q").desc, col("doc_id"))
       .limit(k)
 
@@ -765,7 +773,7 @@ object InvertedIndex {
       queryIdCol: String = "query_id", termCol: String = "term",
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25TopKPrunedByQueryImpl(idx, queries, k, queryIdCol, termCol, k1, b,
-      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+      Some(allowed.select(col(idCol).as("doc_id"))))
 
   /** Routed-id count past which the planner's per-query routing filters
     * ([[bm25TopKPrunedByQueryImpl]]'s pruned/fallback id sets) switch
@@ -1000,7 +1008,7 @@ object InvertedIndex {
       facetCol: String, allowed: DataFrame,
       idCol: String = "doc_id"): DataFrame =
     facetCountsOver(idx, docs, terms, facetCol, idCol,
-      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+      Some(allowed.select(col(idCol).as("doc_id"))))
 
   // one candidate+count definition for the filtered and unfiltered
   // facets; None compiles to the exact plan facetCounts always had
@@ -1061,7 +1069,7 @@ object InvertedIndex {
       allowed: DataFrame, idCol: String = "doc_id",
       mu: Double = 2000.0): DataFrame =
     qlTopKOver(idx, terms, k, mu,
-      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+      Some(allowed.select(col(idCol).as("doc_id"))))
 
   /** Batch QL: rank MANY queries in one posting pass — the
     * [[bm25ScoresByQuery]] many-queries-one-scan organization on the
@@ -1098,7 +1106,7 @@ object InvertedIndex {
       queryIdCol: String = "query_id", termCol: String = "term",
       mu: Double = 2000.0): DataFrame =
     qlTopKByQueryOver(idx, queries, k, queryIdCol, termCol, mu,
-      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+      Some(allowed.select(col(idCol).as("doc_id"))))
 
   private def qlTopKByQueryOver(idx: LexIndex, queries: DataFrame, k: Int,
       queryIdCol: String, termCol: String, mu: Double,
@@ -1298,7 +1306,7 @@ object InvertedIndex {
   def phraseTopKAmong(idx: LexIndex, phrase: Seq[String], k: Int,
       allowed: DataFrame, idCol: String = "doc_id"): DataFrame =
     phraseTopKRanked(phraseAnchors(idx, phrase,
-      Some(allowed.select(col(idCol).cast("long").as("doc_id")))), k)
+      Some(allowed.select(col(idCol).as("doc_id")))), k)
 
   // one ranking cut for the filtered and unfiltered phrase probes — the
   // qlTopKOver/proximityTopKOver discipline, so a tiebreak change
@@ -1401,7 +1409,7 @@ object InvertedIndex {
   def proximityTopKAmong(idx: LexIndex, terms: Seq[String], window: Int,
       k: Int, allowed: DataFrame, idCol: String = "doc_id"): DataFrame =
     proximityTopKOver(idx, terms, window, k,
-      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+      Some(allowed.select(col(idCol).as("doc_id"))))
 
   private def proximityTopKOver(idx: LexIndex, terms: Seq[String],
       window: Int, k: Int, allowed: Option[DataFrame]): DataFrame = {
@@ -1466,7 +1474,7 @@ object InvertedIndex {
       phrase: Seq[String], k: Int, allowed: DataFrame, context: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     phraseSnippetsOver(idx, docs, phrase, k, context, idCol, textCol,
-      Some(allowed.select(col(idCol).cast("long").as("doc_id"))))
+      Some(allowed.select(col(idCol).as("doc_id"))))
 
   // one anchor-rank + text-slice definition for the filtered and
   // unfiltered snippet probes; None compiles to phraseSnippets' plan

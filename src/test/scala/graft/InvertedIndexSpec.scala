@@ -531,6 +531,28 @@ class InvertedIndexSpec extends SparkSpec {
       "compact must shed dead terms' dictionary keys")
   }
 
+  test("Among family keeps the allowed ids' native type: string-keyed filtered serving works") {
+    // the delete-type lesson on the serving side: the former
+    // cast-to-long made every filtered verb on a string-keyed index a
+    // silent zero-result filter
+    val docs = Seq(("a1", "alpha beta"), ("a2", "beta gamma"),
+      ("a3", "alpha alpha"), ("a4", "gamma")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs)
+    val allowed = Seq("a1", "a3").toDF("doc_id")
+    val got = InvertedIndex.bm25TopKAmong(idx, Seq("alpha"), 10, allowed)
+      .collect().map(_.getString(0)).toSeq
+    assert(got.toSet == Set("a1", "a3"),
+      s"string-keyed filtered serve broken: $got")
+    // int-typed allowed against the long-keyed default corpus still
+    // coerces in the join (the numeric-width case the old cast served)
+    val docsL = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      .toDF("doc_id", "text")
+    val idxL = InvertedIndex.build(docsL)
+    val allowedInt = Seq(1, 3).toDF("doc_id") // IntegerType
+    assert(InvertedIndex.bm25TopKAmong(idxL, Seq("alpha"), 10, allowedInt)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("delete keeps the artifact's doc-id type; lossy casts fail loudly") {
     // the deleteFromAnnIndex lesson (r15) applied to the lexical twin:
     // a string-keyed index tombstoned through the old cast-to-long
