@@ -1145,11 +1145,19 @@ object EngineQueries extends QueryPack {
       val qvecs = embQ.filter(col("vec_id") < 2)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val dense = prepareIvfIndex(s, d)
+      // the filter's selectivity is stated once on BOTH sides (the ACL
+      // owner knows its size — the production case): the parity is
+      // about the batch ORGANIZATION, and the derived-selectivity path
+      // is already hash-pinned by vx_hybrid_rrf_filtered_quantized, so
+      // three pipelines need not re-derive it (2 bounded jobs each)
+      val sel = Some(1.0 / 3.0)
       val batch = graft.operators.HybridRetrieval.rrfTopKByQueryAmong(
-        idx, qterms, dense, qvecs, k = 10, allowed, legK = 50)
+        idx, qterms, dense, qvecs, k = 10, allowed, legK = 50,
+        selectivity = sel)
       val single = Seq(0L -> rare, 1L -> freq).map { case (qid, terms) =>
         graft.operators.HybridRetrieval.rrfTopKAmong(idx, terms, dense,
-            embQ.filter(col("vec_id") === qid), k = 10, allowed, legK = 50)
+            embQ.filter(col("vec_id") === qid), k = 10, allowed,
+            legK = 50, selectivity = sel)
           .select(lit(qid).as("query_id"), col("doc_id"), col("rrf"))
       }.reduce(_ unionByName _)
       batch.as("a").join(single.as("b"),
