@@ -1332,7 +1332,53 @@ object InvertedIndex {
     * query side is the broadcast side by construction.
     */
   def suggestTerms(idx: LexIndex, queries: Seq[String], k: Int = 3)
-      : DataFrame = {
+      : DataFrame =
+    suggestRank(suggestCandidates(idx, queries), k)
+
+  /** [[suggestTerms]] restricted to an allowed document set — the
+    * multi-tenant "did you mean" (r15): the unfiltered probe serves the
+    * CORPUS-wide vocabulary with corpus-wide dfs, so a tenant could be
+    * offered terms held ONLY by other tenants' documents — vocabulary
+    * itself is a disclosure (the facetCountsAmong lesson one surface
+    * over). Candidate generation still rides the persisted dictionary's
+    * blocking (keys are lookup metadata, nothing is returned from
+    * them); each candidate's df is then RE-DERIVED over the allowed
+    * documents from the bucket-pruned posting scan, and terms with zero
+    * allowed df drop before ranking — a suggestion is only ever a term
+    * the tenant's own documents contain, ranked by the tenant's own
+    * frequencies. With allowed = everything the re-derived dfs ARE the
+    * corpus dfs, so the result reduces to [[suggestTerms]] bit-for-bit
+    * (spec-pinned).
+    *
+    * Scale: candidates are bounded by queries × edit-1 dictionary hits
+    * (one bounded collect); their posting scan prunes to the candidate
+    * terms' buckets, so cost ∝ the candidates' posting sizes ∩ allowed
+    * — the bm25 probe family's profile, never the corpus.
+    */
+  def suggestTermsAmong(idx: LexIndex, queries: Seq[String], k: Int,
+      allowed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val cand = suggestCandidates(idx, queries)
+      .select(col("query"), col("term"), col("dist"))
+    val terms = cand.select(col("term")).distinct()
+      .as[String].collect().toSeq
+    if (terms.isEmpty) return suggestRank(cand.withColumn("df", lit(0L)), k)
+    val adf = prunedPostings(idx, terms)
+      .join(broadcast(terms.toDF("term")), Seq("term"))
+      .join(allowed.select(col(idCol).as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    suggestRank(cand.join(adf, Seq("term")), k) // inner: 0-df terms drop
+  }
+
+  /** The candidate half of the suggest probe — (query, term, dist ≤ 1,
+    * df) via symmetric-delete blocking over the persisted dictionary
+    * (or its documented fallbacks), shared by the filtered and
+    * unfiltered serves so the blocking cannot drift between them.
+    */
+  private def suggestCandidates(idx: LexIndex,
+      queries: Seq[String]): DataFrame = {
     require(queries.nonEmpty, "no query strings given")
     val spark = idx.postings.sparkSession
     import spark.implicits._
@@ -1349,11 +1395,12 @@ object InvertedIndex {
     // zero vocabulary explode. A dictionary carrying df (r13 layout)
     // ranks with NO termDf join and NO aggregation — load() already
     // merged append deltas' partial dfs (or proved the artifact
-    // single-delta), so rows are unique per (term, key) and the fast
-    // path is a bare pruned scan. A pre-df dictionary (legacy artifact)
-    // or a tombstone-adjusted index (applyTombstones projects the stale
-    // dfs away) restores df through the termDf join. A build-only index
-    // derives the dictionary per call — correct, just unamortized.
+    // single-delta, the r15 ledger), so rows are unique per (term, key)
+    // and the fast path is a bare pruned scan. A pre-df dictionary
+    // (legacy artifact) or a tombstone-adjusted index (applyTombstones
+    // projects the stale dfs away) restores df through the termDf join.
+    // A build-only index derives the dictionary per call — correct,
+    // just unamortized.
     val dict = idx.suggestKeys match {
       case Some(sk) =>
         val m = idx.suggestBucketCount.toLong
@@ -1375,13 +1422,17 @@ object InvertedIndex {
       .select(col("query"), col("term"), col("df")).distinct()
       .withColumn("dist", levenshtein(col("query"), col("term")).cast("long"))
       .filter(col("dist") <= 1)
+  }
+
+  // the shared ranking cut of the suggest serves: (dist, df desc, term)
+  private def suggestRank(cand: DataFrame, k: Int): DataFrame =
+    cand
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query"))
           .orderBy(col("dist"), col("df").desc, col("term"))))
       .filter(col("rn") <= k)
       .select(col("query"), col("term"), col("dist"), col("df"), col("rn"))
       .orderBy(col("query"), col("rn"))
-  }
 
   /** Proximity top-k over a positional index: docs where ALL `terms`
     * co-occur within a window of `window` tokens, ranked by the number

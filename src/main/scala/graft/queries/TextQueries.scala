@@ -1264,6 +1264,54 @@ object TextQueries extends QueryPack {
     SELECT query, term, dist, df, rn FROM rk
     WHERE rn <= 3 ORDER BY query, rn"""))
 
+  // ---- FILTERED spell suggestion (r15 — the vocabulary disclosure:
+  //      the corpus-wide dictionary could offer a tenant terms held
+  //      ONLY by other tenants' documents). Candidates still block
+  //      through the persisted dictionary; dfs re-derive over the
+  //      allowed half and zero-df terms drop. The oracle is the naive
+  //      cross join against the ALLOWED vocabulary — an independent
+  //      formulation proving both the blocking lossless and the
+  //      tenant-local df exact ----
+  private val spellSuggestFiltered = OracleQuery(
+    "t_spell_suggest_filtered",
+    (s, d) => {
+      val idx = prepareLexIndex(s, d)
+      val top = idx.termDf.orderBy(col("df").desc, col("term")).limit(5)
+        .collect().map(_.getAs[String]("term"))
+      graft.operators.InvertedIndex.suggestTermsAmong(idx,
+        top.map(t => t.take(1) + t.drop(2)).distinct.toSeq, k = 3,
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(2L)) === 0)
+          .select(col("doc_id")))
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w FROM toks WHERE w <> '' GROUP BY 1, 2
+    ), dft AS (
+      SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), topq AS (
+      SELECT term FROM dft ORDER BY df DESC, term LIMIT 5
+    ), q AS (
+      SELECT DISTINCT substr(term, 1, 1) || substr(term, 3) AS query
+      FROM topq
+    ), dfa AS (
+      SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      WHERE doc_id % 2 = 0 GROUP BY 1
+    ), cand AS (
+      SELECT q.query, a.term,
+        CAST(levenshtein(q.query, a.term) AS BIGINT) AS dist, a.df
+      FROM q CROSS JOIN dfa a
+      WHERE levenshtein(q.query, a.term) <= 1
+    ), rk AS (
+      SELECT query, term, dist, df,
+        ROW_NUMBER() OVER (PARTITION BY query
+          ORDER BY dist, df DESC, term) AS rn
+      FROM cand
+    )
+    SELECT query, term, dist, df, rn FROM rk
+    WHERE rn <= 3 ORDER BY query, rn"""))
+
   // ---- proximity search: all query terms within a 5-token window,
   //      ranked by co-occurrence count — the positional surface's third
   //      operator (phrase = adjacency, proximity = bounded span). The
@@ -4410,6 +4458,6 @@ object TextQueries extends QueryPack {
     qlTopKGate, qlFilteredTopK, qlBatchTopK, phraseFilteredTopK,
     lexIndexStats, lexFacets, lexFacetsFiltered,
     phraseTopK, phraseSnips, phraseSnipsFiltered, proximityTopK,
-    spellSuggest, bpeTokenizeStats,
+    spellSuggest, spellSuggestFiltered, bpeTokenizeStats,
     streamSnapshotChanges)
 }

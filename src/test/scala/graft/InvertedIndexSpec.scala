@@ -531,6 +531,37 @@ class InvertedIndexSpec extends SparkSpec {
       "compact must shed dead terms' dictionary keys")
   }
 
+  test("suggestTermsAmong: tenant-local vocabulary and dfs; allowed=all reduces exactly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-suggest-among").toString
+    // "spork" lives ONLY in doc 2 — under an odd-docs filter it must
+    // never be suggested (vocabulary is a disclosure), and "spark"'s
+    // df must count the tenant's docs alone
+    val docs = Seq(
+      (1L, "spark scan table"),
+      (2L, "spork merge"),
+      (3L, "spark merge join")).toDF("doc_id", "text")
+    InvertedIndex.save(InvertedIndex.build(docs), dir)
+    val idx = InvertedIndex.load(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    // allowed = everything: re-derived dfs ARE the corpus dfs
+    assert(rows(InvertedIndex.suggestTermsAmong(idx, Seq("spark"), 3,
+        docs.select($"doc_id"))) ==
+      rows(InvertedIndex.suggestTerms(idx, Seq("spark"), 3)))
+    val odd = rows(InvertedIndex.suggestTermsAmong(idx, Seq("spark"), 3,
+      docs.filter($"doc_id" % 2 === 1).select($"doc_id")))
+    assert(!odd.map(_._2).contains("spork"),
+      "a term held only by disallowed docs leaked into suggestions")
+    assert(odd.exists(t => t._2 == "spark" && t._4 == 2L),
+      s"tenant-local df wrong: $odd")
+    // a query with no allowed-vocabulary neighbors returns no rows
+    assert(InvertedIndex.suggestTermsAmong(idx, Seq("spork"), 3,
+      docs.filter($"doc_id" % 2 === 1).select($"doc_id"))
+      .filter($"term" === "spork").count() == 0)
+  }
+
   test("Among family keeps the allowed ids' native type: string-keyed filtered serving works") {
     // the delete-type lesson on the serving side: the former
     // cast-to-long made every filtered verb on a string-keyed index a
