@@ -542,6 +542,16 @@ object ScaleBench {
         graft.operators.InvertedIndex.suggestTerms(
           lexIdx(dir).copy(suggestKeys = None), suggestQueries, 3)
       },
+      // the r15 tenant-local suggest: dictionary blocking + allowed-df
+      // re-derivation from the candidates' pruned postings — cost ∝
+      // candidate posting sizes ∩ allowed, the bm25 probe profile
+      "suggest_filtered" -> { dir: String =>
+        graft.operators.InvertedIndex.suggestTermsAmong(
+          lexIdx(dir), suggestQueries, 3,
+          Tables.documents(spark, dir)
+            .filter(pmod(col("doc_id"), lit(2L)) === 0)
+            .select(col("doc_id")))
+      },
       // filtered retrieval at scale (r13, verdict item 2): the sparse
       // side's claim is "shuffle ∝ allowed ∩ matched postings" — the
       // allowed semi-join lands before scoring, so the SELECTIVE row
@@ -772,6 +782,7 @@ object ScaleBench {
     if (familySelected("bm25_probe") || familySelected("ql_probe") ||
         familySelected("suggest_probe") ||
         familySelected("suggest_probe_derived") ||
+        familySelected("suggest_filtered") ||
         familySelected("bm25_filtered_selective") ||
         familySelected("bm25_filtered_permissive") ||
         familySelected("hybrid_filtered_selective") ||
