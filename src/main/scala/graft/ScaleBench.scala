@@ -296,6 +296,9 @@ object ScaleBench {
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var bm25Terms: Seq[String] = Nil
     var suggestQueries: Seq[String] = Nil
+    // 8 distinct 3-term bags for the batch-vs-loop hybrid pair (from
+    // the base vocabulary's df head, chunked — fixed across dirs)
+    var hybridBags: Seq[(Long, Seq[String])] = Nil
     val posIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var phraseTerms: Seq[String] = Nil
@@ -682,6 +685,42 @@ object ScaleBench {
             .select(col("vec_id")),
           legK = 100, selectivity = Some(0.5))
       },
+      // the r15 BATCH hybrid verb vs the per-query loop it replaces
+      // (the rag_lexical / rag_lexical_unpruned pair discipline): 8
+      // (vector, term-bag) queries under a half-corpus filter — the
+      // batch row pays ONE batch-WAND posting pass + ONE multi-query
+      // probe; the loop row pays 8 single-query pipelines (8 GlobalRank
+      // stat passes, 8 posting scans). The gap is the batch
+      // organization's amortization, measured.
+      "hybrid_batch_filtered" -> { dir: String =>
+        import spark.implicits._
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.HybridRetrieval.rrfTopKByQueryAmong(
+          lexIdx(dir),
+          hybridBags.flatMap { case (q, ts) => ts.map((q, _)) }
+            .toDF("query_id", "term"),
+          embIvfIdx(dir)._1,
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 10,
+          Tables.documents(spark, dir)
+            .filter(pmod(col("doc_id"), lit(2L)) === 0)
+            .select(col("doc_id").as("vec_id")),
+          legK = 100, selectivity = Some(0.5))
+      },
+      "hybrid_batch_loop" -> { dir: String =>
+        val emb = Tables.embeddings(spark, dir)
+        val allowed = Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(2L)) === 0)
+          .select(col("doc_id").as("vec_id"))
+        hybridBags.map { case (qid, ts) =>
+          graft.operators.HybridRetrieval.rrfTopKAmong(
+              lexIdx(dir), ts, embIvfIdx(dir)._1,
+              emb.filter(col("vec_id") === qid), k = 10, allowed,
+              legK = 100, selectivity = Some(0.5))
+            .select(lit(qid).as("query_id"), col("doc_id"), col("rrf"))
+        }.reduce(_ unionByName _)
+      },
       "hamming_filtered_selective" -> { dir: String =>
         val emb = Tables.embeddings(spark, dir)
         graft.operators.SimilaritySearch.hammingTopKAmongAuto(
@@ -786,7 +825,9 @@ object ScaleBench {
         familySelected("bm25_filtered_selective") ||
         familySelected("bm25_filtered_permissive") ||
         familySelected("hybrid_filtered_selective") ||
-        familySelected("hybrid_filtered_permissive")) {
+        familySelected("hybrid_filtered_permissive") ||
+        familySelected("hybrid_batch_filtered") ||
+        familySelected("hybrid_batch_loop")) {
       def mkIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx").toString
@@ -806,6 +847,11 @@ object ScaleBench {
         .orderBy(col("df").desc, col("term")).limit(5)
         .collect().map(_.getString(0))
         .map(t => t.take(1) + t.drop(2)).distinct.toSeq
+      hybridBags = lexIdx(base).termDf
+        .orderBy(col("df").desc, col("term")).limit(24)
+        .collect().map(_.getString(0)).toSeq
+        .grouped(3).zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts) }.toSeq
     }
     if (familySelected("bm25_tomb_probe")) {
       // the delete/compact lifecycle at index scale (r11 verdict item 9,
@@ -916,6 +962,8 @@ object ScaleBench {
         familySelected("ivf_filtered_permissive") ||
         familySelected("hybrid_filtered_selective") ||
         familySelected("hybrid_filtered_permissive") ||
+        familySelected("hybrid_batch_filtered") ||
+        familySelected("hybrid_batch_loop") ||
         familySelected("ann_recall_filtered")) {
       def mkIdx(dir: String): Unit = {
         val emb = Tables.embeddings(spark, dir)
