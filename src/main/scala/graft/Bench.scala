@@ -98,6 +98,7 @@ object Bench {
     // consumers: the streaming vector near-dup re-ingest gate, and (via
     // prepareSrpIndexDirect's reuse) the hamming artifact-parity pair
     build("srp_sketch", selected.contains("vx_stream_neardup_hits") ||
+        selected.contains("vx_stream_ann_srp_parity") ||
         selected.exists(_._1.startsWith("vx_ann_hamming"))) {
       graft.queries.EngineQueries.prepareSrpSketch(spark, sfDir); ()
     }
@@ -150,6 +151,10 @@ object Bench {
     build("pq_index_stream",
         selected.exists(_._1 == "vx_stream_ann_pq_parity")) {
       graft.queries.EngineQueries.prepareStreamPqIndex(spark, sfDir); ()
+    }
+    build("srp_index_stream",
+        selected.exists(_._1 == "vx_stream_ann_srp_parity")) {
+      graft.queries.EngineQueries.prepareStreamSrpIndex(spark, sfDir); ()
     }
     build("ivf_deleted_artifact",
         selected.exists(_._1 == "vx_ann_delete_parity")) {

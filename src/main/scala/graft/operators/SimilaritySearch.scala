@@ -525,14 +525,16 @@ object SimilaritySearch {
     // against a freshly streamed (not-yet-deleted-from) directory must
     // fail in the rehearsal, not in production when the first takedown
     // lands.
-    val assignedPath = new Path(root, "assigned")
     val streamed = fs.exists(new Path(root, "_segments")) ||
-      (fs.exists(assignedPath) && fs.listStatus(assignedPath)
-        .exists(_.getPath.getName.startsWith("batch=")))
+      Seq("assigned", "sketch").exists { sub =>
+        val p = new Path(root, sub)
+        fs.exists(p) && fs.listStatus(p)
+          .exists(_.getPath.getName.startsWith("batch="))
+      }
     require(!streamed,
       s"$dir is a streamed StreamingVecIndex layout — use " +
-        "StreamingVecIndex.compactTo(dir, outDir) (tombstones apply " +
-        "there at load and fold into the compacted copy)")
+        "StreamingVecIndex.compactTo/compactToSrp(dir, outDir) " +
+        "(tombstones apply there at load and fold into the compacted copy)")
     if (!fs.exists(new Path(root, "tombstones"))) return
     val staging = s"$dir-compact-staging"
     val stagingRoot = new Path(staging)

@@ -1505,6 +1505,55 @@ object EngineQueries extends QueryPack {
       idx.assigned.count() // materialize once — probes time the join
       idx
     }(_.unpersist())
+  // ---- STREAMED SRP ingest parity (r15 — closes the four-family
+  //      streaming symmetry: float/int8/PQ streamed through the cell
+  //      machinery, and the flat sketch tier now streams through the
+  //      SAME manifest/merge/orphan mechanics under a batch=-only
+  //      layout): three applyBatchSrp deltas under the frozen
+  //      (bits, seed) family + a mid-stream merge, probed with the
+  //      metadata-resolved auto policy against the session's direct
+  //      sketch — sketching is row-local and deterministic, so
+  //      streamed ≡ built, stated as constants ----
+  def prepareStreamSrpIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): SimilaritySearch.SrpIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"stream_srp_index:$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-svec-srp-gate").toString
+      graft.streaming.StreamingVecIndex.freezeSrp(s, dir) // 128 bits, seed 42
+      val emb = Tables.embeddings(s, d)
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingVecIndex.applyBatchSrp(
+          emb.filter(pmod(col("vec_id"), lit(3L)) === b), b, dir)
+        graft.streaming.StreamingVecIndex.maybeMerge(s, dir, 2, b)
+      }
+      val idx = graft.streaming.StreamingVecIndex.loadSrp(s, dir)
+      idx.sketched.count() // materialize once — probes time the scan
+      idx
+    }(_.unpersist())
+  private val annStreamSrpParity = OracleQuery(
+    "vx_stream_ann_srp_parity",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val direct = SimilaritySearch
+        .hammingTopKAuto(prepareSrpIndexDirect(s, d), emb, q, k = 5)
+      val streamed = SimilaritySearch
+        .hammingTopKAuto(prepareStreamSrpIndex(s, d), emb, q, k = 5)
+      direct.as("a").join(streamed.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.rn") === col("b.rn"), "full_outer")
+        .agg(
+          (count(col("a.query_id")) - count(col("b.query_id")))
+            .cast("long").as("count_diff"),
+          sum(when(col("a.neighbor_id").isNull ||
+              col("b.neighbor_id").isNull ||
+              col("a.neighbor_id") =!= col("b.neighbor_id") ||
+              col("a.cosine") =!= col("b.cosine"), lit(1L))
+            .otherwise(lit(0L))).cast("long").as("n_mismatch"))
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS count_diff,
+      CAST(0 AS BIGINT) AS n_mismatch"""))
+
   private val annStreamPqParity = OracleQuery(
     "vx_stream_ann_pq_parity",
     (s, d) => {
@@ -3201,6 +3250,7 @@ object EngineQueries extends QueryPack {
     annBrute, annBruteQuantized, annBruteFilteredQuantized,
     annAutoFilteredQuantized,
     annLsh, annIvf, annIvfProbe, annStreamIngest, annStreamPqParity,
+    annStreamSrpParity,
     retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,

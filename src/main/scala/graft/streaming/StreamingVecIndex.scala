@@ -77,22 +77,43 @@ object StreamingVecIndex {
     */
   def applyBatch(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    writeDelta(batch, batchId, dir, idCol,
-      centers => SimilaritySearch.assignToCells(batch, centers, idCol, vecCol))
+    writeDelta(batch, batchId, dir, idCol, "assigned", "neighbor_id",
+      SimilaritySearch.assignToCells(batch,
+        requireCenters(batch.sparkSession, dir), idCol, vecCol))
 
-  // the shared per-batch delta mechanics (guards, dynamic partition
-  // overwrite, manifest registration) — ONE definition for the float and
-  // int8 tiers, so a fix to the write options or the manifest race
-  // cannot desynchronize them; only the row projection differs
-  private def writeDelta(batch: DataFrame, batchId: Long, dir: String,
-      idCol: String, rows: Array[Array[Double]] => DataFrame): Unit = {
-    if (batch.isEmpty) return
-    val spark = batch.sparkSession
+  /** The streamed SEGMENT RELATION of a directory: the IVF family's
+    * cell-partitioned inverted file (`assigned/`, `batch=/cell=`) or
+    * the SRP tier's flat sketch (`sketch/`, `batch=` only) — resolved
+    * from the directory itself so every piece of the segment machinery
+    * (listing, merge fold, orphan sweep, load scoping) follows the
+    * layout and the two can never interleave.
+    */
+  private def segSub(fs: FileSystem, root: Path): String =
+    if (fs.exists(new Path(root, "sketch"))) "sketch" else "assigned"
+
+  private def requireCenters(spark: SparkSession,
+      dir: String): Array[Array[Double]] = {
     val (fs, root) = fsFor(spark, dir)
     require(fs.exists(new Path(root, "centers")),
       s"no frozen quantizer at $dir/centers — run freezeCenters first " +
         "(streaming ingest never trains; a per-batch retrain would break " +
         "replay idempotence and append-equals-rebuild exactness)")
+    loadCenters(spark, dir)
+  }
+
+  // the shared per-batch delta mechanics (guards, dynamic partition
+  // overwrite, manifest registration) — ONE definition for every tier
+  // (float/int8/PQ under `assigned`, SRP under `sketch`), so a fix to
+  // the write options or the manifest race cannot desynchronize them;
+  // only the row projection and the relation layout differ. `rows` is
+  // by-name: quantizer loading/validation stays lazy behind the
+  // empty-batch no-op.
+  private def writeDelta(batch: DataFrame, batchId: Long, dir: String,
+      idCol: String, sub: String, relIdCol: String,
+      rows: => DataFrame): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val (fs, root) = fsFor(spark, dir)
     // opt-in disjoint-ids guard (SimilaritySearch.ValidateAppendsConf):
     // the existing side excludes THIS batch's own partitions — a
     // same-batch-id replay re-delivers the same ids by design (that is
@@ -100,24 +121,25 @@ object StreamingVecIndex {
     // and scopes to live segments so a crashed merge's orphans cannot
     // raise false violations
     if (SimilaritySearch.validateAppends(spark) &&
-        fs.exists(new Path(root, "assigned"))) {
-      val raw = spark.read.parquet(s"$dir/assigned")
+        fs.exists(new Path(root, sub))) {
+      val raw = spark.read.parquet(s"$dir/$sub")
       val prior =
         if (fs.exists(new Path(root, "_segments")))
           raw.filter(col("batch")
             .isin(liveSegments(spark, dir).filterNot(_ == batchId): _*))
         else raw.filter(col("batch") =!= batchId)
       SimilaritySearch.assertDisjointAppend(
-        prior.select(col("neighbor_id")),
+        prior.select(col(relIdCol).as("neighbor_id")),
         batch.select(col(idCol).as("neighbor_id")),
         s"StreamingVecIndex.applyBatch(batch=$batchId, $dir)")
     }
-    rows(loadCenters(spark, dir))
+    val parts = if (sub == "sketch") Seq("batch") else Seq("batch", "cell")
+    rows
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "cell")
-      .parquet(s"$dir/assigned")
+      .partitionBy(parts: _*)
+      .parquet(s"$dir/$sub")
     // once a merge manifest governs the directory, every new segment
     // must register or the manifest-filtered load would never see it;
     // set semantics keep a replayed batch a no-op here too
@@ -140,9 +162,10 @@ object StreamingVecIndex {
     */
   def applyBatchInt8(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    writeDelta(batch, batchId, dir, idCol,
-      centers => SimilaritySearch // ONE pass: assign + quantize fused
-        .assignAndQuantizeInt8(batch, centers, idCol, vecCol))
+    writeDelta(batch, batchId, dir, idCol, "assigned", "neighbor_id",
+      SimilaritySearch // ONE pass: assign + quantize fused
+        .assignAndQuantizeInt8(batch,
+          requireCenters(batch.sparkSession, dir), idCol, vecCol))
 
   /** Freeze the PQ tier's SECOND quantizer beside the coarse centers —
     * the bootstrap for [[applyBatchPq]] (run once, before the stream):
@@ -171,19 +194,18 @@ object StreamingVecIndex {
     * schema-agnostic and shared. Same disjoint-ids caller contract.
     */
   def applyBatchPq(batch: DataFrame, batchId: Long, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    if (batch.isEmpty) return // the other tiers' empty-batch no-op
-    val spark = batch.sparkSession
-    val (fs, root) = fsFor(spark, dir)
-    require(fs.exists(new Path(root, "codebook")),
-      s"no frozen PQ codebook at $dir/codebook — run freezePq first " +
-        "(streaming ingest never trains; a per-batch codebook would " +
-        "break replay idempotence and make codes batch-dependent)")
-    val book = SimilaritySearch.readCodebook(spark, dir)
-    writeDelta(batch, batchId, dir, idCol,
-      centers => SimilaritySearch
-        .assignAndEncodePq(batch, centers, book, idCol, vecCol))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeDelta(batch, batchId, dir, idCol, "assigned", "neighbor_id", {
+      val spark = batch.sparkSession
+      val (fs, root) = fsFor(spark, dir)
+      require(fs.exists(new Path(root, "codebook")),
+        s"no frozen PQ codebook at $dir/codebook — run freezePq first " +
+          "(streaming ingest never trains; a per-batch codebook would " +
+          "break replay idempotence and make codes batch-dependent)")
+      SimilaritySearch.assignAndEncodePq(batch,
+        requireCenters(spark, dir),
+        SimilaritySearch.readCodebook(spark, dir), idCol, vecCol)
+    })
 
   /** The streaming writer: attach a checkpoint and `.start()` (or
     * `.trigger(AvailableNow)` for catch-up). foreachBatch because the
@@ -219,7 +241,7 @@ object StreamingVecIndex {
   }
 
   private def listSegments(fs: FileSystem, root: Path): Seq[Long] = {
-    val p = new Path(root, "assigned")
+    val p = new Path(root, segSub(fs, root))
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch="))
@@ -251,11 +273,12 @@ object StreamingVecIndex {
       currentBatch: Long): Boolean = {
     require(threshold >= 2, s"merge threshold must be >= 2, got $threshold")
     val (fs, root) = fsFor(spark, dir)
+    val sub = segSub(fs, root)
     val live = liveSegments(spark, dir)
     if (fs.exists(new Path(root, "_segments"))) {
       val liveSet = live.toSet
       listSegments(fs, root).filterNot(liveSet.contains).foreach { id =>
-        fs.delete(new Path(root, s"assigned/batch=$id"), true)
+        fs.delete(new Path(root, s"$sub/batch=$id"), true)
       }
     }
     if (live.size < threshold) return false
@@ -268,18 +291,19 @@ object StreamingVecIndex {
       writeManifest(fs, root, live)
     val staging = new Path(root, "_merge-staging")
     fs.delete(staging, true)
-    spark.read.parquet(s"$dir/assigned")
+    val foldW = spark.read.parquet(s"$dir/$sub")
       .filter(col("batch").isin(fold: _*)).drop("batch")
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(new Path(staging, "assigned").toString)
-    val target = new Path(root, s"assigned/batch=$mid")
+      .write.mode("overwrite")
+    (if (sub == "sketch") foldW else foldW.partitionBy("cell"))
+      .parquet(new Path(staging, sub).toString)
+    val target = new Path(root, s"$sub/batch=$mid")
     fs.delete(target, true) // stale target from a crashed earlier attempt
-    if (!fs.rename(new Path(staging, "assigned"), target))
+    if (!fs.rename(new Path(staging, sub), target))
       throw new java.io.IOException(s"merge rename failed: $target")
     fs.delete(staging, true)
     writeManifest(fs, root, mid +: keep) // the commit point
     fold.foreach { id =>
-      fs.delete(new Path(root, s"assigned/batch=$id"), true)
+      fs.delete(new Path(root, s"$sub/batch=$id"), true)
     }
     true
   }
@@ -295,18 +319,22 @@ object StreamingVecIndex {
       liveAssigned(spark, dir, Seq("neighbor_id", "tv", "cell"), persist))
 
   // the shared live-index assembly (manifest scoping, batch-identity
-  // drop, tombstone application, persist) — one definition for the float
-  // and int8 tiers; only the projected column set differs
+  // drop, tombstone application, persist) — one definition for every
+  // tier; only the relation, projected column set, and id column differ
   private def liveAssigned(spark: SparkSession, dir: String,
-      cols: Seq[String], persist: Boolean): DataFrame = {
+      cols: Seq[String], persist: Boolean, sub: String = "assigned",
+      relIdCol: String = "neighbor_id"): DataFrame = {
     val (fs, root) = fsFor(spark, dir)
-    val raw = spark.read.parquet(s"$dir/assigned")
+    val raw = spark.read.parquet(s"$dir/$sub")
     val scoped =
       if (fs.exists(new Path(root, "_segments")))
         raw.filter(col("batch").isin(liveSegments(spark, dir): _*))
       else raw
+    val dropped = scoped.drop("batch")
+    val projected =
+      if (cols.isEmpty) dropped else dropped.select(cols.map(col): _*)
     val assigned = SimilaritySearch.applyAnnTombstones(spark, dir,
-      scoped.drop("batch").select(cols.map(col): _*), "neighbor_id")
+      projected, relIdCol)
     if (persist) assigned.persist() else assigned
   }
 
@@ -355,5 +383,74 @@ object StreamingVecIndex {
     */
   def compactToPq(spark: SparkSession, dir: String, outDir: String): Unit =
     SimilaritySearch.saveIvfPqIndex(loadPq(spark, dir, persist = false),
+      outDir)
+
+  /** Freeze the SRP tier's hyperplane family — the bootstrap for
+    * [[applyBatchSrp]] (run once, before the stream): persists `meta/`
+    * in the [[SimilaritySearch.saveSrpIndex]] layout with n = −1 (a
+    * streamed artifact has no single build-time n; [[loadSrp]] counts
+    * the live relation — the dial must describe the served scan). The
+    * hyperplanes themselves are hash-derived from (bits, seed), so
+    * freezing the PAIR freezes the family: every batch sketches
+    * against identical planes, which is the replay-idempotence and
+    * append ≡ rebuild argument on this tier (the sketch UDF is
+    * row-local and deterministic).
+    */
+  def freezeSrp(spark: SparkSession, dir: String, bits: Int = 128,
+      seed: Long = 42L, idCol: String = "vec_id"): Unit = {
+    require(bits % 64 == 0 && bits > 0,
+      s"bits=$bits must be a positive multiple of 64")
+    import spark.implicits._
+    Seq((-1L, bits, seed, idCol)).toDF("n", "bits", "seed", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** [[applyBatch]] for the LEANEST tier (16 bytes/vector at the
+    * 128-bit default): the batch sketches under the frozen (bits, seed)
+    * family from `meta/` and lands as flat `batch=` delta partitions of
+    * the `sketch/` relation — no cell level (SRP is the brute-scan
+    * tier). The segment machinery (manifest, merge, orphan sweep,
+    * tombstones) resolves the layout from the directory and is shared
+    * verbatim. The batch's id column is the FROZEN `id_col` from meta —
+    * the sketch schema must be identical across batches.
+    */
+  def applyBatchSrp(batch: DataFrame, batchId: Long, dir: String,
+      vecCol: String = "embedding"): Unit = {
+    if (batch.isEmpty) return // the other tiers' empty-batch no-op
+    val (bits, seed, idCol) = srpMeta(batch.sparkSession, dir)
+    writeDelta(batch, batchId, dir, idCol, "sketch", idCol,
+      SimilaritySearch.srpSketch(batch, bits, seed, idCol, vecCol))
+  }
+
+  private def srpMeta(spark: SparkSession,
+      dir: String): (Int, Long, String) = {
+    val (fs, root) = fsFor(spark, dir)
+    require(fs.exists(new Path(root, "meta")),
+      s"no frozen hyperplane family at $dir/meta — run freezeSrp first " +
+        "(streaming ingest never re-seeds; per-batch planes would make " +
+        "signatures batch-dependent and break replay idempotence)")
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    (m.getAs[Int]("bits"), m.getAs[Long]("seed"), m.getAs[String]("id_col"))
+  }
+
+  /** [[load]] for an [[applyBatchSrp]]-ingested directory: live-segment
+    * scoping and tombstone application on the flat sketch, assembled as
+    * the [[SimilaritySearch.SrpIndex]] with n counted from the live
+    * relation (one bounded load-time job — the loadPq discipline).
+    */
+  def loadSrp(spark: SparkSession, dir: String,
+      persist: Boolean = true): SimilaritySearch.SrpIndex = {
+    val (bits, seed, idCol) = srpMeta(spark, dir)
+    val sk = liveAssigned(spark, dir, Nil, persist, sub = "sketch",
+      relIdCol = idCol)
+    SimilaritySearch.SrpIndex(sk, sk.count(), bits, seed, idCol)
+  }
+
+  /** [[compactTo]] for an SRP-ingested directory — folds into the batch
+    * [[SimilaritySearch.saveSrpIndex]] layout (the survivor-counted n
+    * and the (bits, seed, id_col) metadata travel with it).
+    */
+  def compactToSrp(spark: SparkSession, dir: String, outDir: String): Unit =
+    SimilaritySearch.saveSrpIndex(loadSrp(spark, dir, persist = false),
       outDir)
 }

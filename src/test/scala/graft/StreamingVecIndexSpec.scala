@@ -243,4 +243,61 @@ class StreamingVecIndexSpec extends SparkSpec {
     assert(probePq(loadedFold, survivors) ==
       probePq(pqRebuild(survivors), survivors))
   }
+
+  test("SRP streamed ingest: sketches equal a same-family build; merge, replay, takedown, fold hold") {
+    val (dir, _) = freshDirs("srp")
+    // no frozen hyperplane family: the SRP tier refuses loudly
+    intercept[IllegalArgumentException] {
+      StreamingVecIndex.applyBatchSrp(emb.limit(5), 0L, dir)
+    }
+    StreamingVecIndex.freezeSrp(spark, dir, bits = 128, seed = 7L)
+    (0 to 3).foreach { b =>
+      StreamingVecIndex.applyBatchSrp(
+        emb.filter(pmod(col("vec_id"), lit(4L)) === b), b.toLong, dir)
+      StreamingVecIndex.maybeMerge(spark, dir, threshold = 2, b.toLong)
+    }
+    def probeS(idx: SimilaritySearch.SrpIndex,
+        corpus: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.hammingTopKAuto(idx, corpus, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // reference: the batch build under the same (bits, seed) family —
+    // sketching is row-local and deterministic, so streamed ≡ built
+    def srpRebuild(corpus: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.buildSrpIndex(corpus, bits = 128, seed = 7L,
+        persist = false)
+    val streamed = StreamingVecIndex.loadSrp(spark, dir, persist = false)
+    assert(streamed.n == emb.count() && streamed.idCol == "vec_id")
+    val want = probeS(srpRebuild(emb), emb)
+    assert(want.nonEmpty && probeS(streamed, emb) == want,
+      "SRP streamed index diverged from same-family build")
+    assert(StreamingVecIndex.liveSegments(spark, dir).exists(_ < 0),
+      "expected a committed merge fold on the sketch relation")
+    // replay idempotence (frozen family ⇒ byte-identical signatures)
+    StreamingVecIndex.applyBatchSrp(
+      emb.filter(pmod(col("vec_id"), lit(4L)) === 3), 3L, dir)
+    assert(StreamingVecIndex.loadSrp(spark, dir, persist = false)
+      .sketched.count() == emb.count())
+    // takedown on the streamed sketch; n tracks survivors; the batch
+    // in-place compact refuses the streamed sketch layout
+    val dead = Seq(7L, 11L)
+    SimilaritySearch.deleteFromAnnIndex(spark, dir, dead)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.compactAnnIndex(spark, dir)
+    }
+    val survivors = emb.filter(!col("vec_id").isin(dead: _*))
+    val tombstoned = StreamingVecIndex.loadSrp(spark, dir, persist = false)
+    assert(tombstoned.n == emb.count() - 2)
+    assert(probeS(tombstoned, survivors) ==
+      probeS(srpRebuild(survivors), survivors))
+    // compactToSrp folds into the batch artifact: probe-equal, metadata
+    // (survivor n, bits, seed, id_col) travels
+    val folded = java.nio.file.Files
+      .createTempDirectory("graft-svec-srpfold").toString
+    StreamingVecIndex.compactToSrp(spark, dir, folded)
+    val loadedFold = SimilaritySearch.loadSrpIndex(spark, folded,
+      persist = false)
+    assert(loadedFold.n == emb.count() - 2 && loadedFold.idCol == "vec_id")
+    assert(probeS(loadedFold, survivors) ==
+      probeS(srpRebuild(survivors), survivors))
+  }
 }
