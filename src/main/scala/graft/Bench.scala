@@ -74,7 +74,8 @@ object Bench {
       graft.queries.ScaleJoinQueries.prepareDppTable(spark, sfDir); ()
     }
     build("ivf_index", selected.contains("vx_ann_ivf_probe_top5") ||
-        selected.contains("vx_hybrid_rrf_filtered_quantized")) {
+        selected.contains("vx_hybrid_rrf_filtered_quantized") ||
+        selected.contains("vx_hybrid_rrf_batch_parity")) {
       graft.queries.EngineQueries.prepareIvfIndex(spark, sfDir); ()
     }
     build("minhash_sigs", selected.exists(e =>
@@ -119,9 +120,11 @@ object Bench {
     build("lex_index", selected.exists(e =>
         e._1 == "t_bm25_artifact_topk" || e._1 == "vx_hybrid_rrf_top10" ||
         e._1 == "vx_hybrid_rrf_filtered_quantized" ||
+        e._1 == "vx_hybrid_rrf_batch_parity" ||
         e._1 == "t_bm25_wand_topk" || e._1 == "t_bm25_filtered_topk" ||
         e._1 == "t_bm25_batch_wand_topk" ||
-        e._1 == "t_spell_suggest" || e._1 == "t_ql_topk" ||
+        e._1 == "t_spell_suggest" || e._1 == "t_spell_suggest_filtered" ||
+        e._1 == "t_ql_topk" ||
         e._1 == "t_ql_batch_topk" ||
         e._1 == "t_lex_index_stats" || e._1 == "t_lex_facet_counts" ||
         e._1 == "t_lex_facet_counts_filtered")) {

@@ -445,13 +445,26 @@ object InvertedIndex {
       adjusted.postings.select(postingCols: _*),
       adjusted.docLens, exactTermDf, adjusted.n, adjusted.sdl), staging)
     val stagingRoot = new Path(staging)
-    // "suggest" last: save() derives it from the exact surviving termDf,
-    // so the rewritten dictionary sheds dead terms' keys with the rewrite.
+    // "suggest" last among the data relations, then its LEDGER: save()
+    // derives the dictionary from the exact surviving termDf, so the
+    // rewritten dictionary sheds dead terms' keys with the rewrite, and
+    // the staged one-row suggestmeta ledger must swap in WITH it (r16 —
+    // omitting it left the live ledger at its pre-compact delta count
+    // beside the fresh one-row meta, so load()'s lockstep check tripped
+    // forever on a consistent artifact and suggest df permanently fell
+    // back to the termDf join; the swap also INSTALLS a ledger on
+    // pre-ledger artifacts, the heal compact always promised).
     // Rename the live relation ASIDE before renaming staging in (r15 —
     // the compactAnnIndex discipline): a crash between the two leaves
     // the old relation at <sub>-compact-old beside the complete staged
     // copy, so recovery is one rename back, never a data re-derivation.
-    Seq("postings", "doclens", "termdf", "suggest", "meta").foreach { sub =>
+    // Every crash window reads SAFE: new dictionary in + old ledger +
+    // old meta agree at the old count → the df re-merge (an identity
+    // over the fresh unique-keyed rows); new ledger(1) + old meta(N) →
+    // mismatch → the always-correct termDf fallback. No window serves
+    // stale dfs raw.
+    Seq("postings", "doclens", "termdf", "suggest", "suggestmeta", "meta")
+      .foreach { sub =>
       val live = new Path(root, sub)
       val old = new Path(root, s"$sub-compact-old")
       fs.delete(old, true)
@@ -1119,10 +1132,15 @@ object InvertedIndex {
     val qterms = queries
       .select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
     val qidField = qterms.schema("query_id")
+    // the empty-result schema carries the ARTIFACT's native doc-id type
+    // (doclens is the smallest relation carrying it — the delete()
+    // discipline): a hardcoded LongType here gave a string-keyed index's
+    // all-dead-queries batch a DIFFERENT schema than its non-empty
+    // results, breaking downstream unions (r15 ADVICE)
     val resultSchema = org.apache.spark.sql.types.StructType(Seq(
       qidField.copy(name = "query_id"),
       org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
+        idx.docLens.schema("doc_id").dataType),
       org.apache.spark.sql.types.StructField("score_q",
         org.apache.spark.sql.types.LongType)))
     // ONE bounded collect (∝ the query relation): per-(query, distinct

@@ -648,6 +648,19 @@ class InvertedIndexSpec extends SparkSpec {
     assert(gotA.nonEmpty &&
       gotA == perQuery(ts => InvertedIndex.qlTopKAmong(idx, ts, 3, allowed)),
       "filtered batch QL diverged from per-query qlTopKAmong")
+    // the all-dead-queries empty result carries the ARTIFACT's native
+    // doc-id type (r15 ADVICE: a hardcoded LongType gave a string-keyed
+    // index a different empty schema, breaking downstream unions)
+    val idxS = InvertedIndex.build(
+      Seq(("d1", "alpha beta"), ("d2", "beta")).toDF("doc_id", "text"))
+    val deadS = InvertedIndex.qlTopKByQuery(idxS,
+      Seq((0L, "zzz_unindexed")).toDF("query_id", "term"), 3)
+    assert(deadS.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val liveS = InvertedIndex.qlTopKByQuery(idxS,
+      Seq((0L, "alpha")).toDF("query_id", "term"), 3)
+    assert(deadS.unionByName(liveS).count() == 1L,
+      "empty and non-empty batch results must union")
   }
 
   test("de-synced meta/suggest lockstep detected at load: probe falls back to the termDf route") {
@@ -689,6 +702,47 @@ class InvertedIndexSpec extends SparkSpec {
     val derived = rows(InvertedIndex.suggestTerms(
       desynced.copy(suggestKeys = None), Seq("spark"), 3))
     assert(rows(served) == derived && intactRows == derived)
+  }
+
+  test("compact rewrites the suggestmeta ledger: save -> append -> delete -> compact keeps the raw-serve fast path") {
+    // the r15 ADVICE find: compact()'s rename list omitted the staged
+    // one-row ledger, so a compacted ever-appended artifact kept its
+    // pre-compact delta count beside the fresh one-row meta — load()'s
+    // lockstep check then tripped FOREVER on a consistent artifact and
+    // suggest df permanently fell back to the termDf join, contradicting
+    // the documented rewrites-back-to-one-of-each heal
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-compact-ledger").toString
+    val docs = Seq(
+      (1L, "spark scan table"),
+      (2L, "spork merge"),
+      (3L, "spark merge join")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    InvertedIndex.save(InvertedIndex.build(docs), dir)
+    InvertedIndex.append(dir, Seq((4L, "spars rows")).toDF("doc_id", "text"))
+    InvertedIndex.delete(spark, dir, Seq(4L))
+    InvertedIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/suggestmeta").count() == 1L,
+      "compact must swap the staged one-row ledger in with the dictionary")
+    val compacted = InvertedIndex.load(spark, dir)
+    val served = InvertedIndex.suggestTerms(compacted, Seq("spark"), 3)
+    assert(!served.queryExecution.executedPlan.toString.contains("termdf"),
+      "post-compact artifact must serve the raw fast path, not the fallback")
+    assert(rows(served) == rows(InvertedIndex.suggestTerms(
+      compacted.copy(suggestKeys = None), Seq("spark"), 3)))
+    // a PRE-ledger artifact (no suggestmeta on disk) gains its ledger at
+    // compact — the install the heal always promised
+    val (fs, root) = InvertedIndex.fsFor(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "suggestmeta"), true)
+    InvertedIndex.delete(spark, dir, Seq(2L))
+    InvertedIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/suggestmeta").count() == 1L,
+      "compact must install the ledger on a pre-ledger artifact")
+    val healed = InvertedIndex.load(spark, dir)
+    assert(!InvertedIndex.suggestTerms(healed, Seq("spark"), 3)
+      .queryExecution.executedPlan.toString.contains("termdf"))
   }
 
   test("legacy df-less dictionary: coarse-grid pruning, layout-preserving append") {
