@@ -92,6 +92,10 @@ object Bench {
         selected.contains("vx_stream_ann_pq_parity")) {
       graft.queries.EngineQueries.prepareIvfPqIndex(spark, sfDir); ()
     }
+    build("hybrid_pq_index",
+        selected.contains("vx_hybrid_rrf_pq_quantized")) {
+      graft.queries.EngineQueries.prepareHybridPqIndex(spark, sfDir); ()
+    }
     build("ivf_int8_exact_index",
         selected.contains("vx_ann_int8_filtered_quantized")) {
       graft.queries.EngineQueries.prepareIvfInt8ExactIndex(spark, sfDir); ()
@@ -121,6 +125,7 @@ object Bench {
         e._1 == "t_bm25_artifact_topk" || e._1 == "vx_hybrid_rrf_top10" ||
         e._1 == "vx_hybrid_rrf_filtered_quantized" ||
         e._1 == "vx_hybrid_rrf_batch_parity" ||
+        e._1 == "vx_hybrid_rrf_pq_quantized" ||
         e._1 == "t_bm25_wand_topk" || e._1 == "t_bm25_filtered_topk" ||
         e._1 == "t_bm25_batch_wand_topk" ||
         e._1 == "t_spell_suggest" || e._1 == "t_spell_suggest_filtered" ||
@@ -136,7 +141,9 @@ object Bench {
     build("lex_index_pos", selected.exists(e =>
         e._1 == "t_phrase_search_topk" || e._1 == "t_phrase_snippets" ||
         e._1 == "t_phrase_snippets_filtered" ||
-        e._1 == "t_proximity_search_topk")) {
+        e._1 == "t_proximity_search_topk" ||
+        e._1 == "t_phrase_batch_topk" ||
+        e._1 == "t_proximity_batch_topk")) {
       graft.queries.TextQueries.preparePhraseIndex(spark, sfDir); ()
     }
     build("lex_index_stream", selected.exists(e =>

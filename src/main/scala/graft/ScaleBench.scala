@@ -685,6 +685,35 @@ object ScaleBench {
             .select(col("vec_id")),
           legK = 100, selectivity = Some(0.5))
       },
+      // the r16 tier-generalized hybrid: the SAME filtered ensemble with
+      // its dense leg served from the 32×-compressed IVF-PQ tier through
+      // DenseLeg.PqRefined (ADC scan over codes → √n-refine exact
+      // re-rank, the metadata-resolved auto composition) — the
+      // configuration a 100 TB corpus actually fuses from (codes hot,
+      // floats point-looked-up); its exponents belong beside
+      // hybrid_filtered_*'s
+      "hybrid_pq_selective" -> { dir: String =>
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.HybridRetrieval.rrfTopKAmong(
+          lexIdx(dir), bm25Terms,
+          graft.operators.HybridRetrieval.DenseLeg.PqRefined(
+            embPqIdx(dir), emb),
+          emb.filter(col("vec_id") === 0), k = 10,
+          emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
+            .select(col("vec_id")),
+          legK = 100, selectivity = Some(1.0 / 128))
+      },
+      "hybrid_pq_permissive" -> { dir: String =>
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.HybridRetrieval.rrfTopKAmong(
+          lexIdx(dir), bm25Terms,
+          graft.operators.HybridRetrieval.DenseLeg.PqRefined(
+            embPqIdx(dir), emb),
+          emb.filter(col("vec_id") === 0), k = 10,
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+            .select(col("vec_id")),
+          legK = 100, selectivity = Some(0.5))
+      },
       // the r15 BATCH hybrid verb vs the per-query loop it replaces
       // (the rag_lexical / rag_lexical_unpruned pair discipline): 8
       // (vector, term-bag) queries under a half-corpus filter — the
@@ -826,8 +855,11 @@ object ScaleBench {
         familySelected("bm25_filtered_permissive") ||
         familySelected("hybrid_filtered_selective") ||
         familySelected("hybrid_filtered_permissive") ||
+        familySelected("hybrid_pq_selective") ||
+        familySelected("hybrid_pq_permissive") ||
         familySelected("hybrid_batch_filtered") ||
-        familySelected("hybrid_batch_loop")) {
+        familySelected("hybrid_batch_loop") ||
+        familySelected("hybrid_recall_fused")) {
       def mkIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx").toString
@@ -964,6 +996,7 @@ object ScaleBench {
         familySelected("hybrid_filtered_permissive") ||
         familySelected("hybrid_batch_filtered") ||
         familySelected("hybrid_batch_loop") ||
+        familySelected("hybrid_recall_fused") ||
         familySelected("ann_recall_filtered")) {
       def mkIdx(dir: String): Unit = {
         val emb = Tables.embeddings(spark, dir)
@@ -994,6 +1027,9 @@ object ScaleBench {
     }
     if (familySelected("pq_filtered_selective") ||
         familySelected("pq_filtered_permissive") ||
+        familySelected("hybrid_pq_selective") ||
+        familySelected("hybrid_pq_permissive") ||
+        familySelected("hybrid_recall_fused") ||
         familySelected("ann_recall_filtered")) {
       def mkIdx(dir: String): Unit = {
         val emb = Tables.embeddings(spark, dir)
@@ -1554,6 +1590,73 @@ object ScaleBench {
             parts.mkString("", ",", "}")
         }.mkString("{", ",", "}")
       }
+
+    // FUSED-recall grid (r16, verdict item 3): the ann_recall_filtered
+    // discipline one composition up — the truth-check covers each dense
+    // tier in isolation, but nothing measured whether the RRF ENSEMBLE
+    // preserves what its legs deliver. Truth = the exact-fusion ranking:
+    // the same batch fusion fold over DenseLeg.Brute (exact cosine) +
+    // the lossless batch-WAND lexical leg — the only approximate piece
+    // in the served ensembles is the dense leg, so fused recall isolates
+    // exactly what fusion does to the dense tier's own recall profile.
+    // Served rows: the float IVF auto leg and the PQ-refined auto leg,
+    // at both sizes, under the selective (≈0.8%) and permissive (50%)
+    // document-domain ACLs (the r15 cross-SF lesson: the ACL lives on
+    // the shared document domain, never the embeddings id domain).
+    val hybridRecallJson: Option[String] =
+      if (!familySelected("hybrid_recall_fused")) None
+      else Some {
+        import graft.operators.HybridRetrieval
+        val K = 10
+        Seq("small" -> base, "big" -> out).map { case (tag, dir) =>
+          import spark.implicits._
+          val emb = Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding")).persist()
+          val n = emb.count()
+          val lx = lexIdx(dir)
+          val qterms = hybridBags
+            .flatMap { case (q, ts) => ts.map((q, _)) }
+            .toDF("query_id", "term")
+          val qvecs = emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+            .persist()
+          qvecs.count()
+          val filters = Seq(
+            ("selective", 1.0 / 128, Tables.documents(spark, dir)
+              .filter(pmod(col("doc_id"), lit(128L)) === 0)
+              .select(col("doc_id").as("vec_id"))),
+            ("permissive", 0.5, Tables.documents(spark, dir)
+              .filter(pmod(col("doc_id"), lit(2L)) === 0)
+              .select(col("doc_id").as("vec_id"))))
+          val parts = filters.map { case (fname, sel, allowed) =>
+            def fused(leg: HybridRetrieval.DenseLeg): DataFrame =
+              HybridRetrieval.rrfTopKByQueryAmong(lx, qterms, leg, qvecs,
+                  K, allowed, legK = 100, selectivity = Some(sel))
+                .select(col("query_id"), col("doc_id").as("neighbor_id"))
+            val truth = fused(HybridRetrieval.DenseLeg.Brute(emb)).persist()
+            val tTruth = timeIt { truth.count(); () }
+            val tiers = Seq(
+              "ivf_auto" -> (HybridRetrieval.DenseLeg
+                .Float32(embIvfIdx(dir)._1): HybridRetrieval.DenseLeg),
+              "pq_auto" -> (HybridRetrieval.DenseLeg
+                .PqRefined(embPqIdx(dir), emb): HybridRetrieval.DenseLeg))
+            val tierParts = tiers.map { case (tname, leg) =>
+              var served: DataFrame = null
+              val t = timeIt { served = fused(leg).persist(); served.count(); () }
+              val r = recallAtK(truth, served)
+              served.unpersist()
+              println(s"SCALEHYBRID $tag $fname n=$n $tname " +
+                s"recall=${fmt(r)} probe=${fmt(t)}s truth=${fmt(tTruth)}s")
+              s""""$tname":{"recall":${fmt(r)},"probe_sec":${fmt(t)}}"""
+            }
+            truth.unpersist()
+            s""""$fname":{"truth_sec":${fmt(tTruth)},""" +
+              tierParts.mkString("", ",", "}")
+          }
+          qvecs.unpersist(); emb.unpersist()
+          s""""$tag":{"n":$n,""" + parts.mkString("", ",", "}")
+        }.mkString("{", ",", "}")
+      }
     // last consumer of the shared IVF artifacts is done (see the release
     // block after the results loop)
     embIvfIdx.values.foreach(_._1.assigned.unpersist())
@@ -1688,6 +1791,7 @@ object ScaleBench {
     val recallField = recallJson.map(r => s""","recall":$r""").getOrElse("") +
       plantedJson.map(r => s""","recall_planted":$r""").getOrElse("") +
       filteredJson.map(r => s""","recall_filtered":$r""").getOrElse("") +
+      hybridRecallJson.map(r => s""","recall_hybrid":$r""").getOrElse("") +
       embjsonJson.map(r => s""","embjson":$r""").getOrElse("")
     val json =
       s"""{"metric":"scale_exponent","factor":$factor,"base":"$base","families":$famJson,"builds":$buildJson$recallField}"""

@@ -32,6 +32,166 @@ import org.apache.spark.sql.functions._
   */
 object HybridRetrieval {
 
+  /** The dense tier a hybrid leg probes — the abstraction that lets the
+    * fusion verbs accept ANY of the persisted ANN families (r16; before
+    * this, `rrfTopK*` took only the float [[SimilaritySearch.IvfIndex]],
+    * so the PQ-resident configuration a 100 TB corpus actually serves
+    * from — codes hot, floats cold — was back to hand-wiring fusion per
+    * caller, the exact condition the operator exists to end). Every
+    * implementation returns the family's normalized probe shape
+    * `(query_id, rn, neighbor_id, score)`, which is all the fusion tail
+    * ever consumes — so adding a tier cannot change a fused bit on the
+    * existing tiers (the float gates' hashes pin it).
+    *
+    * Dial discipline: `probe` resolves the tier's UNFILTERED policy
+    * ([[SimilaritySearch.policyNprobe]], plus the √n refine for the PQ
+    * re-rank tier) when the caller does not pin one; `probeAmong` routes
+    * through the tier's `*AmongAuto` verb — the selectivity-capped
+    * nprobe dial with pre-filter candidate semantics — so a leg under an
+    * ACL can never silently under-recall relative to the tier's own
+    * filtered serving verb.
+    */
+  sealed trait DenseLeg {
+    /** Unfiltered top-k probe; `nprobe` None resolves the tier policy. */
+    private[graft] def probe(queries: DataFrame, k: Int, nprobe: Option[Int],
+        idCol: String, vecCol: String): DataFrame
+    /** Filtered top-k under the tier's selectivity-capped auto dial. */
+    private[graft] def probeAmong(queries: DataFrame, k: Int,
+        allowed: DataFrame, selectivity: Option[Double],
+        idCol: String, vecCol: String): DataFrame
+  }
+
+  object DenseLeg {
+    import scala.language.implicitConversions
+
+    /** The float32 IVF tier — compiles to the EXACT plans the
+      * pre-abstraction verbs built (ivfProbe at the policy dial /
+      * ivfProbeAmongAuto), so the r15 hybrid gates re-serve through it
+      * hash-unchanged. An [[SimilaritySearch.IvfIndex]] converts
+      * implicitly, keeping every existing call site source-compatible.
+      */
+    final case class Float32(index: SimilaritySearch.IvfIndex)
+        extends DenseLeg {
+      private[graft] def probe(queries: DataFrame, k: Int,
+          nprobe: Option[Int], idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.ivfProbe(index, queries, k,
+          nprobe.getOrElse(
+            SimilaritySearch.policyNprobe(index.centers.length)),
+          idCol, vecCol)
+      private[graft] def probeAmong(queries: DataFrame, k: Int,
+          allowed: DataFrame, selectivity: Option[Double],
+          idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.ivfProbeAmongAuto(index, queries, k, allowed,
+          selectivity, idCol, vecCol)
+    }
+
+    /** The 4×-compressed IVF-SQ8 memory-floor tier (native Int8Cosine
+      * codegen kernel on the candidate relation).
+      */
+    final case class Int8(index: SimilaritySearch.IvfInt8Index)
+        extends DenseLeg {
+      private[graft] def probe(queries: DataFrame, k: Int,
+          nprobe: Option[Int], idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.ivfProbeInt8(index, queries, k,
+          nprobe.getOrElse(
+            SimilaritySearch.policyNprobe(index.centers.length)),
+          idCol, vecCol)
+      private[graft] def probeAmong(queries: DataFrame, k: Int,
+          allowed: DataFrame, selectivity: Option[Double],
+          idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.ivfProbeInt8AmongAuto(index, queries, k, allowed,
+          selectivity, idCol, vecCol)
+    }
+
+    /** The 32×-compressed IVF-PQ tier WITH the exact float re-rank
+      * ([[SimilaritySearch.ivfProbePqRefined]] — the production
+      * compressed configuration: the ADC scan never touches a float,
+      * then only the k·refine shortlist point-looks-up `corpus` for
+      * exact cosine). `refine` None follows the √n
+      * [[SimilaritySearch.refineScaleParam]] policy from the index's
+      * stamped n; pinning it high enough that the shortlist covers every
+      * (allowed) candidate puts the leg in the EXACT regime — it equals
+      * the filtered brute ranking, the construction the FULL-oracle gate
+      * drives.
+      */
+    final case class PqRefined(index: SimilaritySearch.IvfPqIndex,
+        corpus: DataFrame, refine: Option[Int] = None) extends DenseLeg {
+      private def resolvedRefine: Int = refine.getOrElse(
+        SimilaritySearch.refineScaleParam(
+          if (index.n >= 0) index.n else corpus.count(), base = 4))
+      private[graft] def probe(queries: DataFrame, k: Int,
+          nprobe: Option[Int], idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.ivfProbePqRefined(index, corpus, queries, k,
+          nprobe.getOrElse(
+            SimilaritySearch.policyNprobe(index.centers.length)),
+          resolvedRefine, idCol, vecCol)
+      private[graft] def probeAmong(queries: DataFrame, k: Int,
+          allowed: DataFrame, selectivity: Option[Double],
+          idCol: String, vecCol: String): DataFrame = refine match {
+        case None =>
+          SimilaritySearch.ivfProbePqRefinedAmongAuto(index, corpus,
+            queries, k, allowed, selectivity, idCol, vecCol)
+        case Some(rf) =>
+          // a pinned shortlist width still gets the selectivity-capped
+          // nprobe dial — the conservation half of the auto composition
+          SimilaritySearch.ivfProbePqRefinedAmong(index, corpus, queries,
+            k, SimilaritySearch.filteredNprobeParam(index.centers.length,
+              SimilaritySearch.resolveSelectivity(selectivity, allowed,
+                index.assigned, idCol)),
+            rf, allowed, idCol, vecCol)
+      }
+    }
+
+    /** ADC-only IVF-PQ — the pure 32×-compressed serve for callers whose
+      * float vectors are genuinely unreachable (no refine corpus at
+      * all); ranks carry PQ quantization noise, the tier's documented
+      * trade.
+      */
+    final case class Pq(index: SimilaritySearch.IvfPqIndex)
+        extends DenseLeg {
+      private[graft] def probe(queries: DataFrame, k: Int,
+          nprobe: Option[Int], idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.ivfProbePq(index, queries, k,
+          nprobe.getOrElse(
+            SimilaritySearch.policyNprobe(index.centers.length)),
+          idCol, vecCol)
+      private[graft] def probeAmong(queries: DataFrame, k: Int,
+          allowed: DataFrame, selectivity: Option[Double],
+          idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.ivfProbePqAmongAuto(index, queries, k, allowed,
+          selectivity, idCol, vecCol)
+    }
+
+    /** The exact corpus-scan tier ([[SimilaritySearch.bruteForceTopK]])
+      * — no index, no dials (`nprobe`/`selectivity` have nothing to
+      * tune and are ignored), O(queries × corpus): NOT a scale path.
+      * Its role is the EXACT-FUSION TRUTH: fused with the (lossless)
+      * WAND lexical leg through the same fold, it defines the reference
+      * ranking the recall grid scores the approximate tiers' fusion
+      * against.
+      */
+    final case class Brute(corpus: DataFrame) extends DenseLeg {
+      private[graft] def probe(queries: DataFrame, k: Int,
+          nprobe: Option[Int], idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      private[graft] def probeAmong(queries: DataFrame, k: Int,
+          allowed: DataFrame, selectivity: Option[Double],
+          idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.bruteForceTopKAmong(corpus, queries, k, allowed,
+          idCol, vecCol)
+    }
+
+    // the float and int8 index types ARE their legs (no extra inputs),
+    // so they convert implicitly — every pre-r16 call site keeps
+    // compiling, and the companion-object placement means no import at
+    // call sites. PQ has no implicit form: a caller must CHOOSE between
+    // the refined tier (which needs the float corpus) and ADC-only.
+    implicit def floatLeg(index: SimilaritySearch.IvfIndex): DenseLeg =
+      Float32(index)
+    implicit def int8Leg(index: SimilaritySearch.IvfInt8Index): DenseLeg =
+      Int8(index)
+  }
+
   /** Rank a scored leg globally: (idCol, scoreCol) → (idCol, rankCol)
     * with rank = row_number by (score desc, id) — the two-pass
     * [[GlobalRank]], never a single-partition window. Use this to turn
@@ -80,51 +240,50 @@ object HybridRetrieval {
   }
 
   /** The full hybrid serving verb: BM25 sparse leg from the persisted
-    * lexical index fused with an IVF dense leg, both top-`legK`, RRF
-    * over the union, top-k by (rrf desc, id). `queryVec` is a ONE-row
-    * (idCol, vecCol) relation — the dense query paired with the lexical
-    * term bag; `nprobe` None resolves the unfiltered policy dial from
-    * the index ([[SimilaritySearch.policyNprobe]]), so the filtered
+    * lexical index fused with a dense leg from ANY tier of the persisted
+    * ANN family ([[DenseLeg]] — float IVF, IVF-SQ8, IVF-PQ±refine; the
+    * float and int8 index types convert implicitly), both top-`legK`,
+    * RRF over the union, top-k by (rrf desc, id). `queryVec` is a
+    * ONE-row (idCol, vecCol) relation — the dense query paired with the
+    * lexical term bag; `nprobe` None resolves the tier's unfiltered
+    * policy dial ([[SimilaritySearch.policyNprobe]]), so the filtered
     * twin's allowed=all reduction is exact. Returns (doc_id, rrf).
     */
   def rrfTopK(
       lexIdx: InvertedIndex.LexIndex, terms: Seq[String],
-      denseIdx: SimilaritySearch.IvfIndex, queryVec: DataFrame,
+      denseLeg: DenseLeg, queryVec: DataFrame,
       k: Int, legK: Int = 100, nprobe: Option[Int] = None,
       k0: Double = 60.0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val np = nprobe.getOrElse(
-      SimilaritySearch.policyNprobe(denseIdx.centers.length))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     fuseLegs(
       InvertedIndex.bm25TopK(lexIdx, terms, legK),
-      SimilaritySearch.ivfProbe(denseIdx, queryVec, legK, np, idCol, vecCol),
+      denseLeg.probe(queryVec, legK, nprobe, idCol, vecCol),
       k, k0)
-  }
 
   /** [[rrfTopK]] restricted to an allowed document set — the
     * multi-tenant ensemble, with PRE-filter semantics through BOTH legs
     * (the one serving shape that still had to be hand-wired per caller):
     * the sparse leg is [[InvertedIndex.bm25TopKAmong]] (corpus-wide
     * collection statistics, allowed semi-join on the pruned posting
-    * scan) and the dense leg is [[SimilaritySearch.ivfProbeAmongAuto]]
-    * (the selectivity-capped nprobe dial, allowed semi-join on the
-    * candidate relation before scoring) — so every fused rank is a rank
-    * AMONG ALLOWED documents, never a post-filtered global rank that
-    * under-returns. With allowed = everything the result is bit-equal
-    * to [[rrfTopK]] (selectivity 1 resolves the same policy dial;
-    * spec-pinned).
+    * scan) and the dense leg is the tier's `*AmongAuto` verb
+    * ([[DenseLeg.probeAmong]] — the selectivity-capped nprobe dial,
+    * allowed semi-join on the candidate relation before scoring) — so
+    * every fused rank is a rank AMONG ALLOWED documents, never a
+    * post-filtered global rank that under-returns. With allowed =
+    * everything the result is bit-equal to [[rrfTopK]] (selectivity 1
+    * resolves the same policy dial; spec-pinned).
     */
   def rrfTopKAmong(
       lexIdx: InvertedIndex.LexIndex, terms: Seq[String],
-      denseIdx: SimilaritySearch.IvfIndex, queryVec: DataFrame,
+      denseLeg: DenseLeg, queryVec: DataFrame,
       k: Int, allowed: DataFrame, legK: Int = 100,
       selectivity: Option[Double] = None, k0: Double = 60.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     fuseLegs(
       InvertedIndex.bm25TopKAmong(lexIdx, terms, legK, allowed,
         idCol = idCol),
-      SimilaritySearch.ivfProbeAmongAuto(denseIdx, queryVec, legK, allowed,
-        selectivity, idCol, vecCol),
+      denseLeg.probeAmong(queryVec, legK, allowed, selectivity,
+        idCol, vecCol),
       k, k0)
 
   // the shared fusion tail: rank the bounded BM25 top-legK relation
@@ -159,32 +318,29 @@ object HybridRetrieval {
     */
   def rrfTopKByQuery(
       lexIdx: InvertedIndex.LexIndex, qterms: DataFrame,
-      denseIdx: SimilaritySearch.IvfIndex, queryVecs: DataFrame,
+      denseLeg: DenseLeg, queryVecs: DataFrame,
       k: Int, legK: Int = 100, nprobe: Option[Int] = None,
       k0: Double = 60.0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame = {
-    val np = nprobe.getOrElse(
-      SimilaritySearch.policyNprobe(denseIdx.centers.length))
+      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame =
     fuseLegsByQuery(
       InvertedIndex.bm25TopKPrunedByQuery(lexIdx, qterms, legK,
         queryIdCol, termCol),
-      SimilaritySearch.ivfProbe(denseIdx,
+      denseLeg.probe(
         queryVecs.select(col(queryIdCol).as(idCol), col(vecCol)),
-        legK, np, idCol, vecCol),
+        legK, nprobe, idCol, vecCol),
       k, k0)
-  }
 
   /** [[rrfTopKByQuery]] restricted to an allowed document set — the
     * multi-tenant batch ensemble: the lexical leg is the filtered
     * batch-WAND planner ([[InvertedIndex.bm25TopKPrunedByQueryAmong]])
-    * and the dense leg [[SimilaritySearch.ivfProbeAmongAuto]] under the
+    * and the dense leg the tier's `*AmongAuto` verb under the
     * selectivity dial (resolved ONCE — the filter is per-tenant, not
     * per-query). Per query ≡ [[rrfTopKAmong]] for that query's pair.
     */
   def rrfTopKByQueryAmong(
       lexIdx: InvertedIndex.LexIndex, qterms: DataFrame,
-      denseIdx: SimilaritySearch.IvfIndex, queryVecs: DataFrame,
+      denseLeg: DenseLeg, queryVecs: DataFrame,
       k: Int, allowed: DataFrame, legK: Int = 100,
       selectivity: Option[Double] = None, k0: Double = 60.0,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -192,7 +348,7 @@ object HybridRetrieval {
     fuseLegsByQuery(
       InvertedIndex.bm25TopKPrunedByQueryAmong(lexIdx, qterms, legK,
         allowed, idCol = idCol, queryIdCol = queryIdCol, termCol = termCol),
-      SimilaritySearch.ivfProbeAmongAuto(denseIdx,
+      denseLeg.probeAmong(
         queryVecs.select(col(queryIdCol).as(idCol), col(vecCol)),
         legK, allowed, selectivity, idCol, vecCol),
       k, k0)

@@ -1336,6 +1336,103 @@ object InvertedIndex {
       .orderBy(col("n_occ").desc, col("doc_id"))
       .limit(k)
 
+  /** Batch phrase search: rank MANY phrases in one positional posting
+    * pass — the [[bm25TopKPrunedByQuery]]/[[qlTopKByQuery]] organization
+    * on the positional surface (r16; before this, a RAG evaluation
+    * ranking by phrase paid one pruned posting scan per query — the
+    * measured batch amortization is 4× at 8 queries and compounds at
+    * eval scale). `queries` is a (queryIdCol, slotCol, termCol)
+    * relation, one row per phrase SLOT: slot `i` holds the phrase's
+    * i-th term, slots 0..len−1 contiguous per query (validated in the
+    * one bounded collect — phrases are ORDERED, so the bag shape of the
+    * other ByQuery verbs cannot carry them). Returns
+    * (query_id, doc_id, n_occ), ≤ k rows per query, each query's rows
+    * EXACTLY [[phraseTopK]]'s for its phrase (same anchor intersection,
+    * same (n_occ desc, doc_id) cut — spec- and gate-pinned). A query
+    * whose terms are unindexed returns no rows (the batch must not die
+    * for it).
+    *
+    * Scale: ONE posting scan pruned to the union of all queries' term
+    * buckets; per-(query, doc, anchor) work only for matched postings
+    * (the query relation broadcasts); the rank cut is a query-
+    * partitioned window over the ≤ matched-docs relation — never a
+    * global window.
+    */
+  def phraseTopKByQuery(idx: LexIndex, queries: DataFrame, k: Int,
+      queryIdCol: String = "query_id", termCol: String = "term",
+      slotCol: String = "slot"): DataFrame =
+    phraseTopKByQueryOver(idx, queries, k, queryIdCol, termCol, slotCol,
+      None)
+
+  /** [[phraseTopKByQuery]] restricted to an allowed document set — the
+    * multi-tenant batch shape on the positional surface
+    * ([[phraseTopKAmong]]'s placement: the semi-join rides the pruned
+    * posting scan BEFORE the positions explode and the anchor
+    * intersection, so disallowed docs never inflate the anchor
+    * shuffle).
+    */
+  def phraseTopKByQueryAmong(idx: LexIndex, queries: DataFrame, k: Int,
+      allowed: DataFrame, idCol: String = "doc_id",
+      queryIdCol: String = "query_id", termCol: String = "term",
+      slotCol: String = "slot"): DataFrame =
+    phraseTopKByQueryOver(idx, queries, k, queryIdCol, termCol, slotCol,
+      Some(allowed.select(col(idCol).as("doc_id"))))
+
+  private def phraseTopKByQueryOver(idx: LexIndex, queries: DataFrame,
+      k: Int, queryIdCol: String, termCol: String, slotCol: String,
+      allowed: Option[DataFrame]): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(idx.postings.columns.contains("positions"),
+      "phrase search needs a positional index: build(..., withPositions = true)")
+    val spark = idx.postings.sparkSession
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(slotCol).cast("int").as("slot"), col(termCol).as("term"))
+    // ONE bounded collect (∝ the query relation — the batch-WAND
+    // planner's discipline): validates every query is a contiguous
+    // 0..len−1 slot sequence and yields the per-query phrase lengths
+    // the anchor intersection tests against
+    val qRows = q.collect()
+    require(qRows.nonEmpty, "empty query relation")
+    val byQuery = qRows.groupBy(_.get(0))
+    byQuery.foreach { case (qid, rows) =>
+      val slots = rows.map(_.getInt(1)).sorted.toSeq
+      require(slots == (0 until rows.length),
+        s"query $qid: slots must be exactly 0..${rows.length - 1} " +
+          s"(one term per slot), got $slots")
+    }
+    val qidField = q.schema("query_id")
+    val lenSchema = org.apache.spark.sql.types.StructType(Seq(
+      qidField.copy(name = "query_id"),
+      org.apache.spark.sql.types.StructField("__len",
+        org.apache.spark.sql.types.LongType)))
+    val lens = spark.createDataFrame(
+      java.util.Arrays.asList(byQuery.toSeq.map { case (qid, rows) =>
+        org.apache.spark.sql.Row(qid, rows.length.toLong) }: _*),
+      lenSchema)
+    val pruned = prunedPostings(idx,
+      qRows.map(_.getString(2)).distinct.toSeq)
+    // the single-query anchor construction per (query, doc): every
+    // phrase slot matching at the same anchor ⟺ the phrase occurs there
+    allowed.fold(pruned)(a => pruned.join(a, Seq("doc_id"), "left_semi"))
+      .join(broadcast(q), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("slot"),
+        explode(col("positions")).as("pos"))
+      .withColumn("anchor", col("pos") - col("slot"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("__hits"))
+      .join(broadcast(lens), Seq("query_id"))
+      .filter(col("__hits") === col("__len"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occ"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("n_occ").desc, col("doc_id"))))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_occ"))
+  }
+
   /** "Did you mean": for each query string, the top-k vocabulary terms
     * within edit distance 1, ranked by (distance, document frequency
     * desc, term) — the query-correction serving piece over the index's
@@ -1511,6 +1608,111 @@ object InvertedIndex {
       .agg(count(lit(1)).cast("long").as("n_windows"))
       .orderBy(col("n_windows").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Batch proximity search: rank MANY term sets in one positional
+    * posting pass — the [[phraseTopKByQuery]] organization on the
+    * bounded-span operator. `queries` is a (queryIdCol, termCol)
+    * relation, one row per query term (terms DISTINCT per query — the
+    * single-query contract; bag proximity is ill-defined); `window` is
+    * shared by the batch (a per-query window would change the verb's
+    * type for a parameter evaluations never vary within a run). Returns
+    * (query_id, doc_id, n_windows), ≤ k rows per query, each query's
+    * rows EXACTLY [[proximityTopK]]'s for its term set.
+    *
+    * The relational min-window formulation generalizes by slotting each
+    * query's terms 0..t−1 (sorted order — the co-occurrence count is
+    * symmetric in the terms, so any deterministic order serves) and
+    * running T = max(t) conditional running maxes over the per-
+    * (query, doc) merged timeline; a row closes a window when its
+    * query's OWN t slots (an array slice — slots past t stay null
+    * forever and must not veto) are all live within `window`. Still one
+    * ordered pass over matched postings — never position pairs, never
+    * the corpus.
+    */
+  def proximityTopKByQuery(idx: LexIndex, queries: DataFrame, window: Int,
+      k: Int, queryIdCol: String = "query_id",
+      termCol: String = "term"): DataFrame =
+    proximityTopKByQueryOver(idx, queries, window, k, queryIdCol, termCol,
+      None)
+
+  /** [[proximityTopKByQuery]] restricted to an allowed document set —
+    * the semi-join rides the pruned scan before the positions explode
+    * and the per-(query, doc) window pass ([[proximityTopKAmong]]'s
+    * placement).
+    */
+  def proximityTopKByQueryAmong(idx: LexIndex, queries: DataFrame,
+      window: Int, k: Int, allowed: DataFrame, idCol: String = "doc_id",
+      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame =
+    proximityTopKByQueryOver(idx, queries, window, k, queryIdCol, termCol,
+      Some(allowed.select(col(idCol).as("doc_id"))))
+
+  private def proximityTopKByQueryOver(idx: LexIndex, queries: DataFrame,
+      window: Int, k: Int, queryIdCol: String, termCol: String,
+      allowed: Option[DataFrame]): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(idx.postings.columns.contains("positions"),
+      "proximity search needs a positional index: build(..., withPositions = true)")
+    val spark = idx.postings.sparkSession
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(termCol).as("term"))
+    // ONE bounded collect: validates the per-query contracts (distinct
+    // terms, window wide enough) and assigns the slot indices the
+    // running maxes key on
+    val qRows = q.collect()
+    require(qRows.nonEmpty, "empty query relation")
+    val byQuery = qRows.groupBy(_.get(0))
+    byQuery.foreach { case (qid, rows) =>
+      val ts = rows.map(_.getString(1)).toSeq
+      require(ts.distinct == ts, s"query $qid: terms must be distinct: $ts")
+      require(window >= ts.length,
+        s"window $window cannot hold ${ts.length} distinct terms (query $qid)")
+    }
+    val maxT = byQuery.valuesIterator.map(_.length).max
+    val qidField = q.schema("query_id")
+    val slotSchema = org.apache.spark.sql.types.StructType(Seq(
+      qidField.copy(name = "query_id"),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__slot",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__nt",
+        org.apache.spark.sql.types.IntegerType)))
+    val slotted = spark.createDataFrame(
+      java.util.Arrays.asList(byQuery.toSeq.flatMap { case (qid, rows) =>
+        val ts = rows.map(_.getString(1)).sorted
+        ts.zipWithIndex.map { case (t, i) =>
+          org.apache.spark.sql.Row(qid, t, i, ts.length) }
+      }: _*), slotSchema)
+    val pruned = prunedPostings(idx, qRows.map(_.getString(1)).distinct.toSeq)
+    val timeline = allowed.fold(pruned)(a =>
+        pruned.join(a, Seq("doc_id"), "left_semi"))
+      .join(broadcast(slotted), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("__slot"), col("__nt"),
+        explode(col("positions")).as("pos"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val lasts = (0 until maxT).map(i =>
+      max(when(col("__slot") === i, col("pos"))).over(byPos).as(s"__l$i"))
+    val lastArr = array((0 until maxT).map(i => col(s"__l$i")): _*)
+    timeline
+      .select(col("query_id") +: col("doc_id") +: col("__nt") +:
+        col("pos") +: lasts: _*)
+      // the query's OWN slots: slice to its term count — slots ≥ nt
+      // belong to larger queries and stay null on this query's rows
+      .withColumn("__arr", slice(lastArr, lit(1), col("__nt")))
+      .filter(!exists(col("__arr"), x => x.isNull))
+      .filter(col("pos") - array_min(col("__arr")) < window)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_windows"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("n_windows").desc, col("doc_id"))))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_windows"))
   }
 
   /** [[phraseTopK]] plus the evidence a retrieval UI serves: for each of

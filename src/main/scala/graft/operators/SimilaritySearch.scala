@@ -1809,7 +1809,7 @@ object SimilaritySearch {
       refineScaleParam(n, base = 4), allowed, idCol, vecCol)
   }
 
-  private def resolveSelectivity(selectivity: Option[Double],
+  private[graft] def resolveSelectivity(selectivity: Option[Double],
       allowed: DataFrame, assigned: DataFrame,
       allowedIdCol: String): Double =
     selectivity.getOrElse {

@@ -1347,6 +1347,118 @@ object TextQueries extends QueryPack {
     WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND pos - least(l0, l1) < 5
     GROUP BY doc_id ORDER BY n_windows DESC, doc_id LIMIT 20"""))
 
+  // ---- BATCH phrase serving (r16 — verdict item 2: batch serving
+  //      stopped at BM25 and QL, so a RAG evaluation ranking by phrase
+  //      paid one pruned posting scan per query). Three phrases of
+  //      adversarially different shapes — the repeated-term bigram
+  //      ("table table", t_phrase_search_topk's), a single-slot phrase
+  //      (pure occurrence count), and an all-unindexed phrase that must
+  //      drop without killing the batch — served in ONE positional
+  //      posting pass. Per query ≡ phraseTopK (spec-pinned); DuckDB
+  //      replays every phrase's adjacency join and cut independently.
+  //      Exact integers → FULL oracle ----
+  private val phraseBatchTopK = OracleQuery(
+    "t_phrase_batch_topk",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.phraseTopKByQuery(
+          preparePhraseIndex(s, d),
+          Seq((0L, 0, "table"), (0L, 1, "table"), (1L, 0, "key"),
+            (2L, 0, "zzz_unindexed")).toDF("query_id", "slot", "term"),
+          k = 20)
+        .orderBy(col("query_id"), col("n_occ").desc, col("doc_id"))
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM t
+    ), occ0 AS (
+      SELECT a.doc_id
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.w = 'table' AND b.w = 'table'
+    ), r0 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM occ0 GROUP BY doc_id
+      ORDER BY n_occ DESC, doc_id LIMIT 20
+    ), r1 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM tok WHERE w = 'key' GROUP BY doc_id
+      ORDER BY n_occ DESC, doc_id LIMIT 20
+    )
+    SELECT query_id, doc_id, n_occ FROM (
+      SELECT CAST(0 AS BIGINT) AS query_id, doc_id, n_occ FROM r0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS query_id, doc_id, n_occ FROM r1)
+    ORDER BY query_id, n_occ DESC, doc_id"""))
+
+  // ---- BATCH proximity serving (r16, the phrase twin): a 2-term and a
+  //      3-term window query in ONE batch — the shared running-max
+  //      columns sliced per query (slots past a query's own term count
+  //      stay null and must not veto its windows) — plus the dead
+  //      query. Per query ≡ proximityTopK; DuckDB replays each query's
+  //      min-window formulation independently. Exact integers → FULL
+  //      oracle ----
+  private val proximityBatchTopK = OracleQuery(
+    "t_proximity_batch_topk",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.proximityTopKByQuery(
+          preparePhraseIndex(s, d),
+          (Seq("table", "key").map((0L, _)) ++
+            Seq("merge", "row", "scan").map((1L, _)) ++
+            Seq((2L, "zzz_unindexed"))).toDF("query_id", "term"),
+          window = 5, k = 20)
+        .orderBy(col("query_id"), col("n_windows").desc, col("doc_id"))
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, pos, w FROM (
+        SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+          unnest(ws) AS w
+        FROM t)
+    ), tl0 AS (
+      SELECT doc_id, pos,
+        MAX(CASE WHEN w = 'table' THEN pos END) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l0,
+        MAX(CASE WHEN w = 'key' THEN pos END) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l1
+      FROM tok WHERE w IN ('table', 'key')
+    ), r0 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM tl0
+      WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND pos - least(l0, l1) < 5
+      GROUP BY doc_id ORDER BY n_windows DESC, doc_id LIMIT 20
+    ), tl1 AS (
+      SELECT doc_id, pos,
+        MAX(CASE WHEN w = 'merge' THEN pos END) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l0,
+        MAX(CASE WHEN w = 'row' THEN pos END) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l1,
+        MAX(CASE WHEN w = 'scan' THEN pos END) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l2
+      FROM tok WHERE w IN ('merge', 'row', 'scan')
+    ), r1 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM tl1
+      WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+        AND pos - least(l0, l1, l2) < 5
+      GROUP BY doc_id ORDER BY n_windows DESC, doc_id LIMIT 20
+    )
+    SELECT query_id, doc_id, n_windows FROM (
+      SELECT CAST(0 AS BIGINT) AS query_id, doc_id, n_windows FROM r0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS query_id, doc_id, n_windows FROM r1)
+    ORDER BY query_id, n_windows DESC, doc_id"""))
+
   // ---- phrase snippets: the serving evidence beside the hit list —
   //      each top doc's FIRST occurrence with 3 tokens of context either
   //      side, sliced in the positional index's coordinate system (the
@@ -4458,6 +4570,7 @@ object TextQueries extends QueryPack {
     qlTopKGate, qlFilteredTopK, qlBatchTopK, phraseFilteredTopK,
     lexIndexStats, lexFacets, lexFacetsFiltered,
     phraseTopK, phraseSnips, phraseSnipsFiltered, proximityTopK,
+    phraseBatchTopK, proximityBatchTopK,
     spellSuggest, spellSuggestFiltered, bpeTokenizeStats,
     streamSnapshotChanges)
 }

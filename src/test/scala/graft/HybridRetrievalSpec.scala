@@ -125,4 +125,77 @@ class HybridRetrievalSpec extends SparkSpec {
     assert(batchF.filter(_._1 == 2L).forall(_._2 % 3 == 0))
     denseIdx.unpersist()
   }
+
+  test("DenseLeg.PqRefined in the exact regime is bit-equal to the float leg") {
+    // the r16 tier generalization: selectivity 0.3 caps nprobe at
+    // nlist = 8 on BOTH tiers (all cells probed), and the pinned
+    // refine = 64 makes the legK·refine shortlist cover every allowed
+    // candidate — so the PQ leg's exact re-rank IS the filtered brute
+    // ranking, as is the float leg's all-cells probe, and the fused
+    // doubles must agree bit-for-bit (same cosineNative kernel, same
+    // fusion fold)
+    val lexIdx = InvertedIndex.build(docs)
+    val denseIdx = SimilaritySearch.buildIvfIndex(emb, nlist = 8)
+    val pqIdx = SimilaritySearch.buildIvfPqIndex(emb, nlist = 8,
+      m = 8, ksub = 64)
+    val terms = lexIdx.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val qv = emb.filter($"vec_id" === 0)
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaFloat = rows(HybridRetrieval.rrfTopKAmong(
+      lexIdx, terms, denseIdx, qv, k = 10, allowed, legK = 30,
+      selectivity = Some(0.3)))
+    val viaPq = rows(HybridRetrieval.rrfTopKAmong(
+      lexIdx, terms,
+      HybridRetrieval.DenseLeg.PqRefined(pqIdx, emb, refine = Some(64)),
+      qv, k = 10, allowed, legK = 30, selectivity = Some(0.3)))
+    assert(viaFloat.nonEmpty && viaPq == viaFloat,
+      "exact-regime PQ leg diverged from the float leg")
+    // batch symmetry on the compressed tier: the PQ leg rides the same
+    // fuseLegsByQuery tail, per query ≡ its single-query serve
+    val qterms = terms.map((0L, _)).toDF("query_id", "term")
+    val qvecs = qv.select($"vec_id".as("query_id"), $"embedding")
+    val leg = HybridRetrieval.DenseLeg.PqRefined(pqIdx, emb,
+      refine = Some(64))
+    val batch = HybridRetrieval.rrfTopKByQuery(
+        lexIdx, qterms, leg, qvecs, k = 10, legK = 30)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(t => (-t._2, t._1))
+    val single = rows(HybridRetrieval.rrfTopK(
+        lexIdx, terms, leg, qv, k = 10, legK = 30))
+      .sortBy(t => (-t._2, t._1))
+    assert(batch.nonEmpty && batch == single,
+      "batch PQ-leg hybrid diverged from its single-query serve")
+    pqIdx.unpersist(); denseIdx.unpersist()
+  }
+
+  test("DenseLeg.Int8 converts implicitly and fuses through the shared tail") {
+    val lexIdx = InvertedIndex.build(docs)
+    val idx8 = SimilaritySearch.buildIvfInt8Index(emb, nlist = 8)
+    val terms = lexIdx.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val qv = emb.filter($"vec_id" === 0)
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id")
+    // the operator through the int8 leg (passed as the BARE index —
+    // the implicit conversion is part of the contract)
+    val got = HybridRetrieval.rrfTopKAmong(
+        lexIdx, terms, idx8, qv, k = 10, allowed, legK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the hand-wired fusion it must equal: the tier's own filtered
+    // probe + bm25TopKAmong, ranked and folded by the public pieces
+    val denseRanked = SimilaritySearch.ivfProbeInt8AmongAuto(
+        idx8, qv, 30, allowed)
+      .select($"neighbor_id".as("doc_id"), $"rn".as("rank"))
+    val lexRanked = HybridRetrieval.rankLeg(
+      InvertedIndex.bm25TopKAmong(lexIdx, terms, 30, allowed,
+        idCol = "vec_id"), "doc_id", "score_q")
+    val want = HybridRetrieval.rrfFuseRanked(Seq(denseRanked, lexRanked))
+      .orderBy($"rrf".desc, $"doc_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got == want,
+      "int8-leg hybrid diverged from the hand-wired fusion")
+    idx8.unpersist()
+  }
 }

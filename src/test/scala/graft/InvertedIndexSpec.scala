@@ -75,6 +75,92 @@ class InvertedIndexSpec extends SparkSpec {
       Seq(7L -> 3L, 1L -> 1L, 4L -> 1L))
   }
 
+  test("phraseTopKByQuery: batch ranking equals per-query phraseTopK; Among twin; slot contract") {
+    val docs = Seq(
+      (1L, "big cat sat"), (2L, "big cat big cat big"), (3L, "cat big"),
+      (4L, "big  cat"), (5L, "x x x"), (6L, "big")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, withPositions = true)
+    val phrases = Seq(0L -> Seq("big", "cat"), 1L -> Seq("x", "x"),
+      2L -> Seq("cat", "sat"))
+    val queries = (phrases.flatMap { case (qid, ph) =>
+      ph.zipWithIndex.map { case (t, s) => (qid, s, t) }
+    } ++ Seq((3L, 0, "absent"))).toDF("query_id", "slot", "term")
+    def sorted(rows: Seq[(Long, Long, Long)]) =
+      rows.sortBy(t => (t._1, -t._3, t._2))
+    def batchRows(df: org.apache.spark.sql.DataFrame) = sorted(df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    def perQuery(f: Seq[String] => org.apache.spark.sql.DataFrame) =
+      sorted(phrases.flatMap { case (qid, ph) =>
+        f(ph).collect().map(r => (qid, r.getLong(0), r.getLong(1))).toSeq
+      })
+    val got = batchRows(InvertedIndex.phraseTopKByQuery(idx, queries, 10))
+    assert(got.nonEmpty &&
+      got == perQuery(ph => InvertedIndex.phraseTopK(idx, ph, 10)),
+      "batch phrase diverged from per-query phraseTopK")
+    // the all-unindexed phrase returns no rows, not a dead batch
+    assert(!got.exists(_._1 == 3L))
+    // the filtered twin equals per-query phraseTopKAmong
+    val allowed = docs.filter($"doc_id" % 2 === 0).select($"doc_id")
+    val gotA = batchRows(
+      InvertedIndex.phraseTopKByQueryAmong(idx, queries, 10, allowed))
+    assert(gotA.nonEmpty && gotA == perQuery(ph =>
+      InvertedIndex.phraseTopKAmong(idx, ph, 10, allowed)),
+      "filtered batch phrase diverged from per-query phraseTopKAmong")
+    // slot contract: a gap in the slot sequence refuses loudly (a
+    // silently-reindexed phrase would match a DIFFERENT adjacency)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseTopKByQuery(idx,
+        Seq((0L, 0, "big"), (0L, 2, "cat")).toDF("query_id", "slot", "term"),
+        5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseTopKByQuery(InvertedIndex.build(docs), queries, 5)
+    }
+  }
+
+  test("proximityTopKByQuery: batch ranking equals per-query proximityTopK; Among twin; contracts") {
+    val docs = Seq(
+      (1L, "table a key"), (2L, "key b b table"),
+      (3L, "table x x x x x key"), (4L, "key table key table"),
+      (5L, "merge row table")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, withPositions = true)
+    // 2- and 3-term queries in ONE batch: the per-query slice over the
+    // shared running-max columns is exactly what this exercises (slots
+    // past a query's own term count stay null and must not veto)
+    val sets = Seq(0L -> Seq("table", "key"), 1L -> Seq("b", "key", "table"),
+      2L -> Seq("merge", "row"))
+    val queries = (sets.flatMap { case (qid, ts) => ts.map((qid, _)) } ++
+      Seq((3L, "absent"))).toDF("query_id", "term")
+    def sorted(rows: Seq[(Long, Long, Long)]) =
+      rows.sortBy(t => (t._1, -t._3, t._2))
+    def batchRows(df: org.apache.spark.sql.DataFrame) = sorted(df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    def perQuery(f: Seq[String] => org.apache.spark.sql.DataFrame) =
+      sorted(sets.flatMap { case (qid, ts) =>
+        f(ts).collect().map(r => (qid, r.getLong(0), r.getLong(1))).toSeq
+      })
+    val got = batchRows(
+      InvertedIndex.proximityTopKByQuery(idx, queries, window = 4, k = 10))
+    assert(got.nonEmpty && got == perQuery(ts =>
+      InvertedIndex.proximityTopK(idx, ts, window = 4, k = 10)),
+      "batch proximity diverged from per-query proximityTopK")
+    assert(!got.exists(_._1 == 3L)) // unindexed query drops, batch lives
+    val allowed = docs.filter($"doc_id" % 2 === 0).select($"doc_id")
+    val gotA = batchRows(InvertedIndex.proximityTopKByQueryAmong(
+      idx, queries, window = 4, k = 10, allowed))
+    assert(gotA.nonEmpty && gotA == perQuery(ts =>
+      InvertedIndex.proximityTopKAmong(idx, ts, window = 4, k = 10, allowed)),
+      "filtered batch proximity diverged from per-query proximityTopKAmong")
+    // contracts refuse loudly, naming the offending query
+    intercept[IllegalArgumentException] {
+      InvertedIndex.proximityTopKByQuery(idx,
+        Seq((0L, "key"), (0L, "key")).toDF("query_id", "term"), 4, 5)
+    }
+    intercept[IllegalArgumentException] {
+      InvertedIndex.proximityTopKByQuery(idx, queries, window = 2, k = 5)
+    }
+  }
+
   test("stats and facetCounts: health report rollups, candidate-set facets") {
     val docs = Seq((1L, "a a b", "s1"), (2L, "b c", "s1"), (3L, "c", "s2"))
       .toDF("doc_id", "text", "source")
