@@ -204,7 +204,8 @@ object Bench {
       graft.queries.TextQueries.prepareRagIndex(spark, sfDir); ()
     }
     build("rag_ivf_artifact",
-        selected.exists(_._1 == "tx_rag_pipeline_ivf")) {
+        selected.exists(e => e._1 == "tx_rag_pipeline_ivf" ||
+          e._1 == "tx_rag_pipeline_hybrid")) {
       graft.queries.TextQueries.prepareRagIvf(spark, sfDir); ()
     }
     build("srp_index_artifact",

@@ -4317,6 +4317,165 @@ object TextQueries extends QueryPack {
         - (SELECT CAST(floor(mean_recall * 1000000.0) AS BIGINT) FROM summb)
     ) ORDER BY stage, metric""", keyed = true)))
 
+  // ---- the RAG retrieval stage DOGFOODED through the HybridRetrieval
+  //      operator (r16 — verdict item 3: tx_rag_pipeline_ivf predates
+  //      the operator and hand-wires its fusion): ONE call to the batch
+  //      verb rrfTopKByQuery — the artifact-served lexical index +
+  //      the persisted IVF artifact as a DenseLeg (implicit Float32) —
+  //      replaces the pipeline's whole hand-built retrieve stage. The
+  //      operator's serving semantics apply as-is: the dense probe
+  //      excludes self, the lexical leg (a real user query is not a
+  //      corpus row) does not — so the self chunk enters through the
+  //      lexical leg and the fused relation is the operator's honest
+  //      output, replayed VERBATIM by DuckDB (chunking → BoW → frozen
+  //      quantizer → 3-cell probe → batch-WAND-equivalent lexical
+  //      ranking WITH self → raw-double RRF fold → cut), quantized only
+  //      at the output boundary. FULL oracle on the served rows
+  //      themselves — stronger than summary stats ----
+  private val ragPipelineHybrid = OracleQuery(
+    "tx_rag_pipeline_hybrid",
+    (s, d) => {
+      val k = 10
+      val emb = prepareRagEmb(s, d)
+      val ivf = prepareRagIvf(s, d)
+      val idx = prepareRagIndex(s, d)
+      val qset = ragQuerySet(s, d)
+      val qvecs = emb.join(broadcast(qset), emb("cid") === qset("query_id"))
+        .select(col("cid").as("query_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      graft.operators.HybridRetrieval.rrfTopKByQuery(
+          idx, ragQueryTerms(s, d), ivf, qvecs,
+          k = k, legK = k, nprobe = Some(3), idCol = "cid")
+        .select(col("query_id"), col("doc_id"),
+          floor(col("rrf") * lit(1000000000.0)).cast("long").as("rrf_q"))
+        .orderBy(col("query_id"), col("rrf_q").desc, col("doc_id"))
+    },
+    Some(bpeReplaySql(16, bpeChunkReplayCtes + s""", ch AS (
+      SELECT doc_id, chunk_idx, doc_id * 10000 + chunk_idx AS cid,
+        n_tokens, chunk_text
+      FROM r2
+    ), ctoks AS (
+      SELECT cid, w FROM (
+        SELECT cid, unnest(string_split(chunk_text, ' ')) AS w FROM ch)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT cid, w, CAST(COUNT(*) AS BIGINT) AS tf FROM ctoks GROUP BY 1, 2
+    ), dl AS (
+      SELECT cid, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ch
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), vr AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS rk
+      FROM (SELECT DISTINCT w FROM ctoks WHERE w <> '')
+    ), bc AS (
+      SELECT t.cid, vr.rk % 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ctoks t JOIN vr ON t.w = vr.w
+      GROUP BY 1, 2
+    ), nrm AS (
+      SELECT cid, CAST(SUM(cnt * cnt) AS DOUBLE) AS n2 FROM bc GROUP BY 1
+    ), qset AS (
+      SELECT cid AS query_id FROM ch WHERE doc_id % 65 = 0 AND chunk_idx = 0
+    ), dotp AS (
+      SELECT qb.cid AS query_id, cb.cid AS neighbor_id,
+        CAST(SUM(qb.cnt * cb.cnt) AS DOUBLE) AS dot
+      FROM bc qb JOIN bc cb ON cb.bucket = qb.bucket AND cb.cid <> qb.cid
+      WHERE qb.cid IN (SELECT query_id FROM qset)
+      GROUP BY 1, 2
+    ), ctrs AS (
+      SELECT cid, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS cell
+      FROM (SELECT cid FROM nrm ORDER BY cid LIMIT 8)
+    ), cdot AS (
+      SELECT a.cid AS fcid, c.cell, nf.n2 + nc0.n2
+          - 2.0 * CAST(COALESCE(SUM(a.cnt * b.cnt), 0) AS DOUBLE) AS dist
+      FROM (SELECT DISTINCT cid FROM nrm) v(cid)
+      JOIN nrm nf ON nf.cid = v.cid
+      CROSS JOIN ctrs c
+      JOIN nrm nc0 ON nc0.cid = c.cid
+      JOIN bc a ON a.cid = v.cid
+      LEFT JOIN bc b ON b.cid = c.cid AND b.bucket = a.bucket
+      GROUP BY 1, 2, nf.n2, nc0.n2
+    ), asgc AS (
+      SELECT fcid AS cid, cell FROM (
+        SELECT fcid, cell,
+          ROW_NUMBER() OVER (PARTITION BY fcid ORDER BY dist, cell) AS rn
+        FROM cdot) t WHERE rn = 1
+    ), probec AS (
+      SELECT fcid AS query_id, cell FROM (
+        SELECT fcid, cell,
+          ROW_NUMBER() OVER (PARTITION BY fcid ORDER BY dist, cell) AS rn
+        FROM cdot WHERE fcid IN (SELECT query_id FROM qset)) t
+      WHERE rn <= 3
+    ), densecand AS (
+      SELECT p.query_id, a.cid AS neighbor_id
+      FROM probec p JOIN asgc a ON a.cell = p.cell AND a.cid <> p.query_id
+    ), dscore AS (
+      SELECT dc.query_id, dc.neighbor_id,
+        COALESCE(d.dot, 0.0) / (sqrt(nq.n2) * sqrt(nc.n2) + 1e-12) AS cos
+      FROM densecand dc
+      JOIN nrm nq ON nq.cid = dc.query_id
+      JOIN nrm nc ON nc.cid = dc.neighbor_id
+      LEFT JOIN dotp d ON d.query_id = dc.query_id
+        AND d.neighbor_id = dc.neighbor_id
+    ), drk AS (
+      SELECT query_id, neighbor_id, rd FROM (
+        SELECT query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rd
+        FROM dscore) t WHERE rd <= 10
+    ), qterms AS (
+      SELECT DISTINCT q.query_id, t.w
+      FROM qset q JOIN ctoks t ON t.cid = q.query_id
+      WHERE t.w <> ''
+    ), scq AS (
+      -- NO self-exclusion: the operator's lexical leg ranks every
+      -- matching chunk (a real query is not a corpus row); the query
+      -- chunk enters its own lexical ranking here, unlike the
+      -- tx_rag_pipeline replay's sibling-proxy convention
+      SELECT qt.query_id, tf.cid AS doc_id,
+        ln((CAST(nn.n - dft.df AS DOUBLE) + 0.5) /
+           (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM qterms qt
+      JOIN tf ON tf.w = qt.w
+      JOIN dft ON dft.w = qt.w
+      JOIN dl ON dl.cid = tf.cid
+      CROSS JOIN nn CROSS JOIN ad
+    ), lex AS (
+      SELECT query_id, doc_id,
+        CAST(floor(${DSUM("s", 27, 12)} * 1000000.0) AS BIGINT) AS score_q
+      FROM scq GROUP BY query_id, doc_id
+    ), lrk AS (
+      SELECT query_id, doc_id, rl FROM (
+        SELECT query_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_q DESC, doc_id) AS rl
+        FROM lex) t WHERE rl <= 10
+    ), fq AS (
+      SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+        COALESCE(d.neighbor_id, l.doc_id) AS doc_id,
+        COALESCE(1.0 / (60.0 + CAST(d.rd AS DOUBLE)), 0.0) +
+          COALESCE(1.0 / (60.0 + CAST(l.rl AS DOUBLE)), 0.0) AS rrf
+      FROM drk d FULL OUTER JOIN lrk l
+        ON l.query_id = d.query_id AND l.doc_id = d.neighbor_id
+    ), cut AS (
+      SELECT query_id, doc_id, rrf FROM (
+        SELECT query_id, doc_id, rrf,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, doc_id) AS rn
+        FROM fq) t WHERE rn <= 10
+    )
+    SELECT query_id, doc_id,
+      CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
+    FROM cut ORDER BY query_id, rrf_q DESC, doc_id""", keyed = true)))
+
   // ---- MODEL-BASED quality selection (the DCLM/FineWeb-classifier
   //      pattern): train a linear quality classifier on heuristic labels
   //      (the curation rule pack's keep boolean — the "teacher"), then
@@ -4549,6 +4708,7 @@ object TextQueries extends QueryPack {
 
   override val all: Seq[OracleQuery] = Seq(
     chunkWindows, chunkStats, chunkBpeWindows, ragPipeline, ragPipelineIvf,
+    ragPipelineHybrid,
     qualityClassifierSelect, streamQualityFlags, jsonlContract,
     dupSpanSpans, dupSpanScrub, dupSpanStats, dupSpanDecontaminate,
     dupSpanIncremental, streamDecontaminate, repetitionTopgram,

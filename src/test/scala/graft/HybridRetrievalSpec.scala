@@ -198,4 +198,59 @@ class HybridRetrievalSpec extends SparkSpec {
       "int8-leg hybrid diverged from the hand-wired fusion")
     idx8.unpersist()
   }
+
+  test("hybrid serving from STREAMED artifacts equals batch-built artifacts, under live tombstones on both legs") {
+    // the four-family streaming symmetry is only valuable if the
+    // ensemble can serve from it (r16, verdict item 5): both streamed
+    // loads return the standard index types, so rrfTopKAmong over
+    // StreamingLexIndex.load + StreamingVecIndex.load — with UNFOLDED
+    // tombstones live on BOTH sides — must be bit-equal to the batch
+    // ensemble over indexes built directly on the surviving corpus
+    import graft.streaming.{StreamingLexIndex, StreamingVecIndex}
+    val dead = Seq(9L, 12L)
+    val dirL = java.nio.file.Files
+      .createTempDirectory("graft-hyb-slex").toString
+    (0L to 2L).foreach { b =>
+      StreamingLexIndex.applyBatch(
+        docs.filter(pmod($"doc_id", lit(3L)) === b), b, dirL)
+    }
+    InvertedIndex.delete(spark, dirL, dead)
+    val lexStreamed = StreamingLexIndex.load(spark, dirL)
+    val dirV = java.nio.file.Files
+      .createTempDirectory("graft-hyb-svec").toString
+    val centers = emb.filter($"vec_id" < 8).orderBy($"vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    StreamingVecIndex.freezeCenters(spark, dirV, centers)
+    (0L to 2L).foreach { b =>
+      StreamingVecIndex.applyBatch(
+        emb.filter(pmod($"vec_id", lit(3L)) === b), b, dirV)
+      StreamingVecIndex.maybeMerge(spark, dirV, 2, b)
+    }
+    SimilaritySearch.deleteFromAnnIndex(spark, dirV, dead)
+    val denseStreamed = StreamingVecIndex.load(spark, dirV)
+    // the batch reference: both indexes built directly over survivors
+    val liveDocs = docs.filter(!$"doc_id".isin(dead: _*))
+    val liveEmb = emb.filter(!$"vec_id".isin(dead: _*))
+    val lexBatch = InvertedIndex.build(liveDocs)
+    val denseBatch = SimilaritySearch.IvfIndex(centers,
+      SimilaritySearch.assignToCells(liveEmb, centers, "vec_id",
+        "embedding"))
+    val terms = lexBatch.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val qv = emb.filter($"vec_id" === 0)
+    val allowed = docs.filter($"doc_id" % 3 === 0).select($"doc_id")
+      .withColumnRenamed("doc_id", "vec_id")
+    def rows(lex: InvertedIndex.LexIndex,
+        dense: SimilaritySearch.IvfIndex) =
+      HybridRetrieval.rrfTopKAmong(lex, terms, dense, qv, k = 10,
+          allowed, legK = 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val streamed = rows(lexStreamed, denseStreamed)
+    val batch = rows(lexBatch, denseBatch)
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed-artifact hybrid diverged from the batch-built ensemble")
+    assert(!streamed.exists(t => dead.contains(t._1)),
+      "a tombstoned doc was served")
+    denseStreamed.unpersist()
+  }
 }

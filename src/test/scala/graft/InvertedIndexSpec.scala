@@ -646,6 +646,20 @@ class InvertedIndexSpec extends SparkSpec {
     assert(InvertedIndex.suggestTermsAmong(idx, Seq("spork"), 3,
       docs.filter($"doc_id" % 2 === 1).select($"doc_id"))
       .filter($"term" === "spork").count() == 0)
+    // the empty-allowed edge, pinned explicitly (r15 verdict item 7): a
+    // tenant whose allowed set intersects NO candidate postings gets an
+    // EMPTY suggestion relation — the inner join against the re-derived
+    // allowed dfs, never a corpus-df fallback (which would disclose
+    // other tenants' vocabulary). Schema stays the serve contract's.
+    val empty = InvertedIndex.suggestTermsAmong(idx, Seq("spark"), 3,
+      Seq(999L).toDF("doc_id"))
+    assert(empty.count() == 0,
+      "an allowed set holding no candidate postings must suggest nothing")
+    assert(empty.columns.toSeq ==
+      Seq("query", "term", "dist", "df", "rn"))
+    // and an allowed RELATION that is itself empty behaves the same
+    assert(InvertedIndex.suggestTermsAmong(idx, Seq("spark"), 3,
+      docs.filter($"doc_id" < 0).select($"doc_id")).count() == 0)
   }
 
   test("Among family keeps the allowed ids' native type: string-keyed filtered serving works") {
