@@ -75,7 +75,8 @@ object Bench {
     }
     build("ivf_index", selected.contains("vx_ann_ivf_probe_top5") ||
         selected.contains("vx_hybrid_rrf_filtered_quantized") ||
-        selected.contains("vx_hybrid_rrf_batch_parity")) {
+        selected.contains("vx_hybrid_rrf_batch_parity") ||
+        selected.contains("vx_hybrid_rrf_weighted_ql_quantized")) {
       graft.queries.EngineQueries.prepareIvfIndex(spark, sfDir); ()
     }
     build("minhash_sigs", selected.exists(e =>
@@ -126,6 +127,7 @@ object Bench {
         e._1 == "vx_hybrid_rrf_filtered_quantized" ||
         e._1 == "vx_hybrid_rrf_batch_parity" ||
         e._1 == "vx_hybrid_rrf_pq_quantized" ||
+        e._1 == "vx_hybrid_rrf_weighted_ql_quantized" ||
         e._1 == "t_bm25_wand_topk" || e._1 == "t_bm25_filtered_topk" ||
         e._1 == "t_bm25_batch_wand_topk" ||
         e._1 == "t_spell_suggest" || e._1 == "t_spell_suggest_filtered" ||

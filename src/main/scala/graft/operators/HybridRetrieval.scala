@@ -192,6 +192,76 @@ object HybridRetrieval {
       Int8(index)
   }
 
+  /** The lexical ranker a hybrid leg serves from — BM25 (the
+    * probabilistic default every pre-r16 call site keeps) or Dirichlet
+    * query likelihood (the language-modeling ranker, [[Ql]]): both
+    * families expose the same four serving shapes over the same
+    * persisted index, emitting the normalized `score_q` relations the
+    * fusion tails rank, so the ensemble choice is one parameter, not a
+    * re-wire. The batch forms stay LOSSLESS (batch-WAND for BM25, the
+    * one-pass batch QL) — leg ranks equal the exact per-query ranking's
+    * head either way.
+    */
+  sealed trait SparseLeg {
+    private[graft] def topK(idx: InvertedIndex.LexIndex,
+        terms: Seq[String], k: Int): DataFrame
+    private[graft] def topKAmong(idx: InvertedIndex.LexIndex,
+        terms: Seq[String], k: Int, allowed: DataFrame,
+        idCol: String): DataFrame
+    private[graft] def topKByQuery(idx: InvertedIndex.LexIndex,
+        qterms: DataFrame, k: Int, queryIdCol: String,
+        termCol: String): DataFrame
+    private[graft] def topKByQueryAmong(idx: InvertedIndex.LexIndex,
+        qterms: DataFrame, k: Int, allowed: DataFrame, idCol: String,
+        queryIdCol: String, termCol: String): DataFrame
+  }
+
+  object SparseLeg {
+    /** BM25 — compiles to the EXACT calls the pre-r16 verbs made, so
+      * every existing gate re-serves hash-unchanged. */
+    case object Bm25 extends SparseLeg {
+      private[graft] def topK(idx: InvertedIndex.LexIndex,
+          terms: Seq[String], k: Int): DataFrame =
+        InvertedIndex.bm25TopK(idx, terms, k)
+      private[graft] def topKAmong(idx: InvertedIndex.LexIndex,
+          terms: Seq[String], k: Int, allowed: DataFrame,
+          idCol: String): DataFrame =
+        InvertedIndex.bm25TopKAmong(idx, terms, k, allowed, idCol = idCol)
+      private[graft] def topKByQuery(idx: InvertedIndex.LexIndex,
+          qterms: DataFrame, k: Int, queryIdCol: String,
+          termCol: String): DataFrame =
+        InvertedIndex.bm25TopKPrunedByQuery(idx, qterms, k,
+          queryIdCol, termCol)
+      private[graft] def topKByQueryAmong(idx: InvertedIndex.LexIndex,
+          qterms: DataFrame, k: Int, allowed: DataFrame, idCol: String,
+          queryIdCol: String, termCol: String): DataFrame =
+        InvertedIndex.bm25TopKPrunedByQueryAmong(idx, qterms, k, allowed,
+          idCol = idCol, queryIdCol = queryIdCol, termCol = termCol)
+    }
+
+    /** Dirichlet query likelihood (Zhai & Lafferty 2001) at smoothing
+      * `mu` — collection statistics stay corpus-wide under a filter,
+      * the family's documented contract. */
+    final case class Ql(mu: Double = 2000.0) extends SparseLeg {
+      private[graft] def topK(idx: InvertedIndex.LexIndex,
+          terms: Seq[String], k: Int): DataFrame =
+        InvertedIndex.qlTopK(idx, terms, k, mu)
+      private[graft] def topKAmong(idx: InvertedIndex.LexIndex,
+          terms: Seq[String], k: Int, allowed: DataFrame,
+          idCol: String): DataFrame =
+        InvertedIndex.qlTopKAmong(idx, terms, k, allowed, idCol, mu)
+      private[graft] def topKByQuery(idx: InvertedIndex.LexIndex,
+          qterms: DataFrame, k: Int, queryIdCol: String,
+          termCol: String): DataFrame =
+        InvertedIndex.qlTopKByQuery(idx, qterms, k, queryIdCol, termCol, mu)
+      private[graft] def topKByQueryAmong(idx: InvertedIndex.LexIndex,
+          qterms: DataFrame, k: Int, allowed: DataFrame, idCol: String,
+          queryIdCol: String, termCol: String): DataFrame =
+        InvertedIndex.qlTopKByQueryAmong(idx, qterms, k, allowed, idCol,
+          queryIdCol, termCol, mu)
+    }
+  }
+
   /** Rank a scored leg globally: (idCol, scoreCol) → (idCol, rankCol)
     * with rank = row_number by (score desc, id) — the two-pass
     * [[GlobalRank]], never a single-partition window. Use this to turn
@@ -211,19 +281,30 @@ object HybridRetrieval {
     * the universe to leg i's members instead: the corpus-covering-leg
     * convention for legs that score EVERYTHING (the original
     * vx_hybrid_rrf_top10 shape, where the dense leg ranks every vector
-    * and the sparse leg only annotates it). Returns (idCol, rrf).
+    * and the sparse leg only annotates it). `weights` Some(w) scales
+    * leg i's terms to wᵢ/(k0 + rank) — weighted RRF (r16), the
+    * standard per-leg confidence dial; None keeps the paper's unit
+    * weights AND the exact pre-r16 expression, so unweighted fused
+    * doubles are bit-unchanged. The fold stays order-free either way
+    * (weights ride the per-leg terms, sorted before summing). Returns
+    * (idCol, rrf).
     */
   def rrfFuseRanked(legs: Seq[DataFrame], k0: Double = 60.0,
       idCol: String = "doc_id", rankCol: String = "rank",
-      anchor: Option[Int] = None): DataFrame = {
+      anchor: Option[Int] = None,
+      weights: Option[Seq[Double]] = None): DataFrame = {
     require(legs.nonEmpty, "no legs to fuse")
     require(k0 > 0.0, s"k0 must be > 0, got $k0")
     anchor.foreach(a => require(a >= 0 && a < legs.size,
       s"anchor $a out of range for ${legs.size} legs"))
+    weights.foreach(w => require(
+      w.length == legs.size && w.forall(_ > 0.0),
+      s"need one positive weight per leg (${legs.size}), got $w"))
     val tagged = legs.zipWithIndex.map { case (df, i) =>
       df.select(col(idCol),
         lit(i).as("__leg"),
-        (lit(1.0) / (lit(k0) + col(rankCol).cast("double"))).as("__t"))
+        (weights.fold(lit(1.0))(w => lit(w(i))) /
+          (lit(k0) + col(rankCol).cast("double"))).as("__t"))
     }.reduce(_ unionByName _)
     // order-free fused sum: fold the (leg, term) pairs in leg order —
     // collect_list arrival order is nondeterministic, array_sort pins it
@@ -254,11 +335,13 @@ object HybridRetrieval {
       denseLeg: DenseLeg, queryVec: DataFrame,
       k: Int, legK: Int = 100, nprobe: Option[Int] = None,
       k0: Double = 60.0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sparseLeg: SparseLeg = SparseLeg.Bm25,
+      legWeights: Option[(Double, Double)] = None): DataFrame =
     fuseLegs(
-      InvertedIndex.bm25TopK(lexIdx, terms, legK),
+      sparseLeg.topK(lexIdx, terms, legK),
       denseLeg.probe(queryVec, legK, nprobe, idCol, vecCol),
-      k, k0)
+      k, k0, legWeights)
 
   /** [[rrfTopK]] restricted to an allowed document set — the
     * multi-tenant ensemble, with PRE-filter semantics through BOTH legs
@@ -278,25 +361,29 @@ object HybridRetrieval {
       denseLeg: DenseLeg, queryVec: DataFrame,
       k: Int, allowed: DataFrame, legK: Int = 100,
       selectivity: Option[Double] = None, k0: Double = 60.0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sparseLeg: SparseLeg = SparseLeg.Bm25,
+      legWeights: Option[(Double, Double)] = None): DataFrame =
     fuseLegs(
-      InvertedIndex.bm25TopKAmong(lexIdx, terms, legK, allowed,
-        idCol = idCol),
+      sparseLeg.topKAmong(lexIdx, terms, legK, allowed, idCol),
       denseLeg.probeAmong(queryVec, legK, allowed, selectivity,
         idCol, vecCol),
-      k, k0)
+      k, k0, legWeights)
 
-  // the shared fusion tail: rank the bounded BM25 top-legK relation
+  // the shared fusion tail: rank the bounded lexical top-legK relation
   // (row_number by its own (score desc, id) order — GlobalRank over
-  // ≤ legK rows), take the dense probe's rn as its rank, union-fuse,
-  // cut top-k by (rrf desc, id). One definition so the filtered and
-  // unfiltered verbs cannot drift.
+  // ≤ legK rows), take the dense probe's rn as its rank, union-fuse
+  // (dense = leg 0, so `legWeights` reads (dense, lex)), cut top-k by
+  // (rrf desc, id). One definition so the filtered and unfiltered
+  // verbs cannot drift.
   private def fuseLegs(lexTopK: DataFrame, denseTopK: DataFrame,
-      k: Int, k0: Double): DataFrame = {
+      k: Int, k0: Double,
+      legWeights: Option[(Double, Double)] = None): DataFrame = {
     val lexRanked = rankLeg(lexTopK, "doc_id", "score_q")
     val denseRanked = denseTopK
       .select(col("neighbor_id").as("doc_id"), col("rn").as("rank"))
-    rrfFuseRanked(Seq(denseRanked, lexRanked), k0)
+    rrfFuseRanked(Seq(denseRanked, lexRanked), k0,
+        weights = legWeights.map { case (wd, wl) => Seq(wd, wl) })
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
@@ -322,14 +409,15 @@ object HybridRetrieval {
       k: Int, legK: Int = 100, nprobe: Option[Int] = None,
       k0: Double = 60.0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame =
+      queryIdCol: String = "query_id", termCol: String = "term",
+      sparseLeg: SparseLeg = SparseLeg.Bm25,
+      legWeights: Option[(Double, Double)] = None): DataFrame =
     fuseLegsByQuery(
-      InvertedIndex.bm25TopKPrunedByQuery(lexIdx, qterms, legK,
-        queryIdCol, termCol),
+      sparseLeg.topKByQuery(lexIdx, qterms, legK, queryIdCol, termCol),
       denseLeg.probe(
         queryVecs.select(col(queryIdCol).as(idCol), col(vecCol)),
         legK, nprobe, idCol, vecCol),
-      k, k0)
+      k, k0, legWeights)
 
   /** [[rrfTopKByQuery]] restricted to an allowed document set — the
     * multi-tenant batch ensemble: the lexical leg is the filtered
@@ -344,14 +432,16 @@ object HybridRetrieval {
       k: Int, allowed: DataFrame, legK: Int = 100,
       selectivity: Option[Double] = None, k0: Double = 60.0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame =
+      queryIdCol: String = "query_id", termCol: String = "term",
+      sparseLeg: SparseLeg = SparseLeg.Bm25,
+      legWeights: Option[(Double, Double)] = None): DataFrame =
     fuseLegsByQuery(
-      InvertedIndex.bm25TopKPrunedByQueryAmong(lexIdx, qterms, legK,
-        allowed, idCol = idCol, queryIdCol = queryIdCol, termCol = termCol),
+      sparseLeg.topKByQueryAmong(lexIdx, qterms, legK, allowed, idCol,
+        queryIdCol, termCol),
       denseLeg.probeAmong(
         queryVecs.select(col(queryIdCol).as(idCol), col(vecCol)),
         legK, allowed, selectivity, idCol, vecCol),
-      k, k0)
+      k, k0, legWeights)
 
   // the batch fusion tail: per-query leg ranks (the lexical rank is a
   // query-partitioned row_number over the ≤ legK·|Q| top rows — never a
@@ -359,7 +449,8 @@ object HybridRetrieval {
   // leg-fold, a per-query top-k cut. Per query this computes exactly
   // what fuseLegs computes for that query alone.
   private def fuseLegsByQuery(lexTopK: DataFrame, denseTopK: DataFrame,
-      k: Int, k0: Double): DataFrame = {
+      k: Int, k0: Double,
+      legWeights: Option[(Double, Double)] = None): DataFrame = {
     val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("doc_id"))
@@ -368,11 +459,13 @@ object HybridRetrieval {
       .select(col("query_id"), col("doc_id"), col("rank"))
     val denseRanked = denseTopK.select(col("query_id"),
       col("neighbor_id").as("doc_id"), col("rn").as("rank"))
+    val ws = legWeights.map { case (wd, wl) => Seq(wd, wl) }
     val tagged = Seq(denseRanked, lexRanked).zipWithIndex.map {
       case (df, i) =>
         df.select(col("query_id"), col("doc_id"),
           lit(i).as("__leg"),
-          (lit(1.0) / (lit(k0) + col("rank").cast("double"))).as("__t"))
+          (ws.fold(lit(1.0))(w => lit(w(i))) /
+            (lit(k0) + col("rank").cast("double"))).as("__t"))
     }.reduce(_ unionByName _)
     val fused = tagged.groupBy(col("query_id"), col("doc_id"))
       .agg(aggregate(

@@ -1295,6 +1295,112 @@ object EngineQueries extends QueryPack {
     SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
     FROM cut ORDER BY rrf_q DESC, doc_id"""))
 
+  // ---- WEIGHTED hybrid with the QL lexical leg (r16 — verdict item 6:
+  //      rrfFuseRanked already took arbitrary legs; weighted RRF plus a
+  //      QL leg option covers the standard serving ensembles). The REAL
+  //      rrfTopKAmong with sparseLeg = Ql(μ=2000) and legWeights =
+  //      (0.7 dense, 0.3 lexical): the Dirichlet ranker serves the
+  //      sparse leg among allowed docs with CORPUS-wide collection
+  //      stats, the dense leg is the exact-regime float probe (stated
+  //      selectivity 1/3 caps the dial at nlist — the
+  //      vx_hybrid_rrf_filtered_quantized construction), and the fused
+  //      double is Σ wᵢ/(60 + rᵢ) in leg order. DuckDB replays the QL
+  //      scoring (the t_ql_filtered_topk machinery), the brute dense
+  //      ranking, both weighted rank cuts, the fusion, and the final
+  //      cut. Exact ranks × literal weights through IEEE ops → FULL
+  //      oracle ----
+  private val hybridRrfWeightedQl = OracleQuery(
+    "vx_hybrid_rrf_weighted_ql_quantized",
+    (s, d) => {
+      val embQ = quantizedEmb(s, d)
+      val idx = graft.queries.TextQueries.prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.HybridRetrieval.rrfTopKAmong(
+          idx, terms, prepareIvfIndex(s, d),
+          embQ.filter(col("vec_id") === 0), k = 10,
+          allowed = Tables.documents(s, d)
+            .filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("vec_id")),
+          legK = 50, selectivity = Some(1.0 / 3.0),
+          sparseLeg = graft.operators.HybridRetrieval.SparseLeg.Ql(2000.0),
+          legWeights = Some((0.7, 0.3)))
+        .select(col("doc_id"),
+          floor(col("rrf") * lit(1000000000.0)).cast("long").as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+    },
+    Some(s"""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)
+          AS vq
+      FROM embeddings
+    ), p AS (
+      SELECT c.vec_id AS doc_id,
+        CAST(SUM(q.vq * c.vq) AS DOUBLE) AS dot,
+        CAST(SUM(q.vq * q.vq) AS DOUBLE) AS nq,
+        CAST(SUM(c.vq * c.vq) AS DOUBLE) AS nc
+      FROM lf q JOIN lf c ON q.pos = c.pos
+        AND q.vec_id = 0 AND c.vec_id <> 0 AND c.vec_id % 3 = 0
+      GROUP BY 1
+    ), dr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY dot / (sqrt(nq) * sqrt(nc) + 1e-12) DESC, doc_id) AS rd
+      FROM p
+    ), dcut AS (
+      SELECT doc_id, 0.7 / (60.0 + CAST(rd AS DOUBLE)) AS td
+      FROM dr WHERE rd <= 50
+    ), toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), sdl AS (
+      SELECT CAST(SUM(tf) AS BIGINT) AS sdl FROM tf
+    ), q AS (
+      SELECT w FROM dft ORDER BY df, w LIMIT 3
+    ), pc AS (
+      SELECT q.w,
+        CAST(SUM(tf.tf) AS DOUBLE) / CAST(sdl.sdl AS DOUBLE) AS pc
+      FROM q JOIN tf ON tf.w = q.w CROSS JOIN sdl
+      GROUP BY q.w, sdl.sdl
+    ), qsum AS (
+      SELECT CAST(SUM(CAST(ln(2000.0 * pc) AS DECIMAL(27, 12))) AS DOUBLE)
+          AS a,
+        CAST(COUNT(*) AS BIGINT) AS m
+      FROM pc WHERE pc > 0
+    ), adj AS (
+      SELECT tf.doc_id,
+        ln((CAST(tf.tf AS DOUBLE) + 2000.0 * pc.pc) / (2000.0 * pc.pc)) AS s
+      FROM tf JOIN pc ON tf.w = pc.w
+      WHERE tf.doc_id % 3 = 0
+    ), lex AS (
+      SELECT adj.doc_id,
+        CAST(floor((${graft.queries.Exact.DSUM("s", 27, 12)} + qsum.a -
+          CAST(qsum.m AS DOUBLE) * ln(CAST(dl.dl AS DOUBLE) + 2000.0))
+          * 1000000.0) AS BIGINT) AS score_q
+      FROM adj JOIN dl ON dl.doc_id = adj.doc_id CROSS JOIN qsum
+      GROUP BY adj.doc_id, qsum.a, qsum.m, dl.dl
+    ), lr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rl
+      FROM lex
+    ), lcut AS (
+      SELECT doc_id, 0.3 / (60.0 + CAST(rl AS DOUBLE)) AS tl
+      FROM lr WHERE rl <= 50
+    ), f AS (
+      SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id,
+        COALESCE(d.td, 0.0) + COALESCE(l.tl, 0.0) AS rrf
+      FROM dcut d FULL OUTER JOIN lcut l ON d.doc_id = l.doc_id
+    ), cut AS (
+      SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
+    FROM cut ORDER BY rrf_q DESC, doc_id"""))
+
   /** Unrolled SQL replay of k greedy farthest-point rounds over the
     * quantized slice: per round, distances to the newest center, a
     * running LEAST, and the deterministic argmax. Every distance is a
@@ -3369,6 +3475,7 @@ object EngineQueries extends QueryPack {
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift,
     hybridRrf, hybridRrfFiltered, hybridRrfBatchParity, hybridRrfPqFiltered,
+    hybridRrfWeightedQl,
     annBrute, annBruteQuantized, annBruteFilteredQuantized,
     annAutoFilteredQuantized,
     annLsh, annIvf, annIvfProbe, annStreamIngest, annStreamPqParity,

@@ -39,6 +39,71 @@ class HybridRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("weighted rrfFuseRanked: exact weighted leg-order fold; unit weights unchanged") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val w = HybridRetrieval.rrfFuseRanked(Seq(a, b),
+        weights = Some(Seq(0.7, 0.3)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bit-equal to the hand-weighted leg-order sum
+    assert(w(2L) == 0.0 + (0.7 / 62.0) + (0.3 / 61.0))
+    assert(w(1L) == 0.0 + (0.7 / 61.0))
+    assert(w(3L) == 0.0 + (0.3 / 62.0))
+    // weights None IS the unit-weight fold, bit-for-bit
+    val unit = HybridRetrieval.rrfFuseRanked(Seq(a, b))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ones = HybridRetrieval.rrfFuseRanked(Seq(a, b),
+        weights = Some(Seq(1.0, 1.0)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ones == unit)
+    intercept[IllegalArgumentException] {
+      HybridRetrieval.rrfFuseRanked(Seq(a, b), weights = Some(Seq(0.7)))
+    }
+    intercept[IllegalArgumentException] {
+      HybridRetrieval.rrfFuseRanked(Seq(a, b),
+        weights = Some(Seq(0.7, -0.1)))
+    }
+  }
+
+  test("SparseLeg.Ql and legWeights: the weighted QL ensemble equals the hand-wired fusion") {
+    val lexIdx = InvertedIndex.build(docs)
+    val denseIdx = SimilaritySearch.buildIvfIndex(emb, nlist = 8)
+    val terms = lexIdx.termDf.orderBy($"df", $"term").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val qv = emb.filter($"vec_id" === 0)
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id")
+    val got = HybridRetrieval.rrfTopKAmong(
+        lexIdx, terms, denseIdx, qv, k = 10, allowed, legK = 30,
+        sparseLeg = HybridRetrieval.SparseLeg.Ql(2000.0),
+        legWeights = Some((0.7, 0.3)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val denseRanked = SimilaritySearch.ivfProbeAmongAuto(
+        denseIdx, qv, 30, allowed)
+      .select($"neighbor_id".as("doc_id"), $"rn".as("rank"))
+    val lexRanked = HybridRetrieval.rankLeg(
+      InvertedIndex.qlTopKAmong(lexIdx, terms, 30, allowed,
+        idCol = "vec_id"), "doc_id", "score_q")
+    val want = HybridRetrieval.rrfFuseRanked(Seq(denseRanked, lexRanked),
+        weights = Some(Seq(0.7, 0.3)))
+      .orderBy($"rrf".desc, $"doc_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got == want,
+      "weighted QL-leg hybrid diverged from the hand-wired fusion")
+    // batch symmetry: the weighted QL batch verb per query ≡ the
+    // single-query serve, fused doubles included
+    val qterms = terms.map((0L, _)).toDF("query_id", "term")
+    val qvecs = qv.select($"vec_id".as("query_id"), $"embedding")
+    val batch = HybridRetrieval.rrfTopKByQueryAmong(
+        lexIdx, qterms, denseIdx, qvecs, k = 10, allowed, legK = 30,
+        sparseLeg = HybridRetrieval.SparseLeg.Ql(2000.0),
+        legWeights = Some((0.7, 0.3)))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(t => (-t._2, t._1))
+    assert(batch == got.sortBy(t => (-t._2, t._1)),
+      "weighted QL batch hybrid diverged from its single-query serve")
+    denseIdx.unpersist()
+  }
+
   test("rankLeg equals a row_number ranking by (score desc, id)") {
     val scored = Seq((5L, 10L), (6L, 30L), (7L, 10L)).toDF("doc_id", "score_q")
     val got = HybridRetrieval.rankLeg(scored, "doc_id", "score_q")
