@@ -721,6 +721,31 @@ object ScaleBench {
       // probe; the loop row pays 8 single-query pipelines (8 GlobalRank
       // stat passes, 8 posting scans). The gap is the batch
       // organization's amortization, measured.
+      // the fourth family as a leg (r16): the SRP-Hamming tier under
+      // the same ACL shapes — the filter rides the xor+popcount scan
+      // (no coverage dial), the √n refine shortlist exact-re-ranks
+      "hybrid_srp_selective" -> { dir: String =>
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.HybridRetrieval.rrfTopKAmong(
+          lexIdx(dir), bm25Terms,
+          graft.operators.HybridRetrieval.DenseLeg.Srp(
+            embSrpIdx(dir), emb),
+          emb.filter(col("vec_id") === 0), k = 10,
+          emb.filter(pmod(col("vec_id"), lit(128L)) === 0)
+            .select(col("vec_id")),
+          legK = 100)
+      },
+      "hybrid_srp_permissive" -> { dir: String =>
+        val emb = Tables.embeddings(spark, dir)
+        graft.operators.HybridRetrieval.rrfTopKAmong(
+          lexIdx(dir), bm25Terms,
+          graft.operators.HybridRetrieval.DenseLeg.Srp(
+            embSrpIdx(dir), emb),
+          emb.filter(col("vec_id") === 0), k = 10,
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+            .select(col("vec_id")),
+          legK = 100)
+      },
       "hybrid_batch_filtered" -> { dir: String =>
         import spark.implicits._
         val emb = Tables.embeddings(spark, dir)
@@ -857,6 +882,8 @@ object ScaleBench {
         familySelected("hybrid_filtered_permissive") ||
         familySelected("hybrid_pq_selective") ||
         familySelected("hybrid_pq_permissive") ||
+        familySelected("hybrid_srp_selective") ||
+        familySelected("hybrid_srp_permissive") ||
         familySelected("hybrid_batch_filtered") ||
         familySelected("hybrid_batch_loop") ||
         familySelected("hybrid_recall_fused")) {
@@ -1045,7 +1072,10 @@ object ScaleBench {
         (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
     }
     if (familySelected("hamming_filtered_selective") ||
-        familySelected("hamming_filtered_permissive")) {
+        familySelected("hamming_filtered_permissive") ||
+        familySelected("hybrid_srp_selective") ||
+        familySelected("hybrid_srp_permissive") ||
+        familySelected("hybrid_recall_fused")) {
       def mkIdx(dir: String): Unit = {
         embSrpIdx(dir) = graft.operators.SimilaritySearch.buildSrpIndex(
           Tables.embeddings(spark, dir)
@@ -1324,7 +1354,9 @@ object ScaleBench {
     ragQtermsRel.values.foreach(_.unpersist())
     ragSrpIdx.values.foreach(_.sketched.unpersist())
     embInt8Idx.values.foreach(_._1.assigned.unpersist())
-    embSrpIdx.values.foreach(_.sketched.unpersist())
+    // embSrpIdx is NOT released here (r16): the fused-recall grid's
+    // srp_auto tier probes it — it unpersists with embIvfIdx/embPqIdx
+    // after that section.
 
     // ANN recall at scale (round-6 verdict item 3): the recall bounds are
     // spec-pinned only at the 2k-vector testdata; cell counts and probe
@@ -1639,7 +1671,9 @@ object ScaleBench {
               "ivf_auto" -> (HybridRetrieval.DenseLeg
                 .Float32(embIvfIdx(dir)._1): HybridRetrieval.DenseLeg),
               "pq_auto" -> (HybridRetrieval.DenseLeg
-                .PqRefined(embPqIdx(dir), emb): HybridRetrieval.DenseLeg))
+                .PqRefined(embPqIdx(dir), emb): HybridRetrieval.DenseLeg),
+              "srp_auto" -> (HybridRetrieval.DenseLeg
+                .Srp(embSrpIdx(dir), emb): HybridRetrieval.DenseLeg))
             val tierParts = tiers.map { case (tname, leg) =>
               var served: DataFrame = null
               val t = timeIt { served = fused(leg).persist(); served.count(); () }
@@ -1661,6 +1695,7 @@ object ScaleBench {
     // block after the results loop)
     embIvfIdx.values.foreach(_._1.assigned.unpersist())
     embPqIdx.values.foreach(_.unpersist())
+    embSrpIdx.values.foreach(_.sketched.unpersist())
 
     // embjson DSv2 source at the sizes it exists for (round-9 verdict
     // item 2): the connector's three value claims — constant-memory

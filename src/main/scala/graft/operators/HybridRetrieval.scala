@@ -162,6 +162,35 @@ object HybridRetrieval {
           selectivity, idCol, vecCol)
     }
 
+    /** The SRP-Hamming tier ([[SimilaritySearch.hammingTopK]] — the
+      * leanest resident artifact in the family, 16 bytes/vector at the
+      * 128-bit default, scored by pure xor+popcount codegen) with the
+      * exact float re-rank of the k·refine shortlist. Completes the
+      * four-family symmetry: every persisted ANN tier that streams
+      * (r15) can now BE a hybrid leg (r16). `refine` None follows the
+      * √n [[SimilaritySearch.refineScaleParam]] policy (base 8, the
+      * family dial) from the index's stamped n; pinning it high enough
+      * that the shortlist covers every allowed candidate is the tier's
+      * exact regime. `nprobe`/`selectivity` are ignored — SRP has no
+      * cell-coverage dial to widen: the allowed semi-join rides the
+      * Hamming scan itself, so the filter prices directly and the
+      * shortlist never wastes a slot on a disallowed candidate.
+      */
+    final case class Srp(index: SimilaritySearch.SrpIndex,
+        corpus: DataFrame, refine: Option[Int] = None) extends DenseLeg {
+      private def resolvedRefine: Int = refine.getOrElse(
+        SimilaritySearch.refineScaleParam(index.n, base = 8))
+      private[graft] def probe(queries: DataFrame, k: Int,
+          nprobe: Option[Int], idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.hammingTopK(index.sketched, corpus, queries, k,
+          resolvedRefine, index.bits, index.seed, idCol, vecCol)
+      private[graft] def probeAmong(queries: DataFrame, k: Int,
+          allowed: DataFrame, selectivity: Option[Double],
+          idCol: String, vecCol: String): DataFrame =
+        SimilaritySearch.hammingTopKAmong(index.sketched, corpus, queries,
+          k, allowed, resolvedRefine, index.bits, index.seed, idCol, vecCol)
+    }
+
     /** The exact corpus-scan tier ([[SimilaritySearch.bruteForceTopK]])
       * — no index, no dials (`nprobe`/`selectivity` have nothing to
       * tune and are ignored), O(queries × corpus): NOT a scale path.
@@ -320,10 +349,12 @@ object HybridRetrieval {
       fused.filter(col("__in_anchor") === 1).drop("__in_anchor"))
   }
 
-  /** The full hybrid serving verb: BM25 sparse leg from the persisted
-    * lexical index fused with a dense leg from ANY tier of the persisted
-    * ANN family ([[DenseLeg]] — float IVF, IVF-SQ8, IVF-PQ±refine; the
-    * float and int8 index types convert implicitly), both top-`legK`,
+  /** The full hybrid serving verb: a sparse leg from the persisted
+    * lexical index ([[SparseLeg]] — BM25 by default, or Dirichlet QL)
+    * fused with a dense leg from ANY tier of the persisted ANN family
+    * ([[DenseLeg]] — float IVF, IVF-SQ8, IVF-PQ±refine, SRP-Hamming;
+    * the float and int8 index types convert implicitly), both
+    * top-`legK`, optionally weighted (`legWeights` = (dense, sparse)),
     * RRF over the union, top-k by (rrf desc, id). `queryVec` is a
     * ONE-row (idCol, vecCol) relation — the dense query paired with the
     * lexical term bag; `nprobe` None resolves the tier's unfiltered
@@ -396,7 +427,7 @@ object HybridRetrieval {
     * per term occurrence, bag semantics). The lexical leg is the
     * batch-WAND planner ([[InvertedIndex.bm25TopKPrunedByQuery]] at
     * legK — lossless, so ranks equal the exact per-query top-legK);
-    * the dense leg is ONE multi-query [[SimilaritySearch.ivfProbe]].
+    * the dense leg is ONE multi-query probe of the chosen tier.
     * Per query, the result rows are EXACTLY [[rrfTopK]]'s for that
     * query's (terms, vector) pair (parity gate + spec). A query whose
     * terms are all unindexed degrades to its dense leg alone — the

@@ -218,6 +218,18 @@ class HybridRetrievalSpec extends SparkSpec {
       qv, k = 10, allowed, legK = 30, selectivity = Some(0.3)))
     assert(viaFloat.nonEmpty && viaPq == viaFloat,
       "exact-regime PQ leg diverged from the float leg")
+    // the FOURTH family: SRP-Hamming with a covering shortlist is the
+    // same exact regime (the scan sees everything, the pinned refine
+    // keeps every allowed candidate, the exact re-rank is the same
+    // cosineNative kernel) — so all four tiers agree bit-for-bit here
+    val srpIdx = SimilaritySearch.buildSrpIndex(emb)
+    val viaSrp = rows(HybridRetrieval.rrfTopKAmong(
+      lexIdx, terms,
+      HybridRetrieval.DenseLeg.Srp(srpIdx, emb, refine = Some(64)),
+      qv, k = 10, allowed, legK = 30, selectivity = Some(0.3)))
+    assert(viaSrp == viaFloat,
+      "exact-regime SRP leg diverged from the float leg")
+    srpIdx.unpersist()
     // batch symmetry on the compressed tier: the PQ leg rides the same
     // fuseLegsByQuery tail, per query ≡ its single-query serve
     val qterms = terms.map((0L, _)).toDF("query_id", "term")
