@@ -97,6 +97,10 @@ object Bench {
         selected.contains("vx_hybrid_rrf_pq_quantized")) {
       graft.queries.EngineQueries.prepareHybridPqIndex(spark, sfDir); ()
     }
+    build("hybrid_srp_index",
+        selected.contains("vx_hybrid_rrf_srp_quantized")) {
+      graft.queries.EngineQueries.prepareHybridSrpIndex(spark, sfDir); ()
+    }
     build("ivf_int8_exact_index",
         selected.contains("vx_ann_int8_filtered_quantized")) {
       graft.queries.EngineQueries.prepareIvfInt8ExactIndex(spark, sfDir); ()
@@ -128,6 +132,7 @@ object Bench {
         e._1 == "vx_hybrid_rrf_batch_parity" ||
         e._1 == "vx_hybrid_rrf_pq_quantized" ||
         e._1 == "vx_hybrid_rrf_weighted_ql_quantized" ||
+        e._1 == "vx_hybrid_rrf_srp_quantized" ||
         e._1 == "t_bm25_wand_topk" || e._1 == "t_bm25_filtered_topk" ||
         e._1 == "t_bm25_batch_wand_topk" ||
         e._1 == "t_spell_suggest" || e._1 == "t_spell_suggest_filtered" ||
@@ -145,7 +150,8 @@ object Bench {
         e._1 == "t_phrase_snippets_filtered" ||
         e._1 == "t_proximity_search_topk" ||
         e._1 == "t_phrase_batch_topk" ||
-        e._1 == "t_proximity_batch_topk")) {
+        e._1 == "t_proximity_batch_topk" ||
+        e._1 == "t_phrase_snippets_batch")) {
       graft.queries.TextQueries.preparePhraseIndex(spark, sfDir); ()
     }
     build("lex_index_stream", selected.exists(e =>

@@ -303,6 +303,10 @@ object ScaleBench {
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var phraseTerms: Seq[String] = Nil
     var proximityTerms: Seq[String] = Nil
+    // 8 two-term bags for the batch-vs-loop positional pairs (from the
+    // base vocabulary's top-16 df terms; distinct within a bag — the
+    // proximity contract)
+    var positionalBags: Seq[(Long, Seq[String])] = Nil
     val wandIdx = scala.collection.mutable.Map
       .empty[String, graft.operators.InvertedIndex.LexIndex]
     var wandTerms: Seq[String] = Nil
@@ -516,6 +520,38 @@ object ScaleBench {
       // positions add to the artifact build at each size
       "phrase_probe" -> { dir: String =>
         graft.operators.InvertedIndex.phraseTopK(posIdx(dir), phraseTerms, 20)
+      },
+      // the r16 batch positional verbs vs the per-query loops they
+      // replace (the hybrid_batch / rag_lexical pair discipline): 8
+      // two-term phrase queries / 8 two-term proximity queries from the
+      // base vocabulary's frequent terms — the batch row pays ONE
+      // pruned positional posting pass, the loop row 8
+      "phrase_batch" -> { dir: String =>
+        import spark.implicits._
+        graft.operators.InvertedIndex.phraseTopKByQuery(posIdx(dir),
+          positionalBags.flatMap { case (q, ts) =>
+            ts.zipWithIndex.map { case (t, s) => (q, s, t) }
+          }.toDF("query_id", "slot", "term"), k = 20)
+      },
+      "phrase_loop" -> { dir: String =>
+        positionalBags.map { case (qid, ts) =>
+          graft.operators.InvertedIndex.phraseTopK(posIdx(dir), ts, 20)
+            .select(lit(qid).as("query_id"), col("doc_id"), col("n_occ"))
+        }.reduce(_ unionByName _)
+      },
+      "proximity_batch" -> { dir: String =>
+        import spark.implicits._
+        graft.operators.InvertedIndex.proximityTopKByQuery(posIdx(dir),
+          positionalBags.flatMap { case (q, ts) => ts.map((q, _)) }
+            .toDF("query_id", "term"), window = 8, k = 20)
+      },
+      "proximity_loop" -> { dir: String =>
+        positionalBags.map { case (qid, ts) =>
+          graft.operators.InvertedIndex.proximityTopK(posIdx(dir), ts,
+              window = 8, k = 20)
+            .select(lit(qid).as("query_id"), col("doc_id"),
+              col("n_windows"))
+        }.reduce(_ unionByName _)
       },
       // proximity probe: same pruned scan as phrase_probe plus the
       // per-doc min-window pass over the two most frequent terms'
@@ -986,7 +1022,10 @@ object ScaleBench {
           .flatMap { case (t, i) => Seq((i + 1L, "zzstop"), (i + 1L, t)) }
           .toSeq
     }
-    if (familySelected("phrase_probe") || familySelected("proximity_probe")) {
+    if (familySelected("phrase_probe") || familySelected("proximity_probe") ||
+        familySelected("phrase_batch") || familySelected("phrase_loop") ||
+        familySelected("proximity_batch") ||
+        familySelected("proximity_loop")) {
       def mkPosIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx-pos").toString
@@ -998,11 +1037,13 @@ object ScaleBench {
       }
       builds("lex_index_pos") =
         (timeIt { mkPosIdx(base) }, timeIt { mkPosIdx(out) })
-      val top2 = posIdx(base).termDf
-        .orderBy(col("df").desc, col("term")).limit(2)
+      val top16 = posIdx(base).termDf
+        .orderBy(col("df").desc, col("term")).limit(16)
         .collect().map(_.getString(0))
-      phraseTerms = Seq(top2(0), top2(0))
-      proximityTerms = top2.toSeq
+      phraseTerms = Seq(top16(0), top16(0))
+      proximityTerms = top16.take(2).toSeq
+      positionalBags = top16.toSeq.grouped(2).zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts) }.toSeq
     }
     if (familySelected("rag_dense_ann")) {
       // warm the memoized chunk→BPE→vocab→embed pipeline OUTSIDE the

@@ -1378,10 +1378,13 @@ object InvertedIndex {
     phraseTopKByQueryOver(idx, queries, k, queryIdCol, termCol, slotCol,
       Some(allowed.select(col(idCol).as("doc_id"))))
 
-  private def phraseTopKByQueryOver(idx: LexIndex, queries: DataFrame,
-      k: Int, queryIdCol: String, termCol: String, slotCol: String,
-      allowed: Option[DataFrame]): DataFrame = {
-    require(k > 0, s"k must be > 0, got $k")
+  // the shared batch anchor relation behind [[phraseTopKByQuery]] and
+  // [[phraseSnippetsByQuery]] — (anchors (query_id, doc_id, anchor),
+  // lens (query_id, __len)) — one definition so a batch hit list and
+  // its snippets can never disagree (the phraseAnchors discipline)
+  private def phraseAnchorsByQuery(idx: LexIndex, queries: DataFrame,
+      queryIdCol: String, termCol: String, slotCol: String,
+      allowed: Option[DataFrame]): (DataFrame, DataFrame) = {
     require(idx.postings.columns.contains("positions"),
       "phrase search needs a positional index: build(..., withPositions = true)")
     val spark = idx.postings.sparkSession
@@ -1413,16 +1416,28 @@ object InvertedIndex {
       qRows.map(_.getString(2)).distinct.toSeq)
     // the single-query anchor construction per (query, doc): every
     // phrase slot matching at the same anchor ⟺ the phrase occurs there
-    allowed.fold(pruned)(a => pruned.join(a, Seq("doc_id"), "left_semi"))
-      .join(broadcast(q), Seq("term"))
-      .select(col("query_id"), col("doc_id"), col("slot"),
-        explode(col("positions")).as("pos"))
-      .withColumn("anchor", col("pos") - col("slot"))
-      .filter(col("anchor") >= 0)
-      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
-      .agg(count(lit(1)).as("__hits"))
-      .join(broadcast(lens), Seq("query_id"))
-      .filter(col("__hits") === col("__len"))
+    val anchors =
+      allowed.fold(pruned)(a => pruned.join(a, Seq("doc_id"), "left_semi"))
+        .join(broadcast(q), Seq("term"))
+        .select(col("query_id"), col("doc_id"), col("slot"),
+          explode(col("positions")).as("pos"))
+        .withColumn("anchor", col("pos") - col("slot"))
+        .filter(col("anchor") >= 0)
+        .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+        .agg(count(lit(1)).as("__hits"))
+        .join(broadcast(lens), Seq("query_id"))
+        .filter(col("__hits") === col("__len"))
+        .select(col("query_id"), col("doc_id"), col("anchor"))
+    (anchors, lens)
+  }
+
+  private def phraseTopKByQueryOver(idx: LexIndex, queries: DataFrame,
+      k: Int, queryIdCol: String, termCol: String, slotCol: String,
+      allowed: Option[DataFrame]): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val (anchors, _) = phraseAnchorsByQuery(idx, queries, queryIdCol,
+      termCol, slotCol, allowed)
+    anchors
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occ"))
       .withColumn("__rn", row_number().over(
@@ -1431,6 +1446,77 @@ object InvertedIndex {
           .orderBy(col("n_occ").desc, col("doc_id"))))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("doc_id"), col("n_occ"))
+  }
+
+  /** Batch phrase snippets: [[phraseSnippets]] for MANY phrases in one
+    * positional posting pass — the evidence panel beside
+    * [[phraseTopKByQuery]]'s batch hit list (a RAG UI shows snippets
+    * for every query of an evaluation; per-query serving paid one scan
+    * each). `queries` is the (queryIdCol, slotCol, termCol) relation of
+    * the batch hit verb; per query the rows are EXACTLY
+    * [[phraseSnippets]]' for its phrase (same anchor relation — shared
+    * construction — same (n_occ desc, doc_id) cut, same slice
+    * coordinates; the slice width is the query's OWN phrase length
+    * + 2·context). Only the ≤ k·|Q| result docs join back to the
+    * corpus text (broadcast against the docs relation), so full
+    * documents never ride the posting shuffle. Returns
+    * (query_id, doc_id, n_occ, first_pos, snippet).
+    */
+  def phraseSnippetsByQuery(idx: LexIndex, docs: DataFrame,
+      queries: DataFrame, k: Int, context: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", termCol: String = "term",
+      slotCol: String = "slot"): DataFrame =
+    phraseSnippetsByQueryOver(idx, docs, queries, k, context, idCol,
+      textCol, queryIdCol, termCol, slotCol, None)
+
+  /** [[phraseSnippetsByQuery]] restricted to an allowed document set —
+    * the multi-tenant batch evidence panel ([[phraseSnippetsAmong]]'s
+    * placement: the semi-join rides the pruned posting scan inside the
+    * shared anchor construction, before the positions explode, so text
+    * is never sliced from a doc the tenant cannot see).
+    */
+  def phraseSnippetsByQueryAmong(idx: LexIndex, docs: DataFrame,
+      queries: DataFrame, k: Int, allowed: DataFrame, context: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", termCol: String = "term",
+      slotCol: String = "slot"): DataFrame =
+    phraseSnippetsByQueryOver(idx, docs, queries, k, context, idCol,
+      textCol, queryIdCol, termCol, slotCol,
+      Some(allowed.select(col(idCol).as("doc_id"))))
+
+  private def phraseSnippetsByQueryOver(idx: LexIndex, docs: DataFrame,
+      queries: DataFrame, k: Int, context: Int, idCol: String,
+      textCol: String, queryIdCol: String, termCol: String,
+      slotCol: String, allowed: Option[DataFrame]): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(context >= 0, s"context must be >= 0, got $context")
+    val (anchors, lens) = phraseAnchorsByQuery(idx, queries, queryIdCol,
+      termCol, slotCol, allowed)
+    val top = anchors
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        min(col("anchor")).cast("long").as("first_pos"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("n_occ").desc, col("doc_id"))))
+      .filter(col("__rn") <= k)
+      .join(broadcast(lens), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("n_occ"),
+        col("first_pos"), col("__len"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), t => length(t) > 0).as("__toks"))
+      .join(broadcast(top), Seq("doc_id"))
+      .withColumn("__from",
+        greatest(col("first_pos") - context, lit(0L)) + 1) // 1-based slice
+      .withColumn("snippet", array_join(
+        slice(col("__toks"), col("__from").cast("int"),
+          (col("__len") + lit(2L * context)).cast("int")), " "))
+      .select(col("query_id"), col("doc_id"), col("n_occ"),
+        col("first_pos"), col("snippet"))
+      .orderBy(col("query_id"), col("n_occ").desc, col("doc_id"))
   }
 
   /** "Did you mean": for each query string, the top-k vocabulary terms

@@ -1295,6 +1295,116 @@ object EngineQueries extends QueryPack {
     SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
     FROM cut ORDER BY rrf_q DESC, doc_id"""))
 
+  // ---- FILTERED hybrid with the SRP-HAMMING dense leg (r16 — the
+  //      fourth family's gate beside vx_hybrid_rrf_pq_quantized, same
+  //      exact-regime construction adapted to the tier: the Hamming
+  //      scan sees every allowed sketch (no cell dial exists), and the
+  //      pinned refine = 512 makes the legK·refine shortlist keep every
+  //      allowed candidate — so the exact float re-rank IS the filtered
+  //      brute ranking and DuckDB replays both legs, the fusion, and
+  //      the cut with the identical SQL. The sketch itself decides
+  //      nothing at this dial; its resolution is graded honestly by the
+  //      recall grids instead ----
+  private val hybridRrfSrpFiltered = OracleQuery(
+    "vx_hybrid_rrf_srp_quantized",
+    (s, d) => {
+      val embQ = quantizedEmb(s, d)
+      val idx = graft.queries.TextQueries.prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.HybridRetrieval.rrfTopKAmong(
+          idx, terms,
+          graft.operators.HybridRetrieval.DenseLeg.Srp(
+            prepareHybridSrpIndex(s, d), embQ, refine = Some(512)),
+          embQ.filter(col("vec_id") === 0), k = 10,
+          allowed = Tables.documents(s, d)
+            .filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("vec_id")),
+          legK = 50, selectivity = Some(1.0 / 3.0))
+        .select(col("doc_id"),
+          floor(col("rrf") * lit(1000000000.0)).cast("long").as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+    },
+    Some(s"""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)
+          AS vq
+      FROM embeddings
+    ), p AS (
+      SELECT c.vec_id AS doc_id,
+        CAST(SUM(q.vq * c.vq) AS DOUBLE) AS dot,
+        CAST(SUM(q.vq * q.vq) AS DOUBLE) AS nq,
+        CAST(SUM(c.vq * c.vq) AS DOUBLE) AS nc
+      FROM lf q JOIN lf c ON q.pos = c.pos
+        AND q.vec_id = 0 AND c.vec_id <> 0 AND c.vec_id % 3 = 0
+      GROUP BY 1
+    ), dr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY dot / (sqrt(nq) * sqrt(nc) + 1e-12) DESC, doc_id) AS rd
+      FROM p
+    ), dcut AS (
+      SELECT doc_id, 1.0 / (60.0 + CAST(rd AS DOUBLE)) AS td
+      FROM dr WHERE rd <= 50
+    ), toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      SELECT w, df FROM dft ORDER BY df, w LIMIT 3
+    ), scx AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+      WHERE tf.doc_id % 3 = 0
+    ), lex AS (
+      SELECT doc_id,
+        CAST(floor(${graft.queries.Exact.DSUM("s", 27, 12)} * 1000000.0)
+          AS BIGINT) AS score_q
+      FROM scx GROUP BY doc_id
+    ), lr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rl
+      FROM lex
+    ), lcut AS (
+      SELECT doc_id, 1.0 / (60.0 + CAST(rl AS DOUBLE)) AS tl
+      FROM lr WHERE rl <= 50
+    ), f AS (
+      SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id,
+        COALESCE(d.td, 0.0) + COALESCE(l.tl, 0.0) AS rrf
+      FROM dcut d FULL OUTER JOIN lcut l ON d.doc_id = l.doc_id
+    ), cut AS (
+      SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
+    FROM cut ORDER BY rrf_q DESC, doc_id"""))
+
+  /** The SRP-leg hybrid gate's sketch index over the quantized
+    * embeddings — build-once ([[SimilaritySearch.buildSrpIndex]], n
+    * stamped for the refine dial; the gate pins refine anyway).
+    */
+  def prepareHybridSrpIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): SimilaritySearch.SrpIndex =
+    graft.SessionMemo.getOrElseUpdate(s, s"hybrid_srp_index:$d")(
+      SimilaritySearch.buildSrpIndex(quantizedEmb(s, d)))(
+      _.unpersist())
+
   // ---- WEIGHTED hybrid with the QL lexical leg (r16 — verdict item 6:
   //      rrfFuseRanked already took arbitrary legs; weighted RRF plus a
   //      QL leg option covers the standard serving ensembles). The REAL
@@ -3475,7 +3585,7 @@ object EngineQueries extends QueryPack {
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift,
     hybridRrf, hybridRrfFiltered, hybridRrfBatchParity, hybridRrfPqFiltered,
-    hybridRrfWeightedQl,
+    hybridRrfSrpFiltered, hybridRrfWeightedQl,
     annBrute, annBruteQuantized, annBruteFilteredQuantized,
     annAutoFilteredQuantized,
     annLsh, annIvf, annIvfProbe, annStreamIngest, annStreamPqParity,

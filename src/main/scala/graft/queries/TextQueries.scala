@@ -1459,6 +1459,67 @@ object TextQueries extends QueryPack {
       SELECT CAST(1 AS BIGINT) AS query_id, doc_id, n_windows FROM r1)
     ORDER BY query_id, n_windows DESC, doc_id"""))
 
+  // ---- BATCH phrase snippets (r16, the evidence panel beside the
+  //      batch hit verb): the same three-phrase batch as
+  //      t_phrase_batch_topk, each top doc's FIRST occurrence sliced
+  //      with 3 tokens of context either side — the slice width is the
+  //      query's OWN phrase length + 6, so the repeated-term bigram and
+  //      the single-slot phrase cut different windows from the same
+  //      token coordinate system. Shared anchor construction with the
+  //      hit verb (a batch hit list and its snippets cannot disagree);
+  //      exact strings → FULL oracle, every query replayed
+  //      independently ----
+  private val phraseSnipsBatch = OracleQuery(
+    "t_phrase_snippets_batch",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.InvertedIndex.phraseSnippetsByQuery(
+          preparePhraseIndex(s, d), Tables.documents(s, d),
+          Seq((0L, 0, "table"), (0L, 1, "table"), (1L, 0, "key"),
+            (2L, 0, "zzz_unindexed")).toDF("query_id", "slot", "term"),
+          k = 10, context = 3)
+        .orderBy(col("query_id"), col("n_occ").desc, col("doc_id"))
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM t
+    ), occ0 AS (
+      SELECT a.doc_id, a.pos - 1 AS anchor
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.w = 'table' AND b.w = 'table'
+    ), top0 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        CAST(MIN(anchor) AS BIGINT) AS first_pos
+      FROM occ0 GROUP BY doc_id
+      ORDER BY n_occ DESC, doc_id LIMIT 10
+    ), r0 AS (
+      SELECT top0.doc_id, top0.n_occ, top0.first_pos,
+        array_to_string(list_slice(t.ws,
+          greatest(top0.first_pos - 3, 0) + 1,
+          greatest(top0.first_pos - 3, 0) + 8), ' ') AS snippet
+      FROM top0 JOIN t ON t.doc_id = top0.doc_id
+    ), occ1 AS (
+      SELECT doc_id, pos - 1 AS anchor FROM tok WHERE w = 'key'
+    ), top1 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        CAST(MIN(anchor) AS BIGINT) AS first_pos
+      FROM occ1 GROUP BY doc_id
+      ORDER BY n_occ DESC, doc_id LIMIT 10
+    ), r1 AS (
+      SELECT top1.doc_id, top1.n_occ, top1.first_pos,
+        array_to_string(list_slice(t.ws,
+          greatest(top1.first_pos - 3, 0) + 1,
+          greatest(top1.first_pos - 3, 0) + 7), ' ') AS snippet
+      FROM top1 JOIN t ON t.doc_id = top1.doc_id
+    )
+    SELECT query_id, doc_id, n_occ, first_pos, snippet FROM (
+      SELECT CAST(0 AS BIGINT) AS query_id, * FROM r0
+      UNION ALL SELECT CAST(1 AS BIGINT), * FROM r1)
+    ORDER BY query_id, n_occ DESC, doc_id"""))
+
   // ---- phrase snippets: the serving evidence beside the hit list —
   //      each top doc's FIRST occurrence with 3 tokens of context either
   //      side, sliced in the positional index's coordinate system (the
@@ -4730,7 +4791,7 @@ object TextQueries extends QueryPack {
     qlTopKGate, qlFilteredTopK, qlBatchTopK, phraseFilteredTopK,
     lexIndexStats, lexFacets, lexFacetsFiltered,
     phraseTopK, phraseSnips, phraseSnipsFiltered, proximityTopK,
-    phraseBatchTopK, proximityBatchTopK,
+    phraseBatchTopK, proximityBatchTopK, phraseSnipsBatch,
     spellSuggest, spellSuggestFiltered, bpeTokenizeStats,
     streamSnapshotChanges)
 }

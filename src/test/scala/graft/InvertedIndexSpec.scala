@@ -118,6 +118,41 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("phraseSnippetsByQuery: batch snippets equal per-query phraseSnippets; Among twin") {
+    val docs = Seq(
+      (1L, "big cat sat"), (2L, "big cat big cat big"), (3L, "cat big"),
+      (4L, "big  cat"), (5L, "x x x"), (6L, "big")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, withPositions = true)
+    val phrases = Seq(0L -> Seq("big", "cat"), 1L -> Seq("x", "x"),
+      2L -> Seq("cat", "sat"))
+    val queries = (phrases.flatMap { case (qid, ph) =>
+      ph.zipWithIndex.map { case (t, s) => (qid, s, t) }
+    } ++ Seq((3L, 0, "absent"))).toDF("query_id", "slot", "term")
+    def sorted(rows: Seq[(Long, Long, Long, Long, String)]) =
+      rows.sortBy(t => (t._1, -t._3, t._2))
+    def batchRows(df: org.apache.spark.sql.DataFrame) = sorted(df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq)
+    def perQuery(f: Seq[String] => org.apache.spark.sql.DataFrame) =
+      sorted(phrases.flatMap { case (qid, ph) =>
+        f(ph).collect().map(r => (qid, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getString(3))).toSeq
+      })
+    val got = batchRows(InvertedIndex.phraseSnippetsByQuery(
+      idx, docs, queries, k = 10, context = 1))
+    assert(got.nonEmpty && got == perQuery(ph =>
+      InvertedIndex.phraseSnippets(idx, docs, ph, 10, context = 1)),
+      "batch snippets diverged from per-query phraseSnippets")
+    assert(!got.exists(_._1 == 3L)) // dead phrase: no snippet rows
+    val allowed = docs.filter($"doc_id" % 2 === 0).select($"doc_id")
+    val gotA = batchRows(InvertedIndex.phraseSnippetsByQueryAmong(
+      idx, docs, queries, k = 10, allowed, context = 1))
+    assert(gotA.nonEmpty && gotA == perQuery(ph =>
+      InvertedIndex.phraseSnippetsAmong(idx, docs, ph, 10, allowed,
+        context = 1)),
+      "filtered batch snippets diverged from phraseSnippetsAmong")
+  }
+
   test("proximityTopKByQuery: batch ranking equals per-query proximityTopK; Among twin; contracts") {
     val docs = Seq(
       (1L, "table a key"), (2L, "key b b table"),
