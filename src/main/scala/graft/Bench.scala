@@ -102,7 +102,8 @@ object Bench {
       graft.queries.EngineQueries.prepareHybridSrpIndex(spark, sfDir); ()
     }
     build("ivf_int8_exact_index",
-        selected.contains("vx_ann_int8_filtered_quantized")) {
+        selected.contains("vx_ann_int8_filtered_quantized") ||
+        selected.contains("vx_hybrid_rrf_int8_quantized")) {
       graft.queries.EngineQueries.prepareIvfInt8ExactIndex(spark, sfDir); ()
     }
     // consumers: the streaming vector near-dup re-ingest gate, and (via
@@ -133,6 +134,7 @@ object Bench {
         e._1 == "vx_hybrid_rrf_pq_quantized" ||
         e._1 == "vx_hybrid_rrf_weighted_ql_quantized" ||
         e._1 == "vx_hybrid_rrf_srp_quantized" ||
+        e._1 == "vx_hybrid_rrf_int8_quantized" ||
         e._1 == "t_bm25_wand_topk" || e._1 == "t_bm25_filtered_topk" ||
         e._1 == "t_bm25_batch_wand_topk" ||
         e._1 == "t_spell_suggest" || e._1 == "t_spell_suggest_filtered" ||

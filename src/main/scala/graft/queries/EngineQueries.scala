@@ -1395,6 +1395,109 @@ object EngineQueries extends QueryPack {
     SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
     FROM cut ORDER BY rrf_q DESC, doc_id"""))
 
+  // ---- FILTERED hybrid with the INT8 (IVF-SQ8) dense leg (r16 — the
+  //      last tier without a hybrid FULL oracle; with it, all FOUR
+  //      persisted ANN families carry one). Exact regime à la
+  //      vx_ann_int8_filtered_quantized: the int8ExactEmb construction
+  //      pins every per-vector scale to exactly 1.0 (codes ≡ inputs,
+  //      integer dot/norm sums exact in double), and the stated
+  //      selectivity 1/3 caps the auto dial at nlist = 8 — ALL cells
+  //      probed — so the dense leg IS the int8 cosine ranking over the
+  //      allowed set, which DuckDB replays without any probe-cell
+  //      logic; the lexical leg and fusion are the shared hybrid
+  //      replay. Note the leg is passed as the BARE IvfInt8Index — the
+  //      implicit DenseLeg conversion is part of the gated surface ----
+  private val hybridRrfInt8Filtered = OracleQuery(
+    "vx_hybrid_rrf_int8_quantized",
+    (s, d) => {
+      val e = int8ExactEmb(s, d)
+      val idx = graft.queries.TextQueries.prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      graft.operators.HybridRetrieval.rrfTopKAmong(
+          idx, terms, prepareIvfInt8ExactIndex(s, d),
+          e.filter(col("vec_id") === 0), k = 10,
+          allowed = Tables.documents(s, d)
+            .filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("vec_id")),
+          legK = 50, selectivity = Some(1.0 / 3.0))
+        .select(col("doc_id"),
+          floor(col("rrf") * lit(1000000000.0)).cast("long").as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+    },
+    Some(s"""WITH i8 AS (
+      SELECT vec_id, pos,
+        CASE WHEN pos = 0 THEN 127
+             ELSE ((CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)
+                    % 255) + 255) % 255 - 127
+        END AS iv
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+              unnest(embedding) AS v FROM embeddings)
+    ), p AS (
+      SELECT c.vec_id AS doc_id,
+        CAST(SUM(q.iv * c.iv) AS DOUBLE) AS dot,
+        CAST(SUM(q.iv * q.iv) AS DOUBLE) AS nq,
+        CAST(SUM(c.iv * c.iv) AS DOUBLE) AS nc
+      FROM i8 q JOIN i8 c ON q.pos = c.pos
+        AND q.vec_id = 0 AND c.vec_id <> 0 AND c.vec_id % 3 = 0
+      GROUP BY 1
+    ), dr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY dot / (sqrt(nc) * sqrt(nq) + 1e-12) DESC, doc_id) AS rd
+      FROM p
+    ), dcut AS (
+      SELECT doc_id, 1.0 / (60.0 + CAST(rd AS DOUBLE)) AS td
+      FROM dr WHERE rd <= 50
+    ), toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      SELECT w, df FROM dft ORDER BY df, w LIMIT 3
+    ), scx AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+      WHERE tf.doc_id % 3 = 0
+    ), lex AS (
+      SELECT doc_id,
+        CAST(floor(${graft.queries.Exact.DSUM("s", 27, 12)} * 1000000.0)
+          AS BIGINT) AS score_q
+      FROM scx GROUP BY doc_id
+    ), lr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rl
+      FROM lex
+    ), lcut AS (
+      SELECT doc_id, 1.0 / (60.0 + CAST(rl AS DOUBLE)) AS tl
+      FROM lr WHERE rl <= 50
+    ), f AS (
+      SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id,
+        COALESCE(d.td, 0.0) + COALESCE(l.tl, 0.0) AS rrf
+      FROM dcut d FULL OUTER JOIN lcut l ON d.doc_id = l.doc_id
+    ), cut AS (
+      SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
+    FROM cut ORDER BY rrf_q DESC, doc_id"""))
+
   /** The SRP-leg hybrid gate's sketch index over the quantized
     * embeddings — build-once ([[SimilaritySearch.buildSrpIndex]], n
     * stamped for the refine dial; the gate pins refine anyway).
@@ -3585,7 +3688,7 @@ object EngineQueries extends QueryPack {
     kllExactQuantiles, kllUnionDays, streamKllQuantiles,
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift,
     hybridRrf, hybridRrfFiltered, hybridRrfBatchParity, hybridRrfPqFiltered,
-    hybridRrfSrpFiltered, hybridRrfWeightedQl,
+    hybridRrfSrpFiltered, hybridRrfInt8Filtered, hybridRrfWeightedQl,
     annBrute, annBruteQuantized, annBruteFilteredQuantized,
     annAutoFilteredQuantized,
     annLsh, annIvf, annIvfProbe, annStreamIngest, annStreamPqParity,
