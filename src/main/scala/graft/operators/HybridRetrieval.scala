@@ -116,7 +116,11 @@ object HybridRetrieval {
       */
     final case class PqRefined(index: SimilaritySearch.IvfPqIndex,
         corpus: DataFrame, refine: Option[Int] = None) extends DenseLeg {
-      private def resolvedRefine: Int = refine.getOrElse(
+      // lazy val, not def: a legacy index without a stamped n falls back
+      // to corpus.count() — a full-corpus driver action that must run AT
+      // MOST ONCE per leg instance, never once per probe inside a fused
+      // batch serve (ADVICE r16)
+      private lazy val resolvedRefine: Int = refine.getOrElse(
         SimilaritySearch.refineScaleParam(
           if (index.n >= 0) index.n else corpus.count(), base = 4))
       private[graft] def probe(queries: DataFrame, k: Int,
@@ -178,7 +182,7 @@ object HybridRetrieval {
       */
     final case class Srp(index: SimilaritySearch.SrpIndex,
         corpus: DataFrame, refine: Option[Int] = None) extends DenseLeg {
-      private def resolvedRefine: Int = refine.getOrElse(
+      private lazy val resolvedRefine: Int = refine.getOrElse(
         SimilaritySearch.refineScaleParam(index.n, base = 8))
       private[graft] def probe(queries: DataFrame, k: Int,
           nprobe: Option[Int], idCol: String, vecCol: String): DataFrame =
@@ -359,7 +363,11 @@ object HybridRetrieval {
     * ONE-row (idCol, vecCol) relation — the dense query paired with the
     * lexical term bag; `nprobe` None resolves the tier's unfiltered
     * policy dial ([[SimilaritySearch.policyNprobe]]), so the filtered
-    * twin's allowed=all reduction is exact. Returns (doc_id, rrf).
+    * twin's allowed=all reduction is exact. NOTE a pinned `nprobe` only
+    * dials the cell-coverage tiers (Float32 / Int8 / Pq / PqRefined);
+    * the SRP and Brute tiers scan every candidate by construction and
+    * SILENTLY IGNORE it — pin the SRP dial via its `refine` field
+    * instead. Returns (doc_id, rrf).
     */
   def rrfTopK(
       lexIdx: InvertedIndex.LexIndex, terms: Seq[String],
@@ -385,7 +393,11 @@ object HybridRetrieval {
     * every fused rank is a rank AMONG ALLOWED documents, never a
     * post-filtered global rank that under-returns. With allowed =
     * everything the result is bit-equal to [[rrfTopK]] (selectivity 1
-    * resolves the same policy dial; spec-pinned).
+    * resolves the same policy dial; spec-pinned). NOTE `selectivity`
+    * only dials the cell-coverage tiers — on the SRP and Brute tiers
+    * the allowed semi-join rides the scan itself and a pinned value is
+    * SILENTLY IGNORED (the filter prices directly; there is no
+    * coverage dial to widen).
     */
   def rrfTopKAmong(
       lexIdx: InvertedIndex.LexIndex, terms: Seq[String],
@@ -427,8 +439,10 @@ object HybridRetrieval {
     * per term occurrence, bag semantics). The lexical leg is the
     * batch-WAND planner ([[InvertedIndex.bm25TopKPrunedByQuery]] at
     * legK — lossless, so ranks equal the exact per-query top-legK);
-    * the dense leg is ONE multi-query probe of the chosen tier.
-    * Per query, the result rows are EXACTLY [[rrfTopK]]'s for that
+    * the dense leg is ONE multi-query probe of the chosen tier
+    * (`nprobe`/`selectivity` carry [[rrfTopK]]/[[rrfTopKAmong]]'s tier
+    * caveat: ignored by the SRP and Brute tiers, which have no
+    * coverage dial). Per query, the result rows are EXACTLY [[rrfTopK]]'s for that
     * query's (terms, vector) pair (parity gate + spec). A query whose
     * terms are all unindexed degrades to its dense leg alone — the
     * right serving semantics, and the batch must not die for it.

@@ -1396,6 +1396,14 @@ object InvertedIndex {
     // the anchor intersection tests against
     val qRows = q.collect()
     require(qRows.nonEmpty, "empty query relation")
+    // loud slot-contract message, never an opaque NPE from getInt /
+    // getString below: name the offending row's nulls (ADVICE r16)
+    qRows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"query relation row (query_id=${r.get(0)}, slot=${r.get(1)}, " +
+          s"term=${r.get(2)}) carries a null — every row needs non-null " +
+          "query_id, slot, and term (one term per slot)")
+    }
     val byQuery = qRows.groupBy(_.get(0))
     byQuery.foreach { case (qid, rows) =>
       val slots = rows.map(_.getInt(1)).sorted.toSeq
@@ -1505,10 +1513,16 @@ object InvertedIndex {
       .join(broadcast(lens), Seq("query_id"))
       .select(col("query_id"), col("doc_id"), col("n_occ"),
         col("first_pos"), col("__len"))
+    // join on the BARE doc_id FIRST (raw text rides through the
+    // broadcast probe), then tokenize only the ≤ k·|Q| matched rows —
+    // tokenizing below the join would split/filter EVERY corpus
+    // document per batch serve, a corpus-CPU pass the posting-pruned
+    // anchor construction upstream exists to avoid (r16 weak mark)
     docs
-      .select(col(idCol).as("doc_id"),
-        filter(split(col(textCol), " "), t => length(t) > 0).as("__toks"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .join(broadcast(top), Seq("doc_id"))
+      .withColumn("__toks",
+        filter(split(col("__text"), " "), t => length(t) > 0))
       .withColumn("__from",
         greatest(col("first_pos") - context, lit(0L)) + 1) // 1-based slice
       .withColumn("snippet", array_join(
@@ -1747,6 +1761,13 @@ object InvertedIndex {
     // running maxes key on
     val qRows = q.collect()
     require(qRows.nonEmpty, "empty query relation")
+    // same loud-contract guard as the phrase batch verb: a null
+    // query_id/term must name itself, not die as an NPE below
+    qRows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"query relation row (query_id=${r.get(0)}, term=${r.get(1)}) " +
+          "carries a null — every row needs non-null query_id and term")
+    }
     val byQuery = qRows.groupBy(_.get(0))
     byQuery.foreach { case (qid, rows) =>
       val ts = rows.map(_.getString(1)).toSeq
@@ -1844,10 +1865,14 @@ object InvertedIndex {
         min(col("anchor")).cast("long").as("first_pos"))
       .orderBy(col("n_occ").desc, col("doc_id"))
       .limit(k)
+    // bare-key join first, tokenize only the k matched rows (the batch
+    // verb's comment: a tokenize projection BELOW the broadcast join
+    // runs on every corpus row, not the k result docs)
     docs
-      .select(col(idCol).as("doc_id"),
-        filter(split(col(textCol), " "), t => length(t) > 0).as("__toks"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .join(broadcast(top), Seq("doc_id"))
+      .withColumn("__toks",
+        filter(split(col("__text"), " "), t => length(t) > 0))
       .withColumn("__from",
         greatest(col("first_pos") - context, lit(0L)) + 1) // slice is 1-based
       .withColumn("snippet", array_join(
