@@ -504,13 +504,23 @@ object HybridRetrieval {
       .select(col("query_id"), col("doc_id"), col("rank"))
     val denseRanked = denseTopK.select(col("query_id"),
       col("neighbor_id").as("doc_id"), col("rn").as("rank"))
-    val ws = legWeights.map { case (wd, wl) => Seq(wd, wl) }
-    val tagged = Seq(denseRanked, lexRanked).zipWithIndex.map {
-      case (df, i) =>
-        df.select(col("query_id"), col("doc_id"),
-          lit(i).as("__leg"),
-          (ws.fold(lit(1.0))(w => lit(w(i))) /
-            (lit(k0) + col("rank").cast("double"))).as("__t"))
+    fuseRankedByQuery(Seq(denseRanked, lexRanked),
+      legWeights.map { case (wd, wl) => Seq(wd, wl) }, k, k0)
+  }
+
+  // the N-ary batch fusion fold: each leg a normalized (query_id,
+  // doc_id, rank) relation, weighted terms folded in leg order (the
+  // rrfFuseRanked order-free construction), per-query top-k cut via a
+  // query-partitioned window. With two legs this compiles to the exact
+  // expressions fuseLegsByQuery always built, so the pre-r17 batch
+  // gates re-serve hash-unchanged.
+  private def fuseRankedByQuery(legs: Seq[DataFrame],
+      weights: Option[Seq[Double]], k: Int, k0: Double): DataFrame = {
+    val tagged = legs.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col("doc_id"),
+        lit(i).as("__leg"),
+        (weights.fold(lit(1.0))(w => lit(w(i))) /
+          (lit(k0) + col("rank").cast("double"))).as("__t"))
     }.reduce(_ unionByName _)
     val fused = tagged.groupBy(col("query_id"), col("doc_id"))
       .agg(aggregate(
@@ -523,5 +533,198 @@ object HybridRetrieval {
     fused.withColumn("__rn", row_number().over(cut))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("doc_id"), col("rrf"))
+  }
+
+  /** A leg of the N-ARY ensemble serving verbs (the [[rrfTopKLegs]]
+    * family, r17). The two-leg verbs hard-shape dense+sparse; a
+    * standard production ensemble is often wider — two dense tiers
+    * hedging each other's quantization, dense+sparse+positional, or the
+    * reference's third concatenated feature space (the combined model of
+    * `/root/reference/src/combined_embedding_features_comprations.py:218`
+    * beside its embedding-space and feature-space legs). Every member
+    * resolves to the same normalized bounded top-`legK` ranked relation
+    * the fusion folds — so adding a leg kind can never change a fused
+    * bit on existing kinds — and carries the two-leg verbs' PRE-FILTER
+    * semantics under the `Among` variants.
+    */
+  sealed trait EnsembleLeg
+  object EnsembleLeg {
+    /** A dense ANN tier ([[DenseLeg]] — any persisted family, or Brute)
+      * probing the verb's query vector(s). `nprobe` pins the tier's
+      * coverage dial (the [[rrfTopK]] caveat: SRP/Brute ignore it). */
+    final case class Dense(leg: DenseLeg, nprobe: Option[Int] = None)
+        extends EnsembleLeg
+    /** A lexical ranker ([[SparseLeg]] — BM25 or Dirichlet QL) over a
+      * persisted index at the verb's term bag(s). */
+    final case class Sparse(idx: InvertedIndex.LexIndex,
+        ranker: SparseLeg = SparseLeg.Bm25) extends EnsembleLeg
+    /** The exact-phrase ranker as an ensemble leg: ranks by occurrence
+      * count of the verb's terms AS AN ORDERED PHRASE (n_occ desc,
+      * doc_id — [[InvertedIndex.phraseTopK]]'s cut). Needs a positional
+      * index; the batch verbs read the slot sequence from `slotCol`. */
+    final case class Phrase(idx: InvertedIndex.LexIndex) extends EnsembleLeg
+    /** The proximity ranker as an ensemble leg: ranks by the count of
+      * `window`-bounded co-occurrence windows of the verb's (distinct)
+      * terms ([[InvertedIndex.proximityTopK]]). Needs a positional
+      * index. */
+    final case class Proximity(idx: InvertedIndex.LexIndex, window: Int)
+        extends EnsembleLeg
+  }
+
+  // resolve one leg to the single-query normalized (doc_id, rank)
+  // relation. allowed None compiles each kind to its unfiltered verb;
+  // Some routes through the kind's Among verb — pre-filter semantics
+  // (rank among allowed) on EVERY leg, the property the two-leg verbs
+  // encode and a hand-wired ensemble always had to re-derive.
+  private def legRankedSingle(leg: EnsembleLeg, terms: Seq[String],
+      queryVec: DataFrame, legK: Int, idCol: String, vecCol: String,
+      allowed: Option[DataFrame],
+      selectivity: Option[Double]): DataFrame = leg match {
+    case EnsembleLeg.Dense(d, nprobe) =>
+      allowed.fold(d.probe(queryVec, legK, nprobe, idCol, vecCol))(a =>
+          d.probeAmong(queryVec, legK, a, selectivity, idCol, vecCol))
+        .select(col("neighbor_id").as("doc_id"), col("rn").as("rank"))
+    case EnsembleLeg.Sparse(idx, ranker) =>
+      rankLeg(allowed.fold(ranker.topK(idx, terms, legK))(a =>
+        ranker.topKAmong(idx, terms, legK, a, idCol)), "doc_id", "score_q")
+    case EnsembleLeg.Phrase(idx) =>
+      rankLeg(allowed.fold(InvertedIndex.phraseTopK(idx, terms, legK))(a =>
+          InvertedIndex.phraseTopKAmong(idx, terms, legK, a, idCol)),
+        "doc_id", "n_occ")
+    case EnsembleLeg.Proximity(idx, w) =>
+      rankLeg(allowed.fold(
+          InvertedIndex.proximityTopK(idx, terms, w, legK))(a =>
+          InvertedIndex.proximityTopKAmong(idx, terms, w, legK, a, idCol)),
+        "doc_id", "n_windows")
+  }
+
+  // the batch twin: one leg to its normalized (query_id, doc_id, rank)
+  // relation — dense ranks ride the probe's rn; lexical/positional tops
+  // rank via a query-partitioned window over their own (score desc, id)
+  // cut order (never a global window)
+  private def legRankedByQuery(leg: EnsembleLeg, qterms: DataFrame,
+      queryVecs: DataFrame, legK: Int, idCol: String, vecCol: String,
+      queryIdCol: String, termCol: String, slotCol: String,
+      allowed: Option[DataFrame],
+      selectivity: Option[Double]): DataFrame = {
+    def perQueryRank(top: DataFrame, scoreCol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col(scoreCol).desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+    }
+    leg match {
+      case EnsembleLeg.Dense(d, nprobe) =>
+        val qv = queryVecs.select(col(queryIdCol).as(idCol), col(vecCol))
+        allowed.fold(d.probe(qv, legK, nprobe, idCol, vecCol))(a =>
+            d.probeAmong(qv, legK, a, selectivity, idCol, vecCol))
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rn").as("rank"))
+      case EnsembleLeg.Sparse(idx, ranker) =>
+        perQueryRank(allowed.fold(
+            ranker.topKByQuery(idx, qterms, legK, queryIdCol, termCol))(a =>
+            ranker.topKByQueryAmong(idx, qterms, legK, a, idCol,
+              queryIdCol, termCol)), "score_q")
+      case EnsembleLeg.Phrase(idx) =>
+        perQueryRank(allowed.fold(
+            InvertedIndex.phraseTopKByQuery(idx, qterms, legK,
+              queryIdCol, termCol, slotCol))(a =>
+            InvertedIndex.phraseTopKByQueryAmong(idx, qterms, legK, a,
+              idCol, queryIdCol, termCol, slotCol)), "n_occ")
+      case EnsembleLeg.Proximity(idx, w) =>
+        perQueryRank(allowed.fold(
+            InvertedIndex.proximityTopKByQuery(idx, qterms, w, legK,
+              queryIdCol, termCol))(a =>
+            InvertedIndex.proximityTopKByQueryAmong(idx, qterms, w, legK,
+              a, idCol, queryIdCol, termCol)), "n_windows")
+    }
+  }
+
+  /** N-ARY hybrid serving (r17): fuse ANY weighted set of ensemble legs
+    * — dense tiers, lexical rankers, positional rankers — over one
+    * (terms, queryVec) query, weighted RRF over the union universe,
+    * top-k by (rrf desc, id). Legs fuse in CALLER ORDER (leg i is fold
+    * index i — the deterministic order-free sum's identity), and each
+    * leg is a bounded top-`legK` relation, so fusion stays arithmetic
+    * over O(legs·legK) rows with no corpus contact. With legs =
+    * (Dense(d), w_d) :: (Sparse(idx), w_l) :: Nil this computes
+    * BIT-EXACTLY what [[rrfTopK]] computes (spec-pinned): the two-leg
+    * verbs remain the ergonomic special case, this is the general form.
+    * Returns (doc_id, rrf).
+    */
+  def rrfTopKLegs(legs: Seq[(EnsembleLeg, Double)], terms: Seq[String],
+      queryVec: DataFrame, k: Int, legK: Int = 100, k0: Double = 60.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(legs.nonEmpty, "no legs to fuse")
+    rrfFuseRanked(
+        legs.map { case (l, _) => legRankedSingle(l, terms, queryVec,
+          legK, idCol, vecCol, None, None) },
+        k0, weights = Some(legs.map(_._2)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** [[rrfTopKLegs]] restricted to an allowed document set — every leg
+    * serves through its kind's `Among` verb (pre-filter semantics: the
+    * dense tiers' selectivity-capped auto dial, the lexical rankers'
+    * corpus-stat filtered scan, the positional rankers' semi-join on
+    * the pruned posting scan), so every fused rank is a rank AMONG
+    * ALLOWED documents on every leg. `selectivity` carries the
+    * [[rrfTopKAmong]] tier caveat.
+    */
+  def rrfTopKLegsAmong(legs: Seq[(EnsembleLeg, Double)],
+      terms: Seq[String], queryVec: DataFrame, k: Int, allowed: DataFrame,
+      legK: Int = 100, selectivity: Option[Double] = None,
+      k0: Double = 60.0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(legs.nonEmpty, "no legs to fuse")
+    rrfFuseRanked(
+        legs.map { case (l, _) => legRankedSingle(l, terms, queryVec,
+          legK, idCol, vecCol, Some(allowed), selectivity) },
+        k0, weights = Some(legs.map(_._2)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** BATCH N-ary hybrid serving: [[rrfTopKLegs]] for MANY queries in
+    * one pass per leg — each dense leg is ONE multi-query probe, each
+    * lexical leg one batch-planner pass, each positional leg one
+    * positional posting pass ([[rrfTopKByQuery]]'s organization lifted
+    * to N legs). `qterms` is the (queryIdCol, termCol[, slotCol])
+    * relation — `slotCol` is read ONLY by [[EnsembleLeg.Phrase]] legs
+    * (the ordered-slot contract of the batch phrase verb); bags without
+    * it serve every other kind. Per query the rows are exactly what the
+    * single-query verb computes for that query's (terms, vector) pair
+    * (spec-pinned). Returns (query_id, doc_id, rrf), ≤ k rows/query.
+    */
+  def rrfTopKLegsByQuery(legs: Seq[(EnsembleLeg, Double)],
+      qterms: DataFrame, queryVecs: DataFrame, k: Int, legK: Int = 100,
+      k0: Double = 60.0, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      termCol: String = "term", slotCol: String = "slot"): DataFrame = {
+    require(legs.nonEmpty, "no legs to fuse")
+    fuseRankedByQuery(
+      legs.map { case (l, _) => legRankedByQuery(l, qterms, queryVecs,
+        legK, idCol, vecCol, queryIdCol, termCol, slotCol, None, None) },
+      Some(legs.map(_._2)), k, k0)
+  }
+
+  /** [[rrfTopKLegsByQuery]] restricted to an allowed document set — the
+    * multi-tenant N-ary batch ensemble; the filter is per-tenant
+    * (resolved once), pre-filter semantics through every leg.
+    */
+  def rrfTopKLegsByQueryAmong(legs: Seq[(EnsembleLeg, Double)],
+      qterms: DataFrame, queryVecs: DataFrame, k: Int, allowed: DataFrame,
+      legK: Int = 100, selectivity: Option[Double] = None,
+      k0: Double = 60.0, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      termCol: String = "term", slotCol: String = "slot"): DataFrame = {
+    require(legs.nonEmpty, "no legs to fuse")
+    fuseRankedByQuery(
+      legs.map { case (l, _) => legRankedByQuery(l, qterms, queryVecs,
+        legK, idCol, vecCol, queryIdCol, termCol, slotCol, Some(allowed),
+        selectivity) },
+      Some(legs.map(_._2)), k, k0)
   }
 }

@@ -515,25 +515,13 @@ object SimilaritySearch {
       dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = InvertedIndex.fsFor(spark, dir)
-    // a STREAMED layout (StreamingVecIndex: batch= segment partitions +
-    // an optional _segments manifest) must not be compacted in place —
-    // this rewrite would drop the batch level, orphan the manifest, and
-    // break segment listing/replay identity. Refuse loudly; the streamed
-    // artifact's fold is StreamingVecIndex.compactTo (out-of-place).
-    // The check sits ABOVE the tombstone early-return so the refusal is
+    // the refusal sits ABOVE the tombstone early-return so it is
     // unconditional — an operator validating an in-place compaction job
     // against a freshly streamed (not-yet-deleted-from) directory must
     // fail in the rehearsal, not in production when the first takedown
     // lands.
-    val streamed = fs.exists(new Path(root, "_segments")) ||
-      Seq("assigned", "sketch").exists { sub =>
-        val p = new Path(root, sub)
-        fs.exists(p) && fs.listStatus(p)
-          .exists(_.getPath.getName.startsWith("batch="))
-      }
-    require(!streamed,
-      s"$dir is a streamed StreamingVecIndex layout — use " +
-        "StreamingVecIndex.compactTo/compactToSrp(dir, outDir) " +
+    requireNotStreamed(fs, root, dir,
+      "StreamingVecIndex.compactTo/compactToSrp(dir, outDir) " +
         "(tombstones apply there at load and fold into the compacted copy)")
     if (!fs.exists(new Path(root, "tombstones"))) return
     val staging = s"$dir-compact-staging"
@@ -570,27 +558,239 @@ object SimilaritySearch {
           .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
         Seq("sketch", "meta")
       }
-    // cut-over renames the live relation ASIDE before renaming staging
-    // in (r15 — the delete-then-rename form left the artifact with NO
-    // live relation if a crash landed between the two): any crash point
-    // now leaves either the old relation live, or the old relation at
-    // <sub>-compact-old beside the complete staged copy — recovery is
-    // renaming one directory back, never re-deriving data
-    rewritten.foreach { sub =>
+    cutOverRelations(fs, root, stagingRoot, dir, "compact", rewritten)
+    fs.delete(new Path(root, "tombstones"), true)
+    fs.delete(stagingRoot, true)
+  }
+
+  /** Refuse an in-place rewrite of a STREAMED layout (StreamingVecIndex:
+    * `batch=` segment partitions + an optional `_segments` manifest) —
+    * the rewrite would drop the batch level, orphan the manifest, and
+    * break segment listing/replay identity. One definition for every
+    * in-place maintenance verb ([[compactAnnIndex]], the retrain family)
+    * so the refusal and its routing advice cannot drift.
+    */
+  private def requireNotStreamed(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, dir: String, route: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val streamed = fs.exists(new Path(root, "_segments")) ||
+      Seq("assigned", "sketch").exists { sub =>
+        val p = new Path(root, sub)
+        fs.exists(p) && fs.listStatus(p)
+          .exists(_.getPath.getName.startsWith("batch="))
+      }
+    require(!streamed,
+      s"$dir is a streamed StreamingVecIndex layout — use $route")
+  }
+
+  /** The shared staged-rewrite commit: rename each live relation ASIDE
+    * before renaming its staged replacement in (r15 — the
+    * delete-then-rename form left the artifact with NO live relation if
+    * a crash landed between the two). Any crash point leaves either the
+    * old relation live, or the old relation at `<sub>-<verb>-old` beside
+    * the complete staged copy — recovery is renaming one directory back,
+    * never re-deriving data. Shared by [[compactAnnIndex]] and the
+    * retrain family so a fix to the crash-window ordering cannot
+    * desynchronize them.
+    */
+  private def cutOverRelations(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      stagingRoot: org.apache.hadoop.fs.Path, dir: String, verb: String,
+      subs: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    subs.foreach { sub =>
       val live = new Path(root, sub)
-      val old = new Path(root, s"$sub-compact-old")
+      val old = new Path(root, s"$sub-$verb-old")
       fs.delete(old, true)
       if (fs.exists(live) && !fs.rename(live, old))
         throw new java.io.IOException(
-          s"compactAnnIndex: rename $dir/$sub -> $dir/$sub-compact-old failed")
+          s"${verb}AnnIndex: rename $dir/$sub -> $dir/$sub-$verb-old failed")
       if (!fs.rename(new Path(stagingRoot, sub), live))
         throw new java.io.IOException(
-          s"compactAnnIndex: rename $staging/$sub -> $dir/$sub failed — " +
-            s"the pre-compact relation is preserved at $dir/$sub-compact-old")
+          s"${verb}AnnIndex: rename $stagingRoot/$sub -> $dir/$sub failed — " +
+            s"the pre-$verb relation is preserved at $dir/$sub-$verb-old")
       fs.delete(old, true)
     }
+  }
+
+  // ---- retrain lifecycle: the drift repair (r17) ----
+  //
+  // Every streamed/appended ingest path assigns under a FROZEN coarse
+  // quantizer (published IVF practice — Faiss's add-vs-train split), so
+  // on a drifting corpus cell skew grows and probe recall decays with
+  // no repair short of a full offline rebuild. These verbs are that
+  // repair as an in-place artifact operation: re-train the centers on a
+  // hash-ordered sample of the artifact's LIVE rows (tombstones
+  // excluded — a taken-down vector must not vote on the new geometry),
+  // re-assign every live row map-only, and cut the rewritten relations
+  // over with the compact crash discipline (staged copy complete before
+  // any rename; any crash point recovers by renaming one directory
+  // back). Tombstones are folded by construction — the new inverted
+  // file contains only survivors — so they are dropped at the end (a
+  // crash before that deletion leaves them applying as a harmless
+  // no-op anti-join against already-removed ids).
+  //
+  // [[ivfSkewReport]] is the trigger (its needsRecluster bit), retrain
+  // the repair; the decay-then-recovery profile is measured in
+  // ScaleBench's ann_drift_retrain section. SRP has no retrain BY
+  // CONSTRUCTION: its geometry (hash-derived hyperplanes from
+  // (bits, seed)) is data-independent, so distribution drift cannot
+  // unbalance it — there is nothing to re-train.
+  //
+  // Reference analog: the reference re-extracts embeddings per model
+  // run (`src/extract_embedding.py:117-137`) — its "index" is always
+  // fresh; freshness under drift is the implicit contract these verbs
+  // restore for a persisted artifact.
+
+  /** Re-train a persisted FLOAT IVF artifact ([[saveIvfIndex]] layout)
+    * in place. Self-contained: the inverted file carries the float
+    * vectors, so the live rows are both the training sample source and
+    * the re-assignment input. `nlist` 0 keeps the artifact's current
+    * cell count; pass a new one to re-shape (the √n policy via
+    * [[ivfScaleParams]] as the corpus grows). Determinism: the sample
+    * is `ORDER BY xxhash64(id, seed) LIMIT trainSample` — a distributed
+    * TakeOrdered whose result is independent of file order and
+    * partitioning — and k-means trains on that single ordered
+    * partition, so retraining an UNDRIFTED artifact reproduces a fresh
+    * [[buildIvfIndex]] of the same corpus bit-exactly (spec-pinned:
+    * same centers, same cells, same probe rows).
+    *
+    * A streamed directory is refused — fold it to the batch layout
+    * first ([[graft.streaming.StreamingVecIndex.compactTo]]), then
+    * retrain the fold and [[graft.streaming.StreamingVecIndex
+    * .freezeCenters]] the new quantizer for the next stream epoch.
+    */
+  def retrainIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nlist: Int = 0, seed: Long = 42L, trainSample: Int = 50000): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = InvertedIndex.fsFor(spark, dir)
+    requireNotStreamed(fs, root, dir,
+      "StreamingVecIndex.compactTo(dir, outDir) first, then retrain the " +
+        "folded artifact and freezeCenters the new quantizer")
+    val live = applyAnnTombstones(spark, dir,
+      spark.read.parquet(s"$dir/assigned")
+        .select(col("neighbor_id"), col("tv")), "neighbor_id")
+    val k = resolveNlist(spark, dir, nlist)
+    val staging = new Path(s"$dir-retrain-staging")
+    fs.delete(staging, true)
+    saveIvfIndex(buildIvfIndex(live, k, seed, "neighbor_id", "tv",
+      trainSample, persist = false), staging.toString)
+    cutOverRelations(fs, root, staging, dir, "retrain",
+      Seq("assigned", "centers"))
     fs.delete(new Path(root, "tombstones"), true)
-    fs.delete(stagingRoot, true)
+    fs.delete(staging, true)
+  }
+
+  // nlist = 0 keeps the artifact's current cell count — resolved from
+  // the artifact itself (the SuggestBuckets meta-resolution discipline)
+  private def resolveNlist(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nlist: Int): Int = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = keep current), got $nlist")
+    if (nlist > 0) nlist
+    else {
+      val cur = spark.read.parquet(s"$dir/centers").count().toInt
+      require(cur > 0, s"$dir/centers is empty — nothing to keep")
+      cur
+    }
+  }
+
+  // the compressed tiers' shared retrain mechanics: their inverted
+  // files carry codes, not floats, so the caller supplies the float
+  // corpus and the live rows are the corpus rows matching the
+  // artifact's live ids — REQUIRED to cover every one of them (a live
+  // id the corpus no longer holds would silently vanish from the
+  // rewritten index: that is a delete, and deletes go through
+  // deleteFromAnnIndex, never through a retrain's side door).
+  private def liveCorpusFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpus: DataFrame, idCol: String,
+      verb: String): DataFrame = {
+    val liveIds = applyAnnTombstones(spark, dir,
+      spark.read.parquet(s"$dir/assigned").select(col("neighbor_id")),
+      "neighbor_id")
+    val liveCorpus = corpus
+      .join(liveIds.select(col("neighbor_id").as(idCol)), Seq(idCol),
+        "left_semi")
+    val missing = liveIds
+      .join(corpus.select(col(idCol).as("neighbor_id")), Seq("neighbor_id"),
+        "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(missing.isEmpty,
+      s"$verb($dir): live id(s) ${missing.mkString(", ")} (first 5 shown) " +
+        "are missing from the supplied corpus — a retrain must cover " +
+        "every live vector; route removals through deleteFromAnnIndex")
+    liveCorpus
+  }
+
+  /** [[retrainIvf]] for the IVF-SQ8 artifact ([[saveIvfInt8Index]]
+    * layout). The inverted file carries int8 codes, not floats, so the
+    * caller supplies the float `corpus`; rows are matched to the
+    * artifact's LIVE ids (every live id must be present — fails loudly
+    * otherwise) and re-quantized in the same fused pass as the build.
+    * Per-row quantization is row-local, so retraining an undrifted
+    * artifact ≡ a fresh [[buildIvfInt8Index]] (spec-pinned).
+    */
+  def retrainIvfInt8(spark: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: DataFrame, nlist: Int = 0, seed: Long = 42L,
+      trainSample: Int = 50000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = InvertedIndex.fsFor(spark, dir)
+    requireNotStreamed(fs, root, dir,
+      "StreamingVecIndex.compactToInt8(dir, outDir) first, then retrain " +
+        "the folded artifact and freezeCenters the new quantizer")
+    val liveCorpus = liveCorpusFor(spark, dir, corpus, idCol, "retrainIvfInt8")
+    val staging = new Path(s"$dir-retrain-staging")
+    fs.delete(staging, true)
+    saveIvfInt8Index(buildIvfInt8Index(liveCorpus,
+      resolveNlist(spark, dir, nlist), seed, idCol, vecCol, trainSample,
+      persist = false), staging.toString)
+    cutOverRelations(fs, root, staging, dir, "retrain",
+      Seq("assigned", "centers"))
+    fs.delete(new Path(root, "tombstones"), true)
+    fs.delete(staging, true)
+  }
+
+  /** [[retrainIvf]] for the IVF-PQ artifact ([[saveIvfPqIndex]]
+    * layout). Re-trains the COARSE quantizer and re-assigns; the PQ
+    * codebook stays FROZEN by default (`retrainCodebook = false`):
+    * PQ codes are row-local functions of the vector alone — cell
+    * geometry does not enter the encoding — so coarse drift (the skew
+    * and recall decay [[ivfSkewReport]] flags) is repaired without
+    * invalidating a single code, and re-encoding under the frozen book
+    * reproduces them bit-exactly. Pass `retrainCodebook = true` when
+    * the VALUE distribution itself has drifted (codebook reconstruction
+    * error grown, not just cell balance) to re-train both quantizers —
+    * the full [[buildIvfPqIndex]] on the live rows. Refreshes `meta/`'s
+    * n to the live count (the auto refine dial's input).
+    */
+  def retrainIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: DataFrame, nlist: Int = 0, seed: Long = 42L,
+      trainSample: Int = 50000, retrainCodebook: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = InvertedIndex.fsFor(spark, dir)
+    requireNotStreamed(fs, root, dir,
+      "StreamingVecIndex.compactToPq(dir, outDir) first, then retrain " +
+        "the folded artifact and freezePq the new quantizers")
+    val liveCorpus = liveCorpusFor(spark, dir, corpus, idCol, "retrainIvfPq")
+    val k = resolveNlist(spark, dir, nlist)
+    val staging = new Path(s"$dir-retrain-staging")
+    fs.delete(staging, true)
+    val book =
+      if (retrainCodebook) {
+        val old = readCodebook(spark, dir)
+        trainPqCodebook(liveCorpus, old.m, old.centers.head.length, seed,
+          idCol, vecCol)
+      } else readCodebook(spark, dir)
+    val centers = buildIvfIndex(liveCorpus, k, seed, idCol, vecCol,
+      trainSample, persist = false).centers
+    saveIvfPqIndex(IvfPqIndex(centers, book,
+      assignAndEncodePq(liveCorpus, centers, book, idCol, vecCol),
+      n = liveCorpus.count()), staging.toString)
+    cutOverRelations(fs, root, staging, dir, "retrain",
+      Seq("assigned", "centers", "codebook", "meta"))
+    fs.delete(new Path(root, "tombstones"), true)
+    fs.delete(staging, true)
   }
 
   /** Metadata-FILTERED exact top-k: the brute probe over ONLY the allowed

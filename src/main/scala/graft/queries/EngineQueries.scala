@@ -2279,6 +2279,53 @@ object EngineQueries extends QueryPack {
     Some("""SELECT CAST(0 AS BIGINT) AS n_mismatch_tombstoned,
       CAST(0 AS BIGINT) AS n_mismatch_compacted"""))
 
+  // Retrain-lifecycle parity (r17 — the drift repair, the last unowned
+  // stage of the artifact lifecycle): build on a 75% slice, append the
+  // remaining 25% under the FROZEN centers (the drift ingest path),
+  // tombstone two ids, then retrainIvf — and compare centers AND probe
+  // rows against a from-scratch buildIvfIndex over exactly the
+  // surviving union. The retrain ≡ fresh-rebuild contract stated as
+  // constants: the hash breaks if the retrain trains on dead rows,
+  // misses appended rows, samples differently from the build path, or
+  // the staged cut-over serves a torn artifact. NOT memoized: retrain
+  // mutates its directory, so each serve builds a fresh one — the gate
+  // prices the full lifecycle by construction.
+  private val annRetrainParity = OracleQuery(
+    "vx_ann_retrain_parity",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 10)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-retrain-gate").toString
+      SimilaritySearch.saveIvfIndex(
+        SimilaritySearch.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 3),
+          nlist = 8, persist = false), dir)
+      SimilaritySearch.appendToIvfIndex(s, dir,
+        emb.filter(col("vec_id") % 4 === 3))
+      SimilaritySearch.deleteFromAnnIndex(s, dir, Seq(11L, 13L))
+      SimilaritySearch.retrainIvf(s, dir)
+      val re = SimilaritySearch.loadIvfIndex(s, dir, persist = false)
+      val fresh = SimilaritySearch.buildIvfIndex(
+        emb.filter(!col("vec_id").isin(11L, 13L)), nlist = 8,
+        persist = false)
+      def rows(idx: SimilaritySearch.IvfIndex) =
+        SimilaritySearch.ivfProbe(idx, q, k = 5, nprobe = 3).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+      val (got, want) = (rows(re), rows(fresh))
+      val centerMismatch = re.centers.map(_.toSeq).toSeq
+        .zipAll(fresh.centers.map(_.toSeq).toSeq, Seq.empty, Seq.empty)
+        .count { case (a, b) => a != b }.toLong
+      import s.implicits._
+      Seq((centerMismatch,
+        (got.size - got.intersect(want).size).toLong +
+          (want.size - got.intersect(want).size).toLong))
+        .toDF("n_center_mismatch", "n_probe_mismatch")
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS n_center_mismatch,
+      CAST(0 AS BIGINT) AS n_probe_mismatch"""))
+
   private val annIvfPqArtifactParity = OracleQuery(
     "vx_ann_ivfpq_artifact_parity",
     (s, d) => {
@@ -3696,7 +3743,8 @@ object EngineQueries extends QueryPack {
     retrievalEvalIvf, retrievalEvalSummary, retrievalEvalNdcg,
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,
-    annIvfPqArtifactParity, annDeleteParity, annInt8FilteredQuantized,
+    annIvfPqArtifactParity, annDeleteParity, annRetrainParity,
+    annInt8FilteredQuantized,
     streamVecNearDup,
     streamVecNearDupQ,
     dedupCosinePairs, dedupEmbeddingCanonical, dedupEmbeddingCanonicalQ,
