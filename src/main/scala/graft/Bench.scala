@@ -76,7 +76,9 @@ object Bench {
     build("ivf_index", selected.contains("vx_ann_ivf_probe_top5") ||
         selected.contains("vx_hybrid_rrf_filtered_quantized") ||
         selected.contains("vx_hybrid_rrf_batch_parity") ||
-        selected.contains("vx_hybrid_rrf_weighted_ql_quantized")) {
+        selected.contains("vx_hybrid_rrf_weighted_ql_quantized") ||
+        selected.contains("vx_hybrid_rrf_3leg_quantized") ||
+        selected.contains("vx_hybrid_rrf_positional_quantized")) {
       graft.queries.EngineQueries.prepareIvfIndex(spark, sfDir); ()
     }
     build("minhash_sigs", selected.exists(e =>
@@ -103,7 +105,8 @@ object Bench {
     }
     build("ivf_int8_exact_index",
         selected.contains("vx_ann_int8_filtered_quantized") ||
-        selected.contains("vx_hybrid_rrf_int8_quantized")) {
+        selected.contains("vx_hybrid_rrf_int8_quantized") ||
+        selected.contains("vx_hybrid_rrf_3leg_quantized")) {
       graft.queries.EngineQueries.prepareIvfInt8ExactIndex(spark, sfDir); ()
     }
     // consumers: the streaming vector near-dup re-ingest gate, and (via
@@ -135,6 +138,8 @@ object Bench {
         e._1 == "vx_hybrid_rrf_weighted_ql_quantized" ||
         e._1 == "vx_hybrid_rrf_srp_quantized" ||
         e._1 == "vx_hybrid_rrf_int8_quantized" ||
+        e._1 == "vx_hybrid_rrf_3leg_quantized" ||
+        e._1 == "vx_hybrid_rrf_positional_quantized" ||
         e._1 == "t_bm25_wand_topk" || e._1 == "t_bm25_filtered_topk" ||
         e._1 == "t_bm25_batch_wand_topk" ||
         e._1 == "t_spell_suggest" || e._1 == "t_spell_suggest_filtered" ||
@@ -153,7 +158,8 @@ object Bench {
         e._1 == "t_proximity_search_topk" ||
         e._1 == "t_phrase_batch_topk" ||
         e._1 == "t_proximity_batch_topk" ||
-        e._1 == "t_phrase_snippets_batch")) {
+        e._1 == "t_phrase_snippets_batch" ||
+        e._1 == "vx_hybrid_rrf_positional_quantized")) {
       graft.queries.TextQueries.preparePhraseIndex(spark, sfDir); ()
     }
     build("lex_index_stream", selected.exists(e =>

@@ -1738,9 +1738,53 @@ object ScaleBench {
                 s"recall=${fmt(r)} probe=${fmt(t)}s truth=${fmt(tTruth)}s")
               s""""$tname":{"recall":${fmt(r)},"probe_sec":${fmt(t)}}"""
             }
+            // RECOVERY dials (r17, verdict item 4): the r16 grid showed
+            // the permissive fused recall tracking the dense legs' own
+            // dial profiles — these rows measure which dial recovers it
+            // cheapest, against the SAME legK=100 fused truth. nprobe
+            // widens through the selectivity claim (filteredNprobeParam
+            // is ∝ 1/selectivity, capped at nlist — claiming sel/m IS
+            // the ×m nprobe dial, stated per row); refine pins the PQ
+            // leg's shortlist; legK widens both legs' cut.
+            val recoveryParts =
+              if (fname != "permissive") Nil
+              else {
+                val ivfLeg: HybridRetrieval.DenseLeg =
+                  HybridRetrieval.DenseLeg.Float32(embIvfIdx(dir)._1)
+                val pqIdx = embPqIdx(dir)
+                val pqAutoRefine = graft.operators.SimilaritySearch
+                  .refineScaleParam(pqIdx.n, base = 4)
+                def pqLeg(refine: Option[Int]): HybridRetrieval.DenseLeg =
+                  HybridRetrieval.DenseLeg.PqRefined(pqIdx, emb, refine)
+                def served(tag2: String, leg: HybridRetrieval.DenseLeg,
+                    sel2: Double, legK2: Int): String = {
+                  var df: DataFrame = null
+                  val t = timeIt {
+                    df = HybridRetrieval.rrfTopKByQueryAmong(lx, qterms,
+                        leg, qvecs, K, allowed, legK = legK2,
+                        selectivity = Some(sel2))
+                      .select(col("query_id"),
+                        col("doc_id").as("neighbor_id")).persist()
+                    df.count(); ()
+                  }
+                  val r = recallAtK(truth, df)
+                  df.unpersist()
+                  println(s"SCALEHYBRID $tag $fname n=$n $tag2 " +
+                    s"recall=${fmt(r)} probe=${fmt(t)}s")
+                  s""""$tag2":{"recall":${fmt(r)},"probe_sec":${fmt(t)}}"""
+                }
+                Seq(
+                  served("ivf_nprobe_x2", ivfLeg, sel / 2, 100),
+                  served("ivf_nprobe_x4", ivfLeg, sel / 4, 100),
+                  served("ivf_legk_x2", ivfLeg, sel, 200),
+                  served("pq_refine_x2",
+                    pqLeg(Some(2 * pqAutoRefine)), sel, 100),
+                  served("pq_nprobe_x2", pqLeg(None), sel / 2, 100),
+                  served("pq_legk_x2", pqLeg(None), sel, 200))
+              }
             truth.unpersist()
             s""""$fname":{"truth_sec":${fmt(tTruth)},""" +
-              tierParts.mkString("", ",", "}")
+              (tierParts ++ recoveryParts).mkString("", ",", "}")
           }
           qvecs.unpersist(); emb.unpersist()
           s""""$tag":{"n":$n,""" + parts.mkString("", ",", "}")

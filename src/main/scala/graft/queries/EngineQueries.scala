@@ -1614,6 +1614,263 @@ object EngineQueries extends QueryPack {
     SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
     FROM cut ORDER BY rrf_q DESC, doc_id"""))
 
+  // ---- THREE-leg ensemble FULL oracle (r17, verdict item 3): the
+  //      N-ary serving verb rrfTopKLegsAmong fusing TWO dense tiers —
+  //      the float IVF leg over the floor(v·1e4)-quantized view and the
+  //      IVF-SQ8 leg over the int8-exact view (two genuinely different
+  //      quantizations of the same vectors, so the rankings differ) —
+  //      with the BM25 lexical leg, weights (0.5, 0.3, 0.2), under the
+  //      %3 ACL. Both dense legs run in their exact regime (stated
+  //      selectivity 1/3 caps each auto dial at nlist = 8, all cells
+  //      probed), so DuckDB replays each leg as the filtered ranking of
+  //      its own quantized view (the int8 leg's mixed arithmetic —
+  //      float query against int8 codes at scale exactly 1 — is exact:
+  //      integer products ≤ 127·10⁴·64 in doubles), both weighted rank
+  //      cuts, the lexical scoring, the 3-way left-assoc fused sum, and
+  //      the cut. Exact ranks × literal weights through IEEE ops →
+  //      FULL oracle ----
+  private val hybridRrf3Leg = OracleQuery(
+    "vx_hybrid_rrf_3leg_quantized",
+    (s, d) => {
+      val embQ = quantizedEmb(s, d)
+      val idx = graft.queries.TextQueries.prepareLexIndex(s, d)
+      val terms = idx.termDf.orderBy(col("df"), col("term")).limit(3)
+        .collect().map(_.getAs[String]("term")).toSeq
+      import graft.operators.HybridRetrieval.{DenseLeg, EnsembleLeg}
+      graft.operators.HybridRetrieval.rrfTopKLegsAmong(
+          Seq(
+            (EnsembleLeg.Dense(DenseLeg.Float32(prepareIvfIndex(s, d)))
+              : EnsembleLeg, 0.5),
+            (EnsembleLeg.Dense(
+              DenseLeg.Int8(prepareIvfInt8ExactIndex(s, d))), 0.3),
+            (EnsembleLeg.Sparse(idx), 0.2)),
+          terms, embQ.filter(col("vec_id") === 0), k = 10,
+          allowed = Tables.documents(s, d)
+            .filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("vec_id")),
+          legK = 50, selectivity = Some(1.0 / 3.0))
+        .select(col("doc_id"),
+          floor(col("rrf") * lit(1000000000.0)).cast("long").as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+    },
+    Some(s"""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)
+          AS vq
+      FROM embeddings
+    ), i8 AS (
+      SELECT vec_id, pos,
+        CASE WHEN pos = 0 THEN 127
+             ELSE ((CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)
+                    % 255) + 255) % 255 - 127
+        END AS iv
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+              unnest(embedding) AS v FROM embeddings)
+    ), pf AS (
+      SELECT c.vec_id AS doc_id,
+        CAST(SUM(q.vq * c.vq) AS DOUBLE) AS dot,
+        CAST(SUM(q.vq * q.vq) AS DOUBLE) AS nq,
+        CAST(SUM(c.vq * c.vq) AS DOUBLE) AS nc
+      FROM lf q JOIN lf c ON q.pos = c.pos
+        AND q.vec_id = 0 AND c.vec_id <> 0 AND c.vec_id % 3 = 0
+      GROUP BY 1
+    ), drf AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY dot / (sqrt(nq) * sqrt(nc) + 1e-12) DESC, doc_id) AS rd
+      FROM pf
+    ), dcutf AS (
+      SELECT doc_id, 0.5 / (60.0 + CAST(rd AS DOUBLE)) AS td
+      FROM drf WHERE rd <= 50
+    ), pi AS (
+      SELECT c.vec_id AS doc_id,
+        CAST(SUM(q.vq * c.iv) AS DOUBLE) AS dot,
+        CAST(SUM(q.vq * q.vq) AS DOUBLE) AS nq,
+        CAST(SUM(c.iv * c.iv) AS DOUBLE) AS nc
+      FROM lf q JOIN i8 c ON q.pos = c.pos
+        AND q.vec_id = 0 AND c.vec_id <> 0 AND c.vec_id % 3 = 0
+      GROUP BY 1
+    ), dri AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY dot / (sqrt(nc) * sqrt(nq) + 1e-12) DESC, doc_id) AS ri
+      FROM pi
+    ), dcuti AS (
+      SELECT doc_id, 0.3 / (60.0 + CAST(ri AS DOUBLE)) AS ti
+      FROM dri WHERE ri <= 50
+    ), toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      SELECT w, df FROM dft ORDER BY df, w LIMIT 3
+    ), scx AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+      WHERE tf.doc_id % 3 = 0
+    ), lex AS (
+      SELECT doc_id,
+        CAST(floor(${graft.queries.Exact.DSUM("s", 27, 12)} * 1000000.0)
+          AS BIGINT) AS score_q
+      FROM scx GROUP BY doc_id
+    ), lr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rl
+      FROM lex
+    ), lcut AS (
+      SELECT doc_id, 0.2 / (60.0 + CAST(rl AS DOUBLE)) AS tl
+      FROM lr WHERE rl <= 50
+    ), f AS (
+      SELECT COALESCE(a.doc_id, b.doc_id, l.doc_id) AS doc_id,
+        COALESCE(a.td, 0.0) + COALESCE(b.ti, 0.0) + COALESCE(l.tl, 0.0)
+          AS rrf
+      FROM dcutf a
+      FULL OUTER JOIN dcuti b ON a.doc_id = b.doc_id
+      FULL OUTER JOIN lcut l ON COALESCE(a.doc_id, b.doc_id) = l.doc_id
+    ), cut AS (
+      SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
+    FROM cut ORDER BY rrf_q DESC, doc_id"""))
+
+  // ---- POSITIONAL-leg ensemble FULL oracle (r17, verdict item 8): the
+  //      exact-phrase ranker as a third ensemble leg beside the exact-
+  //      regime float dense leg (nprobe pinned to nlist = 8) and the
+  //      BM25 leg at the DOUBLED term bag ("table table" — the phrase
+  //      gates' standard adversarial phrase; the BM25 bag carries the
+  //      duplicate with bag semantics, replayed as a two-row q CTE).
+  //      The phrase leg's ranks are exact integer n_occ counts from the
+  //      independent token-adjacency formulation (the t_phrase_search
+  //      oracle), so all three legs, the weighted rank cuts, and the
+  //      3-way fused sum replay exactly ----
+  private val hybridRrfPositional = OracleQuery(
+    "vx_hybrid_rrf_positional_quantized",
+    (s, d) => {
+      val embQ = quantizedEmb(s, d)
+      val lexIdx = graft.queries.TextQueries.prepareLexIndex(s, d)
+      val posIdx = graft.queries.TextQueries.preparePhraseIndex(s, d)
+      import graft.operators.HybridRetrieval.{DenseLeg, EnsembleLeg}
+      graft.operators.HybridRetrieval.rrfTopKLegs(
+          Seq(
+            (EnsembleLeg.Dense(DenseLeg.Float32(prepareIvfIndex(s, d)),
+              nprobe = Some(8)): EnsembleLeg, 0.5),
+            (EnsembleLeg.Sparse(lexIdx), 0.3),
+            (EnsembleLeg.Phrase(posIdx), 0.2)),
+          Seq("table", "table"), embQ.filter(col("vec_id") === 0),
+          k = 10, legK = 50)
+        .select(col("doc_id"),
+          floor(col("rrf") * lit(1000000000.0)).cast("long").as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+    },
+    Some(s"""WITH lf AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT)
+          AS vq
+      FROM embeddings
+    ), pf AS (
+      SELECT c.vec_id AS doc_id,
+        CAST(SUM(q.vq * c.vq) AS DOUBLE) AS dot,
+        CAST(SUM(q.vq * q.vq) AS DOUBLE) AS nq,
+        CAST(SUM(c.vq * c.vq) AS DOUBLE) AS nc
+      FROM lf q JOIN lf c ON q.pos = c.pos
+        AND q.vec_id = 0 AND c.vec_id <> 0
+      GROUP BY 1
+    ), drf AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY dot / (sqrt(nq) * sqrt(nc) + 1e-12) DESC, doc_id) AS rd
+      FROM pf
+    ), dcutf AS (
+      SELECT doc_id, 0.5 / (60.0 + CAST(rd AS DOUBLE)) AS td
+      FROM drf WHERE rd <= 50
+    ), toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), dft AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), ad AS (
+      SELECT CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS avgdl
+      FROM nn
+    ), q AS (
+      SELECT w, df FROM dft WHERE w = 'table'
+      UNION ALL
+      SELECT w, df FROM dft WHERE w = 'table'
+    ), scx AS (
+      SELECT tf.doc_id,
+        ln((CAST(nn.n - q.df AS DOUBLE) + 0.5) /
+           (CAST(q.df AS DOUBLE) + 0.5) + 1.0) *
+        ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         (CAST(tf.tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS s
+      FROM tf JOIN q ON tf.w = q.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN nn CROSS JOIN ad
+    ), lex AS (
+      SELECT doc_id,
+        CAST(floor(${graft.queries.Exact.DSUM("s", 27, 12)} * 1000000.0)
+          AS BIGINT) AS score_q
+      FROM scx GROUP BY doc_id
+    ), lr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rl
+      FROM lex
+    ), lcut AS (
+      SELECT doc_id, 0.3 / (60.0 + CAST(rl AS DOUBLE)) AS tl
+      FROM lr WHERE rl <= 50
+    ), tkn AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM tkn
+    ), occ AS (
+      SELECT a.doc_id
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.w = 'table' AND b.w = 'table'
+    ), pocc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM occ GROUP BY doc_id
+    ), pr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_occ DESC, doc_id) AS rp
+      FROM pocc
+    ), pcut AS (
+      SELECT doc_id, 0.2 / (60.0 + CAST(rp AS DOUBLE)) AS tp
+      FROM pr WHERE rp <= 50
+    ), f AS (
+      SELECT COALESCE(a.doc_id, l.doc_id, p.doc_id) AS doc_id,
+        COALESCE(a.td, 0.0) + COALESCE(l.tl, 0.0) + COALESCE(p.tp, 0.0)
+          AS rrf
+      FROM dcutf a
+      FULL OUTER JOIN lcut l ON a.doc_id = l.doc_id
+      FULL OUTER JOIN pcut p ON COALESCE(a.doc_id, l.doc_id) = p.doc_id
+    ), cut AS (
+      SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_q
+    FROM cut ORDER BY rrf_q DESC, doc_id"""))
+
   /** Unrolled SQL replay of k greedy farthest-point rounds over the
     * quantized slice: per round, distances to the newest center, a
     * running LEAST, and the deterministic argmax. Every distance is a
@@ -3736,6 +3993,7 @@ object EngineQueries extends QueryPack {
     nativeCosine, coresetKcenter, coresetQuantized, streamPsiDrift,
     hybridRrf, hybridRrfFiltered, hybridRrfBatchParity, hybridRrfPqFiltered,
     hybridRrfSrpFiltered, hybridRrfInt8Filtered, hybridRrfWeightedQl,
+    hybridRrf3Leg, hybridRrfPositional,
     annBrute, annBruteQuantized, annBruteFilteredQuantized,
     annAutoFilteredQuantized,
     annLsh, annIvf, annIvfProbe, annStreamIngest, annStreamPqParity,
