@@ -551,7 +551,12 @@ object HybridRetrieval {
   object EnsembleLeg {
     /** A dense ANN tier ([[DenseLeg]] — any persisted family, or Brute)
       * probing the verb's query vector(s). `nprobe` pins the tier's
-      * coverage dial (the [[rrfTopK]] caveat: SRP/Brute ignore it). */
+      * coverage dial on the UNFILTERED verbs only (the [[rrfTopK]]
+      * caveat: SRP/Brute ignore it); the `Among` twins route through
+      * the tier's selectivity-capped auto dial and IGNORE a pinned
+      * nprobe — pin a filtered dense dial via the tier's own fields
+      * ([[DenseLeg.PqRefined]]'s `refine`) or the verb's
+      * `selectivity`. */
     final case class Dense(leg: DenseLeg, nprobe: Option[Int] = None)
         extends EnsembleLeg
     /** A lexical ranker ([[SparseLeg]] — BM25 or Dirichlet QL) over a

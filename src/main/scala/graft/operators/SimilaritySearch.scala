@@ -362,7 +362,10 @@ object SimilaritySearch {
     * probe touching the hot cell pays ≥4× its candidate budget — the
     * point where re-training the quantizer on a fresh sample costs less
     * than every future probe overpaying; same order as the FAISS
-    * imbalance-factor guidance). Note skew is bounded above by nlist
+    * imbalance-factor guidance). The repair it triggers is
+    * [[retrainIvf]] (r17): re-train on the live rows, map-only
+    * re-assign, rename-aside cut-over — measured decay-then-recovery in
+    * ScaleBench's ann_drift_retrain grid. Note skew is bounded above by nlist
     * (all mass in one cell), so the threshold only has headroom when
     * nlist ≫ threshold — at tiny nlist, watch maxCellSize directly.
     * One cell-count aggregation — O(nlist) result, safe to run per
@@ -703,10 +706,18 @@ object SimilaritySearch {
   // deleteFromAnnIndex, never through a retrain's side door).
   private def liveCorpusFor(spark: org.apache.spark.sql.SparkSession,
       dir: String, corpus: DataFrame, idCol: String,
-      verb: String): DataFrame = {
-    val liveIds = applyAnnTombstones(spark, dir,
-      spark.read.parquet(s"$dir/assigned").select(col("neighbor_id")),
-      "neighbor_id")
+      verb: String): DataFrame =
+    liveCorpusAmong(
+      applyAnnTombstones(spark, dir,
+        spark.read.parquet(s"$dir/assigned").select(col("neighbor_id")),
+        "neighbor_id"),
+      corpus, idCol, s"$verb($dir)")
+
+  // the guard itself, on an already-resolved live-id relation — shared
+  // with the streamed epoch rotation (whose live ids come through the
+  // manifest-scoped load, not a raw directory read)
+  private[graft] def liveCorpusAmong(liveIds: DataFrame, corpus: DataFrame,
+      idCol: String, site: String): DataFrame = {
     val liveCorpus = corpus
       .join(liveIds.select(col("neighbor_id").as(idCol)), Seq(idCol),
         "left_semi")
@@ -715,7 +726,7 @@ object SimilaritySearch {
         "left_anti")
       .limit(5).collect().map(_.get(0))
     require(missing.isEmpty,
-      s"$verb($dir): live id(s) ${missing.mkString(", ")} (first 5 shown) " +
+      s"$site: live id(s) ${missing.mkString(", ")} (first 5 shown) " +
         "are missing from the supplied corpus — a retrain must cover " +
         "every live vector; route removals through deleteFromAnnIndex")
     liveCorpus

@@ -453,4 +453,81 @@ object StreamingVecIndex {
   def compactToSrp(spark: SparkSession, dir: String, outDir: String): Unit =
     SimilaritySearch.saveSrpIndex(loadSrp(spark, dir, persist = false),
       outDir)
+
+  // ---- epoch rotation: the STREAMED drift repair (r17) ----
+  //
+  // [[SimilaritySearch.retrainIvf]] repairs a persisted BATCH artifact
+  // in place; a live stream cannot retrain in place at all (frozen
+  // quantizers are what make replayed batches idempotent), so its
+  // repair is a ROTATION: fold the live rows (manifest-scoped,
+  // tombstones applied), re-train the quantizer on a hash-ordered
+  // sample of them, and write `outDir` as a FRESH streaming bootstrap —
+  // the new frozen quantizer plus the folded corpus re-assigned as
+  // segment `batch=0`. The stream then resumes against `outDir` with
+  // `applyBatch(batchId ≥ 1)` (new checkpoint — the rotation is a new
+  // sink identity by design: replay idempotence is per-directory).
+  // Probes of the new epoch equal a fresh build over everything live
+  // (spec-pinned — the retrain ≡ rebuild argument carried to streams).
+  // SRP rotates with [[compactToSrp]] alone: its geometry is
+  // data-independent, there is nothing to re-train.
+
+  /** Rotate a float streamed directory into a fresh epoch under
+    * re-trained centers. `nlist` 0 keeps the current cell count. */
+  def retrainEpoch(spark: SparkSession, dir: String, outDir: String,
+      nlist: Int = 0, seed: Long = 42L, trainSample: Int = 50000): Unit = {
+    val live = load(spark, dir, persist = false).assigned
+      .select(col("neighbor_id").as("vec_id"), col("tv").as("embedding"))
+    val k = if (nlist > 0) nlist else loadCenters(spark, dir).length
+    freezeCenters(spark, outDir, SimilaritySearch
+      .buildIvfIndex(live, k, seed, trainSample = trainSample,
+        persist = false).centers)
+    applyBatch(live, 0L, outDir)
+  }
+
+  /** [[retrainEpoch]] for an int8-ingested directory. The segments
+    * carry codes, not floats, so the caller supplies the float
+    * `corpus`; rows are matched to the LIVE ids (every live id must be
+    * present — fails loudly otherwise) and re-quantized under the new
+    * centers.
+    */
+  def retrainEpochInt8(spark: SparkSession, dir: String, outDir: String,
+      corpus: DataFrame, nlist: Int = 0, seed: Long = 42L,
+      trainSample: Int = 50000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val liveIds = loadInt8(spark, dir, persist = false).assigned
+      .select(col("neighbor_id"))
+    val liveCorpus = SimilaritySearch.liveCorpusAmong(liveIds, corpus,
+      idCol, s"retrainEpochInt8($dir)")
+    val k = if (nlist > 0) nlist else loadCenters(spark, dir).length
+    freezeCenters(spark, outDir, SimilaritySearch
+      .buildIvfIndex(liveCorpus, k, seed, idCol, vecCol, trainSample,
+        persist = false).centers)
+    applyBatchInt8(liveCorpus, 0L, outDir, idCol, vecCol)
+  }
+
+  /** [[retrainEpoch]] for a PQ-ingested directory. The codebook stays
+    * FROZEN by default ([[SimilaritySearch.retrainIvfPq]]'s argument:
+    * codes are row-local, coarse repair invalidates nothing);
+    * `retrainCodebook = true` re-trains both quantizers on the live
+    * rows for value drift.
+    */
+  def retrainEpochPq(spark: SparkSession, dir: String, outDir: String,
+      corpus: DataFrame, nlist: Int = 0, seed: Long = 42L,
+      trainSample: Int = 50000, retrainCodebook: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val pq = loadPq(spark, dir, persist = false)
+    val liveCorpus = SimilaritySearch.liveCorpusAmong(
+      pq.assigned.select(col("neighbor_id")), corpus, idCol,
+      s"retrainEpochPq($dir)")
+    val k = if (nlist > 0) nlist else pq.centers.length
+    val centers = SimilaritySearch.buildIvfIndex(liveCorpus, k, seed,
+      idCol, vecCol, trainSample, persist = false).centers
+    val book =
+      if (retrainCodebook)
+        SimilaritySearch.trainPqCodebook(liveCorpus, pq.book.m,
+          pq.book.centers.head.length, seed, idCol, vecCol)
+      else pq.book
+    freezePq(spark, outDir, centers, book)
+    applyBatchPq(liveCorpus, 0L, outDir, idCol, vecCol)
+  }
 }

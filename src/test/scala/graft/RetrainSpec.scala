@@ -166,6 +166,74 @@ class RetrainSpec extends SparkSpec {
       freshPq.book.centers.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("retrainEpoch rotates a streamed dir into a fresh epoch that equals a fresh build and keeps ingesting") {
+    import graft.streaming.StreamingVecIndex
+    val s1 = tmp("epoch-src")
+    val s2 = tmp("epoch-out")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    StreamingVecIndex.freezeCenters(spark, s1,
+      SimilaritySearch.buildIvfIndex(e.filter(col("vec_id") < 200),
+        nlist = 4, persist = false).centers)
+    StreamingVecIndex.applyBatch(e.filter(col("vec_id") < 200), 0L, s1)
+    StreamingVecIndex.applyBatch(
+      e.filter(col("vec_id") >= 200 && col("vec_id") < 400), 1L, s1)
+    SimilaritySearch.deleteFromAnnIndex(spark, s1, Seq(7L))
+    StreamingVecIndex.retrainEpoch(spark, s1, s2, nlist = 8)
+    // the new epoch IS a fresh build over the live rows (re-shaped 4→8)
+    val survivors = e.filter(col("vec_id") < 400 && col("vec_id") =!= 7L)
+    val fresh = SimilaritySearch.buildIvfIndex(survivors, nlist = 8,
+      persist = false)
+    val re = StreamingVecIndex.load(spark, s2, persist = false)
+    assert(re.centers.map(_.toSeq).toSeq == fresh.centers.map(_.toSeq).toSeq)
+    assert(probeRows(re) == probeRows(fresh))
+    // and the stream RESUMES against the rotated epoch: a new wave
+    // appends under the new frozen centers, probing exactly like a
+    // same-centers assignment of the union (the append ≡ rebuild
+    // contract, now on the post-rotation quantizer)
+    val wave = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    StreamingVecIndex.applyBatch(wave, 1L, s2)
+    val after = StreamingVecIndex.load(spark, s2, persist = false)
+    assert(after.assigned.count() == 399 + 50)
+    val want = SimilaritySearch.IvfIndex(fresh.centers,
+      SimilaritySearch.assignToCells(survivors.unionByName(wave),
+        fresh.centers, "vec_id", "embedding"))
+    assert(probeRows(after) == probeRows(want))
+  }
+
+  test("retrainEpochPq keeps the frozen codebook and serves the rotated epoch") {
+    import graft.streaming.StreamingVecIndex
+    val s1 = tmp("epochpq-src")
+    val s2 = tmp("epochpq-out")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val boot = SimilaritySearch.buildIvfPqIndex(
+      e.filter(col("vec_id") < 200), nlist = 4, persist = false)
+    StreamingVecIndex.freezePq(spark, s1, boot.centers, boot.book)
+    StreamingVecIndex.applyBatchPq(e.filter(col("vec_id") < 200), 0L, s1)
+    StreamingVecIndex.applyBatchPq(
+      e.filter(col("vec_id") >= 200 && col("vec_id") < 400), 1L, s1)
+    StreamingVecIndex.retrainEpochPq(spark, s1, s2, e, nlist = 8)
+    val re = StreamingVecIndex.loadPq(spark, s2, persist = false)
+    // frozen book travels; coarse geometry re-trains to the fresh build
+    assert(re.book.centers.map(_.map(_.toSeq).toSeq).toSeq ==
+      boot.book.centers.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(re.n == 400)
+    val fresh = SimilaritySearch.buildIvfIndex(
+      e.filter(col("vec_id") < 400), nlist = 8, persist = false)
+    assert(re.centers.map(_.toSeq).toSeq == fresh.centers.map(_.toSeq).toSeq)
+    // re-encoding the same rows under the same frozen book is
+    // deterministic: probe the rotated epoch vs a fresh same-dials PQ
+    // assignment of the live rows
+    val want = SimilaritySearch.IvfPqIndex(fresh.centers, boot.book,
+      SimilaritySearch.assignAndEncodePq(e.filter(col("vec_id") < 400),
+        fresh.centers, boot.book, "vec_id", "embedding"), n = 400)
+    def pqRows(idx: SimilaritySearch.IvfPqIndex) =
+      SimilaritySearch.ivfProbePq(idx, e.filter(col("vec_id") < 5),
+          k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq
+    assert(pqRows(re).nonEmpty && pqRows(re) == pqRows(want))
+  }
+
   test("compressed retrain fails loudly when the corpus is missing a live id") {
     val dir = tmp("missing")
     SimilaritySearch.saveIvfInt8Index(
