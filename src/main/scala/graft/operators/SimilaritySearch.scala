@@ -640,6 +640,20 @@ object SimilaritySearch {
   // (bits, seed)) is data-independent, so distribution drift cannot
   // unbalance it — there is nothing to re-train.
   //
+  // Cross-relation crash window, stated explicitly: retrain rewrites
+  // MULTIPLE relations (assigned + centers [+ codebook + meta]) and the
+  // per-sub cut-over commits them one rename at a time, so a crash
+  // BETWEEN two relation cuts leaves mixed geometry live (new inverted
+  // file under old centers, or vice versa — a probe would mis-route
+  // candidates). That window never loses data: the staged artifact is
+  // COMPLETE before the first rename and `-retrain-staging` is deleted
+  // only after every relation cut over, so recovery is finishing the
+  // cut from the intact staging (or renaming the `-retrain-old`
+  // relation back) — one rename, never re-deriving anything. Operators
+  // wanting a single commit point can route through the out-of-place
+  // form instead: retrain into a staging COPY of the artifact and swap
+  // serving paths (the versioned-directory convention).
+  //
   // Reference analog: the reference re-extracts embeddings per model
   // run (`src/extract_embedding.py:117-137`) — its "index" is always
   // fresh; freshness under drift is the implicit contract these verbs
