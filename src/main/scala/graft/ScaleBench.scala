@@ -1773,6 +1773,57 @@ object ScaleBench {
                     s"recall=${fmt(r)} probe=${fmt(t)}s")
                   s""""$tag2":{"recall":${fmt(r)},"probe_sec":${fmt(t)}}"""
                 }
+                // the ENSEMBLE-WIDENING dial (r17 — the N-leg verb
+                // dogfooded into the measured grid): keep the decayed
+                // ivf leg at its auto dial and HEDGE it with the
+                // near-exact SRP leg as a third member. Scored against
+                // the THREE-leg exact-fusion truth (both dense slots
+                // Brute + the lossless lexical leg, same weights) — a
+                // 3-leg serve measured against the 2-leg truth would
+                // read ensemble-SHAPE divergence (two dense votes vs
+                // one systematically re-weight the fold), not fidelity;
+                // measured: that mis-framing reads 0.31–0.33 while the
+                // apples-to-apples row below reads what hedging
+                // actually preserves.
+                def fused3(dense2: HybridRetrieval.DenseLeg): DataFrame = {
+                  import graft.operators.HybridRetrieval.EnsembleLeg
+                  HybridRetrieval.rrfTopKLegsByQueryAmong(
+                      Seq(
+                        (EnsembleLeg.Dense(ivfLeg): EnsembleLeg, 1.0),
+                        (EnsembleLeg.Dense(dense2), 1.0),
+                        (EnsembleLeg.Sparse(lx), 1.0)),
+                      qterms, qvecs, K, allowed, legK = 100,
+                      selectivity = Some(sel))
+                    .select(col("query_id"),
+                      col("doc_id").as("neighbor_id"))
+                }
+                def served3(tag2: String): String = {
+                  import graft.operators.HybridRetrieval.EnsembleLeg
+                  val truth3 = HybridRetrieval.rrfTopKLegsByQueryAmong(
+                      Seq(
+                        (EnsembleLeg.Dense(HybridRetrieval.DenseLeg
+                          .Brute(emb)): EnsembleLeg, 1.0),
+                        (EnsembleLeg.Dense(
+                          HybridRetrieval.DenseLeg.Brute(emb)), 1.0),
+                        (EnsembleLeg.Sparse(lx), 1.0)),
+                      qterms, qvecs, K, allowed, legK = 100,
+                      selectivity = Some(sel))
+                    .select(col("query_id"),
+                      col("doc_id").as("neighbor_id")).persist()
+                  val tT = timeIt { truth3.count(); () }
+                  var df: DataFrame = null
+                  val t = timeIt {
+                    df = fused3(HybridRetrieval.DenseLeg
+                      .Srp(embSrpIdx(dir), emb)).persist()
+                    df.count(); ()
+                  }
+                  val r = recallAtK(truth3, df)
+                  df.unpersist(); truth3.unpersist()
+                  println(s"SCALEHYBRID $tag $fname n=$n $tag2 " +
+                    s"recall=${fmt(r)} probe=${fmt(t)}s truth3=${fmt(tT)}s")
+                  s""""$tag2":{"recall":${fmt(r)},"probe_sec":${fmt(t)},""" +
+                    s""""truth_sec":${fmt(tT)}}"""
+                }
                 Seq(
                   served("ivf_nprobe_x2", ivfLeg, sel / 2, 100),
                   served("ivf_nprobe_x4", ivfLeg, sel / 4, 100),
@@ -1780,7 +1831,8 @@ object ScaleBench {
                   served("pq_refine_x2",
                     pqLeg(Some(2 * pqAutoRefine)), sel, 100),
                   served("pq_nprobe_x2", pqLeg(None), sel / 2, 100),
-                  served("pq_legk_x2", pqLeg(None), sel, 200))
+                  served("pq_legk_x2", pqLeg(None), sel, 200),
+                  served3("three_leg_hedged"))
               }
             truth.unpersist()
             s""""$fname":{"truth_sec":${fmt(tTruth)},""" +
