@@ -531,6 +531,29 @@ class PlanSpec extends SparkSpec {
       l.contains("bucket")), s"bucket pruning not at the scan:\n$f")
   }
 
+  test("snippet text tokenize sits ABOVE the doc-id broadcast join (r16 weak mark)") {
+    // the r16 plan bug: the split/filter tokenize projected BELOW the
+    // broadcast join whose build side keeps only the ≤ k(·|Q|) result
+    // docs, so every corpus row paid the tokenize per serve. Pin the
+    // fixed shape: exactly one tokenize, printed ABOVE the first
+    // broadcast join (tree prints parent-first; everything above the
+    // docs⋈top join is the project/sort tail, so a tokenize below it
+    // would print after the join line).
+    for (name <- Seq("t_phrase_snippets", "t_phrase_snippets_batch")) {
+      val p = plan(name)
+      val tok = p.indexOf("split(")
+      val join = p.indexOf("BroadcastHashJoin")
+      assert(tok >= 0 && join >= 0,
+        s"$name: expected a tokenize and a broadcast join:\n$p")
+      assert(tok < join,
+        s"$name: the tokenize must project above the k-result broadcast " +
+          s"join, never on the corpus scan side:\n$p")
+      assert(p.indexOf("split(", tok + 1) < 0,
+        s"$name: exactly one tokenize expected — a second split below " +
+          s"the join re-introduces the corpus-wide pass:\n$p")
+    }
+  }
+
   test("streaming quality scoring is shuffle-free row-local codegen") {
     val w = graft.queries.TextQueries
       .prepareQualityTermWeights(spark, sf001)
