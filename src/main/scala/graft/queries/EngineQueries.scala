@@ -2583,6 +2583,71 @@ object EngineQueries extends QueryPack {
     Some("""SELECT CAST(0 AS BIGINT) AS n_center_mismatch,
       CAST(0 AS BIGINT) AS n_probe_mismatch"""))
 
+  // Epoch-rotation parity (r17 — the STREAMED drift repair's gate,
+  // beside vx_ann_retrain_parity's batch-artifact one): ingest two
+  // frozen-quantizer segments + a tombstone into a streamed dir, rotate
+  // with StreamingVecIndex.retrainEpoch (fold live rows → re-train →
+  // fresh bootstrap), then compare the new epoch's centers AND probe
+  // rows against a from-scratch buildIvfIndex of the surviving union,
+  // AND prove the stream RESUMES: one more applyBatch against the
+  // rotated epoch must probe exactly like a same-centers assignment of
+  // everything. Constants oracle; rebuilt per serve (rotation writes
+  // directories — the lifecycle prices itself).
+  private val annEpochRotationParity = OracleQuery(
+    "vx_stream_ann_epoch_parity",
+    (s, d) => {
+      import graft.streaming.StreamingVecIndex
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 10)
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-epoch-gate-src").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-epoch-gate-out").toString
+      StreamingVecIndex.freezeCenters(s, src,
+        SimilaritySearch.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+          nlist = 4, persist = false).centers)
+      StreamingVecIndex.applyBatch(emb.filter(col("vec_id") % 2 === 0),
+        0L, src)
+      StreamingVecIndex.applyBatch(
+        emb.filter(col("vec_id") % 2 === 1 && col("vec_id") % 4 =!= 1),
+        1L, src)
+      SimilaritySearch.deleteFromAnnIndex(s, src, Seq(12L))
+      StreamingVecIndex.retrainEpoch(s, src, out, nlist = 8)
+      val survivors = emb.filter(
+        (col("vec_id") % 2 === 0 || col("vec_id") % 4 === 3) &&
+          col("vec_id") =!= 12L)
+      val fresh = SimilaritySearch.buildIvfIndex(survivors, nlist = 8,
+        persist = false)
+      val re = StreamingVecIndex.load(s, out, persist = false)
+      def rows(idx: SimilaritySearch.IvfIndex) =
+        SimilaritySearch.ivfProbe(idx, q, k = 5, nprobe = 3).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+      val centerMismatch = re.centers.map(_.toSeq).toSeq
+        .zipAll(fresh.centers.map(_.toSeq).toSeq, Seq.empty, Seq.empty)
+        .count { case (a, b) => a != b }.toLong
+      val (got, want) = (rows(re), rows(fresh))
+      // the resume leg: a post-rotation wave appends under the new
+      // frozen centers ≡ a same-centers assignment of the union
+      val wave = emb.filter(col("vec_id") % 4 === 1)
+      StreamingVecIndex.applyBatch(wave, 1L, out)
+      val after = rows(StreamingVecIndex.load(s, out, persist = false))
+      val ref = rows(SimilaritySearch.IvfIndex(fresh.centers,
+        SimilaritySearch.assignToCells(survivors.unionByName(wave),
+          fresh.centers, "vec_id", "embedding")))
+      def mm(a: Seq[(Long, Int, Long, Double)],
+          b: Seq[(Long, Int, Long, Double)]): Long =
+        (a.size - a.intersect(b).size).toLong +
+          (b.size - a.intersect(b).size)
+      import s.implicits._
+      Seq((centerMismatch, mm(got, want), mm(after, ref)))
+        .toDF("n_center_mismatch", "n_probe_mismatch", "n_resume_mismatch")
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS n_center_mismatch,
+      CAST(0 AS BIGINT) AS n_probe_mismatch,
+      CAST(0 AS BIGINT) AS n_resume_mismatch"""))
+
   private val annIvfPqArtifactParity = OracleQuery(
     "vx_ann_ivfpq_artifact_parity",
     (s, d) => {
@@ -4002,6 +4067,7 @@ object EngineQueries extends QueryPack {
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,
     annIvfPqArtifactParity, annDeleteParity, annRetrainParity,
+    annEpochRotationParity,
     annInt8FilteredQuantized,
     streamVecNearDup,
     streamVecNearDupQ,

@@ -470,6 +470,15 @@ object StreamingVecIndex {
   // (spec-pinned — the retrain ≡ rebuild argument carried to streams).
   // SRP rotates with [[compactToSrp]] alone: its geometry is
   // data-independent, there is nothing to re-train.
+  //
+  // Crash-safe BY CONSTRUCTION, not by staging: rotation never touches
+  // the source directory, so any crash leaves the old epoch serving
+  // untouched; a partial target either fails loudly at load (centers
+  // without segments) or is safely overwritten by re-running the
+  // rotation (freeze overwrites, the batch-0 delta replaces its own
+  // partitions). The cut-over IS the caller switching serving
+  // directories — the single commit point the in-place retrain verbs
+  // cannot have.
 
   /** Rotate a float streamed directory into a fresh epoch under
     * re-trained centers. `nlist` 0 keeps the current cell count. */
