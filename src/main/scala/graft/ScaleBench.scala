@@ -1877,13 +1877,16 @@ object ScaleBench {
         import graft.streaming.StreamingVecIndex
         val K = 5
         val NQ = 30
-        val dim = 64
         Seq("small" -> base, "big" -> out).map { case (tag, dir) =>
           val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
           val emb0 = Tables.embeddings(spark, dir)
             .select(col("vec_id"), col("embedding")).persist()
           cached += emb0
           val n0 = emb0.count()
+          // dim from the data, not a constant: element_at past the gains
+          // array returns NULL (non-ANSI), which would silently null-out
+          // drifted vectors and corrupt the measured decay grid (ADVICE r17)
+          val dim = emb0.select(size(col("embedding"))).head.getInt(0)
           val (nlist, nprobe) = ivfScaleParams(2 * n0)
           def drifted(w: Int): DataFrame = {
             val gains = (0 until dim).map(j =>

@@ -553,8 +553,9 @@ object HybridRetrieval {
       * probing the verb's query vector(s). `nprobe` pins the tier's
       * coverage dial on the UNFILTERED verbs only (the [[rrfTopK]]
       * caveat: SRP/Brute ignore it); the `Among` twins route through
-      * the tier's selectivity-capped auto dial and IGNORE a pinned
-      * nprobe — pin a filtered dense dial via the tier's own fields
+      * the tier's selectivity-capped auto dial and FAIL LOUDLY on a
+      * pinned nprobe (r18 — silently dropping it hid a dead dial) —
+      * pin a filtered dense dial via the tier's own fields
       * ([[DenseLeg.PqRefined]]'s `refine`) or the verb's
       * `selectivity`. */
     final case class Dense(leg: DenseLeg, nprobe: Option[Int] = None)
@@ -576,6 +577,20 @@ object HybridRetrieval {
         extends EnsembleLeg
   }
 
+  // A pinned dense nprobe has no route through the filtered (Among)
+  // ensemble verbs — the tier serves through its selectivity-capped auto
+  // dial there. Silently dropping the pin (the pre-r18 behavior, stated
+  // only in scaladoc) let a caller believe their coverage dial was live;
+  // the repo's loud-contract convention says fail instead (ADVICE r17).
+  private def requireNoPinnedNprobeAmong(nprobe: Option[Int]): Unit =
+    require(nprobe.isEmpty,
+      s"EnsembleLeg.Dense(nprobe = Some(${nprobe.get})) under a filtered " +
+        "(Among) ensemble verb: the pinned nprobe is NOT routed through " +
+        "the tier's selectivity-capped auto dial and would be silently " +
+        "ignored. Drop the pin, or steer the filtered coverage via the " +
+        "verb's `selectivity` (or the tier's own fields, e.g. " +
+        "DenseLeg.PqRefined.refine).")
+
   // resolve one leg to the single-query normalized (doc_id, rank)
   // relation. allowed None compiles each kind to its unfiltered verb;
   // Some routes through the kind's Among verb — pre-filter semantics
@@ -586,8 +601,10 @@ object HybridRetrieval {
       allowed: Option[DataFrame],
       selectivity: Option[Double]): DataFrame = leg match {
     case EnsembleLeg.Dense(d, nprobe) =>
-      allowed.fold(d.probe(queryVec, legK, nprobe, idCol, vecCol))(a =>
-          d.probeAmong(queryVec, legK, a, selectivity, idCol, vecCol))
+      allowed.fold(d.probe(queryVec, legK, nprobe, idCol, vecCol)) { a =>
+          requireNoPinnedNprobeAmong(nprobe)
+          d.probeAmong(queryVec, legK, a, selectivity, idCol, vecCol)
+        }
         .select(col("neighbor_id").as("doc_id"), col("rn").as("rank"))
     case EnsembleLeg.Sparse(idx, ranker) =>
       rankLeg(allowed.fold(ranker.topK(idx, terms, legK))(a =>
@@ -622,8 +639,10 @@ object HybridRetrieval {
     leg match {
       case EnsembleLeg.Dense(d, nprobe) =>
         val qv = queryVecs.select(col(queryIdCol).as(idCol), col(vecCol))
-        allowed.fold(d.probe(qv, legK, nprobe, idCol, vecCol))(a =>
-            d.probeAmong(qv, legK, a, selectivity, idCol, vecCol))
+        allowed.fold(d.probe(qv, legK, nprobe, idCol, vecCol)) { a =>
+            requireNoPinnedNprobeAmong(nprobe)
+            d.probeAmong(qv, legK, a, selectivity, idCol, vecCol)
+          }
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rn").as("rank"))
       case EnsembleLeg.Sparse(idx, ranker) =>

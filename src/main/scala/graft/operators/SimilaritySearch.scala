@@ -335,6 +335,7 @@ object SimilaritySearch {
     */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       persist: Boolean = true): IvfIndex = {
+    requireNotTorn(spark, dir)
     val centers = spark.read.parquet(s"$dir/centers").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
@@ -586,6 +587,60 @@ object SimilaritySearch {
       s"$dir is a streamed StreamingVecIndex layout — use $route")
   }
 
+  // ---- torn multi-relation cut-over detection (r18, ADVICE r17) ----
+  //
+  // The staged-rewrite verbs (compact / retrain / rebalance) commit
+  // MULTIPLE relations one rename at a time, so a crash between two
+  // relation cuts leaves mixed geometry live (a new inverted file under
+  // old centers, or a refreshed meta beside a stale codebook) — data-safe
+  // (staging + `-old` copies survive) but silently WRONG to serve: a
+  // probe would mis-route candidates. The window was documented but
+  // undetectable at load. Now every such verb drops a `_graft_cutover_
+  // pending` marker at the artifact root immediately before its first
+  // rename and clears it only after the last relation committed and
+  // staging was swept; the loaders refuse a marked artifact with the
+  // recovery route instead of serving mis-routed probes. Hadoop/Spark
+  // readers ignore `_`-prefixed files, so the marker never perturbs the
+  // relations themselves.
+
+  private val PendingMarkerName = "_graft_cutover_pending"
+
+  private def markPending(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, verb: String): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, PendingMarkerName), true)
+    try out.write(verb.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def clearPending(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(root, PendingMarkerName), false)
+    ()
+  }
+
+  /** Refuse to assemble an index whose last multi-relation cut-over never
+    * completed. Recovery is one rename, never re-deriving data: if
+    * `<dir>-<verb>-staging` (or the verb's `-old` siblings) still holds
+    * relations, finish or roll back the cut by renaming them, then delete
+    * the marker file.
+    */
+  private[graft] def requireNotTorn(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (fs, root) = InvertedIndex.fsFor(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(root, PendingMarkerName)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val verb = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      throw new IllegalStateException(
+        s"$dir: a multi-relation '$verb' cut-over did not complete — the " +
+          "artifact may hold MIXED GEOMETRY (e.g. a re-assigned inverted " +
+          s"file under the old centers) and probes would mis-route. Finish " +
+          s"the cut from $dir-$verb-staging (or rename the `-$verb-old` " +
+          s"relations back), then delete $dir/$PendingMarkerName.")
+    }
+  }
+
   /** The shared staged-rewrite commit: rename each live relation ASIDE
     * before renaming its staged replacement in (r15 — the
     * delete-then-rename form left the artifact with NO live relation if
@@ -601,6 +656,11 @@ object SimilaritySearch {
       stagingRoot: org.apache.hadoop.fs.Path, dir: String, verb: String,
       subs: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
+    // the torn-state marker brackets exactly the mixed-geometry window:
+    // set before the first rename, cleared after the last relation
+    // committed (the caller's remaining steps — tombstone drop, staging
+    // sweep — are safe in any crash order)
+    markPending(fs, root, verb)
     subs.foreach { sub =>
       val live = new Path(root, sub)
       val old = new Path(root, s"$sub-$verb-old")
@@ -614,6 +674,7 @@ object SimilaritySearch {
             s"the pre-$verb relation is preserved at $dir/$sub-$verb-old")
       fs.delete(old, true)
     }
+    clearPending(fs, root)
   }
 
   // ---- retrain lifecycle: the drift repair (r17) ----
@@ -649,10 +710,15 @@ object SimilaritySearch {
   // COMPLETE before the first rename and `-retrain-staging` is deleted
   // only after every relation cut over, so recovery is finishing the
   // cut from the intact staging (or renaming the `-retrain-old`
-  // relation back) — one rename, never re-deriving anything. Operators
-  // wanting a single commit point can route through the out-of-place
-  // form instead: retrain into a staging COPY of the artifact and swap
-  // serving paths (the versioned-directory convention).
+  // relation back) — one rename, never re-deriving anything. And since
+  // r18 the window is DETECTED, not just documented: the cut-over
+  // brackets itself with the `_graft_cutover_pending` marker and every
+  // loader refuses a marked artifact ([[requireNotTorn]]), so a torn
+  // retrain surfaces at the next load instead of serving mis-routed
+  // probes. Operators wanting a single commit point can route through
+  // the out-of-place form instead: retrain into a staging COPY of the
+  // artifact and swap serving paths (the versioned-directory
+  // convention).
   //
   // Reference analog: the reference re-extracts embeddings per model
   // run (`src/extract_embedding.py:117-137`) — its "index" is always
@@ -1166,6 +1232,7 @@ object SimilaritySearch {
     */
   def loadIvfInt8Index(spark: org.apache.spark.sql.SparkSession, dir: String,
       persist: Boolean = true): IvfInt8Index = {
+    requireNotTorn(spark, dir)
     val centers = spark.read.parquet(s"$dir/centers").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
@@ -1539,6 +1606,7 @@ object SimilaritySearch {
     */
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       persist: Boolean = true): IvfPqIndex = {
+    requireNotTorn(spark, dir)
     val centers = spark.read.parquet(s"$dir/centers").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
@@ -1720,6 +1788,7 @@ object SimilaritySearch {
     */
   def loadSrpIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       persist: Boolean = true): SrpIndex = {
+    requireNotTorn(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").collect()(0)
     val raw = spark.read.parquet(s"$dir/sketch")
     // the id column comes from the artifact's metadata (legacy df-less

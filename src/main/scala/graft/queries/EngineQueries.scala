@@ -2536,6 +2536,20 @@ object EngineQueries extends QueryPack {
     Some("""SELECT CAST(0 AS BIGINT) AS n_mismatch_tombstoned,
       CAST(0 AS BIGINT) AS n_mismatch_compacted"""))
 
+  // The self-priced lifecycle gates build a FRESH artifact directory per
+  // serve (memoizing a verb that mutates its artifact would be a
+  // mutation hazard) — this sweeps the directory once every comparison
+  // is collected, so the per-serve freshness doesn't leak /tmp space
+  // across repeated bench/verify runs (ADVICE r17). Best-effort: a
+  // failed delete must never fail the gate itself.
+  private def sweepScratch(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    try {
+      val (fs, root) = graft.operators.InvertedIndex.fsFor(s, dir)
+      fs.delete(root, true)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   // Retrain-lifecycle parity (r17 — the drift repair, the last unowned
   // stage of the artifact lifecycle): build on a 75% slice, append the
   // remaining 25% under the FROZEN centers (the drift ingest path),
@@ -2574,6 +2588,10 @@ object EngineQueries extends QueryPack {
       val centerMismatch = re.centers.map(_.toSeq).toSeq
         .zipAll(fresh.centers.map(_.toSeq).toSeq, Seq.empty, Seq.empty)
         .count { case (a, b) => a != b }.toLong
+      // every comparison above is collected — the fresh-per-serve index
+      // directory is dead weight now; sweep it so repeated bench/verify
+      // runs don't accumulate artifacts in /tmp (ADVICE r17)
+      sweepScratch(s, dir)
       import s.implicits._
       Seq((centerMismatch,
         (got.size - got.intersect(want).size).toLong +
@@ -2640,6 +2658,8 @@ object EngineQueries extends QueryPack {
           b: Seq[(Long, Int, Long, Double)]): Long =
         (a.size - a.intersect(b).size).toLong +
           (b.size - a.intersect(b).size)
+      sweepScratch(s, src) // all probes collected; see annRetrainParity
+      sweepScratch(s, out)
       import s.implicits._
       Seq((centerMismatch, mm(got, want), mm(after, ref)))
         .toDF("n_center_mismatch", "n_probe_mismatch", "n_resume_mismatch")

@@ -158,4 +158,36 @@ class NLegEnsembleSpec extends SparkSpec {
       "filtered batch N-leg diverged from per-query rrfTopKLegsAmong")
     denseIdx.unpersist()
   }
+
+  test("a pinned dense nprobe under a filtered ensemble verb fails loudly") {
+    val denseIdx = SimilaritySearch.buildIvfIndex(emb, nlist = 8)
+    val terms = lexIdx.termDf.orderBy($"df", $"term").limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val qv = emb.filter($"vec_id" === 0)
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id")
+    val legs = Seq(
+      (EnsembleLeg.Dense(DenseLeg.Float32(denseIdx),
+        nprobe = Some(8)): EnsembleLeg, 1.0),
+      (EnsembleLeg.Sparse(lexIdx): EnsembleLeg, 1.0))
+    // pre-r18 the pin was silently dropped (the Among path serves through
+    // the selectivity-capped auto dial) — a dead dial the caller believed
+    // was live; now it is the loud contract
+    val e = intercept[IllegalArgumentException] {
+      HybridRetrieval.rrfTopKLegsAmong(legs, terms, qv, k = 10, allowed,
+        legK = 30)
+    }
+    assert(e.getMessage.contains("nprobe") &&
+      e.getMessage.contains("selectivity"))
+    val eB = intercept[IllegalArgumentException] {
+      HybridRetrieval.rrfTopKLegsByQueryAmong(legs,
+        Seq((0L, terms.head)).toDF("query_id", "term"),
+        qv.select($"vec_id".as("query_id"), $"embedding"),
+        k = 5, allowed = allowed, legK = 20)
+    }
+    assert(eB.getMessage.contains("nprobe"))
+    // the UNFILTERED verb still honors the pin (unchanged behavior)
+    assert(HybridRetrieval.rrfTopKLegs(legs, terms, qv, k = 10, legK = 30)
+      .count() > 0)
+    denseIdx.unpersist()
+  }
 }

@@ -245,4 +245,29 @@ class RetrainSpec extends SparkSpec {
     assert(e.getMessage.contains("missing from the supplied corpus") &&
       e.getMessage.contains("7"))
   }
+
+  test("a torn multi-relation cut-over is refused at load, and a completed one clears the marker") {
+    val dir = tmp("torn")
+    SimilaritySearch.saveIvfIndex(
+      SimilaritySearch.buildIvfIndex(emb, nlist = 8, persist = false), dir)
+    // simulate a crash INSIDE the cut-over window: the pending marker a
+    // retrain drops before its first rename is still on the artifact
+    val (fs, root) = graft.operators.InvertedIndex.fsFor(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(root, "_graft_cutover_pending")
+    val out = fs.create(marker, true)
+    out.write("retrain".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      SimilaritySearch.loadIvfIndex(spark, dir, persist = false)
+    }
+    assert(e.getMessage.contains("retrain") &&
+      e.getMessage.contains("did not complete"),
+      s"torn-state refusal should name the verb and the tear: ${e.getMessage}")
+    fs.delete(marker, false)
+    // a COMPLETED retrain brackets the window itself: marker gone, load
+    // serves
+    SimilaritySearch.retrainIvf(spark, dir)
+    assert(!fs.exists(marker), "completed cut-over left the marker behind")
+    assert(SimilaritySearch.loadIvfIndex(spark, dir, persist = false)
+      .centers.length == 8)
+  }
 }
