@@ -1869,7 +1869,7 @@ object ScaleBench {
     // retrains twice: coarse-only (frozen codebook — repairs cell
     // geometry alone) then retrainCodebook=true (the full repair), so
     // the grid shows WHICH quantizer's drift cost the recall.
-    var driftRetrainSmall: (Double, Double) = (0.0, 0.0)
+    var driftRetrainSmall: (Double, Double, Double) = (0.0, 0.0, 0.0)
     val driftJson: Option[String] =
       if (!familySelected("ann_drift_retrain")) None
       else Some {
@@ -1975,6 +1975,27 @@ object ScaleBench {
           }
           val rF2 = recallAtK(truth4, fProbe2)
           val skew2 = SimilaritySearch.ivfSkewReport(spark, fOut).skew
+          // the distributed-trainer repair on the SAME folded artifact
+          // (live rows are invariant under retrain, so this re-prices
+          // the identical workload): the serial path is k-means-
+          // dominated at the √n nlist policy — measured e = 1.05, the
+          // engine's only >1 family exponent (r17 verdict item 1); the
+          // distributed trainer folds order-free quantized integer
+          // sums across every core, so its exponent should land at the
+          // map-only re-assign's level
+          val tRetrainFd = timeIt {
+            SimilaritySearch.retrainIvf(spark, fOut, nlist = nlist,
+              trainer = SimilaritySearch.CoarseTrainer.Distributed())
+          }
+          var fProbeD: DataFrame = null
+          val tF2d = timeIt {
+            fProbeD = SimilaritySearch.ivfProbe(
+              SimilaritySearch.loadIvfIndex(spark, fOut, persist = false),
+              lastQueries, K, nprobe).persist()
+            fProbeD.count(); ()
+          }
+          val rF2d = recallAtK(truth4, fProbeD)
+          val skew2d = SimilaritySearch.ivfSkewReport(spark, fOut).skew
           val pOut = freshDir("pq-fold")
           StreamingVecIndex.compactToPq(spark, pDir, pOut)
           val tRetrainPc = timeIt {
@@ -2002,20 +2023,24 @@ object ScaleBench {
           val rPf = recallAtK(truth4, pProbeF)
           println(s"SCALEDRIFT $tag retrain ivf=${fmt(rF2)} " +
             s"(retrain ${fmt(tRetrainF)}s, skew ${fmt(skew2)}) " +
+            s"ivf_dist=${fmt(rF2d)} (retrain ${fmt(tRetrainFd)}s, " +
+            s"skew ${fmt(skew2d)}) " +
             s"pq_coarse=${fmt(rPc)} (retrain ${fmt(tRetrainPc)}s) " +
             s"pq_full=${fmt(rPf)} (retrain ${fmt(tRetrainPf)}s)")
           if (tag == "small") {
-            driftRetrainSmall = (tRetrainF, tRetrainPf)
+            driftRetrainSmall = (tRetrainF, tRetrainPf, tRetrainFd)
           } else {
             builds("ann_retrain_ivf") = (driftRetrainSmall._1, tRetrainF)
             builds("ann_retrain_pq_full") = (driftRetrainSmall._2, tRetrainPf)
+            builds("ann_retrain_ivf_dist") = (driftRetrainSmall._3, tRetrainFd)
           }
-          (Seq(fProbe2, pProbeC, pProbeF, truth4, lastQueries) ++ cached)
-            .foreach(_.unpersist())
+          (Seq(fProbe2, fProbeD, pProbeC, pProbeF, truth4, lastQueries) ++
+            cached).foreach(_.unpersist())
           s""""$tag":{"n_final":${2 * n0},"nlist":$nlist,"nprobe":$nprobe,""" +
             s""""waves":[${waveParts.mkString(",")}],""" +
             s""""retrain":{""" +
             s""""ivf":{"retrain_sec":${fmt(tRetrainF)},"skew":${fmt(skew2)},"recall":${fmt(rF2)},"probe_sec":${fmt(tF2)}},""" +
+            s""""ivf_dist":{"retrain_sec":${fmt(tRetrainFd)},"skew":${fmt(skew2d)},"recall":${fmt(rF2d)},"probe_sec":${fmt(tF2d)}},""" +
             s""""pq_coarse":{"retrain_sec":${fmt(tRetrainPc)},"recall":${fmt(rPc)},"probe_sec":${fmt(tPc)}},""" +
             s""""pq_full":{"retrain_sec":${fmt(tRetrainPf)},"recall":${fmt(rPf)},"probe_sec":${fmt(tPf)}}}}"""
         }.mkString("{", ",", "}")

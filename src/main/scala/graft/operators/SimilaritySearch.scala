@@ -192,6 +192,127 @@ object SimilaritySearch {
     s
   }
 
+  /** The coarse-quantizer training strategy — the one piece of the IVF
+    * build whose cost is NOT map-only (r18, verdict item 1).
+    *
+    *  - [[CoarseTrainer.Serial]] (default, the pre-r18 behavior): MLlib
+    *    KMeans on the hash-ordered TakeOrdered sample. The sample lands
+    *    in ONE partition, which is deliberately why retrain ≡ rebuild is
+    *    bit-exact — but it also makes every build/retrain at the √n
+    *    nlist policy single-threaded-k-means-dominated (measured
+    *    e = 1.05, 739 s at ×100 in BASELINE's ann_retrain_ivf row).
+    *  - [[CoarseTrainer.Distributed]]: Lloyd iterations whose per-cell
+    *    accumulators are QUANTIZED INTEGER SUMS (floor(v·10⁶) longs —
+    *    the engine-wide exact-arithmetic convention). Integer sums are
+    *    order-free and merge-combinable, so the rounds run as map-side-
+    *    combined partial aggregations across every core, yet the final
+    *    centroids — one IEEE division of exact longs per dim — are
+    *    bit-identical under ANY partitioning of the sample. Same
+    *    deterministic sample, deterministic first-k-distinct init,
+    *    fixed iteration count: retrain ≡ rebuild stays bit-exact WITHIN
+    *    the distributed family (spec- and gate-pinned), without the
+    *    single partition. The two trainers produce different (both
+    *    valid) geometries — an artifact keeps the family it was built
+    *    with across retrains, or accepts a one-time geometry change.
+    */
+  sealed trait CoarseTrainer
+  object CoarseTrainer {
+    case object Serial extends CoarseTrainer
+    final case class Distributed(iters: Int = 10) extends CoarseTrainer
+  }
+
+  /** The distributed deterministic Lloyd trainer (see
+    * [[CoarseTrainer.Distributed]]). Works in the floor(v·10⁶) quantized
+    * integer space end-to-end: points are Long vectors, per-cell
+    * accumulators are (Σq, count) Long sums folded with `treeReduce`
+    * (associative + commutative → partitioning-independent), and each
+    * round's centroid view is the exact ratio Σq/count evaluated once in
+    * IEEE double (deterministic for fixed operands). Assignment per point
+    * scans centers in index order with strict `<`, so distance ties keep
+    * the lowest index — deterministic. Empty cells keep their previous
+    * centroid (the [[trainPqCodebook]] convention). Returned centers are
+    * divided back to the original embedding space.
+    *
+    * Overflow headroom: |floor(v·10⁶)| ≤ ~10⁹ for any sane embedding and
+    * the per-cell sum folds ≤ trainSample rows, so Σq stays ≤ ~10¹⁴ ≪
+    * 2⁶³; the squared-distance accumulation runs in double (exact inputs,
+    * fixed order).
+    */
+  private[graft] def trainCentersDistributed(
+      corpus: DataFrame, nlist: Int, seed: Long,
+      idCol: String, vecCol: String, trainSample: Int,
+      iters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val sample = corpus
+      .select(col(vecCol), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(trainSample)
+      .select(col("__h"), transform(col(vecCol),
+        v => floor(v.cast("double") * lit(1e6)).cast("long")).as("__q"))
+    // deterministic init: the first nlist DISTINCT quantized vectors in
+    // hash order (min hash per distinct content; a full hash collision
+    // breaks ties by content — arrays order lexicographically)
+    val initRows = sample.groupBy(col("__q")).agg(min(col("__h")).as("__mh"))
+      .orderBy(col("__mh"), col("__q")).limit(nlist)
+      .select(col("__q")).collect().map(_.getSeq[Long](0).toArray)
+    require(initRows.nonEmpty,
+      "distributed coarse trainer: empty training sample")
+    val k = initRows.length // < nlist when fewer distinct vectors exist
+    val dim = initRows.head.length
+    // spread the sample across every core — the whole point of this
+    // trainer (the serial path's TakeOrdered sample occupies ONE
+    // partition and k-means runs single-threaded on it). Round-robin
+    // placement is partitioning-dependent, and that is FINE: everything
+    // downstream is an order-free integer fold.
+    val pts = sample.select(col("__q")).rdd
+      .map(_.getSeq[Long](0).toArray)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centers: Array[Array[Double]] = initRows.map(_.map(_.toDouble))
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(centers)
+        val (sums, counts) = pts.mapPartitions { rows =>
+          val ctr = bc.value
+          val s = Array.fill(k)(new Array[Long](dim))
+          val c = new Array[Long](k)
+          rows.foreach { q =>
+            var best = 0; var bestD = Double.MaxValue
+            var ci = 0
+            while (ci < k) {
+              val cc = ctr(ci)
+              var d2 = 0.0; var i = 0
+              while (i < dim) { val dl = q(i) - cc(i); d2 += dl * dl; i += 1 }
+              if (d2 < bestD) { bestD = d2; best = ci }
+              ci += 1
+            }
+            val sb = s(best)
+            var i = 0
+            while (i < dim) { sb(i) += q(i); i += 1 }
+            c(best) += 1
+          }
+          Iterator.single((s, c))
+        }.treeReduce { case ((s1, c1), (s2, c2)) =>
+          var ci = 0
+          while (ci < k) {
+            var i = 0
+            while (i < dim) { s1(ci)(i) += s2(ci)(i); i += 1 }
+            c1(ci) += c2(ci); ci += 1
+          }
+          (s1, c1)
+        }
+        bc.destroy()
+        val prev = centers
+        centers = Array.tabulate(k)(ci =>
+          if (counts(ci) > 0)
+            Array.tabulate(dim)(i => sums(ci)(i).toDouble / counts(ci))
+          else prev(ci))
+        it += 1
+      }
+      centers.map(_.map(_ / 1e6))
+    } finally { pts.unpersist(blocking = false); () }
+  }
+
   /** Build the IVF inverted file. The quantizer trains on a bounded
     * HASH-ORDERED sample — `ORDER BY xxhash64(id, seed) LIMIT n` runs as a
     * distributed TakeOrdered (every partition contributes its local top-n,
@@ -201,18 +322,29 @@ object SimilaritySearch {
     * files happen to come first). 10 Lloyd iterations suffice for a coarse
     * index. With `persist=true` the assigned corpus is cached for repeated
     * probing (the build-once path); one-shot callers pass false.
+    * `trainer` picks the quantizer-training strategy ([[CoarseTrainer]]):
+    * the serial default keeps every pre-r18 artifact bit-identical; the
+    * distributed trainer is the scale path for builds/retrains at large
+    * nlist.
     */
   def buildIvfIndex(
       corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainSample: Int = 50000, persist: Boolean = true): IvfIndex = {
-    val train = corpus
-      .select(col(vecCol), xxhash64(col(idCol), lit(seed)).as("__h"))
-      .orderBy(col("__h")).limit(trainSample)
-      .select(array_to_vector(col(vecCol)).as("__v"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__v").setPredictionCol("__cell").fit(train)
-    val centers = model.clusterCenters.map(_.toArray)
+      trainSample: Int = 50000, persist: Boolean = true,
+      trainer: CoarseTrainer = CoarseTrainer.Serial): IvfIndex = {
+    val centers = trainer match {
+      case CoarseTrainer.Serial =>
+        val train = corpus
+          .select(col(vecCol), xxhash64(col(idCol), lit(seed)).as("__h"))
+          .orderBy(col("__h")).limit(trainSample)
+          .select(array_to_vector(col(vecCol)).as("__v"))
+        new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+          .setFeaturesCol("__v").setPredictionCol("__cell").fit(train)
+          .clusterCenters.map(_.toArray)
+      case CoarseTrainer.Distributed(iters) =>
+        trainCentersDistributed(corpus, nlist, seed, idCol, vecCol,
+          trainSample, iters)
+    }
     val assigned = assignToCells(corpus, centers, idCol, vecCol)
     IvfIndex(centers, if (persist) assigned.persist() else assigned)
   }
@@ -733,10 +865,15 @@ object SimilaritySearch {
     * [[ivfScaleParams]] as the corpus grows). Determinism: the sample
     * is `ORDER BY xxhash64(id, seed) LIMIT trainSample` — a distributed
     * TakeOrdered whose result is independent of file order and
-    * partitioning — and k-means trains on that single ordered
-    * partition, so retraining an UNDRIFTED artifact reproduces a fresh
-    * [[buildIvfIndex]] of the same corpus bit-exactly (spec-pinned:
-    * same centers, same cells, same probe rows).
+    * partitioning — and the trainer is deterministic on it (the serial
+    * default trains k-means on the single ordered partition; the
+    * [[CoarseTrainer.Distributed]] scale path folds order-free
+    * quantized integer sums across all cores), so retraining an
+    * UNDRIFTED artifact reproduces a fresh [[buildIvfIndex]] of the
+    * same corpus WITH THE SAME TRAINER bit-exactly (spec- and
+    * gate-pinned: same centers, same cells, same probe rows). The two
+    * trainers are different geometries — keep the artifact's family
+    * across retrains.
     *
     * A streamed directory is refused — fold it to the batch layout
     * first ([[graft.streaming.StreamingVecIndex.compactTo]]), then
@@ -744,7 +881,8 @@ object SimilaritySearch {
     * .freezeCenters]] the new quantizer for the next stream epoch.
     */
   def retrainIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
-      nlist: Int = 0, seed: Long = 42L, trainSample: Int = 50000): Unit = {
+      nlist: Int = 0, seed: Long = 42L, trainSample: Int = 50000,
+      trainer: CoarseTrainer = CoarseTrainer.Serial): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = InvertedIndex.fsFor(spark, dir)
     requireNotStreamed(fs, root, dir,
@@ -757,7 +895,7 @@ object SimilaritySearch {
     val staging = new Path(s"$dir-retrain-staging")
     fs.delete(staging, true)
     saveIvfIndex(buildIvfIndex(live, k, seed, "neighbor_id", "tv",
-      trainSample, persist = false), staging.toString)
+      trainSample, persist = false, trainer), staging.toString)
     cutOverRelations(fs, root, staging, dir, "retrain",
       Seq("assigned", "centers"))
     fs.delete(new Path(root, "tombstones"), true)
@@ -823,7 +961,8 @@ object SimilaritySearch {
   def retrainIvfInt8(spark: org.apache.spark.sql.SparkSession, dir: String,
       corpus: DataFrame, nlist: Int = 0, seed: Long = 42L,
       trainSample: Int = 50000, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      trainer: CoarseTrainer = CoarseTrainer.Serial): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = InvertedIndex.fsFor(spark, dir)
     requireNotStreamed(fs, root, dir,
@@ -834,7 +973,7 @@ object SimilaritySearch {
     fs.delete(staging, true)
     saveIvfInt8Index(buildIvfInt8Index(liveCorpus,
       resolveNlist(spark, dir, nlist), seed, idCol, vecCol, trainSample,
-      persist = false), staging.toString)
+      persist = false, trainer), staging.toString)
     cutOverRelations(fs, root, staging, dir, "retrain",
       Seq("assigned", "centers"))
     fs.delete(new Path(root, "tombstones"), true)
@@ -857,7 +996,8 @@ object SimilaritySearch {
   def retrainIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
       corpus: DataFrame, nlist: Int = 0, seed: Long = 42L,
       trainSample: Int = 50000, retrainCodebook: Boolean = false,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainer: CoarseTrainer = CoarseTrainer.Serial): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = InvertedIndex.fsFor(spark, dir)
     requireNotStreamed(fs, root, dir,
@@ -874,7 +1014,7 @@ object SimilaritySearch {
           idCol, vecCol)
       } else readCodebook(spark, dir)
     val centers = buildIvfIndex(liveCorpus, k, seed, idCol, vecCol,
-      trainSample, persist = false).centers
+      trainSample, persist = false, trainer).centers
     saveIvfPqIndex(IvfPqIndex(centers, book,
       assignAndEncodePq(liveCorpus, centers, book, idCol, vecCol),
       n = liveCorpus.count()), staging.toString)
@@ -1185,9 +1325,10 @@ object SimilaritySearch {
   def buildIvfInt8Index(
       corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainSample: Int = 50000, persist: Boolean = true): IvfInt8Index = {
+      trainSample: Int = 50000, persist: Boolean = true,
+      trainer: CoarseTrainer = CoarseTrainer.Serial): IvfInt8Index = {
     val float = buildIvfIndex(corpus, nlist, seed, idCol, vecCol, trainSample,
-      persist = false)
+      persist = false, trainer)
     val assigned = assignAndQuantizeInt8(corpus, float.centers, idCol, vecCol)
     IvfInt8Index(float.centers,
       if (persist) assigned.persist() else assigned)
@@ -1434,9 +1575,14 @@ object SimilaritySearch {
   def buildIvfPqIndex(
       corpus: DataFrame, nlist: Int = 16, m: Int = 8, ksub: Int = 64,
       seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding",
-      trainSample: Int = 50000, persist: Boolean = true): IvfPqIndex = {
+      trainSample: Int = 50000, persist: Boolean = true,
+      trainer: CoarseTrainer = CoarseTrainer.Serial): IvfPqIndex = {
+    // `trainer` steers the COARSE quantizer only: the PQ codebook's
+    // per-subspace k-means runs over a driver-side constant-bounded
+    // sample (trainSample = 2000 rows) — never the scale axis the
+    // distributed trainer exists for
     val float = buildIvfIndex(corpus, nlist, seed, idCol, vecCol, trainSample,
-      persist = false)
+      persist = false, trainer)
     val book = trainPqCodebook(corpus, m, ksub, seed, idCol, vecCol)
     // ONE fused pass (r15): assignment and PQ encoding are both per-row
     // functions of the same vector — the earlier assign⋈encode join

@@ -2601,6 +2601,59 @@ object EngineQueries extends QueryPack {
     Some("""SELECT CAST(0 AS BIGINT) AS n_center_mismatch,
       CAST(0 AS BIGINT) AS n_probe_mismatch"""))
 
+  // Distributed-trainer retrain parity (r18, verdict item 1): the SAME
+  // lifecycle as vx_ann_retrain_parity — build on a 75% slice, append
+  // the rest under frozen centers, tombstone two ids, retrain — but
+  // every quantizer trains through CoarseTrainer.Distributed (Lloyd
+  // rounds over order-free quantized integer per-cell sums), and the
+  // build/rebuild corpora are fed through DIFFERENT physical layouts
+  // (repartition 5 vs 9 vs the artifact's own files), so the one hash
+  // prices lifecycle parity AND partitioning invariance together: it
+  // breaks if the distributed fold is order-sensitive anywhere, if the
+  // trainer samples differently from the build path, or if the staged
+  // cut-over serves a torn artifact. NOT memoized (mutating gate).
+  private val annRetrainDistParity = OracleQuery(
+    "vx_ann_retrain_dist_parity",
+    (s, d) => {
+      import SimilaritySearch.CoarseTrainer
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 10)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-dist-retrain-gate").toString
+      SimilaritySearch.saveIvfIndex(
+        SimilaritySearch.buildIvfIndex(
+          emb.filter(col("vec_id") % 4 =!= 3).repartition(5),
+          nlist = 8, persist = false,
+          trainer = CoarseTrainer.Distributed()), dir)
+      SimilaritySearch.appendToIvfIndex(s, dir,
+        emb.filter(col("vec_id") % 4 === 3))
+      SimilaritySearch.deleteFromAnnIndex(s, dir, Seq(11L, 13L))
+      SimilaritySearch.retrainIvf(s, dir,
+        trainer = CoarseTrainer.Distributed())
+      val re = SimilaritySearch.loadIvfIndex(s, dir, persist = false)
+      val fresh = SimilaritySearch.buildIvfIndex(
+        emb.filter(!col("vec_id").isin(11L, 13L)).repartition(9),
+        nlist = 8, persist = false,
+        trainer = CoarseTrainer.Distributed())
+      def rows(idx: SimilaritySearch.IvfIndex) =
+        SimilaritySearch.ivfProbe(idx, q, k = 5, nprobe = 3).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+      val (got, want) = (rows(re), rows(fresh))
+      val centerMismatch = re.centers.map(_.toSeq).toSeq
+        .zipAll(fresh.centers.map(_.toSeq).toSeq, Seq.empty, Seq.empty)
+        .count { case (a, b) => a != b }.toLong
+      sweepScratch(s, dir)
+      import s.implicits._
+      Seq((centerMismatch,
+        (got.size - got.intersect(want).size).toLong +
+          (want.size - got.intersect(want).size).toLong))
+        .toDF("n_center_mismatch", "n_probe_mismatch")
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS n_center_mismatch,
+      CAST(0 AS BIGINT) AS n_probe_mismatch"""))
+
   // Epoch-rotation parity (r17 — the STREAMED drift repair's gate,
   // beside vx_ann_retrain_parity's batch-artifact one): ingest two
   // frozen-quantizer segments + a tombstone into a streamed dir, rotate
@@ -4087,7 +4140,7 @@ object EngineQueries extends QueryPack {
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,
     annIvfPqArtifactParity, annDeleteParity, annRetrainParity,
-    annEpochRotationParity,
+    annRetrainDistParity, annEpochRotationParity,
     annInt8FilteredQuantized,
     streamVecNearDup,
     streamVecNearDupQ,

@@ -481,15 +481,20 @@ object StreamingVecIndex {
   // cannot have.
 
   /** Rotate a float streamed directory into a fresh epoch under
-    * re-trained centers. `nlist` 0 keeps the current cell count. */
+    * re-trained centers. `nlist` 0 keeps the current cell count;
+    * `trainer` picks the quantizer-training strategy
+    * ([[SimilaritySearch.CoarseTrainer]] — the distributed scale path
+    * keeps rotation ≡ fresh-build parity within its own family). */
   def retrainEpoch(spark: SparkSession, dir: String, outDir: String,
-      nlist: Int = 0, seed: Long = 42L, trainSample: Int = 50000): Unit = {
+      nlist: Int = 0, seed: Long = 42L, trainSample: Int = 50000,
+      trainer: SimilaritySearch.CoarseTrainer =
+        SimilaritySearch.CoarseTrainer.Serial): Unit = {
     val live = load(spark, dir, persist = false).assigned
       .select(col("neighbor_id").as("vec_id"), col("tv").as("embedding"))
     val k = if (nlist > 0) nlist else loadCenters(spark, dir).length
     freezeCenters(spark, outDir, SimilaritySearch
       .buildIvfIndex(live, k, seed, trainSample = trainSample,
-        persist = false).centers)
+        persist = false, trainer = trainer).centers)
     applyBatch(live, 0L, outDir)
   }
 
@@ -502,7 +507,9 @@ object StreamingVecIndex {
   def retrainEpochInt8(spark: SparkSession, dir: String, outDir: String,
       corpus: DataFrame, nlist: Int = 0, seed: Long = 42L,
       trainSample: Int = 50000, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      trainer: SimilaritySearch.CoarseTrainer =
+        SimilaritySearch.CoarseTrainer.Serial): Unit = {
     val liveIds = loadInt8(spark, dir, persist = false).assigned
       .select(col("neighbor_id"))
     val liveCorpus = SimilaritySearch.liveCorpusAmong(liveIds, corpus,
@@ -510,7 +517,7 @@ object StreamingVecIndex {
     val k = if (nlist > 0) nlist else loadCenters(spark, dir).length
     freezeCenters(spark, outDir, SimilaritySearch
       .buildIvfIndex(liveCorpus, k, seed, idCol, vecCol, trainSample,
-        persist = false).centers)
+        persist = false, trainer = trainer).centers)
     applyBatchInt8(liveCorpus, 0L, outDir, idCol, vecCol)
   }
 
@@ -523,14 +530,16 @@ object StreamingVecIndex {
   def retrainEpochPq(spark: SparkSession, dir: String, outDir: String,
       corpus: DataFrame, nlist: Int = 0, seed: Long = 42L,
       trainSample: Int = 50000, retrainCodebook: Boolean = false,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainer: SimilaritySearch.CoarseTrainer =
+        SimilaritySearch.CoarseTrainer.Serial): Unit = {
     val pq = loadPq(spark, dir, persist = false)
     val liveCorpus = SimilaritySearch.liveCorpusAmong(
       pq.assigned.select(col("neighbor_id")), corpus, idCol,
       s"retrainEpochPq($dir)")
     val k = if (nlist > 0) nlist else pq.centers.length
     val centers = SimilaritySearch.buildIvfIndex(liveCorpus, k, seed,
-      idCol, vecCol, trainSample, persist = false).centers
+      idCol, vecCol, trainSample, persist = false, trainer).centers
     val book =
       if (retrainCodebook)
         SimilaritySearch.trainPqCodebook(liveCorpus, pq.book.m,
