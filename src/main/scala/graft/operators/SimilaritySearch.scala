@@ -495,7 +495,11 @@ object SimilaritySearch {
     * probe touching the hot cell pays ≥4× its candidate budget — the
     * point where re-training the quantizer on a fresh sample costs less
     * than every future probe overpaying; same order as the FAISS
-    * imbalance-factor guidance). The repair it triggers is
+    * imbalance-factor guidance). The repair ladder (r18): when the
+    * imbalance is CONCENTRATED — few cells overfull while recall holds
+    * — [[rebalanceCells]] is the bounded repair (split only the flagged
+    * cells, cost ∝ skewed-cell volume); when the whole distribution has
+    * drifted (recall decay, skew spread wide), route to the full
     * [[retrainIvf]] (r17): re-train on the live rows, map-only
     * re-assign, rename-aside cut-over — measured decay-then-recovery in
     * ScaleBench's ann_drift_retrain grid. Note skew is bounded above by nlist
@@ -1022,6 +1026,292 @@ object SimilaritySearch {
       Seq("assigned", "centers", "codebook", "meta"))
     fs.delete(new Path(root, "tombstones"), true)
     fs.delete(staging, true)
+  }
+
+  // ---- cell-local repair: split/merge ONLY the skewed cells (r18) ----
+  //
+  // [[retrainIvf]] is all-or-nothing: to fix the few cells drift
+  // actually skewed, it re-trains the whole quantizer and rewrites
+  // EVERY relation — cost ∝ corpus volume. This is the bounded repair
+  // between "do nothing" and "full retrain" (Faiss operational
+  // practice; the takedown family's deferred-bounded discipline applied
+  // to geometry): split each overfull cell with a 2-means on its OWN
+  // rows, retire the most-starved cells to keep the center table dense
+  // (their ids are reused by split children; their few rows re-assign
+  // to the nearest surviving center), and rewrite ONLY the affected
+  // cell partitions — cost ∝ skewed-cell volume, never the corpus.
+  //
+  // What it repairs and what it does not: splitting an overfull cell
+  // halves the probe's candidate cost in that cell (the skew axis —
+  // exactly what [[ivfSkewReport]] measures); it does NOT re-shape the
+  // global geometry, so rows in untouched cells keep their assignment
+  // even if a new child center is now nearer. That is sound for IVF
+  // serving (probes exact-re-rank whatever the probed cells hold) and
+  // is the price of boundedness — when the WHOLE distribution has
+  // drifted (recall decay, not just cell imbalance), route to
+  // [[retrainIvf]]. Only the float artifact rebalances in place: its
+  // inverted file carries the vectors the 2-means needs; the
+  // compressed tiers' repairs need the float corpus anyway and route
+  // through their retrain verbs.
+  //
+  // Crash discipline: the staged cells and the full replacement center
+  // table are COMPLETE before the first rename; live cell dirs rename
+  // aside into `<dir>/rebalance-old/` (OUTSIDE `assigned/` — a stray
+  // suffixed dir inside a partitioned relation would break partition
+  // discovery for every reader); the whole window is bracketed by the
+  // [[requireNotTorn]] pending marker, so a torn rebalance refuses to
+  // load with the recovery route instead of serving mixed geometry.
+
+  /** What [[rebalanceCells]] did, plus the before/after skew so the
+    * caller can decide whether the bounded repair sufficed or the drift
+    * needs the full [[retrainIvf]]. `rowsRewritten` is the repair's
+    * actual I/O (staged rows), the ∝-skewed-volume claim made
+    * measurable; `skewAfter` is derived arithmetically from the staged
+    * counts — the report never pays a corpus-wide rescan.
+    */
+  final case class RebalanceReport(
+      nlistBefore: Int, nlistAfter: Int,
+      splitCells: Seq[Int], retiredCells: Seq[Int], newCells: Seq[Int],
+      rowsRewritten: Long, totalRows: Long,
+      skewBefore: Double, skewAfter: Double) {
+    def changed: Boolean = splitCells.nonEmpty
+  }
+
+  /** Split the cells holding ≥ `splitFactor`× the mean occupancy (2-means
+    * on each cell's own LIVE rows — tombstoned vectors do not vote on
+    * geometry, the retrain discipline); retire up to as many cells at ≤
+    * mean/`starveFactor` occupancy (most-starved first, so the center
+    * table stays dense: each retired id is reused by a split child and
+    * the retired rows re-assign to their nearest surviving center).
+    * Rewrites only the affected cell partitions; retired rows land as
+    * newcomer FILES moved into their receiving cells' directories, so
+    * receivers never rewrite their own volume. Returns the
+    * [[RebalanceReport]]; a no-op (nothing flagged) touches no file.
+    *
+    * ONE round splits each flagged cell into its optimal 2-clustering —
+    * which on a "tight clump + background scatter" cell separates clump
+    * from scatter first, not clump in half. The repair is therefore
+    * ITERATIVE by contract: check `report.skewAfter` (or re-run
+    * [[ivfSkewReport]]) and call again while it still trips; each round
+    * is bounded by that round's flagged volume, and a round that
+    * changes nothing (`!report.changed`) is the fixpoint signal to
+    * escalate to [[retrainIvf]].
+    *
+    * `trainer` follows the build verbs' contract — the distributed
+    * trainer is the scale path: a flagged cell is by construction the
+    * BIGGEST relation in the artifact, exactly where a single-partition
+    * k-means sample hurts most. Deterministic either way (per-cell seed
+    * derived from (seed, cell)).
+    */
+  def rebalanceCells(spark: org.apache.spark.sql.SparkSession, dir: String,
+      splitFactor: Double = 4.0, starveFactor: Double = 8.0,
+      seed: Long = 42L, trainSample: Int = 50000,
+      trainer: CoarseTrainer = CoarseTrainer.Serial): RebalanceReport = {
+    import org.apache.hadoop.fs.Path
+    require(splitFactor > 1.0, s"splitFactor must exceed 1, got $splitFactor")
+    require(starveFactor >= 1.0,
+      s"starveFactor must be >= 1, got $starveFactor")
+    val (fs, root) = InvertedIndex.fsFor(spark, dir)
+    requireNotStreamed(fs, root, dir,
+      "StreamingVecIndex.compactTo(dir, outDir) first, then rebalance " +
+        "the folded artifact and freezeCenters the new quantizer")
+    requireNotTorn(spark, dir)
+    val centers = spark.read.parquet(s"$dir/centers").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val nlist = centers.length
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("neighbor_id"), col("tv"), col("cell"))
+    val observed = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = Array.tabulate(nlist)(c => observed.getOrElse(c, 0L))
+    val total = counts.sum
+    val mean = if (nlist == 0) 0.0 else total.toDouble / nlist
+    val skewBefore =
+      if (mean == 0.0) 1.0 else counts.max / mean
+    val flagged = counts.zipWithIndex
+      .filter { case (n, _) => mean > 0.0 && n >= splitFactor * mean }
+      .sortBy { case (n, c) => (-n, c) }.map(_._2).toSeq
+    if (flagged.isEmpty)
+      return RebalanceReport(nlist, nlist, Nil, Nil, Nil, 0L, total,
+        skewBefore, skewBefore)
+    // 2-means per flagged cell on its LIVE rows; a cell of identical
+    // vectors cannot split (one distinct center) and is skipped
+    val perCellSeed = (c: Int) => seed ^ (0x9E3779B97F4A7C15L * (c + 1))
+    val liveAssigned = applyAnnTombstones(spark, dir, assigned, "neighbor_id")
+    val splits: Seq[(Int, Array[Array[Double]])] = flagged.flatMap { c =>
+      val cellRows = liveAssigned.filter(col("cell") === c)
+      val pair = trainer match {
+        case CoarseTrainer.Distributed(iters) =>
+          trainCentersDistributed(cellRows, 2, perCellSeed(c),
+            "neighbor_id", "tv", trainSample, iters)
+        case CoarseTrainer.Serial =>
+          val train = cellRows
+            .select(col("tv"),
+              xxhash64(col("neighbor_id"), lit(perCellSeed(c))).as("__h"))
+            .orderBy(col("__h")).limit(trainSample)
+            .select(array_to_vector(col("tv")).as("__v"))
+          new KMeans().setK(2).setSeed(perCellSeed(c)).setMaxIter(10)
+            .setFeaturesCol("__v").setPredictionCol("__cell").fit(train)
+            .clusterCenters.map(_.toArray)
+      }
+      if (pair.length == 2) Some(c -> pair) else None
+    }
+    if (splits.isEmpty)
+      return RebalanceReport(nlist, nlist, Nil, Nil, Nil, 0L, total,
+        skewBefore, skewBefore)
+    val splitSet = splits.map(_._1).toSet
+    val starved = counts.zipWithIndex
+      .filter { case (n, c) =>
+        n <= mean / starveFactor && !splitSet.contains(c) }
+      .sortBy { case (n, c) => (n, c) }.map(_._2)
+      .take(splits.length).toSeq
+    // id plan: each split's parent keeps its id; children fill retired
+    // slots first, then extend — the center table stays dense
+    val childIds = starved ++
+      (nlist until nlist + (splits.length - starved.length))
+    val childOf = splits.map(_._1).zip(childIds).toMap
+    val newNlist = nlist + splits.length - starved.length
+    val newCenters: Array[Array[Double]] = {
+      val out = Array.tabulate(newNlist)(c =>
+        if (c < nlist) centers(c) else null)
+      splits.foreach { case (parent, pair) =>
+        out(parent) = pair(0)
+        out(childOf(parent)) = pair(1)
+      }
+      out
+    }
+    // TWO bounded row sets, never a receiver rewrite:
+    //  - flagged cells re-assign between their two child centers and
+    //    are REPLACED whole (staging/cells/cell=parent|child);
+    //  - retired cells re-assign to the nearest center of the NEW
+    //    geometry (dense table ⇒ assignUdf's index IS the cell id) and
+    //    land as NEWCOMER FILES moved into the receiving cells' live
+    //    directories — a parquet partition is just a directory of
+    //    files, so merging costs ∝ the newcomers, never the receivers'
+    //    own volume (an earlier whole-receiver rewrite measured cost ≈
+    //    corpus when a retired cell's rows scattered across every
+    //    cell).
+    // Dead rows are carried through un-trained: the tombstone relation
+    // keeps applying at load exactly as before.
+    val splitInfo = splits.map { case (parent, pair) =>
+      parent -> (pair, childOf(parent)) }.toMap
+    val splitAssign = udf { (cell: Int, v: Seq[Float]) =>
+      val (pair, child) = splitInfo(cell)
+      var s0 = 0.0; var s1 = 0.0; var i = 0
+      while (i < pair(0).length) {
+        val d0 = v(i) - pair(0)(i); s0 += d0 * d0
+        val d1 = v(i) - pair(1)(i); s1 += d1 * d1
+        i += 1
+      }
+      if (s0 <= s1) cell else child
+    }
+    val retiredSet = starved.toSet
+    val fullAssign = assignUdf(newCenters)
+    val splitRows = assigned.filter(col("cell").isin(splitSet.toSeq: _*))
+      .select(col("neighbor_id"), col("tv"),
+        splitAssign(col("cell"), col("tv")).as("cell"))
+    val retiredRows = assigned.filter(col("cell").isin(starved: _*))
+      .select(col("neighbor_id"), col("tv"),
+        fullAssign(col("tv")).as("cell"))
+    val staging = new Path(s"$dir-rebalance-staging")
+    fs.delete(staging, true)
+    splitRows.write.mode("overwrite").partitionBy("cell")
+      .parquet(new Path(staging, "cells").toString)
+    retiredRows.write.mode("overwrite").partitionBy("cell")
+      .parquet(new Path(staging, "newcomers").toString)
+    import spark.implicits._
+    newCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new Path(staging, "centers").toString)
+    // staged per-cell counts → the arithmetic skew-after (no rescan;
+    // both relations are ∝ the affected volume)
+    def cellCounts(sub: String): Map[Int, Long] = {
+      val p = new Path(staging, sub)
+      // an empty partitioned write leaves only _SUCCESS — no cell=
+      // dirs, no schema to infer
+      if (!fs.exists(p) ||
+          !fs.listStatus(p).exists(_.getPath.getName.startsWith("cell=")))
+        Map.empty
+      else spark.read.parquet(p.toString)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val splitCounts = cellCounts("cells")
+    val newcomerCounts = cellCounts("newcomers")
+    val rowsRewritten = splitCounts.values.sum + newcomerCounts.values.sum
+    val countsAfter = Array.tabulate(newNlist) { c =>
+      val basis =
+        if (c < nlist && !splitSet.contains(c) && !retiredSet.contains(c))
+          counts(c)
+        else splitCounts.getOrElse(c, 0L)
+      basis + newcomerCounts.getOrElse(c, 0L)
+    }
+    val meanAfter =
+      if (newNlist == 0) 0.0 else countsAfter.sum.toDouble / newNlist
+    val skewAfter =
+      if (meanAfter == 0.0) 1.0 else countsAfter.max / meanAfter
+    // commit: marker, flagged/retired cells aside (outside assigned/ — a
+    // stray suffixed dir inside a partitioned relation breaks discovery),
+    // staged split cells in, newcomer files moved into their receivers,
+    // centers swap, sweep
+    markPending(fs, root, "rebalance")
+    val oldRoot = new Path(root, "rebalance-old")
+    fs.delete(oldRoot, true)
+    (splitSet ++ retiredSet).foreach { c =>
+      val live = new Path(root, s"assigned/cell=$c")
+      if (fs.exists(live) &&
+          !fs.rename(live, new Path(oldRoot, s"cell=$c")))
+        throw new java.io.IOException(
+          s"rebalanceCells: rename $dir/assigned/cell=$c aside failed")
+    }
+    val stagedCells = fs.listStatus(new Path(staging, "cells"))
+      .map(_.getPath).filter(_.getName.startsWith("cell="))
+    stagedCells.foreach { p =>
+      if (!fs.rename(p, new Path(root, s"assigned/${p.getName}")))
+        throw new java.io.IOException(
+          s"rebalanceCells: rename $p -> $dir/assigned/${p.getName} " +
+            s"failed — pre-rebalance cells preserved at $dir/rebalance-old")
+    }
+    val newcomersRoot = new Path(staging, "newcomers")
+    if (fs.exists(newcomersRoot))
+      fs.listStatus(newcomersRoot).map(_.getPath)
+        .filter(_.getName.startsWith("cell=")).foreach { cellDir =>
+          val target = new Path(root, s"assigned/${cellDir.getName}")
+          if (!fs.exists(target)) fs.mkdirs(target)
+          fs.listStatus(cellDir).map(_.getPath)
+            .filter(f => !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+            .foreach { f =>
+              // the rebal- prefix makes newcomers identifiable for a
+              // torn-window recovery; parquet file names are
+              // task-UUID-unique, so collisions cannot occur
+              if (!fs.rename(f,
+                  new Path(target, s"rebal-${f.getName}")))
+                throw new java.io.IOException(
+                  s"rebalanceCells: moving newcomer $f into $target " +
+                    s"failed — pre-rebalance cells preserved at " +
+                    s"$dir/rebalance-old")
+            }
+        }
+    val liveCenters = new Path(root, "centers")
+    val oldCenters = new Path(root, "centers-rebalance-old")
+    fs.delete(oldCenters, true)
+    if (!fs.rename(liveCenters, oldCenters))
+      throw new java.io.IOException(
+        s"rebalanceCells: rename $dir/centers aside failed")
+    if (!fs.rename(new Path(staging, "centers"), liveCenters))
+      throw new java.io.IOException(
+        s"rebalanceCells: rename staged centers in failed — the " +
+          s"pre-rebalance table is at $dir/centers-rebalance-old")
+    fs.delete(oldCenters, true)
+    clearPending(fs, root)
+    fs.delete(oldRoot, true)
+    fs.delete(staging, true)
+    RebalanceReport(nlist, newNlist, splits.map(_._1), starved,
+      childIds, rowsRewritten, total, skewBefore, skewAfter)
   }
 
   /** Metadata-FILTERED exact top-k: the brute probe over ONLY the allowed

@@ -2654,6 +2654,69 @@ object EngineQueries extends QueryPack {
     Some("""SELECT CAST(0 AS BIGINT) AS n_center_mismatch,
       CAST(0 AS BIGINT) AS n_probe_mismatch"""))
 
+  // Cell-local rebalance parity (r18, verdict item 2): drift a 75%-built
+  // artifact with a frozen-center append of an off-distribution clump
+  // (every clump row piles into ONE cell — the skew shape), run TWO
+  // bounded rebalance rounds (round 1 separates clump from background,
+  // round 2 splits the clump — the iterative contract), and assert as
+  // constants: (a) the exact-regime probe of the rebalanced artifact ≡
+  // the brute ranking over everything live (no row lost, duplicated, or
+  // mis-scored by the partition surgery), (b) skew strictly dropped,
+  // (c) the repair rewrote strictly less than the corpus (the bounded
+  // claim priced inside the gate). NOT memoized — the verb mutates its
+  // directory; the gate prices the skew-build + two repairs per serve.
+  private val annRebalanceParity = OracleQuery(
+    "vx_ann_rebalance_parity",
+    (s, d) => {
+      import SimilaritySearch.CoarseTrainer
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      // the drift clump is DERIVED from the table (half its rows,
+      // re-keyed, shifted +5.0 per dim with the original values scaled
+      // to a tiny jitter so a 2-means can split it) — SF-proportional,
+      // so the skew construction holds at every scale factor
+      val clump = emb.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+          transform(col("embedding"), v =>
+            (lit(5.0) + v.cast("double") * lit(1e-4)).cast("float"))
+            .as("embedding"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-rebalance-gate").toString
+      SimilaritySearch.saveIvfIndex(
+        SimilaritySearch.buildIvfIndex(emb, nlist = 8, persist = false),
+        dir)
+      SimilaritySearch.appendToIvfIndex(s, dir, clump)
+      val before = SimilaritySearch.ivfSkewReport(s, dir).skew
+      val r1 = SimilaritySearch.rebalanceCells(s, dir,
+        splitFactor = 1.5, trainer = CoarseTrainer.Distributed())
+      val r2 = SimilaritySearch.rebalanceCells(s, dir,
+        splitFactor = 1.5, trainer = CoarseTrainer.Distributed())
+      val after = math.min(r1.skewAfter, r2.skewAfter)
+      val re = SimilaritySearch.loadIvfIndex(s, dir, persist = false)
+      val q = emb.filter(col("vec_id") < 8)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+      val got = rows(SimilaritySearch.ivfProbe(re, q, k = 5,
+        nprobe = re.centers.length))
+      val want = rows(SimilaritySearch.bruteForceTopK(
+        emb.unionByName(clump), q, 5))
+      val bounded =
+        r1.rowsRewritten < r1.totalRows && r2.rowsRewritten < r2.totalRows
+      sweepScratch(s, dir)
+      import s.implicits._
+      Seq((
+        (got.size - got.intersect(want).size).toLong +
+          (want.size - got.intersect(want).size).toLong,
+        if (after < before) 1L else 0L,
+        if (bounded) 1L else 0L))
+        .toDF("n_probe_mismatch", "skew_dropped", "rounds_bounded")
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS n_probe_mismatch,
+      CAST(1 AS BIGINT) AS skew_dropped,
+      CAST(1 AS BIGINT) AS rounds_bounded"""))
+
   // Epoch-rotation parity (r17 — the STREAMED drift repair's gate,
   // beside vx_ann_retrain_parity's batch-artifact one): ingest two
   // frozen-quantizer segments + a tombstone into a streamed dir, rotate
@@ -4140,7 +4203,7 @@ object EngineQueries extends QueryPack {
     clusterBalancedSample,
     annInt8, annIvfInt8, annIvfPq, annHamming, annHammingArtifactParity,
     annIvfPqArtifactParity, annDeleteParity, annRetrainParity,
-    annRetrainDistParity, annEpochRotationParity,
+    annRetrainDistParity, annRebalanceParity, annEpochRotationParity,
     annInt8FilteredQuantized,
     streamVecNearDup,
     streamVecNearDupQ,
