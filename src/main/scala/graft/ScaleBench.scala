@@ -1870,6 +1870,7 @@ object ScaleBench {
     // geometry alone) then retrainCodebook=true (the full repair), so
     // the grid shows WHICH quantizer's drift cost the recall.
     var driftRetrainSmall: (Double, Double, Double) = (0.0, 0.0, 0.0)
+    var driftRebalanceSmall: Double = 0.0
     val driftJson: Option[String] =
       if (!familySelected("ann_drift_retrain")) None
       else Some {
@@ -1996,6 +1997,34 @@ object ScaleBench {
           }
           val rF2d = recallAtK(truth4, fProbeD)
           val skew2d = SimilaritySearch.ivfSkewReport(spark, fOut).skew
+          // the BOUNDED repair priced beside the full retrain (r18,
+          // verdict item 2): a fresh fold of the same drifted stream,
+          // repaired with rebalanceCells at splitFactor 1.5 (the drift
+          // grid's skew peaks ~1.9-2.3, under the default 4 dial) —
+          // its cost must track the flagged-cell volume, not the
+          // corpus, and the rewritten-row fraction is recorded so the
+          // claim is checkable
+          val rOut = freshDir("ivf-rebalance")
+          StreamingVecIndex.compactTo(spark, fDir, rOut)
+          var rebReport: SimilaritySearch.RebalanceReport = null
+          val tRebalance = timeIt {
+            rebReport = SimilaritySearch.rebalanceCells(spark, rOut,
+              splitFactor = 1.5,
+              trainer = SimilaritySearch.CoarseTrainer.Distributed())
+          }
+          var fProbeR: DataFrame = null
+          val tFr = timeIt {
+            fProbeR = SimilaritySearch.ivfProbe(
+              SimilaritySearch.loadIvfIndex(spark, rOut, persist = false),
+              lastQueries, K, nprobe).persist()
+            fProbeR.count(); ()
+          }
+          val rFr = recallAtK(truth4, fProbeR)
+          println(s"SCALEDRIFT $tag rebalance " +
+            s"skew ${fmt(rebReport.skewBefore)}->" +
+            s"${fmt(rebReport.skewAfter)} " +
+            s"rewritten=${rebReport.rowsRewritten}/${rebReport.totalRows} " +
+            s"(${fmt(tRebalance)}s) recall=${fmt(rFr)}")
           val pOut = freshDir("pq-fold")
           StreamingVecIndex.compactToPq(spark, pDir, pOut)
           val tRetrainPc = timeIt {
@@ -2029,18 +2058,21 @@ object ScaleBench {
             s"pq_full=${fmt(rPf)} (retrain ${fmt(tRetrainPf)}s)")
           if (tag == "small") {
             driftRetrainSmall = (tRetrainF, tRetrainPf, tRetrainFd)
+            driftRebalanceSmall = tRebalance
           } else {
             builds("ann_retrain_ivf") = (driftRetrainSmall._1, tRetrainF)
             builds("ann_retrain_pq_full") = (driftRetrainSmall._2, tRetrainPf)
             builds("ann_retrain_ivf_dist") = (driftRetrainSmall._3, tRetrainFd)
+            builds("ann_rebalance_cells") = (driftRebalanceSmall, tRebalance)
           }
-          (Seq(fProbe2, fProbeD, pProbeC, pProbeF, truth4, lastQueries) ++
-            cached).foreach(_.unpersist())
+          (Seq(fProbe2, fProbeD, fProbeR, pProbeC, pProbeF, truth4,
+            lastQueries) ++ cached).foreach(_.unpersist())
           s""""$tag":{"n_final":${2 * n0},"nlist":$nlist,"nprobe":$nprobe,""" +
             s""""waves":[${waveParts.mkString(",")}],""" +
             s""""retrain":{""" +
             s""""ivf":{"retrain_sec":${fmt(tRetrainF)},"skew":${fmt(skew2)},"recall":${fmt(rF2)},"probe_sec":${fmt(tF2)}},""" +
             s""""ivf_dist":{"retrain_sec":${fmt(tRetrainFd)},"skew":${fmt(skew2d)},"recall":${fmt(rF2d)},"probe_sec":${fmt(tF2d)}},""" +
+            s""""rebalance":{"sec":${fmt(tRebalance)},"skew_before":${fmt(rebReport.skewBefore)},"skew_after":${fmt(rebReport.skewAfter)},"rows_rewritten":${rebReport.rowsRewritten},"total_rows":${rebReport.totalRows},"recall":${fmt(rFr)},"probe_sec":${fmt(tFr)}},""" +
             s""""pq_coarse":{"retrain_sec":${fmt(tRetrainPc)},"recall":${fmt(rPc)},"probe_sec":${fmt(tPc)}},""" +
             s""""pq_full":{"retrain_sec":${fmt(tRetrainPf)},"recall":${fmt(rPf)},"probe_sec":${fmt(tPf)}}}}"""
         }.mkString("{", ",", "}")
