@@ -1947,7 +1947,10 @@ object ScaleBench {
               pProbe.count(); ()
             }
             val rP = recallAtK(truth, pProbe)
-            val skew = SimilaritySearch.ivfSkewReport(spark, fDir).skew
+            // the streamed twin (r18): fDir is a live segment layout —
+            // the batch report refuses it; values are identical here
+            // (no manifest, no tombstones in the grid)
+            val skew = StreamingVecIndex.skewReport(spark, fDir).skew
             println(s"SCALEDRIFT $tag wave=$w n=${n0 + w * (n0 / 4)} " +
               s"skew=${fmt(skew)} ivf=${fmt(rF)} (${fmt(tF)}s) " +
               s"pq=${fmt(rP)} (${fmt(tP)}s)")

@@ -515,12 +515,29 @@ object SimilaritySearch {
 
   def ivfSkewReport(spark: org.apache.spark.sql.SparkSession, dir: String,
       reclusterSkewThreshold: Double = 4.0): IvfSkewReport = {
-    require(reclusterSkewThreshold > 1.0,
-      s"threshold must exceed 1 (perfect balance), got $reclusterSkewThreshold")
+    // a streamed layout must scope to LIVE segments (a crashed merge's
+    // orphans or a folded segment would silently inflate the counts) —
+    // that scoping lives with the manifest machinery
+    val (fs, root) = InvertedIndex.fsFor(spark, dir)
+    requireNotStreamed(fs, root, dir,
+      "StreamingVecIndex.skewReport(dir) (manifest-scoped, tombstone-" +
+        "applied — the shape the stream actually serves)")
     val nlist = spark.read.parquet(s"$dir/centers").count().toInt
     val counts = spark.read.parquet(s"$dir/assigned")
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(1))
+      .collect().map(r => r.getLong(1)).toSeq
+    skewReportOver(nlist, counts, reclusterSkewThreshold)
+  }
+
+  /** The report math on already-resolved cell counts — ONE definition
+    * shared by the batch report and [[graft.streaming.StreamingVecIndex
+    * .skewReport]]'s manifest-scoped twin, so the trigger semantics
+    * cannot drift between the two layouts.
+    */
+  private[graft] def skewReportOver(nlist: Int, counts: Seq[Long],
+      reclusterSkewThreshold: Double): IvfSkewReport = {
+    require(reclusterSkewThreshold > 1.0,
+      s"threshold must exceed 1 (perfect balance), got $reclusterSkewThreshold")
     val total = counts.sum
     val maxSz = if (counts.isEmpty) 0L else counts.max
     val mean = if (nlist == 0) 0.0 else total.toDouble / nlist

@@ -207,22 +207,83 @@ object StreamingVecIndex {
         SimilaritySearch.readCodebook(spark, dir), idCol, vecCol)
     })
 
+  /** Cell-occupancy health of a LIVE streamed directory — the
+    * [[SimilaritySearch.ivfSkewReport]] twin for the layout a stream
+    * serves from (r18, verdict item 3: before this, drift on a live
+    * stream was only observable by remembering to fold + report
+    * manually). Scoped to exactly what [[load]] serves: live segments
+    * per the merge manifest (a crashed merge's orphans or a folded
+    * segment never inflate the counts) with tombstones applied — so by
+    * construction the report equals the batch-layout report over the
+    * [[compactTo]] fold (spec-pinned). One column-pruned pass over the
+    * live relation, O(nlist) result.
+    */
+  def skewReport(spark: SparkSession, dir: String,
+      reclusterSkewThreshold: Double = 4.0): SimilaritySearch.IvfSkewReport = {
+    val nlist = loadCenters(spark, dir).length
+    val counts = liveAssigned(spark, dir, Seq("neighbor_id", "cell"),
+        persist = false)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).toSeq
+    SimilaritySearch.skewReportOver(nlist, counts, reclusterSkewThreshold)
+  }
+
+  /** The rotation ADVISORY: true when the live streamed directory's
+    * skew has crossed the recluster threshold — the signal to schedule
+    * [[retrainEpoch]]/[[retrainEpochInt8]]/[[retrainEpochPq]] into a
+    * fresh directory. Advisory only, never automatic: a rotation
+    * changes the SINK IDENTITY (new directory, new checkpoint), which
+    * must stay a caller decision — an auto-rotating sink would silently
+    * strand the running stream's replay idempotence.
+    */
+  def needsRotation(spark: SparkSession, dir: String,
+      reclusterSkewThreshold: Double = 4.0): Boolean =
+    skewReport(spark, dir, reclusterSkewThreshold).needsRecluster
+
+  /** The default rotation advice channel: one loud log line naming the
+    * repair route. */
+  private def logRotationAdvice(dir: String)(
+      rep: SimilaritySearch.IvfSkewReport): Unit =
+    println(s"GRAFT-ADVISORY StreamingVecIndex($dir): cell skew " +
+      f"${rep.skew}%.2f crossed the recluster threshold " +
+      s"(max ${rep.maxCellSize} vs mean ${rep.meanCellSize} over " +
+      s"${rep.nlist} cells) — schedule an epoch rotation " +
+      "(retrainEpoch* into a fresh directory) and switch the sink; " +
+      "rotation changes sink identity and is never automatic")
+
   /** The streaming writer: attach a checkpoint and `.start()` (or
     * `.trigger(AvailableNow)` for catch-up). foreachBatch because the
     * delta is batch-relational (one assignment pass + a partitioned
     * write). `mergeEvery` ≥ 2 turns on auto segment-merge.
+    * `rotateCheckEvery` ≥ 1 turns on the drift advisory beside it:
+    * every N batches the [[skewReport]] runs and, at
+    * `rotateSkewThreshold`, `onRotationAdvice` fires (default: one
+    * loud log line). Report-only by design — see [[needsRotation]] for
+    * why rotation itself must stay a caller decision. The check pays
+    * one column-pruned pass over the live relation per N batches;
+    * size N to the ingest cadence (default off).
     */
   def sink(vecs: DataFrame, dir: String, checkpoint: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      mergeEvery: Int = 0)
+      mergeEvery: Int = 0, rotateCheckEvery: Int = 0,
+      rotateSkewThreshold: Double = 4.0,
+      onRotationAdvice: SimilaritySearch.IvfSkewReport => Unit = null)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(mergeEvery == 0 || mergeEvery >= 2,
       s"mergeEvery must be 0 (off) or >= 2, got $mergeEvery")
+    require(rotateCheckEvery >= 0,
+      s"rotateCheckEvery must be >= 0 (0 = off), got $rotateCheckEvery")
+    val advise =
+      Option(onRotationAdvice).getOrElse(logRotationAdvice(dir) _)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatch(b, id, dir, idCol, vecCol)
         if (mergeEvery > 0) { maybeMerge(b.sparkSession, dir, mergeEvery, id); () }
+        if (rotateCheckEvery > 0 && id % rotateCheckEvery == 0) {
+          val rep = skewReport(b.sparkSession, dir, rotateSkewThreshold)
+          if (rep.needsRecluster) advise(rep)
+        }
       }
   }
 
