@@ -1093,7 +1093,8 @@ object ScaleBench {
       builds("emb_ivf_index") = (timeIt { mkIdx(base) }, timeIt { mkIdx(out) })
     }
     if (familySelected("int8_filtered_selective") ||
-        familySelected("int8_filtered_permissive")) {
+        familySelected("int8_filtered_permissive") ||
+        familySelected("ann_recall_filtered")) { // r18: clustered-ACL rows probe the int8 tier too
       def mkIdx(dir: String): Unit = {
         val emb = Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("embedding"))
@@ -1672,9 +1673,64 @@ object ScaleBench {
                 s""""pq_auto":{"recall":${fmt(rPq)},"probe_sec":${fmt(tPq)}}""")
                 .mkString("", ",", "}")
           }
+          // CLUSTERED (cell-correlated) allowed sets (r18, verdict item
+          // 4): the modulus draws above are uncorrelated BY CONSTRUCTION
+          // — the realistic multi-tenant ACL clusters into few cells
+          // (tenants have topics). Two shapes bracket the regime:
+          //   - clustered_few: the members of 3 cells (s ≈ 3/nlist —
+          //     the volume dial's 1/s cap forces every cell, i.e. the
+          //     exact filtered ranking: the cap SAVES this case, priced
+          //     here);
+          //   - clustered_spread: the members of every 5th cell (s ≈
+          //     0.2 — the dial lands mid-range, probing nearest cells
+          //     of ANY kind while the allowed mass sits elsewhere: the
+          //     under-recall case the cell-aware dial exists for).
+          // Measured per shape: float volume-dial auto, float
+          // CELL-AWARE auto, int8 auto, PQ refined auto — all against
+          // the same exact filtered-brute truth.
+          val (int8Idx, _) = embInt8Idx(dir)
+          val pqIdxC = embPqIdx(dir)
+          val clusteredParts = Seq(
+            ("clustered_few",
+              idx.assigned.filter(col("cell").isin(0, 1, 2))),
+            ("clustered_spread",
+              idx.assigned.filter(pmod(col("cell"), lit(5)) === 0)))
+            .map { case (fname, allowedRel) =>
+              val allowed = allowedRel
+                .select(col("neighbor_id").as("vec_id")).persist()
+              val na = allowed.count()
+              val sel = math.max(1.0 / n, na.toDouble / n)
+              val truth = SimilaritySearch
+                .bruteForceTopKAmong(emb, queries, K, allowed).persist()
+              val tTruth = timeIt { truth.count(); () }
+              val npAuto = SimilaritySearch.filteredNprobeParam(nlist, sel)
+              def measure(name: String)(mk: => DataFrame): String = {
+                var probe: DataFrame = null
+                val t = timeIt { probe = mk.persist(); probe.count(); () }
+                val r = recallAtK(truth, probe)
+                probe.unpersist()
+                println(s"SCALEFILTER $tag $fname n=$n sel=${fmt(sel)} " +
+                  s"$name recall=${fmt(r)} probe=${fmt(t)}s")
+                s""""$name":{"recall":${fmt(r)},"probe_sec":${fmt(t)}}"""
+              }
+              val rowsJson = Seq(
+                measure("ivf_auto")(SimilaritySearch.ivfProbeAmong(
+                  idx, queries, K, npAuto, allowed)),
+                measure("ivf_cellaware")(SimilaritySearch
+                  .ivfProbeAmongAutoCellAware(idx, queries, K, allowed)),
+                measure("int8_auto")(SimilaritySearch
+                  .ivfProbeInt8AmongAuto(int8Idx, queries, K, allowed,
+                    selectivity = Some(sel))),
+                measure("pq_auto")(SimilaritySearch
+                  .ivfProbePqRefinedAmongAuto(pqIdxC, emb, queries, K,
+                    allowed, selectivity = Some(sel))))
+              truth.unpersist(); allowed.unpersist()
+              s""""$fname":{"n_allowed":$na,"selectivity":${fmt(sel)},""" +
+                s""""nprobe_auto":$npAuto,""" + rowsJson.mkString(",") + "}"
+            }
           queries.unpersist(); emb.unpersist()
           s""""$tag":{"n":$n,"nlist":$nlist,"nprobe_policy":$nprobePolicy,""" +
-            parts.mkString("", ",", "}")
+            (parts ++ clusteredParts).mkString("", ",", "}")
         }.mkString("{", ",", "}")
       }
 
@@ -2012,8 +2068,7 @@ object ScaleBench {
           var rebReport: SimilaritySearch.RebalanceReport = null
           val tRebalance = timeIt {
             rebReport = SimilaritySearch.rebalanceCells(spark, rOut,
-              splitFactor = 1.5,
-              trainer = SimilaritySearch.CoarseTrainer.Distributed())
+              splitFactor = 1.5)
           }
           var fProbeR: DataFrame = null
           val tFr = timeIt {

@@ -1114,16 +1114,15 @@ object SimilaritySearch {
     * changes nothing (`!report.changed`) is the fixpoint signal to
     * escalate to [[retrainIvf]].
     *
-    * `trainer` follows the build verbs' contract — the distributed
-    * trainer is the scale path: a flagged cell is by construction the
-    * BIGGEST relation in the artifact, exactly where a single-partition
-    * k-means sample hurts most. Deterministic either way (per-cell seed
-    * derived from (seed, cell)).
+    * All flagged cells train in ONE aggregation pass (per-cell serial
+    * Lloyd over a hash-capped quantized sample — deterministic under
+    * any partitioning), so the round costs O(1) Spark jobs however
+    * many cells are flagged — the [[CoarseTrainer]] choice never enters
+    * this verb.
     */
   def rebalanceCells(spark: org.apache.spark.sql.SparkSession, dir: String,
       splitFactor: Double = 4.0, starveFactor: Double = 8.0,
-      seed: Long = 42L, trainSample: Int = 50000,
-      trainer: CoarseTrainer = CoarseTrainer.Serial): RebalanceReport = {
+      seed: Long = 42L): RebalanceReport = {
     import org.apache.hadoop.fs.Path
     require(splitFactor > 1.0, s"splitFactor must exceed 1, got $splitFactor")
     require(starveFactor >= 1.0,
@@ -1153,27 +1152,70 @@ object SimilaritySearch {
     if (flagged.isEmpty)
       return RebalanceReport(nlist, nlist, Nil, Nil, Nil, 0L, total,
         skewBefore, skewBefore)
-    // 2-means per flagged cell on its LIVE rows; a cell of identical
-    // vectors cannot split (one distinct center) and is skipped
-    val perCellSeed = (c: Int) => seed ^ (0x9E3779B97F4A7C15L * (c + 1))
+    // 2-means per flagged cell, ALL cells in ONE pass: a per-cell
+    // hash-ranked sample (window over the flagged partitions — shuffle
+    // ∝ flagged volume) feeds a single groupByKey whose serial per-cell
+    // Lloyd runs on ≤ perCellSample quantized rows, every flagged cell
+    // training in parallel across executors. An earlier driver loop ran
+    // the full distributed trainer per cell — O(|flagged|) Spark jobs,
+    // measured job-scheduling-dominated at moderate skew where flagged
+    // cells are individually small (~splitFactor × mean rows each).
+    // Deterministic: hash-ranked sorted sample, first-2-distinct init,
+    // quantized integer sums, fixed iterations — serial within a cell,
+    // so partitioning cannot enter. Tombstoned rows do not vote. A cell
+    // of identical vectors cannot split (one distinct center): skipped.
     val liveAssigned = applyAnnTombstones(spark, dir, assigned, "neighbor_id")
-    val splits: Seq[(Int, Array[Array[Double]])] = flagged.flatMap { c =>
-      val cellRows = liveAssigned.filter(col("cell") === c)
-      val pair = trainer match {
-        case CoarseTrainer.Distributed(iters) =>
-          trainCentersDistributed(cellRows, 2, perCellSeed(c),
-            "neighbor_id", "tv", trainSample, iters)
-        case CoarseTrainer.Serial =>
-          val train = cellRows
-            .select(col("tv"),
-              xxhash64(col("neighbor_id"), lit(perCellSeed(c))).as("__h"))
-            .orderBy(col("__h")).limit(trainSample)
-            .select(array_to_vector(col("tv")).as("__v"))
-          new KMeans().setK(2).setSeed(perCellSeed(c)).setMaxIter(10)
-            .setFeaturesCol("__v").setPredictionCol("__cell").fit(train)
-            .clusterCenters.map(_.toArray)
-      }
-      if (pair.length == 2) Some(c -> pair) else None
+    val splits: Seq[(Int, Array[Array[Double]])] = {
+      import spark.implicits._
+      val perCellSample = 4096
+      val w = Window.partitionBy(col("cell")).orderBy(col("__h"))
+      val sampled = liveAssigned
+        .filter(col("cell").isin(flagged: _*))
+        .select(col("cell"),
+          xxhash64(col("neighbor_id"), col("cell"), lit(seed)).as("__h"),
+          transform(col("tv"),
+            v => floor(v.cast("double") * lit(1e6)).cast("long")).as("__q"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= perCellSample)
+        .select(col("cell"), col("__h"), col("__q"))
+        .as[(Int, Long, Array[Long])]
+      sampled.groupByKey(_._1).mapGroups { (cell, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3.toSeq))(
+          Ordering.Tuple2(Ordering.Long,
+            math.Ordering.Implicits.seqOrdering[Seq, Long]))
+        val dim = rows.head._3.length
+        val distinct2 = rows.iterator.map(_._3.toSeq).distinct.take(2).toSeq
+        if (distinct2.length < 2) (cell, Seq.empty[Seq[Double]])
+        else {
+          var ctr = distinct2.map(_.map(_.toDouble).toArray).toArray
+          var iter = 0
+          while (iter < 10) {
+            val sums = Array.fill(2)(new Array[Long](dim))
+            val cnt = new Array[Long](2)
+            rows.foreach { case (_, _, q) =>
+              var s0 = 0.0; var s1 = 0.0; var i = 0
+              while (i < dim) {
+                val d0 = q(i) - ctr(0)(i); s0 += d0 * d0
+                val d1 = q(i) - ctr(1)(i); s1 += d1 * d1
+                i += 1
+              }
+              val best = if (s0 <= s1) 0 else 1
+              var j = 0
+              while (j < dim) { sums(best)(j) += q(j); j += 1 }
+              cnt(best) += 1
+            }
+            ctr = Array.tabulate(2)(ci =>
+              if (cnt(ci) > 0)
+                Array.tabulate(dim)(i => sums(ci)(i).toDouble / cnt(ci))
+              else ctr(ci))
+            iter += 1
+          }
+          (cell, ctr.map(_.map(_ / 1e6).toSeq).toSeq)
+        }
+      }.collect().toSeq
+        .collect { case (c, pair) if pair.length == 2 =>
+          c -> pair.map(_.toArray).toArray }
+        .sortBy { case (c, _) => (-counts(c), c) }
     }
     if (splits.isEmpty)
       return RebalanceReport(nlist, nlist, Nil, Nil, Nil, 0L, total,
@@ -2500,6 +2542,89 @@ object SimilaritySearch {
       resolveSelectivity(selectivity, allowed, index.assigned, idCol))
     ivfProbeAmong(index, queries, k, np, allowed, idCol, vecCol)
   }
+
+  /** [[ivfProbeAmong]] with CELL-AWARE probing — the dial for
+    * CORRELATED allowed sets (r18, verdict item 4). The
+    * [[filteredNprobeParam]] conservation law is VOLUME-based: nprobe/s
+    * restores allowed-candidate volume assuming the allowed set spreads
+    * uniformly across cells. The realistic multi-tenant case is the
+    * opposite — a tenant's documents cluster into FEW cells (tenants
+    * have topics) — and then a query far from the tenant's region ranks
+    * those cells poorly among ALL cells, probes its nprobe nearest
+    * (mostly allowed-empty) cells, and under-recalls however wide the
+    * volume dial opens short of the nlist cap.
+    *
+    * This verb resolves the set of cells that actually HOLD allowed
+    * candidates — one bounded semi-join aggregation at probe
+    * construction (O(nlist) result, the [[resolveSelectivity]] cost
+    * class), never per query — and each query probes its `nprobe`
+    * nearest cells AMONG THOSE. Coverage is counted in allowed cells,
+    * so the probe goes where the tenant's documents live regardless of
+    * how they cluster. At `nprobe ≥` the allowed-cell count the probe
+    * visits every allowed row: EXACTLY the filtered brute ranking
+    * (spec-pinned) — the same exactness anchor the volume dial only
+    * reaches at the full nlist cap. The allowed semi-join still rides
+    * the candidate relation (an allowed CELL holds disallowed rows
+    * too), preserving pre-filter semantics.
+    */
+  def ivfProbeAmongCellAware(
+      index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      allowed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val allowedCells = resolveAllowedCells(index, allowed, idCol)
+    if (allowedCells.isEmpty)
+      // empty intersection: the filtered result is empty by definition —
+      // serve through the plain filtered probe (its semi-join yields
+      // zero candidates) rather than inventing a cell set
+      return ivfProbeAmong(index, queries, k, 1, allowed, idCol, vecCol)
+    val centers = index.centers
+    val probe = udf { (v: Seq[Float]) =>
+      allowedCells.map(c2 => (c2, sqDist(v, centers(c2))))
+        .sortBy { case (c2, d2) => (d2, c2) }.take(nprobe).map(_._1)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probe(col(vecCol))).as("cell"))
+    val cand = index.assigned.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(allowed.select(col(idCol).as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      VecOps.cosineNative(col("qv"), col("tv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** [[ivfProbeAmongCellAware]] with nprobe from the constant-fraction
+    * policy applied to the ALLOWED CELL SPACE: probe ≥ 1/16 of the
+    * cells that hold allowed candidates (floor [[policyNprobe]]'s 4,
+    * cap = all of them). Scored volume is then ∝ the allowed mass in
+    * the probed fraction — bounded by the filtered brute scan whatever
+    * the clustering, which is the conservation statement the
+    * volume-based dial can only make for uniformly-spread filters.
+    */
+  def ivfProbeAmongAutoCellAware(
+      index: IvfIndex, queries: DataFrame, k: Int, allowed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nCells = resolveAllowedCells(index, allowed, idCol).length
+    val np = math.min(math.max(1, nCells),
+      math.max(4, math.ceil(nCells / 16.0).toInt))
+    ivfProbeAmongCellAware(index, queries, k, np, allowed, idCol, vecCol)
+  }
+
+  // the bounded allowed-cell resolution shared by the cell-aware verbs:
+  // distinct cells of the allowed∩index rows, sorted for deterministic
+  // tie-breaks in the probe UDF
+  private def resolveAllowedCells(index: IvfIndex, allowed: DataFrame,
+      idCol: String): Array[Int] =
+    index.assigned
+      .join(allowed.select(col(idCol).as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
 
   /** The int8 twin of [[ivfProbeAmongAuto]] — the memory-floor serving
     * tier gets the same selectivity-aware dial.

@@ -2688,9 +2688,9 @@ object EngineQueries extends QueryPack {
       SimilaritySearch.appendToIvfIndex(s, dir, clump)
       val before = SimilaritySearch.ivfSkewReport(s, dir).skew
       val r1 = SimilaritySearch.rebalanceCells(s, dir,
-        splitFactor = 1.5, trainer = CoarseTrainer.Distributed())
+        splitFactor = 1.5)
       val r2 = SimilaritySearch.rebalanceCells(s, dir,
-        splitFactor = 1.5, trainer = CoarseTrainer.Distributed())
+        splitFactor = 1.5)
       val after = math.min(r1.skewAfter, r2.skewAfter)
       val re = SimilaritySearch.loadIvfIndex(s, dir, persist = false)
       val q = emb.filter(col("vec_id") < 8)

@@ -55,15 +55,13 @@ class RebalanceSpec extends SparkSpec {
     // cell separates clump from background scatter (barely moving
     // skew), round 2 splits the now-pure clump by its jitter classes —
     // each round bounded by that round's flagged volume
-    val report = SimilaritySearch.rebalanceCells(spark, dir,
-      trainer = CoarseTrainer.Distributed())
+    val report = SimilaritySearch.rebalanceCells(spark, dir)
     assert(report.changed && report.splitCells.nonEmpty)
     // bounded: each round rewrites the affected partitions, not the
     // corpus — here the flagged + retired cells only
     assert(report.rowsRewritten < report.totalRows,
       s"repair rewrote the whole corpus: $report")
-    val report2 = SimilaritySearch.rebalanceCells(spark, dir,
-      trainer = CoarseTrainer.Distributed())
+    val report2 = SimilaritySearch.rebalanceCells(spark, dir)
     assert(report2.skewAfter < before.skew / 1.5,
       s"two rounds should visibly drop skew: $before -> $report2")
     // the arithmetic skew-after matches a ground-truth re-measure
@@ -89,8 +87,7 @@ class RebalanceSpec extends SparkSpec {
 
   test("starved cells retire: their ids are reused and their rows re-home") {
     val dir = skewedDir("retire")
-    val report = SimilaritySearch.rebalanceCells(spark, dir,
-      trainer = CoarseTrainer.Distributed())
+    val report = SimilaritySearch.rebalanceCells(spark, dir)
     // the construction leaves the 8 original cells far below the
     // post-clump mean, so the split child reuses a retired id and the
     // table does NOT grow
@@ -106,8 +103,7 @@ class RebalanceSpec extends SparkSpec {
   test("tombstoned rows do not vote on the split geometry but stay tombstoned") {
     val dir = skewedDir("tomb")
     SimilaritySearch.deleteFromAnnIndex(spark, dir, Seq(100001L, 3L))
-    val report = SimilaritySearch.rebalanceCells(spark, dir,
-      trainer = CoarseTrainer.Distributed())
+    val report = SimilaritySearch.rebalanceCells(spark, dir)
     assert(report.changed)
     val re = SimilaritySearch.loadIvfIndex(spark, dir, persist = false)
     val q = clump(4000).filter(col("vec_id") === 100005L)
