@@ -1039,7 +1039,8 @@ object ScaleBench {
         familySelected("phrase_batch") || familySelected("phrase_loop") ||
         familySelected("proximity_batch") ||
         familySelected("proximity_loop") ||
-        familySelected("snippets_batch")) {
+        familySelected("snippets_batch") ||
+        familySelected("hybrid_recall_fused")) { // r18: positional hedge row
       def mkPosIdx(dir: String): Unit = {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-scale-lexidx-pos").toString
@@ -1880,6 +1881,52 @@ object ScaleBench {
                   s""""$tag2":{"recall":${fmt(r)},"probe_sec":${fmt(t)},""" +
                     s""""truth_sec":${fmt(tT)}}"""
                 }
+                // POSITIONAL hedge (r18, verdict item 7 stretch): the
+                // same hedging frame with the third vote carrying
+                // positional EVIDENCE (proximity windows) instead of a
+                // second dense tier. The positional leg is EXACT (the
+                // pruned posting scan approximates nothing), so scored
+                // against the matching 3-leg truth (Brute + Sparse +
+                // Proximity, same weights) the row reads what one
+                // approximate dense vote still costs the fold when two
+                // exact votes flank it — vs three_leg_hedged where the
+                // flanking vote is itself a (near-exact) dense
+                // approximation of the SAME decayed signal.
+                def served3Pos(tag2: String): String = {
+                  import graft.operators.HybridRetrieval.EnsembleLeg
+                  val third: (EnsembleLeg, Double) =
+                    (EnsembleLeg.Proximity(posIdx(dir), 8), 1.0)
+                  val truth3 = HybridRetrieval.rrfTopKLegsByQueryAmong(
+                      Seq(
+                        (EnsembleLeg.Dense(HybridRetrieval.DenseLeg
+                          .Brute(emb)): EnsembleLeg, 1.0),
+                        (EnsembleLeg.Sparse(lx), 1.0),
+                        third),
+                      qterms, qvecs, K, allowed, legK = 100,
+                      selectivity = Some(sel))
+                    .select(col("query_id"),
+                      col("doc_id").as("neighbor_id")).persist()
+                  val tT = timeIt { truth3.count(); () }
+                  var df: DataFrame = null
+                  val t = timeIt {
+                    df = HybridRetrieval.rrfTopKLegsByQueryAmong(
+                        Seq(
+                          (EnsembleLeg.Dense(ivfLeg): EnsembleLeg, 1.0),
+                          (EnsembleLeg.Sparse(lx), 1.0),
+                          third),
+                        qterms, qvecs, K, allowed, legK = 100,
+                        selectivity = Some(sel))
+                      .select(col("query_id"),
+                        col("doc_id").as("neighbor_id")).persist()
+                    df.count(); ()
+                  }
+                  val r = recallAtK(truth3, df)
+                  df.unpersist(); truth3.unpersist()
+                  println(s"SCALEHYBRID $tag $fname n=$n $tag2 " +
+                    s"recall=${fmt(r)} probe=${fmt(t)}s truth3=${fmt(tT)}s")
+                  s""""$tag2":{"recall":${fmt(r)},"probe_sec":${fmt(t)},""" +
+                    s""""truth_sec":${fmt(tT)}}"""
+                }
                 Seq(
                   served("ivf_nprobe_x2", ivfLeg, sel / 2, 100),
                   served("ivf_nprobe_x4", ivfLeg, sel / 4, 100),
@@ -1888,7 +1935,8 @@ object ScaleBench {
                     pqLeg(Some(2 * pqAutoRefine)), sel, 100),
                   served("pq_nprobe_x2", pqLeg(None), sel / 2, 100),
                   served("pq_legk_x2", pqLeg(None), sel, 200),
-                  served3("three_leg_hedged"))
+                  served3("three_leg_hedged"),
+                  served3Pos("three_leg_positional"))
               }
             truth.unpersist()
             s""""$fname":{"truth_sec":${fmt(tTruth)},""" +
