@@ -1991,7 +1991,7 @@ object ScaleBench {
           // dim from the data, not a constant: element_at past the gains
           // array returns NULL (non-ANSI), which would silently null-out
           // drifted vectors and corrupt the measured decay grid (ADVICE r17)
-          val dim = emb0.select(size(col("embedding"))).head.getInt(0)
+          val dim = emb0.select(size(col("embedding"))).head().getInt(0)
           val (nlist, nprobe) = ivfScaleParams(2 * n0)
           def drifted(w: Int): DataFrame = {
             val gains = (0 until dim).map(j =>

@@ -2668,7 +2668,6 @@ object EngineQueries extends QueryPack {
   private val annRebalanceParity = OracleQuery(
     "vx_ann_rebalance_parity",
     (s, d) => {
-      import SimilaritySearch.CoarseTrainer
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
       // the drift clump is DERIVED from the table (half its rows,

@@ -1,7 +1,6 @@
 package graft
 
 import graft.operators.SimilaritySearch
-import graft.operators.SimilaritySearch.CoarseTrainer
 import org.apache.spark.sql.functions._
 
 /** Cell-local repair (r18, verdict item 2): [[SimilaritySearch
@@ -12,8 +11,9 @@ import org.apache.spark.sql.functions._
   *   - correctness is untouched: the rebalanced artifact probes in the
   *     exact regime (every cell visited) BIT-EQUAL to the brute ranking
   *     — no row lost, duplicated, or mis-scored by the repair;
-  *   - the repair is bounded: rows rewritten = the flagged + retired +
-  *     receiver partitions, a strict subset of the corpus;
+  *   - the repair is bounded: rows rewritten = the flagged + retired
+  *     cells' volume (retired rows move as newcomer FILES — receivers
+  *     never rewrite their own volume), a strict subset of the corpus;
   *   - skew drops; the center table stays dense (loadIvfIndex's
   *     positional array stays valid);
   *   - tombstones neither vote on the split geometry nor resurrect;
