@@ -1718,7 +1718,8 @@ object ScaleBench {
                 measure("ivf_auto")(SimilaritySearch.ivfProbeAmong(
                   idx, queries, K, npAuto, allowed)),
                 measure("ivf_cellaware")(SimilaritySearch
-                  .ivfProbeAmongAutoCellAware(idx, queries, K, allowed)),
+                  .ivfProbeAmongAutoCellAware(idx, queries, K, allowed,
+                    selectivity = Some(sel))),
                 measure("int8_auto")(SimilaritySearch
                   .ivfProbeInt8AmongAuto(int8Idx, queries, K, allowed,
                     selectivity = Some(sel))),

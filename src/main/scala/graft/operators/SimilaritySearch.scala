@@ -2598,20 +2598,33 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** [[ivfProbeAmongCellAware]] with nprobe from the constant-fraction
-    * policy applied to the ALLOWED CELL SPACE: probe ≥ 1/16 of the
-    * cells that hold allowed candidates (floor [[policyNprobe]]'s 4,
-    * cap = all of them). Scored volume is then ∝ the allowed mass in
-    * the probed fraction — bounded by the filtered brute scan whatever
-    * the clustering, which is the conservation statement the
-    * volume-based dial can only make for uniformly-spread filters.
+  /** [[ivfProbeAmongCellAware]] with nprobe conserving the unfiltered
+    * policy's SCORED VOLUME on the allowed mass: the allowed set's s·n
+    * rows spread over nCells allowed cells (mean s·n/nCells each), so
+    * probing np = nCells/(16·s) of them scores ≈ n/16 — the same
+    * volume the unfiltered constant-fraction policy pays — capped at
+    * nCells (then the probe IS the filtered brute ranking) and floored
+    * at [[policyNprobe]]'s 4. Two identities pin the shape: at
+    * selectivity 1 (allowed = everything) nCells = nlist and the dial
+    * IS the unfiltered policy; as s → 0 the cap forces exactness. An
+    * earlier coverage-only dial (probe nCells/16 cells, ignoring s)
+    * measured BELOW the volume dial on spread-clustered ACLs — it
+    * probed a fixed fraction of the allowed cell space where the
+    * volume conservation argument demands a 1/s widening, the same
+    * lesson [[filteredNprobeParam]] encodes on raw cells.
+    *
+    * `selectivity`: pass it when known (the production case); `None`
+    * derives it with the [[resolveSelectivity]] bounded counts at
+    * probe-construction time.
     */
   def ivfProbeAmongAutoCellAware(
       index: IvfIndex, queries: DataFrame, k: Int, allowed: DataFrame,
+      selectivity: Option[Double] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nCells = resolveAllowedCells(index, allowed, idCol).length
+    val s = resolveSelectivity(selectivity, allowed, index.assigned, idCol)
     val np = math.min(math.max(1, nCells),
-      math.max(4, math.ceil(nCells / 16.0).toInt))
+      math.max(4, math.ceil(nCells / (16.0 * s)).toInt))
     ivfProbeAmongCellAware(index, queries, k, np, allowed, idCol, vecCol)
   }
 
